@@ -1,0 +1,15 @@
+"""Spark execution engine for miniGQL programs."""
+
+from .executor import Binding, ExecError, Executor, binding_table, run_program
+from .session import get_spark
+from .state import GraphState
+
+__all__ = [
+    "Binding",
+    "ExecError",
+    "Executor",
+    "GraphState",
+    "binding_table",
+    "get_spark",
+    "run_program",
+]

@@ -1,0 +1,409 @@
+"""Instruction executor: miniGQL instructions → DataFrame transformations.
+
+Each normalized instruction (``graphDB/lib/instr.ml:8-16``) maps to a
+declarative DataFrame operation, so Catalyst — not this module — chooses
+physical strategy (broadcast vs shuffle joins, pushdown, pruning):
+
+* ``match (v:L)``   → cross join with the label table's id column
+  (sem.ml:303-307).  A following ``where``/edge-match turns the cross
+  join into a real equi-join via Catalyst's predicate pushdown.
+* ``match -[:r]->`` → left-semi join against the edge table
+  (sem.ml:317-329) — the reference's O(|T|·|E|) nested loop becomes a
+  hash/sort-merge join.
+* ``create``        → unions on the node/edge tables; edges stay a set
+  (graphstruct.ml:30-32) via dropDuplicates.
+* ``delete``        → left-anti joins (cascading edge removal,
+  sem.ml:212-215).
+* ``where``         → attribute join + filter (sem.ml:357-365).
+* ``set``           → upsert on the label table via left join + coalesce
+  (sem.ml:255-262, 366-375).
+* ``return``        → projection/reorder (sem.ml:348-356).
+
+Sequential mutation over immutable DataFrames grows lineage; every
+``checkpoint_every`` graph mutations the node/edge tables are
+``localCheckpoint``-ed to keep plans bounded (SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..frontend import ast as A
+from ..frontend.normalize import (
+    Action,
+    IActOnNode,
+    IActOnRel,
+    IDeleteNode,
+    IDeleteRel,
+    IReturn,
+    ISet,
+    IWhere,
+    NormProg,
+)
+from ..frontend.parser import parse
+from ..frontend.normalize import normalize
+from ..frontend.typecheck import typecheck
+from .exprs import attrib_accesses, const_fold, to_column
+from .state import GraphState, node_schema, spark_type_of
+
+
+class ExecError(Exception):
+    pass
+
+
+@dataclass
+class Binding:
+    """The binding table: a DataFrame + var→(internal column, label) env.
+
+    The env is ordered most-recent-first, mirroring the reference's
+    prepend-on-bind (sem.ml:30-36): a re-bound variable name resolves to
+    its newest column.
+    """
+
+    df: DataFrame
+    env: list = field(default_factory=list)  # list[(var, col, label)]
+    _counter: int = 0
+    # row count when statically known (seed row = 1; creates preserve it).
+    # Lets `create` allocate ids without a count() action in the common
+    # create-from-literals case; None after match/where/delete.
+    known_count: int | None = 1
+
+    def fresh_col(self) -> str:
+        self._counter += 1
+        return f"_v{self._counter}"
+
+    def lookup(self, var: str):
+        for v, c, lb in self.env:
+            if v == var:
+                return c, lb
+        raise ExecError(f"Variable '{var}' not in table")
+
+
+@dataclass
+class Executor:
+    state: GraphState
+    set_eval: str = "first_row"  # "first_row" (reference, sem.ml:371-372) | "per_row"
+    checkpoint_every: int = 12
+    _mutations: int = 0
+
+    def run(self, prog: NormProg, binding: Binding | None = None) -> Binding:
+        if binding is None:
+            # seed: zero columns, ONE empty row (sem.ml:25) — makes the
+            # first create/match produce exactly-one / one-per-node rows.
+            binding = Binding(self.state.spark.range(1).select(), known_count=1)
+        for instr in prog.instructions:
+            binding = self.exec_instr(instr, binding)
+        return binding
+
+    # ------------------------------------------------------------------
+
+    def exec_instr(self, instr, b: Binding) -> Binding:
+        if isinstance(instr, IActOnNode):
+            if instr.action == Action.CREATE:
+                return self._create_node(instr.var, instr.label, b)
+            return self._match_node(instr.var, instr.label, b)
+        if isinstance(instr, IActOnRel):
+            if instr.action == Action.CREATE:
+                return self._create_rel(instr.src_var, instr.rel, instr.tgt_var, b)
+            return self._match_rel(instr.src_var, instr.rel, instr.tgt_var, b)
+        if isinstance(instr, IDeleteNode):
+            return self._delete_node(instr.var, b)
+        if isinstance(instr, IDeleteRel):
+            return self._delete_rel(instr.src_var, instr.rel, instr.tgt_var, b)
+        if isinstance(instr, IReturn):
+            return self._return(list(instr.vars), b)
+        if isinstance(instr, IWhere):
+            return self._where(instr.expr, b)
+        if isinstance(instr, ISet):
+            return self._set(instr.var, instr.field, instr.expr, b)
+        raise TypeError(f"unknown instruction {instr!r}")
+
+    # -- create ---------------------------------------------------------
+
+    def _create_node(self, var: str, label: str, b: Binding) -> Binding:
+        st = self.state
+        col = b.fresh_col()
+        k = b.known_count if b.known_count is not None else b.df.count()
+        mn = st.next_id
+        decl = next(d for d in st.types.nodes if d.label == label)
+        schema = node_schema(decl)
+        if k == 1:
+            # fast path (every create in the reference corpus): constant id,
+            # no window, no extra job
+            new_df = b.df.withColumn(col, F.lit(mn).cast("long"))
+            from .localrel import local_df
+
+            new_nodes = local_df(st.spark, [tuple([mn] + [None] * len(decl.attrs))], schema)
+        else:
+            # one fresh id per existing row: global row_number re-based on
+            # the driver counter (deterministic dense ids; never raw
+            # monotonically_increasing_id — SURVEY §7 risk 2)
+            w = Window.orderBy(F.monotonically_increasing_id())
+            new_df = b.df.withColumn(col, (F.row_number().over(w) + F.lit(mn - 1)).cast("long"))
+            # localCheckpoint so both consumers (binding + node table) see
+            # the same id assignment
+            new_df = new_df.localCheckpoint(eager=True)
+            new_nodes = new_df.select(
+                F.col(col).alias("_id"),
+                *[F.lit(None).cast(spark_type_of(tp)).alias(f) for f, tp in decl.attrs],
+            )
+        st.nodes[label] = st.nodes[label].unionByName(new_nodes)
+        st.next_id = mn + k  # sane semantics; reference bumps by 1 (sem.ml:51 bug)
+        self._after_mutation()
+        return Binding(new_df, [(var, col, label)] + b.env, b._counter, b.known_count)
+
+    def _create_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+        st = self.state
+        scol, _ = b.lookup(sv)
+        tcol, _ = b.lookup(tv)
+        new_edges = b.df.select(
+            F.col(scol).alias("src"), F.lit(rel).alias("rel"), F.col(tcol).alias("dst")
+        )
+        st.edges = st.edges.unionByName(new_edges).dropDuplicates()
+        self._after_mutation()
+        return b
+
+    # -- match ----------------------------------------------------------
+
+    def _match_node(self, var: str, label: str, b: Binding) -> Binding:
+        st = self.state
+        col = b.fresh_col()
+        ids = st.nodes[label].select(F.col("_id").alias(col))
+        # Cross product (sem.ml:303-307).  A later `where`/edge-match
+        # provides the equality predicate Catalyst pushes into this join.
+        new_df = b.df.crossJoin(ids)
+        return Binding(new_df, [(var, col, label)] + b.env, b._counter, None)
+
+    def _match_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+        st = self.state
+        scol, _ = b.lookup(sv)
+        tcol, _ = b.lookup(tv)
+        e = st.edges.filter(F.col("rel") == rel).select(
+            F.col("src").alias("__esrc"), F.col("dst").alias("__edst")
+        )
+        new_df = b.df.join(
+            e, (F.col(scol) == F.col("__esrc")) & (F.col(tcol) == F.col("__edst")), "leftsemi"
+        )
+        return Binding(new_df, b.env, b._counter, None)
+
+    # -- delete ---------------------------------------------------------
+
+    def _delete_node(self, var: str, b: Binding) -> Binding:
+        st = self.state
+        col, label = b.lookup(var)
+        ids = b.df.select(F.col(col).alias("_id")).distinct()
+        st.nodes[label] = st.nodes[label].join(ids, "_id", "left_anti")
+        # cascade: remove all incident edges (sem.ml:212-215)
+        src_ids = ids.withColumnRenamed("_id", "__del")
+        st.edges = (
+            st.edges.join(src_ids, F.col("src") == F.col("__del"), "left_anti")
+            .join(src_ids, F.col("dst") == F.col("__del"), "left_anti")
+        )
+        # drop the column; unbind every env entry named `var`
+        # (header filter semantics of sem.ml:335)
+        new_env = [(v, c, lb) for v, c, lb in b.env if v != var]
+        self._after_mutation()
+        return Binding(b.df.drop(col), new_env, b._counter, b.known_count)
+
+    def _delete_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+        st = self.state
+        scol, _ = b.lookup(sv)
+        tcol, _ = b.lookup(tv)
+        pairs = b.df.select(F.col(scol).alias("__ds"), F.col(tcol).alias("__dt")).distinct()
+        st.edges = st.edges.join(
+            pairs,
+            (F.col("src") == F.col("__ds"))
+            & (F.col("dst") == F.col("__dt"))
+            & (F.col("rel") == rel),
+            "left_anti",
+        )
+        self._after_mutation()
+        return b
+
+    # -- return / where / set -------------------------------------------
+
+    def _return(self, vars: list, b: Binding) -> Binding:
+        cols, new_env = [], []
+        for v in vars:
+            c, lb = b.lookup(v)
+            cols.append(c)
+            new_env.append((v, c, lb))
+        return Binding(b.df.select(*cols), new_env, b._counter, b.known_count)
+
+    def _where(self, expr: A.Expr, b: Binding) -> Binding:
+        joined, attr_col, extra = self._join_attrs(b, attrib_accesses(expr))
+        cond = to_column(expr, attr_col)
+        filtered = joined.filter(cond).drop(*extra)
+        return Binding(filtered, b.env, b._counter, None)
+
+    def _set(self, var: str, fieldname: str, expr: A.Expr, b: Binding) -> Binding:
+        st = self.state
+        col, label = b.lookup(var)
+        decl_tp = spark_type_of(st.types.attrs_of(label)[fieldname])
+
+        cval = const_fold(expr)
+        if cval is not None or isinstance(expr, A.Const):
+            # constant RHS (every `set` in the reference corpus): no action
+            updates = (
+                b.df.select(F.col(col).alias("_id"))
+                .distinct()
+                .withColumn("__newval", F.lit(cval).cast(decl_tp))
+            )
+        else:
+            joined, attr_col, _extra = self._join_attrs(b, attrib_accesses(expr))
+            value_col = to_column(expr, attr_col).cast(decl_tp)
+            if self.set_eval == "first_row":
+                # reference semantics: evaluate once against the first row
+                # (sem.ml:371-372); crashes on empty table like List.hd
+                row = joined.select(value_col.alias("__v"), F.col(col).alias("_id")).first()
+                if row is None:
+                    raise ExecError("set on empty binding table")
+                updates = (
+                    b.df.select(F.col(col).alias("_id"))
+                    .distinct()
+                    .withColumn("__newval", F.lit(row["__v"]).cast(decl_tp))
+                )
+            else:
+                # sane generalization: per-row evaluation, one value per node
+                updates = (
+                    joined.select(F.col(col).alias("_id"), value_col.alias("__newval"))
+                    .groupBy("_id")
+                    .agg(F.first("__newval").alias("__newval"))
+                )
+        upd = updates.withColumn("__upd", F.lit(True))
+        nodes = st.nodes[label]
+        st.nodes[label] = (
+            nodes.join(upd, "_id", "left")
+            .withColumn(
+                fieldname,
+                F.when(F.col("__upd"), F.col("__newval")).otherwise(F.col(fieldname)),
+            )
+            .drop("__upd", "__newval")
+        )
+        self._after_mutation()
+        return b
+
+    # -- helpers ---------------------------------------------------------
+
+    def _join_attrs(self, b: Binding, accesses: set):
+        """Left-join each accessed (var, field) attribute onto the binding DF.
+
+        Returns (joined_df, attr_col mapping, list of temp columns to drop).
+        NULL (never-set) attributes propagate as NULL — the sane-semantics
+        divergence from the reference's runtime error (sem.ml:155-157).
+        """
+        df = b.df
+        mapping = {}
+        extra = []
+        # one join per accessed *variable* (covering all its fields at once)
+        by_var: dict = {}
+        for v, f in accesses:
+            by_var.setdefault(v, set()).add(f)
+        for v, fields in sorted(by_var.items()):
+            col, label = b.lookup(v)
+            acol = f"__a_{col}"
+            sel = [F.col("_id").alias(acol)]
+            for f in sorted(fields):
+                fcol = f"__a_{col}_{f}"
+                sel.append(F.col(f).alias(fcol))
+                mapping[(v, f)] = fcol
+                extra.append(fcol)
+            attrs = self.state.nodes[label].select(*sel)
+            df = df.join(attrs, F.col(col) == F.col(acol), "left").drop(acol)
+        return df, (lambda v, f: mapping[(v, f)]), extra
+
+    def _after_mutation(self):
+        self._mutations += 1
+        if self.checkpoint_every and self._mutations % self.checkpoint_every == 0:
+            st = self.state
+            st.edges = st.edges.localCheckpoint(eager=False)
+            for lb in st.nodes:
+                st.nodes[lb] = st.nodes[lb].localCheckpoint(eager=False)
+
+
+# ---------------------------------------------------------------------------
+# High-level entry point
+# ---------------------------------------------------------------------------
+
+
+def materialize_fold(spark: SparkSession, types: A.TypeGraph, fold) -> tuple:
+    """Folded driver-side graph → (GraphState, Binding): one createDataFrame
+    per label + one for edges + a single-row binding table."""
+    from pyspark.sql import types as T
+
+    from .localrel import local_df
+    from .state import EDGE_SCHEMA
+
+    nodes = {}
+    for decl in types.nodes:
+        schema = node_schema(decl)
+        rows = [
+            tuple([nid] + [attrs.get(f) for f, _ in decl.attrs])
+            for nid, attrs in fold.nodes.get(decl.label, {}).items()
+        ]
+        nodes[decl.label] = local_df(spark, rows, schema)
+    edges = local_df(spark, fold.edges, EDGE_SCHEMA)
+    state = GraphState(spark, types, nodes, edges, fold.next_id)
+
+    cols = [f"_v{i+1}" for i in range(len(fold.env))]
+    env = [(v, c, lb) for (v, _nid, lb), c in zip(fold.env, cols)]
+    if fold.env:
+        schema = T.StructType([T.StructField(c, T.LongType(), False) for c in cols])
+        bdf = local_df(spark, [tuple(nid for _, nid, _ in fold.env)], schema)
+    else:
+        bdf = spark.range(1).select()
+    binding = Binding(bdf, env, len(fold.env), 1)
+    return state, binding
+
+
+def run_program(
+    spark: SparkSession,
+    src: str,
+    initial_state: GraphState | None = None,
+    set_eval: str = "first_row",
+    fold_prefix: bool = True,
+):
+    """Compile and execute a miniGQL program; returns (state, binding).
+
+    ``initial_state`` lets callers run match-only programs against a
+    bulk-loaded graph (e.g. the parquet star-schema projection); the
+    program's type declarations are validated against that state's types.
+
+    With ``fold_prefix`` (default), the literal create/set prefix is
+    constant-folded on the driver (see ``plans.prefix_fold``) so script
+    programs materialize the graph in one job per label instead of one
+    per instruction.
+    """
+    from ..plans import fold_literal_prefix
+
+    parsed = normalize(parse(src))
+    if initial_state is not None:
+        # match-only programs against a preloaded graph: typecheck against
+        # the loaded state's schema (program may omit or repeat the decls)
+        state = initial_state
+        prog = typecheck(NormProg(state.types, parsed.instructions))
+        ex = Executor(state, set_eval=set_eval)
+        return state, ex.run(prog)
+    prog = typecheck(parsed)
+    if fold_prefix:
+        fold = fold_literal_prefix(prog.types, prog.instructions)
+        state, binding = materialize_fold(spark, prog.types, fold)
+        ex = Executor(state, set_eval=set_eval)
+        rest = NormProg(prog.types, prog.instructions[fold.consumed :])
+        return state, ex.run(rest, binding)
+    state = GraphState.empty(spark, prog.types)
+    ex = Executor(state, set_eval=set_eval)
+    return state, ex.run(prog)
+
+
+def binding_table(b: Binding) -> DataFrame:
+    """The binding table with user-facing variable names as columns.
+
+    Column order = the reference's header order (most-recent-first after
+    binds; the requested order after a `return`, sem.ml:348-356).
+    """
+    return b.df.select(*[F.col(c).alias(v) for v, c, _ in b.env])

@@ -1,0 +1,250 @@
+"""Source AST for miniGQL — the simplified Cypher/GQL dialect of the reference.
+
+Mirrors the *shape* of the reference's source language
+(``graphDB/lib/lang.ml:1-85``): values, expressions, node/relation
+patterns, clauses, and the type graph.  Fresh Python dataclasses —
+nothing is translated from OCaml; only the language being parsed is the
+same.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Union
+
+# ---------------------------------------------------------------------------
+# Attribute types (lang.ml:75 — BoolT | IntT | StringT)
+# ---------------------------------------------------------------------------
+
+
+class AttribType(Enum):
+    BOOL = "bool"
+    INT = "int"
+    STRING = "string"
+
+    def __repr__(self) -> str:  # compact in error messages
+        return self.value
+
+
+# ---------------------------------------------------------------------------
+# Values (lang.ml:29-33 — BoolV | IntV | StringV)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Value:
+    """A typed constant.  ``type`` is the static type of ``python_value``."""
+
+    type: AttribType
+    python_value: Union[bool, int, str]
+
+    @staticmethod
+    def bool_(b: bool) -> "Value":
+        return Value(AttribType.BOOL, b)
+
+    @staticmethod
+    def int_(i: int) -> "Value":
+        return Value(AttribType.INT, i)
+
+    @staticmethod
+    def string(s: str) -> "Value":
+        return Value(AttribType.STRING, s)
+
+
+# ---------------------------------------------------------------------------
+# Expressions (lang.ml:40-44 — Const | AttribAcc | BinOp)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Const:
+    value: Value
+
+
+@dataclass(frozen=True)
+class AttribAcc:
+    var: str
+    field: str
+
+
+class BinOpKind(Enum):
+    # arithmetic (int × int → int)
+    ADD = "+"
+    SUB = "-"
+    MUL = "*"
+    DIV = "/"
+    MOD = "mod"
+    # comparison (same-type × same-type → bool; order ops int-only)
+    EQ = "="
+    NE = "<>"
+    GE = ">="
+    GT = ">"
+    LE = "<="
+    LT = "<"
+    # logic (bool × bool → bool, non-short-circuit)
+    AND = "and"
+    OR = "or"
+
+    @property
+    def is_arith(self) -> bool:
+        return self in (BinOpKind.ADD, BinOpKind.SUB, BinOpKind.MUL, BinOpKind.DIV, BinOpKind.MOD)
+
+    @property
+    def is_compar(self) -> bool:
+        return self in (
+            BinOpKind.EQ,
+            BinOpKind.NE,
+            BinOpKind.GE,
+            BinOpKind.GT,
+            BinOpKind.LE,
+            BinOpKind.LT,
+        )
+
+    @property
+    def is_logic(self) -> bool:
+        return self in (BinOpKind.AND, BinOpKind.OR)
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: BinOpKind
+    left: "Expr"
+    right: "Expr"
+
+
+Expr = Union[Const, AttribAcc, BinOp]
+
+
+# ---------------------------------------------------------------------------
+# Patterns (lang.ml:47-58)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DeclPattern:
+    """``(v:Label)`` — declares a (possibly re-bound) node variable."""
+
+    var: str
+    label: str
+
+
+@dataclass(frozen=True)
+class VarRefPattern:
+    """``(v)`` — references an already-bound node variable."""
+
+    var: str
+
+
+NodePattern = Union[DeclPattern, VarRefPattern]
+
+
+@dataclass(frozen=True)
+class SimpPattern:
+    node: NodePattern
+
+
+@dataclass(frozen=True)
+class CompPattern:
+    """``node -[:rel]-> rest`` — a linear chain."""
+
+    node: NodePattern
+    rel: str
+    rest: "Pattern"
+
+
+Pattern = Union[SimpPattern, CompPattern]
+
+
+# ---------------------------------------------------------------------------
+# Clauses (lang.ml:62-69)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CreateClause:
+    patterns: tuple  # tuple[Pattern, ...]
+
+
+@dataclass(frozen=True)
+class MatchClause:
+    patterns: tuple  # tuple[Pattern, ...]
+
+
+@dataclass(frozen=True)
+class DeleteNodes:
+    vars: tuple  # tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class DeleteRels:
+    rels: tuple  # tuple[tuple[str, str, str], ...]  (src_var, rel_label, tgt_var)
+
+
+@dataclass(frozen=True)
+class DeleteClause:
+    pattern: Union[DeleteNodes, DeleteRels]
+
+
+@dataclass(frozen=True)
+class ReturnClause:
+    vars: tuple  # tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class WhereClause:
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class SetClause:
+    assignments: tuple  # tuple[tuple[str, str, Expr], ...]  (var, field, expr)
+
+
+Clause = Union[CreateClause, MatchClause, DeleteClause, ReturnClause, WhereClause, SetClause]
+
+
+# ---------------------------------------------------------------------------
+# Type graph / program (lang.ml:75-83, parser.mly:30-35)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NodeTypeDecl:
+    label: str
+    attrs: tuple  # tuple[tuple[str, AttribType], ...]  declaration order preserved
+
+
+@dataclass(frozen=True)
+class RelTypeDecl:
+    src: str
+    rel: str
+    tgt: str
+
+
+@dataclass
+class TypeGraph:
+    """The schema is itself a graph (lang.ml:81): node-type decls + rel-type decls."""
+
+    nodes: list = field(default_factory=list)  # list[NodeTypeDecl]
+    rels: list = field(default_factory=list)  # list[RelTypeDecl]
+
+    def node_labels(self) -> list:
+        return [n.label for n in self.nodes]
+
+    def attrs_of(self, label: str) -> dict:
+        for n in self.nodes:
+            if n.label == label:
+                return dict(n.attrs)
+        raise KeyError(f"node type {label!r} not declared")
+
+
+@dataclass
+class Query:
+    clauses: list  # list[Clause]
+
+
+@dataclass
+class Prog:
+    types: TypeGraph
+    query: Query

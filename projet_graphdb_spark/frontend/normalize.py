@@ -1,0 +1,122 @@
+"""Pattern lowering: source AST → flat instruction stream.
+
+Mirrors the reference's normalization semantics (``graphDB/lib/instr.ml:24-97``):
+a linear pattern ``(a:A)-[:r]->(b:B)-[:s]->(c:C)`` flattens to interleaved
+node/relation instructions; a ``VarRefPattern`` node emits no node
+instruction (the variable must already be bound).  The interleaving rule
+(instr.ml:56-77): the relation instruction for a hop is placed *after* the
+next hop's node instruction when that hop declares a node, otherwise
+immediately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Union
+
+from . import ast as A
+
+
+class Action(Enum):
+    CREATE = "create"
+    MATCH = "match"
+
+
+@dataclass(frozen=True)
+class IActOnNode:
+    action: Action
+    var: str
+    label: str
+
+
+@dataclass(frozen=True)
+class IActOnRel:
+    action: Action
+    src_var: str
+    rel: str
+    tgt_var: str
+
+
+@dataclass(frozen=True)
+class IDeleteNode:
+    var: str
+
+
+@dataclass(frozen=True)
+class IDeleteRel:
+    src_var: str
+    rel: str
+    tgt_var: str
+
+
+@dataclass(frozen=True)
+class IReturn:
+    vars: tuple
+
+
+@dataclass(frozen=True)
+class IWhere:
+    expr: A.Expr
+
+
+@dataclass(frozen=True)
+class ISet:
+    var: str
+    field: str
+    expr: A.Expr
+
+
+Instruction = Union[IActOnNode, IActOnRel, IDeleteNode, IDeleteRel, IReturn, IWhere, ISet]
+
+
+@dataclass
+class NormProg:
+    types: A.TypeGraph
+    instructions: list  # list[Instruction]
+
+
+def _normalize_node_pattern(act: Action, np: A.NodePattern):
+    if isinstance(np, A.DeclPattern):
+        return np.var, [IActOnNode(act, np.var, np.label)]
+    return np.var, []
+
+
+def _normalize_pattern(act: Action, pat: A.Pattern):
+    if isinstance(pat, A.SimpPattern):
+        return _normalize_node_pattern(act, pat.node)
+    # CompPattern(node, rel, rest)
+    v1, ins1 = _normalize_node_pattern(act, pat.node)
+    v2, ins2 = _normalize_pattern(act, pat.rest)
+    rel_ins = IActOnRel(act, v1, pat.rel, v2)
+    if ins2:
+        first, rest = ins2[0], ins2[1:]
+        if isinstance(first, IActOnNode):
+            # declare the next node first, then the relation between them
+            return v1, ins1 + [first, rel_ins] + rest
+        return v1, ins1 + [rel_ins] + ins2
+    return v1, ins1 + [rel_ins]
+
+
+def _normalize_clause(clause: A.Clause) -> list:
+    if isinstance(clause, A.CreateClause):
+        return [i for p in clause.patterns for i in _normalize_pattern(Action.CREATE, p)[1]]
+    if isinstance(clause, A.MatchClause):
+        return [i for p in clause.patterns for i in _normalize_pattern(Action.MATCH, p)[1]]
+    if isinstance(clause, A.DeleteClause):
+        dp = clause.pattern
+        if isinstance(dp, A.DeleteNodes):
+            return [IDeleteNode(v) for v in dp.vars]
+        return [IDeleteRel(s, r, t) for (s, r, t) in dp.rels]
+    if isinstance(clause, A.SetClause):
+        return [ISet(v, f, e) for (v, f, e) in clause.assignments]
+    if isinstance(clause, A.WhereClause):
+        return [IWhere(clause.expr)]
+    if isinstance(clause, A.ReturnClause):
+        return [IReturn(clause.vars)]
+    raise TypeError(f"unknown clause {clause!r}")
+
+
+def normalize(prog: A.Prog) -> NormProg:
+    instrs = [i for c in prog.query.clauses for i in _normalize_clause(c)]
+    return NormProg(prog.types, instrs)

@@ -1,0 +1,196 @@
+"""Static typechecker for normalized miniGQL programs.
+
+Checks the same error classes as the reference (``graphDB/lib/typing.ml``):
+
+* schema sanity (typing.ml:57-98): duplicate node-type declarations,
+  duplicate relation-type triples, relation endpoints must be declared;
+* per-instruction checks threading an environment of (var → label)
+  bindings (typing.ml:201-268): undeclared node/relation types, unbound
+  variables, duplicate return variables, `where` must be boolean, `set`
+  value type must match the declared attribute type.
+
+Variable rebinding is legal and *shadows*: bindings are kept as a list
+with the most recent first (typing.ml:20-23).  The environment after
+checking also records, for each instruction, the binding list — the
+executor uses the static label of each variable to pick the node
+DataFrame to join against.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import ast as A
+from .normalize import (
+    Action,
+    IActOnNode,
+    IActOnRel,
+    IDeleteNode,
+    IDeleteRel,
+    IReturn,
+    ISet,
+    IWhere,
+    NormProg,
+)
+
+
+class TypeCheckError(Exception):
+    def __init__(self, errors):
+        if isinstance(errors, str):
+            errors = [errors]
+        super().__init__("; ".join(errors))
+        self.errors = list(errors)
+
+
+@dataclass
+class Env:
+    """(var → label) bindings, most-recent-first (prepend on bind)."""
+
+    types: A.TypeGraph
+    bindings: list = field(default_factory=list)  # list[tuple[str, str]]
+
+    def bind(self, var: str, label: str) -> "Env":
+        return Env(self.types, [(var, label)] + self.bindings)
+
+    def lookup(self, var: str):
+        for v, lb in self.bindings:
+            if v == var:
+                return lb
+        return None
+
+    def remove_first(self, var: str) -> "Env":
+        out, removed = [], False
+        for v, lb in self.bindings:
+            if v == var and not removed:
+                removed = True
+                continue
+            out.append((v, lb))
+        return Env(self.types, out)
+
+    def keep_only(self, names) -> "Env":
+        keep = set(names)
+        return Env(self.types, [(v, lb) for v, lb in self.bindings if v in keep])
+
+
+def check_graph_types(tg: A.TypeGraph) -> list:
+    """Schema sanity errors (typing.ml:57-98). Returns error list (may be empty)."""
+    errors = []
+    labels = tg.node_labels()
+    if len(labels) != len(set(labels)):
+        errors.append("Multiple declarations of the same node type")
+    for r in tg.rels:
+        if r.src not in labels:
+            errors.append(f"Reference to undeclared node type '{r.src}' in relation '{r.rel}'")
+        if r.tgt not in labels:
+            errors.append(f"Reference to undeclared node type '{r.tgt}' in relation '{r.rel}'")
+    triples = [(r.src, r.rel, r.tgt) for r in tg.rels]
+    if len(triples) != len(set(triples)):
+        errors.append("Multiple declarations of the same relation type")
+    return errors
+
+
+def tp_expr(env: Env, e: A.Expr) -> A.AttribType:
+    """Static type of an expression (typing.ml:128-163)."""
+    if isinstance(e, A.Const):
+        return e.value.type
+    if isinstance(e, A.AttribAcc):
+        label = env.lookup(e.var)
+        if label is None:
+            raise TypeCheckError(f"Variable '{e.var}' not bound")
+        attrs = env.types.attrs_of(label)
+        if e.field not in attrs:
+            raise TypeCheckError(f"Attribute '{e.field}' not declared for node type '{label}'")
+        return attrs[e.field]
+    if isinstance(e, A.BinOp):
+        t1 = tp_expr(env, e.left)
+        t2 = tp_expr(env, e.right)
+        if e.op.is_arith:
+            if t1 == A.AttribType.INT and t2 == A.AttribType.INT:
+                return A.AttribType.INT
+            raise TypeCheckError("Arithmetic operation requires int types")
+        if e.op.is_compar:
+            if t1 == t2:
+                return A.AttribType.BOOL
+            raise TypeCheckError("Comparison requires same types")
+        if t1 == A.AttribType.BOOL and t2 == A.AttribType.BOOL:
+            return A.AttribType.BOOL
+        raise TypeCheckError("Logic operation requires bool types")
+    raise TypeError(f"unknown expression {e!r}")
+
+
+def _rel_declared(tg: A.TypeGraph, src: str, rel: str, tgt: str) -> bool:
+    return any(r.src == src and r.rel == rel and r.tgt == tgt for r in tg.rels)
+
+
+def tc_instr(instr, env: Env) -> Env:
+    tg = env.types
+    if isinstance(instr, IActOnNode):
+        if instr.label not in tg.node_labels():
+            raise TypeCheckError(f"Node type '{instr.label}' is not declared")
+        return env.bind(instr.var, instr.label)
+    if isinstance(instr, (IActOnRel, IDeleteRel)):
+        src_var = instr.src_var
+        tgt_var = instr.tgt_var
+        lbl1 = env.lookup(src_var)
+        if lbl1 is None:
+            raise TypeCheckError(f"Variable '{src_var}' is not bound")
+        lbl2 = env.lookup(tgt_var)
+        if lbl2 is None:
+            raise TypeCheckError(f"Variable '{tgt_var}' is not bound")
+        if not _rel_declared(tg, lbl1, instr.rel, lbl2):
+            raise TypeCheckError(
+                f"Relation '{instr.rel}' from '{lbl1}' to '{lbl2}' is not declared"
+            )
+        return env
+    if isinstance(instr, IDeleteNode):
+        if env.lookup(instr.var) is None:
+            raise TypeCheckError(f"Variable '{instr.var}' is not bound")
+        return env.remove_first(instr.var)
+    if isinstance(instr, IReturn):
+        unbound = [v for v in instr.vars if env.lookup(v) is None]
+        if unbound:
+            raise TypeCheckError([f"Variable '{v}' is not bound" for v in unbound])
+        if len(instr.vars) != len(set(instr.vars)):
+            raise TypeCheckError("Return contains duplicate variables")
+        return env.keep_only(instr.vars)
+    if isinstance(instr, IWhere):
+        if tp_expr(env, instr.expr) != A.AttribType.BOOL:
+            raise TypeCheckError("Expression does not have expected type bool")
+        return env
+    if isinstance(instr, ISet):
+        label = env.lookup(instr.var)
+        if label is None:
+            raise TypeCheckError(f"Variable '{instr.var}' is not bound")
+        attrs = tg.attrs_of(label)
+        if instr.field not in attrs:
+            raise TypeCheckError(
+                f"Attribute '{instr.field}' not declared for node type '{label}'"
+            )
+        if tp_expr(env, instr.expr) != attrs[instr.field]:
+            raise TypeCheckError(
+                f"Expression does not have expected type {attrs[instr.field]!r}"
+            )
+        return env
+    raise TypeError(f"unknown instruction {instr!r}")
+
+
+def typecheck(np: NormProg) -> NormProg:
+    """Validate schema + instructions; returns ``np`` unchanged on success."""
+    schema_errors = check_graph_types(np.types)
+    if schema_errors:
+        raise TypeCheckError(schema_errors)
+    env = Env(np.types)
+    for instr in np.instructions:
+        env = tc_instr(instr, env)
+    return np
+
+
+__all__ = [
+    "Action",
+    "Env",
+    "TypeCheckError",
+    "check_graph_types",
+    "tc_instr",
+    "tp_expr",
+    "typecheck",
+]

@@ -1,0 +1,145 @@
+"""Operator tier: each §2 operator through the *DataFrame* execution path.
+
+``fold_prefix=False`` forces literal creates/sets through the DataFrame
+implementations (union / join / anti-join), and post-``match``
+instructions exercise the data-dependent paths the folder never sees:
+multi-row create, per-row set, deletes driven by a matched binding.
+"""
+
+import pytest
+
+from projet_graphdb_spark.engine import binding_table, run_program
+
+SCHEMA = """
+(:P {nom string, age int})
+(:E {nom string, pme bool})
+(:P) -[:ami]-> (:P)
+(:P) -[:emp]-> (:E)
+"""
+
+BASE = (
+    SCHEMA
+    + """
+create (a: P) -[:emp]-> (x: E), (b: P) -[:emp]-> (y: E), (c: P)
+set a.nom = "Alice", a.age = 30,
+    b.nom = "Bob", b.age = 20,
+    c.nom = "Carol", c.age = 41,
+    x.nom = "Xco", x.pme = true,
+    y.nom = "Yco", y.pme = false
+create (a) -[:ami]-> (b), (b) -[:ami]-> (c)
+"""
+)
+
+
+def rows(b):
+    return sorted(tuple(r) for r in binding_table(b).collect())
+
+
+def test_unfolded_create_set_match(spark):
+    # same literal program through the DataFrame mutation path
+    state, b = run_program(spark, BASE + "match (p:P) where p.age > 25 return p",
+                           fold_prefix=False)
+    assert rows(b) == [(0,), (4,)]  # Alice(id 0), Carol(id 4)
+    nodes = state.collect_nodes()
+    assert nodes["P"][0] == {"nom": "Alice", "age": 30}
+
+
+def test_match_rel_semijoin(spark):
+    state, b = run_program(spark, BASE + "match (p:P) -[:emp]-> (e:E) return p, e")
+    assert rows(b) == [(0, 1), (2, 3)]
+
+
+def test_where_arith_exprs(spark):
+    # age mod 7 = 6 and (age * 2) / 4 >= 10  → Bob (20 mod 7 = 6, 40/4 = 10)
+    # and Carol (41 mod 7 = 6, 82/4 = 20 truncated)
+    q = "match (p:P) where p.age mod 7 = 6 and p.age * 2 / 4 >= 10 return p"
+    state, b = run_program(spark, BASE + q)
+    assert rows(b) == [(2,), (4,)]
+
+
+def test_where_bool_and_string(spark):
+    q = 'match (p:P) -[:emp]-> (e:E) where e.pme or p.nom = "Bob" return p'
+    state, b = run_program(spark, BASE + q)
+    assert rows(b) == [(0,), (2,)]
+
+
+def test_delete_node_cascades(spark):
+    # delete Bob: his emp + ami edges must go
+    q = 'match (p:P) where p.nom = "Bob" delete p'
+    state, b = run_program(spark, BASE + q)
+    nodes = state.collect_nodes()
+    assert 2 not in nodes["P"] and len(nodes["P"]) == 2
+    edges = state.collect_edges()
+    assert edges == {(0, "emp", 1)}  # both ami edges and Bob's emp edge gone
+    assert "p" not in binding_table(b).columns  # only p's column dropped
+
+
+def test_delete_rel(spark):
+    q = "match (p:P) -[:ami]-> (q:P) delete p -[:ami]-> q"
+    state, b = run_program(spark, BASE + q)
+    assert state.collect_edges() == {(0, "emp", 1), (2, "emp", 3)}
+
+
+def test_multi_row_create_allocates_distinct_ids(spark):
+    # create from a 3-row binding: one fresh E node per row (sane counter
+    # semantics — the reference's mn+1 bug would collide, sem.ml:45-51)
+    q = "match (p:P) create (z:E) create (p) -[:emp]-> (z) match (w:E) return w"
+    state, b = run_program(spark, BASE + q)
+    nodes = state.collect_nodes()
+    assert len(nodes["E"]) == 5  # 2 original + 3 fresh
+    assert state.next_id == 8
+    new_emp = {e for e in state.collect_edges() if e[1] == "emp"} - {(0, "emp", 1), (2, "emp", 3)}
+    assert len(new_emp) == 3
+    assert len({t for _, _, t in new_emp}) == 3  # distinct targets
+
+
+def test_set_after_match_updates_all_bound(spark):
+    # reference first-row semantics: single value written to all bound nodes
+    q = "match (p:P) set p.age = 9 match (q:P) where q.age = 9 return q"
+    state, b = run_program(spark, BASE + q)
+    # 3 p-rows × 3 q-matches, no dedup (sem.ml:303-307)
+    assert rows(b) == sorted([(0,), (2,), (4,)] * 3)
+    ages = {nid: attrs["age"] for nid, attrs in state.collect_nodes()["P"].items()}
+    assert ages == {0: 9, 2: 9, 4: 9}
+
+
+def test_set_expr_from_attribute(spark):
+    # non-const RHS: p.age + 1 evaluated on first row (sem.ml:371-372)
+    q = 'match (p:P) where p.nom = "Alice" set p.age = p.age + 1 match (r:P) where r.age = 31 return r'
+    state, b = run_program(spark, BASE + q)
+    assert rows(b) == [(0,)]
+
+
+def test_set_per_row_mode(spark):
+    q = "match (p:P) set p.age = p.age + 1 match (r:P) return r"
+    state, b = run_program(spark, BASE + q, set_eval="per_row")
+    ages = {nid: attrs["age"] for nid, attrs in state.collect_nodes()["P"].items()}
+    assert ages == {0: 31, 2: 21, 4: 42}
+
+
+def test_rebinding_most_recent_wins(spark):
+    # second `match (p:E)` shadows the P binding; where resolves to E attrs
+    q = "match (p:P) match (p:E) where p.pme return p"
+    state, b = run_program(spark, BASE + q)
+    # 3 P rows × 1 pme-true E node
+    assert rows(b) == [(1,), (1,), (1,)]
+
+
+def test_return_reorders_and_projects(spark):
+    q = "match (p:P) -[:emp]-> (e:E) return e, p"
+    state, b = run_program(spark, BASE + q)
+    tbl = binding_table(b)
+    assert tbl.columns == ["e", "p"]
+
+
+def test_empty_match_yields_empty(spark):
+    q = 'match (p:P) where p.nom = "Nobody" return p'
+    state, b = run_program(spark, BASE + q)
+    assert rows(b) == []
+
+
+def test_cross_product_semantics(spark):
+    # two unconstrained matches = cartesian product (sem.ml:303-307)
+    q = "match (p:P), (q:P) return p, q"
+    state, b = run_program(spark, BASE + q)
+    assert len(rows(b)) == 9
