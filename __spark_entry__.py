@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one named query per implemented operator from
+SURVEY.md §2 plus the Spark-native extension operators (dedup,
+similarity, text analysis, windowed event aggregation).  Graph-core
+queries (``g*``) run through the FULL miniGQL engine — program text →
+parse → normalize → typecheck → DataFrame execution — over the parquet
+star schema projected as a graph (``sources.parquet_graph``).  Each has
+an equivalent ANSI-SQL oracle for DuckDB in ``oracle_sql()``.
+
+Queries without an oracle entry (engine-specific hashes, approximate
+algorithms) get the driver's weaker rows-only check and are covered by
+exact pytest assertions instead (tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +18,456 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_graphdb_spark.engine import binding_table, run_program
+from projet_graphdb_spark.functions import dedup, relational, similarity, text
+from projet_graphdb_spark.sources import load_tpch_graph
+from projet_graphdb_spark.streaming import load_events, windowed_event_stats
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _graph_query(spark: SparkSession, sf_dir: str, program: str):
+    """Run a miniGQL program against the star-schema graph projection."""
+    state = load_tpch_graph(spark, sf_dir)
+    return run_program(spark, program, initial_state=state)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# graph-core queries (engine end-to-end; SURVEY §2 operators O1-O10)
+# ---------------------------------------------------------------------------
+
+
+def g1_match_label(spark, sf_dir):
+    """O2 match-node: label scan (sem.ml:303-307)."""
+    _, b = _graph_query(spark, sf_dir, "match (n: Nation) return n")
+    return binding_table(b)
+
+
+def g2_match_rel_where(spark, sf_dir):
+    """O2+O4+O8+O7: edge match + attribute filter + projection."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        'match (c: Customer) -[:in_nation]-> (n: Nation)\n'
+        'where n.name = "NATION_3"\n'
+        "return c, n",
+    )
+    return binding_table(b)
+
+
+def g3_two_hop(spark, sf_dir):
+    """3-node chain motif (test2.q shape) over the bulk-loaded graph."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation) -[:in_region]-> (r: Region)\n"
+        'where r.name = "ASIA"\n'
+        "return c, n, r",
+    )
+    return binding_table(b)
+
+
+def g4_where_expr(spark, sf_dir):
+    """O8 + §2.1 scalar ops: arithmetic, mod, div, comparisons, and/or."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer)\n"
+        "where c.custkey mod 10 = 3 and c.custkey / 7 < 100 or c.custkey * 2 = 4\n"
+        "return c",
+    )
+    return binding_table(b)
+
+
+def g5_create_rel(spark, sf_dir):
+    """O3 create-edge from matched rows (+ edge-set dedup)."""
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "match (s: Supplier) -[:in_nation]-> (n: Nation), (c: Customer) -[:in_nation]-> (n)\n"
+        "create (s) -[:serves]-> (c)",
+    )
+    return state.edges.filter(F.col("rel") == "serves").select("src", "dst")
+
+
+def g6_delete_node(spark, sf_dir):
+    """O5 delete-node with cascading edge removal."""
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation)\n"
+        "where n.nationkey mod 5 = 0\n"
+        "delete c",
+    )
+    remaining = state.nodes["Customer"].select(F.col("_id").alias("c"))
+    return remaining
+
+
+def g7_delete_rel(spark, sf_dir):
+    """O6 delete-edge driven by a matched binding."""
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "match (o: Order) -[:placed_by]-> (c: Customer)\n"
+        "where c.custkey mod 2 = 0\n"
+        "delete o -[:placed_by]-> c",
+    )
+    return state.edges.filter(F.col("rel") == "placed_by").select("src", "dst")
+
+
+def g8_set_attr(spark, sf_dir):
+    """O9 set: attribute upsert on all bound nodes."""
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation)\n"
+        'where n.name = "NATION_1"\n'
+        'set c.mktsegment = "PROMO"',
+    )
+    return state.nodes["Customer"].select(F.col("_id").alias("c"), "mktsegment")
+
+
+def g9_create_node(spark, sf_dir):
+    """O1 create-node from a multi-row binding: fresh dense ids."""
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "match (r: Region) create (h: Hub) create (h) -[:routes]-> (r)",
+    )
+    return state.nodes["Hub"].select(F.col("_id").alias("h"))
+
+
+def g10_agg_over_match(spark, sf_dir):
+    """Extension: aggregation over match results (absent from the
+    reference, SURVEY §2.2) — customers per nation."""
+    state, b = _graph_query(
+        spark, sf_dir, "match (c: Customer) -[:in_nation]-> (n: Nation) return c, n"
+    )
+    tbl = binding_table(b)
+    names = state.nodes["Nation"].select(F.col("_id").alias("n"), "name")
+    return (
+        tbl.join(names, "n")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational extensions
+# ---------------------------------------------------------------------------
+
+
+def x1_pricing_summary(spark, sf_dir):
+    return relational.pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def x2_topk_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return relational.topk(orders, "o_totalprice", 10, "o_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def x3_distinct_segments(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+def x4_group_topk(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return relational.group_topk(orders, "o_orderpriority", "o_totalprice", 3, "o_orderkey").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity / events
+# ---------------------------------------------------------------------------
+
+
+def t1_text_stats(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+def d1_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def d2_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), block_col="lang", threshold=0.2)
+
+
+def d3_minhash_lsh(spark, sf_dir):
+    # approximate (engine-hash-specific) → rows-only check; exactness
+    # covered by tests/test_dedup.py against brute-force Jaccard
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def d4_simhash(spark, sf_dir):
+    return dedup.simhash_table(_docs(spark, sf_dir))
+
+
+def s1_knn_bruteforce(spark, sf_dir):
+    return similarity.knn_bruteforce(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def s2_cosine_dups(spark, sf_dir):
+    return similarity.embedding_cosine_dups(_emb(spark, sf_dir), threshold=0.2)
+
+
+def e1_event_window(spark, sf_dir):
+    return windowed_event_stats(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full engine pipeline — parquet → graph → two-hop
+    miniGQL motif → attribute join, at sf0.001."""
+    state, b = _graph_query(
+        spark,
+        SF_TINY,
+        "match (c: Customer) -[:in_nation]-> (n: Nation) -[:in_region]-> (r: Region)\n"
+        "return c, n, r",
+    )
+    tbl = binding_table(b)
+    nations = state.nodes["Nation"].select(F.col("_id").alias("n"), F.col("name").alias("nation"))
+    regions = state.nodes["Region"].select(F.col("_id").alias("r"), F.col("name").alias("region"))
+    return tbl.join(nations, "n").join(regions, "r").select("c", "n", "r", "nation", "region")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g1_match_label": g1_match_label,
+        "g2_match_rel_where": g2_match_rel_where,
+        "g3_two_hop": g3_two_hop,
+        "g4_where_expr": g4_where_expr,
+        "g5_create_rel": g5_create_rel,
+        "g6_delete_node": g6_delete_node,
+        "g7_delete_rel": g7_delete_rel,
+        "g8_set_attr": g8_set_attr,
+        "g9_create_node": g9_create_node,
+        "g10_agg_over_match": g10_agg_over_match,
+        "x1_pricing_summary": x1_pricing_summary,
+        "x2_topk_orders": x2_topk_orders,
+        "x3_distinct_segments": x3_distinct_segments,
+        "x4_group_topk": x4_group_topk,
+        "t1_text_stats": t1_text_stats,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "d3_minhash_lsh": d3_minhash_lsh,
+        "d4_simhash": d4_simhash,
+        "s1_knn_bruteforce": s1_knn_bruteforce,
+        "s2_cosine_dups": s2_cosine_dups,
+        "e1_event_window": e1_event_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared SQL fragments for the oracles (id projection mirrors
+# sources/parquet_graph.py OFFSETS)
+_CUST = "CAST(c_custkey + 1000000 AS BIGINT)"
+_NAT = "CAST(n_nationkey + 100 AS BIGINT)"
+_REG = "CAST(r_regionkey AS BIGINT)"
+_SUPP = "CAST(s_suppkey + 10000 AS BIGINT)"
+_ORD = "CAST(o_orderkey + 10000000 AS BIGINT)"
+
+_CANON_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES = """
+CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+     ELSE list_distinct(
+       list_transform(
+         range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 0) + 2),
+         i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))
+END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "g1_match_label": f"SELECT {_NAT} AS n FROM nation",
+        "g2_match_rel_where": f"""
+            SELECT {_CUST} AS c, {_NAT} AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        """,
+        "g3_two_hop": f"""
+            SELECT {_CUST} AS c, {_NAT} AS n, {_REG} AS r
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        """,
+        "g4_where_expr": f"""
+            SELECT {_CUST} AS c FROM customer
+            WHERE (c_custkey % 10 = 3 AND c_custkey // 7 < 100) OR c_custkey * 2 = 4
+        """,
+        "g5_create_rel": f"""
+            SELECT DISTINCT {_SUPP} AS src, {_CUST} AS dst
+            FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        """,
+        "g6_delete_node": f"""
+            SELECT {_CUST} AS c FROM customer WHERE c_nationkey % 5 <> 0
+        """,
+        "g7_delete_rel": f"""
+            SELECT {_ORD} AS src, CAST(o_custkey + 1000000 AS BIGINT) AS dst
+            FROM orders WHERE o_custkey % 2 = 1
+        """,
+        "g8_set_attr": f"""
+            SELECT {_CUST} AS c,
+                   CASE WHEN c_nationkey = 1 THEN 'PROMO' ELSE c_mktsegment END AS mktsegment
+            FROM customer
+        """,
+        "g9_create_node": """
+            SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS h FROM region
+        """,
+        "g10_agg_over_match": """
+            SELECT n_name AS name, COUNT(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "x1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "x2_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "x3_distinct_segments": "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+        "x4_group_topk": """
+            SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+                   o_totalprice AS totalprice
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "t1_text_stats": _text_stats_oracle(),
+        "d1_exact_dedup": f"""
+            SELECT md5({_CANON_TEXT}) AS fp, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "d2_ngram_jaccard": f"""
+            WITH base AS (
+              SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+              FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END AS jaccard
+            FROM pairs
+            WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END) >= 0.2
+        """,
+        "s1_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                       WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbour_id,
+                     list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbour_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "s2_cosine_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "e1_event_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }
+
+
+def _text_stats_oracle() -> str:
+    """DuckDB mirror of functions/text.py (same arithmetic, same order)."""
+
+    def occ(w):
+        pad = "(' ' || text || ' ')"
+        needle = f"' {w} '"
+        return (
+            f"CAST((length({pad}) - length(replace({pad}, {needle}, '')))"
+            f" / {len(w) + 2} AS BIGINT)"
+        )
+
+    langs = {
+        lang: " + ".join(occ(w) for w in words) for lang, words in text.LANG_MARKERS.items()
+    }
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    nonspace = "length(regexp_replace(text, '\\s', '', 'g'))"
+    atl = f"CASE WHEN ({ntok}) > 0 THEN CAST({nonspace} AS DOUBLE) / ({ntok}) END"
+    stop_total = " + ".join(f"({expr})" for expr in langs.values())
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST({ntok} AS BIGINT) AS n_tokens,
+                 CAST(greatest(ceil(length(text) / 4), {ntok}) AS BIGINT) AS n_tokens_bpe,
+                 CAST({atl} AS DOUBLE) AS avg_token_len,
+                 {langs['en']} AS s_en, {langs['fr']} AS s_fr,
+                 {langs['de']} AS s_de, {langs['es']} AS s_es,
+                 CAST({stop_total} AS BIGINT) AS s_all
+          FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, avg_token_len,
+               CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                    WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred,
+               md5({_CANON_TEXT}) AS fp,
+               CAST(least(n_tokens / 200.0, 1.0) * 0.5
+                    + CASE WHEN coalesce(avg_token_len, 0.0) >= 3.0
+                                AND coalesce(avg_token_len, 0.0) <= 8.0
+                           THEN 0.3 ELSE 0.0 END
+                    + least(s_all / CAST(greatest(n_tokens, 1) AS DOUBLE), 0.2)
+                    AS DOUBLE) AS quality
+        FROM s
     """
-    return {}

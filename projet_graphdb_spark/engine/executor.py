@@ -71,6 +71,15 @@ class Binding:
     # Lets `create` allocate ids without a count() action in the common
     # create-from-literals case; None after match/where/delete.
     known_count: int | None = 1
+    # columns declared by `match (v:L)` but not yet joined into df:
+    # col -> label.  A following `match -[:r]->` resolves them THROUGH the
+    # edge table (inner join) instead of materializing the label-scan
+    # cross product first — the motif-planning move that turns
+    # `match (a:A)-[:r]->(b:B)` into edge ⋈ nodes instead of
+    # (T × A × B) ⋉ edges.  Flushed (plain cross join, reference
+    # semantics sem.ml:303-307) before any instruction that needs the
+    # materialized column.
+    pending: dict = field(default_factory=dict)
 
     def fresh_col(self) -> str:
         self._counter += 1
@@ -97,7 +106,20 @@ class Executor:
             binding = Binding(self.state.spark.range(1).select(), known_count=1)
         for instr in prog.instructions:
             binding = self.exec_instr(instr, binding)
-        return binding
+        return self._flush(binding)
+
+    def _flush(self, b: Binding, only: str | None = None) -> Binding:
+        """Materialize pending match-node columns as cross joins
+        (sem.ml:303-307).  ``only``: flush a single column."""
+        if not b.pending:
+            return b
+        df = b.df
+        pending = dict(b.pending)
+        cols = [only] if only is not None else list(pending)
+        for col in cols:
+            label = pending.pop(col)
+            df = df.crossJoin(self.state.nodes[label].select(F.col("_id").alias(col)))
+        return Binding(df, b.env, b._counter, None, pending)
 
     # ------------------------------------------------------------------
 
@@ -125,6 +147,7 @@ class Executor:
     # -- create ---------------------------------------------------------
 
     def _create_node(self, var: str, label: str, b: Binding) -> Binding:
+        b = self._flush(b)
         st = self.state
         col = b.fresh_col()
         k = b.known_count if b.known_count is not None else b.df.count()
@@ -157,6 +180,7 @@ class Executor:
         return Binding(new_df, [(var, col, label)] + b.env, b._counter, b.known_count)
 
     def _create_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+        b = self._flush(b)
         st = self.state
         scol, _ = b.lookup(sv)
         tcol, _ = b.lookup(tv)
@@ -170,29 +194,78 @@ class Executor:
     # -- match ----------------------------------------------------------
 
     def _match_node(self, var: str, label: str, b: Binding) -> Binding:
-        st = self.state
         col = b.fresh_col()
-        ids = st.nodes[label].select(F.col("_id").alias(col))
-        # Cross product (sem.ml:303-307).  A later `where`/edge-match
-        # provides the equality predicate Catalyst pushes into this join.
-        new_df = b.df.crossJoin(ids)
-        return Binding(new_df, [(var, col, label)] + b.env, b._counter, None)
+        # declare lazily: a following edge-match resolves the column via
+        # the edge table; otherwise _flush materializes the cross product
+        pending = dict(b.pending)
+        pending[col] = label
+        return Binding(b.df, [(var, col, label)] + b.env, b._counter, None, pending)
 
     def _match_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
         st = self.state
-        scol, _ = b.lookup(sv)
-        tcol, _ = b.lookup(tv)
-        e = st.edges.filter(F.col("rel") == rel).select(
-            F.col("src").alias("__esrc"), F.col("dst").alias("__edst")
-        )
+        scol, slabel = b.lookup(sv)
+        tcol, tlabel = b.lookup(tv)
+        e_base = st.edges.filter(F.col("rel") == rel)
+
+        if scol == tcol:
+            # self loop (v)-[:r]->(v): materialize, then plain semi join
+            b = self._flush(b)
+            e = e_base.select(F.col("src").alias("__esrc"), F.col("dst").alias("__edst"))
+            new_df = b.df.join(
+                e,
+                (F.col(scol) == F.col("__esrc")) & (F.col(tcol) == F.col("__edst")),
+                "leftsemi",
+            )
+            return Binding(new_df, b.env, b._counter, None, b.pending)
+
+        if tcol in b.pending:
+            # resolve the target THROUGH the edge table: an inner join on
+            # the source column yields the target ids directly — no
+            # label-scan cross product.  A left-semi against the target
+            # label table keeps only correctly-labelled endpoints (two
+            # relation types may share a label with different endpoints).
+            b = self._flush(b, only=scol) if scol in b.pending else b
+            pending = dict(b.pending)
+            pending.pop(tcol)
+            e = e_base.select(F.col("src").alias("__esrc"), F.col("dst").alias(tcol))
+            df = (
+                b.df.join(e, F.col(scol) == F.col("__esrc"), "inner")
+                .drop("__esrc")
+                .join(
+                    st.nodes[tlabel].select(F.col("_id").alias("__tchk")),
+                    F.col(tcol) == F.col("__tchk"),
+                    "leftsemi",
+                )
+            )
+            return Binding(df, b.env, b._counter, None, pending)
+
+        if scol in b.pending:
+            # symmetric: resolve the source through the edge table
+            pending = dict(b.pending)
+            pending.pop(scol)
+            e = e_base.select(F.col("src").alias(scol), F.col("dst").alias("__edst"))
+            df = (
+                b.df.join(e, F.col(tcol) == F.col("__edst"), "inner")
+                .drop("__edst")
+                .join(
+                    st.nodes[slabel].select(F.col("_id").alias("__schk")),
+                    F.col(scol) == F.col("__schk"),
+                    "leftsemi",
+                )
+            )
+            return Binding(df, b.env, b._counter, None, pending)
+
+        # both already materialized: edge-existence filter ≡ left-semi join
+        e = e_base.select(F.col("src").alias("__esrc"), F.col("dst").alias("__edst"))
         new_df = b.df.join(
             e, (F.col(scol) == F.col("__esrc")) & (F.col(tcol) == F.col("__edst")), "leftsemi"
         )
-        return Binding(new_df, b.env, b._counter, None)
+        return Binding(new_df, b.env, b._counter, None, b.pending)
 
     # -- delete ---------------------------------------------------------
 
     def _delete_node(self, var: str, b: Binding) -> Binding:
+        b = self._flush(b)
         st = self.state
         col, label = b.lookup(var)
         ids = b.df.select(F.col(col).alias("_id")).distinct()
@@ -210,6 +283,7 @@ class Executor:
         return Binding(b.df.drop(col), new_env, b._counter, b.known_count)
 
     def _delete_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+        b = self._flush(b)
         st = self.state
         scol, _ = b.lookup(sv)
         tcol, _ = b.lookup(tv)
@@ -227,6 +301,7 @@ class Executor:
     # -- return / where / set -------------------------------------------
 
     def _return(self, vars: list, b: Binding) -> Binding:
+        b = self._flush(b)
         cols, new_env = [], []
         for v in vars:
             c, lb = b.lookup(v)
@@ -235,12 +310,14 @@ class Executor:
         return Binding(b.df.select(*cols), new_env, b._counter, b.known_count)
 
     def _where(self, expr: A.Expr, b: Binding) -> Binding:
+        b = self._flush(b)
         joined, attr_col, extra = self._join_attrs(b, attrib_accesses(expr))
         cond = to_column(expr, attr_col)
         filtered = joined.filter(cond).drop(*extra)
         return Binding(filtered, b.env, b._counter, None)
 
     def _set(self, var: str, fieldname: str, expr: A.Expr, b: Binding) -> Binding:
+        b = self._flush(b)
         st = self.state
         col, label = b.lookup(var)
         decl_tp = spark_type_of(st.types.attrs_of(label)[fieldname])

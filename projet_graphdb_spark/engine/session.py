@@ -36,5 +36,12 @@ def get_spark(
         # tiny local relations (literal graphs, seed rows) get 1 partition
         # instead of defaultParallelism — parquet scans are unaffected
         .config("spark.sql.leafNodeDefaultParallelism", "1")
+        # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as long and convert (streaming/events.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4's ICU-backed lower()/upper() pays a ~100s one-time
+        # CollationAwareUTF8String static init on first executor use;
+        # JVM case mapping is correct for the engine's ASCII-ish data
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     return builder.getOrCreate()

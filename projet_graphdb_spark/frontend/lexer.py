@@ -69,10 +69,13 @@ _PUNCT = [
     ("<", "LT"),
 ]
 
-_IDENT_RE = re.compile(r"[A-Za-z][A-Za-z0-9]*")
+# Engine extension over the reference (lexer.mll:29-85): identifiers and
+# strings additionally allow '_' so bulk-loaded labels/values
+# (in_nation, NATION_3) are expressible; the reference corpus uses none.
+_IDENT_RE = re.compile(r"[A-Za-z][A-Za-z0-9_]*")
 _INT_RE = re.compile(r"0|[1-9][0-9]*")
-# Strings are restricted to letters, digits and blanks (lexer.mll:24-27).
-_STRING_RE = re.compile(r'"([A-Za-z0-9 ]*)"')
+# Strings are restricted to letters, digits, blanks (lexer.mll:24-27) + '_'.
+_STRING_RE = re.compile(r'"([A-Za-z0-9 _]*)"')
 
 _TYPE_NAMES = {"bool": AttribType.BOOL, "int": AttribType.INT, "string": AttribType.STRING}
 

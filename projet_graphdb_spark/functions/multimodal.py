@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched Pandas functions over ``mapInPandas`` — the Spark-side
+plumbing (schema, batching, partition sizing) is real and tested.
+
+The actual media decoding is STUBBED: the image/audio codec libraries
+are not available in this environment, so ``decode`` dispatches to a
+deterministic fake featurizer (hash-seeded) unless a real decoder is
+injected.  Swap ``_decode_payload`` for a PIL/ffmpeg call in a real
+deployment; nothing else changes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python), and
+media work is embarrassingly parallel — repartition by size so one
+partition's payload bytes fit executor memory
+(``spark.sql.files.maxPartitionBytes`` governs the scan side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """STUB decoder: deterministic fake features from the payload bytes.
+
+    A real deployment replaces this with PIL/torchvision/ffmpeg decode +
+    model features.  The fake is seeded by content hash so tests are
+    reproducible and dedup-by-feature behaves like the real thing.
+    """
+    digest = hashlib.sha256(kind.encode() + (payload or b"")).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """binary payloads → feature vectors via Arrow-batched mapInPandas."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_payload(p, k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode a video row into frame-sample tasks (no decode here —
+    pure plan shaping: one output row per frame to sample).
+
+    Downstream decode runs per-frame, so partitioning the *task* rows
+    (not the payloads) spreads the heavy decode evenly.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def fake_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        meta = (64, 48, None, None) if kind == "image" else (
+            (None, None, 16000, None) if kind == "audio" else (None, None, None, 120)
+        )
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,60 @@
+"""Relational extension operators the reference lacks (SURVEY §2.2):
+aggregation, distinct, deterministic top-k — the natural Spark-native
+generalizations over match results and fact tables.
+
+Numeric aggregates over floating-point columns are computed in DECIMAL
+then cast back to double: partial aggregation order (map-side combine
+across partitions) must not change the result, or the DuckDB oracle and
+any two cluster runs would disagree in the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dsum(col: str, scale: int = 2) -> F.Column:
+    """Order-independent sum of a double column: aggregate exactly in
+    DECIMAL(25, scale), return double."""
+    return F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double")
+
+
+def davg(col: str, scale: int = 2):
+    """Order-independent mean: exact DECIMAL sum, then ONE double division
+    (decimal÷long division would round at Spark's decimal scale rules,
+    which DuckDB does not reproduce)."""
+    return F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double") / F.count(F.col(col))
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped rollup: per (returnflag, linestatus) pricing stats.
+
+    One shuffle (partial agg map-side, final agg on the two group keys).
+    """
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def topk(df: DataFrame, order_col: str, k: int, tiebreak_col: str) -> DataFrame:
+    """Deterministic top-k: order by ``order_col`` desc, ties broken by
+    ``tiebreak_col`` asc.  Spark computes this as a per-partition partial
+    top-k + single merge (TakeOrderedAndProject) — no full sort."""
+    return df.orderBy(F.desc(order_col), F.asc(tiebreak_col)).limit(k)
+
+
+def group_topk(df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str) -> DataFrame:
+    """Top-k rows per group (window rank; single shuffle on the group key)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``knn_bruteforce`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; the scan+score is map-side (no shuffle of the
+  corpus), then a per-query top-k window.  The baseline and the oracle.
+* ``knn_lsh`` — the scale path: random-hyperplane (SRP) signatures bucket
+  the corpus; each query probes only its bucket(s).  Sub-linear probe
+  cost; recall controlled by bands/bits.  Signatures are seeded and
+  deterministic.
+* ``embedding_cosine_dups`` — near-duplicate pairs by cosine within
+  blocks (e.g. a cluster label), the embedding analogue of blocked
+  n-gram dedup.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM, codegen) in double
+precision with left-to-right summation — bit-reproducible and matching
+DuckDB's ``list_`` kernels for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query id.
+
+    Output: (query_id, neighbour_id, rank, sim) — rank 1..k, self
+    excluded, ties broken by neighbour id (deterministic).
+
+    The query side is a handful of rows → Catalyst broadcasts it; the
+    corpus is scanned once, map-side.  The only shuffle is the per-query
+    top-k (tiny: k rows per query after partial sort).
+    """
+    # broadcast the QUERIES and stream the corpus: the corpus scan stays
+    # partition-parallel at any scale.  Norms are computed once per row
+    # (not per pair); sim = dot/(nq*nc) is the same arithmetic as
+    # cosine() and as DuckDB's list_cosine_similarity.
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("_cv"),
+        l2norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id")).withColumn(
+        "sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def srp_signature(vec: Column, planes: list) -> Column:
+    """Signed-random-projection bit signature (long) for a vector.
+
+    ``planes``: list of hyperplanes (list of floats) — fixed/seeded by
+    the caller; the signature is fully deterministic.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_ids: list,
+    planes: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucketed search (same output shape as
+    ``knn_bruteforce`` but only scores corpus rows in the query's bucket).
+
+    At scale: corpus bucketed once (map-only signature + shuffle on
+    bucket), each query joins its bucket only — probe cost ∝ bucket size.
+    """
+    sig = srp_signature(F.col(vec_col), planes)
+    base = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("_bucket"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("_cv"), "_bucket"
+    )
+    scored = (
+        q.join(c, on="_bucket")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within blocks.
+
+    Output: (id_a, id_b, sim), id_a < id_b.  Equi-join on the block key;
+    quadratic only inside blocks (the caller controls block granularity).
+    Norms are precomputed per row; the probe side is round-robin
+    repartitioned and the build side broadcast so few-valued block keys
+    do not collapse the pair enumeration onto a handful of tasks.
+    """
+    base = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2norm(F.col(vec_col)).alias("_n"),
+    ).localCheckpoint(eager=True)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(par).select(
+        "_blk", F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        "_blk", F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(F.broadcast(b), on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,128 @@
+"""Text analysis operators over a documents table.
+
+Every function here is pure built-in-function column algebra (no UDFs):
+at 100 TB these are map-only expressions fused into the parquet scan by
+whole-stage codegen — no shuffle, no Python.
+
+Functions are written to be *oracle-portable*: the same arithmetic can
+be expressed in ANSI SQL (DuckDB) so the driver's correctness gate can
+hash-compare results.  That rules out engine-specific hashes in outputs
+(xxhash64) — fingerprints use md5, available in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-count
+# language-ID heuristic.  Chosen to be disjoint across languages.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "les"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "los", "que"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Cheap BPE-proportional estimate: ~1 token per 4 chars, at least the
+    whitespace token count (a BPE tokenizer never merges across spaces)."""
+    return F.greatest(F.ceil(F.length(text) / 4).cast("long"), token_count(text))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Average token length in chars (NULL for blank text)."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    n = token_count(text)
+    return F.when(n > 0, nonspace / n).cast("double")
+
+
+def occurrence_count(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a blank-delimited token.
+
+    Implemented with the portable length-difference trick over
+    ``' ' || text || ' '`` so the identical expression runs in DuckDB.
+    Non-overlapping left-to-right replacement in both engines.
+    """
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict:
+    """language → stopword-marker occurrence count."""
+    return {
+        lang: sum_cols([occurrence_count(text, w) for w in words])
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def sum_cols(cols: list) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker counts, 'und' when all zero.
+
+    Deterministic tie-break by the fixed order en > fr > de > es.
+    """
+    s = lang_scores(text)
+    c = F.when(
+        (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+        F.lit("en"),
+    )
+    c = c.when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] > 0), F.lit("fr"))
+    c = c.when((s["de"] >= s["es"]) & (s["de"] > 0), F.lit("de"))
+    c = c.when(s["es"] > 0, F.lit("es"))
+    return c.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of lower-cased, space-normalized
+    text.  md5 (not xxhash64) so DuckDB oracles can reproduce it."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, token shape, stopword
+    density.  Pure deterministic double arithmetic (oracle-portable)."""
+    n = token_count(text)
+    atl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    stop = sum_cols(list(lang_scores(text).values()))
+    length_term = F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
+    shape_term = F.when((atl >= 3.0) & (atl <= 8.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_term = F.least(stop / F.greatest(n, F.lit(1)).cast("double"), F.lit(0.2))
+    return (length_term + shape_term + stop_term).cast("double")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame: the standard pipeline feature set."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        char_count(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        avg_token_len(t).alias("avg_token_len"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+        quality_score(t).alias("quality"),
+    )

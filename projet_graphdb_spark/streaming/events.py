@@ -1,0 +1,99 @@
+"""Event-stream operators: tumbling-window aggregation, batch + streaming.
+
+The reference has no streaming surface at all (SURVEY §2.2), so this is
+a pure Spark-native extension: the same windowed aggregation is exposed
+
+* as a **batch** query (oracle-checkable against DuckDB ``date_trunc``),
+* as a **Structured Streaming** query over a file source with a
+  watermark, trigger ``availableNow`` — the scale path for continuous
+  ingest; state store size is bounded by (watermark horizon × keys).
+
+Batch/stream parity is asserted in tests: running the stream to
+completion over the same files must equal the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fixture, normalizing its TIMESTAMP(NANOS) column.
+
+    Spark's parquet reader has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as long
+    nanoseconds and is converted to a microsecond timestamp here (hour/
+    minute windowing is unaffected by the truncation).
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def windowed_event_stats(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type event stats (batch).
+
+    Output: (window_start, event_type, n_events, sum_value) — one shuffle
+    on (window, type); sum in DECIMAL for order-independence.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("_w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "ev_counts",
+):
+    """The same aggregation as a Structured Streaming query.
+
+    Reads the parquet file(s) as a stream, applies an event-time
+    watermark (late data beyond ``watermark`` is dropped and state is
+    reclaimed — the knob that bounds state at scale), aggregates into
+    tumbling windows, and writes to a memory sink with trigger
+    ``availableNow`` (process all available input, then stop).
+
+    Returns the StreamingQuery; results land in the in-memory table
+    ``query_name`` with the same schema as ``windowed_event_stats``.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("_w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

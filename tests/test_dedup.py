@@ -1,0 +1,87 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_graphdb_spark.functions import dedup
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "A  b C"), (4, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(df).collect()}
+    # canonicalization: lowercase + whitespace-normalize → 1,2,3 identical
+    assert out == {1: 3, 4: 1}
+
+
+def test_word_shingles_basic(spark):
+    df = spark.createDataFrame([("w1 w2 w3 w4",), ("",)], ["text"])
+    rows = df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["w1 w2 w3", "w2 w3 w4"]
+    assert rows[1]["sh"] == []
+
+
+def test_ngram_jaccard_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", "the quick brown fox jumps over the lazy dog"),
+            (2, "x", "the quick brown fox jumps over the lazy cat"),
+            (3, "x", "completely different words here entirely now"),
+        ],
+        ["doc_id", "blk", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "blk", threshold=0.1).collect()
+    }
+    # docs 1,2 share 6 of their 7 trigrams each → J = 6/8
+    assert pytest.approx(pairs[(1, 2)]) == 6 / 8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_finds_bruteforce_pairs(spark, docs):
+    """LSH recall sanity: high-Jaccard pairs must survive the banding."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs.withColumn("one", F.lit(1)), "one", threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # verification step computes EXACT jaccard on candidates → values match
+    for pair, j in approx.items():
+        assert pytest.approx(j) == exact[pair]
+    # banding with 8 bands / 4 rows catches J>=0.5 pairs w.h.p.
+    found = sum(1 for p in exact if p in approx)
+    assert found >= 0.8 * len(exact)
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "entirely unrelated content about spark query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    t1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(df).collect()}
+    t2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(df).collect()}
+    assert t1 == t2  # deterministic
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(t1[1], t1[2]) < hamming(t1[1], t1[3])

@@ -43,7 +43,7 @@ def test_tokenize_comment_and_keywords():
 
 def test_tokenize_rejects_bad_string():
     with pytest.raises(LexError):
-        tokenize('"no_underscores!"')
+        tokenize('"bad!chars"')
 
 
 def test_parse_rel_type_decl():

@@ -1,0 +1,86 @@
+"""Text analysis operators vs plain-Python reference implementations."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_graphdb_spark.functions import text
+
+
+SAMPLES = [
+    (1, "the quick brown fox and the lazy dog of honor"),
+    (2, "le chat et la porte avec le pain les amis"),
+    (3, "der hund und das auto und der baum"),
+    (4, "el mundo que los ninos y el sol"),
+    (5, ""),
+    (6, "   "),
+    (7, "single"),
+    (8, "a  b   c"),  # multi-space
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(SAMPLES, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def stats(docs):
+    return {r["doc_id"]: r.asDict() for r in text.text_stats(docs).collect()}
+
+
+def py_tokens(t):
+    t = t.strip()
+    return t.split() if t else []
+
+
+def test_token_count(stats):
+    for did, t in SAMPLES:
+        assert stats[did]["n_tokens"] == len(py_tokens(t)), (did, t)
+
+
+def test_char_count(stats):
+    for did, t in SAMPLES:
+        assert stats[did]["n_chars"] == len(t)
+
+
+def test_avg_token_len(stats):
+    for did, t in SAMPLES:
+        toks = py_tokens(t)
+        if toks:
+            expect = sum(len(x) for x in toks) / len(toks)
+            assert stats[did]["avg_token_len"] == pytest.approx(expect)
+        else:
+            assert stats[did]["avg_token_len"] is None
+
+
+def test_lang_id(stats):
+    assert stats[1]["lang_pred"] == "en"
+    assert stats[2]["lang_pred"] == "fr"
+    assert stats[3]["lang_pred"] == "de"
+    assert stats[4]["lang_pred"] == "es"
+    assert stats[5]["lang_pred"] == "und"
+    assert stats[7]["lang_pred"] == "und"
+
+
+def test_fingerprint_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD  ")],
+        ["doc_id", "text"],
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_range(stats):
+    for did, _ in SAMPLES:
+        q = stats[did]["quality"]
+        assert 0.0 <= q <= 1.0
+
+
+def test_bpe_ish_lower_bound(stats):
+    for did, t in SAMPLES:
+        assert stats[did]["n_tokens_bpe"] >= stats[did]["n_tokens"]

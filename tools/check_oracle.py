@@ -1,0 +1,106 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry and its DuckDB oracle at
+the given scale factor and compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+from projet_graphdb_spark.engine import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    if len(sdf) != len(odf):
+        return f"ROWS {len(sdf)} vs {len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"COLS {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    a, b = canon(sdf), canon(odf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = av.astype(float)
+            bf = bv.astype(float)
+            both_nan = np.isnan(af) & np.isnan(bf)
+            if not np.all(both_nan | (af == bf)):
+                bad = np.where(~(both_nan | (af == bf)))[0][:3]
+                return f"VAL col {c} rows {bad.tolist()} {af[bad]} vs {bf[bad]}"
+        else:
+            if not np.array_equal(av, bv):
+                bad = np.where(av != bv)[0][:3]
+                return f"VAL col {c} rows {bad.tolist()} {av[bad]} vs {bv[bad]}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"{name:24s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:160]}")
+            failures += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows-only   rows={len(sdf)}  spark={t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"{name:24s} ORACLE-ERROR {type(ex).__name__}: {str(ex)[:160]}")
+            failures += 1
+            continue
+        verdict = compare(name, sdf, odf)
+        status = "ok" if verdict == "OK" else "MISMATCH"
+        if verdict != "OK":
+            failures += 1
+        print(
+            f"{name:24s} {status:9s} rows={len(sdf)}  spark={t_spark:.1f}s "
+            f"duck={time.time()-t0:.1f}s  {verdict if verdict != 'OK' else ''}"
+        )
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
