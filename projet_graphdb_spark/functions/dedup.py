@@ -26,11 +26,6 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint
 
-# Mersenne prime 2^31-1 for the universal-hash family: operands stay
-# below 2^31, so (h * a + b) fits a long without ANSI overflow
-_MERSENNE = (1 << 31) - 1
-
-
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One keeper (min id) per distinct canonical text.
 
@@ -103,48 +98,51 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All-pairs word-n-gram Jaccard similarity within blocks.
+    """All-pairs word-n-gram Jaccard similarity within blocks
+    (threshold > 0), via an inverted shingle index.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    The self-join is an equi-join on ``block_col``; pair enumeration is
-    quadratic only inside each block.
-
-    Parallelism: block keys are few-valued by design, so a plain shuffled
-    self-join would skew the entire pair enumeration onto ≤|blocks|
-    tasks.  Instead the probe side is round-robin repartitioned to full
-    parallelism and the build side broadcast — every core enumerates a
-    slice of every block.  (For corpora too large to broadcast, pick a
-    higher-cardinality block key; the join then shuffles and AQE's skew
-    splitting applies.)
     """
-    # intersect on HASHED shingles (long arrays): primitive-typed set
-    # intersection is several times cheaper than string arrays, and
-    # xxhash64 collisions are negligible (P ≈ |shingle-vocab|²/2⁶⁵), so
-    # the Jaccard value equals the exact string-set Jaccard — which is
-    # what the DuckDB oracle computes.
-    base = (
+    # INVERTED-INDEX formulation: explode (doc, shingle-hash) postings,
+    # equi-join postings on (block, shingle), count shared shingles per
+    # pair = |intersection|, union from precomputed set sizes.  Compared
+    # to the all-pairs array_intersect join this (a) never materializes
+    # per-pair array copies, (b) builds no per-pair hash set (Spark's
+    # array_intersect allocates an OpenHashSet per invocation), and
+    # (c) shuffles on the high-cardinality (block, shingle) key — full
+    # parallelism and AQE skew-splitting at any scale, no broadcast
+    # needed.  Pairs sharing zero shingles never appear, which is exactly
+    # the jaccard < threshold case (threshold > 0).
+    # Shingles are hashed to longs first: xxhash64 collisions are
+    # negligible (P ≈ |vocab|²/2⁶⁵), so values equal the exact
+    # string-set Jaccard the DuckDB oracle computes.
+    postings = (
         shingle_frame(docs, n, id_col, text_col, [block_col])
         .select(
             F.col(id_col).alias("_did"),
             F.col(block_col).alias("_blk"),
             F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_shh"),
         )
-        .localCheckpoint(eager=True)
+        .select(
+            "_did", "_blk", F.size("_shh").alias("_sz"), F.explode("_shh").alias("_s")
+        )
     )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(par).select(
-        F.col("_blk"), F.col("_did").alias("id_a"), F.col("_shh").alias("sh_a")
+    a = postings.select(
+        "_blk", "_s", F.col("_did").alias("id_a"), F.col("_sz").alias("sz_a")
     )
-    b = base.select(
-        F.col("_blk"), F.col("_did").alias("id_b"), F.col("_shh").alias("sh_b")
+    b = postings.select(
+        "_blk", "_s", F.col("_did").alias("id_b"), F.col("_sz").alias("sz_b")
     )
-    pairs = a.join(F.broadcast(b), on="_blk").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    inter = (
+        a.join(b, on=["_blk", "_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("_i")
+    jac = F.col("_i").cast("double") / union.cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -152,25 +150,33 @@ def minhash_signature_of_shingles(sh: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<long>, length ``num_hashes``) over a
     MATERIALIZED shingle array column.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod M over the doc's shingle set;
-    signature[i] = min over shingles.  Coefficients come from a fixed
-    deterministic sequence so signatures are reproducible across runs.
-    ``sh`` must be a plain attribute (see ``shingle_frame``): each of the
-    ``num_hashes`` parts re-evaluates its captured subtree under
-    interpreted HOF evaluation, which is only cheap for an attribute.
+    Multiply-shift universal hashing, h_i(s) = bits 29..59 of
+    (a_i * h31(s) + b_i) with h31 = 31-bit truncated xxhash64;
+    signature[i] = min over the doc's shingles.  Division-free on
+    purpose: interpreted ANSI ``%``/``/`` go through DivModLike.eval,
+    which is an order of magnitude slower than shift/mask in the hot
+    loop.  Operands stay below 2^62, so ANSI overflow checks never fire.
+    Coefficients come from a fixed deterministic sequence so signatures
+    are reproducible across runs.  ``sh`` must be a plain attribute (see
+    ``shingle_frame``): each of the ``num_hashes`` parts re-evaluates
+    its captured subtree under interpreted HOF evaluation, which is only
+    cheap for an attribute.
     """
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    mask31 = (1 << 31) - 1
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(mask31)))
 
     def perm(a: int, bconst: int):
         # factory closure: PySpark inspects lambda arity, so the hash
         # coefficients must NOT appear as (defaulted) lambda parameters
-        return lambda h: (h * a + bconst) % _MERSENNE
+        return lambda h: F.shiftright(h * F.lit(a) + F.lit(bconst), 29).bitwiseAND(
+            F.lit(mask31)
+        )
 
     sig_parts = []
     for i in range(num_hashes):
         # deterministic "random" odd coefficients derived from i
-        a = (2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE or 1
-        bconst = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE
+        a = ((2 * i + 1) * 0x9E3779B97F4A7C15) & mask31 or 1
+        bconst = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & mask31
         sig_parts.append(F.array_min(F.transform(hashes, perm(a, bconst))))
     return F.array(*sig_parts)
 
@@ -194,7 +200,9 @@ def minhash_lsh_pairs(
         shingle_frame(docs, n, id_col, text_col)
         .select(
             F.col(id_col).alias("_did"),
-            "_sh",
+            # hashed shingle set for the exact-verification step (long
+            # arrays intersect much faster than string arrays)
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh"),
             minhash_signature_of_shingles(F.col("_sh"), num_hashes).alias("_sig"),
         )
         .localCheckpoint(eager=True)  # signatures computed once, not per band/pair
