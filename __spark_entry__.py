@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_graphdb_spark.engine import binding_table, run_program
-from projet_graphdb_spark.functions import dedup, relational, similarity, text
+from projet_graphdb_spark.functions import dedup, graph_algos, relational, similarity, text
 from projet_graphdb_spark.sources import load_tpch_graph
 from projet_graphdb_spark.streaming import load_events, windowed_event_stats
 
@@ -234,6 +234,34 @@ def e1_event_window(spark, sf_dir):
     return windowed_event_stats(load_events(spark, sf_dir))
 
 
+def _sn_subgraph(spark, sf_dir):
+    """supplier -in_nation-> nation -in_region-> region edge subset
+    (small, recursive-CTE-oracle-friendly)."""
+    state = load_tpch_graph(spark, sf_dir)
+    return state.edges.filter(
+        (F.col("rel") == "in_region") | ((F.col("rel") == "in_nation") & (F.col("src") < 1000000))
+    )
+
+
+def a1_bfs_levels(spark, sf_dir):
+    """Whole-graph analytics: BFS levels from region ASIA (id 2),
+    undirected frontier expansion."""
+    return graph_algos.bfs_levels(_sn_subgraph(spark, sf_dir), sources=[2], directed=False)
+
+
+def a2_connected_components(spark, sf_dir):
+    """Whole-graph analytics: connected components by min-label
+    propagation (undirected)."""
+    return graph_algos.connected_components(_sn_subgraph(spark, sf_dir))
+
+
+def a3_pagerank(spark, sf_dir):
+    """Whole-graph analytics: PageRank power iteration (rows-only check;
+    exactness vs numpy in tests/test_graph_algos.py)."""
+    pr = graph_algos.pagerank(_sn_subgraph(spark, sf_dir), num_iter=10)
+    return pr.select("id", F.round("rank", 8).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -278,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_knn_bruteforce": s1_knn_bruteforce,
         "s2_cosine_dups": s2_cosine_dups,
         "e1_event_window": e1_event_window,
+        "a1_bfs_levels": a1_bfs_levels,
+        "a2_connected_components": a2_connected_components,
+        "a3_pagerank": a3_pagerank,
     }
 
 
@@ -288,6 +319,9 @@ _NAT = "CAST(n_nationkey + 100 AS BIGINT)"
 _REG = "CAST(r_regionkey AS BIGINT)"
 _SUPP = "CAST(s_suppkey + 10000 AS BIGINT)"
 _ORD = "CAST(o_orderkey + 10000000 AS BIGINT)"
+# nation/region id projections seen from other tables' FK columns
+_NAT_S = "CAST(s_nationkey + 100 AS BIGINT)"
+_REG_N = "CAST(n_regionkey AS BIGINT)"
 
 _CANON_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -419,6 +453,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "a1_bfs_levels": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            bfs AS (
+              SELECT CAST(2 AS BIGINT) AS id, 0 AS level
+              UNION
+              SELECT eu.dst AS id, bfs.level + 1 AS level
+              FROM bfs JOIN eu ON eu.src = bfs.id
+              WHERE bfs.level < 20
+            )
+            SELECT id, CAST(MIN(level) AS INT) AS level FROM bfs GROUP BY id
+        """,
+        "a2_connected_components": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            reach AS (
+              SELECT src AS id, src AS peer FROM eu
+              UNION
+              SELECT r.id, eu.dst AS peer FROM reach r JOIN eu ON eu.src = r.peer
+            )
+            SELECT id, MIN(peer) AS component FROM reach GROUP BY id
         """,
     }
 
