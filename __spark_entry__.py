@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from projet_graphdb_spark.engine import binding_table, run_program
 from projet_graphdb_spark.functions import dedup, graph_algos, relational, similarity, text
 from projet_graphdb_spark.sources import load_tpch_graph
-from projet_graphdb_spark.streaming import load_events, windowed_event_stats
+from projet_graphdb_spark.streaming import load_events, sessionize_batch, windowed_event_stats
 
 SF_TINY = "/root/testdata/sf0.001"
 
@@ -243,6 +243,13 @@ def _sn_subgraph(spark, sf_dir):
     )
 
 
+def e2_sessionize(spark, sf_dir):
+    """Custom stateful operator (batch form): gap-based sessionization;
+    the streaming applyInPandasWithState twin lives in
+    streaming/sessions.py and is parity-tested in tests."""
+    return sessionize_batch(load_events(spark, sf_dir), gap_minutes=30)
+
+
 def a1_bfs_levels(spark, sf_dir):
     """Whole-graph analytics: BFS levels from region ASIA (id 2),
     undirected frontier expansion."""
@@ -306,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_knn_bruteforce": s1_knn_bruteforce,
         "s2_cosine_dups": s2_cosine_dups,
         "e1_event_window": e1_event_window,
+        "e2_sessionize": e2_sessionize,
         "a1_bfs_levels": a1_bfs_levels,
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
@@ -453,6 +461,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "e2_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                  > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+              FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM numbered GROUP BY user_id, sess
         """,
         "a1_bfs_levels": f"""
             WITH RECURSIVE eu AS (

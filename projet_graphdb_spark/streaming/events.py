@@ -28,7 +28,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: epoch-nanos exceed 2^53, double division would
+        # round the microsecond value off by one
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,64 @@
+"""Sessionization: batch window-function form vs the stateful streaming
+twin (applyInPandasWithState), plus hand-checked gap semantics."""
+
+from datetime import datetime
+
+import pytest
+
+from projet_graphdb_spark.streaming import load_events, sessionize_batch, sessionize_stream
+
+from conftest import SF_TINY
+
+
+def ts(minute, second=0):
+    return datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+def test_batch_gap_semantics(spark):
+    rows = [
+        (1, ts(0), 1.0),
+        (1, ts(10), 2.0),   # same session (10 min gap)
+        (1, ts(50), 4.0),   # 40 min gap -> new session
+        (2, ts(5), 8.0),    # other user
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, ts(0)): (2, 3.0),
+        (1, ts(50)): (1, 4.0),
+        (2, ts(5)): (1, 8.0),
+    }
+
+
+def test_batch_boundary_gap_exact(spark):
+    # exactly 30 min gap is NOT a new session (strict >)
+    rows = [(1, ts(0), 1.0), (1, ts(30), 1.0), (1, ts(60, 1), 1.0)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize_batch(ev, gap_minutes=30).collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_stream_matches_batch_closed_sessions(spark, tmp_path):
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = sessionize_stream(spark, src, schema, gap_minutes=30, query_name="t_sessions")
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 2))
+        for r in spark.table("t_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 2))
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    # every emitted (closed) session matches the batch result exactly;
+    # sessions still open at end-of-data are withheld by the watermark
+    assert got <= batch
+    assert len(got) >= 0.9 * len(batch)
