@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_graphdb_spark.engine import binding_table, run_program
-from projet_graphdb_spark.functions import dedup, graph_algos, relational, similarity, text
+from projet_graphdb_spark.functions import dedup, graph_algos, multimodal, relational, similarity, text
+from projet_graphdb_spark.functions.asof import asof_join
 from projet_graphdb_spark.sources import load_tpch_graph
 from projet_graphdb_spark.streaming import load_events, sessionize_batch, windowed_event_stats
 
@@ -234,6 +235,65 @@ def e1_event_window(spark, sf_dir):
     return windowed_event_stats(load_events(spark, sf_dir))
 
 
+def x5_asof_join(spark, sf_dir):
+    """Point-in-time join: each purchase event joined to the user's most
+    recent click at-or-before it (union-tag + window — one shuffle, no
+    range-join blow-up; functions/asof.py)."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    # unique per (user, ts) so the as-of pick is deterministic
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(purchases, clicks, keys=["user_id"], ts="ts", value_cols=["click_id", "ts"])
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("_r_click_id").alias("click_id"),
+        F.col("_r_ts").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("_r_ts")).alias("wait_us"),
+    )
+
+
+def _srp_planes(num_planes: int = 8, dim: int = 64) -> list:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return [[float(x) for x in row] for row in rng.standard_normal((num_planes, dim))]
+
+
+def s3_knn_lsh(spark, sf_dir):
+    """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
+    so the DuckDB oracle reproduces the exact buckets)."""
+    return similarity.knn_lsh(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], planes=_srp_planes(), k=5
+    )
+
+
+def m1_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents as opaque binary media payloads →
+    Arrow-batched mapInPandas feature extraction (decode stubbed; see
+    functions/multimodal.py). Oracle checks the SQL-expressible outputs
+    (kind routing, byte counts, feature arity)."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("features").alias("feature_dim")
+    )
+
+
 def _sn_subgraph(spark, sf_dir):
     """supplier -in_nation-> nation -in_region-> region edge subset
     (small, recursive-CTE-oracle-friendly)."""
@@ -305,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
         "x4_group_topk": x4_group_topk,
+        "x5_asof_join": x5_asof_join,
         "t1_text_stats": t1_text_stats,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -312,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": d4_simhash,
         "s1_knn_bruteforce": s1_knn_bruteforce,
         "s2_cosine_dups": s2_cosine_dups,
+        "s3_knn_lsh": s3_knn_lsh,
+        "m1_media_features": m1_media_features,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "a1_bfs_levels": a1_bfs_levels,
@@ -409,6 +472,16 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
               FROM orders) WHERE rk <= 3
         """,
+        "x5_asof_join": """
+            WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, MAX(event_id) AS click_id FROM events
+                  WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+                   c.click_id, c.cts AS click_ts,
+                   epoch_us(p.ts) - epoch_us(c.cts) AS wait_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+        """,
         "t1_text_stats": _text_stats_oracle(),
         "d1_exact_dedup": f"""
             SELECT md5({_CANON_TEXT}) AS fp, MIN(doc_id) AS keep_id,
@@ -455,6 +528,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "s3_knn_lsh": _knn_lsh_oracle(),
+        "m1_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   16 AS feature_dim
+            FROM documents
         """,
         "e1_event_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -512,6 +594,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, MIN(peer) AS component FROM reach GROUP BY id
         """,
     }
+
+
+def _knn_lsh_oracle() -> str:
+    """DuckDB mirror of s3: the seeded SRP planes are inlined as literals
+    (full-precision repr round-trips float64 exactly), so the oracle
+    computes the identical buckets + cosine ranking."""
+    terms = []
+    for i, plane in enumerate(_srp_planes()):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+        WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+              WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+          SELECT q.query_id, s.vec_id AS neighbour_id,
+                 list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                        CAST(s.embedding AS DOUBLE[])) AS sim
+          FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbour_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbour_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+        FROM ranked WHERE rank <= 5
+    """
 
 
 def _text_stats_oracle() -> str:

@@ -7,6 +7,6 @@ column plumbing.  All are built on built-in ``pyspark.sql.functions``
 which case Arrow-batched Pandas UDFs are used.
 """
 
-from . import dedup, multimodal, relational, similarity, text
+from . import asof, dedup, multimodal, relational, similarity, text
 
-__all__ = ["dedup", "multimodal", "relational", "similarity", "text"]
+__all__ = ["asof", "dedup", "multimodal", "relational", "similarity", "text"]
