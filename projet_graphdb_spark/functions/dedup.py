@@ -9,9 +9,10 @@ Scale design notes (the point of each variant):
   only within a block; the self-join shuffles on the block key, so block
   sizing is the scale knob.
 * ``minhash_lsh_pairs`` — the sub-quadratic scale path: shingle →
-  MinHash signature (map-only) → banded LSH bucket join (shuffle on
-  band hash, candidates only) → exact verification of candidates.
-  100 TB-safe: cost is O(corpus) + O(candidate pairs), never all-pairs.
+  MinHash signature (relational min-aggregate, map-side combined) →
+  banded LSH bucket join (id-only shuffle on band hash) → exact
+  verification of candidates.  100 TB-safe: cost is O(corpus) +
+  O(candidate pairs), never all-pairs.
 * ``simhash64`` — 64-bit near-dup fingerprint; hamming-close fingerprints
   ≈ similar docs.  Map-only signature; pairing via band join on nibbles.
 
@@ -146,39 +147,69 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature_of_shingles(sh: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature (array<long>, length ``num_hashes``) over a
-    MATERIALIZED shingle array column.
+_MASK31 = (1 << 31) - 1
 
-    Multiply-shift universal hashing, h_i(s) = bits 29..59 of
-    (a_i * h31(s) + b_i) with h31 = 31-bit truncated xxhash64;
-    signature[i] = min over the doc's shingles.  Division-free on
-    purpose: interpreted ANSI ``%``/``/`` go through DivModLike.eval,
-    which is an order of magnitude slower than shift/mask in the hot
-    loop.  Operands stay below 2^62, so ANSI overflow checks never fire.
-    Coefficients come from a fixed deterministic sequence so signatures
-    are reproducible across runs.  ``sh`` must be a plain attribute (see
-    ``shingle_frame``): each of the ``num_hashes`` parts re-evaluates
-    its captured subtree under interpreted HOF evaluation, which is only
-    cheap for an attribute.
+
+def _minhash_coeffs(i: int) -> tuple:
+    """Deterministic "random" multiply-shift coefficients for hash i."""
+    a = ((2 * i + 1) * 0x9E3779B97F4A7C15) & _MASK31 or 1
+    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & _MASK31
+    return a, b
+
+
+def _perm(h: Column, i: int) -> Column:
+    """Multiply-shift universal hash: bits 29..59 of (a_i*h + b_i), h 31-bit.
+
+    Division-free on purpose: ANSI ``%``/``/`` are an order of magnitude
+    slower than shift/mask (interpreted DivModLike.eval, and overflow
+    checks); operands stay below 2^62, so ANSI never fires.
     """
-    mask31 = (1 << 31) - 1
-    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(mask31)))
+    a, b = _minhash_coeffs(i)
+    return F.shiftright(h * F.lit(a) + F.lit(b), 29).bitwiseAND(F.lit(_MASK31))
 
-    def perm(a: int, bconst: int):
+
+def minhash_signatures(
+    hashed_shingles: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "_did",
+    sh_col: str = "_sh",
+) -> DataFrame:
+    """MinHash signatures computed RELATIONALLY: explode (doc, shingle-hash)
+    postings, then one hash-aggregate with ``num_hashes`` ``min`` columns.
+
+    Every expression is whole-stage codegen (no interpreted higher-order
+    lambdas — those were ~3× slower here), and partial aggregation
+    (map-side combine) reduces each doc to ``num_hashes`` longs *before*
+    the shuffle — shuffle volume is O(docs · num_hashes · 8 bytes)
+    regardless of document length, the property that matters at 100 TB.
+
+    Output: (id_col, m0..m{num_hashes-1}).
+    """
+    post = hashed_shingles.select(
+        F.col(id_col), F.explode(sh_col).alias("_h")
+    ).withColumn("_h31", F.col("_h").bitwiseAND(F.lit(_MASK31)))
+    return post.groupBy(id_col).agg(
+        *[F.min(_perm(F.col("_h31"), i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_signature_of_shingles(sh: Column, num_hashes: int = 32) -> Column:
+    """Column-expression MinHash signature (array<long>) over a
+    MATERIALIZED shingle array — same hash family as
+    ``minhash_signatures``.  Kept for per-row use; the relational form
+    is the fast path (HOF lambdas are interpreted, and each part
+    re-evaluates its captured subtree, so ``sh`` must be an attribute).
+    """
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
+
+    def perm_fn(i: int):
         # factory closure: PySpark inspects lambda arity, so the hash
-        # coefficients must NOT appear as (defaulted) lambda parameters
-        return lambda h: F.shiftright(h * F.lit(a) + F.lit(bconst), 29).bitwiseAND(
-            F.lit(mask31)
-        )
+        # index must NOT appear as a (defaulted) lambda parameter
+        return lambda h: _perm(h, i)
 
-    sig_parts = []
-    for i in range(num_hashes):
-        # deterministic "random" odd coefficients derived from i
-        a = ((2 * i + 1) * 0x9E3779B97F4A7C15) & mask31 or 1
-        bconst = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & mask31
-        sig_parts.append(F.array_min(F.transform(hashes, perm(a, bconst))))
-    return F.array(*sig_parts)
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm_fn(i))) for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -196,80 +227,90 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
+    # hashed shingle set, kept for the exact-verification step (long
+    # arrays intersect much faster than string arrays)
     base = (
         shingle_frame(docs, n, id_col, text_col)
         .select(
             F.col(id_col).alias("_did"),
-            # hashed shingle set for the exact-verification step (long
-            # arrays intersect much faster than string arrays)
             F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh"),
-            minhash_signature_of_shingles(F.col("_sh"), num_hashes).alias("_sig"),
         )
-        .localCheckpoint(eager=True)  # signatures computed once, not per band/pair
+        .localCheckpoint(eager=True)  # shared by signature + verify stages
     )
-    # band key: (band index, hash of that band's signature slice)
-    banded = base.select(
-        "_did",
-        "_sh",
+    sig = minhash_signatures(base, num_hashes)
+    # band key: (band index, hash of that band's signature slice).  The
+    # banded frame is SLIM — (doc, band, bhash) only: carrying the
+    # shingle arrays through an 8-way explode + self-join shuffle would
+    # multiply shuffle volume by ~2·bands; instead candidates re-attach
+    # shingles from `base` after the (cheap) id-only bucket join.
+    banded = sig.select(
+        F.col("_did"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{j * rows_per_band + k}").cast("string")
+                                    for k in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for j in range(bands)
+                ]
             )
         ).alias("_b"),
-    ).select("_did", "_sh", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+    ).select("_did", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
 
-    a = banded.select(
-        "band", "bhash", F.col("_did").alias("id_a"), F.col("_sh").alias("sh_a")
-    )
-    b = banded.select(
-        "band", "bhash", F.col("_did").alias("id_b"), F.col("_sh").alias("sh_b")
-    )
+    a = banded.select("band", "bhash", F.col("_did").alias("id_a"))
+    b = banded.select("band", "bhash", F.col("_did").alias("id_b"))
     cand = (
         a.join(b, on=["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in several bands
+        .select("id_a", "id_b")
+        .dropDuplicates()  # same pair can collide in several bands
     )
+    pairs = cand.join(
+        base.select(F.col("_did").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("_did").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
 
-# Per-bit majority vote of shingle hashes: bit b of the result is 1 iff
-# sum over shingles of (+1 if hash bit b set else -1) > 0.  Nested SQL
-# lambdas keep the expression tree compact (vs unrolling 64 Python-side).
-_SIMHASH_EXPR = """
-aggregate(
-  zip_with(
-    transform(sequence(0, 63),
-              bit -> aggregate(_hs, 0L,
-                               (acc, h) -> acc + IF(((h >> bit) & 1) = 1, 1L, -1L))),
-    transform(sequence(0, 63), bit -> shiftleft(1L, bit)),
-    (vote, pw) -> IF(vote > 0, pw, 0L)),
-  0L, (acc, x) -> acc + x)
-"""
-
-
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
-    """64-bit SimHash per document (long column ``simhash``)."""
+    """64-bit SimHash per document (long column ``simhash``).
+
+    Per-bit majority vote of shingle hashes: bit b of the result is 1
+    iff sum over shingles of (+1 if hash bit b set else -1) > 0.
+    Computed relationally like ``minhash_signatures``: explode postings,
+    one hash-aggregate with 64 codegen'd sum columns (map-side combined
+    — shuffle is 64 longs per doc), then recombine the votes.  The
+    previous nested-HOF formulation was interpreted and ~3× slower.
+    """
     sh = shingle_frame(docs, n, id_col, text_col)
-    hs = sh.select(
-        F.col(id_col), F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs")
-    ).localCheckpoint(eager=True)  # the 64 per-bit aggregates each re-read _hs
-    return hs.select(F.col(id_col), F.expr(_SIMHASH_EXPR).alias("simhash"))
+    post = sh.select(
+        F.col(id_col), F.explode(F.col("_sh")).alias("_s")
+    ).withColumn("_h", F.xxhash64("_s"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = post.groupBy(id_col).agg(*bit_votes)
+    # signed-long assembly: bit 63 contributes the sign, so sum the
+    # low 63 powers and subtract 2^63 via bit 63's vote
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        pw = F.lit(-(2**63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        acc = acc + F.when(F.col(f"v{b}") > 0, pw).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), acc.alias("simhash"))

@@ -40,6 +40,10 @@ def bfs_levels(
     e = edges.select(F.col("src"), F.col("dst"))
     if not directed:
         e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize once: every iteration runs 2+ actions, and without the
+    # barrier each one re-executes the caller's whole edge derivation
+    # (parquet scans, unions) from scratch
+    e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(s), 0) for s in sources], "id long, level int"
@@ -73,7 +77,8 @@ def pagerank(
     standard formulation.  Each iteration: one join edge⋈rank (shuffle on
     src), one aggregate on dst.
     """
-    e = edges.select("src", "dst")
+    # materialize the per-iteration inputs ONCE (see bfs_levels note)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -82,31 +87,28 @@ def pagerank(
         )
     nodes = nodes.select("id").localCheckpoint(eager=True)
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "src", "_dsrc"
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "_dsrc")
+        .localCheckpoint(eager=True)
     )
-    e_out = e.select(F.col("src").alias("_esrc"), F.col("dst"))
     # contributions flow along edges; rank starts uniform
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(num_iter):
-        contribs = (
-            ranks.join(out_deg, ranks.id == F.col("_dsrc"), "left")
-            .join(e_out, ranks.id == F.col("_esrc"), "left")
-            .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
-                F.when(F.col("deg").isNull(), F.col("rank")).otherwise(F.lit(0.0)).alias(
-                    "dangling"
-                ),
-            )
+        # dangling mass from the small (ranks ⋈ out_deg) side only — the
+        # edge join never has to be executed twice per iteration
+        dangling_mass = (
+            ranks.join(out_deg, ranks.id == F.col("_dsrc"), "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
         )
-        dangling_mass = contribs.agg(
-            F.sum(F.when(F.col("dst").isNull(), F.col("dangling")).otherwise(F.lit(0.0)))
-        ).collect()[0][0] or 0.0
         inbound = (
-            contribs.filter(F.col("dst").isNotNull())
+            ranks.join(out_deg, ranks.id == F.col("_dsrc"))
+            .join(e, ranks.id == e.src)
             .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
         ranks = (
             nodes.join(inbound, nodes.id == inbound.dst, "left")
@@ -138,6 +140,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbours
         neigh_min = (
@@ -145,7 +148,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh_min, labels.id == neigh_min.src, "left")
             .select(
                 "id",
@@ -155,13 +158,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        # labels only ever decrease, so the total is a fixpoint witness:
+        # unchanged sum ⇔ no label moved (one cheap agg on the
+        # checkpointed labels instead of a join + isEmpty action)
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
