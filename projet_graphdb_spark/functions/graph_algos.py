@@ -21,8 +21,64 @@ iteration's join co-locates.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Below this row count a frame is "small": a single-partition plan beats
+# shuffle fan-out (32 map + AQE reduce tasks of pure scheduling overhead
+# per iteration).  Above it, keep the input's native parallelism — at
+# 100 TB the iteration cost is real shuffle, not scheduling.
+_SMALL_ROWS = 4_000_000
+
+
+def _materialize(df: DataFrame) -> tuple[DataFrame, int, bool]:
+    """localCheckpoint + size probe.  Returns (frame, rows, is_small);
+    small frames are coalesced to one partition so every downstream
+    stage schedules one task instead of shuffle.partitions tasks."""
+    df = df.localCheckpoint(eager=True)
+    n = df.count()  # free: already materialized
+    if n <= _SMALL_ROWS:
+        df = df.coalesce(1)
+    return df, n, n <= _SMALL_ROWS
+
+
+def _shrink(df: DataFrame, small: bool) -> DataFrame:
+    """Right-size a per-iteration frame before checkpointing it."""
+    return df.coalesce(1) if small else df
+
+
+def _ckpt_rotate(df: DataFrame, prev_handle):
+    """Checkpoint a per-iteration frame and free its predecessor.
+
+    Returns ``(checkpointed_df, rdd_handle)``.  The handle is the JVM
+    RDD backing THIS checkpoint (found under the optional schema-
+    preserving Project the checkpoint Dataset wraps it in); the
+    predecessor's handle — which nothing can reference any more — is
+    unpersisted eagerly.  Without this, every iteration's blocks stay
+    pinned until JVM GC notices the dead weak refs, and stale iteration
+    state accumulates in executor storage memory for no benefit.  Only
+    handles produced by this function are ever dropped: unpersisting an
+    arbitrary frame's leaf RDD could kill a *shared* lineage-truncated
+    checkpoint (e.g. the input edge table), which is unrecoverable.
+    """
+    out = df.localCheckpoint(eager=True)
+    handle = None
+    try:
+        plan = out._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "Project":
+            plan = plan.child()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            handle = plan.rdd()
+    except Exception:
+        handle = None
+    if prev_handle is not None:
+        try:
+            prev_handle.unpersist(False)
+        except Exception:
+            pass  # best-effort: never fail the algorithm over cleanup
+    return out, handle
 
 
 def bfs_levels(
@@ -40,16 +96,21 @@ def bfs_levels(
     e = edges.select(F.col("src"), F.col("dst"))
     if not directed:
         e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # materialize once: every iteration runs 2+ actions, and without the
+    # materialize once: every iteration runs actions, and without the
     # barrier each one re-executes the caller's whole edge derivation
     # (parquet scans, unions) from scratch
-    e = e.localCheckpoint(eager=True)
+    e, _, small = _materialize(e.select("src", "dst"))
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
+    frontier = spark.createDataFrame(
         [(int(s), 0) for s in sources], "id long, level int"
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # visited = lazy union of the per-level checkpointed frontiers: RDD
+    # union is a narrow op over already-materialized data, so the
+    # anti-join below never recomputes anything and we skip the extra
+    # re-checkpoint of the growing union every round
+    levels = [frontier]
     for level in range(1, max_iter + 1):
+        visited = functools.reduce(DataFrame.unionByName, levels)
         nxt = (
             frontier.join(e, frontier.id == e.src)
             .select(F.col("dst").alias("id"))
@@ -57,12 +118,14 @@ def bfs_levels(
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(level))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # cut lineage each round
-        if nxt.isEmpty():
+        # cut lineage each round; one action (count doubles as the
+        # emptiness test)
+        nxt, n, _ = _materialize(_shrink(nxt, small))
+        if n == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt
-    return visited
+    return functools.reduce(DataFrame.unionByName, levels)
 
 
 def pagerank(
@@ -78,31 +141,26 @@ def pagerank(
     src), one aggregate on dst.
     """
     # materialize the per-iteration inputs ONCE (see bfs_levels note)
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e, _, small = _materialize(edges.select("src", "dst"))
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("id"))
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.select("id").localCheckpoint(eager=True)
-    n = nodes.count()
-    out_deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("src", "_dsrc")
-        .localCheckpoint(eager=True)
+    nodes, n, _ = _materialize(nodes.select("id"))
+    out_deg, _, _ = _materialize(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "_dsrc")
     )
     # contributions flow along edges; rank starts uniform
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ckpt_handle = None
     for _ in range(num_iter):
-        # dangling mass from the small (ranks ⋈ out_deg) side only — the
-        # edge join never has to be executed twice per iteration
-        dangling_mass = (
-            ranks.join(out_deg, ranks.id == F.col("_dsrc"), "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass (nodes with no out-edges) as a broadcast 1-row
+        # aggregate INSIDE the plan — the whole iteration is a single
+        # action (the checkpoint), not an extra collect per round
+        dangling = ranks.join(out_deg, ranks.id == F.col("_dsrc"), "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
         )
         inbound = (
             ranks.join(out_deg, ranks.id == F.col("_dsrc"))
@@ -112,35 +170,33 @@ def pagerank(
         )
         ranks = (
             nodes.join(inbound, nodes.id == inbound.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("_dmass") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks, ckpt_handle = _ckpt_rotate(_shrink(ranks, small), ckpt_handle)
     return ranks
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, component) with component = min node id in the component
     (undirected view).  Min-label propagation until fixpoint."""
-    both = (
+    both, _, small = _materialize(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
-        both.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+    labels, _, _ = _materialize(
+        both.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     )
     prev_sum = None
+    ckpt_handle = None
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbours
         neigh_min = (
@@ -148,16 +204,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        labels = (
-            labels.join(neigh_min, labels.id == neigh_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(neigh_min, labels.id == neigh_min.src, "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                "component"
+            ),
         )
+        labels, ckpt_handle = _ckpt_rotate(_shrink(labels, small), ckpt_handle)
         # labels only ever decrease, so the total is a fixpoint witness:
         # unchanged sum ⇔ no label moved (one cheap agg on the
         # checkpointed labels instead of a join + isEmpty action)
