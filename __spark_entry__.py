@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_graphdb_spark.engine import binding_table, run_program
-from projet_graphdb_spark.functions import dedup, graph_algos, multimodal, relational, similarity, text
+from projet_graphdb_spark.functions import (
+    dedup,
+    graph_algos,
+    multimodal,
+    ranges,
+    relational,
+    similarity,
+    text,
+)
 from projet_graphdb_spark.functions.asof import asof_join
 from projet_graphdb_spark.sources import load_tpch_graph
 from projet_graphdb_spark.streaming import load_events, sessionize_batch, windowed_event_stats
@@ -329,6 +337,56 @@ def a3_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def x6_range_count(spark, sf_dir):
+    """Range (interval) join: clicks per user in the hour before each
+    purchase — bucketed equi-join reformulation (functions/ranges.py),
+    never a nested-loop theta join."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = ranges.range_count(
+        purchases, clicks, keys=["user_id"], left_id="purchase_id",
+        lower_s=-3600, upper_s=0,
+    )
+    return out.select(
+        "user_id", "purchase_id", F.col("ts").alias("purchase_ts"),
+        F.col("n_in_range").alias("n_clicks_1h"),
+    )
+
+
+def x7_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup over events: one hash
+    aggregate produces (type, day, hour) leaves plus day- and type-level
+    super-aggregates (relational.time_rollup)."""
+    r = relational.time_rollup(load_events(spark, sf_dir))
+    return r.select(
+        "etype", "day", F.col("hour").cast("long").alias("hour"),
+        F.col("gid").cast("long").alias("gid"), "n_events", "sum_value",
+    )
+
+
+def s4_knn_ivf(spark, sf_dir):
+    """IVF ANN: deterministic codebook (vec_id < 8), nprobe=2 cells per
+    query (similarity.knn_ivf) — assignment is map-only, probes touch
+    ~nprobe/n_centroids of the corpus."""
+    return similarity.knn_ivf(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], n_centroids=8, nprobe=2, k=5
+    )
+
+
+def t2_fingerprints(spark, sf_dir):
+    """Document fingerprinting: canonical md5 + Rabin-Karp-style rolling
+    hash (incrementally updatable; functions/text.py)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp_md5"),
+        text.rolling_fingerprint(F.col("text")).alias("fp_roll"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -366,7 +424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_distinct_segments": x3_distinct_segments,
         "x4_group_topk": x4_group_topk,
         "x5_asof_join": x5_asof_join,
+        "x6_range_count": x6_range_count,
+        "x7_time_rollup": x7_time_rollup,
         "t1_text_stats": t1_text_stats,
+        "t2_fingerprints": t2_fingerprints,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -374,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_knn_bruteforce": s1_knn_bruteforce,
         "s2_cosine_dups": s2_cosine_dups,
         "s3_knn_lsh": s3_knn_lsh,
+        "s4_knn_ivf": s4_knn_ivf,
         "m1_media_features": m1_media_features,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
@@ -482,7 +544,37 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.cts) AS wait_us
             FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
         """,
+        "x6_range_count": """
+            SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   (SELECT COUNT(*) FROM events c
+                    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts) AS n_clicks_1h
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "x7_time_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS etype,
+                   COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   CAST(COALESCE(hour(ts), -1) AS BIGINT) AS hour,
+                   CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d'), hour(ts)) AS BIGINT) AS gid,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'), hour(ts))
+        """,
         "t1_text_stats": _text_stats_oracle(),
+        "t2_fingerprints": f"""
+            WITH canon AS (
+              SELECT doc_id, {_CANON_TEXT} AS ct FROM documents)
+            SELECT doc_id, md5(ct) AS fp_md5,
+                   CASE WHEN len(ct) = 0 THEN 0
+                        ELSE list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(string_split(ct, ''),
+                                                c -> CAST(ascii(c) AS BIGINT))),
+                               (a, b) -> (a * 31 + b) % 2147483647)
+                   END AS fp_roll
+            FROM canon
+        """,
         "d1_exact_dedup": f"""
             SELECT md5({_CANON_TEXT}) AS fp, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_dups
@@ -530,6 +622,35 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
         "s3_knn_lsh": _knn_lsh_oracle(),
+        "s4_knn_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+              FROM embeddings e CROSS JOIN cent c),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, cid ASC) AS rk
+              FROM scored),
+            assign AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE rk = 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, cid AS cell
+              FROM ranked WHERE vec_id IN (0,1,2,3,4) AND rk <= 2),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbour_id,
+                     list_cosine_similarity(p.qv, a.v) AS sim
+              FROM probes p JOIN assign a
+                ON a.cell = p.cell AND a.vec_id <> p.query_id),
+            rk2 AS (
+              SELECT query_id, neighbour_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
+              FROM cand)
+            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM rk2 WHERE rank <= 5
+        """,
         "m1_media_features": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -58,3 +58,43 @@ def group_topk(df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_c
     return (
         df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass producing
+    (type, day, hour) leaf aggregates plus the (type, day) and (type)
+    super-aggregates via ``ROLLUP`` — Spark expands the grouping sets in
+    a single hash aggregate (one shuffle), instead of three scans.
+
+    NULL grouping keys from super-aggregate rows are folded to sentinels
+    ('ALL' / -1) so the output is join- and oracle-friendly.
+    """
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    hour = F.hour(F.col(ts_col))
+    return (
+        events.select(
+            F.col(group_col).alias("etype"),
+            day.alias("day"),
+            hour.alias("hour"),
+            F.col(value_col),
+        )
+        .rollup("etype", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("etype"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -137,6 +137,91 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Index: pick ``n_centroids`` deterministic centroids (the vectors with
+    the lowest ids — a seeded stand-in for a k-means codebook, chosen so
+    the DuckDB oracle can reproduce the exact cells), assign every corpus
+    vector to its nearest centroid (map-only: the centroid table is tiny
+    and broadcast).  Search: each query probes its ``nprobe`` nearest
+    cells and ranks only vectors in those cells.
+
+    At 100 TB the assignment is a broadcast join fused into the scan (no
+    corpus shuffle), the cell id becomes the partition/bucket key, and a
+    probe touches ``nprobe/n_centroids`` of the data instead of all of
+    it.  Output shape matches ``knn_bruteforce``.
+    """
+    # the codebook is metadata: collect the handful of centroid vectors
+    # to the driver and inline them as literals, so cell assignment is a
+    # PURE map-side expression over the corpus scan — no join, no
+    # shuffle, no window over the full corpus
+    codebook = [
+        (r[0], [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    vec = F.col(vec_col)
+    # struct(sim, -cid): array_max picks highest sim, ties -> lowest cid
+    # (identical semantics to ROW_NUMBER ORDER BY sim DESC, cid ASC)
+    cell_structs = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in codebook
+        ]
+    )
+    base = embeddings.select(
+        F.col(id_col),
+        vec,
+        l2norm(vec).alias("_n"),
+        (-F.array_max(cell_structs)["negcid"]).alias("_cell"),
+    )
+    assigned = base.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("_cvv"),
+        F.col("_n").alias("_cnn"),
+        "_cell",
+    )
+    # probe side: only the (few) query rows rank all centroids
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.explode(cell_structs).alias("_cs"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("_cs")["s"]), F.asc(-F.col("_cs")["negcid"])
+    )
+    probes = (
+        q.withColumn("_crank", F.row_number().over(wp))
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "_qv", "_qn", (-F.col("_cs")["negcid"]).alias("_cell"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), on="_cell")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("sim", dot(F.col("_qv"), F.col("_cvv")) / (F.col("_qn") * F.col("_cnn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -101,6 +101,30 @@ def fingerprint(text: Column) -> Column:
     return F.md5(canon)
 
 
+_ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+_ROLL_BASE = 31
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint (long) of the canonical text:
+    ``h = fold(chars, 0, (h, c) -> (h*31 + codepoint(c)) mod (2^31-1))``.
+
+    Unlike the md5 ``fingerprint`` this is incrementally updatable (the
+    classic Rabin-Karp property: a streaming ingester can extend it per
+    chunk without re-reading the document).  Arithmetic stays below
+    2^36 so ANSI overflow checks never fire, and the identical fold is
+    expressible in DuckDB (``list_reduce``) for the oracle.
+    """
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    chars = F.split(canon, "")
+    folded = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % F.lit(_ROLL_MOD),
+    )
+    return F.when(F.length(canon) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length, token shape, stopword
     density.  Pure deterministic double arithmetic (oracle-portable)."""

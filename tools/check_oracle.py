@@ -51,6 +51,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
             if not np.all(both_nan | (af == bf)):
                 bad = np.where(~(both_nan | (af == bf)))[0][:3]
                 return f"VAL col {c} rows {bad.tolist()} {af[bad]} vs {bf[bad]}"
+        elif np.issubdtype(av.dtype, np.datetime64) and np.issubdtype(bv.dtype, np.datetime64):
+            # NaT != NaT, so equality needs an explicit both-NaT mask
+            av = av.astype("datetime64[us]")
+            bv = bv.astype("datetime64[us]")
+            ok = (np.isnat(av) & np.isnat(bv)) | (av == bv)
+            if not np.all(ok):
+                bad = np.where(~ok)[0][:3]
+                return f"VAL col {c} rows {bad.tolist()} {av[bad]} vs {bv[bad]}"
         else:
             if not np.array_equal(av, bv):
                 bad = np.where(av != bv)[0][:3]
