@@ -28,11 +28,17 @@ from projet_graphdb_spark.functions import (
     ranges,
     relational,
     similarity,
+    skew,
     text,
 )
 from projet_graphdb_spark.functions.asof import asof_join
 from projet_graphdb_spark.sources import load_tpch_graph
-from projet_graphdb_spark.streaming import load_events, sessionize_batch, windowed_event_stats
+from projet_graphdb_spark.streaming import (
+    dedup_events_batch,
+    load_events,
+    sessionize_batch,
+    windowed_event_stats,
+)
 
 SF_TINY = "/root/testdata/sf0.001"
 
@@ -376,6 +382,35 @@ def s4_knn_ivf(spark, sf_dir):
     )
 
 
+def x8_skew_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation (functions/skew.py):
+    identical result to the plain groupBy — hot keys spread over n_salts
+    reducers in phase 1.  Decimal-exact sum so the extra combine level
+    cannot reorder float addition."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "_q", F.col("l_quantity").cast("decimal(25,2)")
+    )
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": ("_q", "sum"), "n_items": ("_q", "count"), "max_qty": ("_q", "max")},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_items",
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+def e3_stream_dedup(spark, sf_dir):
+    """Identity dedup on (user, type, ts) — batch twin of the
+    watermark-bounded streaming dropDuplicatesWithinWatermark
+    (streaming/stream_dedup.py; parity-tested in tests)."""
+    return dedup_events_batch(load_events(spark, sf_dir))
+
+
 def t2_fingerprints(spark, sf_dir):
     """Document fingerprinting: canonical md5 + Rabin-Karp-style rolling
     hash (incrementally updatable; functions/text.py)."""
@@ -426,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_asof_join": x5_asof_join,
         "x6_range_count": x6_range_count,
         "x7_time_rollup": x7_time_rollup,
+        "x8_skew_agg": x8_skew_agg,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "d1_exact_dedup": d1_exact_dedup,
@@ -439,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_features": m1_media_features,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
+        "e3_stream_dedup": e3_stream_dedup,
         "a1_bfs_levels": a1_bfs_levels,
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
@@ -550,6 +587,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE c.event_type = 'click' AND c.user_id = p.user_id
                       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts) AS n_clicks_1h
             FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "x8_skew_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(l_quantity) AS n_items,
+                   CAST(MAX(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "e3_stream_dedup": """
+            SELECT DISTINCT user_id, event_type, ts FROM events
         """,
         "x7_time_rollup": """
             SELECT COALESCE(event_type, 'ALL') AS etype,

