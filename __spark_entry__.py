@@ -234,7 +234,10 @@ def d3_minhash_lsh(spark, sf_dir):
 
 
 def d4_simhash(spark, sf_dir):
-    return dedup.simhash_table(_docs(spark, sf_dir))
+    """SimHash with the oracle-portable md5 hash family (60 bits); at
+    100 TB switch hash="xxhash64" — same pipeline, faster JVM hash
+    (functions/dedup.py::simhash_table)."""
+    return dedup.simhash_table(_docs(spark, sf_dir), hash="md5")
 
 
 def s1_knn_bruteforce(spark, sf_dir):
@@ -668,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
+        "d4_simhash": _simhash_oracle(),
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s4_knn_ivf": """
             WITH cent AS (
@@ -762,6 +766,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, MIN(peer) AS component FROM reach GROUP BY id
         """,
     }
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of d4: md5-prefix shingle hash (hex fold — DuckDB
+    has no conv()), then 60 per-bit majority votes."""
+    votes = ",\n".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    assembly = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                   (a, b) -> a * 16 + b) AS h
+          FROM sh),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, {assembly} AS simhash FROM votes
+    """
 
 
 def _knn_lsh_oracle() -> str:

@@ -195,7 +195,15 @@ class Executor:
         new_edges = b.df.select(
             F.col(scol).alias("src"), F.lit(rel).alias("rel"), F.col(tcol).alias("dst")
         )
-        st.edges = st.edges.unionByName(new_edges).dropDuplicates()
+        # set semantics (graphstruct.ml:30-32) incrementally: dedup only
+        # the NEW edges and anti-join against the existing set, instead
+        # of re-deduplicating the whole edge table — the existing set is
+        # distinct by construction, so union keeps the invariant while
+        # shuffling O(|new|) instead of O(|E|+|new|) rows
+        new_clean = new_edges.dropDuplicates().join(
+            st.edges, on=["src", "rel", "dst"], how="left_anti"
+        )
+        st.edges = st.edges.unionByName(new_clean)
         self._after_mutation()
         return b
 

@@ -286,31 +286,44 @@ def minhash_lsh_pairs(
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """64-bit SimHash per document (long column ``simhash``).
+                  n: int = 3, hash: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint per document (long column ``simhash``).
 
     Per-bit majority vote of shingle hashes: bit b of the result is 1
     iff sum over shingles of (+1 if hash bit b set else -1) > 0.
     Computed relationally like ``minhash_signatures``: explode postings,
-    one hash-aggregate with 64 codegen'd sum columns (map-side combined
-    — shuffle is 64 longs per doc), then recombine the votes.  The
-    previous nested-HOF formulation was interpreted and ~3× slower.
+    one hash-aggregate with per-bit codegen'd sum columns (map-side
+    combined — shuffle is one long per bit per doc), then recombine the
+    votes.  A nested-HOF formulation was interpreted and ~3× slower.
+
+    ``hash``: ``xxhash64`` (64-bit, the 100 TB default — fastest JVM
+    hash) or ``md5`` (60 bits from the md5 hex prefix — slower but
+    bit-reproducible in any engine with md5, which is what lets the
+    DuckDB oracle check the full pipeline).
     """
     sh = shingle_frame(docs, n, id_col, text_col)
-    post = sh.select(
-        F.col(id_col), F.explode(F.col("_sh")).alias("_s")
-    ).withColumn("_h", F.xxhash64("_s"))
+    post = sh.select(F.col(id_col), F.explode(F.col("_sh")).alias("_s"))
+    if hash == "xxhash64":
+        post = post.withColumn("_h", F.xxhash64("_s"))
+        nbits = 64
+    elif hash == "md5":
+        post = post.withColumn(
+            "_h", F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long")
+        )
+        nbits = 60
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     votes = post.groupBy(id_col).agg(*bit_votes)
-    # signed-long assembly: bit 63 contributes the sign, so sum the
-    # low 63 powers and subtract 2^63 via bit 63's vote
+    # signed-long assembly: bit 63 (xxhash64 only) contributes the sign,
+    # so sum the low powers and subtract 2^63 via bit 63's vote
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         pw = F.lit(-(2**63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
         acc = acc + F.when(F.col(f"v{b}") > 0, pw).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), acc.alias("simhash"))

@@ -40,3 +40,64 @@ def test_streaming_equals_batch(spark, tmp_path):
         for r in windowed_event_stats(events).collect()
     }
     assert got == expect
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Events arriving micro-batches AFTER the watermark passed their
+    event time are dropped from the windowed aggregate, and only
+    finalized windows emit in append mode — the bounded-state /
+    late-data contract that matters on unbounded input.
+
+    Watermark activation lags one batch (it is computed from data seen
+    through batch N-1 and applied from batch N+1), hence three files:
+    batch 0 establishes max event time 12:00, batch 1 activates the
+    11:00 watermark, batch 2's sub-watermark rows are dropped.
+    """
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "late_ev"
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+        _time.sleep(1.05)  # distinct mtimes: file order = batch order
+
+    write("a", [(i, base + dt.timedelta(hours=10 + i % 3), "click", 1.0) for i in range(99)])
+    write("b", [(150, base + dt.timedelta(hours=12, minutes=5), "click", 1.0)])
+    write(
+        "c",
+        [
+            (200, base + dt.timedelta(hours=1), "click", 1.0),  # hours late
+            (201, base + dt.timedelta(hours=10, minutes=30), "click", 1.0),  # < wm too
+        ],
+    )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(str(src / "a")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("_w.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    got = {r["ws"]: r["n"] for r in spark.table("t_late").collect()}
+    # both batch-2 rows are below the active 11:00 watermark → dropped
+    assert dropped == 2, dropped
+    # only the finalized [10:00, 11:00) window emitted, without late rows
+    assert got == {base + dt.timedelta(hours=10): 33}, got
