@@ -311,6 +311,29 @@ def m1_media_features(spark, sf_dir):
     )
 
 
+def m2_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: videos explode into one task row per
+    sampled frame (every 10th), so the downstream per-frame decode
+    parallelizes over task rows, not over (few, huge) video rows
+    (functions/multimodal.py::frame_sample_plan)."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("n_chars") % 100) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def _sn_subgraph(spark, sf_dir):
     """supplier -in_nation-> nation -in_region-> region edge subset
     (small, recursive-CTE-oracle-friendly)."""
@@ -476,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_knn_lsh": s3_knn_lsh,
         "s4_knn_ivf": s4_knn_ivf,
         "m1_media_features": m1_media_features,
+        "m2_frame_sample": m2_frame_sample,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -709,6 +733,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    16 AS feature_dim
             FROM documents
+        """,
+        "m2_frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, (n_chars % 100 + 1) - 1, 10)) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "e1_event_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
