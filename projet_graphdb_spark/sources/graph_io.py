@@ -1,0 +1,66 @@
+"""Graph persistence: save / load a GraphState as parquet.
+
+The reference's only sink is stdout/dot/LaTeX display (`display.ml`) and
+its only source is the .q script text — a mutated graph dies with the
+process.  The Spark-native capability is a durable graph store:
+
+* nodes: one parquet dataset per label (typed columns preserved);
+* edges: a single dataset **partitioned by ``rel``** so a later
+  ``match -[:r]->`` prunes to one partition directory at scan time
+  (partition pruning visible as PartitionFilters in the plan);
+* a tiny JSON sidecar records the type graph + next_id watermark.
+
+At 100 TB: writes are append-only columnar files sized by
+``spark.sql.files.maxRecordsPerFile``; the per-rel partitioning is the
+same layout a warehouse would use for an edge table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from ..frontend import ast as A
+from ..engine.state import GraphState, node_schema
+
+_META = "_graph_meta.json"
+
+
+def save_graph(state: GraphState, path: str) -> None:
+    """Persist nodes (per label) + edges (partitioned by rel) + metadata."""
+    for label, df in state.nodes.items():
+        df.write.mode("overwrite").parquet(f"{path}/nodes/{label}")
+    state.edges.write.mode("overwrite").partitionBy("rel").parquet(f"{path}/edges")
+    meta = {
+        "next_id": state.next_id,
+        "types": {
+            "nodes": [
+                [d.label, [[n, t.value] for n, t in d.attrs]] for d in state.types.nodes
+            ],
+            "rels": [[r.src, r.rel, r.tgt] for r in state.types.rels],
+        },
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def load_graph(spark: SparkSession, path: str) -> GraphState:
+    """Re-open a saved graph; node column types come from the declared
+    type graph (not inference), edge scans prune on ``rel``."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    types = A.TypeGraph(
+        nodes=[
+            A.NodeTypeDecl(label, tuple((n, A.AttribType(t)) for n, t in attrs))
+            for label, attrs in meta["types"]["nodes"]
+        ],
+        rels=[A.RelTypeDecl(*r) for r in meta["types"]["rels"]],
+    )
+    nodes = {}
+    for decl in types.nodes:
+        df = spark.read.schema(node_schema(decl)).parquet(f"{path}/nodes/{decl.label}")
+        nodes[decl.label] = df
+    edges = spark.read.parquet(f"{path}/edges").select("src", "rel", "dst")
+    return GraphState(spark, types, nodes, edges, meta["next_id"])

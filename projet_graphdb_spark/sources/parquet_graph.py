@@ -82,8 +82,30 @@ def _id(col: str, label: str):
     return (F.col(col).cast("long") + F.lit(OFFSETS[label])).alias("_id")
 
 
+# (session id, sf_dir) -> (nodes dict, edges).  DataFrames are immutable
+# plans, so sharing them across queries is safe; each caller gets a
+# FRESH GraphState whose nodes dict is a shallow copy — engine mutations
+# replace dict entries / the edges field and never leak across queries.
+_LOAD_CACHE: dict = {}
+
+
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphState:
-    """Build a GraphState over the parquet star schema at ``sf_dir``."""
+    """Build a GraphState over the parquet star schema at ``sf_dir``.
+
+    The underlying frames are memoized per (session, dir) — the shared-
+    catalog pattern: repeated queries skip re-deriving identical scan
+    plans (driver-side py4j churn, not cluster work).
+    """
+    key = (id(spark), sf_dir)
+    if key in _LOAD_CACHE:
+        nodes, edges = _LOAD_CACHE[key]
+        return GraphState(spark, TPCH_TYPE_GRAPH, dict(nodes), edges, NEXT_ID_BASE)
+    state = _build_tpch_graph(spark, sf_dir)
+    _LOAD_CACHE[key] = (dict(state.nodes), state.edges)
+    return state
+
+
+def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphState:
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")

@@ -1,0 +1,64 @@
+"""Graph persistence: save a mutated GraphState, reload it, keep
+querying — and the edge store must prune on rel at scan time."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_graphdb_spark.engine import binding_table, run_program
+from projet_graphdb_spark.sources import load_graph, save_graph
+
+
+PROG = """
+(:P {nom string, age int})
+(:E {nom string})
+(:P) -[:emp]-> (:E)
+(:P) -[:ami]-> (:P)
+create (a: P) -[:emp]-> (x: E)
+create (b: P) -[:emp]-> (x)
+create (a) -[:ami]-> (b)
+set a.nom = "Alice", a.age = 30, b.nom = "Bob", b.age = 25, x.nom = "Acme"
+"""
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    state, _ = run_program(spark, PROG)
+    path = str(tmp_path / "graph")
+    save_graph(state, path)
+    back = load_graph(spark, path)
+
+    assert back.next_id == state.next_id
+    assert {d.label for d in back.types.nodes} == {"P", "E"}
+    assert back.collect_nodes() == state.collect_nodes()
+    assert sorted(map(tuple, back.edges.collect())) == sorted(
+        map(tuple, state.edges.collect())
+    )
+
+
+def test_reloaded_graph_is_queryable(spark, tmp_path):
+    state, _ = run_program(spark, PROG)
+    path = str(tmp_path / "graph2")
+    save_graph(state, path)
+    back = load_graph(spark, path)
+
+    _, b = run_program(
+        spark,
+        'match (p: P) -[:emp]-> (e: E) where p.age < 28 return p, e',
+        initial_state=back,
+    )
+    rows = [tuple(r) for r in binding_table(b).collect()]
+    assert len(rows) == 1  # only Bob (25)
+
+
+def test_edge_scan_prunes_on_rel_partition(spark, tmp_path):
+    state, _ = run_program(spark, PROG)
+    path = str(tmp_path / "graph3")
+    save_graph(state, path)
+    back = load_graph(spark, path)
+    plan = (
+        back.edges.filter(F.col("rel") == "ami")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partition pruning: the rel predicate must land in PartitionFilters
+    assert "PartitionFilters: [" in plan and "rel" in plan.split("PartitionFilters:")[1].split("]")[0]
