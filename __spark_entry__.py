@@ -369,6 +369,14 @@ def a3_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def t3_token_shards(spark, sf_dir):
+    """Training-shard packing: documents greedily packed into ~2000-token
+    shards per language in deterministic id order (functions/text.py::
+    token_shards) — per-group windows, never a global single-partition
+    cumulative sum."""
+    return text.token_shards(_docs(spark, sf_dir), tokens_per_shard=2000)
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_skew_agg": x8_skew_agg,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
+        "t3_token_shards": t3_token_shards,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -607,6 +616,18 @@ def oracle_sql() -> dict[str, str]:
                    c.click_id, c.cts AS click_ts,
                    epoch_us(p.ts) - epoch_us(c.cts) AS wait_us
             FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+        """,
+        "t3_token_shards": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 2000.0) AS BIGINT) AS shard
+            FROM t
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

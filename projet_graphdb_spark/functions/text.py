@@ -137,6 +137,46 @@ def quality_score(text: Column) -> Column:
     return (length_term + shape_term + stop_term).cast("double")
 
 
+def token_shards(
+    docs: DataFrame,
+    tokens_per_shard: int = 2000,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to training shards of ~``tokens_per_shard``
+    whitespace tokens, packed in deterministic ``id_col`` order within
+    each ``group_col`` partition.
+
+    shard = floor((running_token_total - own_tokens) / budget): a
+    document starts a new shard once the PRECEDING documents fill the
+    budget, so shards overflow by at most one document (greedy packing).
+
+    Scale: the window runs per group — cumulative sums never serialize
+    the whole corpus through one partition, only one group (for a
+    groupless global pack, pre-bucket by hash range first and pack
+    bucket-by-bucket).  Output: (id, group, n_tokens, shard).
+    """
+    toks = token_count(F.col(text_col))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / tokens_per_shard).cast(
+            "long"
+        ),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: the standard pipeline feature set."""
     t = F.col(text_col)

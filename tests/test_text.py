@@ -84,3 +84,29 @@ def test_quality_score_range(stats):
 def test_bpe_ish_lower_bound(stats):
     for did, t in SAMPLES:
         assert stats[did]["n_tokens_bpe"] >= stats[did]["n_tokens"]
+
+
+def test_token_shards_greedy_packing(spark):
+    # 5 docs of 3 tokens each in one group, budget 6: shards 0,0,1,1,2
+    rows = [(i, "a b c", "en") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["shard"] for r in text.token_shards(df, tokens_per_shard=6).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}, out
+
+
+def test_token_shards_groups_independent(spark):
+    rows = [(0, "a b c", "en"), (1, "a b c", "fr"), (2, "a b c", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang"], r["doc_id"]): r["shard"]
+           for r in text.token_shards(df, tokens_per_shard=4).collect()}
+    # each language packs from shard 0 independently
+    assert out == {("en", 0): 0, ("en", 2): 0, ("fr", 1): 0}, out
+
+
+def test_token_shards_oversize_doc_gets_own_shard(spark):
+    rows = [(0, "a b c d e f g h", "en"), (1, "a b", "en"), (2, "a b", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["shard"] for r in text.token_shards(df, tokens_per_shard=4).collect()}
+    # doc 0 (8 tokens) occupies shards 0-1 worth of budget; doc 1 starts at
+    # floor(8/4)=2, doc 2 at floor(10/4)=2
+    assert out == {0: 0, 1: 2, 2: 2}, out
