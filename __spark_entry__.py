@@ -34,6 +34,7 @@ from projet_graphdb_spark.functions import (
 from projet_graphdb_spark.functions.asof import asof_join
 from projet_graphdb_spark.sources import load_tpch_graph
 from projet_graphdb_spark.streaming import (
+    click_purchase_pairs_batch,
     dedup_events_batch,
     load_events,
     sessionize_batch,
@@ -445,6 +446,14 @@ def e3_stream_dedup(spark, sf_dir):
     return dedup_events_batch(load_events(spark, sf_dir))
 
 
+def e4_stream_join(spark, sf_dir):
+    """Stream-stream join capability (batch twin): each purchase paired
+    with every same-user click in the preceding hour; the streaming form
+    (streaming/stream_join.py) is a watermarked stream-stream inner join
+    with time-bounded state, parity-tested in tests."""
+    return click_purchase_pairs_batch(load_events(spark, sf_dir))
+
+
 def t2_fingerprints(spark, sf_dir):
     """Document fingerprinting: canonical md5 + Rabin-Karp-style rolling
     hash (incrementally updatable; functions/text.py)."""
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
+        "e4_stream_join": e4_stream_join,
         "a1_bfs_levels": a1_bfs_levels,
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
@@ -628,6 +638,14 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_tokens) / 2000.0) AS BIGINT) AS shard
             FROM t
+        """,
+        "e4_stream_join": """
+            SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

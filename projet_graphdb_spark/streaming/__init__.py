@@ -3,8 +3,11 @@
 from .events import load_events, streaming_windowed_counts, windowed_event_stats
 from .sessions import sessionize_batch, sessionize_stream
 from .stream_dedup import dedup_events_batch, dedup_events_stream
+from .stream_join import click_purchase_pairs_batch, click_purchase_pairs_stream
 
 __all__ = [
+    "click_purchase_pairs_batch",
+    "click_purchase_pairs_stream",
     "dedup_events_batch",
     "dedup_events_stream",
     "load_events",

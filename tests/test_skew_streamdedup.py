@@ -88,3 +88,24 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert got.count() == n_batch
     # exact set parity, not just counts
     assert batch.exceptAll(got).isEmpty() and got.exceptAll(batch).isEmpty()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from projet_graphdb_spark.streaming import (
+        click_purchase_pairs_batch,
+        click_purchase_pairs_stream,
+    )
+
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "ev_join")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    batch = click_purchase_pairs_batch(spark.read.parquet(src))
+    q = click_purchase_pairs_stream(spark, src, schema, query_name="t_cp")
+    q.awaitTermination(180)
+    got = spark.table("t_cp")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert len(b) > 0
+    assert b == s
