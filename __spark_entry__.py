@@ -335,6 +335,18 @@ def m2_frame_sample(spark, sf_dir):
     )
 
 
+def a4_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford iterations)
+    from region ASIA over the supplier-nation-region subgraph,
+    undirected, synthetic weight (src+dst) mod 5 + 1.  Four iterations
+    = exact over paths of <= 4 edges, mirrored by the oracle's
+    hop-bounded recursive CTE."""
+    e = _sn_subgraph(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    return graph_algos.sssp(e, sources=[2], num_iter=4, directed=False)
+
+
 def _sn_subgraph(spark, sf_dir):
     """supplier -in_nation-> nation -in_region-> region edge subset
     (small, recursive-CTE-oracle-friendly)."""
@@ -525,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_bfs_levels": a1_bfs_levels,
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
+        "a4_sssp": a4_sssp,
     }
 
 
@@ -832,6 +845,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.id, eu.dst AS peer FROM reach r JOIN eu ON eu.src = r.peer
             )
             SELECT id, MIN(peer) AS component FROM reach GROUP BY id
+        """,
+        "a4_sssp": f"""
+            WITH RECURSIVE ed AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+            ),
+            eu AS (
+              SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM ed
+              UNION
+              SELECT dst AS src, src AS dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM ed
+            ),
+            walk(id, dist, hops) AS (
+              SELECT CAST(2 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist, 0 AS hops
+              UNION ALL
+              SELECT eu.dst, walk.dist + eu.w, walk.hops + 1
+              FROM walk JOIN eu ON eu.src = walk.id
+              WHERE walk.hops < 4
+            )
+            SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
         """,
     }
 

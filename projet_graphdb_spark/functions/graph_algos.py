@@ -184,6 +184,56 @@ def pagerank(
     return ranks
 
 
+def sssp(
+    edges: DataFrame,
+    sources: list,
+    num_iter: int = 10,
+    weight_col: str = "weight",
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths, Bellman-Ford style: after k
+    iterations, ``dist`` is exact over paths of ≤ k edges (which makes
+    the result oracle-checkable against a hop-bounded recursive CTE).
+
+    Output: (id, dist) for nodes reachable within ``num_iter`` hops.
+    Each iteration: one join dist⋈edges (shuffle on edge src) + one
+    min-aggregate on dst — the pregel message pattern, same scale shape
+    as ``pagerank``.  Early-exits when an iteration changes nothing
+    (monotone sum witness, as in ``connected_components``).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col(weight_col).alias("_w")
+            )
+        )
+    e, _, small = _materialize(e)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0.0) for s in sources], "id long, dist double"
+    ).localCheckpoint(eager=True)
+    ckpt_handle = None
+    prev_sum = None
+    for _ in range(num_iter):
+        relaxed = (
+            dist.join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist, ckpt_handle = _ckpt_rotate(_shrink(relaxed, small), ckpt_handle)
+        # distances only ever decrease and the frontier only grows, so
+        # (count, sum) is a fixpoint witness
+        row = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        cur = (row[0], row[1])
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return dist
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, component) with component = min node id in the component
     (undirected view).  Min-label propagation until fixpoint."""

@@ -57,3 +57,25 @@ def test_pagerank_matches_numpy(spark, edges_df):
     for i in range(6):
         assert got[i] == pytest.approx(expect[i], rel=1e-9), i
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_sssp_hand_checked(spark):
+    from projet_graphdb_spark.functions.graph_algos import sssp
+
+    # 1 -2-> 2 -2-> 3 ; 1 -5-> 3 : shortest 1->3 = 4 via 2
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 5.0)], "src long, dst long, weight double"
+    )
+    out = {r["id"]: r["dist"] for r in sssp(edges, sources=[1], num_iter=5).collect()}
+    assert out == {1: 0.0, 2: 2.0, 3: 4.0}, out
+
+
+def test_sssp_hop_bound_semantics(spark):
+    from projet_graphdb_spark.functions.graph_algos import sssp
+
+    # chain of 3 edges; with num_iter=2 node 4 (3 hops away) is absent
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src long, dst long, weight double"
+    )
+    out = {r["id"]: r["dist"] for r in sssp(edges, sources=[1], num_iter=2).collect()}
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0}, out
