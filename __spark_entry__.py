@@ -183,6 +183,23 @@ def g10_agg_over_match(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def g11_transitive(spark, sf_dir):
+    """Variable-length path extension -[:r*]-> (absent from the
+    reference, SURVEY §2.2): transitive closure over a created chain,
+    computed by path doubling (executor._transitive_pairs)."""
+    prog = (
+        "(:N {v int})\n"
+        "(:N) -[:next]-> (:N)\n"
+        "create (a: N) -[:next]-> (b: N)\n"
+        "create (b) -[:next]-> (c: N)\n"
+        "create (c) -[:next]-> (d: N)\n"
+        "create (d) -[:next]-> (e: N)\n"
+        "match (x: N) -[:next*]-> (y: N) return x, y"
+    )
+    _, b = run_program(spark, prog)
+    return binding_table(b)
+
+
 def x1_pricing_summary(spark, sf_dir):
     return relational.pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
@@ -509,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_set_attr": g8_set_attr,
         "g9_create_node": g9_create_node,
         "g10_agg_over_match": g10_agg_over_match,
+        "g11_transitive": g11_transitive,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -606,6 +624,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS name, COUNT(*) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "g11_transitive": """
+            WITH RECURSIVE e(src, dst) AS (
+              SELECT * FROM (VALUES (0, 1), (1, 2), (2, 3), (3, 4)) v(src, dst)),
+            tc AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst)
+            SELECT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y FROM tc
         """,
         "x1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -139,7 +139,9 @@ class Executor:
         if isinstance(instr, IActOnRel):
             if instr.action == Action.CREATE:
                 return self._create_rel(instr.src_var, instr.rel, instr.tgt_var, b)
-            return self._match_rel(instr.src_var, instr.rel, instr.tgt_var, b)
+            return self._match_rel(
+                instr.src_var, instr.rel, instr.tgt_var, b, star=getattr(instr, "star", False)
+            )
         if isinstance(instr, IDeleteNode):
             return self._delete_node(instr.var, b)
         if isinstance(instr, IDeleteRel):
@@ -219,11 +221,40 @@ class Executor:
         pending[col] = label
         return Binding(b.df, [(var, col, label)] + b.env, b._counter, b.known_count, pending)
 
-    def _match_rel(self, sv: str, rel: str, tv: str, b: Binding) -> Binding:
+    def _transitive_pairs(self, rel: str) -> DataFrame:
+        """Reachability pairs (src, dst) over 1+ hops of ``rel`` edges —
+        the ``-[:r*]->`` extension (the reference has no variable-length
+        paths, SURVEY §2.2).
+
+        Path doubling: P_{k+1} = P_k ∪ (P_k ⋈ P_k), so diameter d costs
+        ⌈log2 d⌉ join+distinct rounds instead of d frontier expansions.
+        Each round shuffles on the join key and cuts lineage with a
+        rotated localCheckpoint (superseded blocks freed eagerly).
+        """
+        from ..functions.graph_algos import _ckpt_rotate, _materialize, _shrink
+
+        e = self.state.edges.filter(F.col("rel") == rel).select("src", "dst")
+        pairs, prev_n, small = _materialize(e)
+        handle = None
+        for _ in range(16):  # 2^16-hop cap: a backstop, not a tuning knob
+            ext = (
+                pairs.alias("a")
+                .join(pairs.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            )
+            grown = pairs.unionByName(ext).dropDuplicates()
+            pairs, handle = _ckpt_rotate(_shrink(grown, small), handle)
+            n = pairs.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        return pairs
+
+    def _match_rel(self, sv: str, rel: str, tv: str, b: Binding, star: bool = False) -> Binding:
         st = self.state
         scol, slabel = b.lookup(sv)
         tcol, tlabel = b.lookup(tv)
-        e_base = st.edges.filter(F.col("rel") == rel)
+        e_base = self._transitive_pairs(rel) if star else st.edges.filter(F.col("rel") == rel)
 
         if scol == tcol:
             # self loop (v)-[:r]->(v): materialize, then plain semi join

@@ -146,11 +146,17 @@ class SimpPattern:
 
 @dataclass(frozen=True)
 class CompPattern:
-    """``node -[:rel]-> rest`` — a linear chain."""
+    """``node -[:rel]-> rest`` — a linear chain.
+
+    ``star=True`` marks the variable-length extension ``-[:rel*]->``
+    (one or more hops; absent from the reference, SURVEY §2.2 — only
+    legal in ``match``, and only over a relation type declared between
+    identical labels so hops compose)."""
 
     node: NodePattern
     rel: str
     rest: "Pattern"
+    star: bool = False
 
 
 Pattern = Union[SimpPattern, CompPattern]

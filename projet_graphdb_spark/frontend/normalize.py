@@ -36,6 +36,7 @@ class IActOnRel:
     src_var: str
     rel: str
     tgt_var: str
+    star: bool = False  # -[:r*]-> variable-length match (extension)
 
 
 @dataclass(frozen=True)
@@ -88,7 +89,7 @@ def _normalize_pattern(act: Action, pat: A.Pattern):
     # CompPattern(node, rel, rest)
     v1, ins1 = _normalize_node_pattern(act, pat.node)
     v2, ins2 = _normalize_pattern(act, pat.rest)
-    rel_ins = IActOnRel(act, v1, pat.rel, v2)
+    rel_ins = IActOnRel(act, v1, pat.rel, v2, getattr(pat, 'star', False))
     if ins2:
         first, rest = ins2[0], ins2[1:]
         if isinstance(first, IActOnNode):

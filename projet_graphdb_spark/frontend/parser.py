@@ -146,10 +146,11 @@ class Parser:
             self.expect("LBRACKET")
             self.expect("COLON")
             rel = self.expect("IDENT").value
+            star = bool(self.accept("MUL"))  # -[:r*]-> variable-length
             self.expect("RBRACKET")
             self.expect("ARROW")
             rest = self._parse_pattern()
-            return A.CompPattern(np, rel, rest)
+            return A.CompPattern(np, rel, rest, star)
         return A.SimpPattern(np)
 
     def _parse_node_pattern(self) -> A.NodePattern:

@@ -141,6 +141,16 @@ def tc_instr(instr, env: Env) -> Env:
             raise TypeCheckError(
                 f"Relation '{instr.rel}' from '{lbl1}' to '{lbl2}' is not declared"
             )
+        if getattr(instr, "star", False):
+            # variable-length extension: only a match, and only over a
+            # relation between identical labels (hops must compose)
+            if instr.action != Action.MATCH:
+                raise TypeCheckError("Variable-length '-[:r*]->' is only legal in match")
+            if lbl1 != lbl2:
+                raise TypeCheckError(
+                    f"Variable-length '-[:{instr.rel}*]->' requires identical "
+                    f"endpoint labels, got '{lbl1}' and '{lbl2}'"
+                )
         return env
     if isinstance(instr, IDeleteNode):
         if env.lookup(instr.var) is None:

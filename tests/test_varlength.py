@@ -1,0 +1,68 @@
+"""Variable-length path matching ``-[:r*]->`` (engine extension)."""
+
+import pytest
+
+from projet_graphdb_spark.engine import binding_table, run_program
+from projet_graphdb_spark.frontend.typecheck import TypeCheckError
+
+CHAIN = """
+(:N {v int})
+(:N) -[:next]-> (:N)
+create (a: N) -[:next]-> (b: N)
+create (b) -[:next]-> (c: N)
+create (c) -[:next]-> (d: N)
+set a.v = 1, b.v = 2, c.v = 3, d.v = 4
+"""
+
+
+def test_star_transitive_closure(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next*]-> (y: N) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # all ordered pairs reachable in >= 1 hop along the chain 0-1-2-3
+    assert rows == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], rows
+
+
+def test_star_one_hop_included(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next*]-> (y: N) where x.v = 3 return y")
+    assert [tuple(r) for r in binding_table(b).collect()] == [(3,)]
+
+
+def test_star_with_cycle_terminates(spark):
+    prog = """
+(:N {v int})
+(:N) -[:next]-> (:N)
+create (a: N) -[:next]-> (b: N)
+create (b) -[:next]-> (a)
+match (x: N) -[:next*]-> (y: N) return x, y
+"""
+    _, b = run_program(spark, prog)
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # 2-cycle: every node reaches both nodes (including itself)
+    assert rows == [(0, 0), (0, 1), (1, 0), (1, 1)], rows
+
+
+def test_star_mixed_with_plain_rel(spark):
+    _, b = run_program(
+        spark,
+        CHAIN + "match (x: N) -[:next*]-> (y: N) -[:next]-> (z: N) where x.v = 1 return y, z",
+    )
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # y reachable from a, z one hop beyond y: (b,c), (c,d)
+    assert rows == [(1, 2), (2, 3)], rows
+
+
+def test_star_rejects_create(spark):
+    with pytest.raises(TypeCheckError, match="only legal in match"):
+        run_program(spark, "(:N {v int})\n(:N) -[:next]-> (:N)\ncreate (a: N) -[:next*]-> (b: N)")
+
+
+def test_star_rejects_mixed_labels(spark):
+    prog = """
+(:P {v int})
+(:E {v int})
+(:P) -[:emp]-> (:E)
+create (a: P) -[:emp]-> (b: E)
+match (x: P) -[:emp*]-> (y: E) return x, y
+"""
+    with pytest.raises(TypeCheckError, match="identical endpoint labels"):
+        run_program(spark, prog)
