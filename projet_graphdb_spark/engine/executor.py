@@ -140,7 +140,13 @@ class Executor:
             if instr.action == Action.CREATE:
                 return self._create_rel(instr.src_var, instr.rel, instr.tgt_var, b)
             return self._match_rel(
-                instr.src_var, instr.rel, instr.tgt_var, b, star=getattr(instr, "star", False)
+                instr.src_var,
+                instr.rel,
+                instr.tgt_var,
+                b,
+                star=getattr(instr, "star", False),
+                star_min=getattr(instr, "star_min", 1),
+                star_max=getattr(instr, "star_max", None),
             )
         if isinstance(instr, IDeleteNode):
             return self._delete_node(instr.var, b)
@@ -221,21 +227,39 @@ class Executor:
         pending[col] = label
         return Binding(b.df, [(var, col, label)] + b.env, b._counter, b.known_count, pending)
 
-    def _transitive_pairs(self, rel: str) -> DataFrame:
-        """Reachability pairs (src, dst) over 1+ hops of ``rel`` edges —
-        the ``-[:r*]->`` extension (the reference has no variable-length
-        paths, SURVEY §2.2).
+    def _transitive_pairs(self, rel: str, lo: int = 1, hi: int | None = None) -> DataFrame:
+        """Reachability pairs (src, dst) over ``lo..hi`` hops of ``rel``
+        edges — the ``-[:r*]->`` / ``-[:r*lo..hi]->`` extension (the
+        reference has no variable-length paths, SURVEY §2.2).
 
-        Path doubling: P_{k+1} = P_k ∪ (P_k ⋈ P_k), so diameter d costs
-        ⌈log2 d⌉ join+distinct rounds instead of d frontier expansions.
-        Each round shuffles on the join key and cuts lineage with a
-        rotated localCheckpoint (superseded blocks freed eagerly).
+        Unbounded closure uses path doubling — P_{k+1} = P_k ∪ (P_k ⋈
+        P_k) — so diameter d costs ⌈log2 d⌉ join+distinct rounds instead
+        of d frontier expansions.  The bounded form walks hop counts
+        explicitly (hi is small by construction) and unions hops
+        lo..hi.  Every round shuffles on the join key and cuts lineage
+        with a rotated localCheckpoint (superseded blocks freed eagerly).
         """
         from ..functions.graph_algos import _ckpt_rotate, _materialize, _shrink
 
         e = self.state.edges.filter(F.col("rel") == rel).select("src", "dst")
         pairs, prev_n, small = _materialize(e)
         handle = None
+        if hi is not None:
+            # bounded: hop_k = hop_{k-1} ⋈ e (distinct pairs at exactly
+            # ≤ k hops is not tracked — pairs-at-≤k is what match needs)
+            hop = pairs  # pairs reachable in exactly-ish ≤ 1 hop
+            keep = pairs if lo <= 1 else None
+            for k in range(2, hi + 1):
+                hop = (
+                    hop.alias("a")
+                    .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                    .dropDuplicates()
+                )
+                hop, handle = _ckpt_rotate(_shrink(hop, small), None)
+                if k >= lo:
+                    keep = hop if keep is None else keep.unionByName(hop)
+            return (keep if keep is not None else hop.limit(0)).dropDuplicates()
         for _ in range(16):  # 2^16-hop cap: a backstop, not a tuning knob
             ext = (
                 pairs.alias("a")
@@ -250,11 +274,24 @@ class Executor:
             prev_n = n
         return pairs
 
-    def _match_rel(self, sv: str, rel: str, tv: str, b: Binding, star: bool = False) -> Binding:
+    def _match_rel(
+        self,
+        sv: str,
+        rel: str,
+        tv: str,
+        b: Binding,
+        star: bool = False,
+        star_min: int = 1,
+        star_max: int | None = None,
+    ) -> Binding:
         st = self.state
         scol, slabel = b.lookup(sv)
         tcol, tlabel = b.lookup(tv)
-        e_base = self._transitive_pairs(rel) if star else st.edges.filter(F.col("rel") == rel)
+        e_base = (
+            self._transitive_pairs(rel, star_min, star_max)
+            if star
+            else st.edges.filter(F.col("rel") == rel)
+        )
 
         if scol == tcol:
             # self loop (v)-[:r]->(v): materialize, then plain semi join

@@ -157,6 +157,10 @@ class CompPattern:
     rel: str
     rest: "Pattern"
     star: bool = False
+    # hop bounds for ``-[:rel*lo..hi]->`` (only meaningful when star);
+    # ``star_max=None`` means unbounded (closure)
+    star_min: int = 1
+    star_max: int | None = None
 
 
 Pattern = Union[SimpPattern, CompPattern]

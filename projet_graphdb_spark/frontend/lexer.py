@@ -48,6 +48,7 @@ KEYWORDS = {
 # Multi-char operators first so they win over single-char prefixes.
 _PUNCT = [
     ("->", "ARROW"),
+    ("..", "DOTDOT"),
     (">=", "GE"),
     ("<=", "LE"),
     ("<>", "NE"),

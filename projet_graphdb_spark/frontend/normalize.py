@@ -37,6 +37,8 @@ class IActOnRel:
     rel: str
     tgt_var: str
     star: bool = False  # -[:r*]-> variable-length match (extension)
+    star_min: int = 1
+    star_max: int | None = None
 
 
 @dataclass(frozen=True)
@@ -89,7 +91,12 @@ def _normalize_pattern(act: Action, pat: A.Pattern):
     # CompPattern(node, rel, rest)
     v1, ins1 = _normalize_node_pattern(act, pat.node)
     v2, ins2 = _normalize_pattern(act, pat.rest)
-    rel_ins = IActOnRel(act, v1, pat.rel, v2, getattr(pat, 'star', False))
+    rel_ins = IActOnRel(
+        act, v1, pat.rel, v2,
+        getattr(pat, 'star', False),
+        getattr(pat, 'star_min', 1),
+        getattr(pat, 'star_max', None),
+    )
     if ins2:
         first, rest = ins2[0], ins2[1:]
         if isinstance(first, IActOnNode):

@@ -147,10 +147,16 @@ class Parser:
             self.expect("COLON")
             rel = self.expect("IDENT").value
             star = bool(self.accept("MUL"))  # -[:r*]-> variable-length
+            star_min, star_max = 1, None
+            if star and self.peek().kind == "INT":
+                # bounded form -[:r*lo..hi]->
+                star_min = int(self.expect("INT").value)
+                self.expect("DOTDOT")
+                star_max = int(self.expect("INT").value)
             self.expect("RBRACKET")
             self.expect("ARROW")
             rest = self._parse_pattern()
-            return A.CompPattern(np, rel, rest, star)
+            return A.CompPattern(np, rel, rest, star, star_min, star_max)
         return A.SimpPattern(np)
 
     def _parse_node_pattern(self) -> A.NodePattern:

@@ -151,6 +151,12 @@ def tc_instr(instr, env: Env) -> Env:
                     f"Variable-length '-[:{instr.rel}*]->' requires identical "
                     f"endpoint labels, got '{lbl1}' and '{lbl2}'"
                 )
+            lo = getattr(instr, "star_min", 1)
+            hi = getattr(instr, "star_max", None)
+            if lo < 1 or (hi is not None and hi < lo):
+                raise TypeCheckError(
+                    f"Variable-length bounds *{lo}..{hi} are invalid (need 1 <= lo <= hi)"
+                )
         return env
     if isinstance(instr, IDeleteNode):
         if env.lookup(instr.var) is None:

@@ -66,3 +66,21 @@ match (x: P) -[:emp*]-> (y: E) return x, y
 """
     with pytest.raises(TypeCheckError, match="identical endpoint labels"):
         run_program(spark, prog)
+
+
+def test_star_bounded_range(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next*2..3]-> (y: N) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # chain 0-1-2-3: pairs at 2 hops {(0,2),(1,3)}, at 3 hops {(0,3)}
+    assert rows == [(0, 2), (0, 3), (1, 3)], rows
+
+
+def test_star_bounded_exact_one(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next*1..1]-> (y: N) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    assert rows == [(0, 1), (1, 2), (2, 3)], rows  # plain edges
+
+
+def test_star_bounded_invalid_bounds(spark):
+    with pytest.raises(TypeCheckError, match="invalid"):
+        run_program(spark, CHAIN + "match (x: N) -[:next*3..2]-> (y: N) return x, y")
