@@ -310,6 +310,13 @@ def s3_knn_lsh(spark, sf_dir):
     )
 
 
+def s5_knn_quantized(spark, sf_dir):
+    """int8 scalar-quantized kNN (similarity.quantize_embeddings /
+    knn_quantized): 4x smaller vectors, cosine ranked directly on the
+    quantized ints (scales cancel)."""
+    return similarity.knn_quantized(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def m1_media_features(spark, sf_dir):
     """Multimodal plumbing: documents as opaque binary media payloads →
     Arrow-batched mapInPandas feature extraction (decode stubbed; see
@@ -546,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cosine_dups": s2_cosine_dups,
         "s3_knn_lsh": s3_knn_lsh,
         "s4_knn_ivf": s4_knn_ivf,
+        "s5_knn_quantized": s5_knn_quantized,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "e1_event_window": e1_event_window,
@@ -804,6 +812,29 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
             FROM rk2 WHERE rank <= 5
+        """,
+        "s5_knn_quantized": """
+            WITH qt AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x / (CASE WHEN list_max(list_transform(
+                              CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+                            THEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y))) / 127.0
+                            ELSE 1.0 END)) AS DOUBLE)) AS qvec
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, qvec AS qv FROM qt WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbour_id,
+                     list_cosine_similarity(q.qv, c.qvec) AS sim
+              FROM q JOIN qt c ON c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbour_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM ranked WHERE rank <= 5
         """,
         "m1_media_features": """
             SELECT doc_id AS media_id,

@@ -222,6 +222,64 @@ def knn_ivf(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale
+    s = max|x| / 127, q_i = round(x_i / s) ∈ [-127, 127].
+
+    4× smaller vectors (the storage/IO lever for 100 TB embedding
+    corpora), computed map-only.  Output: (id, scale, qvec:array<int>).
+    Cosine similarity is scale-invariant, so ranking can run directly on
+    the int vectors — see ``knn_quantized``.
+    """
+    vec = F.col(vec_col)
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    return embeddings.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int")).alias(
+            "qvec"
+        ),
+    )
+
+
+def knn_quantized(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine over int8-quantized vectors (same output shape
+    as ``knn_bruteforce``; sim is the cosine of the QUANTIZED vectors —
+    scales cancel, so no dequantization happens in the hot loop)."""
+    qt = quantize_embeddings(embeddings, id_col, vec_col)
+    base = qt.select(
+        F.col(id_col),
+        F.col("qvec"),
+        l2norm(F.col("qvec")).alias("_n"),
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qv"), F.col("_n").alias("_qn")
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbour_id"), F.col("qvec").alias("_cv"), F.col("_n").alias("_cn")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id")).withColumn(
+        "sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -143,3 +143,32 @@ def test_rolling_fingerprint_matches_python(spark):
 
     for did, s in [(0, "Hello  World"), (1, ""), (2, "a"), (3, "The quick brown fox")]:
         assert out[did] == py_roll(s), (did, out[did], py_roll(s))
+
+
+def test_quantized_knn_high_recall(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2], k=5)
+    quant = similarity.knn_quantized(emb, query_ids=[0, 1, 2], k=5)
+    ex, qu = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    for r in quant.collect():
+        qu.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    recalls = [len(ex[q] & qu[q]) / len(ex[q]) for q in ex]
+    # int8 quantization distorts cosine only slightly
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_quantization_range_and_roundtrip(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qt = similarity.quantize_embeddings(emb).collect()
+    import numpy as np
+
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in qt[:50]:
+        q = np.array(r["qvec"])
+        assert q.min() >= -127 and q.max() <= 127
+        deq = q * r["scale"]
+        x = np.array(orig[r["vec_id"]], dtype=np.float64)
+        # dequantization error bounded by half a quantization step
+        assert np.abs(deq - x).max() <= r["scale"] / 2 + 1e-9
