@@ -147,6 +147,7 @@ class Executor:
                 star=getattr(instr, "star", False),
                 star_min=getattr(instr, "star_min", 1),
                 star_max=getattr(instr, "star_max", None),
+                undirected=getattr(instr, "undirected", False),
             )
         if isinstance(instr, IDeleteNode):
             return self._delete_node(instr.var, b)
@@ -227,7 +228,9 @@ class Executor:
         pending[col] = label
         return Binding(b.df, [(var, col, label)] + b.env, b._counter, b.known_count, pending)
 
-    def _transitive_pairs(self, rel: str, lo: int = 1, hi: int | None = None) -> DataFrame:
+    def _transitive_pairs(
+        self, rel: str, lo: int = 1, hi: int | None = None, undirected: bool = False
+    ) -> DataFrame:
         """Reachability pairs (src, dst) over ``lo..hi`` hops of ``rel``
         edges — the ``-[:r*]->`` / ``-[:r*lo..hi]->`` extension (the
         reference has no variable-length paths, SURVEY §2.2).
@@ -242,6 +245,8 @@ class Executor:
         from ..functions.graph_algos import _ckpt_rotate, _materialize, _shrink
 
         e = self.state.edges.filter(F.col("rel") == rel).select("src", "dst")
+        if undirected:
+            e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         pairs, prev_n, small = _materialize(e)
         handle = None
         if hi is not None:
@@ -283,15 +288,21 @@ class Executor:
         star: bool = False,
         star_min: int = 1,
         star_max: int | None = None,
+        undirected: bool = False,
     ) -> Binding:
         st = self.state
         scol, slabel = b.lookup(sv)
         tcol, tlabel = b.lookup(tv)
         e_base = (
-            self._transitive_pairs(rel, star_min, star_max)
+            self._transitive_pairs(rel, star_min, star_max, undirected)
             if star
             else st.edges.filter(F.col("rel") == rel)
         )
+        if undirected and not star:
+            # -[:r]- matches the edge in either direction
+            e_base = e_base.select("src", "dst").unionByName(
+                e_base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
 
         if scol == tcol:
             # self loop (v)-[:r]->(v): materialize, then plain semi join

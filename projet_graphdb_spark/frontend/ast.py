@@ -161,6 +161,9 @@ class CompPattern:
     # ``star_max=None`` means unbounded (closure)
     star_min: int = 1
     star_max: int | None = None
+    # ``-[:rel]-`` (no arrowhead): match the edge in either direction
+    # (extension; the reference has only directed edges, SURVEY §2.2)
+    undirected: bool = False
 
 
 Pattern = Union[SimpPattern, CompPattern]

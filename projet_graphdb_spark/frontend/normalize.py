@@ -39,6 +39,7 @@ class IActOnRel:
     star: bool = False  # -[:r*]-> variable-length match (extension)
     star_min: int = 1
     star_max: int | None = None
+    undirected: bool = False
 
 
 @dataclass(frozen=True)
@@ -96,6 +97,7 @@ def _normalize_pattern(act: Action, pat: A.Pattern):
         getattr(pat, 'star', False),
         getattr(pat, 'star_min', 1),
         getattr(pat, 'star_max', None),
+        getattr(pat, 'undirected', False),
     )
     if ins2:
         first, rest = ins2[0], ins2[1:]

@@ -154,9 +154,14 @@ class Parser:
                 self.expect("DOTDOT")
                 star_max = int(self.expect("INT").value)
             self.expect("RBRACKET")
-            self.expect("ARROW")
+            if self.accept("ARROW"):
+                undirected = False
+            else:
+                # -[:r]- (no arrowhead): undirected edge match extension
+                self.expect("SUB")
+                undirected = True
             rest = self._parse_pattern()
-            return A.CompPattern(np, rel, rest, star, star_min, star_max)
+            return A.CompPattern(np, rel, rest, star, star_min, star_max, undirected)
         return A.SimpPattern(np)
 
     def _parse_node_pattern(self) -> A.NodePattern:

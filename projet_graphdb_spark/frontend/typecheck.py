@@ -137,7 +137,14 @@ def tc_instr(instr, env: Env) -> Env:
         lbl2 = env.lookup(tgt_var)
         if lbl2 is None:
             raise TypeCheckError(f"Variable '{tgt_var}' is not bound")
-        if not _rel_declared(tg, lbl1, instr.rel, lbl2):
+        undirected = getattr(instr, "undirected", False)
+        if undirected and getattr(instr, "action", None) == Action.CREATE:
+            raise TypeCheckError("Undirected '-[:r]-' is only legal in match")
+        declared = _rel_declared(tg, lbl1, instr.rel, lbl2) or (
+            # undirected: the declaration may run in either direction
+            undirected and _rel_declared(tg, lbl2, instr.rel, lbl1)
+        )
+        if not declared:
             raise TypeCheckError(
                 f"Relation '{instr.rel}' from '{lbl1}' to '{lbl2}' is not declared"
             )

@@ -84,3 +84,22 @@ def test_star_bounded_exact_one(spark):
 def test_star_bounded_invalid_bounds(spark):
     with pytest.raises(TypeCheckError, match="invalid"):
         run_program(spark, CHAIN + "match (x: N) -[:next*3..2]-> (y: N) return x, y")
+
+
+def test_undirected_edge_match(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next]- (y: N) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # each chain edge matched both ways
+    assert rows == [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)], rows
+
+
+def test_undirected_star(spark):
+    _, b = run_program(spark, CHAIN + "match (x: N) -[:next*]- (y: N) where x.v = 4 return y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    # closure over symmetrized edges: from d every node incl. itself
+    assert rows == [(0,), (1,), (2,), (3,)], rows
+
+
+def test_undirected_rejects_create(spark):
+    with pytest.raises(TypeCheckError, match="only legal in match"):
+        run_program(spark, "(:N {v int})\n(:N) -[:next]-> (:N)\ncreate (a: N) -[:next]- (b: N)")
