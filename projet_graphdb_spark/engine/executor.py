@@ -299,10 +299,14 @@ class Executor:
             else st.edges.filter(F.col("rel") == rel)
         )
         if undirected and not star:
-            # -[:r]- matches the edge in either direction
+            # -[:r]- matches the edge in either direction; dedup so that
+            # reciprocal edges u->v and v->u yield ONE (u,v) pair — the
+            # edge-driven join paths below would otherwise emit a duplicate
+            # binding row while the both-materialized left-semi path emits
+            # one (the star path already dedups inside _transitive_pairs)
             e_base = e_base.select("src", "dst").unionByName(
                 e_base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
+            ).dropDuplicates()
 
         if scol == tcol:
             # self loop (v)-[:r]->(v): materialize, then plain semi join
@@ -432,8 +436,15 @@ class Executor:
             value_col = to_column(expr, attr_col).cast(decl_tp)
             if self.set_eval == "first_row":
                 # reference semantics: evaluate once against the first row
-                # (sem.ml:371-372); crashes on empty table like List.hd
-                row = joined.select(value_col.alias("__v"), F.col(col).alias("_id")).first()
+                # (sem.ml:371-372); crashes on empty table like List.hd.
+                # DataFrame.first() is partition-order dependent, so pick
+                # the row deterministically: order by the binding columns.
+                order_cols = [F.col(c) for _, c, _ in b.env]
+                row = (
+                    joined.select(value_col.alias("__v"), F.col(col).alias("_id"), *order_cols)
+                    .orderBy(*order_cols)
+                    .first()
+                )
                 if row is None:
                     raise ExecError("set on empty binding table")
                 updates = (

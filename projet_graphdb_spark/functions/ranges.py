@@ -56,19 +56,33 @@ def bucketed_range_join(
     el = left.withColumn("_bucket", F.explode(F.sequence(lo_bucket, hi_bucket)))
 
     cond = [el["_bucket"] == r["_bucket"]] + [el[k] == r[k] for k in keys]
-    joined = el.join(r, cond, "inner" if how == "inner" else "left")
+    joined = el.join(r, cond, "inner")
     in_range = (
         F.unix_micros(r["_r_ts"]) >= F.unix_micros(el[left_ts]) + F.lit(lower_s * 1_000_000)
     ) & (F.unix_micros(r["_r_ts"]) <= F.unix_micros(el[left_ts]) + F.lit(upper_s * 1_000_000))
-    if how == "inner":
-        out = joined.filter(in_range)
-    else:
-        # left join: null out right cols outside the exact range, then
-        # keep the best-effort single row semantics to the caller
-        out = joined.filter(in_range | r["_r_ts"].isNull())
+    out = joined.filter(in_range)
     drop_cols = [r["_bucket"], el["_bucket"]] + [r[k] for k in keys]
     for c in drop_cols:
         out = out.drop(c)
+    if how != "inner":
+        # left semantics = exact inner matches UNION unmatched left rows
+        # null-extended.  (A plain left join over the exploded buckets is
+        # wrong twice over: a left row whose bucket matches but whose
+        # exact range never does would be dropped, and a row matched in
+        # one exploded bucket but not another would keep a spurious NULL
+        # row.)  Anti-join on null-safe equality of all left columns —
+        # duplicate left rows have identical match sets, so multiplicity
+        # is preserved either way.
+        l_cols = list(left.columns)
+        match_spine = out.select(*l_cols).dropDuplicates()
+        anti_cond = [left[c].eqNullSafe(match_spine[c]) for c in l_cols]
+        unmatched = left.join(match_spine, anti_cond, "left_anti")
+        r_fields = [f for f in r.drop("_bucket", *[k for k in keys]).schema.fields]
+        unmatched = unmatched.select(
+            *l_cols,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in r_fields],
+        )
+        out = out.unionByName(unmatched)
     return out
 
 

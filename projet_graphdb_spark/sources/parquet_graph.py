@@ -102,11 +102,16 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str, fmt: str = "parquet") -> G
     shared-catalog pattern: repeated queries skip re-deriving identical
     scan plans (driver-side py4j churn, not cluster work).
     """
-    key = (id(spark), sf_dir, fmt)
+    # applicationId is stable for the session's lifetime and never reused
+    # by a later session (unlike id(spark), which CPython recycles after
+    # GC — a recycled id would hand out frames bound to a dead context)
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
     if key in _LOAD_CACHE:
         nodes, edges = _LOAD_CACHE[key]
         return GraphState(spark, TPCH_TYPE_GRAPH, dict(nodes), edges, NEXT_ID_BASE)
     state = _build_tpch_graph(spark, sf_dir, fmt)
+    if len(_LOAD_CACHE) > 64:  # bound growth across many sessions
+        _LOAD_CACHE.clear()
     _LOAD_CACHE[key] = (dict(state.nodes), state.edges)
     return state
 

@@ -26,6 +26,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanoseconds and is converted to a microsecond timestamp here (hour/
     minute windowing is unaffected by the truncation).
     """
+    # The fixture is TIMESTAMP(NANOS) at every scale factor; without this
+    # (runtime-settable) conf the scan itself throws PARQUET_TYPE_ILLEGAL.
+    # Set it here so the loader works in ANY session, not just the ones
+    # built by engine.session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer division: epoch-nanos exceed 2^53, double division would

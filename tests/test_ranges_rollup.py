@@ -62,6 +62,24 @@ def test_range_join_boundary_inclusive(spark):
     assert out.count() == 2  # both endpoints inclusive
 
 
+def test_range_join_left_keeps_unmatched_and_drops_near_misses(spark, lr):
+    left, right = lr
+    out = ranges.bucketed_range_join(
+        left, right, keys=["user_id"], lower_s=-3600, upper_s=0, how="left"
+    )
+    rows = out.collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["purchase_id"], []).append(r["_r_ts"])
+    # purchase 100 matches twice, 101 once — no spurious NULL rows
+    assert sorted(t.minute for t in by_pid[100]) == [5, 59]
+    assert [t.minute for t in by_pid[101]] == [59]
+    # purchase 102's only (key,bucket)-joinable right row fails the exact
+    # range filter → exactly one null-extended row survives
+    assert by_pid[102] == [None]
+    assert len(rows) == 4
+
+
 def test_time_rollup_levels_consistent(spark):
     from projet_graphdb_spark.streaming import load_events
 

@@ -100,6 +100,22 @@ def test_undirected_star(spark):
     assert rows == [(0,), (1,), (2,), (3,)], rows
 
 
+def test_undirected_reciprocal_edges_single_row(spark):
+    # reciprocal edges a->b and b->a of the same rel must yield ONE
+    # binding row per direction, regardless of which join path the
+    # planner picks (pending-column resolve vs both-materialized semi)
+    prog = """
+(:N {v int})
+(:N) -[:next]-> (:N)
+create (a: N) -[:next]-> (b: N)
+create (b) -[:next]-> (a)
+match (x: N) -[:next]- (y: N) return x, y
+"""
+    _, b = run_program(spark, prog)
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    assert rows == [(0, 1), (1, 0)], rows
+
+
 def test_undirected_rejects_create(spark):
     with pytest.raises(TypeCheckError, match="only legal in match"):
         run_program(spark, "(:N {v int})\n(:N) -[:next]-> (:N)\ncreate (a: N) -[:next]- (b: N)")
