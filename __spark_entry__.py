@@ -246,9 +246,13 @@ def d2_ngram_jaccard(spark, sf_dir):
 
 
 def d3_minhash_lsh(spark, sf_dir):
-    # approximate (engine-hash-specific) → rows-only check; exactness
-    # covered by tests/test_dedup.py against brute-force Jaccard
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    """MinHash+LSH with the oracle-portable md5 hash family (the d4
+    playbook): the DuckDB oracle replays shingle-hash → permutations →
+    signatures → band hashes → candidates → exact Jaccard bit-for-bit.
+    At 100 TB switch hash="xxhash64" — same pipeline, faster JVM hash
+    (exactness of that family is pinned vs brute force in
+    tests/test_dedup.py)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2, hash="md5")
 
 
 def d4_simhash(spark, sf_dir):
@@ -400,8 +404,9 @@ def a2_connected_components(spark, sf_dir):
 
 
 def a3_pagerank(spark, sf_dir):
-    """Whole-graph analytics: PageRank power iteration (rows-only check;
-    exactness vs numpy in tests/test_graph_algos.py)."""
+    """Whole-graph analytics: PageRank power iteration with dangling-mass
+    redistribution (oracle: 10 iterations unrolled as chained CTEs;
+    exactness also pinned vs numpy in tests/test_graph_algos.py)."""
     pr = graph_algos.pagerank(_sn_subgraph(spark, sf_dir), num_iter=10)
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
@@ -782,6 +787,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
+        "a3_pagerank": _pagerank_oracle(),
+        "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s4_knn_ivf": """
@@ -924,6 +931,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
         """,
     }
+
+
+def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB mirror of a3: the 10 damped power iterations unrolled as a
+    chained CTE over the supplier→nation→region edge subset, with the
+    same dangling-mass redistribution and the same IEEE arithmetic
+    (Python-evaluated (1-d) literal inlined; every SQL literal cast to
+    DOUBLE so DuckDB never routes through DECIMAL); ROUND(,8) matches
+    the query's rounding."""
+    one_minus_d = repr(1.0 - damping)  # Python float semantics, bit-exact
+    d = repr(damping)
+    iters = []
+    prev = "r0"
+    for i in range(1, num_iter + 1):
+        iters.append(f"""
+        dang{i} AS (
+          SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+          FROM {prev} r LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL),
+        infl{i} AS (
+          SELECT ed.dst AS id, SUM(r.rank / deg.deg) AS inflow
+          FROM {prev} r JOIN deg ON deg.src = r.id JOIN ed ON ed.src = r.id
+          GROUP BY ed.dst),
+        r{i} AS MATERIALIZED (
+          SELECT nodes.id,
+                 CAST({one_minus_d} AS DOUBLE) / (SELECT n FROM nn)
+                 + CAST({d} AS DOUBLE)
+                   * (COALESCE(infl{i}.inflow, CAST(0.0 AS DOUBLE))
+                      + (SELECT dm FROM dang{i}) / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN infl{i} ON infl{i}.id = nodes.id)""")
+        prev = f"r{i}"
+    chain = ",".join(iters)
+    return f"""
+        WITH ed AS MATERIALIZED (
+          SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+          UNION ALL
+          SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+        ),
+        nodes AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst AS id FROM ed),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+        {chain}
+        SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _md5_fold60(expr: str) -> str:
+    """DuckDB bigint from the md5 hex prefix (15 nibbles, hex fold —
+    DuckDB has no conv()); mirrors dedup.md5_hash60."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """DuckDB mirror of d3 (hash="md5"): md5-prefix shingle hashes masked
+    to 31 bits, the same multiply-shift permutation family (plain bigint
+    arithmetic, operands < 2^62 so no overflow), md5-prefix band hashes
+    over the comma-joined signature slices, distinct bucket-collision
+    candidates, then exact shingle-set Jaccard verification."""
+    from projet_graphdb_spark.functions.dedup import _minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n                 ".join(
+        f"MIN(((h31 * {a} + {b}) >> 29) & 2147483647) AS m{i}"
+        for i, (a, b) in ((i, _minhash_coeffs(i)) for i in range(num_hashes))
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + _md5_fold60(
+            "concat_ws(',', "
+            + ", ".join(
+                f"CAST(m{j * rows_per_band + k} AS VARCHAR)" for k in range(rows_per_band)
+            )
+            + ")"
+        )
+        + " AS bhash FROM sig"
+        for j in range(bands)
+    )
+    jac = "CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END"
+    return f"""
+        WITH base AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+        shr AS (SELECT doc_id, unnest(sh) AS s FROM base),
+        h AS (SELECT doc_id, {_md5_fold60('s')} & 2147483647 AS h31 FROM shr),
+        sig AS (SELECT doc_id,
+                 {mins}
+                FROM h GROUP BY doc_id),
+        bnd AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bnd a JOIN bnd b
+                   ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.id_a, c.id_b,
+                         len(list_intersect(x.sh, y.sh)) AS inter,
+                         len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS uni
+                  FROM cand c JOIN base x ON x.doc_id = c.id_a
+                              JOIN base y ON y.doc_id = c.id_b)
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM pairs WHERE ({jac}) >= {threshold}
+    """
 
 
 def _simhash_oracle() -> str:

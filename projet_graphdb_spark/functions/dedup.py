@@ -150,6 +150,13 @@ def ngram_jaccard_pairs(
 _MASK31 = (1 << 31) - 1
 
 
+def md5_hash60(c: Column) -> Column:
+    """60-bit hash from the md5 hex prefix (15 nibbles) — slower than
+    xxhash64 but bit-reproducible in any engine with md5(), which is what
+    lets the DuckDB oracle replay the exact MinHash/SimHash pipelines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def _minhash_coeffs(i: int) -> tuple:
     """Deterministic "random" multiply-shift coefficients for hash i."""
     a = ((2 * i + 1) * 0x9E3779B97F4A7C15) & _MASK31 or 1
@@ -220,12 +227,27 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: MinHash signatures → banded LSH
     bucket join → exact Jaccard verification of candidates only.
 
+    ``hash``: ``xxhash64`` (the 100 TB default — fastest JVM hash) or
+    ``md5`` (60-bit md5-prefix shingle/band hashes — slower but
+    engine-portable, so a DuckDB oracle reproduces signatures → bands →
+    candidates → Jaccard exactly; the permutation family on top of the
+    hashed shingles is identical plain-integer arithmetic either way).
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    if hash == "xxhash64":
+        sh_hash = F.xxhash64
+        band_hash = F.xxhash64
+    elif hash == "md5":
+        sh_hash = md5_hash60
+        band_hash = md5_hash60
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     rows_per_band = num_hashes // bands
     # hashed shingle set, kept for the exact-verification step (long
     # arrays intersect much faster than string arrays)
@@ -233,7 +255,7 @@ def minhash_lsh_pairs(
         shingle_frame(docs, n, id_col, text_col)
         .select(
             F.col(id_col).alias("_did"),
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh"),
+            F.transform(F.col("_sh"), lambda s: sh_hash(s)).alias("_sh"),
         )
         .localCheckpoint(eager=True)  # shared by signature + verify stages
     )
@@ -250,7 +272,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.xxhash64(
+                        band_hash(
                             F.concat_ws(
                                 ",",
                                 *[
