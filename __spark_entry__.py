@@ -747,19 +747,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "d2_ngram_jaccard": f"""
-            WITH base AS (
+            WITH base AS MATERIALIZED (
               SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents
             ),
+            post AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS s FROM base),
+            -- stop-shingle cap mirrors dedup.ngram_jaccard_pairs(max_df=256)
+            keep AS (SELECT lang, s FROM post GROUP BY lang, s HAVING COUNT(*) <= 256),
+            kept AS MATERIALIZED (
+              SELECT p.doc_id, p.lang, p.s FROM post p JOIN keep k USING (lang, s)),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM kept a JOIN kept b
+                ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
             pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     len(list_intersect(a.sh, b.sh)) AS inter,
-                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-              FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              SELECT id_a, id_b, i AS inter, sa.sz + sb.sz - i AS uni
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             )
-            SELECT id_a, id_b,
-                   CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END AS jaccard
-            FROM pairs
-            WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END) >= 0.2
+            SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+            FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
         """,
         "s1_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -98,9 +98,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 256,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity within blocks
-    (threshold > 0), via an inverted shingle index.
+    (threshold > 0), via an inverted shingle index with a document-
+    frequency cap on the postings.
+
+    ``max_df`` is the scale governor: a shingle occurring in k documents
+    of a block contributes k² rows to the self-join, so ONE ubiquitous
+    stop-shingle would degenerate the join (10^10 rows at k=10^5).
+    Shingles with per-block document frequency > ``max_df`` are dropped
+    from the index BEFORE the join, bounding worst-case fan-out at
+    max_df² per shingle; Jaccard is then computed over the capped
+    shingle sets (set sizes recomputed after the cap, so the value is a
+    well-defined Jaccard of the filtered sets, mirrored exactly by the
+    oracle).  ``max_df=None`` disables the cap.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
@@ -124,10 +136,22 @@ def ngram_jaccard_pairs(
             F.col(block_col).alias("_blk"),
             F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_shh"),
         )
-        .select(
-            "_did", "_blk", F.size("_shh").alias("_sz"), F.explode("_shh").alias("_s")
-        )
+        .select("_did", "_blk", F.explode("_shh").alias("_s"))
     )
+    if max_df is not None:
+        # stop-shingle cap: count per-(block, shingle) document frequency
+        # (map-side-combined, same shuffle key as the self-join below)
+        # and keep only rare postings
+        keep = (
+            postings.groupBy("_blk", "_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_blk", "_s")
+        )
+        postings = postings.join(keep, on=["_blk", "_s"])
+    # set sizes AFTER the cap, so jaccard is exact over the kept sets
+    sizes = postings.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))
+    postings = postings.join(sizes, on="_did")
     a = postings.select(
         "_blk", "_s", F.col("_did").alias("id_a"), F.col("_sz").alias("sz_a")
     )

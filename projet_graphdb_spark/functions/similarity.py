@@ -289,11 +289,17 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within blocks.
 
-    Output: (id_a, id_b, sim), id_a < id_b.  Equi-join on the block key;
-    quadratic only inside blocks (the caller controls block granularity).
-    Norms are precomputed per row; the probe side is round-robin
-    repartitioned and the build side broadcast so few-valued block keys
-    do not collapse the pair enumeration onto a handful of tasks.
+    Output: (id_a, id_b, sim), id_a < id_b.  The pair enumeration is a
+    SHUFFLE join on a salted block key — never a broadcast of the corpus
+    (a full-table broadcast OOMs the moment blocks stop fitting in one
+    executor).  Salting keeps parallelism when the block key has few
+    distinct values: the probe side gets a deterministic salt in
+    [0, S), the build side is exploded once per salt, and the join runs
+    on (block, salt) — every pair meets exactly once, spread over
+    |blocks|·S tasks, each streaming its shuffle partition.  Shuffle
+    volume is |A| + S·|B|; pick S ≈ cluster parallelism.  (The
+    sub-quadratic scale path for pair *generation* remains SRP/MinHash
+    banding — this operator is the exact in-block verifier.)
     """
     base = embeddings.select(
         F.col(block_col).alias("_blk"),
@@ -301,15 +307,23 @@ def embedding_cosine_dups(
         F.col(vec_col).alias("_v"),
         l2norm(F.col(vec_col)).alias("_n"),
     ).localCheckpoint(eager=True)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(par).select(
-        "_blk", F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    n_salts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
+    a = base.select(
+        "_blk",
+        F.pmod(F.xxhash64(F.col("_vid")), F.lit(n_salts)).alias("_salt"),
+        F.col("_vid").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = base.select(
-        "_blk", F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")).alias("_salt"),
+        F.col("_vid").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
-        a.join(F.broadcast(b), on="_blk")
+        a.join(b, on=["_blk", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("sim") >= threshold)

@@ -48,12 +48,54 @@ def test_ngram_jaccard_exact_small(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ngram_df_cap_drops_stop_shingles(spark):
+    # every doc shares the stop-shingle "a a a"; with max_df=2 it must be
+    # dropped from the index, so docs whose ONLY overlap is the stop
+    # shingle never pair, and jaccard is over the capped sets
+    df = spark.createDataFrame(
+        [
+            (1, "x", "a a a p q r"),
+            (2, "x", "a a a p q r"),
+            (3, "x", "a a a z z z"),
+        ],
+        ["doc_id", "blk", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "blk", threshold=0.01, max_df=2).collect()
+    }
+    # shingles of doc1/2: {aaa,aap,apq,pqr}; aaa has df=3 > 2 → dropped;
+    # capped sets are identical 3-element sets → J=1.0
+    assert pytest.approx(pairs[(1, 2)]) == 1.0
+    # doc3 overlaps 1/2 only via the dropped stop shingle
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_md5_family_matches_xxhash_verification(spark, docs):
+    """md5 (oracle-portable) family: verified jaccard values still equal
+    the exact set jaccard (hash family changes candidates, not values)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs.withColumn("one", F.lit(1)), "one", threshold=0.5, max_df=None
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, hash="md5").collect()
+    }
+    for pair, j in approx.items():
+        assert pytest.approx(j) == exact[pair]
+    found = sum(1 for p in exact if p in approx)
+    assert found >= 0.8 * len(exact)
+
+
 def test_minhash_lsh_finds_bruteforce_pairs(spark, docs):
     """LSH recall sanity: high-Jaccard pairs must survive the banding."""
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_pairs(
-            docs.withColumn("one", F.lit(1)), "one", threshold=0.5
+            docs.withColumn("one", F.lit(1)), "one", threshold=0.5, max_df=None
         ).collect()
     }
     approx = {
