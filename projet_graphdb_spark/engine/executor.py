@@ -167,26 +167,56 @@ class Executor:
         b = self._flush(b)
         st = self.state
         col = b.fresh_col()
-        k = b.known_count if b.known_count is not None else b.df.count()
         mn = st.next_id
         decl = next(d for d in st.types.nodes if d.label == label)
         schema = node_schema(decl)
-        if k == 1:
+        from .localrel import local_df
+
+        if b.known_count == 1:
             # fast path (every create in the reference corpus): constant id,
             # no window, no extra job
+            k = 1
             new_df = b.df.withColumn(col, F.lit(mn).cast("long"))
-            from .localrel import local_df
-
             new_nodes = local_df(st.spark, [tuple([mn] + [None] * len(decl.attrs))], schema)
         else:
-            # one fresh id per existing row: global row_number re-based on
-            # the driver counter (deterministic dense ids; never raw
-            # monotonically_increasing_id — SURVEY §7 risk 2)
-            w = Window.orderBy(F.monotonically_increasing_id())
-            new_df = b.df.withColumn(col, (F.row_number().over(w) + F.lit(mn - 1)).cast("long"))
-            # localCheckpoint so both consumers (binding + node table) see
-            # the same id assignment
-            new_df = new_df.localCheckpoint(eager=True)
+            # one fresh dense id per existing row — the zipWithIndex
+            # pattern, NEVER a global Window.orderBy (that funnels the
+            # whole binding table through one task; SURVEY §7 risk 2).
+            # monotonically_increasing_id() packs (partition id << 33) +
+            # local row index, so after freezing the layout with a
+            # checkpoint: per-partition counts -> driver prefix sums ->
+            # broadcast offset join -> map-only id arithmetic.  Dense,
+            # and consistent for both consumers (ids are a pure function
+            # of the frozen _mid/_pid columns).
+            src = (
+                b.df.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_mid", F.monotonically_increasing_id())
+                .localCheckpoint(eager=True)
+            )
+            pc = src.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+            acc, offs = 0, []
+            for row in sorted(pc, key=lambda r: r["_pid"]):
+                offs.append((row["_pid"], acc))
+                acc += row["_c"]
+            k = acc
+            from pyspark.sql import types as T
+
+            off_df = local_df(
+                st.spark,
+                offs,
+                T.StructType(
+                    [
+                        T.StructField("_pid", T.IntegerType()),
+                        T.StructField("_off", T.LongType()),
+                    ]
+                ),
+            )
+            local_ix = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            new_df = (
+                src.join(F.broadcast(off_df), on="_pid")
+                .withColumn(col, (F.lit(mn) + F.col("_off") + local_ix).cast("long"))
+                .drop("_pid", "_mid", "_off")
+            )
             new_nodes = new_df.select(
                 F.col(col).alias("_id"),
                 *[F.lit(None).cast(spark_type_of(tp)).alias(f) for f, tp in decl.attrs],
