@@ -495,6 +495,67 @@ def e4_stream_join(spark, sf_dir):
     return click_purchase_pairs_batch(load_events(spark, sf_dir))
 
 
+def e5_window_stream(spark, sf_dir):
+    """The REAL Structured-Streaming windowed aggregation (file stream
+    source → watermark → tumbling windows → memory sink), drained with
+    trigger availableNow; complete output mode emits every window, so
+    the result equals the batch form / oracle exactly
+    (streaming/events.py::streaming_windowed_counts)."""
+    from projet_graphdb_spark.streaming import drain, stream_source, streaming_windowed_counts
+
+    path, schema = stream_source(spark, sf_dir)
+    q = streaming_windowed_counts(spark, path, schema, query_name="e5_sink")
+    return drain(q, spark, "e5_sink")
+
+
+def e6_dedup_stream(spark, sf_dir):
+    """The REAL streaming dedup (dropDuplicatesWithinWatermark —
+    watermark-evicted state) drained with availableNow; the fixture fits
+    one micro-batch, so output equals SELECT DISTINCT exactly
+    (streaming/stream_dedup.py::dedup_events_stream)."""
+    from projet_graphdb_spark.streaming import dedup_events_stream, drain, stream_source
+
+    path, schema = stream_source(spark, sf_dir)
+    q = dedup_events_stream(spark, path, schema, query_name="e6_sink")
+    return drain(q, spark, "e6_sink")
+
+
+def e7_join_stream(spark, sf_dir):
+    """The REAL watermarked stream-stream inner join (purchases ⋈ clicks
+    in the preceding hour, time-bounded state) drained with availableNow;
+    inner-join emission is watermark-independent, so output equals the
+    batch range join / oracle exactly
+    (streaming/stream_join.py::click_purchase_pairs_stream)."""
+    from projet_graphdb_spark.streaming import click_purchase_pairs_stream, drain, stream_source
+
+    path, schema = stream_source(spark, sf_dir)
+    q = click_purchase_pairs_stream(spark, path, schema, query_name="e7_sink")
+    return drain(q, spark, "e7_sink")
+
+
+def e8_sessionize_stream(spark, sf_dir):
+    """The REAL stateful streaming sessionization
+    (applyInPandasWithState, event-time timeouts) drained with
+    availableNow at watermark delay 0: a session flushes once the final
+    watermark (= max event time, ms precision) passes its idle timeout,
+    so the emitted set is exactly the batch sessions whose
+    (last event + gap) millisecond timeout lies strictly below the last
+    event time in the data — the oracle applies that same predicate.
+    sum_value rounds to the fixture's 2-decimal value grain (the
+    streaming state accumulates in float; the batch/oracle sum is
+    decimal-exact)."""
+    from projet_graphdb_spark.streaming import drain, sessionize_stream, stream_source
+
+    path, schema = stream_source(spark, sf_dir)
+    q = sessionize_stream(
+        spark, path, schema, gap_minutes=30, watermark="0 seconds", query_name="e8_sink"
+    )
+    out = drain(q, spark, "e8_sink")
+    return out.select(
+        "user_id", "session_start", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 def t2_fingerprints(spark, sf_dir):
     """Document fingerprinting: canonical md5 + Rabin-Karp-style rolling
     hash (incrementally updatable; functions/text.py)."""
@@ -569,6 +630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
         "a4_sssp": a4_sssp,
+        # the availableNow-drained streaming twins run LAST: their memory
+        # sinks and state stores stay resident for the session, and the
+        # GC pressure would otherwise tax whatever runs after them
+        "e5_window_stream": e5_window_stream,
+        "e6_dedup_stream": e6_dedup_stream,
+        "e7_join_stream": e7_join_stream,
+        "e8_sessionize_stream": e8_sessionize_stream,
     }
 
 
@@ -887,6 +955,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "e5_window_stream": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e6_dedup_stream": """
+            SELECT DISTINCT user_id, event_type, ts FROM events
+        """,
+        "e7_join_stream": """
+            SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+        """,
+        "e8_sessionize_stream": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                  > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+              FROM flagged
+            ),
+            sess AS (
+              SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+              FROM numbered GROUP BY user_id, sess
+            ),
+            wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events)
+            SELECT user_id, session_start, n_events,
+                   ROUND(sum_value, 2) AS sum_value
+            FROM sess, wm
+            WHERE wm_ms > epoch_us(last_ts) // 1000 + 30 * 60 * 1000
         """,
         "a1_bfs_levels": f"""
             WITH RECURSIVE eu AS (

@@ -81,7 +81,10 @@ def _session_fn(gap_minutes: int):
                  "sum_value": [total]}
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        chunks = [p for p in pdfs if len(p)]  # empty chunks: all-NA concat warning
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values("ts")
         closed = []
         if state.exists:
             start, last, n, total = state.get
