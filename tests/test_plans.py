@@ -10,14 +10,28 @@ import __spark_entry__ as E
 from conftest import SF_TINY
 
 # representative queries per family; s1 is excluded (its BNLJ against a
-# ~5-row broadcast query set is the intended plan)
+# ~5-row broadcast query set is the intended plan); e5-e8 are excluded
+# because building them EXECUTES a streaming query (their batch twins
+# e1-e4 guard the same logical shapes)
 GUARDED = [
     "g1_match_label",
+    "g2_match_rel_where",
     "g3_two_hop",
     "g5_create_rel",
+    "g9_create_node",
+    "x5_asof_join",
     "x6_range_count",
+    "x7_time_rollup",
+    "x8_skew_agg",
+    "t3_token_shards",
+    "s2_cosine_dups",
     "s4_knn_ivf",
     "d2_ngram_jaccard",
+    "d3_minhash_lsh",
+    "e1_event_window",
+    "e2_sessionize",
+    "e3_stream_dedup",
+    "e4_stream_join",
 ]
 
 
@@ -55,3 +69,25 @@ def test_filter_pushed_to_scan(spark):
     """x6 filters event_type at the parquet reader, not post-scan only."""
     plan = _plan(spark, "x6_range_count")
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,", plan), plan
+
+
+def test_x6_no_bnlj_at_sf01(spark):
+    """The bucketed range join must stay an equi-join at the bench scale
+    factor too — size-dependent planner fallbacks (a small side slipping
+    under the broadcast threshold and turning the theta-filter into a
+    BNLJ) would only show at sf0.1."""
+    df = E.queries()["x6_range_count"](spark, "/root/testdata/sf0.1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_s2_no_corpus_broadcast(spark):
+    """embedding_cosine_dups must shuffle on the salted block key; a
+    broadcast HINT of the build side (the whole corpus) is the OOM
+    anti-pattern.  (AQE may still pick a broadcast join when the corpus
+    genuinely fits — that's runtime-size-based, not forced — so the
+    guard checks the analyzed plan for the hint, not the physical op.)"""
+    df = E.queries()["s2_cosine_dups"](spark, SF_TINY)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical

@@ -34,7 +34,18 @@ NL_ALLOWED = {
 
 # iterative algorithms materialize per-iteration checkpoints; their final
 # "plan" is just the checkpoint scan, so auditing it says nothing
-SKIP = {"a1_bfs_levels", "a2_connected_components", "a3_pagerank"}
+# a* iterate (checkpointed intermediates make the final plan opaque);
+# e5-e8 EXECUTE a streaming query on build — their batch twins e1-e4
+# carry the same logical shapes through the audit
+SKIP = {
+    "a1_bfs_levels",
+    "a2_connected_components",
+    "a3_pagerank",
+    "e5_window_stream",
+    "e6_dedup_stream",
+    "e7_join_stream",
+    "e8_sessionize_stream",
+}
 
 
 def audit_plan(name: str, plan: str) -> list:
