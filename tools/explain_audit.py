@@ -30,6 +30,9 @@ from projet_graphdb_spark.engine import get_spark  # noqa: E402
 # broadcast side is a handful of rows by construction
 NL_ALLOWED = {
     "s1_knn_bruteforce",  # corpus x ~5 broadcast query vectors
+    "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
+    "g11_transitive",  # 1-row binding seed x label table (broadcast of ONE row
+    # feeding the first match over a script-created graph) — constant side
 }
 
 # iterative algorithms materialize per-iteration checkpoints; their final
