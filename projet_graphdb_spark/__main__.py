@@ -32,23 +32,54 @@ def run_file(path: str, artifacts: bool = True):
     print(show_state(state, binding))
     if artifacts:
         base = os.path.dirname(os.path.abspath(path))
-        with open(os.path.join(base, "graph.dot"), "w") as f:
+        dot_path = os.path.join(base, "graph.dot")
+        tex_path = os.path.join(base, "table.tex")
+        with open(dot_path, "w") as f:
             f.write(graph_to_dot(state) + "\n")
-        with open(os.path.join(base, "table.tex"), "w") as f:
+        with open(tex_path, "w") as f:
             f.write(table_to_latex(binding) + "\n")
-        print(f"wrote {base}/graph.dot and {base}/table.tex")
+        print(f"wrote {dot_path} and {tex_path}")
+        _render(dot_path, tex_path, base)
+
+
+def _render(dot_path: str, tex_path: str, base: str):
+    """Shell out to the PDF renderers when installed, like the reference
+    driver (display.ml:85 ``dot -Tpdf``, display.ml:119 ``pdflatex``);
+    silently skipped when the tools are absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("dot"):
+        pdf = os.path.join(base, "graph.pdf")
+        subprocess.run(
+            ["dot", "-Tpdf", dot_path, "-o", pdf],
+            check=False,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        print(f"rendered {pdf}")
+    if shutil.which("pdflatex"):
+        subprocess.run(
+            ["pdflatex", "-interaction=batchmode", os.path.basename(tex_path)],
+            cwd=base,
+            check=False,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        print(f"rendered {os.path.join(base, 'table.pdf')}")
 
 
 def run_interactive():
     """Parse + normalize each ;;-free line block from stdin and print the
-    instruction stream — a normalization debugger (interf.ml:50-56)."""
+    instruction stream in the reference's ``show_norm_prog`` constructor
+    shape (interf.ml:50-56) — a normalization debugger."""
     from .frontend import normalize, parse
+    from .frontend.show import show_norm_query
 
     print("miniGQL normalization debugger — enter a program, end with EOF (Ctrl-D)")
     src = sys.stdin.read()
     prog = normalize(parse(src))
-    for instr in prog.instructions:
-        print(instr)
+    print(show_norm_query(prog))
 
 
 def main(argv: list) -> int:

@@ -172,3 +172,19 @@ def test_tc_rebinding_shadows():
 
 def test_tc_undeclared_attribute():
     assert "not declared for node type" in tc_err(SCHEMA + "match (p:P) where p.salary > 3")
+
+
+def test_show_norm_query_reference_shape():
+    """i-mode printer renders the reference's deriving-show constructor
+    shapes (interf.ml:50-56)."""
+    from projet_graphdb_spark.frontend.show import show_norm_query
+
+    np = compile_program(
+        SCHEMA + 'match (p:P) where p.age >= 3 return p'
+    )
+    out = show_norm_query(np)
+    assert '(Instr.IActOnNode (Instr.MatchAct, "p", "P"))' in out
+    assert "(Lang.BCompar Lang.BCge)" in out
+    assert '(Lang.AttribAcc ("p", "age"))' in out
+    assert "(Lang.Const (Lang.IntV 3))" in out
+    assert '(Instr.IReturn ["p"])' in out
