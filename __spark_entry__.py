@@ -411,6 +411,16 @@ def a3_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def a5_kmeans(spark, sf_dir):
+    """Distributed k-means (2 Lloyd iterations, k=8, deterministic seed,
+    6-dp centroid rounding) — assignment map-only via inlined centroid
+    literals, update one bounded shuffle (functions/clustering.py); the
+    oracle replays both iterations with the same folds and rounding."""
+    from projet_graphdb_spark.functions.clustering import kmeans_assignments
+
+    return kmeans_assignments(_emb(spark, sf_dir), k=8, num_iter=2)
+
+
 def t3_token_shards(spark, sf_dir):
     """Training-shard packing: documents greedily packed into ~2000-token
     shards per language in deterministic id order (functions/text.py::
@@ -630,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
         "a4_sssp": a4_sssp,
+        "a5_kmeans": a5_kmeans,
         # the availableNow-drained streaming twins run LAST: their memory
         # sinks and state stores stay resident for the session, and the
         # GC pressure would otherwise tax whatever runs after them
@@ -863,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
         "a3_pagerank": _pagerank_oracle(),
+        "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
         "s3_knn_lsh": _knn_lsh_oracle(),
@@ -1093,6 +1105,54 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) -> str:
+    """DuckDB mirror of a5: Lloyd iterations unrolled as chained
+    materialized CTEs — same left-to-right squared-distance fold, same
+    smaller-cid tie-break, same per-coordinate ROUND(,dp) after each
+    average, empty clusters keep their centroid."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b)"
+    )
+    parts = []
+    prev = "c0"
+    for it in range(1, num_iter + 1):
+        parts.append(f"""
+        a{it} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rk
+            FROM emb e CROSS JOIN {prev} c) WHERE rk = 1),
+        u{it} AS (
+          SELECT a.cid, t.i AS ord, ROUND(AVG(e.v[t.i]), {dp}) AS m
+          FROM a{it} a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t
+          GROUP BY a.cid, t.i),
+        c{it} AS MATERIALIZED (
+          SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN
+               (SELECT cid, list(m ORDER BY ord) AS cv FROM u{it} GROUP BY cid) nc
+               USING (cid))""")
+        prev = f"c{it}"
+    chain = ",".join(parts)
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
+          FROM emb WHERE vec_id < {k}),
+        {chain},
+        fin AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN {prev} c)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin WHERE rk = 1
     """
 
 

@@ -1,0 +1,98 @@
+"""Distributed k-means (Lloyd's iterations) over an embedding column.
+
+The reference has no clustering at all; this is part of the
+training-data-pipeline surface (cluster-balanced sampling, IVF codebook
+training, topic bucketing).  The Spark shape per iteration is the one
+that scales:
+
+* **assignment** — the current centroids are a handful of literals
+  inlined into the plan (like the IVF codebook in ``similarity.knn_ivf``),
+  so assigning every vector is MAP-ONLY: no shuffle, no broadcast
+  exchange, whole-stage codegen over ``zip_with``/``aggregate``.
+* **update** — ``posexplode`` the assigned vectors and average per
+  (cluster, position): ONE shuffle of (k·dim)-bounded aggregates
+  (map-side combined), then a k·dim-row collect to the driver — tiny by
+  construction (centroids must fit on the driver for the next literal
+  inlining regardless).
+
+Determinism/oracle story: seeding is deterministic (vectors with
+``id < k``), ties break toward the smaller centroid id, and every
+centroid coordinate is rounded to ``round_dp`` decimals after each
+average.  The rounding absorbs float summation-order differences, so a
+DuckDB oracle replaying the same iterations (same left-to-right
+fold for distances, same rounding) reproduces the assignment exactly —
+the a3-pagerank playbook applied to clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist_to_literal(vec: Column, centroid: list) -> Column:
+    """Squared euclidean distance to a literal centroid, accumulated
+    left-to-right (bit-reproducible; mirrors the oracle's list fold)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, cents: dict, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cluster): nearest centroid, ties to the smaller cid —
+    array_min over (distance, cid) structs, map-only."""
+    arr = F.array(
+        *[
+            F.struct(
+                _sqdist_to_literal(F.col(vec_col), cv).alias("d"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+    return emb.withColumn("cluster", F.array_min(arr)["cid"])
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, cluster) after ``num_iter`` Lloyd iterations from the
+    deterministic seed (vectors with ``id < k``, coordinates rounded to
+    ``round_dp``)."""
+    emb = embeddings.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
+    seed = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    cents = {
+        int(r[id_col]): [round(float(x), round_dp) for x in r[vec_col]] for r in seed
+    }
+    for _ in range(num_iter):
+        assigned = _assign(emb, cents, id_col, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()  # k*dim rows — bounded by the codebook size
+        )
+        new_cents: dict = {}
+        for r in means:
+            new_cents.setdefault(int(r["cluster"]), {})[int(r["pos"])] = round(
+                float(r["m"]), round_dp
+            )
+        cents = {
+            cid: (
+                [by_pos[p] for p in range(len(cents[cid]))]
+                if (by_pos := new_cents.get(cid))
+                else cents[cid]  # empty cluster keeps its centroid
+            )
+            for cid in cents
+        }
+    return _assign(emb, cents, id_col, vec_col).select(
+        F.col(id_col), F.col("cluster")
+    )
