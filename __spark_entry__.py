@@ -468,6 +468,19 @@ def s4_knn_ivf(spark, sf_dir):
     )
 
 
+def x9_time_cube(spark, sf_dir):
+    """Full CUBE over (event_type, day): all four grouping sets in one
+    hash aggregate (functions/relational.py::time_cube)."""
+    return relational.time_cube(load_events(spark, sf_dir))
+
+
+def x10_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles with linear interpolation, one
+    shuffle (functions/relational.py::grouped_quantiles; the t-digest
+    approx_percentile is the unbounded-cardinality scale path)."""
+    return relational.grouped_quantiles(load_events(spark, sf_dir))
+
+
 def x8_skew_agg(spark, sf_dir):
     """Skew-safe two-phase salted aggregation (functions/skew.py):
     identical result to the plain groupBy — hot keys spread over n_salts
@@ -618,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_range_count": x6_range_count,
         "x7_time_rollup": x7_time_rollup,
         "x8_skew_agg": x8_skew_agg,
+        "x9_time_cube": x9_time_cube,
+        "x10_quantiles": x10_quantiles,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -805,6 +820,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'), hour(ts))
+        """,
+        "x9_time_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS etype,
+                   COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "x10_quantiles": """
+            SELECT event_type AS grp,
+                   ROUND(quantile_cont(value, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(value, 0.50), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS q75,
+                   ROUND(quantile_cont(value, 0.95), 6) AS q95,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "t1_text_stats": _text_stats_oracle(),
         "t2_fingerprints": f"""

@@ -60,6 +60,59 @@ def group_topk(df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_c
     )
 
 
+def time_cube(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Full CUBE over (type, day): all four grouping sets — leaves, per
+    type, per day, grand total — in ONE hash aggregate (one shuffle with
+    map-side partials), the OLAP companion to ``time_rollup``'s
+    hierarchy.  Sentinel-folded like time_rollup."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    return (
+        events.select(F.col(group_col).alias("etype"), day.alias("day"), F.col(value_col))
+        .cube("etype", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("etype"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """EXACT per-group quantiles (linear interpolation), one shuffle on
+    the group key.  Results round to 6 dp: both engines interpolate
+    ``lo + (hi - lo) * frac`` over the sorted values, but not necessarily
+    in the same float expression shape.
+
+    Scale note: exact percentile buffers each group's values — right for
+    bounded-cardinality groups (here: per event type).  For unbounded
+    groups at 100 TB use ``approx_percentile`` (t-digest sketch, fixed
+    memory, mergeable partials) — same call shape, no oracle."""
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {q})"), 6).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        *aggs, F.count(F.lit(1)).alias("n")
+    )
+
+
 def time_rollup(
     events: DataFrame,
     ts_col: str = "ts",

@@ -98,6 +98,38 @@ def test_time_rollup_levels_consistent(spark):
     assert total[0]["etype"] == "ALL" and total[0]["day"] == "ALL" and total[0]["hour"] == -1
 
 
+def test_time_cube_sets_consistent(spark):
+    from projet_graphdb_spark.streaming import load_events
+
+    events = load_events(spark, SF_TINY)
+    out = relational.time_cube(events).collect()
+    total = [r for r in out if r["gid"] == 3]
+    per_day = [r for r in out if r["gid"] == 2]   # etype grouped-out
+    per_type = [r for r in out if r["gid"] == 1]  # day grouped-out
+    leaves = [r for r in out if r["gid"] == 0]
+    assert len(total) == 1
+    n = total[0]["n_events"]
+    for sets in (per_day, per_type, leaves):
+        assert sum(r["n_events"] for r in sets) == n
+    assert total[0]["etype"] == "ALL" and total[0]["day"] == "ALL"
+
+
+def test_grouped_quantiles_vs_numpy(spark):
+    from projet_graphdb_spark.streaming import load_events
+
+    events = load_events(spark, SF_TINY)
+    got = {r["grp"]: r for r in relational.grouped_quantiles(events).collect()}
+    rows = events.select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, vals in by_type.items():
+        for q in (25, 50, 75, 95):
+            expect = float(np.quantile(np.array(vals), q / 100.0))  # linear interp
+            assert got[t][f"q{q}"] == pytest.approx(expect, abs=1e-6), (t, q)
+        assert got[t]["n"] == len(vals)
+
+
 def test_knn_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
     exact = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2], k=5)
