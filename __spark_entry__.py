@@ -468,6 +468,35 @@ def s4_knn_ivf(spark, sf_dir):
     )
 
 
+def g12_optional_match(spark, sf_dir):
+    """Extension: optional edge match (left outer join semantics) —
+    every customer, with one row per placed order where any exist, NULL
+    otherwise (engine/executor.py::_opt_rel)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) optional match (o: Order) -[:placed_by]-> (c) return c, o",
+    )
+    return binding_table(b)
+
+
+def g13_not_exists(spark, sf_dir):
+    """Extension: negated edge existence (anti-join semantics) composed
+    with mutation — drop NATION_3's membership edges, then return the
+    customers left without any in_nation edge
+    (engine/executor.py::_not_exists_rel)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        'match (c: Customer) -[:in_nation]-> (n: Nation)\n'
+        'where n.name = "NATION_3"\n'
+        "delete c -[:in_nation]-> n\n"
+        "where not exists (c) -[:in_nation]-> (:Nation)\n"
+        "return c",
+    )
+    return binding_table(b)
+
+
 def x9_time_cube(spark, sf_dir):
     """Full CUBE over (event_type, day): all four grouping sets in one
     hash aggregate (functions/relational.py::time_cube)."""
@@ -623,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_create_node": g9_create_node,
         "g10_agg_over_match": g10_agg_over_match,
         "g11_transitive": g11_transitive,
+        "g12_optional_match": g12_optional_match,
+        "g13_not_exists": g13_not_exists,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -740,6 +771,15 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst)
             SELECT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y FROM tc
+        """,
+        "g12_optional_match": f"""
+            SELECT {_CUST} AS c, {_ORD} AS o
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+        "g13_not_exists": f"""
+            SELECT {_CUST} AS c FROM customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_name = 'NATION_3')
         """,
         "x1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

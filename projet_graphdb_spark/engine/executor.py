@@ -39,6 +39,8 @@ from ..frontend.normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    INotExistsRel,
+    IOptRel,
     IReturn,
     ISet,
     IWhere,
@@ -149,6 +151,10 @@ class Executor:
                 star_max=getattr(instr, "star_max", None),
                 undirected=getattr(instr, "undirected", False),
             )
+        if isinstance(instr, IOptRel):
+            return self._opt_rel(instr, b)
+        if isinstance(instr, INotExistsRel):
+            return self._not_exists_rel(instr, b)
         if isinstance(instr, IDeleteNode):
             return self._delete_node(instr.var, b)
         if isinstance(instr, IDeleteRel):
@@ -392,6 +398,62 @@ class Executor:
             e, (F.col(scol) == F.col("__esrc")) & (F.col(tcol) == F.col("__edst")), "leftsemi"
         )
         return Binding(new_df, b.env, b._counter, None, b.pending)
+
+    # -- optional / not exists (extensions) -----------------------------
+
+    def _opt_rel(self, instr: IOptRel, b: Binding) -> Binding:
+        """``optional match``: LEFT OUTER join of the binding table with
+        the (label-checked) edge projection — every existing row kept,
+        the new column NULL where no edge matches.  Same single-shuffle
+        scale shape as the inner edge match."""
+        b = self._flush(b)
+        st = self.state
+        new_col = b.fresh_col()
+        lbl_ids = st.nodes[instr.new_label].select(F.col("_id").alias("__lchk"))
+        e = st.edges.filter(F.col("rel") == instr.rel)
+        if instr.new_var == instr.tgt_var:
+            bcol, _ = b.lookup(instr.src_var)
+            e = (
+                e.select(F.col("src").alias("__eb"), F.col("dst").alias(new_col))
+                .join(lbl_ids, F.col(new_col) == F.col("__lchk"), "leftsemi")
+            )
+        else:
+            bcol, _ = b.lookup(instr.tgt_var)
+            e = (
+                e.select(F.col("dst").alias("__eb"), F.col("src").alias(new_col))
+                .join(lbl_ids, F.col(new_col) == F.col("__lchk"), "leftsemi")
+            )
+        df = b.df.join(e, F.col(bcol) == F.col("__eb"), "left").drop("__eb")
+        env = [(instr.new_var, new_col, instr.new_label)] + b.env
+        return Binding(df, env, b._counter, None, b.pending)
+
+    def _not_exists_rel(self, instr: INotExistsRel, b: Binding) -> Binding:
+        """``where not exists``: LEFT ANTI join against the edge
+        projection; anonymous sides are constrained by a label semi-join
+        before the anti join."""
+        b = self._flush(b)
+        st = self.state
+        e = st.edges.filter(F.col("rel") == instr.rel).select(
+            F.col("src").alias("__nsrc"), F.col("dst").alias("__ndst")
+        )
+        if instr.src_var is None:
+            ids = st.nodes[instr.src_label].select(F.col("_id").alias("__sc"))
+            e = e.join(ids, F.col("__nsrc") == F.col("__sc"), "leftsemi")
+        if instr.tgt_var is None:
+            ids = st.nodes[instr.tgt_label].select(F.col("_id").alias("__tc"))
+            e = e.join(ids, F.col("__ndst") == F.col("__tc"), "leftsemi")
+        conds = []
+        if instr.src_var is not None:
+            scol, _ = b.lookup(instr.src_var)
+            conds.append(F.col(scol) == F.col("__nsrc"))
+        if instr.tgt_var is not None:
+            tcol, _ = b.lookup(instr.tgt_var)
+            conds.append(F.col(tcol) == F.col("__ndst"))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        df = b.df.join(e, cond, "left_anti")
+        return Binding(df, b.env, b._counter, None, b.pending)
 
     # -- delete ---------------------------------------------------------
 

@@ -136,6 +136,14 @@ class VarRefPattern:
     var: str
 
 
+@dataclass(frozen=True)
+class AnonPattern:
+    """``(:Label)`` — anonymous labeled node (extension; legal only
+    inside ``where not exists``, where the node is purely existential)."""
+
+    label: str
+
+
 NodePattern = Union[DeclPattern, VarRefPattern]
 
 
@@ -214,7 +222,40 @@ class SetClause:
     assignments: tuple  # tuple[tuple[str, str, Expr], ...]  (var, field, expr)
 
 
-Clause = Union[CreateClause, MatchClause, DeleteClause, ReturnClause, WhereClause, SetClause]
+@dataclass(frozen=True)
+class OptionalMatchClause:
+    """``optional match (a) -[:r]-> (b:L)`` (extension, SURVEY §2.2):
+    keeps every existing binding row; where the edge exists the new
+    variable binds per matching edge, otherwise it binds NULL — the
+    left-outer-join analogue of ``match``.  Exactly one side is a bound
+    ``(v)`` reference and the other a new ``(v:L)`` declaration."""
+
+    src: NodePattern
+    rel: str
+    tgt: NodePattern
+
+
+@dataclass(frozen=True)
+class NotExistsClause:
+    """``where not exists (a) -[:r]-> (:L)`` (extension): keep binding
+    rows with NO matching edge.  Each side is a bound ``(v)`` reference
+    or an anonymous/scoped labeled node; at least one side is bound."""
+
+    src: Union[DeclPattern, VarRefPattern, AnonPattern]
+    rel: str
+    tgt: Union[DeclPattern, VarRefPattern, AnonPattern]
+
+
+Clause = Union[
+    CreateClause,
+    MatchClause,
+    OptionalMatchClause,
+    DeleteClause,
+    ReturnClause,
+    WhereClause,
+    NotExistsClause,
+    SetClause,
+]
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ KEYWORDS = {
     "mod": "MOD",
     "and": "AND",
     "or": "OR",
+    # extensions (absent from lexer.mll): optional match / not exists
+    "optional": "OPTIONAL",
+    "not": "NOT",
+    "exists": "EXISTS",
 }
 
 # Multi-char operators first so they win over single-char prefixes.

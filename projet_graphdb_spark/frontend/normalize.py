@@ -71,7 +71,43 @@ class ISet:
     expr: A.Expr
 
 
-Instruction = Union[IActOnNode, IActOnRel, IDeleteNode, IDeleteRel, IReturn, IWhere, ISet]
+@dataclass(frozen=True)
+class IOptRel:
+    """Optional edge match (extension): ``new_var`` (one of src/tgt) is
+    newly bound — per matching edge where one exists, NULL otherwise;
+    existing binding rows are always kept (left outer join)."""
+
+    src_var: str
+    rel: str
+    tgt_var: str
+    new_var: str
+    new_label: str
+
+
+@dataclass(frozen=True)
+class INotExistsRel:
+    """Anti edge match (extension): keep binding rows with NO ``rel``
+    edge matching the pattern.  A ``None`` var on a side means the side
+    is anonymous/scoped — constrained only by its label."""
+
+    src_var: str | None
+    rel: str
+    tgt_var: str | None
+    src_label: str | None = None
+    tgt_label: str | None = None
+
+
+Instruction = Union[
+    IActOnNode,
+    IActOnRel,
+    IOptRel,
+    INotExistsRel,
+    IDeleteNode,
+    IDeleteRel,
+    IReturn,
+    IWhere,
+    ISet,
+]
 
 
 @dataclass
@@ -120,6 +156,25 @@ def _normalize_clause(clause: A.Clause) -> list:
         return [IDeleteRel(s, r, t) for (s, r, t) in dp.rels]
     if isinstance(clause, A.SetClause):
         return [ISet(v, f, e) for (v, f, e) in clause.assignments]
+    if isinstance(clause, A.OptionalMatchClause):
+        # parser guarantees one DeclPattern (the new side) + one VarRef
+        if isinstance(clause.tgt, A.DeclPattern):
+            new = clause.tgt
+            return [IOptRel(clause.src.var, clause.rel, new.var, new.var, new.label)]
+        new = clause.src
+        return [IOptRel(new.var, clause.rel, clause.tgt.var, new.var, new.label)]
+    if isinstance(clause, A.NotExistsClause):
+        def side(p):
+            if isinstance(p, A.AnonPattern):
+                return None, p.label
+            if isinstance(p, A.DeclPattern):
+                # scoped existential var: the label constrains, the name
+                # is not bound outside
+                return None, p.label
+            return p.var, None
+        sv, sl = side(clause.src)
+        tv, tl = side(clause.tgt)
+        return [INotExistsRel(sv, clause.rel, tv, sl, tl)]
     if isinstance(clause, A.WhereClause):
         return [IWhere(clause.expr)]
     if isinstance(clause, A.ReturnClause):

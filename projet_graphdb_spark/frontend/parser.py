@@ -29,7 +29,7 @@ class ParseError(Exception):
         self.token = tok
 
 
-_CLAUSE_STARTS = {"CREATE", "MATCH", "DELETE", "RETURN", "WHERE", "SET"}
+_CLAUSE_STARTS = {"CREATE", "MATCH", "OPTIONAL", "DELETE", "RETURN", "WHERE", "SET"}
 
 _CMP_OPS = {
     "EQ": A.BinOpKind.EQ,
@@ -123,9 +123,37 @@ class Parser:
             return A.CreateClause(tuple(self._parse_pattern_list()))
         if t.kind == "MATCH":
             return A.MatchClause(tuple(self._parse_pattern_list()))
+        if t.kind == "OPTIONAL":
+            # optional match (a) -[:r]-> (b:L): one bound ref, one decl
+            self.expect("MATCH")
+            src = self._parse_node_pattern()
+            rel = self._parse_plain_rel_arrow()
+            tgt = self._parse_node_pattern()
+            sides = (isinstance(src, A.DeclPattern), isinstance(tgt, A.DeclPattern))
+            if sides not in ((True, False), (False, True)):
+                raise ParseError(
+                    "optional match needs exactly one bound (v) side and one "
+                    "new (v:L) side",
+                    t,
+                )
+            return A.OptionalMatchClause(src, rel, tgt)
         if t.kind == "RETURN":
             return A.ReturnClause(tuple(self._parse_ident_list()))
         if t.kind == "WHERE":
+            if self.peek().kind == "NOT":
+                # where not exists (a) -[:r]-> (:L)
+                self.next()
+                self.expect("EXISTS")
+                src = self._parse_ne_node_pattern()
+                rel = self._parse_plain_rel_arrow()
+                tgt = self._parse_ne_node_pattern()
+                if not (
+                    isinstance(src, A.VarRefPattern) or isinstance(tgt, A.VarRefPattern)
+                ):
+                    raise ParseError(
+                        "not exists needs at least one bound (v) side", t
+                    )
+                return A.NotExistsClause(src, rel, tgt)
             return A.WhereClause(self._parse_expr())
         if t.kind == "SET":
             return A.SetClause(tuple(self._parse_assign_list()))
@@ -163,6 +191,33 @@ class Parser:
             rest = self._parse_pattern()
             return A.CompPattern(np, rel, rest, star, star_min, star_max, undirected)
         return A.SimpPattern(np)
+
+    def _parse_plain_rel_arrow(self) -> str:
+        """``-[:rel]->`` with no star/undirected forms (the optional /
+        not-exists extensions keep the single-hop directed shape)."""
+        self.expect("SUB")
+        self.expect("LBRACKET")
+        self.expect("COLON")
+        rel = self.expect("IDENT").value
+        self.expect("RBRACKET")
+        self.expect("ARROW")
+        return rel
+
+    def _parse_ne_node_pattern(self):
+        """Node pattern inside ``not exists``: ``(v)``, ``(v:L)`` or the
+        anonymous ``(:L)``."""
+        self.expect("LPAREN")
+        if self.accept("COLON"):
+            label = self.expect("IDENT").value
+            self.expect("RPAREN")
+            return A.AnonPattern(label)
+        var = self.expect("IDENT").value
+        if self.accept("COLON"):
+            label = self.expect("IDENT").value
+            self.expect("RPAREN")
+            return A.DeclPattern(var, label)
+        self.expect("RPAREN")
+        return A.VarRefPattern(var)
 
     def _parse_node_pattern(self) -> A.NodePattern:
         self.expect("LPAREN")

@@ -26,6 +26,8 @@ from .normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    INotExistsRel,
+    IOptRel,
     IReturn,
     ISet,
     IWhere,
@@ -98,6 +100,18 @@ def show_instruction(i) -> str:
         if getattr(i, "undirected", False):
             marks.append("undirected")
         return base + (f"  (* {' '.join(marks)} *)" if marks else "")
+    if isinstance(i, IOptRel):
+        return (
+            f'(Instr.IOptRel ("{i.src_var}", "{i.rel}", "{i.tgt_var}", '
+            f'"{i.new_var}", "{i.new_label}"))  (* extension *)'
+        )
+    if isinstance(i, INotExistsRel):
+        def side(v, lbl):
+            return f'"{v}"' if v is not None else f'(:{lbl})'
+        return (
+            f"(Instr.INotExistsRel ({side(i.src_var, i.src_label)}, "
+            f'"{i.rel}", {side(i.tgt_var, i.tgt_label)}))  (* extension *)'
+        )
     if isinstance(i, IDeleteNode):
         return f'(Instr.IDeleteNode "{i.var}")'
     if isinstance(i, IDeleteRel):

@@ -27,6 +27,8 @@ from .normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    INotExistsRel,
+    IOptRel,
     IReturn,
     ISet,
     IWhere,
@@ -164,6 +166,37 @@ def tc_instr(instr, env: Env) -> Env:
                 raise TypeCheckError(
                     f"Variable-length bounds *{lo}..{hi} are invalid (need 1 <= lo <= hi)"
                 )
+        return env
+    if isinstance(instr, IOptRel):
+        bound = instr.tgt_var if instr.new_var == instr.src_var else instr.src_var
+        bound_lbl = env.lookup(bound)
+        if bound_lbl is None:
+            raise TypeCheckError(f"Variable '{bound}' is not bound")
+        if instr.new_label not in tg.node_labels():
+            raise TypeCheckError(f"Node type '{instr.new_label}' is not declared")
+        src_lbl = instr.new_label if instr.new_var == instr.src_var else bound_lbl
+        tgt_lbl = instr.new_label if instr.new_var == instr.tgt_var else bound_lbl
+        if not _rel_declared(tg, src_lbl, instr.rel, tgt_lbl):
+            raise TypeCheckError(
+                f"Relation '{instr.rel}' from '{src_lbl}' to '{tgt_lbl}' is not declared"
+            )
+        return env.bind(instr.new_var, instr.new_label)
+    if isinstance(instr, INotExistsRel):
+        def side_label(var, label, what):
+            if var is not None:
+                lbl = env.lookup(var)
+                if lbl is None:
+                    raise TypeCheckError(f"Variable '{var}' is not bound")
+                return lbl
+            if label not in tg.node_labels():
+                raise TypeCheckError(f"Node type '{label}' is not declared")
+            return label
+        src_lbl = side_label(instr.src_var, instr.src_label, "source")
+        tgt_lbl = side_label(instr.tgt_var, instr.tgt_label, "target")
+        if not _rel_declared(tg, src_lbl, instr.rel, tgt_lbl):
+            raise TypeCheckError(
+                f"Relation '{instr.rel}' from '{src_lbl}' to '{tgt_lbl}' is not declared"
+            )
         return env
     if isinstance(instr, IDeleteNode):
         if env.lookup(instr.var) is None:

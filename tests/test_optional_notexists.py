@@ -1,0 +1,96 @@
+"""Optional match (left-join) and not-exists (anti-join) extensions."""
+
+import pytest
+
+from projet_graphdb_spark.engine import binding_table, run_program
+from projet_graphdb_spark.frontend.typecheck import TypeCheckError
+from projet_graphdb_spark.frontend.parser import ParseError
+
+BASE = """
+(:P {v int})
+(:Q {v int})
+(:P) -[:knows]-> (:Q)
+create (a: P)
+create (b: P)
+create (q1: Q)
+create (a) -[:knows]-> (q1)
+create (q2: Q)
+create (a) -[:knows]-> (q2)
+"""
+
+
+def rows(b):
+    return sorted(
+        [tuple(r) for r in binding_table(b).collect()],
+        key=lambda t: tuple(-1 if x is None else x for x in t),
+    )
+
+
+def test_optional_match_null_extends(spark):
+    _, b = run_program(
+        spark, BASE + "match (x: P) optional match (x) -[:knows]-> (y: Q) return x, y"
+    )
+    # a(0) matches q1(2), q2(3); b(1) kept with NULL
+    assert rows(b) == [(0, 2), (0, 3), (1, None)]
+
+
+def test_optional_match_new_var_on_source_side(spark):
+    _, b = run_program(
+        spark, BASE + "match (z: Q) optional match (w: P) -[:knows]-> (z) return z, w"
+    )
+    assert rows(b) == [(2, 0), (3, 0)]
+
+
+def test_not_exists_anonymous_target(spark):
+    _, b = run_program(
+        spark, BASE + "match (x: P) where not exists (x) -[:knows]-> (:Q) return x"
+    )
+    assert rows(b) == [(1,)]
+
+
+def test_not_exists_both_bound(spark):
+    _, b = run_program(
+        spark,
+        BASE
+        + "match (x: P) match (y: Q) where not exists (x) -[:knows]-> (y) return x, y",
+    )
+    assert rows(b) == [(1, 2), (1, 3)]
+
+
+def test_not_exists_after_delete(spark):
+    _, b = run_program(
+        spark,
+        BASE
+        + "match (x: P) -[:knows]-> (y: Q)\n"
+        + "delete x -[:knows]-> y\n"
+        + "where not exists (x) -[:knows]-> (:Q)\n"
+        + "return x",
+    )
+    # both of a's edges deleted -> a's rows survive the anti filter
+    assert rows(b) == [(0,), (0,)]
+
+
+def test_optional_match_rejects_two_decls(spark):
+    with pytest.raises(ParseError, match="exactly one bound"):
+        run_program(
+            spark, BASE + "match (x: P) optional match (w: P) -[:knows]-> (y: Q) return x"
+        )
+
+
+def test_not_exists_requires_bound_side(spark):
+    with pytest.raises(ParseError, match="at least one bound"):
+        run_program(
+            spark, BASE + "match (x: P) where not exists (:P) -[:knows]-> (:Q) return x"
+        )
+
+
+def test_optional_match_undeclared_rel(spark):
+    with pytest.raises(TypeCheckError, match="not declared"):
+        run_program(
+            spark, BASE + "match (x: Q) optional match (x) -[:knows]-> (y: Q) return x, y"
+        )
+
+
+def test_not_exists_unbound_var(spark):
+    with pytest.raises(TypeCheckError, match="not bound"):
+        run_program(spark, BASE + "match (x: P) where not exists (zz) -[:knows]-> (:Q) return x")
