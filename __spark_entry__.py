@@ -553,10 +553,11 @@ def e5_window_stream(spark, sf_dir):
     trigger availableNow; complete output mode emits every window, so
     the result equals the batch form / oracle exactly
     (streaming/events.py::streaming_windowed_counts)."""
-    from projet_graphdb_spark.streaming import drain, stream_source, streaming_windowed_counts
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source, streaming_windowed_counts
 
     path, schema = stream_source(spark, sf_dir)
-    q = streaming_windowed_counts(spark, path, schema, query_name="e5_sink")
+    with state_partitions(spark, 8):
+        q = streaming_windowed_counts(spark, path, schema, query_name="e5_sink")
     return drain(q, spark, "e5_sink")
 
 
@@ -565,10 +566,11 @@ def e6_dedup_stream(spark, sf_dir):
     watermark-evicted state) drained with availableNow; the fixture fits
     one micro-batch, so output equals SELECT DISTINCT exactly
     (streaming/stream_dedup.py::dedup_events_stream)."""
-    from projet_graphdb_spark.streaming import dedup_events_stream, drain, stream_source
+    from projet_graphdb_spark.streaming import dedup_events_stream, drain, state_partitions, stream_source
 
     path, schema = stream_source(spark, sf_dir)
-    q = dedup_events_stream(spark, path, schema, query_name="e6_sink")
+    with state_partitions(spark, 8):
+        q = dedup_events_stream(spark, path, schema, query_name="e6_sink")
     return drain(q, spark, "e6_sink")
 
 
@@ -578,10 +580,11 @@ def e7_join_stream(spark, sf_dir):
     inner-join emission is watermark-independent, so output equals the
     batch range join / oracle exactly
     (streaming/stream_join.py::click_purchase_pairs_stream)."""
-    from projet_graphdb_spark.streaming import click_purchase_pairs_stream, drain, stream_source
+    from projet_graphdb_spark.streaming import click_purchase_pairs_stream, drain, state_partitions, stream_source
 
     path, schema = stream_source(spark, sf_dir)
-    q = click_purchase_pairs_stream(spark, path, schema, query_name="e7_sink")
+    with state_partitions(spark, 8):
+        q = click_purchase_pairs_stream(spark, path, schema, query_name="e7_sink")
     return drain(q, spark, "e7_sink")
 
 
@@ -596,12 +599,13 @@ def e8_sessionize_stream(spark, sf_dir):
     sum_value rounds to the fixture's 2-decimal value grain (the
     streaming state accumulates in float; the batch/oracle sum is
     decimal-exact)."""
-    from projet_graphdb_spark.streaming import drain, sessionize_stream, stream_source
+    from projet_graphdb_spark.streaming import drain, sessionize_stream, state_partitions, stream_source
 
     path, schema = stream_source(spark, sf_dir)
-    q = sessionize_stream(
-        spark, path, schema, gap_minutes=30, watermark="0 seconds", query_name="e8_sink"
-    )
+    with state_partitions(spark, 8):
+        q = sessionize_stream(
+            spark, path, schema, gap_minutes=30, watermark="0 seconds", query_name="e8_sink"
+        )
     out = drain(q, spark, "e8_sink")
     return out.select(
         "user_id", "session_start", "n_events", F.round("sum_value", 2).alias("sum_value")

@@ -1,7 +1,7 @@
 """Structured Streaming operators over the events table."""
 
 from .events import load_events, streaming_windowed_counts, windowed_event_stats
-from .harness import drain, stream_source
+from .harness import drain, state_partitions, stream_source
 from .sessions import sessionize_batch, sessionize_stream
 from .stream_dedup import dedup_events_batch, dedup_events_stream
 from .stream_join import click_purchase_pairs_batch, click_purchase_pairs_stream

@@ -15,10 +15,30 @@ stream source consumes; all stream twins share that copy.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .events import load_events
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Pin the state-store partition count for a streaming query.
+
+    A stateful streaming query creates one state store per shuffle
+    partition AT QUERY START and keeps that layout for its lifetime.
+    Size it to the cluster: high for real multi-executor throughput,
+    low for a local availableNow drain where per-store commit overhead
+    dominates (32 stores x 4 join-state stores is pure fixed cost on a
+    single machine)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 # (applicationId, sf_dir) -> (path, schema); one normalized copy per
 # session+scale, shared by every stream twin
