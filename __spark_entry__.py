@@ -237,6 +237,19 @@ def t1_text_stats(spark, sf_dir):
     return text.text_stats(_docs(spark, sf_dir))
 
 
+def t4_hash_split(spark, sf_dir):
+    """Deterministic content-hash train/val/test split: md5 of the
+    canonical text bucketed 0-99 (functions/text.py::hash_split) — dup
+    documents land in the same split, assignment survives re-sharding."""
+    return text.hash_split(_docs(spark, sf_dir))
+
+
+def t5_top_ngrams(spark, sf_dir):
+    """Corpus statistics: top-20 word trigrams by document frequency,
+    deterministic tie-break (functions/text.py::top_ngrams)."""
+    return text.top_ngrams(_docs(spark, sf_dir))
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -612,6 +625,34 @@ def e8_sessionize_stream(spark, sf_dir):
     )
 
 
+def e9_parquet_sink_stream(spark, sf_dir):
+    """The windowed aggregation through a durable PARQUET file sink with
+    an exactly-once checkpoint (append mode: rows written when the
+    watermark passes the window end), then read back — at watermark
+    delay 0 that is every window except the one still open at max event
+    time; the oracle applies the same window-end predicate
+    (streaming/events.py::streaming_windowed_to_parquet)."""
+    import tempfile
+
+    from projet_graphdb_spark.streaming import (
+        drain,
+        state_partitions,
+        stream_source,
+        streaming_windowed_to_parquet,
+    )
+
+    path, schema = stream_source(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_e9_")
+    out, ckpt = base + "/out", base + "/ckpt"
+    with state_partitions(spark, 8):
+        q = streaming_windowed_to_parquet(spark, path, schema, out, ckpt)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("e9 parquet sink stream did not drain")
+    return spark.read.parquet(out)
+
+
 def t2_fingerprints(spark, sf_dir):
     """Document fingerprinting: canonical md5 + Rabin-Karp-style rolling
     hash (incrementally updatable; functions/text.py)."""
@@ -671,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
+        "t4_hash_split": t4_hash_split,
+        "t5_top_ngrams": t5_top_ngrams,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -698,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_dedup_stream": e6_dedup_stream,
         "e7_join_stream": e7_join_stream,
         "e8_sessionize_stream": e8_sessionize_stream,
+        "e9_parquet_sink_stream": e9_parquet_sink_stream,
     }
 
 
@@ -897,6 +941,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS fp_roll
             FROM canon
         """,
+        "t4_hash_split": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "t5_top_ngrams": f"""
+            WITH sh AS (SELECT unnest({_SHINGLES}) AS ngram FROM documents)
+            SELECT ngram, COUNT(*) AS df FROM sh
+            GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
+        """,
         "d1_exact_dedup": f"""
             SELECT md5({_CANON_TEXT}) AS fp, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_dups
@@ -1088,6 +1151,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum_value, 2) AS sum_value
             FROM sess, wm
             WHERE wm_ms > epoch_us(last_ts) // 1000 + 30 * 60 * 1000
+        """,
+        "e9_parquet_sink_stream": """
+            WITH wm AS (SELECT MAX(ts) AS m FROM events)
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events, wm
+            GROUP BY 1, 2, wm.m
+            HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= wm.m
         """,
         "a1_bfs_levels": f"""
             WITH RECURSIVE eu AS (

@@ -190,3 +190,62 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fingerprint(t).alias("fp"),
         quality_score(t).alias("quality"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic content-hash train/val/test split.
+
+    The split key is the md5 of the CANONICAL text (not the row id), so
+    (a) exact duplicates always land in the same split — no train/test
+    leakage from dup pairs, the property that matters for training
+    corpora — and (b) the assignment is stable under re-sharding,
+    re-ingestion, or id reassignment.  Map-only (no shuffle, no RNG);
+    the md5 bucket arithmetic is engine-portable so a DuckDB oracle
+    reproduces every assignment.
+
+    Output: (id, bucket 0-99, split ∈ {train, val, test}).
+    """
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    bucket = h % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency (distinct per doc —
+    shingle_frame dedups), ties broken by the n-gram string ascending.
+
+    One map-side-combined shuffle on the n-gram, then a TakeOrdered
+    top-k merge (no full sort).  This is the corpus-statistics feed for
+    the d2 stop-shingle cap: anything surfacing here with df ~ corpus
+    size is a cap candidate.
+    """
+    from .dedup import shingle_frame
+
+    sh = shingle_frame(docs, n, id_col, text_col)
+    return (
+        sh.select(F.explode(F.col("_sh")).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1,6 +1,11 @@
 """Structured Streaming operators over the events table."""
 
-from .events import load_events, streaming_windowed_counts, windowed_event_stats
+from .events import (
+    load_events,
+    streaming_windowed_counts,
+    streaming_windowed_to_parquet,
+    windowed_event_stats,
+)
 from .harness import drain, state_partitions, stream_source
 from .sessions import sessionize_batch, sessionize_stream
 from .stream_dedup import dedup_events_batch, dedup_events_stream
@@ -17,5 +22,6 @@ __all__ = [
     "sessionize_stream",
     "stream_source",
     "streaming_windowed_counts",
+    "streaming_windowed_to_parquet",
     "windowed_event_stats",
 ]

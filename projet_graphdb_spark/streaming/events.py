@@ -104,3 +104,50 @@ def streaming_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_windowed_to_parquet(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "0 seconds",
+):
+    """The windowed aggregation written to a PARQUET file sink — the
+    durable-output form of ``streaming_windowed_counts``.
+
+    The file sink requires append mode, so a (window, type) row is
+    written exactly once, when the event-time watermark passes the
+    window END — the finalized-results contract that makes the output
+    directory safely consumable by downstream batch jobs while the
+    stream runs.  The checkpoint directory carries the sink's
+    exactly-once file manifest: restarts never double-write.  Windows
+    not yet closed by the watermark at end-of-input stay in state (a
+    later run with more data emits them).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("_w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

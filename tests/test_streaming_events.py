@@ -101,3 +101,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 2, dropped
     # only the finalized [10:00, 11:00) window emitted, without late rows
     assert got == {base + dt.timedelta(hours=10): 33}, got
+
+
+def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
+    """Re-running the drained sink query against the same checkpoint
+    must not rewrite or duplicate output (the file-sink manifest is the
+    exactly-once mechanism)."""
+    from projet_graphdb_spark.streaming import streaming_windowed_to_parquet
+
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = streaming_windowed_to_parquet(spark, src, schema, out, ckpt)
+    assert q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    q2 = streaming_windowed_to_parquet(spark, src, schema, out, ckpt)
+    assert q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1  # no reprocessing, no double-write

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from projet_graphdb_spark.functions import text
 
+from conftest import SF_TINY
+
 
 SAMPLES = [
     (1, "the quick brown fox and the lazy dog of honor"),
@@ -110,3 +112,32 @@ def test_token_shards_oversize_doc_gets_own_shard(spark):
     # doc 0 (8 tokens) occupies shards 0-1 worth of budget; doc 1 starts at
     # floor(8/4)=2, doc 2 at floor(10/4)=2
     assert out == {0: 0, 1: 2, 2: 2}, out
+
+
+def test_hash_split_dups_same_split_and_ratios(spark):
+    from projet_graphdb_spark.functions.text import hash_split
+
+    df = spark.createDataFrame(
+        [(1, "same doc text"), (2, "Same  DOC text"), (3, "another one")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(df).collect()}
+    # canonicalization: 1 and 2 are content-identical -> same bucket/split
+    assert out[1] == out[2]
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    splits = {r["split"]: r["n"] for r in
+              hash_split(docs).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(splits.values())
+    assert 0.7 <= splits.get("train", 0) / total <= 0.9
+
+
+def test_top_ngrams_counts_document_frequency(spark):
+    from projet_graphdb_spark.functions.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "x y z")],  # "a b c" df=2 (distinct per doc)
+        ["doc_id", "text"],
+    )
+    rows = top_ngrams(df, n=3, k=3).collect()
+    assert rows[0]["ngram"] == "a b c" and rows[0]["df"] == 2
