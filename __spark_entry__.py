@@ -442,6 +442,47 @@ def t3_token_shards(spark, sf_dir):
     return text.token_shards(_docs(spark, sf_dir), tokens_per_shard=2000)
 
 
+def x11_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase joined to the user's EARLIEST
+    click at-or-after it (next-event attribution; same union-tag +
+    window plan traversed in descending time; functions/asof.py)."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts",
+        value_cols=["click_id", "ts"], direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("_r_click_id").alias("click_id"),
+        F.col("_r_ts").alias("click_ts"),
+        (F.unix_micros("_r_ts") - F.unix_micros("ts")).alias("wait_us"),
+    )
+
+
+def x12_skew_join(spark, sf_dir):
+    """Skew-safe dimension join: lineitem ⋈ part through the salted-join
+    operator (big side salted, dimension replicated per salt;
+    functions/skew.py::salted_join) — identical rows to the plain join,
+    which is exactly what the oracle checks."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return skew.salted_join(li, part, on=["l_partkey"], n_salts=8)
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -709,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_skew_agg": x8_skew_agg,
         "x9_time_cube": x9_time_cube,
         "x10_quantiles": x10_quantiles,
+        "x11_asof_forward": x11_asof_forward,
+        "x12_skew_join": x12_skew_join,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -881,6 +924,20 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id AND c.event_type = 'click'
              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
             WHERE p.event_type = 'purchase'
+        """,
+        "x11_asof_forward": """
+            WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, MAX(event_id) AS click_id FROM events
+                  WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+                   c.click_id, c.cts AS click_ts,
+                   epoch_us(c.cts) - epoch_us(p.ts) AS wait_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.cts
+        """,
+        "x12_skew_join": """
+            SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+            FROM lineitem JOIN part ON p_partkey = l_partkey
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -32,26 +32,34 @@ def asof_join(
     ts: str,
     value_cols: Sequence[str],
     exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row at-or-before each left row.
+    """As-of join: ``backward`` = latest right row at-or-before each left
+    row (the point-in-time default); ``forward`` = earliest right row
+    at-or-after (next-event attribution).
 
     Output = all ``left`` columns + one column per ``value_cols`` entry
-    (null when no right row precedes).  ``right`` must be unique per
+    (null when no right row qualifies).  ``right`` must be unique per
     (keys, ts) for deterministic results — pre-aggregate if it is not.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     tagged_r = right.select(
         *keys, ts, *[F.col(c).alias(f"_r_{c}") for c in value_cols]
     ).withColumn("_t", F.lit(0))
     tagged_l = left.withColumn("_t", F.lit(1))
     u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts (tag 0 < 1), so an
+    # traversal order: ascending ts for backward, descending for forward
+    # — "preceding" in the frame then means earlier/later respectively.
+    # Right rows sort before left rows at equal ts (tag 0 < 1), so an
     # exact-ts match is inside the left row's frame; flipped order puts
-    # the equal-ts right row after the left row — excluded = strict-before
+    # the equal-ts right row after the left row — excluded = strict
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     tag_order = F.col("_t").asc() if exact_matches else F.col("_t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), tag_order)
+        .orderBy(ts_order, tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

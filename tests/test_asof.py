@@ -69,3 +69,32 @@ def test_multiple_value_cols_come_from_same_row(spark):
     row = asof_join(left, right, ["k"], "ts", ["x", "tag", "ts"]).collect()[0]
     # all carried columns must come from the single latest right row
     assert (row["_r_x"], row["_r_tag"], row["_r_ts"]) == (2.0, "b", ts(20))
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 12, m)
+
+    from projet_graphdb_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(30)), (1, 11, ts(50)), (2, 12, ts(0))],
+        "k long, pid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(20), 100.0), (1, ts(30), 200.0), (1, ts(40), 300.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r["pid"]: r["_r_v"] for r in asof_join(
+        left, right, keys=["k"], ts="ts", value_cols=["v"], direction="forward"
+    ).collect()}
+    # pid 10: exact-ts 12:30 match included; pid 11: nothing after; pid 12: other key... k=2 none
+    assert out == {10: 200.0, 11: None, 12: None}
+
+    strict = {r["pid"]: r["_r_v"] for r in asof_join(
+        left, right, keys=["k"], ts="ts", value_cols=["v"],
+        direction="forward", exact_matches=False,
+    ).collect()}
+    assert strict[10] == 300.0  # equal-ts excluded -> next later row
