@@ -551,6 +551,31 @@ def g13_not_exists(spark, sf_dir):
     return binding_table(b)
 
 
+def g14_count_optional(spark, sf_dir):
+    """Extension: aggregates in return — orders per customer INCLUDING
+    zero-order customers (count(o) skips the optional match's NULLs;
+    engine/executor.py::_return_agg, one hash aggregate)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) optional match (o: Order) -[:placed_by]-> (c)\n"
+        "return c, count(o)",
+    )
+    return binding_table(b)
+
+
+def g15_attr_aggregates(spark, sf_dir):
+    """Extension: attribute aggregates in return (sum/min/max/avg over a
+    declared int attribute, grouped by the remaining variables)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (o: Order) -[:placed_by]-> (c: Customer)\n"
+        "return c, count(o), min(o.orderkey), max(o.orderkey)",
+    )
+    return binding_table(b)
+
+
 def x9_time_cube(spark, sf_dir):
     """Full CUBE over (event_type, day): all four grouping sets in one
     hash aggregate (functions/relational.py::time_cube)."""
@@ -740,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_transitive": g11_transitive,
         "g12_optional_match": g12_optional_match,
         "g13_not_exists": g13_not_exists,
+        "g14_count_optional": g14_count_optional,
+        "g15_attr_aggregates": g15_attr_aggregates,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -871,6 +898,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS c FROM customer
             WHERE c_nationkey IN (SELECT n_nationkey FROM nation
                                   WHERE n_name = 'NATION_3')
+        """,
+        "g14_count_optional": f"""
+            SELECT {_CUST} AS c, COUNT(o_orderkey) AS count_o
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "g15_attr_aggregates": f"""
+            SELECT {_CUST} AS c, COUNT(*) AS count_o,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_o_orderkey,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "x1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -42,6 +42,7 @@ from ..frontend.normalize import (
     INotExistsRel,
     IOptRel,
     IReturn,
+    IReturnAgg,
     ISet,
     IWhere,
     NormProg,
@@ -161,6 +162,8 @@ class Executor:
             return self._delete_rel(instr.src_var, instr.rel, instr.tgt_var, b)
         if isinstance(instr, IReturn):
             return self._return(list(instr.vars), b)
+        if isinstance(instr, IReturnAgg):
+            return self._return_agg(instr, b)
         if isinstance(instr, IWhere):
             return self._where(instr.expr, b)
         if isinstance(instr, ISet):
@@ -501,6 +504,36 @@ class Executor:
             cols.append(c)
             new_env.append((v, c, lb))
         return Binding(b.df.select(*cols), new_env, b._counter, b.known_count)
+
+    def _return_agg(self, instr: IReturnAgg, b: Binding) -> Binding:
+        """Grouped aggregation over the binding table (extension): ONE
+        hash aggregate on the group-key columns (map-side partials);
+        attribute aggregates join the accessed label attributes first.
+        SQL NULL semantics: count(v) skips NULL ids, so it counts actual
+        matches after an optional match."""
+        b = self._flush(b)
+        accesses = {(it.var, it.field) for it in instr.aggs if it.field}
+        joined, attr_col, _extra = self._join_attrs(b, accesses)
+        key_cols, new_env = [], []
+        for v in instr.keys:
+            c, lb = b.lookup(v)
+            key_cols.append(c)
+            new_env.append((v, c, lb))
+        agg_exprs = []
+        for it in instr.aggs:
+            out = f"{it.fn}_{it.var}" + (f"_{it.field}" if it.field else "")
+            if it.fn == "count":
+                c, _ = b.lookup(it.var)
+                agg_exprs.append(F.count(F.col(c)).alias(out))
+            else:
+                acol = attr_col(it.var, it.field)
+                if it.fn == "avg":
+                    agg_exprs.append(F.avg(F.col(acol)).alias(out))
+                else:
+                    agg_exprs.append(getattr(F, it.fn)(F.col(acol)).alias(out))
+            new_env.append((out, out, None))
+        gdf = joined.groupBy(*key_cols).agg(*agg_exprs) if key_cols else joined.agg(*agg_exprs)
+        return Binding(gdf, new_env, b._counter, None)
 
     def _where(self, expr: A.Expr, b: Binding) -> Binding:
         b = self._flush(b)

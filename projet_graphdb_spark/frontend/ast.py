@@ -213,6 +213,27 @@ class ReturnClause:
 
 
 @dataclass(frozen=True)
+class AggItem:
+    """``count(v)`` / ``sum(v.f)`` / ``min`` / ``max`` / ``avg`` inside a
+    return list (extension).  ``field`` is None only for count."""
+
+    fn: str
+    var: str
+    field: str | None = None
+
+
+@dataclass(frozen=True)
+class ReturnAggClause:
+    """``return k1, ..., count(v), sum(v.f), ...`` (extension): group the
+    binding table by the plain variables and aggregate — SQL GROUP BY
+    semantics (count skips NULLs, so ``count(o)`` after an optional
+    match counts actual matches)."""
+
+    keys: tuple  # tuple[str, ...] group-by variables, in order
+    aggs: tuple  # tuple[AggItem, ...]
+
+
+@dataclass(frozen=True)
 class WhereClause:
     expr: Expr
 
@@ -252,6 +273,7 @@ Clause = Union[
     OptionalMatchClause,
     DeleteClause,
     ReturnClause,
+    ReturnAggClause,
     WhereClause,
     NotExistsClause,
     SetClause,

@@ -43,10 +43,16 @@ KEYWORDS = {
     "mod": "MOD",
     "and": "AND",
     "or": "OR",
-    # extensions (absent from lexer.mll): optional match / not exists
+    # extensions (absent from lexer.mll): optional match / not exists,
+    # aggregates in return
     "optional": "OPTIONAL",
     "not": "NOT",
     "exists": "EXISTS",
+    "count": "AGGFN",
+    "sum": "AGGFN",
+    "min": "AGGFN",
+    "max": "AGGFN",
+    "avg": "AGGFN",
 }
 
 # Multi-char operators first so they win over single-char prefixes.

@@ -60,6 +60,15 @@ class IReturn:
 
 
 @dataclass(frozen=True)
+class IReturnAgg:
+    """Grouped aggregation over the binding table (extension): group by
+    ``keys``, one output column per AggItem named ``fn_var[_field]``."""
+
+    keys: tuple  # tuple[str, ...]
+    aggs: tuple  # tuple[A.AggItem, ...]
+
+
+@dataclass(frozen=True)
 class IWhere:
     expr: A.Expr
 
@@ -105,6 +114,7 @@ Instruction = Union[
     IDeleteNode,
     IDeleteRel,
     IReturn,
+    IReturnAgg,
     IWhere,
     ISet,
 ]
@@ -179,6 +189,8 @@ def _normalize_clause(clause: A.Clause) -> list:
         return [IWhere(clause.expr)]
     if isinstance(clause, A.ReturnClause):
         return [IReturn(clause.vars)]
+    if isinstance(clause, A.ReturnAggClause):
+        return [IReturnAgg(clause.keys, clause.aggs)]
     raise TypeError(f"unknown clause {clause!r}")
 
 

@@ -138,7 +138,7 @@ class Parser:
                 )
             return A.OptionalMatchClause(src, rel, tgt)
         if t.kind == "RETURN":
-            return A.ReturnClause(tuple(self._parse_ident_list()))
+            return self._parse_return_clause(t)
         if t.kind == "WHERE":
             if self.peek().kind == "NOT":
                 # where not exists (a) -[:r]-> (:L)
@@ -228,6 +228,33 @@ class Parser:
             return A.DeclPattern(var, label)
         self.expect("RPAREN")
         return A.VarRefPattern(var)
+
+    def _parse_return_clause(self, t):
+        """``return`` items: plain vars, plus the aggregate extension
+        ``count(v)`` / ``sum(v.f)`` / ``min`` / ``max`` / ``avg``.  Any
+        aggregate present → ReturnAggClause grouping by the plain vars."""
+        keys, aggs = [], []
+        while True:
+            if self.peek().kind == "AGGFN":
+                fn = self.next().value
+                self.expect("LPAREN")
+                var = self.expect("IDENT").value
+                fieldname = None
+                if self.accept("DOT"):
+                    fieldname = self.expect("IDENT").value
+                self.expect("RPAREN")
+                if fn == "count" and fieldname is not None:
+                    raise ParseError("count takes a bare variable", t)
+                if fn != "count" and fieldname is None:
+                    raise ParseError(f"{fn} needs an attribute (v.f)", t)
+                aggs.append(A.AggItem(fn, var, fieldname))
+            else:
+                keys.append(self.expect("IDENT").value)
+            if not self.accept("COMMA"):
+                break
+        if aggs:
+            return A.ReturnAggClause(tuple(keys), tuple(aggs))
+        return A.ReturnClause(tuple(keys))
 
     def _parse_ident_list(self) -> list:
         names = [self.expect("IDENT").value]

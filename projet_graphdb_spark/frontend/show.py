@@ -29,6 +29,7 @@ from .normalize import (
     INotExistsRel,
     IOptRel,
     IReturn,
+    IReturnAgg,
     ISet,
     IWhere,
     NormProg,
@@ -119,6 +120,12 @@ def show_instruction(i) -> str:
     if isinstance(i, IReturn):
         vs = "; ".join(f'"{v}"' for v in i.vars)
         return f"(Instr.IReturn [{vs}])"
+    if isinstance(i, IReturnAgg):
+        ks = "; ".join(f'"{v}"' for v in i.keys)
+        ags = "; ".join(
+            f'({a.fn} "{a.var}"' + (f' "{a.field}")' if a.field else ")") for a in i.aggs
+        )
+        return f"(Instr.IReturnAgg ([{ks}], [{ags}]))  (* extension *)"
     if isinstance(i, IWhere):
         return f"(Instr.IWhere {show_expr(i.expr)})"
     if isinstance(i, ISet):

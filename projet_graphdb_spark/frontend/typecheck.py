@@ -30,6 +30,7 @@ from .normalize import (
     INotExistsRel,
     IOptRel,
     IReturn,
+    IReturnAgg,
     ISet,
     IWhere,
     NormProg,
@@ -209,6 +210,33 @@ def tc_instr(instr, env: Env) -> Env:
         if len(instr.vars) != len(set(instr.vars)):
             raise TypeCheckError("Return contains duplicate variables")
         return env.keep_only(instr.vars)
+    if isinstance(instr, IReturnAgg):
+        errors = []
+        for v in instr.keys:
+            if env.lookup(v) is None:
+                errors.append(f"Variable '{v}' is not bound")
+        if len(instr.keys) != len(set(instr.keys)):
+            errors.append("Return contains duplicate variables")
+        for it in instr.aggs:
+            lbl = env.lookup(it.var)
+            if lbl is None:
+                errors.append(f"Variable '{it.var}' is not bound")
+                continue
+            if it.field is not None:
+                attrs = tg.attrs_of(lbl)
+                if it.field not in attrs:
+                    errors.append(
+                        f"Attribute '{it.field}' not declared for node type '{lbl}'"
+                    )
+                elif it.fn in ("sum", "min", "max", "avg") and attrs[it.field] != A.AttribType.INT:
+                    errors.append(f"Aggregate '{it.fn}' requires an int attribute")
+        if errors:
+            raise TypeCheckError(errors)
+        out = env.keep_only(instr.keys)
+        for it in instr.aggs:
+            name = f"{it.fn}_{it.var}" + (f"_{it.field}" if it.field else "")
+            out = out.bind(name, None)  # aggregate output: not a node var
+        return out
     if isinstance(instr, IWhere):
         if tp_expr(env, instr.expr) != A.AttribType.BOOL:
             raise TypeCheckError("Expression does not have expected type bool")

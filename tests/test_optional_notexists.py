@@ -94,3 +94,44 @@ def test_optional_match_undeclared_rel(spark):
 def test_not_exists_unbound_var(spark):
     with pytest.raises(TypeCheckError, match="not bound"):
         run_program(spark, BASE + "match (x: P) where not exists (zz) -[:knows]-> (:Q) return x")
+
+
+AGG_BASE = BASE + "set q1.v = 10, q2.v = 30\n"
+
+
+def test_return_count_after_optional_includes_zero(spark):
+    _, b = run_program(
+        spark,
+        AGG_BASE + "match (x: P) optional match (x) -[:knows]-> (y: Q) return x, count(y)",
+    )
+    assert rows(b) == [(0, 2), (1, 0)]
+
+
+def test_return_attr_aggregates(spark):
+    _, b = run_program(
+        spark,
+        AGG_BASE
+        + "match (x: P) -[:knows]-> (y: Q)\n"
+        + "return x, count(y), sum(y.v), min(y.v), max(y.v), avg(y.v)",
+    )
+    assert [tuple(r) for r in binding_table(b).collect()] == [(0, 2, 40, 10, 30, 20.0)]
+
+
+def test_return_global_aggregate(spark):
+    _, b = run_program(spark, AGG_BASE + "match (y: Q) return count(y), sum(y.v)")
+    assert [tuple(r) for r in binding_table(b).collect()] == [(2, 40)]
+
+
+def test_return_agg_rejects_string_sum(spark):
+    prog = """
+(:P {nom string})
+create (a: P)
+match (x: P) return sum(x.nom)
+"""
+    with pytest.raises(TypeCheckError, match="int attribute"):
+        run_program(spark, prog)
+
+
+def test_return_agg_unbound_var(spark):
+    with pytest.raises(TypeCheckError, match="not bound"):
+        run_program(spark, BASE + "match (x: P) return x, count(zz)")
