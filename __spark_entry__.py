@@ -576,6 +576,30 @@ def g15_attr_aggregates(spark, sf_dir):
     return binding_table(b)
 
 
+def g16_return_distinct(spark, sf_dir):
+    """Extension: 'return distinct' — nations having at least one
+    customer, deduplicated at the language level (one shuffle on the
+    projection; engine/executor.py::_return)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation) return distinct n",
+    )
+    return binding_table(b)
+
+
+def g17_order_limit(spark, sf_dir):
+    """Extension: 'order by v.f desc limit N' — deterministic top-N via
+    TakeOrderedAndProject (per-partition partial top-N + merge, no
+    global sort; engine/executor.py::_order_limit)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) order by c.custkey desc limit 5 return c",
+    )
+    return binding_table(b)
+
+
 def x9_time_cube(spark, sf_dir):
     """Full CUBE over (event_type, day): all four grouping sets in one
     hash aggregate (functions/relational.py::time_cube)."""
@@ -767,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_not_exists": g13_not_exists,
         "g14_count_optional": g14_count_optional,
         "g15_attr_aggregates": g15_attr_aggregates,
+        "g16_return_distinct": g16_return_distinct,
+        "g17_order_limit": g17_order_limit,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -824,6 +850,7 @@ _SUPP = "CAST(s_suppkey + 10000 AS BIGINT)"
 _ORD = "CAST(o_orderkey + 10000000 AS BIGINT)"
 # nation/region id projections seen from other tables' FK columns
 _NAT_S = "CAST(s_nationkey + 100 AS BIGINT)"
+_NAT_C = "CAST(c_nationkey + 100 AS BIGINT)"
 _REG_N = "CAST(n_regionkey AS BIGINT)"
 
 _CANON_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -898,6 +925,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS c FROM customer
             WHERE c_nationkey IN (SELECT n_nationkey FROM nation
                                   WHERE n_name = 'NATION_3')
+        """,
+        "g16_return_distinct": f"""
+            SELECT DISTINCT {_NAT_C} AS n FROM customer
+        """,
+        "g17_order_limit": f"""
+            SELECT {_CUST} AS c FROM customer ORDER BY c_custkey DESC LIMIT 5
         """,
         "g14_count_optional": f"""
             SELECT {_CUST} AS c, COUNT(o_orderkey) AS count_o

@@ -41,6 +41,7 @@ from ..frontend.normalize import (
     IDeleteRel,
     INotExistsRel,
     IOptRel,
+    IOrderLimit,
     IReturn,
     IReturnAgg,
     ISet,
@@ -161,9 +162,11 @@ class Executor:
         if isinstance(instr, IDeleteRel):
             return self._delete_rel(instr.src_var, instr.rel, instr.tgt_var, b)
         if isinstance(instr, IReturn):
-            return self._return(list(instr.vars), b)
+            return self._return(list(instr.vars), b, getattr(instr, "distinct", False))
         if isinstance(instr, IReturnAgg):
             return self._return_agg(instr, b)
+        if isinstance(instr, IOrderLimit):
+            return self._order_limit(instr, b)
         if isinstance(instr, IWhere):
             return self._where(instr.expr, b)
         if isinstance(instr, ISet):
@@ -496,14 +499,39 @@ class Executor:
 
     # -- return / where / set -------------------------------------------
 
-    def _return(self, vars: list, b: Binding) -> Binding:
+    def _return(self, vars: list, b: Binding, distinct: bool = False) -> Binding:
         b = self._flush(b)
         cols, new_env = [], []
         for v in vars:
             c, lb = b.lookup(v)
             cols.append(c)
             new_env.append((v, c, lb))
-        return Binding(b.df.select(*cols), new_env, b._counter, b.known_count)
+        df = b.df.select(*cols)
+        if distinct:
+            # `return distinct` extension: one shuffle on the projection
+            df = df.dropDuplicates()
+            return Binding(df, new_env, b._counter, None)
+        return Binding(df, new_env, b._counter, b.known_count)
+
+    def _order_limit(self, instr: IOrderLimit, b: Binding) -> Binding:
+        """``order by ... limit n``: Spark plans orderBy+limit as
+        TakeOrderedAndProject — per-partition partial top-n + single
+        merge, never a full global sort.  Remaining binding columns
+        break ties deterministically."""
+        b = self._flush(b)
+        extra = []
+        if instr.field is None:
+            c, _ = b.lookup(instr.var)
+            joined, key = b.df, F.col(c)
+        else:
+            joined, attr_col, extra = self._join_attrs(b, {(instr.var, instr.field)})
+            key = F.col(attr_col(instr.var, instr.field))
+        order = [key.asc() if instr.ascending else key.desc()]
+        order += [F.col(c).asc() for _, c, _ in b.env]
+        df = joined.orderBy(*order).limit(instr.n)
+        if extra:
+            df = df.drop(*extra)
+        return Binding(df, b.env, b._counter, None)
 
     def _return_agg(self, instr: IReturnAgg, b: Binding) -> Binding:
         """Grouped aggregation over the binding table (extension): ONE

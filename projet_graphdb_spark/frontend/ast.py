@@ -210,6 +210,20 @@ class DeleteClause:
 @dataclass(frozen=True)
 class ReturnClause:
     vars: tuple  # tuple[str, ...]
+    distinct: bool = False  # `return distinct ...` (extension)
+
+
+@dataclass(frozen=True)
+class OrderLimitClause:
+    """``order by <v | v.f> [asc|desc] limit N`` (extension): a
+    deterministic top-N over the binding table — ties broken by the
+    remaining bound columns, so the result is stable.  ``limit`` is
+    mandatory: an unbounded global sort is not a 100 TB operation."""
+
+    var: str
+    field: str | None
+    ascending: bool
+    n: int
 
 
 @dataclass(frozen=True)
@@ -274,6 +288,7 @@ Clause = Union[
     DeleteClause,
     ReturnClause,
     ReturnAggClause,
+    OrderLimitClause,
     WhereClause,
     NotExistsClause,
     SetClause,

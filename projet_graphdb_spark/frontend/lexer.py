@@ -48,6 +48,12 @@ KEYWORDS = {
     "optional": "OPTIONAL",
     "not": "NOT",
     "exists": "EXISTS",
+    "distinct": "DISTINCT",
+    "order": "ORDER",
+    "by": "BY",
+    "limit": "LIMIT",
+    "asc": "ASC",
+    "desc": "DESC",
     "count": "AGGFN",
     "sum": "AGGFN",
     "min": "AGGFN",

@@ -57,6 +57,19 @@ class IDeleteRel:
 @dataclass(frozen=True)
 class IReturn:
     vars: tuple
+    distinct: bool = False  # extension: dedup the projection
+
+
+@dataclass(frozen=True)
+class IOrderLimit:
+    """Deterministic top-N over the binding table (extension): order by
+    the variable's id (field None) or attribute, remaining binding
+    columns as tie-breaks, keep ``n`` rows."""
+
+    var: str
+    field: str | None
+    ascending: bool
+    n: int
 
 
 @dataclass(frozen=True)
@@ -115,6 +128,7 @@ Instruction = Union[
     IDeleteRel,
     IReturn,
     IReturnAgg,
+    IOrderLimit,
     IWhere,
     ISet,
 ]
@@ -188,9 +202,11 @@ def _normalize_clause(clause: A.Clause) -> list:
     if isinstance(clause, A.WhereClause):
         return [IWhere(clause.expr)]
     if isinstance(clause, A.ReturnClause):
-        return [IReturn(clause.vars)]
+        return [IReturn(clause.vars, clause.distinct)]
     if isinstance(clause, A.ReturnAggClause):
         return [IReturnAgg(clause.keys, clause.aggs)]
+    if isinstance(clause, A.OrderLimitClause):
+        return [IOrderLimit(clause.var, clause.field, clause.ascending, clause.n)]
     raise TypeError(f"unknown clause {clause!r}")
 
 

@@ -29,7 +29,7 @@ class ParseError(Exception):
         self.token = tok
 
 
-_CLAUSE_STARTS = {"CREATE", "MATCH", "OPTIONAL", "DELETE", "RETURN", "WHERE", "SET"}
+_CLAUSE_STARTS = {"CREATE", "MATCH", "OPTIONAL", "DELETE", "RETURN", "WHERE", "SET", "ORDER"}
 
 _CMP_OPS = {
     "EQ": A.BinOpKind.EQ,
@@ -139,6 +139,23 @@ class Parser:
             return A.OptionalMatchClause(src, rel, tgt)
         if t.kind == "RETURN":
             return self._parse_return_clause(t)
+        if t.kind == "ORDER":
+            # order by <v | v.f> [asc|desc] limit N
+            self.expect("BY")
+            var = self.expect("IDENT").value
+            fieldname = None
+            if self.accept("DOT"):
+                fieldname = self.expect("IDENT").value
+            ascending = True
+            if self.accept("DESC"):
+                ascending = False
+            else:
+                self.accept("ASC")
+            self.expect("LIMIT")
+            n = int(self.expect("INT").value)
+            if n < 1:
+                raise ParseError("limit must be >= 1", t)
+            return A.OrderLimitClause(var, fieldname, ascending, n)
         if t.kind == "WHERE":
             if self.peek().kind == "NOT":
                 # where not exists (a) -[:r]-> (:L)
@@ -232,7 +249,9 @@ class Parser:
     def _parse_return_clause(self, t):
         """``return`` items: plain vars, plus the aggregate extension
         ``count(v)`` / ``sum(v.f)`` / ``min`` / ``max`` / ``avg``.  Any
-        aggregate present → ReturnAggClause grouping by the plain vars."""
+        aggregate present → ReturnAggClause grouping by the plain vars.
+        ``return distinct ...`` dedups the projection."""
+        distinct = bool(self.accept("DISTINCT"))
         keys, aggs = [], []
         while True:
             if self.peek().kind == "AGGFN":
@@ -253,8 +272,10 @@ class Parser:
             if not self.accept("COMMA"):
                 break
         if aggs:
+            if distinct:
+                raise ParseError("distinct with aggregates is redundant", t)
             return A.ReturnAggClause(tuple(keys), tuple(aggs))
-        return A.ReturnClause(tuple(keys))
+        return A.ReturnClause(tuple(keys), distinct)
 
     def _parse_ident_list(self) -> list:
         names = [self.expect("IDENT").value]

@@ -28,6 +28,7 @@ from .normalize import (
     IDeleteRel,
     INotExistsRel,
     IOptRel,
+    IOrderLimit,
     IReturn,
     IReturnAgg,
     ISet,
@@ -119,7 +120,15 @@ def show_instruction(i) -> str:
         return f'(Instr.IDeleteRel ("{i.src_var}", "{i.rel}", "{i.tgt_var}"))'
     if isinstance(i, IReturn):
         vs = "; ".join(f'"{v}"' for v in i.vars)
-        return f"(Instr.IReturn [{vs}])"
+        mark = "  (* distinct *)" if getattr(i, "distinct", False) else ""
+        return f"(Instr.IReturn [{vs}])" + mark
+    if isinstance(i, IOrderLimit):
+        fld = f'"{i.field}"' if i.field else "None"
+        direction = "asc" if i.ascending else "desc"
+        return (
+            f'(Instr.IOrderLimit ("{i.var}", {fld}, {direction}, {i.n}))'
+            "  (* extension *)"
+        )
     if isinstance(i, IReturnAgg):
         ks = "; ".join(f'"{v}"' for v in i.keys)
         ags = "; ".join(

@@ -29,6 +29,7 @@ from .normalize import (
     IDeleteRel,
     INotExistsRel,
     IOptRel,
+    IOrderLimit,
     IReturn,
     IReturnAgg,
     ISet,
@@ -60,6 +61,11 @@ class Env:
             if v == var:
                 return lb
         return None
+
+    def is_bound(self, var: str) -> bool:
+        """True if bound at all — including aggregate outputs, which are
+        bound with label None and so are invisible to ``lookup``."""
+        return any(v == var for v, _ in self.bindings)
 
     def remove_first(self, var: str) -> "Env":
         out, removed = [], False
@@ -210,6 +216,20 @@ def tc_instr(instr, env: Env) -> Env:
         if len(instr.vars) != len(set(instr.vars)):
             raise TypeCheckError("Return contains duplicate variables")
         return env.keep_only(instr.vars)
+    if isinstance(instr, IOrderLimit):
+        if not env.is_bound(instr.var):
+            raise TypeCheckError(f"Variable '{instr.var}' is not bound")
+        lbl = env.lookup(instr.var)
+        if instr.field is not None:
+            if lbl is None:
+                raise TypeCheckError(
+                    f"'{instr.var}' is an aggregate output — order by it directly"
+                )
+            if instr.field not in tg.attrs_of(lbl):
+                raise TypeCheckError(
+                    f"Attribute '{instr.field}' not declared for node type '{lbl}'"
+                )
+        return env
     if isinstance(instr, IReturnAgg):
         errors = []
         for v in instr.keys:

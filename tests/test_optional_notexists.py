@@ -135,3 +135,40 @@ match (x: P) return sum(x.nom)
 def test_return_agg_unbound_var(spark):
     with pytest.raises(TypeCheckError, match="not bound"):
         run_program(spark, BASE + "match (x: P) return x, count(zz)")
+
+
+def test_return_distinct_dedups(spark):
+    prog = AGG_BASE + "create (b) -[:knows]-> (q1)\n" \
+        + "match (x: P) -[:knows]-> (y: Q) return distinct y"
+    _, b = run_program(spark, prog)
+    assert rows(b) == [(2,), (3,)]
+
+
+def test_order_by_attr_desc_limit(spark):
+    prog = AGG_BASE + "match (x: P) -[:knows]-> (y: Q) " \
+        + "order by y.v desc limit 1 return x, y"
+    _, b = run_program(spark, prog)
+    assert rows(b) == [(0, 3)]
+
+
+def test_order_by_aggregate_output(spark):
+    prog = AGG_BASE + "create (b) -[:knows]-> (q1)\n" \
+        + "match (x: P) -[:knows]-> (y: Q) return x, count(y) " \
+        + "order by count_y desc limit 1"
+    _, b = run_program(spark, prog)
+    assert rows(b) == [(0, 2)]
+
+
+def test_order_limit_requires_limit(spark):
+    from projet_graphdb_spark.frontend.parser import ParseError as PE
+
+    with pytest.raises(PE):
+        run_program(spark, AGG_BASE + "match (y: Q) order by y.v return y")
+
+
+def test_order_by_attr_on_agg_output_rejected(spark):
+    with pytest.raises(TypeCheckError, match="aggregate output"):
+        run_program(
+            spark,
+            AGG_BASE + "match (y: Q) return count(y) order by count_y.v desc limit 1",
+        )
