@@ -576,6 +576,19 @@ def g15_attr_aggregates(spark, sf_dir):
     return binding_table(b)
 
 
+def g18_having(spark, sf_dir):
+    """Extension: HAVING — a where over aggregate outputs (bare-variable
+    expressions): nations with at least 70 customers."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation)\n"
+        "return n, count(c)\n"
+        "where count_c >= 70",
+    )
+    return binding_table(b)
+
+
 def g16_return_distinct(spark, sf_dir):
     """Extension: 'return distinct' — nations having at least one
     customer, deduplicated at the language level (one shuffle on the
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_attr_aggregates": g15_attr_aggregates,
         "g16_return_distinct": g16_return_distinct,
         "g17_order_limit": g17_order_limit,
+        "g18_having": g18_having,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -925,6 +939,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS c FROM customer
             WHERE c_nationkey IN (SELECT n_nationkey FROM nation
                                   WHERE n_name = 'NATION_3')
+        """,
+        "g18_having": f"""
+            SELECT {_NAT_C} AS n, COUNT(*) AS count_c
+            FROM customer GROUP BY 1 HAVING COUNT(*) >= 70
         """,
         "g16_return_distinct": f"""
             SELECT DISTINCT {_NAT_C} AS n FROM customer

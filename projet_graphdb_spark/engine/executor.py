@@ -566,9 +566,22 @@ class Executor:
     def _where(self, expr: A.Expr, b: Binding) -> Binding:
         b = self._flush(b)
         joined, attr_col, extra = self._join_attrs(b, attrib_accesses(expr))
-        cond = to_column(expr, attr_col)
+        cond = to_column(expr, self._expr_resolver(b, attr_col))
         filtered = joined.filter(cond).drop(*extra)
         return Binding(filtered, b.env, b._counter, None)
+
+    def _expr_resolver(self, b: Binding, attr_col):
+        """(var, field) -> column name; field None = a bare variable
+        (extension): resolves to the binding column itself — a node id,
+        or an aggregate output (which makes `where` after a return-
+        aggregate a HAVING)."""
+
+        def resolve(v, f):
+            if f is None:
+                return b.lookup(v)[0]
+            return attr_col(v, f)
+
+        return resolve
 
     def _set(self, var: str, fieldname: str, expr: A.Expr, b: Binding) -> Binding:
         b = self._flush(b)
@@ -586,7 +599,7 @@ class Executor:
             )
         else:
             joined, attr_col, _extra = self._join_attrs(b, attrib_accesses(expr))
-            value_col = to_column(expr, attr_col).cast(decl_tp)
+            value_col = to_column(expr, self._expr_resolver(b, attr_col)).cast(decl_tp)
             if self.set_eval == "first_row":
                 # reference semantics: evaluate once against the first row
                 # (sem.ml:371-372); crashes on empty table like List.hd.

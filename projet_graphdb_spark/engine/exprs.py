@@ -40,6 +40,15 @@ def attrib_accesses(e: A.Expr) -> set:
     return set()
 
 
+def bare_vars(e: A.Expr) -> set:
+    """All bare variables referenced by the expression (extension)."""
+    if isinstance(e, A.BareVar):
+        return {e.var}
+    if isinstance(e, A.BinOp):
+        return bare_vars(e.left) | bare_vars(e.right)
+    return set()
+
+
 def const_fold(e: A.Expr):
     """Driver-side evaluation when the expression has no attribute access.
 
@@ -49,7 +58,7 @@ def const_fold(e: A.Expr):
     """
     if isinstance(e, A.Const):
         return e.value.python_value
-    if isinstance(e, A.BinOp) and not attrib_accesses(e):
+    if isinstance(e, A.BinOp) and not attrib_accesses(e) and not bare_vars(e):
         l = const_fold(e.left)
         r = const_fold(e.right)
         k = e.op
@@ -93,6 +102,9 @@ def to_column(e: A.Expr, attr_col) -> Column:
         return F.lit(e.value.python_value)
     if isinstance(e, A.AttribAcc):
         return F.col(attr_col(e.var, e.field))
+    if isinstance(e, A.BareVar):
+        # bare variable: its binding column (node id / aggregate output)
+        return F.col(attr_col(e.var, None))
     if isinstance(e, A.BinOp):
         l = to_column(e.left, attr_col)
         r = to_column(e.right, attr_col)

@@ -68,6 +68,15 @@ class AttribAcc:
     field: str
 
 
+@dataclass(frozen=True)
+class BareVar:
+    """A bare variable in an expression (extension): a node variable
+    evaluates to its id (int); an aggregate output evaluates to its
+    value — which is what makes ``where count_o >= 5`` a HAVING."""
+
+    var: str
+
+
 class BinOpKind(Enum):
     # arithmetic (int × int → int)
     ADD = "+"
@@ -113,7 +122,7 @@ class BinOp:
     right: "Expr"
 
 
-Expr = Union[Const, AttribAcc, BinOp]
+Expr = Union[Const, AttribAcc, BareVar, BinOp]
 
 
 # ---------------------------------------------------------------------------

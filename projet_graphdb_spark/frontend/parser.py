@@ -375,9 +375,11 @@ class Parser:
             return A.Const(A.Value.string(t.value))
         if t.kind == "IDENT":
             self.next()
-            self.expect("DOT")
-            fieldname = self.expect("IDENT").value
-            return A.AttribAcc(t.value, fieldname)
+            if self.accept("DOT"):
+                fieldname = self.expect("IDENT").value
+                return A.AttribAcc(t.value, fieldname)
+            # bare variable (extension): node id, or an aggregate output
+            return A.BareVar(t.value)
         raise ParseError("expected expression", t)
 
 

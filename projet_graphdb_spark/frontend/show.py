@@ -76,6 +76,8 @@ def show_expr(e: A.Expr) -> str:
         return f"(Lang.Const {_show_value(e.value)})"
     if isinstance(e, A.AttribAcc):
         return f'(Lang.AttribAcc ("{e.var}", "{e.field}"))'
+    if isinstance(e, A.BareVar):
+        return f'(Ext.BareVar "{e.var}")  (* extension *)'
     return (
         f"(Lang.BinOp ({_show_binop_kind(e.op)}, "
         f"{show_expr(e.left)}, {show_expr(e.right)}))"

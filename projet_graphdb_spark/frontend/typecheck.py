@@ -106,10 +106,28 @@ def tp_expr(env: Env, e: A.Expr) -> A.AttribType:
         label = env.lookup(e.var)
         if label is None:
             raise TypeCheckError(f"Variable '{e.var}' not bound")
+        if not isinstance(label, str):
+            raise TypeCheckError(
+                f"'{e.var}' is an aggregate output — it has no attributes"
+            )
         attrs = env.types.attrs_of(label)
         if e.field not in attrs:
             raise TypeCheckError(f"Attribute '{e.field}' not declared for node type '{label}'")
         return attrs[e.field]
+    if isinstance(e, A.BareVar):
+        # extension: a node variable is its id (int); an aggregate output
+        # is its value
+        if not env.is_bound(e.var):
+            raise TypeCheckError(f"Variable '{e.var}' not bound")
+        label = env.lookup(e.var)
+        if isinstance(label, tuple):  # ("agg", AttribType | None)
+            tp = label[1]
+            if tp is None:
+                raise TypeCheckError(
+                    f"'{e.var}' (avg output) is not usable in expressions"
+                )
+            return tp
+        return A.AttribType.INT  # node id
     if isinstance(e, A.BinOp):
         t1 = tp_expr(env, e.left)
         t2 = tp_expr(env, e.right)
@@ -206,11 +224,14 @@ def tc_instr(instr, env: Env) -> Env:
             )
         return env
     if isinstance(instr, IDeleteNode):
-        if env.lookup(instr.var) is None:
+        lbl = env.lookup(instr.var)
+        if lbl is None and not env.is_bound(instr.var):
             raise TypeCheckError(f"Variable '{instr.var}' is not bound")
+        if not isinstance(lbl, str):
+            raise TypeCheckError(f"'{instr.var}' is not a node variable")
         return env.remove_first(instr.var)
     if isinstance(instr, IReturn):
-        unbound = [v for v in instr.vars if env.lookup(v) is None]
+        unbound = [v for v in instr.vars if not env.is_bound(v)]
         if unbound:
             raise TypeCheckError([f"Variable '{v}' is not bound" for v in unbound])
         if len(instr.vars) != len(set(instr.vars)):
@@ -221,7 +242,7 @@ def tc_instr(instr, env: Env) -> Env:
             raise TypeCheckError(f"Variable '{instr.var}' is not bound")
         lbl = env.lookup(instr.var)
         if instr.field is not None:
-            if lbl is None:
+            if not isinstance(lbl, str):
                 raise TypeCheckError(
                     f"'{instr.var}' is an aggregate output — order by it directly"
                 )
@@ -255,7 +276,11 @@ def tc_instr(instr, env: Env) -> Env:
         out = env.keep_only(instr.keys)
         for it in instr.aggs:
             name = f"{it.fn}_{it.var}" + (f"_{it.field}" if it.field else "")
-            out = out.bind(name, None)  # aggregate output: not a node var
+            # aggregate output: bound with a ("agg", type) marker, not a
+            # node label — count/sum/min/max are int, avg is double
+            # (None = unusable in the int/bool/string expression language)
+            tp = A.AttribType.INT if it.fn != "avg" else None
+            out = out.bind(name, ("agg", tp))
         return out
     if isinstance(instr, IWhere):
         if tp_expr(env, instr.expr) != A.AttribType.BOOL:
@@ -265,6 +290,8 @@ def tc_instr(instr, env: Env) -> Env:
         label = env.lookup(instr.var)
         if label is None:
             raise TypeCheckError(f"Variable '{instr.var}' is not bound")
+        if not isinstance(label, str):
+            raise TypeCheckError(f"'{instr.var}' is not a node variable")
         attrs = tg.attrs_of(label)
         if instr.field not in attrs:
             raise TypeCheckError(

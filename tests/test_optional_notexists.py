@@ -172,3 +172,33 @@ def test_order_by_attr_on_agg_output_rejected(spark):
             spark,
             AGG_BASE + "match (y: Q) return count(y) order by count_y.v desc limit 1",
         )
+
+
+def test_having_over_count(spark):
+    prog = AGG_BASE + "create (b) -[:knows]-> (q1)\n" \
+        + "match (x: P) -[:knows]-> (y: Q) return x, count(y) where count_y >= 2"
+    _, b = run_program(spark, prog)
+    assert rows(b) == [(0, 2)]
+
+
+def test_bare_node_var_comparison(spark):
+    # node ids are ints: x <> x is always false, x = x always true
+    prog = AGG_BASE + "match (x: P) match (y: P) where x <> y return x, y"
+    _, b = run_program(spark, prog)
+    assert rows(b) == [(0, 1), (1, 0)]
+
+
+def test_avg_output_rejected_in_where(spark):
+    with pytest.raises(TypeCheckError, match="avg output"):
+        run_program(
+            spark,
+            AGG_BASE + "match (y: Q) return avg(y.v) where avg_y_v >= 1",
+        )
+
+
+def test_set_on_agg_output_rejected(spark):
+    with pytest.raises(TypeCheckError, match="not a node variable"):
+        run_program(
+            spark,
+            AGG_BASE + "match (y: Q) return count(y) set count_y.v = 1",
+        )
