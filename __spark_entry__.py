@@ -613,6 +613,33 @@ def g17_order_limit(spark, sf_dir):
     return binding_table(b)
 
 
+def g19_union(spark, sf_dir):
+    """Extension: set ops between query branches — suppliers AND
+    customers of NATION_3, as one id column (union = SQL DISTINCT
+    semantics, matched by variable name; engine/executor.py::run)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        'match (s: Supplier) -[:in_nation]-> (n: Nation) where n.name = "NATION_3" return s\n'
+        "union\n"
+        'match (s: Customer) -[:in_nation]-> (n: Nation) where n.name = "NATION_3" return s',
+    )
+    return binding_table(b)
+
+
+def g20_except(spark, sf_dir):
+    """Extension: except — customers NOT in NATION_3 by set difference
+    of two match branches."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) return c\n"
+        "except\n"
+        'match (c: Customer) -[:in_nation]-> (n: Nation) where n.name = "NATION_3" return c',
+    )
+    return binding_table(b)
+
+
 def x9_time_cube(spark, sf_dir):
     """Full CUBE over (event_type, day): all four grouping sets in one
     hash aggregate (functions/relational.py::time_cube)."""
@@ -807,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_return_distinct": g16_return_distinct,
         "g17_order_limit": g17_order_limit,
         "g18_having": g18_having,
+        "g19_union": g19_union,
+        "g20_except": g20_except,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -939,6 +968,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS c FROM customer
             WHERE c_nationkey IN (SELECT n_nationkey FROM nation
                                   WHERE n_name = 'NATION_3')
+        """,
+        "g19_union": f"""
+            SELECT {_SUPP} AS s FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            UNION
+            SELECT {_CUST} AS s FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        """,
+        "g20_except": f"""
+            SELECT {_CUST} AS c FROM customer
+            EXCEPT
+            SELECT {_CUST} AS c FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
         """,
         "g18_having": f"""
             SELECT {_NAT_C} AS n, COUNT(*) AS count_c

@@ -45,6 +45,7 @@ from ..frontend.normalize import (
     IReturn,
     IReturnAgg,
     ISet,
+    ISetOp,
     IWhere,
     NormProg,
 )
@@ -104,13 +105,48 @@ class Executor:
     _mutations: int = 0
 
     def run(self, prog: NormProg, binding: Binding | None = None) -> Binding:
-        if binding is None:
-            # seed: zero columns, ONE empty row (sem.ml:25) — makes the
-            # first create/match produce exactly-one / one-per-node rows.
-            binding = Binding(self.state.spark.range(1).select(), known_count=1)
+        branches, cur, ops = [], [], []
         for instr in prog.instructions:
-            binding = self.exec_instr(instr, binding)
-        return self._flush(binding)
+            if isinstance(instr, ISetOp):
+                branches.append(cur)
+                ops.append(instr.op)
+                cur = []
+            else:
+                cur.append(instr)
+        branches.append(cur)
+
+        def seed() -> Binding:
+            # zero columns, ONE empty row (sem.ml:25) — makes the first
+            # create/match produce exactly-one / one-per-node rows
+            return Binding(self.state.spark.range(1).select(), known_count=1)
+
+        def run_branch(instrs, b: Binding) -> Binding:
+            for instr in instrs:
+                b = self.exec_instr(instr, b)
+            return self._flush(b)
+
+        first = run_branch(branches[0], binding if binding is not None else seed())
+        if not ops:
+            return first
+
+        # set-op combination (extension): each later branch runs from a
+        # fresh seed over the SAME (possibly mutated) graph; results are
+        # combined by VARIABLE NAME with SQL DISTINCT semantics.  Spark
+        # plans these as one shuffle each (union+dedup / intersect /
+        # subtract with partial aggregation) — no driver-side rows.
+        names = [v for v, _, _ in first.env]
+        acc = first.df.select(*[F.col(c).alias(v) for v, c, _ in first.env])
+        acc_env = [(v, v, lb) for v, _, lb in first.env]
+        for op, instrs in zip(ops, branches[1:]):
+            nxt = run_branch(instrs, seed())
+            ndf = nxt.df.select(*[F.col(c).alias(v) for v, c, _ in nxt.env]).select(*names)
+            if op == "union":
+                acc = acc.unionByName(ndf).dropDuplicates()
+            elif op == "intersect":
+                acc = acc.intersect(ndf)
+            else:  # except
+                acc = acc.subtract(ndf)
+        return Binding(acc, acc_env, first._counter, None)
 
     def _flush(self, b: Binding, only: str | None = None) -> Binding:
         """Materialize pending match-node columns as cross joins

@@ -267,6 +267,18 @@ class SetClause:
 
 
 @dataclass(frozen=True)
+class SetOpClause:
+    """``union`` / ``intersect`` / ``except`` between query branches
+    (extension): the following clauses form a new branch starting from a
+    fresh seed binding (over the same, possibly mutated, graph); the
+    program's result is the left-associative set combination of the
+    branches' result tables, SQL DISTINCT semantics, matched by
+    variable name.  Every branch must return the same variables."""
+
+    op: str  # "union" | "intersect" | "except"
+
+
+@dataclass(frozen=True)
 class OptionalMatchClause:
     """``optional match (a) -[:r]-> (b:L)`` (extension, SURVEY §2.2):
     keeps every existing binding row; where the edge exists the new
@@ -301,6 +313,7 @@ Clause = Union[
     WhereClause,
     NotExistsClause,
     SetClause,
+    SetOpClause,
 ]
 
 

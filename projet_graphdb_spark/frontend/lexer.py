@@ -48,6 +48,9 @@ KEYWORDS = {
     "optional": "OPTIONAL",
     "not": "NOT",
     "exists": "EXISTS",
+    "union": "SETOP",
+    "intersect": "SETOP",
+    "except": "SETOP",
     "distinct": "DISTINCT",
     "order": "ORDER",
     "by": "BY",

@@ -61,6 +61,15 @@ class IReturn:
 
 
 @dataclass(frozen=True)
+class ISetOp:
+    """Branch separator (extension): combine the finished branch's
+    result with the next branch's via union/intersect/except (SQL
+    DISTINCT semantics, matched by variable name)."""
+
+    op: str
+
+
+@dataclass(frozen=True)
 class IOrderLimit:
     """Deterministic top-N over the binding table (extension): order by
     the variable's id (field None) or attribute, remaining binding
@@ -129,6 +138,7 @@ Instruction = Union[
     IReturn,
     IReturnAgg,
     IOrderLimit,
+    ISetOp,
     IWhere,
     ISet,
 ]
@@ -207,6 +217,8 @@ def _normalize_clause(clause: A.Clause) -> list:
         return [IReturnAgg(clause.keys, clause.aggs)]
     if isinstance(clause, A.OrderLimitClause):
         return [IOrderLimit(clause.var, clause.field, clause.ascending, clause.n)]
+    if isinstance(clause, A.SetOpClause):
+        return [ISetOp(clause.op)]
     raise TypeError(f"unknown clause {clause!r}")
 
 

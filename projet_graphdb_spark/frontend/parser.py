@@ -79,6 +79,13 @@ class Parser:
         clauses = []
         while self.peek().kind in _CLAUSE_STARTS:
             clauses.append(self._parse_clause())
+        while self.peek().kind == "SETOP":
+            op_tok = self.next()
+            clauses.append(A.SetOpClause(op_tok.value))
+            if self.peek().kind not in _CLAUSE_STARTS:
+                raise ParseError(f"expected clauses after '{op_tok.value}'", self.peek())
+            while self.peek().kind in _CLAUSE_STARTS:
+                clauses.append(self._parse_clause())
         self.expect("EOF")
         return A.Prog(types, A.Query(clauses))
 

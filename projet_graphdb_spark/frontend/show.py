@@ -32,6 +32,7 @@ from .normalize import (
     IReturn,
     IReturnAgg,
     ISet,
+    ISetOp,
     IWhere,
     NormProg,
 )
@@ -141,6 +142,8 @@ def show_instruction(i) -> str:
         return f"(Instr.IWhere {show_expr(i.expr)})"
     if isinstance(i, ISet):
         return f'(Instr.ISet ("{i.var}", "{i.field}", {show_expr(i.expr)}))'
+    if isinstance(i, ISetOp):
+        return f'(Instr.ISetOp "{i.op}")  (* extension: branch separator *)'
     return repr(i)
 
 

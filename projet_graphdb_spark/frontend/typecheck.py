@@ -33,6 +33,7 @@ from .normalize import (
     IReturn,
     IReturnAgg,
     ISet,
+    ISetOp,
     IWhere,
     NormProg,
 )
@@ -306,13 +307,36 @@ def tc_instr(instr, env: Env) -> Env:
 
 
 def typecheck(np: NormProg) -> NormProg:
-    """Validate schema + instructions; returns ``np`` unchanged on success."""
+    """Validate schema + instructions; returns ``np`` unchanged on success.
+
+    Set-op branches (extension) each typecheck from a fresh environment;
+    every branch's final binding must expose the same variable names."""
     schema_errors = check_graph_types(np.types)
     if schema_errors:
         raise TypeCheckError(schema_errors)
     env = Env(np.types)
+    branch_names = None
     for instr in np.instructions:
+        if isinstance(instr, ISetOp):
+            names = frozenset(v for v, _ in env.bindings)
+            if not names:
+                raise TypeCheckError(f"'{instr.op}' branch returns no variables")
+            if branch_names is not None and names != branch_names:
+                raise TypeCheckError(
+                    f"set-op branches return different variables: "
+                    f"{sorted(branch_names)} vs {sorted(names)}"
+                )
+            branch_names = names
+            env = Env(np.types)
+            continue
         env = tc_instr(instr, env)
+    if branch_names is not None:
+        names = frozenset(v for v, _ in env.bindings)
+        if names != branch_names:
+            raise TypeCheckError(
+                f"set-op branches return different variables: "
+                f"{sorted(branch_names)} vs {sorted(names)}"
+            )
     return np
 
 

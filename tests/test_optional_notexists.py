@@ -202,3 +202,40 @@ def test_set_on_agg_output_rejected(spark):
             spark,
             AGG_BASE + "match (y: Q) return count(y) set count_y.v = 1",
         )
+
+
+def test_setops_semantics(spark):
+    base = """
+(:P {v int})
+create (a: P)
+create (b: P)
+create (c: P)
+set a.v = 1, b.v = 2, c.v = 1
+"""
+    _, u = run_program(
+        spark, base + "match (x: P) where x.v = 1 return x union match (x: P) where x.v = 2 return x"
+    )
+    assert rows(u) == [(0,), (1,), (2,)]
+    _, i = run_program(
+        spark, base + "match (x: P) return x intersect match (x: P) where x.v = 1 return x"
+    )
+    assert rows(i) == [(0,), (2,)]
+    _, e = run_program(
+        spark, base + "match (x: P) return x except match (x: P) where x.v = 1 return x"
+    )
+    assert rows(e) == [(1,)]
+
+
+def test_setop_mutation_visible_across_branches(spark):
+    base = "(:P {v int})\ncreate (x: P)\n"
+    _, b = run_program(spark, base + "return x union match (x: P) return x")
+    # branch 2 sees the node created in branch 1
+    assert rows(b) == [(0,)]
+
+
+def test_setop_mismatched_vars_rejected(spark):
+    with pytest.raises(TypeCheckError, match="different variables"):
+        run_program(
+            spark,
+            "(:P {v int})\ncreate (a: P)\nmatch (x: P) return x union match (y: P) return y",
+        )
