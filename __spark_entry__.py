@@ -424,6 +424,30 @@ def a3_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def a6_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counting (graph_algos.triangle_count,
+    degree-ordered wedge enumeration — O(m^1.5) worst case, skew-proof)
+    over a deterministic benchmark graph: customers chained inside
+    buckets of 10 consecutive custkeys by (k,k+1) and (k,k+2) edges,
+    giving 8 triangles per full bucket.  The oracle re-derives the same
+    triangle set with the canonical a<b<c SQL formulation (the triangle
+    SET is orientation-independent; only the enumeration order differs)."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.triangle_count(e)
+
+
 def a5_kmeans(spark, sf_dir):
     """Distributed k-means (2 Lloyd iterations, k=8, deterministic seed,
     6-dp centroid rounding) — assignment map-only via inlined centroid
@@ -873,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_pagerank": a3_pagerank,
         "a4_sssp": a4_sssp,
         "a5_kmeans": a5_kmeans,
+        "a6_triangle_count": a6_triangle_count,
         # the availableNow-drained streaming twins run LAST: their memory
         # sinks and state stores stay resident for the session, and the
         # GC pressure would otherwise tax whatever runs after them
@@ -1379,6 +1404,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.id, eu.dst AS peer FROM reach r JOIN eu ON eu.src = r.peer
             )
             SELECT id, MIN(peer) AS component FROM reach GROUP BY id
+        """,
+        "a6_triangle_count": """
+            WITH ck AS (
+              SELECT CAST(c_custkey AS BIGINT) AS raw,
+                     CAST(c_custkey + 1000000 AS BIGINT) AS k
+              FROM customer
+            ),
+            e0 AS (
+              SELECT a.k AS a, b.k AS b FROM ck a
+              JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+              UNION ALL
+              SELECT a.k, b.k FROM ck a
+              JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+            ),
+            e AS (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM e0 WHERE a <> b
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            v AS (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT id, COUNT(*) AS triangles FROM v GROUP BY id
         """,
         "a4_sssp": f"""
             WITH RECURSIVE ed AS (

@@ -269,3 +269,68 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the undirected view of ``edges``.
+
+    Output: ``(id, triangles)`` for every vertex in at least one
+    triangle.
+
+    Algorithm (node-iterator++ / Schank-Wagner): canonicalize to
+    distinct undirected pairs, then ORIENT each edge from the endpoint
+    with the smaller ``(degree, id)`` rank to the larger.  Every wedge
+    is then enumerated exactly once, at its lowest-rank vertex, and a
+    triangle is a wedge whose rank-ordered closing pair is itself an
+    oriented edge.
+
+    Scale design: the orientation is the whole point — the wedge
+    self-join fans out quadratically in OUT-degree, and degree ordering
+    bounds max out-degree by O(sqrt(m)), so total wedge volume is
+    O(m^1.5) regardless of skew (a 10^6-degree hub vertex has rank
+    higher than nearly all neighbours and generates ~no wedges).  Three
+    shuffles: degree aggregate, wedge self-join on the pivot, closing
+    equi-join on the (lo, hi) pair.  No driver-side iteration, no
+    collect.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "leftsemi",
+    ).select("u", "v1", "v2")
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -79,3 +79,44 @@ def test_sssp_hop_bound_semantics(spark):
     )
     out = {r["id"]: r["dist"] for r in sssp(edges, sources=[1], num_iter=2).collect()}
     assert out == {1: 0.0, 2: 1.0, 3: 2.0}, out
+
+
+def _tri_counts(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["triangles"] for r in graph_algos.triangle_count(df).collect()}
+
+
+def test_triangle_count_k4(spark):
+    # K4: every vertex is in C(3,2)=3 triangles; 4 triangles total
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    assert _tri_counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_star_and_path(spark):
+    # a star and a path have no triangles at all
+    star = [(0, i) for i in range(1, 6)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    assert _tri_counts(spark, star + path) == {}
+
+
+def test_triangle_count_direction_and_dups_ignored(spark):
+    # reciprocal + duplicate + self-loop edges collapse to one undirected
+    # triangle {0,1,2}
+    noisy = [(0, 1), (1, 0), (1, 2), (1, 2), (2, 0), (2, 2)]
+    assert _tri_counts(spark, noisy) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_python_reference(spark):
+    # pseudo-random graph vs a brute-force python count
+    import itertools
+    rng = np.random.default_rng(7)
+    n = 30
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(120, 2)) if a != b]
+    und = {frozenset(e) for e in edges}
+    expect = {}
+    for tri in itertools.combinations(range(n), 3):
+        a, b, c = tri
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= und:
+            for v in tri:
+                expect[v] = expect.get(v, 0) + 1
+    assert _tri_counts(spark, edges) == expect
