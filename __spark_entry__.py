@@ -507,6 +507,31 @@ def x12_skew_join(spark, sf_dir):
     return skew.salted_join(li, part, on=["l_partkey"], n_salts=8)
 
 
+def x13_order_history(spark, sf_dir):
+    """Window-function family (functions/relational.py::order_history):
+    per-customer row_number / DECIMAL running sum / lag / rank.  Both
+    window specs share the o_custkey partitioning, so the plan has ONE
+    Exchange feeding two in-partition Sorts — no extra shuffle per
+    window column."""
+    return relational.order_history(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+    )
+
+
+def x14_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-table join (functions/relational.py::
+    shipping_priority): pushed-down date/segment filters, broadcast
+    customer dim, one orderkey shuffle shared by join and aggregate,
+    DECIMAL revenue, top-k via TakeOrderedAndProject."""
+    return relational.shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -872,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_quantiles": x10_quantiles,
         "x11_asof_forward": x11_asof_forward,
         "x12_skew_join": x12_skew_join,
+        "x13_order_history": x13_order_history,
+        "x14_shipping_priority": x14_shipping_priority,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1095,6 +1122,33 @@ def oracle_sql() -> dict[str, str]:
         "x12_skew_join": """
             SELECT l_orderkey, l_linenumber, l_partkey, p_brand
             FROM lineitem JOIN part ON p_partkey = l_partkey
+        """,
+        "x13_order_history": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS running_spend,
+                   LAG(o_totalprice) OVER w AS prev_price,
+                   CAST(RANK() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                        AS BIGINT) AS spend_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "x14_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -151,3 +151,78 @@ def time_rollup(
             "sum_value",
         )
     )
+
+
+def order_history(orders: DataFrame) -> DataFrame:
+    """Per-customer order-history analytics with window functions:
+    sequence number, running spend, previous order price, and spend
+    rank — the canonical lag/rank/cumulative family.
+
+    Scale design: BOTH window specs partition by ``o_custkey``, so
+    Catalyst plans a single hash-partition Exchange feeding two
+    in-partition Sorts — adding window columns over the same key is
+    free of extra shuffles.  The running sum accumulates in DECIMAL
+    (exact, associative) so the in-frame addition order can never
+    produce run-to-run float drift; the ordering key (date, orderkey)
+    is unique, making RANGE and ROWS frames identical and the result
+    fully deterministic.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(w_rank).cast("long").alias("spend_rank"),
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped multi-join: revenue of not-yet-shipped lineitems
+    for orders placed by one market segment before ``cutoff``.
+
+    Scale design: filters land BEFORE the joins so they push into the
+    parquet scans; the segment-filtered customer keys are a small
+    dimension and are explicitly broadcast (map-side hash join, no
+    shuffle of the orders side for that join); the only real shuffle is
+    lineitem ⋈ orders on the orderkey, which is also the aggregation
+    key, so the groupBy reuses the join's partitioning instead of
+    shuffling a second time.  Revenue accumulates in DECIMAL (order
+    independent); final top-k is TakeOrderedAndProject, not a full sort.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).drop("c_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(25,2)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(k)

@@ -222,3 +222,52 @@ def test_quantization_range_and_roundtrip(spark):
         x = np.array(orig[r["vec_id"]], dtype=np.float64)
         # dequantization error bounded by half a quantization step
         assert np.abs(deq - x).max() <= r["scale"] / 2 + 1e-9
+
+
+def test_order_history_windows(spark):
+    import datetime as dt
+
+    rows = [
+        # custkey, orderkey, date, price
+        (1, 10, dt.datetime(2020, 1, 1), 10.0),
+        (1, 11, dt.datetime(2020, 1, 2), 30.0),
+        (1, 12, dt.datetime(2020, 1, 3), 20.0),
+        (2, 13, dt.datetime(2020, 1, 1), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["o_orderkey"]: r for r in relational.order_history(df).collect()}
+    assert [out[k]["seq"] for k in (10, 11, 12)] == [1, 2, 3]
+    assert [out[k]["running_spend"] for k in (10, 11, 12)] == [10.0, 40.0, 60.0]
+    assert out[10]["prev_price"] is None and out[11]["prev_price"] == 10.0
+    assert [out[k]["spend_rank"] for k in (10, 11, 12)] == [3, 1, 2]
+    assert out[13]["seq"] == 1 and out[13]["running_spend"] == 5.0
+
+
+def test_shipping_priority_semantics(spark):
+    import datetime as dt
+
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(1998, 1, 1), "1-URGENT"),   # in window
+            (101, 1, dt.datetime(1999, 1, 1), "1-URGENT"),   # too late
+            (102, 2, dt.datetime(1998, 1, 1), "1-URGENT"),   # wrong segment
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 100.0, 0.1, dt.datetime(1998, 7, 1)),  # counted: 90
+            (100, 50.0, 0.0, dt.datetime(1998, 1, 1)),   # shipped before cutoff
+            (101, 10.0, 0.0, dt.datetime(1998, 7, 1)),
+            (102, 10.0, 0.0, dt.datetime(1998, 7, 1)),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    out = relational.shipping_priority(cust, orders, li).collect()
+    assert len(out) == 1
+    assert out[0]["l_orderkey"] == 100 and out[0]["revenue"] == 90.0
