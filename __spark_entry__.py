@@ -244,6 +244,16 @@ def t4_hash_split(spark, sf_dir):
     return text.hash_split(_docs(spark, sf_dir))
 
 
+def t6_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py::
+    repetition_signals): distinct-word fraction, duplicate-bigram
+    fraction, top-word dominance — array algebra map-only except one
+    doc-keyed explode/aggregate for the word mode."""
+    return text.repetition_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
 def t5_top_ngrams(spark, sf_dir):
     """Corpus statistics: top-20 word trigrams by document frequency,
     deterministic tie-break (functions/text.py::top_ngrams)."""
@@ -904,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_token_shards": t3_token_shards,
         "t4_hash_split": t4_hash_split,
         "t5_top_ngrams": t5_top_ngrams,
+        "t6_repetition_signals": t6_repetition_signals,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -1222,6 +1233,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        "t6_repetition_signals": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            base AS (
+              SELECT doc_id, ws,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                       AS distinct_frac,
+                     CASE WHEN len(ws) < 2 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(
+                                 list_transform(
+                                   list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                                   s -> s[1] || ' ' || s[2])))
+                               AS DOUBLE) / (len(ws) - 1)
+                     END AS dup_bigram_frac
+              FROM w
+            ),
+            cnt AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+              GROUP BY doc_id, word
+            ),
+            top AS (SELECT doc_id, MAX(c) AS mc FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words, b.distinct_frac, b.dup_bigram_frac,
+                   CAST(t.mc AS DOUBLE) / b.n_words AS top_word_frac
+            FROM base b JOIN top t USING (doc_id)
         """,
         "t5_top_ngrams": f"""
             WITH sh AS (SELECT unnest({_SHINGLES}) AS ngram FROM documents)

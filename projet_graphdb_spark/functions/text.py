@@ -249,3 +249,60 @@ def top_ngrams(
         .orderBy(F.desc("df"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``n_words``          — whitespace word count,
+    * ``distinct_frac``    — fraction of distinct words (low ⇒ repetitive),
+    * ``dup_bigram_frac``  — fraction of repeated word bigrams,
+    * ``top_word_frac``    — share of the single most frequent word.
+
+    Scale design: the first three are pure array algebra (split /
+    array_distinct / zip_with), map-only over the scan.  The top-word
+    share needs a per-(doc, word) count, done as explode → two hash
+    aggregates keyed by doc_id — partial aggregation combines map-side
+    and nothing ever groups across documents, so skew is bounded by the
+    longest single document, not the corpus.  All fractions are single
+    IEEE divisions of exact integer counts (oracle-portable: no float
+    accumulation anywhere).
+    """
+    t = F.col(text_col)
+    ws = F.split(t, " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = docs.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        n.cast("long").alias("n_words"),
+        (F.size(F.array_distinct(ws)) / n).cast("double").alias("distinct_frac"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams))
+        .cast("double")
+        .alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_ws").alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_mc"))
+    )
+    return (
+        base.drop("_ws")
+        .join(top, id_col)
+        .select(
+            id_col,
+            "n_words",
+            "distinct_frac",
+            "dup_bigram_frac",
+            (F.col("_mc") / F.col("n_words")).cast("double").alias("top_word_frac"),
+        )
+    )

@@ -141,3 +141,27 @@ def test_top_ngrams_counts_document_frequency(spark):
     )
     rows = top_ngrams(df, n=3, k=3).collect()
     assert rows[0]["ngram"] == "a b c" and rows[0]["df"] == 2
+
+
+def test_repetition_signals_hand_computed(spark):
+    from projet_graphdb_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # 1 distinct of 4; bigrams: "a a" x3 -> dup 2/3
+            (2, "a b c d"),            # all distinct, no dup bigrams
+            (3, "x"),                  # single word: dup_bigram_frac defined as 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert abs(r1["distinct_frac"] - 0.25) < 1e-12
+    assert abs(r1["dup_bigram_frac"] - (1 - 1 / 3)) < 1e-12
+    assert abs(r1["top_word_frac"] - 1.0) < 1e-12
+    r2 = out[2]
+    assert r2["distinct_frac"] == 1.0 and r2["dup_bigram_frac"] == 0.0
+    assert abs(r2["top_word_frac"] - 0.25) < 1e-12
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["dup_bigram_frac"] == 0.0
