@@ -285,6 +285,15 @@ def d4_simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir), hash="md5")
 
 
+def d5_dup_clusters(spark, sf_dir):
+    """Corpus-level dedup: connected components over the MinHash-LSH
+    pair graph → (doc_id, cluster_id, keep) with one canonical doc per
+    near-dup cluster (functions/dedup.py::dup_clusters).  md5 hash
+    family so the DuckDB oracle replays pairs then closes them
+    transitively with a recursive CTE."""
+    return dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+
+
 def s1_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash": d4_simhash,
+        "d5_dup_clusters": d5_dup_clusters,
         "s1_knn_bruteforce": s1_knn_bruteforce,
         "s2_cosine_dups": s2_cosine_dups,
         "s3_knn_lsh": s3_knn_lsh,
@@ -1324,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
+        "d5_dup_clusters": _dup_clusters_oracle(),
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s4_knn_ivf": """
             WITH cent AS (
@@ -1651,6 +1662,27 @@ def _md5_fold60(expr: str) -> str:
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
         "(a, b) -> a * 16 + b)"
     )
+
+
+def _dup_clusters_oracle() -> str:
+    """d5: the d3 pair oracle closed transitively — min-label over every
+    node reachable through the (undirected) pair graph = the cluster
+    id; docs in no pair keep their own id."""
+    return f"""
+        WITH RECURSIVE p AS (SELECT * FROM ({_minhash_lsh_oracle()}) _t),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+        walk(id, lbl) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(c.cluster, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(c.cluster, d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
 
 
 def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:

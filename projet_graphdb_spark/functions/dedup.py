@@ -373,3 +373,53 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         pw = F.lit(-(2**63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
         acc = acc + F.when(F.col(f"v{b}") > 0, pw).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), acc.alias("simhash"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level dedup: near-dup *clusters*, not just pairs.
+
+    MinHash-LSH pairs (sub-quadratic) become an undirected graph whose
+    connected components are the duplicate clusters; each doc gets
+    ``cluster_id`` = min doc id of its component (singletons are their
+    own cluster) and ``keep`` = "this is the canonical copy".  Filtering
+    ``keep`` yields the deduplicated corpus — the operator an LLM
+    training pipeline actually runs (the reference has no corpus ops;
+    this extends its dedup-on-insert idea, graphstruct.ml:30-32, to
+    documents).
+
+    Scale: pair generation is the LSH path (O(corpus + candidates));
+    label propagation iterates O(cluster diameter) rounds — near-dup
+    clusters are dense, so diameter is tiny (2-3) — over a frame of
+    only the docs that appear in ≥1 pair, which after dedup is a small
+    fraction of the corpus; the final left join re-attaches singletons
+    in one shuffle (AQE may broadcast the component side when small).
+
+    Output: (doc_id, cluster_id, keep).
+    """
+    from .graph_algos import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        n=n, text_col=text_col, id_col=id_col, hash=hash,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

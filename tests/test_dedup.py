@@ -127,3 +127,22 @@ def test_simhash_deterministic_and_sensitive(spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert hamming(t1[1], t1[2]) < hamming(t1[1], t1[3])
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    # A≈B and B≈C but A,C share less — the cluster must close transitively.
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (10, near + " one"),
+            (11, near + " two"),
+            (12, near + " three"),
+            (13, "completely different words about distributed query planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           dedup.dup_clusters(df, threshold=0.5).collect()}
+    assert out[10] == (10, True)
+    assert out[11] == (10, False) and out[12] == (10, False)
+    assert out[13] == (13, True)  # singleton keeps itself
