@@ -285,6 +285,14 @@ def d4_simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir), hash="md5")
 
 
+def t7_bm25_search(spark, sf_dir):
+    """BM25 keyword search over the corpus for a fixed rare/mid/common
+    term mix (functions/text.py::bm25_topk): map-only per-term tf, one
+    tiny all-integer stats aggregate broadcast back, TakeOrdered top-k —
+    zero wide shuffles."""
+    return text.bm25_topk(_docs(spark, sf_dir), terms=["dup", "vector", "join"], k=10)
+
+
 def d5_dup_clusters(spark, sf_dir):
     """Corpus-level dedup: connected components over the MinHash-LSH
     pair graph → (doc_id, cluster_id, keep) with one canonical doc per
@@ -924,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_hash_split": t4_hash_split,
         "t5_top_ngrams": t5_top_ngrams,
         "t6_repetition_signals": t6_repetition_signals,
+        "t7_bm25_search": t7_bm25_search,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -1335,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
         "d5_dup_clusters": _dup_clusters_oracle(),
+        "t7_bm25_search": _bm25_oracle(terms=["dup", "vector", "join"], k=10),
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s4_knn_ivf": """
             WITH cent AS (
@@ -1662,6 +1672,52 @@ def _md5_fold60(expr: str) -> str:
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
         "(a, b) -> a * 16 + b)"
     )
+
+
+def _bm25_oracle(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """t7: the same fixed-order BM25 arithmetic in DuckDB — per-term tf
+    via list_filter, one all-integer stats row, left-associative
+    contribution sum, round to 6 dp before the top-k cut."""
+    tfs = ",\n               ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n             + ".join(
+        f"""(CASE WHEN tf{i} > 0 THEN
+                 ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)
+                    / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)
+                 * CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)
+                 / (CAST(tf{i} AS DOUBLE)
+                    + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE)
+                              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+             ELSE 0.0 END)"""
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+') END AS ws
+          FROM documents),
+        tf AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+               {tfs}
+          FROM base),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {dfs}
+               FROM tf),
+        scored AS (
+          SELECT doc_id,
+             {contribs} AS raw
+          FROM tf CROSS JOIN st)
+        SELECT doc_id, ROUND(raw, 6) AS score FROM scored
+        WHERE ROUND(raw, 6) > 0
+        ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
 
 
 def _dup_clusters_oracle() -> str:

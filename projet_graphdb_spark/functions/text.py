@@ -306,3 +306,77 @@ def repetition_signals(
             (F.col("_mc") / F.col("n_words")).cast("double").alias("top_word_frac"),
         )
     )
+
+
+def _eq_term(trm: str):
+    # single-parameter lambda: a 2-arg lambda would make F.filter pass
+    # the element *index* as the second argument
+    return lambda w: w == F.lit(trm)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword search: top-``k`` documents for a fixed bag of query
+    ``terms`` (Robertson/Spärck Jones idf, Lucene's +1 form).
+
+    Scale design: per-term tf is ``size(filter(tokens, = term))`` —
+    map-only column algebra fused into the scan, no explode and no
+    (doc, term) shuffle.  Corpus statistics (N, Σdl, per-term df) are
+    ONE tiny all-integer aggregate row, broadcast back with a literal
+    cross join; scoring is again map-only and the top-k is Spark's
+    TakeOrdered (no global sort).  Total cost: two scans of the corpus
+    (or one if the stats are cached), zero wide shuffles.
+
+    The per-term contributions are summed in fixed expression order so
+    the IEEE result is reproducible across engines (oracle-portable);
+    the score is rounded to 6 dp.
+
+    Output: (doc_id, score) ordered by score desc, doc_id asc.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = docs.select(F.col(id_col), toks.alias("_ws")).select(
+        F.col(id_col),
+        F.size("_ws").cast("long").alias("_dl"),
+        *[
+            F.size(F.filter("_ws", _eq_term(trm))).cast("long").alias(f"_tf{i}")
+            for i, trm in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        return F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / (tf + norm)).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    return (
+        j.select(id_col, F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -165,3 +165,28 @@ def test_repetition_signals_hand_computed(spark):
     assert abs(r2["top_word_frac"] - 0.25) < 1e-12
     r3 = out[3]
     assert r3["n_words"] == 1 and r3["dup_bigram_frac"] == 0.0
+
+
+def test_bm25_ranks_rare_terms_higher(spark):
+    from projet_graphdb_spark.functions.text import bm25_topk
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare word here"),
+            (2, "common word here"),
+            (3, "common word again"),
+            (4, "common stuff only"),
+            (5, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, terms=["rare", "common"], k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert 5 not in got  # no matching term -> filtered
+    assert rows[0]["doc_id"] == 1  # rare term beats common term
+    # hand-check doc 1: tf=1, dl=3, N=5, avgdl=3.2, df(rare)=1
+    idf = math.log((5 - 1 + 0.5) / (1 + 0.5) + 1)
+    norm = 1.2 * (1 - 0.75 + 0.75 * 3 / 3.2)
+    expect = round(idf * 1 * 2.2 / (1 + norm), 6)
+    assert abs(got[1] - expect) < 1e-9
