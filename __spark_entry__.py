@@ -285,6 +285,14 @@ def d4_simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir), hash="md5")
 
 
+def t8_contamination(spark, sf_dir):
+    """Train→test decontamination signal (functions/text.py::
+    contamination): per test-split doc, fraction of its distinct word
+    trigrams present in any train-split doc.  Two shuffles on the
+    high-cardinality shingle key; never quadratic."""
+    return text.contamination(_docs(spark, sf_dir))
+
+
 def t7_bm25_search(spark, sf_dir):
     """BM25 keyword search over the corpus for a fixed rare/mid/common
     term mix (functions/text.py::bm25_topk): map-only per-term tf, one
@@ -933,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_top_ngrams": t5_top_ngrams,
         "t6_repetition_signals": t6_repetition_signals,
         "t7_bm25_search": t7_bm25_search,
+        "t8_contamination": t8_contamination,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -1345,6 +1354,34 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash": _simhash_oracle(),
         "d5_dup_clusters": _dup_clusters_oracle(),
         "t7_bm25_search": _bm25_oracle(terms=["dup", "vector", "join"], k=10),
+        "t8_contamination": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents),
+            sp AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                                       WHEN bucket < 90 THEN 'val'
+                                       ELSE 'test' END AS split FROM h),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            tv AS (SELECT DISTINCT s FROM (
+                     SELECT unnest(sh) AS s FROM sh JOIN sp USING (doc_id)
+                     WHERE split = 'train')),
+            tdocs AS (SELECT sh.doc_id, sh.sh FROM sh JOIN sp USING (doc_id)
+                      WHERE split = 'test'),
+            hits AS (SELECT doc_id, COUNT(*) AS n_cont FROM (
+                       SELECT doc_id, unnest(sh) AS s FROM tdocs) e
+                     JOIN tv USING (s) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.sh) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(n_cont, 0) AS BIGINT) AS n_contaminated,
+                   CASE WHEN len(t.sh) > 0
+                        THEN CAST(COALESCE(n_cont, 0) AS DOUBLE) / len(t.sh)
+                        ELSE 0.0 END AS contamination_frac
+            FROM tdocs t LEFT JOIN hits USING (doc_id)
+        """,
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s4_knn_ivf": """
             WITH cent AS (

@@ -380,3 +380,65 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def contamination(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train→test contamination check: for every *test*-split document,
+    the fraction of its distinct word ``n``-gram shingles that occur in
+    ANY *train*-split document (the decontamination signal an eval-set
+    builder runs before training).
+
+    Scale design: the train shingle vocabulary is one explode + hash
+    aggregate (distinct), shuffled on the shingle string — a
+    high-cardinality, well-distributed key; the test side explodes and
+    left-joins that vocabulary on the same key, then re-aggregates per
+    doc.  Nothing is ever quadratic: cost is O(total shingles) with two
+    shuffles on the shingle key plus one tiny per-doc aggregate.  At
+    100 TB, prune the vocabulary side first with a bloom filter on the
+    test shingles (the test split is orders of magnitude smaller).
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_frac),
+    one row per test doc, including shingle-less docs at 0.0.
+    """
+    from .dedup import shingle_frame
+
+    splits = hash_split(docs, id_col, text_col, train_pct, val_pct)
+    sh = shingle_frame(docs, n, id_col, text_col).join(
+        splits.select(id_col, "split"), id_col
+    )
+    train_vocab = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    test = sh.filter(F.col("split") == "test")
+    hits = (
+        test.select(F.col(id_col), F.explode("_sh").alias("sh"))
+        .join(train_vocab, "sh", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"))
+    )
+    return (
+        test.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+        )
+    )

@@ -190,3 +190,20 @@ def test_bm25_ranks_rare_terms_higher(spark):
     norm = 1.2 * (1 - 0.75 + 0.75 * 3 / 3.2)
     expect = round(idf * 1 * 2.2 / (1 + norm), 6)
     assert abs(got[1] - expect) < 1e-9
+
+
+def test_contamination_detects_overlap(spark):
+    from projet_graphdb_spark.functions.text import contamination
+
+    # deterministic split boundaries: force bucket by picking train_pct=100
+    # then 0 — instead exercise semantics with a controlled split via
+    # train_pct tuning is fragile; use enough docs that both splits occur.
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = contamination(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_contaminated"] <= r["n_shingles"]
+        if r["n_shingles"]:
+            assert abs(r["contamination_frac"] - r["n_contaminated"] / r["n_shingles"]) < 1e-12
+    # the synthetic corpus shares vocabulary across splits -> some hit > 0
+    assert any(r["n_contaminated"] > 0 for r in out)
