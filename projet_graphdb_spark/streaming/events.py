@@ -19,23 +19,32 @@ from pyspark.sql import functions as F
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events fixture, normalizing its TIMESTAMP(NANOS) column.
+    """Read the events fixture, normalizing ``ts`` to session TIMESTAMP.
 
-    Spark's parquet reader has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as long
-    nanoseconds and is converted to a microsecond timestamp here (hour/
-    minute windowing is unaffected by the truncation).
+    The fixture's physical type has varied across driver generations —
+    TIMESTAMP(NANOS) (readable only as long nanoseconds via the legacy
+    conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    TIMESTAMP_NTZ).  Downstream operators need the session TIMESTAMP
+    type (watermarks and ``unix_micros`` reject NTZ), so every variant
+    is normalized here; the loader works in ANY session, not just the
+    ones built by ``engine.session.get_spark``.
     """
-    # The fixture is TIMESTAMP(NANOS) at every scale factor; without this
-    # (runtime-settable) conf the scan itself throws PARQUET_TYPE_ILLEGAL.
-    # Set it here so the loader works in ANY session, not just the ones
-    # built by engine.session.get_spark.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # Without this (runtime-settable) conf a TIMESTAMP(NANOS) scan
+        # throws PARQUET_TYPE_ILLEGAL before any operator runs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division: epoch-nanos exceed 2^53, double division would
         # round the microsecond value off by one
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # interpret the naive value in the session timezone (UTC in this
+        # deployment) — collected wall-clock values are unchanged
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
