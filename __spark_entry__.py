@@ -567,6 +567,46 @@ def x14_shipping_priority(spark, sf_dir):
     )
 
 
+def x15_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join (functions/relational.py::
+    local_supplier_volume): broadcast region→nation lookup, customers
+    pre-pruned to the region, supplier/nation broadcast with the
+    same-nation predicate inside the hash join — only the two fact
+    exchanges (custkey, orderkey) shuffle."""
+    return relational.local_supplier_volume(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def x16_small_order_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped correlated aggregate (functions/relational.py::
+    small_order_revenue): broadcast brand dim prunes lineitem map-side;
+    per-part average and re-join share one l_partkey partitioning; the
+    below-20%-of-average test runs in exact DECIMAL (5·qty·n < Σqty)."""
+    return relational.small_order_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def x17_inactive_rich(spark, sf_dir):
+    """TPC-H Q22-shaped anti-join (functions/relational.py::
+    inactive_rich_customers): 1-row global threshold broadcast into a
+    map-side filter (exact DECIMAL above-average test), left-anti join
+    against the distinct custkeys of date-filtered orders (dormant
+    since 2000), broadcast nation names."""
+    return relational.inactive_rich_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -934,6 +974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_skew_join": x12_skew_join,
         "x13_order_history": x13_order_history,
         "x14_shipping_priority": x14_shipping_priority,
+        "x15_local_supplier_volume": x15_local_supplier_volume,
+        "x16_small_order_revenue": x16_small_order_revenue,
+        "x17_inactive_rich": x17_inactive_rich,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1188,6 +1231,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "x15_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "x16_small_order_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#13'
+            ),
+            stats AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(25,2))) AS sq,
+                       COUNT(*) AS n
+                FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+                       / 7.0 AS avg_yearly
+            FROM li JOIN stats USING (l_partkey)
+            WHERE CAST(l_quantity AS DECIMAL(25,2)) * 5 * n < sq
+        """,
+        "x17_inactive_rich": """
+            WITH thr AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS s,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT n_name,
+                   COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_bal
+            FROM customer CROSS JOIN thr
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(c_acctbal AS DECIMAL(25,2)) * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY n_name
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -153,6 +153,160 @@ def time_rollup(
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: revenue per nation from lineitems
+    where the customer and supplier share a nation inside one region,
+    for orders in a date window.
+
+    Scale design: the region→nation lookup collapses to a broadcast of
+    a handful of rows, and customers are pre-filtered to the region's
+    nations BEFORE the fact joins, so the only real shuffles are
+    orders⋈customer on custkey and lineitem⋈(orders⋈customer) on
+    orderkey — both unavoidable fact-side exchanges.  Supplier (10k
+    rows/SF, ~1 MB at SF100) and nation are broadcast: the supplier
+    join keys on (suppkey, nationkey) so the same-nation predicate is
+    part of the hash join, not a post-filter.  Revenue accumulates in
+    DECIMAL (order independent); the final sort is over ≤|nations| rows.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = (
+        nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    c = (
+        customer.join(
+            F.broadcast(n.select("n_nationkey")),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    o = orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_nationkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(25,2)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def small_order_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: revenue from lineitems of
+    one brand whose quantity is below 20% of that part's average
+    quantity.
+
+    Scale design: the brand-filtered part keys are a broadcast dim, so
+    lineitem is pruned map-side before anything shuffles.  The per-part
+    average and the re-join both key on ``l_partkey`` — Catalyst reuses
+    one hash-partitioning for the aggregate and the join (no second
+    exchange of the fact side).  The threshold test is evaluated in
+    exact integer-scaled DECIMAL arithmetic (``5·qty·n < Σqty`` instead
+    of ``qty < 0.2·Σqty/n``), so there is no float rounding at the
+    boundary for the oracle or a re-run to disagree on.
+    """
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .drop("p_partkey")
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(25,2)")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(qty_dec).alias("_sum_qty"), F.count(F.lit(1)).alias("_n")
+    )
+    j = li.join(stats, "l_partkey")
+    small = j.where(qty_dec * F.lit(5) * F.col("_n") < F.col("_sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+    )
+
+
+def inactive_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    dormant_since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped anti-join: per-nation count and total balance of
+    customers whose account balance beats the global positive-balance
+    average but who placed no order since ``dormant_since``.
+
+    Scale design: the global threshold is a 1-row aggregate broadcast
+    into a map-side filter; the above-average test is exact
+    (``bal·n > Σbal`` in DECIMAL — no float boundary).  The dormancy
+    test is a left-anti shuffle join against the distinct custkeys of
+    the date-filtered orders (filter pushes to the scan, distinct first
+    so the anti probe carries one row per customer, not one per
+    order).  Nation names are broadcast.
+    """
+    bal_dec = F.col("c_acctbal").cast("decimal(25,2)")
+    thr = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_dec).alias("_sum_bal"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(F.broadcast(thr))
+        .where(bal_dec * F.col("_n") > F.col("_sum_bal"))
+    )
+    recent = (
+        orders.where(F.col("o_orderdate") >= F.lit(dormant_since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    inactive = rich.join(
+        recent,
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        inactive.join(F.broadcast(n), inactive.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(bal_dec).cast("double").alias("total_bal"),
+        )
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

@@ -23,6 +23,8 @@ GUARDED = [
     "x6_range_count",
     "x7_time_rollup",
     "x8_skew_agg",
+    "x15_local_supplier_volume",
+    "x16_small_order_revenue",
     "t3_token_shards",
     "s2_cosine_dups",
     "s4_knn_ivf",

@@ -271,3 +271,78 @@ def test_shipping_priority_semantics(spark):
     out = relational.shipping_priority(cust, orders, li).collect()
     assert len(out) == 1
     assert out[0]["l_orderkey"] == 100 and out[0]["revenue"] == 90.0
+
+
+def test_local_supplier_volume_semantics(spark):
+    import datetime as dt
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 0), (11, "INDIA", 0), (20, "FRANCE", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    cust = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 20)], "c_custkey long, c_nationkey int"
+    )
+    supp = spark.createDataFrame(
+        [(7, 10), (8, 11), (9, 20)], "s_suppkey long, s_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(1996, 6, 1)),   # in window, JAPAN cust
+            (101, 2, dt.datetime(1995, 1, 1)),   # before window
+            (102, 3, dt.datetime(1996, 6, 1)),   # EUROPE cust — out of region
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 7, 100.0, 0.1),   # JAPAN supplier == cust nation: counted, 90
+            (100, 8, 50.0, 0.0),    # INDIA supplier != JAPAN cust: dropped
+            (102, 9, 10.0, 0.0),    # out-of-region order
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    out = relational.local_supplier_volume(cust, orders, li, supp, nation, region).collect()
+    assert [(r["n_name"], r["revenue"]) for r in out] == [("JAPAN", 90.0)]
+
+
+def test_small_order_revenue_semantics(spark):
+    part = spark.createDataFrame(
+        [(1, "Brand#13"), (2, "Brand#9")], "p_partkey long, p_brand string"
+    )
+    # part 1: quantities 1, 10, 10, 10 — avg 7.75, 20% = 1.55 → only the
+    # qty-1 row is "small"; part 2 is the wrong brand
+    li = spark.createDataFrame(
+        [(1, 1.0, 70.0), (1, 10.0, 1.0), (1, 10.0, 1.0), (1, 10.0, 1.0),
+         (2, 1.0, 99.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    out = relational.small_order_revenue(li, part).collect()
+    assert len(out) == 1
+    assert out[0]["n_small"] == 1
+    assert abs(out[0]["avg_yearly"] - 70.0 / 7.0) < 1e-9
+
+
+def test_inactive_rich_customers_semantics(spark):
+    import datetime as dt
+
+    nation = spark.createDataFrame(
+        [(10, "JAPAN"), (11, "INDIA")], "n_nationkey int, n_name string"
+    )
+    # positive balances: 100, 50, 30 → avg 60; rich = {1}; 4 is negative
+    cust = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 11, 30.0), (4, 11, -5.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(900, 1, dt.datetime(1999, 1, 1)),    # old order — still dormant
+         (901, 2, dt.datetime(2000, 6, 1))],   # recent — but 2 isn't rich
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    out = relational.inactive_rich_customers(cust, orders, nation).collect()
+    assert [(r["n_name"], r["n_custs"], r["total_bal"]) for r in out] == [
+        ("JAPAN", 1, 100.0)
+    ]

@@ -33,6 +33,8 @@ NL_ALLOWED = {
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "g11_transitive",  # 1-row binding seed x label table (broadcast of ONE row
     # feeding the first match over a script-created graph) — constant side
+    "x17_inactive_rich",  # 1-row global-threshold aggregate x customer —
+    # the broadcast side is a single row by construction
 }
 
 # iterative algorithms materialize per-iteration checkpoints; their final
