@@ -260,6 +260,23 @@ def t5_top_ngrams(spark, sf_dir):
     return text.top_ngrams(_docs(spark, sf_dir))
 
 
+def t9_redact_pii(spark, sf_dir):
+    """Regex PII redaction (functions/text.py::redact_pii): map-only
+    regexp_count/replace/md5 column algebra, RE2-compatible pattern so
+    the DuckDB oracle runs the identical regex.  The fixture corpus is
+    synthetic word soup, so the driver pattern adds a corpus-word
+    surrogate class alongside the email/phone classes."""
+    pattern = text.PII_PATTERN + r"|\bcustomer\b"
+    return text.redact_pii(_docs(spark, sf_dir), pattern=pattern)
+
+
+def t10_chunk_passages(spark, sf_dir):
+    """Sliding-window passage chunking (functions/text.py::
+    chunk_passages): 16-token chunks every 8 tokens, map-side explode,
+    per-chunk md5 fingerprint for passage-level dedup."""
+    return text.chunk_passages(_docs(spark, sf_dir))
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -982,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_token_shards": t3_token_shards,
         "t4_hash_split": t4_hash_split,
         "t5_top_ngrams": t5_top_ngrams,
+        "t9_redact_pii": t9_redact_pii,
+        "t10_chunk_passages": t10_chunk_passages,
         "t6_repetition_signals": t6_repetition_signals,
         "t7_bm25_search": t7_bm25_search,
         "t8_contamination": t8_contamination,
@@ -1389,6 +1408,35 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (SELECT unnest({_SHINGLES}) AS ngram FROM documents)
             SELECT ngram, COUNT(*) AS df FROM sh
             GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
+        """,
+        "t9_redact_pii": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}|\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b|\bcustomer\b'))
+                        AS BIGINT) AS n_redacted,
+                   CAST(length(regexp_replace(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}|\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b|\bcustomer\b',
+                        '[PII]', 'g')) AS BIGINT) AS clean_chars,
+                   md5(regexp_replace(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}|\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b|\bcustomer\b',
+                        '[PII]', 'g')) AS redacted_fp
+            FROM documents
+        """,
+        "t10_chunk_passages": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(0, (greatest(len(words), 1) - 1) // 8)) AS i
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 8 + 1 AS BIGINT) AS start_token,
+                   CAST(len(words[i*8+1 : least(i*8+16, len(words))]) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(words[i*8+1 : least(i*8+16, len(words))], ' ')) AS chunk_fp
+            FROM starts
         """,
         "d1_exact_dedup": f"""
             SELECT md5({_CANON_TEXT}) AS fp, MIN(doc_id) AS keep_id,

@@ -442,3 +442,80 @@ def contamination(
             .alias("contamination_frac"),
         )
     )
+
+
+# default redaction classes: email, phone-shaped digit runs, and a
+# caller-extendable word class (the fixture corpus is synthetic word
+# soup, so driver queries add a corpus-word surrogate to exercise the
+# path end-to-end; real corpora hit the email/phone classes)
+PII_PATTERN = (
+    r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+    r"|\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    pattern: str = PII_PATTERN,
+    marker: str = "[PII]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex PII redaction: replace every match of ``pattern`` with
+    ``marker``, reporting the match count and a fingerprint of the
+    redacted text.
+
+    Scale design: pure built-in column algebra (regexp_count /
+    regexp_replace / md5) — map-only, fused into the parquet scan by
+    whole-stage codegen, no shuffle and no Python.  The pattern is
+    restricted to the RE2-compatible subset (no backrefs/lookaround) so
+    the same regex runs identically in the DuckDB oracle.
+
+    Output: (doc_id, n_redacted, clean_chars, redacted_fp).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, pattern, marker)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(pattern)).cast("long").alias("n_redacted"),
+        F.length(red).cast("long").alias("clean_chars"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def chunk_passages(
+    docs: DataFrame,
+    size: int = 16,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage chunking: split each document into
+    whitespace tokens and emit overlapping ``size``-token chunks every
+    ``stride`` tokens — the context-window preparation step of a
+    training pipeline (and the unit for passage-level dedup: group the
+    emitted fingerprints exactly like d1 does for whole documents).
+
+    Scale design: split → sequence → posexplode → slice is all built-in
+    array algebra — one narrow (map-side) explode with fan-out
+    ``≈ n_tokens/stride``, no shuffle, no Python.  Chunk text is
+    reassembled only to fingerprint it; downstream consumers keep the
+    token array.
+
+    Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_fp), one
+    row per chunk; documents shorter than ``size`` yield one chunk.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # 1-based chunk starts: 1, 1+stride, ... while start <= n
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return (
+        docs.select(F.col(id_col), words.alias("_w"), F.posexplode(starts).alias("_i", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("_i").cast("long").alias("chunk_idx"),
+            F.col("_start").cast("long").alias("start_token"),
+            F.size(F.slice(F.col("_w"), F.col("_start"), size)).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(F.slice(F.col("_w"), F.col("_start"), size), " ")).alias("chunk_fp"),
+        )
+    )

@@ -207,3 +207,44 @@ def test_contamination_detects_overlap(spark):
             assert abs(r["contamination_frac"] - r["n_contaminated"] / r["n_shingles"]) < 1e-12
     # the synthetic corpus shares vocabulary across splits -> some hit > 0
     assert any(r["n_contaminated"] > 0 for r in out)
+
+
+def test_redact_pii_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.org or call 555-123-4567 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.net"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["n_redacted"] == 2
+    assert out[2]["n_redacted"] == 0
+    assert out[3]["n_redacted"] == 2
+    exp1 = "mail me at [PII] or call [PII] ok"
+    assert out[1]["clean_chars"] == len(exp1)
+    assert out[1]["redacted_fp"] == hashlib.md5(exp1.encode()).hexdigest()
+    # untouched text keeps its own fingerprint
+    assert out[2]["redacted_fp"] == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_chunk_passages_windows(spark):
+    words = [f"w{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    rows = text.chunk_passages(df, size=16, stride=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+    # doc 1: 20 tokens -> starts 1, 9, 17
+    c1 = by_doc[1]
+    assert [(r["start_token"], r["n_tokens"]) for r in c1] == [(1, 16), (9, 12), (17, 4)]
+    assert c1[0]["chunk_fp"] == hashlib.md5(" ".join(words[:16]).encode()).hexdigest()
+    assert c1[1]["chunk_fp"] == hashlib.md5(" ".join(words[8:20]).encode()).hexdigest()
+    # short and empty docs yield exactly one chunk
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[2]] == [(1, 2)]
+    assert len(by_doc[3]) == 1
