@@ -500,6 +500,29 @@ def a6_triangle_count(spark, sf_dir):
     return graph_algos.triangle_count(e)
 
 
+def a7_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (graph_algos.label_propagation): 4 deterministic rounds of
+    most-frequent-neighbour-label voting (ties to the smallest label)
+    over the same bucket-chained customer graph as a6 — each bucket of
+    10 custkeys is a ground-truth community.  The oracle unrolls the
+    identical 4 rounds as chained CTEs with a QUALIFY argmax."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.label_propagation(e, num_iter=4)
+
+
 def a5_kmeans(spark, sf_dir):
     """Distributed k-means (2 Lloyd iterations, k=8, deterministic seed,
     6-dp centroid rounding) — assignment map-only via inlined centroid
@@ -1026,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_sssp": a4_sssp,
         "a5_kmeans": a5_kmeans,
         "a6_triangle_count": a6_triangle_count,
+        "a7_label_propagation": a7_label_propagation,
         # the availableNow-drained streaming twins run LAST: their memory
         # sinks and state stores stay resident for the session, and the
         # GC pressure would otherwise tax whatever runs after them
@@ -1492,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
         "a3_pagerank": _pagerank_oracle(),
+        "a7_label_propagation": _lpa_oracle(),
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
@@ -1792,6 +1817,57 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _lpa_oracle(num_iter: int = 4) -> str:
+    """DuckDB mirror of a7: the synchronous LPA rounds unrolled as
+    chained CTEs over the bucket-chained customer graph; the per-node
+    argmax is QUALIFY ROW_NUMBER() ordered (cnt DESC, label ASC) —
+    exactly Spark's max_by(label, struct(cnt, -label))."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, num_iter + 1):
+        rounds.append(f"""
+        c{i} AS (
+          SELECT b.src, l.label, COUNT(*) AS cnt
+          FROM bi b JOIN {prev} l ON l.id = b.dst
+          GROUP BY b.src, l.label),
+        n{i} AS (
+          SELECT src, label FROM c{i}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cnt DESC, label ASC) = 1),
+        l{i} AS MATERIALIZED (
+          SELECT l.id, COALESCE(n.label, l.label) AS label
+          FROM {prev} l LEFT JOIN n{i} n ON n.src = l.id)""")
+        prev = f"l{i}"
+    chain = ",".join(rounds)
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS a, b.k AS b FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k, b.k FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+          FROM e0 WHERE a <> b
+        ),
+        bi AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL
+          SELECT b AS src, a AS dst FROM e
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS id, src AS label FROM bi),
+        {chain}
+        SELECT id, label FROM {prev}
     """
 
 

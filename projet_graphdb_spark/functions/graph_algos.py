@@ -334,3 +334,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def label_propagation(edges: DataFrame, num_iter: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected view of ``edges``: every node starts in its own
+    community, then each round adopts the most frequent label among its
+    neighbours, ties broken by the smallest label — fully deterministic
+    (asynchronous LPA's hallmark nondeterminism is exactly what a
+    distributed, oracle-checked engine cannot ship).  Exactly
+    ``num_iter`` rounds: LPA has no monotone fixpoint witness (labels
+    oscillate on bipartite subgraphs), so a fixed round count is the
+    deterministic contract, and the oracle unrolls the same rounds.
+
+    Scale design: one round = edge⋈label join shuffled on the label
+    side's id, a (node, label) count aggregate, and an argmax via
+    ``max_by`` with a (count, -label) struct — aggregate semantics, no
+    window sort over the whole node table.  All three shuffle on the
+    node id / (id,label) keys; lineage is cut per round with the same
+    checkpoint rotation as the other iterative algorithms.
+
+    Output: ``(id, label)`` for every node with at least one edge.
+    """
+    both, _, small = _materialize(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels, _, _ = _materialize(
+        both.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    ckpt_handle = None
+    for _ in range(num_iter):
+        counts = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new = counts.groupBy("src").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("_new")
+        )
+        labels = labels.join(new, labels.id == new.src, "left").select(
+            "id", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+        labels, ckpt_handle = _ckpt_rotate(_shrink(labels, small), ckpt_handle)
+    return labels

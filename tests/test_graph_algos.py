@@ -120,3 +120,49 @@ def test_triangle_count_python_reference(spark):
             for v in tri:
                 expect[v] = expect.get(v, 0) + 1
     assert _tri_counts(spark, edges) == expect
+
+
+def _lpa_python(edges, num_iter):
+    """Synchronous LPA reference: most frequent neighbour label, ties to
+    the smallest label."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(num_iter):
+        nxt = {}
+        for v, nbrs in adj.items():
+            freq = {}
+            for u in nbrs:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            nxt[v] = max(freq, key=lambda l: (freq[l], -l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_python_reference(spark):
+    from projet_graphdb_spark.functions.graph_algos import label_propagation
+
+    rng = np.random.default_rng(11)
+    n = 25
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(60, 2)) if a != b]
+    for rounds in (1, 4):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["label"] for r in label_propagation(df, num_iter=rounds).collect()}
+        assert got == _lpa_python(edges, rounds), rounds
+
+
+def test_label_propagation_communities(spark):
+    from projet_graphdb_spark.functions.graph_algos import label_propagation
+
+    # two cliques bridged by one edge: each clique converges to its own
+    # min label (frequency voting keeps the bridge from merging them)
+    clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(clique1 + clique2 + [(3, 10)], "src long, dst long")
+    got = {r["id"]: r["label"] for r in label_propagation(df, num_iter=4).collect()}
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}
