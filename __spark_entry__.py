@@ -523,6 +523,16 @@ def a7_label_propagation(spark, sf_dir):
     return graph_algos.label_propagation(e, num_iter=4)
 
 
+def s6_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid summary (functions/clustering.py::
+    label_centroid_stats): map-side squared-norm fold + one
+    (labels·dim)-bounded posexplode aggregate; dispersion via
+    E‖x‖² − ‖c‖² so the vectors are scanned once."""
+    from projet_graphdb_spark.functions.clustering import label_centroid_stats
+
+    return label_centroid_stats(_emb(spark, sf_dir))
+
+
 def a5_kmeans(spark, sf_dir):
     """Distributed k-means (2 Lloyd iterations, k=8, deterministic seed,
     6-dp centroid rounding) — assignment map-only via inlined centroid
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_knn_lsh": s3_knn_lsh,
         "s4_knn_ivf": s4_knn_ivf,
         "s5_knn_quantized": s5_knn_quantized,
+        "s6_label_centroids": s6_label_centroids,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "e1_event_window": e1_event_window,
@@ -1579,6 +1590,30 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
             FROM rk2 WHERE rank <= 5
+        """,
+        "s6_label_centroids": """
+            WITH emb AS MATERIALIZED (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            sqn AS (
+              SELECT label,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(v, x -> x * x)), (a, b) -> a + b) AS s
+              FROM emb),
+            base AS (
+              SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(s), 6) AS e_sq
+              FROM sqn GROUP BY label),
+            cent AS (
+              SELECT label, t.i, ROUND(AVG(v[t.i]), 6) AS m
+              FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+              GROUP BY label, t.i),
+            cn AS (
+              SELECT label, ROUND(SUM(m * m), 6) AS csq FROM cent GROUP BY label)
+            SELECT label, n_vecs,
+                   ROUND(SQRT(csq), 6) AS centroid_norm,
+                   ROUND(e_sq - csq, 6) AS avg_sq_dist
+            FROM base JOIN cn USING (label)
         """,
         "s5_knn_quantized": """
             WITH qt AS (

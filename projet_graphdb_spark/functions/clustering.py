@@ -96,3 +96,50 @@ def kmeans_assignments(
     return _assign(emb, cents, id_col, vec_col).select(
         F.col(id_col), F.col("cluster")
     )
+
+
+def label_centroid_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label centroid summary over an embedding column: vector
+    count, centroid L2 norm, and mean squared distance to the centroid
+    (within-cluster dispersion, via ``E‖x‖² − ‖c‖²`` so no second pass
+    over the vectors is needed).
+
+    Scale design: one map-side pass computes per-vector squared norms
+    (left-to-right ``aggregate`` fold, bit-reproducible); the centroid
+    is a ``posexplode`` + per-(label, dim) average — a (labels·dim)-
+    bounded shuffle with map-side combine, the same shape as the
+    k-means update step.  Per-coordinate averages round to ``round_dp``
+    decimals (absorbing float summation-order differences) before the
+    64-term norm fold, so the DuckDB oracle reproduces every output bit.
+
+    Output: (label, n_vecs, centroid_norm, avg_sq_dist).
+    """
+    lbl = F.col(label_col).cast("long").alias("label")
+    sqn = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    base = embeddings.select(lbl, sqn.alias("_sqn")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("_sqn"), round_dp).alias("_e_sq"),
+    )
+    cent = (
+        embeddings.select(lbl, F.posexplode(F.col(vec_col)).alias("_pos", "_val"))
+        .groupBy("label", "_pos")
+        .agg(F.round(F.avg(F.col("_val").cast("double")), round_dp).alias("_m"))
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.round(F.sum(F.col("_m") * F.col("_m")), round_dp).alias("_csq")
+    )
+    return base.join(cnorm, "label").select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(F.col("_csq")), round_dp).alias("centroid_norm"),
+        F.round(F.col("_e_sq") - F.col("_csq"), round_dp).alias("avg_sq_dist"),
+    )

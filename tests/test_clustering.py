@@ -53,3 +53,27 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert set(r["cluster"] for r in rows) <= {0, 1, 2}
+
+
+def test_label_centroid_stats_numpy(spark):
+    import numpy as np
+
+    from projet_graphdb_spark.functions.clustering import label_centroid_stats
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [float(x) for x in rng.normal(size=8)], vid % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_centroid_stats(df).collect()}
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    lbl = np.array([r[2] for r in rows])
+    for l in (0, 1, 2):
+        sub = X[lbl == l]
+        m = np.round(sub.mean(axis=0), 6)
+        csq = round(float((m * m).sum()), 6)
+        e_sq = round(float((sub * sub).sum(axis=1).mean()), 6)
+        r = got[l]
+        assert r["n_vecs"] == len(sub)
+        assert abs(r["centroid_norm"] - round(float(np.sqrt(csq)), 6)) <= 1e-6
+        assert abs(r["avg_sq_dist"] - round(e_sq - csq, 6)) <= 2e-6
