@@ -929,6 +929,26 @@ def e8_sessionize_stream(spark, sf_dir):
     )
 
 
+def e10_enrich_stream(spark, sf_dir):
+    """The REAL stream-static enrichment join (streaming/events.py::
+    streaming_enriched_stats): each micro-batch broadcast-hash-joins the
+    static customer dimension — stateless, no join state — then
+    aggregates into watermarked tumbling windows per (segment, type);
+    complete mode emits every window so output equals the batch SQL."""
+    from projet_graphdb_spark.streaming import (
+        drain,
+        state_partitions,
+        stream_source,
+        streaming_enriched_stats,
+    )
+
+    path, schema = stream_source(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with state_partitions(spark, 8):
+        q = streaming_enriched_stats(spark, path, schema, dim, query_name="e10_sink")
+    return drain(q, spark, "e10_sink")
+
+
 def e9_parquet_sink_stream(spark, sf_dir):
     """The windowed aggregation through a durable PARQUET file sink with
     an exactly-once checkpoint (append mode: rows written when the
@@ -1069,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_join_stream": e7_join_stream,
         "e8_sessionize_stream": e8_sessionize_stream,
         "e9_parquet_sink_stream": e9_parquet_sink_stream,
+        "e10_enrich_stream": e10_enrich_stream,
     }
 
 
@@ -1719,6 +1740,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum_value, 2) AS sum_value
             FROM sess, wm
             WHERE wm_ms > epoch_us(last_ts) // 1000 + 30 * 60 * 1000
+        """,
+        "e10_enrich_stream": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   c_mktsegment AS seg, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2, 3
         """,
         "e9_parquet_sink_stream": """
             WITH wm AS (SELECT MAX(ts) AS m FROM events)

@@ -2,6 +2,7 @@
 
 from .events import (
     load_events,
+    streaming_enriched_stats,
     streaming_windowed_counts,
     streaming_windowed_to_parquet,
     windowed_event_stats,
@@ -21,6 +22,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "stream_source",
+    "streaming_enriched_stats",
     "streaming_windowed_counts",
     "streaming_windowed_to_parquet",
     "windowed_event_stats",

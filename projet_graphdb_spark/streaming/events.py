@@ -160,3 +160,61 @@ def streaming_windowed_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enriched_stats(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "ev_enriched",
+):
+    """Stream-static enrichment join + windowed aggregation: each
+    micro-batch of the event stream joins the (bounded, slowly-changing)
+    dimension table, then aggregates into tumbling windows per
+    (dimension attribute, event type).
+
+    The stream-static join is STATELESS — Spark re-plans it per
+    micro-batch as an ordinary broadcast hash join (the dimension is
+    broadcast once per batch, never held in the state store), which is
+    why it's the recommended shape for enrichment at scale: state cost
+    stays (watermark horizon × group keys) regardless of dimension
+    size, and a dimension refresh is picked up by the next batch.
+
+    Returns the StreamingQuery writing to the in-memory table
+    ``query_name``: (window_start, seg, event_type, n_events, sum_value).
+    """
+    from pyspark.sql import functions as SF
+
+    d = SF.broadcast(
+        dim.select(SF.col(dim_key).alias("_k"), SF.col(dim_attr).alias("seg"))
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .join(d, SF.col("user_id") == SF.col("_k"))
+        .withWatermark("ts", watermark)
+        .groupBy(SF.window("ts", window).alias("_w"), SF.col("seg"), SF.col("event_type"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.sum(SF.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            SF.col("_w.start").alias("window_start"),
+            "seg",
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -124,3 +124,40 @@ def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
     assert q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1  # no reprocessing, no double-write
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """The stream-static join + windowed aggregate must equal the plain
+    batch join + groupBy over the same files."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.streaming import streaming_enriched_stats
+
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "events_enrich_stream")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    dim = spark.read.parquet(f"{SF_TINY}/customer.parquet")
+
+    q = streaming_enriched_stats(spark, src, schema, dim, query_name="t_e10_sink")
+    assert q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["seg"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_e10_sink").collect()
+    }
+    batch = (
+        events.join(
+            dim.select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")),
+            "user_id",
+        )
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "seg", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("s"),
+        )
+        .select(F.col("_w.start").alias("ws"), "seg", "event_type", "n", "s")
+    )
+    expect = {
+        (r["ws"], r["seg"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()
+    }
+    assert got == expect and len(got) > 0
