@@ -163,6 +163,22 @@ def g9_create_node(spark, sf_dir):
     return state.nodes["Hub"].select(F.col("_id").alias("h"))
 
 
+def g21_merge(spark, sf_dir):
+    """Extension: Cypher-style constant-keyed MERGE (upsert).  The first
+    merge matches an existing node (binds like match), the second
+    creates one with its key attributes set atomically, the third
+    matches the node the second created."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        'merge (j: Nation {name = "NATION_3"}) '
+        'merge (a: Nation {name = "ATLANTIS"}) '
+        'merge (b: Nation {name = "ATLANTIS"}) '
+        "return j, a, b",
+    )
+    return binding_table(b)
+
+
 def g10_agg_over_match(spark, sf_dir):
     """Extension: aggregation over match results (absent from the
     reference, SURVEY §2.2) — customers per nation."""
@@ -1030,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_having": g18_having,
         "g19_union": g19_union,
         "g20_except": g20_except,
+        "g21_merge": g21_merge,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -1154,6 +1171,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g9_create_node": """
             SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS h FROM region
+        """,
+        "g21_merge": """
+            SELECT CAST(n_nationkey + 100 AS BIGINT) AS j,
+                   CAST(1000000000 AS BIGINT) AS a,
+                   CAST(1000000000 AS BIGINT) AS b
+            FROM nation WHERE n_name = 'NATION_3'
         """,
         "g10_agg_over_match": """
             SELECT n_name AS name, COUNT(*) AS n_customers

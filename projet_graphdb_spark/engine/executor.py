@@ -39,6 +39,7 @@ from ..frontend.normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    IMergeNode,
     INotExistsRel,
     IOptRel,
     IOrderLimit,
@@ -189,6 +190,8 @@ class Executor:
                 star_max=getattr(instr, "star_max", None),
                 undirected=getattr(instr, "undirected", False),
             )
+        if isinstance(instr, IMergeNode):
+            return self._merge_node(instr, b)
         if isinstance(instr, IOptRel):
             return self._opt_rel(instr, b)
         if isinstance(instr, INotExistsRel):
@@ -211,13 +214,16 @@ class Executor:
 
     # -- create ---------------------------------------------------------
 
-    def _create_node(self, var: str, label: str, b: Binding) -> Binding:
+    def _create_node(
+        self, var: str, label: str, b: Binding, attr_values: dict | None = None
+    ) -> Binding:
         b = self._flush(b)
         st = self.state
         col = b.fresh_col()
         mn = st.next_id
         decl = next(d for d in st.types.nodes if d.label == label)
         schema = node_schema(decl)
+        av = attr_values or {}
         from .localrel import local_df
 
         if b.known_count == 1:
@@ -225,7 +231,11 @@ class Executor:
             # no window, no extra job
             k = 1
             new_df = b.df.withColumn(col, F.lit(mn).cast("long"))
-            new_nodes = local_df(st.spark, [tuple([mn] + [None] * len(decl.attrs))], schema)
+            new_nodes = local_df(
+                st.spark,
+                [tuple([mn] + [av.get(f) for f, _ in decl.attrs])],
+                schema,
+            )
         else:
             # one fresh dense id per existing row — the zipWithIndex
             # pattern, NEVER a global Window.orderBy (that funnels the
@@ -267,7 +277,10 @@ class Executor:
             )
             new_nodes = new_df.select(
                 F.col(col).alias("_id"),
-                *[F.lit(None).cast(spark_type_of(tp)).alias(f) for f, tp in decl.attrs],
+                *[
+                    F.lit(av.get(f)).cast(spark_type_of(tp)).alias(f)
+                    for f, tp in decl.attrs
+                ],
             )
         st.nodes[label] = st.nodes[label].unionByName(new_nodes)
         st.next_id = mn + k  # sane semantics; reference bumps by 1 (sem.ml:51 bug)
@@ -293,6 +306,36 @@ class Executor:
         st.edges = st.edges.unionByName(new_clean)
         self._after_mutation()
         return b
+
+    def _merge_node(self, instr: IMergeNode, b: Binding) -> Binding:
+        """Constant-keyed upsert (extension; Cypher MERGE restricted to
+        literal properties).  The match-or-create decision is one
+        driver-side existence probe (``limit(1).count()`` — the graph is
+        mutated sequentially anyway, mirroring the reference's fold at
+        sem.ml:377-378); the match arm is a filtered label scan crossed
+        with the binding table, the create arm reuses the dense-id
+        create path with the key attributes populated atomically (no
+        separate set step, so a concurrent reader of the node table
+        never sees a half-written merge row)."""
+        st = self.state
+        vals = {f: e.value.python_value for f, e in instr.props}
+        nodes = st.nodes[instr.label]
+        cond = F.lit(True)
+        for f, v in vals.items():
+            cond = cond & (F.col(f) == F.lit(v))
+        matched = nodes.filter(cond).select("_id")
+        if matched.limit(1).count() == 0:
+            return self._create_node(instr.var, instr.label, b, attr_values=vals)
+        b = self._flush(b)
+        col = b.fresh_col()
+        scan = matched.select(F.col("_id").alias(col))
+        if not b.df.columns and b.known_count == 1:
+            # pristine one-row seed: seed × scan ≡ scan (same reasoning
+            # as _flush)
+            df = scan
+        else:
+            df = b.df.crossJoin(scan)
+        return Binding(df, [(instr.var, col, instr.label)] + b.env, b._counter, None)
 
     # -- match ----------------------------------------------------------
 

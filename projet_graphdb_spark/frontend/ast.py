@@ -292,6 +292,21 @@ class OptionalMatchClause:
 
 
 @dataclass(frozen=True)
+class MergeClause:
+    """``merge (v: L {f = const, ...})`` (extension): the Cypher-style
+    upsert.  If nodes of label ``L`` whose listed attributes equal the
+    constant values exist, bind them exactly like ``match`` (cross
+    product with the current table); otherwise create one node per
+    binding row with those attributes set, like ``create`` + ``set``.
+    Properties must be literal constants — merge-by-key is the
+    dimension-upsert primitive, not a computed join."""
+
+    var: str
+    label: str
+    props: tuple  # tuple[tuple[str, Expr(Const)], ...]
+
+
+@dataclass(frozen=True)
 class NotExistsClause:
     """``where not exists (a) -[:r]-> (:L)`` (extension): keep binding
     rows with NO matching edge.  Each side is a bound ``(v)`` reference
@@ -305,6 +320,7 @@ class NotExistsClause:
 Clause = Union[
     CreateClause,
     MatchClause,
+    MergeClause,
     OptionalMatchClause,
     DeleteClause,
     ReturnClause,

@@ -46,6 +46,7 @@ KEYWORDS = {
     # extensions (absent from lexer.mll): optional match / not exists,
     # aggregates in return
     "optional": "OPTIONAL",
+    "merge": "MERGE",
     "not": "NOT",
     "exists": "EXISTS",
     "union": "SETOP",

@@ -43,6 +43,17 @@ class IActOnRel:
 
 
 @dataclass(frozen=True)
+class IMergeNode:
+    """Constant-keyed node upsert (extension): match nodes of ``label``
+    whose ``props`` attributes equal the constants, else create-and-set
+    one per binding row."""
+
+    var: str
+    label: str
+    props: tuple  # tuple[tuple[str, A.Const], ...]
+
+
+@dataclass(frozen=True)
 class IDeleteNode:
     var: str
 
@@ -197,6 +208,8 @@ def _normalize_clause(clause: A.Clause) -> list:
             return [IOptRel(clause.src.var, clause.rel, new.var, new.var, new.label)]
         new = clause.src
         return [IOptRel(new.var, clause.rel, clause.tgt.var, new.var, new.label)]
+    if isinstance(clause, A.MergeClause):
+        return [IMergeNode(clause.var, clause.label, clause.props)]
     if isinstance(clause, A.NotExistsClause):
         def side(p):
             if isinstance(p, A.AnonPattern):

@@ -29,7 +29,9 @@ class ParseError(Exception):
         self.token = tok
 
 
-_CLAUSE_STARTS = {"CREATE", "MATCH", "OPTIONAL", "DELETE", "RETURN", "WHERE", "SET", "ORDER"}
+_CLAUSE_STARTS = {
+    "CREATE", "MATCH", "MERGE", "OPTIONAL", "DELETE", "RETURN", "WHERE", "SET", "ORDER",
+}
 
 _CMP_OPS = {
     "EQ": A.BinOpKind.EQ,
@@ -144,6 +146,26 @@ class Parser:
                     t,
                 )
             return A.OptionalMatchClause(src, rel, tgt)
+        if t.kind == "MERGE":
+            # merge (v: L {f = const, ...}) — constant-keyed upsert
+            self.expect("LPAREN")
+            var = self.expect("IDENT").value
+            self.expect("COLON")
+            label = self.expect("IDENT").value
+            props = []
+            if self.accept("LBRACE"):
+                while True:
+                    f = self.expect("IDENT").value
+                    self.expect("EQ")
+                    e = self._parse_primary()
+                    if not isinstance(e, A.Const):
+                        raise ParseError("merge properties must be literal constants", t)
+                    props.append((f, e))
+                    if not self.accept("COMMA"):
+                        break
+                self.expect("RBRACE")
+            self.expect("RPAREN")
+            return A.MergeClause(var, label, tuple(props))
         if t.kind == "RETURN":
             return self._parse_return_clause(t)
         if t.kind == "ORDER":

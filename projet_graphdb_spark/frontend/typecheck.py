@@ -27,6 +27,7 @@ from .normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    IMergeNode,
     INotExistsRel,
     IOptRel,
     IOrderLimit,
@@ -155,6 +156,28 @@ def tc_instr(instr, env: Env) -> Env:
     if isinstance(instr, IActOnNode):
         if instr.label not in tg.node_labels():
             raise TypeCheckError(f"Node type '{instr.label}' is not declared")
+        return env.bind(instr.var, instr.label)
+    if isinstance(instr, IMergeNode):
+        if instr.label not in tg.node_labels():
+            raise TypeCheckError(f"Node type '{instr.label}' is not declared")
+        declared = tg.attrs_of(instr.label)
+        errors = []
+        for f, e in instr.props:
+            if f not in declared:
+                errors.append(
+                    f"Attribute '{f}' not declared for node type '{instr.label}'"
+                )
+            elif not isinstance(e, A.Const):
+                errors.append(f"Merge property '{f}' must be a literal constant")
+            elif e.value.type != declared[f]:
+                errors.append(
+                    f"Merge property '{f}' has type {e.value.type.name.lower()}, "
+                    f"declared {declared[f].name.lower()}"
+                )
+        if len({f for f, _ in instr.props}) != len(instr.props):
+            errors.append("Merge contains duplicate property keys")
+        if errors:
+            raise TypeCheckError(errors)
         return env.bind(instr.var, instr.label)
     if isinstance(instr, (IActOnRel, IDeleteRel)):
         src_var = instr.src_var

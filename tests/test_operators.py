@@ -143,3 +143,60 @@ def test_cross_product_semantics(spark):
     q = "match (p:P), (q:P) return p, q"
     state, b = run_program(spark, BASE + q)
     assert len(rows(b)) == 9
+
+
+def test_merge_upsert_semantics(spark):
+    from projet_graphdb_spark.engine import binding_table, run_program
+
+    state, b = run_program(
+        spark,
+        """
+(:P {nom string, age int})
+
+create (x: P)
+set x.nom = "alice"
+merge (a: P {nom = "alice"})
+merge (b: P {nom = "bob"})
+merge (c: P {nom = "bob"})
+return a, b, c
+""",
+    )
+    rows = [tuple(r) for r in binding_table(b).collect()]
+    assert rows == [(0, 1, 1)]  # a matched, b created, c matched b's node
+    nodes = state.collect_nodes()
+    assert nodes["P"][1] == {"nom": "bob"}  # key attrs set atomically
+
+
+def test_merge_binds_all_matches_per_row(spark):
+    from projet_graphdb_spark.engine import binding_table, run_program
+
+    state, b = run_program(
+        spark,
+        """
+(:P {nom string, age int})
+
+create (x: P) create (y: P)
+set x.nom = "dup"
+set y.nom = "dup"
+merge (m: P {nom = "dup"})
+return m
+""",
+    )
+    # both matching nodes bind, like match
+    assert sorted(r["m"] for r in binding_table(b).collect()) == [0, 1]
+
+
+def test_merge_type_errors(spark):
+    import pytest as _pytest
+
+    from projet_graphdb_spark.engine import run_program
+    from projet_graphdb_spark.frontend.typecheck import TypeCheckError
+
+    for bad in [
+        '(:P {n string})\nmerge (a: Q {n = "x"})',      # undeclared label
+        '(:P {n string})\nmerge (a: P {z = "x"})',      # undeclared attr
+        '(:P {n string})\nmerge (a: P {n = 4})',        # type mismatch
+        '(:P {n string})\nmerge (a: P {n = "x", n = "y"})',  # dup keys
+    ]:
+        with _pytest.raises(TypeCheckError):
+            run_program(spark, bad)
