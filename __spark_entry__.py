@@ -276,6 +276,13 @@ def t5_top_ngrams(spark, sf_dir):
     return text.top_ngrams(_docs(spark, sf_dir))
 
 
+def d6_passage_dups(spark, sf_dir):
+    """Passage-level exact dedup (functions/dedup.py::passage_dups):
+    map-side sliding-window fingerprints, one hash aggregate on the
+    fingerprint, output bounded by duplicated passages only."""
+    return dedup.passage_dups(_docs(spark, sf_dir))
+
+
 def t9_redact_pii(spark, sf_dir):
     """Regex PII redaction (functions/text.py::redact_pii): map-only
     regexp_count/replace/md5 column algebra, RE2-compatible pattern so
@@ -673,6 +680,17 @@ def x17_inactive_rich(spark, sf_dir):
     )
 
 
+def x18_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped conditional aggregation (functions/relational.py
+    ::promo_revenue_share): pushed-down ship-date filter, hint-free part
+    join (AQE picks broadcast vs shuffle by size), promo and total
+    revenue in ONE DECIMAL aggregate, double division only at the end."""
+    return relational.promo_revenue_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1064,11 +1082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_local_supplier_volume": x15_local_supplier_volume,
         "x16_small_order_revenue": x16_small_order_revenue,
         "x17_inactive_rich": x17_inactive_rich,
+        "x18_promo_revenue": x18_promo_revenue,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
         "t4_hash_split": t4_hash_split,
         "t5_top_ngrams": t5_top_ngrams,
+        "d6_passage_dups": d6_passage_dups,
         "t9_redact_pii": t9_redact_pii,
         "t10_chunk_passages": t10_chunk_passages,
         "t6_repetition_signals": t6_repetition_signals,
@@ -1382,6 +1402,17 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY n_name
         """,
+        "x18_promo_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,2))
+                              ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+                         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,2))) AS DOUBLE), 6)
+                       AS promo_share
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
                    (SELECT COUNT(*) FROM events c
@@ -1487,6 +1518,26 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (SELECT unnest({_SHINGLES}) AS ngram FROM documents)
             SELECT ngram, COUNT(*) AS df FROM sh
             GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
+        """,
+        "d6_passage_dups": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(0, (greatest(len(words), 1) - 1) // 8)) AS i
+                FROM w
+            ),
+            ch AS (
+                SELECT doc_id,
+                       md5(array_to_string(words[i*8+1 : least(i*8+16, len(words))], ' ')) AS chunk_fp
+                FROM starts
+            )
+            SELECT chunk_fp,
+                   COUNT(*) AS n_copies,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS keep_doc
+            FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1
         """,
         "t9_redact_pii": r"""
             SELECT doc_id,

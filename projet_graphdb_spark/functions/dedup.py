@@ -423,3 +423,38 @@ def dup_clusters(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def passage_dups(
+    docs: DataFrame,
+    size: int = 16,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact dedup: fingerprint every sliding-window chunk
+    (``text.chunk_passages``) and report fingerprints occurring more
+    than once — the sub-document analogue of ``exact_dedup``, the
+    signal a training pipeline uses to strip boilerplate passages that
+    whole-document dedup can't see.
+
+    Scale design: the chunking is a map-side explode; the only shuffle
+    is one hash aggregate on the 128-bit fingerprint — high-cardinality,
+    uniformly distributed, no skew.  Output is bounded by the number of
+    *duplicated* fingerprints, not corpus size.
+
+    Output: (chunk_fp, n_copies, n_docs, keep_doc) — keep_doc is the
+    smallest doc id carrying the passage (the canonical copy).
+    """
+    from .text import chunk_passages
+
+    ch = chunk_passages(docs, size=size, stride=stride, text_col=text_col, id_col=id_col)
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -307,6 +307,49 @@ def inactive_rich_customers(
     )
 
 
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation: the share of revenue
+    from promo parts in a ship-date window.
+
+    Scale design: the date filter pushes to the lineitem scan; the
+    part join keys on ``l_partkey`` with no hint — Catalyst broadcasts
+    while the dim fits and falls back to a shuffled hash join beyond
+    the threshold (part is SF·200k rows: broadcastable at small SF,
+    not at SF100k).  Both the conditional and total revenue accumulate
+    in DECIMAL inside ONE aggregate (single scan, map-side partials);
+    the only double op is the final ratio, identical in the oracle.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,2)"
+    )
+    j = li.join(
+        part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(25,2)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share"),
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

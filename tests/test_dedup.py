@@ -146,3 +146,21 @@ def test_dup_clusters_transitive_and_singletons(spark):
     assert out[10] == (10, True)
     assert out[11] == (10, False) and out[12] == (10, False)
     assert out[13] == (13, True)  # singleton keeps itself
+
+
+def test_passage_dups_cross_document(spark):
+    from projet_graphdb_spark.functions.dedup import passage_dups
+
+    shared = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three four five six seven eight"),
+            (2, shared),                       # first chunk identical to doc 1's
+            (3, "totally different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = passage_dups(docs, size=16, stride=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_copies"] == 2 and r["n_docs"] == 2 and r["keep_doc"] == 1

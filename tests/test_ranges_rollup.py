@@ -346,3 +346,23 @@ def test_inactive_rich_customers_semantics(spark):
     assert [(r["n_name"], r["n_custs"], r["total_bal"]) for r in out] == [
         ("JAPAN", 1, 100.0)
     ]
+
+
+def test_promo_revenue_share_semantics(spark):
+    import datetime as dt
+
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, dt.datetime(1996, 2, 1)),   # promo: 100
+            (2, 300.0, 0.0, dt.datetime(1996, 2, 1)),   # other: 300
+            (1, 999.0, 0.0, dt.datetime(1997, 1, 1)),   # outside window
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    out = relational.promo_revenue_share(li, part).collect()
+    assert len(out) == 1
+    assert out[0]["n_items"] == 2
+    assert out[0]["promo_share"] == 25.0
