@@ -64,3 +64,38 @@ def load_graph(spark: SparkSession, path: str) -> GraphState:
         nodes[decl.label] = df
     edges = spark.read.parquet(f"{path}/edges").select("src", "rel", "dst")
     return GraphState(spark, types, nodes, edges, meta["next_id"])
+
+
+def save_edges_bucketed(
+    edges,
+    path: str,
+    table: str = "graph_edges_bucketed",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the edge table BUCKETED and SORTED by ``src`` as an
+    external parquet table (files under ``path``, bucket metadata in
+    the session catalog).
+
+    This is the 100 TB layout for iterative graph workloads: every
+    pregel-style round joins edges on ``src`` (bfs/sssp/pagerank/cc/
+    lpa all do), and a hash-bucketed, sorted table lets Catalyst plan
+    those joins with NO Exchange and NO Sort on the edge side — the
+    shuffle that normally dominates every iteration disappears from
+    the plan (asserted in tests/test_graph_io.py).  Pick ``n_buckets``
+    so a bucket ≈ one executor-core's working set (e.g. 100 TB / 4096
+    buckets ≈ 25 GB per bucket of columnar, pruned scan).
+    """
+    (
+        edges.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_edges_bucketed(spark: SparkSession, table: str = "graph_edges_bucketed"):
+    """Open the bucketed edge table (bucket metadata comes from the
+    catalog — reading the files directly would lose it)."""
+    return spark.table(table)

@@ -62,3 +62,48 @@ def test_edge_scan_prunes_on_rel_partition(spark, tmp_path):
     )
     # partition pruning: the rel predicate must land in PartitionFilters
     assert "PartitionFilters: [" in plan and "rel" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_bucketed_edges_join_without_exchange(spark, tmp_path):
+    """The bucketed layout must remove the per-iteration shuffle: a
+    src-keyed self-join of the bucketed edge table plans with no
+    Exchange and no Sort on either side, while the same join over plain
+    parquet shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.sources.graph_io import (
+        load_edges_bucketed,
+        save_edges_bucketed,
+    )
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"),
+        F.lit("r").alias("rel"),
+        ((F.col("id") * 7) % 97).alias("dst"),
+    )
+    save_edges_bucketed(edges, str(tmp_path / "be"), table="t_bucketed_edges", n_buckets=8)
+    try:
+        b = load_edges_bucketed(spark, "t_bucketed_edges")
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            j = b.alias("a").join(
+                b.alias("c"), F.col("a.src") == F.col("c.src")
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+
+            # control: the identical join over non-bucketed parquet shuffles
+            edges.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+            p = spark.read.parquet(str(tmp_path / "plain"))
+            jp = p.alias("a").join(p.alias("c"), F.col("a.src") == F.col("c.src"))
+            plan_p = jp._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plan_p, plan_p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
