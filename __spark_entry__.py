@@ -556,6 +556,44 @@ def s6_label_centroids(spark, sf_dir):
     return label_centroid_stats(_emb(spark, sf_dir))
 
 
+def a8_kcore(spark, sf_dir):
+    """k-core decomposition (graph_algos.kcore): iterative degree
+    peeling with cascade, over a mixed benchmark graph — even custkey
+    buckets form 10-cliques (deg 9: survive the 3-core), odd buckets
+    form +1/+2 chains (ends have deg 2: peeling cascades inward until
+    the whole chain dissolves).  The oracle unrolls the same peeling
+    rounds as chained CTEs."""
+    state = load_tpch_graph(spark, sf_dir)
+    c = (
+        state.nodes["Customer"]
+        .select(F.col("_id").alias("id"))
+        .withColumn("raw", F.col("id") - 1000000)
+        .withColumn("bk", F.expr("raw div 10"))
+    )
+    cl = (
+        c.alias("x")
+        .join(
+            c.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .where(F.col("x.bk") % 2 == 0)
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    )
+
+    def step(s: int):
+        return (
+            c.where((F.col("bk") % 2 == 1) & (F.expr(f"(raw + {s}) div 10") == F.col("bk")))
+            .select(F.col("id").alias("src"), (F.col("id") + s).alias("dst"))
+        )
+
+    e = (
+        cl.unionByName(step(1))
+        .unionByName(step(2))
+        .join(c.select(F.col("id").alias("dst")), "dst", "leftsemi")
+    )
+    return graph_algos.kcore(e, k=3)
+
+
 def a5_kmeans(spark, sf_dir):
     """Distributed k-means (2 Lloyd iterations, k=8, deterministic seed,
     6-dp centroid rounding) — assignment map-only via inlined centroid
@@ -1118,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_kmeans": a5_kmeans,
         "a6_triangle_count": a6_triangle_count,
         "a7_label_propagation": a7_label_propagation,
+        "a8_kcore": a8_kcore,
         # the availableNow-drained streaming twins run LAST: their memory
         # sinks and state stores stay resident for the session, and the
         # GC pressure would otherwise tax whatever runs after them
@@ -1623,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_pagerank": _pagerank_oracle(),
         "a7_label_propagation": _lpa_oracle(),
+        "a8_kcore": _kcore_oracle(),
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
@@ -2006,6 +2046,53 @@ def _lpa_oracle(num_iter: int = 4) -> str:
           SELECT DISTINCT src AS id, src AS label FROM bi),
         {chain}
         SELECT id, label FROM {prev}
+    """
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
+    """DuckDB mirror of a8: the peeling rounds unrolled as chained CTEs
+    over the mixed clique/chain customer graph (Spark early-exits at
+    the fixpoint, which the graph reaches well inside ``rounds``)."""
+    parts = []
+    prev = "u0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        d{i} AS (SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src),
+        kp{i} AS (SELECT src FROM d{i} WHERE c >= {k}),
+        u{i} AS MATERIALIZED (
+          SELECT u.src, u.dst FROM {prev} u
+          JOIN kp{i} s ON u.src = s.src
+          JOIN kp{i} t ON u.dst = t.src)""")
+        prev = f"u{i}"
+    chain = ",".join(parts)
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS a, b.k AS b FROM ck a
+          JOIN ck b ON a.raw // 10 = b.raw // 10 AND a.raw < b.raw
+          WHERE (a.raw // 10) % 2 = 0
+          UNION ALL
+          SELECT a.k, b.k FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          WHERE (a.raw // 10) % 2 = 1
+          UNION ALL
+          SELECT a.k, b.k FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+          WHERE (a.raw // 10) % 2 = 1
+        ),
+        u0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM e0
+            UNION ALL SELECT b, a FROM e0)
+          WHERE src <> dst
+        ),
+        {chain}
+        SELECT src AS id, COUNT(*) AS core_deg
+        FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
     """
 
 

@@ -380,3 +380,45 @@ def label_propagation(edges: DataFrame, num_iter: int = 4) -> DataFrame:
         )
         labels, ckpt_handle = _ckpt_rotate(_shrink(labels, small), ckpt_handle)
     return labels
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+    """k-core decomposition by iterative peeling over the undirected
+    view of ``edges``: repeatedly remove nodes with degree < ``k``
+    (each removal lowers neighbours' degrees, so peeling cascades)
+    until a fixpoint or ``max_rounds``.
+
+    Output: ``(id, core_deg)`` — the nodes of the k-core with their
+    degree inside the core.
+
+    Scale design: one round = a degree aggregate (shuffle on src, the
+    same key every round — bucketed edge storage makes it shuffle-free,
+    see sources/graph_io.save_edges_bucketed) + two semi-joins pruning
+    edges whose endpoint was peeled.  The surviving-node count is the
+    fixpoint witness (it only decreases; unchanged ⇔ nothing peeled —
+    one cheap count on the frame the round materializes anyway, no
+    extra join).
+    """
+    alive, _, small = _materialize(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev_nodes = None
+    ckpt_handle = None
+    for _ in range(max_rounds):
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("src")
+        alive = (
+            alive.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+        )
+        alive, ckpt_handle = _ckpt_rotate(_shrink(alive, small), ckpt_handle)
+        n_nodes = alive.select("src").distinct().count()
+        if n_nodes == prev_nodes:
+            break
+        prev_nodes = n_nodes
+    return alive.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    ).filter(F.col("core_deg") >= k)

@@ -166,3 +166,44 @@ def test_label_propagation_communities(spark):
     got = {r["id"]: r["label"] for r in label_propagation(df, num_iter=4).collect()}
     assert {got[v] for v in range(4)} == {0}
     assert {got[v] for v in range(10, 14)} == {10}
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    from projet_graphdb_spark.functions.graph_algos import kcore
+
+    # 5-clique (deg 4) + a 6-node path squared (P6^2: end degs 2)
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(10 + i, 10 + i + 1) for i in range(5)] + [
+        (10 + i, 10 + i + 2) for i in range(4)
+    ]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["id"]: r["core_deg"] for r in kcore(df, k=3).collect()}
+    # the 3-core is exactly the clique; the P^2 chain cascades to nothing
+    assert got == {v: 4 for v in range(5)}
+
+
+def test_kcore_matches_networkx_style_python(spark):
+    from projet_graphdb_spark.functions.graph_algos import kcore
+
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, size=(60, 2)) if a != b]
+
+    # python reference peeling
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 3:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    expect = {v: len(nbrs) for v, nbrs in adj.items()}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["core_deg"] for r in kcore(df, k=3).collect()}
+    assert got == expect
