@@ -25,6 +25,11 @@ GUARDED = [
     "x8_skew_agg",
     "x15_local_supplier_volume",
     "x16_small_order_revenue",
+    "x18_promo_revenue",
+    "t9_redact_pii",
+    "t10_chunk_passages",
+    "s6_label_centroids",
+    "d6_passage_dups",
     "t3_token_shards",
     "s2_cosine_dups",
     "s4_knn_ivf",

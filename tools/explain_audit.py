@@ -35,6 +35,11 @@ NL_ALLOWED = {
     # feeding the first match over a script-created graph) — constant side
     "x17_inactive_rich",  # 1-row global-threshold aggregate x customer —
     # the broadcast side is a single row by construction
+    "g21_merge",  # binding x matched-key nodes: the broadcast side is the
+    # constant-keyed lookup result (a handful of rows) — the cross join IS
+    # the merge semantics (each binding row binds each matched node)
+    "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
+    # into the per-doc scorer — constant side by construction
 }
 
 # iterative algorithms materialize per-iteration checkpoints; their final
