@@ -300,6 +300,37 @@ def t10_chunk_passages(spark, sf_dir):
     return text.chunk_passages(_docs(spark, sf_dir))
 
 
+def t11_hash_sample(spark, sf_dir):
+    """Deterministic content-hash Bernoulli sample (functions/text.py::
+    hash_sample): no RNG state, stable under re-sharding, dups sample
+    together, nested across rates — map-only bucket arithmetic the
+    oracle replays exactly."""
+    return text.hash_sample(_docs(spark, sf_dir), pct=10)
+
+
+def d7_dedup_keep(spark, sf_dir):
+    """The deduplicated-corpus manifest: documents surviving corpus-level
+    near-dup clustering (d5's canonical copies), joined back to their
+    metadata — the actual output a training pipeline materializes."""
+    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    return (
+        _docs(spark, sf_dir)
+        .join(cl.where(F.col("keep")).select("doc_id"), "doc_id", "leftsemi")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def s7_ann_recall(spark, sf_dir):
+    """Recall@5 of the SRP-LSH index against exact brute force
+    (functions/similarity.py::ann_recall) — the probe-cost/recall
+    evaluation loop, O(queries·k) join, oracled by composing the s1 and
+    s3 oracles."""
+    emb = _emb(spark, sf_dir)
+    ex = similarity.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+    ap = similarity.knn_lsh(emb, query_ids=[0, 1, 2, 3, 4], planes=_srp_planes(), k=5)
+    return similarity.ann_recall(ex, ap)
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1127,7 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_hash_split": t4_hash_split,
         "t5_top_ngrams": t5_top_ngrams,
         "d6_passage_dups": d6_passage_dups,
+        "d7_dedup_keep": d7_dedup_keep,
         "t9_redact_pii": t9_redact_pii,
+        "t11_hash_sample": t11_hash_sample,
         "t10_chunk_passages": t10_chunk_passages,
         "t6_repetition_signals": t6_repetition_signals,
         "t7_bm25_search": t7_bm25_search,
@@ -1143,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_knn_ivf": s4_knn_ivf,
         "s5_knn_quantized": s5_knn_quantized,
         "s6_label_centroids": s6_label_centroids,
+        "s7_ann_recall": s7_ann_recall,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "e1_event_window": e1_event_window,
@@ -1558,6 +1592,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, COUNT(*) AS df FROM sh
             GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
         """,
+        "t11_hash_sample": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket FROM h WHERE bucket < 10
+        """,
+        "d7_dedup_keep": f"""
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({_dup_clusters_oracle()}) c WHERE keep) k
+              USING (doc_id)
+        """,
+        "s7_ann_recall": f"""
+            WITH ex AS (SELECT * FROM ({_knn_bf_oracle()}) _a),
+                 ap AS (SELECT * FROM ({_knn_lsh_oracle()}) _b)
+            SELECT ex.query_id,
+                   COUNT(*) AS n_exact,
+                   SUM(CASE WHEN ap.neighbour_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+                   CAST(SUM(CASE WHEN ap.neighbour_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS recall
+            FROM ex LEFT JOIN ap
+              ON ap.query_id = ex.query_id AND ap.neighbour_id = ex.neighbour_id
+            GROUP BY ex.query_id
+        """,
         "d6_passage_dups": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -1634,23 +1696,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
             FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
         """,
-        "s1_knn_bruteforce": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                       WHERE vec_id IN (0,1,2,3,4)),
-            scored AS (
-              SELECT q.query_id, e.vec_id AS neighbour_id,
-                     list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])) AS sim
-              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-            ),
-            ranked AS (
-              SELECT query_id, neighbour_id, sim,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
-              FROM scored)
-            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
-            FROM ranked WHERE rank <= 5
-        """,
+        "s1_knn_bruteforce": _knn_bf_oracle(),
         "s2_cosine_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2046,6 +2092,28 @@ def _lpa_oracle(num_iter: int = 4) -> str:
           SELECT DISTINCT src AS id, src AS label FROM bi),
         {chain}
         SELECT id, label FROM {prev}
+    """
+
+
+def _knn_bf_oracle() -> str:
+    """s1: exact brute-force cosine top-5 for the fixed query set (also
+    the ground-truth side of the s7 recall composition)."""
+    return """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                       WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbour_id,
+                     list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbour_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM ranked WHERE rank <= 5
     """
 
 

@@ -329,3 +329,43 @@ def embedding_cosine_dups(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbour_col: str = "neighbour_id",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k: per query,
+    the fraction of exact neighbours the approximate index returned —
+    the evaluation loop an ANN deployment runs before trading recall
+    for probe cost (fewer bands / nprobe cells).
+
+    Scale design: a left join on (query, neighbour) — both sides are
+    k rows per query, so cost is O(queries·k); the aggregate reuses the
+    join's partitioning.  The ratio is exact in double (small-integer
+    division).
+
+    Output: (query_id, n_exact, n_hit, recall).
+    """
+    hit = approx.select(
+        F.col(query_col), F.col(neighbour_col), F.lit(1).alias("_hit")
+    )
+    return (
+        exact.select(query_col, neighbour_col)
+        .join(hit, [query_col, neighbour_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            query_col,
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

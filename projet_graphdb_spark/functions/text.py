@@ -519,3 +519,28 @@ def chunk_passages(
             F.md5(F.array_join(F.slice(F.col("_w"), F.col("_start"), size), " ")).alias("chunk_fp"),
         )
     )
+
+
+def hash_sample(
+    docs: DataFrame,
+    pct: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic content-hash Bernoulli sample: keep a document iff
+    its canonical-text md5 bucket (0-99) falls below ``pct``.
+
+    The training-corpus sampling primitive: no RNG state, stable under
+    re-sharding/re-ingestion, exact duplicates sample together (same
+    bucket), and two pipelines drawing pct=10 and pct=20 samples get
+    NESTED subsets (the smaller is contained in the larger) — none of
+    which ``df.sample`` guarantees.  Map-only, fused into the scan.
+
+    Output: the sampled (id, bucket) rows.
+    """
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(F.col(id_col), (h % 100).alias("bucket"))
+        .where(F.col("bucket") < pct)
+    )

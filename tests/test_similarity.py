@@ -68,3 +68,18 @@ def test_cosine_dups_threshold_and_order(spark, emb, emb_np):
         exact = float(norm[idx[r["id_a"]]] @ norm[idx[r["id_b"]]])
         assert abs(exact - r["sim"]) < 1e-4
         assert r["sim"] >= 0.3
+
+
+def test_ann_recall_arithmetic(spark):
+    from projet_graphdb_spark.functions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5)], "query_id long, neighbour_id long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 3), (0, 9), (1, 7)], "query_id long, neighbour_id long"
+    )
+    got = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert got[0]["n_exact"] == 3 and got[0]["n_hit"] == 2
+    assert abs(got[0]["recall"] - 2 / 3) < 1e-12
+    assert got[1]["n_exact"] == 2 and got[1]["n_hit"] == 0 and got[1]["recall"] == 0.0

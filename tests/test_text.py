@@ -248,3 +248,18 @@ def test_chunk_passages_windows(spark):
     # short and empty docs yield exactly one chunk
     assert [(r["start_token"], r["n_tokens"]) for r in by_doc[2]] == [(1, 2)]
     assert len(by_doc[3]) == 1
+
+
+def test_hash_sample_nested_and_dup_stable(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    s10 = {r["doc_id"] for r in text.hash_sample(docs, pct=10).collect()}
+    s20 = {r["doc_id"] for r in text.hash_sample(docs, pct=20).collect()}
+    assert s10 and s10 <= s20  # nested subsets
+    # exact duplicates sample together: same text -> same bucket
+    dup = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    for pct in (0, 30, 60, 100):
+        got = {r["doc_id"] for r in text.hash_sample(dup, pct=pct).collect()}
+        assert (1 in got) == (2 in got), pct
