@@ -459,6 +459,22 @@ def m1_media_features(spark, sf_dir):
     )
 
 
+def m3_decode_bins(spark, sf_dir):
+    """Size-balanced decode task binning (functions/multimodal.py::
+    pack_decode_tasks): per-kind cumulative payload bytes pack media
+    into ~4 KB bins so every decode task does equal work — the
+    tail-latency fix for skewed media sizes."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.pack_decode_tasks(media, target_bytes=4096)
+
+
 def m2_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: videos explode into one task row per
     sampled frame (every 10th), so the downstream per-frame decode
@@ -1052,6 +1068,34 @@ def e10_enrich_stream(spark, sf_dir):
     return drain(q, spark, "e10_sink")
 
 
+def e11_append_watermark_stream(spark, sf_dir):
+    """Append-mode emission under a NONZERO watermark delay (2 h): a
+    window is emitted exactly once, when the event-time watermark
+    (max event time − 2 h) passes its end — so the trailing windows
+    stay open in state and are withheld.  The oracle applies the same
+    window-end < max_ts − 2 h predicate in batch SQL; together with e5
+    (complete mode) this pins BOTH Structured Streaming output
+    contracts."""
+    from projet_graphdb_spark.streaming import (
+        drain,
+        state_partitions,
+        stream_source,
+        streaming_windowed_counts,
+    )
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = streaming_windowed_counts(
+            spark,
+            path,
+            schema,
+            watermark="2 hours",
+            query_name="e11_sink",
+            output_mode="append",
+        )
+    return drain(q, spark, "e11_sink")
+
+
 def e9_parquet_sink_stream(spark, sf_dir):
     """The windowed aggregation through a durable PARQUET file sink with
     an exactly-once checkpoint (append mode: rows written when the
@@ -1179,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_ann_recall": s7_ann_recall,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
+        "m3_decode_bins": m3_decode_bins,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -1200,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_sessionize_stream": e8_sessionize_stream,
         "e9_parquet_sink_stream": e9_parquet_sink_stream,
         "e10_enrich_stream": e10_enrich_stream,
+        "e11_append_watermark_stream": e11_append_watermark_stream,
     }
 
 
@@ -1620,6 +1666,16 @@ def oracle_sql() -> dict[str, str]:
               ON ap.query_id = ex.query_id AND ap.neighbour_id = ex.neighbour_id
             GROUP BY ex.query_id
         """,
+        "m3_decode_bins": """
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(FLOOR((SUM(strlen(text)) OVER w - strlen(text)) / 4096.0)
+                        AS BIGINT) AS task_bin
+            FROM documents
+            WINDOW w AS (PARTITION BY doc_id % 3 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "d6_passage_dups": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -1908,6 +1964,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1, 2, 3
+        """,
+        "e11_append_watermark_stream": """
+            WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS m FROM events)
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events, wm
+            GROUP BY 1, 2, wm.m
+            HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= wm.m
         """,
         "e9_parquet_sink_stream": """
             WITH wm AS (SELECT MAX(ts) AS m FROM events)

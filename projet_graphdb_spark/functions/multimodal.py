@@ -125,3 +125,40 @@ def fake_media_table(spark, n: int = 64) -> DataFrame:
         )
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def pack_decode_tasks(
+    media: DataFrame,
+    target_bytes: int = 1 << 20,
+    kind_col: str = "kind",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Assign media rows to size-balanced decode task bins: within each
+    kind, documents pack greedily (deterministic ``id`` order) into bins
+    of ~``target_bytes`` payload.
+
+    The decode stage is the expensive part of a multimodal pipeline and
+    payload sizes are wildly skewed (one video = thousands of images);
+    partitioning by ROW count leaves one task holding all the big
+    payloads.  Binning by CUMULATIVE BYTES makes every decode task do
+    about the same work — repartition on ``(kind, task_bin)`` before
+    ``extract_features`` and the stage's tail latency collapses.
+
+    Same windowed-cumsum shape as text.token_shards: the window runs
+    per kind, so nothing serializes the whole corpus through one
+    partition.  Output: (id, kind, n_bytes, task_bin).
+    """
+    from pyspark.sql.window import Window
+
+    n_bytes = F.octet_length(F.col("payload")).cast("long")
+    w = (
+        Window.partitionBy(kind_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return media.select(
+        F.col(id_col), F.col(kind_col), n_bytes.alias("n_bytes")
+    ).withColumn(
+        "task_bin",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / target_bytes).cast("long"),
+    )

@@ -78,6 +78,7 @@ def streaming_windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "ev_counts",
+    output_mode: str = "complete",
 ):
     """The same aggregation as a Structured Streaming query.
 
@@ -86,6 +87,13 @@ def streaming_windowed_counts(
     reclaimed — the knob that bounds state at scale), aggregates into
     tumbling windows, and writes to a memory sink with trigger
     ``availableNow`` (process all available input, then stop).
+
+    ``output_mode``: ``complete`` re-emits every window at each trigger
+    (what the batch oracle equals); ``append`` emits a window exactly
+    once, when the event-time watermark passes its END — the finalized-
+    results contract, so windows still open at end-of-input stay in
+    state and are NOT emitted (the e11 driver query pins exactly that
+    semantics against a batch oracle applying the same predicate).
 
     Returns the StreamingQuery; results land in the in-memory table
     ``query_name`` with the same schema as ``windowed_event_stats``.
@@ -109,7 +117,7 @@ def streaming_windowed_counts(
     return (
         stream.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -22,3 +22,21 @@ def test_frame_sample_plan(spark):
     # 3 videos (kind cycle), 120 frames each, every 10th → 12 tasks each
     assert len(rows) == 3 * 12
     assert {r["frame_idx"] % 10 for r in rows} == {0}
+
+
+def test_pack_decode_tasks_balanced(spark):
+    from projet_graphdb_spark.functions.multimodal import fake_media_table, pack_decode_tasks
+
+    media = fake_media_table(spark, n=60)
+    target = 400
+    rows = pack_decode_tasks(media, target_bytes=target).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["kind"], r["task_bin"]), []).append(r["n_bytes"])
+    # greedy packing: a bin exceeds target by at most one payload, and
+    # bins are dense per kind starting at 0
+    for (kind, b), sizes in by_bin.items():
+        assert sum(sizes) - max(sizes) < target, (kind, b, sizes)
+    for kind in {r["kind"] for r in rows}:
+        bins = sorted({b for (k, b) in by_bin if k == kind})
+        assert bins == list(range(len(bins))), (kind, bins)

@@ -161,3 +161,39 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         (r["ws"], r["seg"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_append_mode_withholds_open_windows(spark, tmp_path):
+    """Append mode must emit exactly the windows the final watermark
+    closed — a strict prefix of the complete-mode result."""
+    from projet_graphdb_spark.streaming import streaming_windowed_counts
+
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "events_append_stream")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    qc = streaming_windowed_counts(spark, src, schema, watermark="2 hours",
+                                   query_name="t_e11_complete")
+    assert qc.awaitTermination(120)
+    complete = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_e11_complete").collect()
+    }
+    qa = streaming_windowed_counts(spark, src, schema, watermark="2 hours",
+                                   query_name="t_e11_append", output_mode="append")
+    assert qa.awaitTermination(120)
+    appended = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_e11_append").collect()
+    }
+    assert appended and set(appended) < set(complete)
+    assert all(complete[k] == v for k, v in appended.items())
+    # the withheld windows are exactly those the watermark left open
+    import datetime as dt
+
+    max_ts = max(r["ts"] for r in events.select("ts").collect())
+    wm = max_ts - dt.timedelta(hours=2)
+    withheld = set(complete) - set(appended)
+    assert all(ws + dt.timedelta(hours=1) > wm for ws, _ in withheld)
+    assert all(ws + dt.timedelta(hours=1) <= wm for ws, _ in appended)
