@@ -776,6 +776,20 @@ def x18_promo_revenue(spark, sf_dir):
     )
 
 
+def x19_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2-flavoured correlated argmin (functions/relational.py::
+    cheapest_supplier): broadcast brand dim prunes lineitem map-side;
+    per-part argmin is MIN(struct(unit, suppkey)) with map-side
+    partials (no window sort over the fact table); name dims join the
+    |parts|-sized result."""
+    return relational.cheapest_supplier(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_small_order_revenue": x16_small_order_revenue,
         "x17_inactive_rich": x17_inactive_rich,
         "x18_promo_revenue": x18_promo_revenue,
+        "x19_cheapest_supplier": x19_cheapest_supplier,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1531,6 +1546,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "x19_cheapest_supplier": """
+            WITH li AS (
+                SELECT l_partkey, l_suppkey,
+                       l_extendedprice / l_quantity AS unit
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#13'
+            ),
+            best AS (
+                SELECT l_partkey, unit, l_suppkey FROM li
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                           ORDER BY unit ASC, l_suppkey ASC) = 1
+            )
+            SELECT l_partkey AS partkey, unit AS unit_price,
+                   l_suppkey AS suppkey, s_name, n_name
+            FROM best
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

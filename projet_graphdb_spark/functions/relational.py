@@ -350,6 +350,49 @@ def promo_revenue_share(
     )
 
 
+def cheapest_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+) -> DataFrame:
+    """TPC-H Q2-flavoured correlated argmin: for every part of one
+    brand, the supplier that shipped it at the lowest unit price
+    (ties to the smaller suppkey).  Q2 proper needs partsupp, which the
+    fixture lacks; lineitem is the part↔supplier link here.
+
+    Scale design: the brand dim broadcast prunes lineitem map-side;
+    the per-part argmin is ``MIN(struct(unit_price, suppkey))`` — an
+    aggregate with map-side partials (lexicographic struct ordering
+    gives the deterministic tie-break), NOT a window sort over the fact
+    table; supplier→nation name resolution joins broadcast dims onto
+    the |parts|-sized result, not onto lineitem.
+    """
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit")
+    li = (
+        lineitem.select("l_partkey", "l_suppkey", unit)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .drop("p_partkey")
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("_unit"), F.col("l_suppkey"))).alias("_b")
+    )
+    s = supplier.select("s_suppkey", "s_name", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        best.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_b._unit").alias("unit_price"),
+            F.col("_b.l_suppkey").alias("suppkey"),
+        )
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("partkey", "unit_price", "suppkey", "s_name", "n_name")
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

@@ -366,3 +366,28 @@ def test_promo_revenue_share_semantics(spark):
     assert len(out) == 1
     assert out[0]["n_items"] == 2
     assert out[0]["promo_share"] == 25.0
+
+
+def test_cheapest_supplier_argmin(spark):
+    part = spark.createDataFrame(
+        [(1, "Brand#13"), (2, "Brand#13"), (3, "Brand#9")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 7, 100.0, 10.0),   # unit 10
+            (1, 8, 45.0, 5.0),     # unit 9  <- min for part 1
+            (2, 7, 50.0, 10.0),    # unit 5
+            (2, 9, 25.0, 5.0),     # unit 5 tie -> suppkey 7 wins
+            (3, 7, 1.0, 1.0),      # wrong brand
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    supp = spark.createDataFrame(
+        [(7, "S7", 10), (8, "S8", 10), (9, "S9", 11)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nat = spark.createDataFrame([(10, "JAPAN"), (11, "INDIA")], "n_nationkey int, n_name string")
+    got = {r["partkey"]: r for r in relational.cheapest_supplier(li, supp, nat, part).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["suppkey"] == 8 and got[1]["unit_price"] == 9.0 and got[1]["n_name"] == "JAPAN"
+    assert got[2]["suppkey"] == 7 and got[2]["unit_price"] == 5.0
