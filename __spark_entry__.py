@@ -790,6 +790,18 @@ def x19_cheapest_supplier(spark, sf_dir):
     )
 
 
+def x20_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18-shaped correlated HAVING (functions/relational.py::
+    large_volume_orders): the per-order quantity aggregate prunes FIRST
+    (exact DECIMAL HAVING), the joins touch only surviving keys, top-k
+    via TakeOrderedAndProject."""
+    return relational.large_volume_orders(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1211,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_inactive_rich": x17_inactive_rich,
         "x18_promo_revenue": x18_promo_revenue,
         "x19_cheapest_supplier": x19_cheapest_supplier,
+        "x20_large_volume_orders": x20_large_volume_orders,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1564,6 +1577,21 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
+        """,
+        "x20_large_volume_orders": """
+            WITH qty AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(25,2))) AS sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 120.0
+            )
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sq AS DOUBLE) AS sum_qty
+            FROM qty
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty DESC, o_orderkey ASC
+            LIMIT 20
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -393,6 +393,46 @@ def cheapest_supplier(
     )
 
 
+def large_volume_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 120.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-shaped correlated HAVING: orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer name, largest first.
+
+    Scale design: the per-order quantity aggregate runs FIRST and its
+    HAVING prunes to the (tiny) heavy-hitter set, so the orders and
+    customer joins touch only surviving keys; quantities aggregate in
+    DECIMAL (exact, so the HAVING boundary can't float-drift); final
+    top-k is TakeOrderedAndProject.  The aggregate and the orders join
+    share the orderkey partitioning — one fact shuffle total.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(min_qty).cast("decimal(25,2)"))
+    )
+    j = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").join(
+        qty, orders.o_orderkey == qty.l_orderkey
+    )
+    c = customer.select("c_custkey", "c_name")
+    return (
+        j.join(F.broadcast(c), j.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

@@ -391,3 +391,19 @@ def test_cheapest_supplier_argmin(spark):
     assert set(got) == {1, 2}
     assert got[1]["suppkey"] == 8 and got[1]["unit_price"] == 9.0 and got[1]["n_name"] == "JAPAN"
     assert got[2]["suppkey"] == 7 and got[2]["unit_price"] == 5.0
+
+
+def test_large_volume_orders_having(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(100, 1, dt.datetime(1996, 1, 1), 10.0), (101, 2, dt.datetime(1996, 1, 2), 20.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(100, 100.0), (100, 30.0), (101, 100.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    cust = spark.createDataFrame([(1, "C1"), (2, "C2")], "c_custkey long, c_name string")
+    out = relational.large_volume_orders(orders, li, cust, min_qty=120.0).collect()
+    assert [(r["o_orderkey"], r["c_name"], r["sum_qty"]) for r in out] == [(100, "C1", 130.0)]
