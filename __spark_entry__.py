@@ -179,6 +179,19 @@ def g21_merge(spark, sf_dir):
     return binding_table(b)
 
 
+def g22_return_attrs(spark, sf_dir):
+    """Extension: attribute projection in return — ``return c, n.name,
+    c.mktsegment`` joins the accessed labels' attribute frames and
+    projects {var}_{field} columns alongside the node ids."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "match (c: Customer) -[:in_nation]-> (n: Nation) "
+        "return c, n.name, c.mktsegment",
+    )
+    return binding_table(b)
+
+
 def g10_agg_over_match(spark, sf_dir):
     """Extension: aggregation over match results (absent from the
     reference, SURVEY §2.2) — customers per nation."""
@@ -1204,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g19_union": g19_union,
         "g20_except": g20_except,
         "g21_merge": g21_merge,
+        "g22_return_attrs": g22_return_attrs,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -1344,6 +1358,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000000 AS BIGINT) AS a,
                    CAST(1000000000 AS BIGINT) AS b
             FROM nation WHERE n_name = 'NATION_3'
+        """,
+        "g22_return_attrs": """
+            SELECT CAST(c_custkey + 1000000 AS BIGINT) AS c,
+                   n_name, c_mktsegment
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "g10_agg_over_match": """
             SELECT n_name AS name, COUNT(*) AS n_customers

@@ -45,6 +45,7 @@ from ..frontend.normalize import (
     IOrderLimit,
     IReturn,
     IReturnAgg,
+    IReturnProj,
     ISet,
     ISetOp,
     IWhere,
@@ -202,6 +203,8 @@ class Executor:
             return self._delete_rel(instr.src_var, instr.rel, instr.tgt_var, b)
         if isinstance(instr, IReturn):
             return self._return(list(instr.vars), b, getattr(instr, "distinct", False))
+        if isinstance(instr, IReturnProj):
+            return self._return_proj(instr, b)
         if isinstance(instr, IReturnAgg):
             return self._return_agg(instr, b)
         if isinstance(instr, IOrderLimit):
@@ -611,6 +614,29 @@ class Executor:
         if extra:
             df = df.drop(*extra)
         return Binding(df, b.env, b._counter, None)
+
+    def _return_proj(self, instr: IReturnProj, b: Binding) -> Binding:
+        """Projection with attribute items (extension): plain vars keep
+        their binding column; ``v.f`` items join the label's attribute
+        frame (one broadcast-friendly join per accessed label, shared
+        via _join_attrs) and project as ``{v}_{f}``."""
+        b = self._flush(b)
+        accesses = {(v, f) for v, f in instr.items if f is not None}
+        joined, attr_col, _extra = self._join_attrs(b, accesses)
+        cols, new_env = [], []
+        for v, f in instr.items:
+            if f is None:
+                c, lb = b.lookup(v)
+                cols.append(F.col(c))
+                new_env.append((v, c, lb))
+            else:
+                out = f"{v}_{f}"
+                cols.append(F.col(attr_col(v, f)).alias(out))
+                new_env.append((out, out, None))
+        df = joined.select(*cols)
+        if instr.distinct:
+            df = df.dropDuplicates()
+        return Binding(df, new_env, b._counter, None)
 
     def _return_agg(self, instr: IReturnAgg, b: Binding) -> Binding:
         """Grouped aggregation over the binding table (extension): ONE

@@ -223,6 +223,16 @@ class ReturnClause:
 
 
 @dataclass(frozen=True)
+class ReturnProjClause:
+    """``return p, p.nom, e.dept`` (extension): projection of node
+    variables AND their attributes.  Attribute items produce a column
+    named ``{var}_{field}``.  ``distinct`` dedups the projection."""
+
+    items: tuple  # tuple[tuple[str, str | None], ...]  (var, field-or-None)
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
 class OrderLimitClause:
     """``order by <v | v.f> [asc|desc] limit N`` (extension): a
     deterministic top-N over the binding table — ties broken by the
@@ -324,6 +334,7 @@ Clause = Union[
     OptionalMatchClause,
     DeleteClause,
     ReturnClause,
+    ReturnProjClause,
     ReturnAggClause,
     OrderLimitClause,
     WhereClause,

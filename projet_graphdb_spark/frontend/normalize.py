@@ -72,6 +72,16 @@ class IReturn:
 
 
 @dataclass(frozen=True)
+class IReturnProj:
+    """Projection with attribute items (extension): ``return p, p.nom``.
+    items = ((var, field-or-None), ...); attribute items output a
+    ``{var}_{field}`` column."""
+
+    items: tuple
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
 class ISetOp:
     """Branch separator (extension): combine the finished branch's
     result with the next branch's via union/intersect/except (SQL
@@ -226,6 +236,8 @@ def _normalize_clause(clause: A.Clause) -> list:
         return [IWhere(clause.expr)]
     if isinstance(clause, A.ReturnClause):
         return [IReturn(clause.vars, clause.distinct)]
+    if isinstance(clause, A.ReturnProjClause):
+        return [IReturnProj(clause.items, clause.distinct)]
     if isinstance(clause, A.ReturnAggClause):
         return [IReturnAgg(clause.keys, clause.aggs)]
     if isinstance(clause, A.OrderLimitClause):

@@ -297,14 +297,27 @@ class Parser:
                     raise ParseError(f"{fn} needs an attribute (v.f)", t)
                 aggs.append(A.AggItem(fn, var, fieldname))
             else:
-                keys.append(self.expect("IDENT").value)
+                var = self.expect("IDENT").value
+                fieldname = None
+                if self.accept("DOT"):
+                    # attribute projection extension: return p.nom
+                    fieldname = self.expect("IDENT").value
+                keys.append((var, fieldname))
             if not self.accept("COMMA"):
                 break
         if aggs:
             if distinct:
                 raise ParseError("distinct with aggregates is redundant", t)
-            return A.ReturnAggClause(tuple(keys), tuple(aggs))
-        return A.ReturnClause(tuple(keys), distinct)
+            if any(f is not None for _, f in keys):
+                raise ParseError(
+                    "attribute projections cannot mix with aggregates "
+                    "(group keys are bare variables)",
+                    t,
+                )
+            return A.ReturnAggClause(tuple(v for v, _ in keys), tuple(aggs))
+        if any(f is not None for _, f in keys):
+            return A.ReturnProjClause(tuple(keys), distinct)
+        return A.ReturnClause(tuple(v for v, _ in keys), distinct)
 
     def _parse_ident_list(self) -> list:
         names = [self.expect("IDENT").value]

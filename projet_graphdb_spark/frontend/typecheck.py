@@ -33,6 +33,7 @@ from .normalize import (
     IOrderLimit,
     IReturn,
     IReturnAgg,
+    IReturnProj,
     ISet,
     ISetOp,
     IWhere,
@@ -275,6 +276,37 @@ def tc_instr(instr, env: Env) -> Env:
                     f"Attribute '{instr.field}' not declared for node type '{lbl}'"
                 )
         return env
+    if isinstance(instr, IReturnProj):
+        errors = []
+        out_names = []
+        for v, f in instr.items:
+            if f is None:
+                if not env.is_bound(v):
+                    errors.append(f"Variable '{v}' is not bound")
+                out_names.append(v)
+                continue
+            lbl = env.lookup(v)
+            if lbl is None:
+                errors.append(f"Variable '{v}' is not bound")
+                continue
+            if not isinstance(lbl, str):
+                errors.append(f"'{v}' is not a node variable")
+                continue
+            if f not in tg.attrs_of(lbl):
+                errors.append(f"Attribute '{f}' not declared for node type '{lbl}'")
+                continue
+            out_names.append(f"{v}_{f}")
+        if len(out_names) != len(set(out_names)):
+            errors.append("Return contains duplicate output columns")
+        if errors:
+            raise TypeCheckError(errors)
+        out = env.keep_only([v for v, f in instr.items if f is None])
+        for v, f in instr.items:
+            if f is not None:
+                # attribute output: bound with its declared type marker,
+                # like aggregate outputs — not a node variable
+                out = out.bind(f"{v}_{f}", ("agg", tg.attrs_of(env.lookup(v))[f]))
+        return out
     if isinstance(instr, IReturnAgg):
         errors = []
         for v in instr.keys:

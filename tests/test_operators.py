@@ -200,3 +200,42 @@ def test_merge_type_errors(spark):
     ]:
         with _pytest.raises(TypeCheckError):
             run_program(spark, bad)
+
+
+def test_return_attribute_projection(spark):
+    from projet_graphdb_spark.engine import binding_table, run_program
+
+    _, b = run_program(
+        spark,
+        """
+(:P {nom string, age int})
+(:E {dept string})
+(:P) -[:emp]-> (:E)
+
+create (p1: P) -[:emp]-> (e1: E)
+create (p2: P) -[:emp]-> (e1)
+set p1.nom = "alice", p1.age = 23, p2.nom = "bob", p2.age = 30, e1.dept = "R"
+match (p: P) -[:emp]-> (e: E)
+return p, p.nom, e.dept
+""",
+    )
+    df = binding_table(b)
+    assert df.columns == ["p", "p_nom", "e_dept"]
+    assert sorted(tuple(r) for r in df.collect()) == [(0, "alice", "R"), (2, "bob", "R")]
+
+
+def test_return_attr_distinct_dedups(spark):
+    from projet_graphdb_spark.engine import binding_table, run_program
+
+    _, b = run_program(
+        spark,
+        """
+(:P {nom string})
+
+create (p1: P) create (p2: P)
+set p1.nom = "x", p2.nom = "x"
+match (q: P)
+return distinct q.nom
+""",
+    )
+    assert [tuple(r) for r in binding_table(b).collect()] == [("x",)]
