@@ -815,6 +815,17 @@ def x20_large_volume_orders(spark, sf_dir):
     )
 
 
+def x21_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped OR-of-ANDs (functions/relational.py::
+    disjunctive_revenue): Catalyst pushes each side's common conjuncts
+    of the disjunction into the parquet scans; partkey join, DECIMAL
+    revenue."""
+    return relational.disjunctive_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1238,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x18_promo_revenue": x18_promo_revenue,
         "x19_cheapest_supplier": x19_cheapest_supplier,
         "x20_large_volume_orders": x20_large_volume_orders,
+        "x21_disjunctive_revenue": x21_disjunctive_revenue,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1611,6 +1623,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY sum_qty DESC, o_orderkey ASC
             LIMIT 20
+        """,
+        "x21_disjunctive_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -433,6 +433,41 @@ def large_volume_orders(
     )
 
 
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) arms.
+
+    Scale design: the point of Q19 is predicate shape — Catalyst
+    distributes the OR across the join so each side's common conjuncts
+    push into the parquet scans (quantity bounds on lineitem, size
+    bounds on part) instead of evaluating the whole disjunction post-
+    join; the join itself keys on partkey with the brand dim broadcast.
+    Revenue accumulates in DECIMAL.
+    """
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    arm1 = (b == "Brand#1") & (s >= 1) & (s <= 5) & (q >= 1) & (q <= 11)
+    arm2 = (b == "Brand#13") & (s >= 1) & (s <= 10) & (q >= 10) & (q <= 20)
+    arm3 = (b == "Brand#20") & (s >= 1) & (s <= 15) & (q >= 20) & (q <= 30)
+    return j.where(arm1 | arm2 | arm3).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(25,2)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

@@ -98,3 +98,14 @@ def test_s2_no_corpus_broadcast(spark):
     df = E.queries()["s2_cosine_dups"](spark, SF_TINY)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
+
+
+def test_x21_disjunction_pushed_to_scans(spark):
+    """Q19's point: Catalyst distributes the OR so each scan receives
+    its side's disjunctive filter instead of evaluating everything
+    post-join."""
+    plan = _plan(spark, "x21_disjunctive_revenue")
+    li_scan = [s for s in plan.split("FileScan parquet") if "l_quantity" in s.split("]")[0]]
+    assert li_scan, plan
+    pushed = li_scan[0].split("PushedFilters:")[1].split("]")[0] if "PushedFilters:" in li_scan[0] else ""
+    assert "Or" in pushed, plan
