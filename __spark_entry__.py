@@ -826,6 +826,14 @@ def x21_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def x22_trailing_activity(spark, sf_dir):
+    """Per-event trailing 1 h same-user activity features
+    (functions/relational.py::trailing_activity): one user_id exchange +
+    in-partition sort, RANGE frame over event-time epoch, DECIMAL frame
+    sum."""
+    return relational.trailing_activity(load_events(spark, sf_dir))
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1250,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x19_cheapest_supplier": x19_cheapest_supplier,
         "x20_large_volume_orders": x20_large_volume_orders,
         "x21_disjunctive_revenue": x21_disjunctive_revenue,
+        "x22_trailing_activity": x22_trailing_activity,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1635,6 +1644,16 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "x22_trailing_activity": """
+            SELECT event_id, user_id, ts,
+                   COUNT(*) OVER w AS n_trail,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE)
+                       AS sum_trail
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -468,6 +468,40 @@ def disjunctive_revenue(
     )
 
 
+def trailing_activity(
+    events: DataFrame,
+    window_s: int = 3600,
+) -> DataFrame:
+    """Per-event trailing-window activity features: for every event, the
+    count and value-sum of the SAME USER's events in the preceding
+    ``window_s`` seconds (inclusive) — the activity-velocity feature a
+    fraud/abuse or engagement model trains on.
+
+    Scale design: ONE window spec, ``partitionBy(user) orderBy(epoch)
+    rangeBetween(-window_s, 0)`` — a single hash-partition exchange on
+    user_id plus an in-partition sort; the RANGE frame makes ties
+    (equal timestamps) peers, identical to SQL's ``RANGE INTERVAL
+    PRECEDING``.  Users are high-cardinality so partitions stay small;
+    the frame sum accumulates in DECIMAL (exact under any frame
+    evaluation order).
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+        F.sum(F.col("value").cast("decimal(25,2)")).over(w).cast("double").alias("sum_trail"),
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

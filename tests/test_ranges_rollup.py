@@ -407,3 +407,20 @@ def test_large_volume_orders_having(spark):
     cust = spark.createDataFrame([(1, "C1"), (2, "C2")], "c_custkey long, c_name string")
     out = relational.large_volume_orders(orders, li, cust, min_qty=120.0).collect()
     assert [(r["o_orderkey"], r["c_name"], r["sum_qty"]) for r in out] == [(100, "C1", 130.0)]
+
+
+def test_trailing_activity_frame(spark):
+    rows = [
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(30), 5.0),    # 30 min later: includes event 1
+        (3, 1, _ts(61), 2.0),    # 61 min after e1: e1 out of frame, e2 in
+        (4, 2, _ts(30), 7.0),    # other user: own frame only
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r for r in relational.trailing_activity(df).collect()}
+    assert (got[1]["n_trail"], got[1]["sum_trail"]) == (1, 10.0)
+    assert (got[2]["n_trail"], got[2]["sum_trail"]) == (2, 15.0)
+    assert (got[3]["n_trail"], got[3]["sum_trail"]) == (2, 7.0)
+    assert (got[4]["n_trail"], got[4]["sum_trail"]) == (1, 7.0)
