@@ -192,6 +192,24 @@ def g22_return_attrs(spark, sf_dir):
     return binding_table(b)
 
 
+def g23_set_per_row(spark, sf_dir):
+    """O9's sane generalization exercised end-to-end: per-row ``set``
+    (set_eval="per_row") computes a data-dependent value for EVERY
+    bound node — here each nation's nationkey shifted by a constant —
+    then the updated attribute is projected back out (g22 form).  The
+    reference's first-row mode would write one nation's value to all
+    25 nodes; the oracle pins the per-row semantics."""
+    state = load_tpch_graph(spark, sf_dir)
+    _, b = run_program(
+        spark,
+        "match (n: Nation) set n.nationkey = n.nationkey + 1000 "
+        "return n, n.nationkey",
+        initial_state=state,
+        set_eval="per_row",
+    )
+    return binding_table(b)
+
+
 def g10_agg_over_match(spark, sf_dir):
     """Extension: aggregation over match results (absent from the
     reference, SURVEY §2.2) — customers per nation."""
@@ -834,6 +852,14 @@ def x22_trailing_activity(spark, sf_dir):
     return relational.trailing_activity(load_events(spark, sf_dir))
 
 
+def x23_distinct_users(spark, sf_dir):
+    """Grouped exact COUNT(DISTINCT) (functions/relational.py::
+    distinct_user_counts): two-stage expand (map-side per-(group,user)
+    dedup), shuffle carries distinct pairs not events; HLL++ sketch is
+    the documented 100 TB swap-in."""
+    return relational.distinct_user_counts(load_events(spark, sf_dir))
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1237,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_except": g20_except,
         "g21_merge": g21_merge,
         "g22_return_attrs": g22_return_attrs,
+        "g23_set_per_row": g23_set_per_row,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -1259,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x20_large_volume_orders": x20_large_volume_orders,
         "x21_disjunctive_revenue": x21_disjunctive_revenue,
         "x22_trailing_activity": x22_trailing_activity,
+        "x23_distinct_users": x23_distinct_users,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1384,6 +1412,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey + 1000000 AS BIGINT) AS c,
                    n_name, c_mktsegment
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "g23_set_per_row": """
+            SELECT CAST(n_nationkey + 100 AS BIGINT) AS n,
+                   CAST(n_nationkey + 1000 AS BIGINT) AS n_nationkey
+            FROM nation
         """,
         "g10_agg_over_match": """
             SELECT n_name AS name, COUNT(*) AS n_customers
@@ -1654,6 +1687,12 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                    AND CURRENT ROW)
+        """,
+        "x23_distinct_users": """
+            SELECT event_type AS etype,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -502,6 +502,27 @@ def trailing_activity(
     )
 
 
+def distinct_user_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-group exact distinct-user counts (+ event totals).
+
+    Scale design: Spark plans COUNT(DISTINCT) as a two-stage expand —
+    partial per-(group, user) dedup map-side, then the final aggregate —
+    so the shuffle carries one row per (group, distinct user), not per
+    event.  At 100 TB with billions of distinct users per group, swap in
+    ``approx_count_distinct(user, rsd)`` (HyperLogLog++: fixed-size
+    mergeable sketches, no per-user shuffle rows) — same call shape, a
+    relative-error knob instead of an oracle.
+    """
+    return events.groupBy(F.col(group_col).alias("etype")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col(user_col)).alias("n_users"),
+    )
+
+
 def order_history(orders: DataFrame) -> DataFrame:
     """Per-customer order-history analytics with window functions:
     sequence number, running spend, previous order price, and spend

@@ -239,3 +239,28 @@ return distinct q.nom
 """,
     )
     assert [tuple(r) for r in binding_table(b).collect()] == [("x",)]
+
+
+def test_set_per_row_differs_from_first_row(spark):
+    from projet_graphdb_spark.engine import run_program
+    from projet_graphdb_spark.engine.state import GraphState  # noqa: F401
+
+    prog = """
+(:P {nom string, age int})
+
+create (p1: P) create (p2: P)
+set p1.age = 10, p2.age = 20
+match (q: P)
+set q.age = q.age + 1
+return q, q.age
+"""
+    state, b = run_program(spark, prog, set_eval="per_row", fold_prefix=False)
+    from projet_graphdb_spark.engine import binding_table
+
+    got = dict(tuple(r) for r in binding_table(b).collect())
+    assert got == {0: 11, 1: 21}
+    # first-row mode writes ONE value (deterministically the first
+    # binding row's) to every bound node
+    state2, b2 = run_program(spark, prog, set_eval="first_row", fold_prefix=False)
+    got2 = dict(tuple(r) for r in binding_table(b2).collect())
+    assert got2 == {0: 11, 1: 11}
