@@ -362,6 +362,15 @@ def s7_ann_recall(spark, sf_dir):
     return similarity.ann_recall(ex, ap)
 
 
+def s8_knn_rerank(spark, sf_dir):
+    """Two-stage retrieval (functions/similarity.py::knn_rerank): int8
+    coarse top-25 recalled from 4x-smaller vectors, exact cosine
+    re-rank to top-5 over only queries x 25 candidate rows."""
+    return similarity.knn_rerank(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5, coarse_m=25
+    )
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1180,6 +1189,16 @@ def e11_append_watermark_stream(spark, sf_dir):
     return drain(q, spark, "e11_sink")
 
 
+def e12_session_window(spark, sf_dir):
+    """Gap-based sessions via the NATIVE session_window operator
+    (streaming/sessions.py::session_window_stats) — one hash aggregate
+    with engine-side window merging; the oracle replays the half-open
+    boundary rule (exactly-gap pairs split)."""
+    from projet_graphdb_spark.streaming.sessions import session_window_stats
+
+    return session_window_stats(load_events(spark, sf_dir))
+
+
 def e9_parquet_sink_stream(spark, sf_dir):
     """The windowed aggregation through a durable PARQUET file sink with
     an exactly-once checkpoint (append mode: rows written when the
@@ -1312,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_knn_quantized": s5_knn_quantized,
         "s6_label_centroids": s6_label_centroids,
         "s7_ann_recall": s7_ann_recall,
+        "s8_knn_rerank": s8_knn_rerank,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -1337,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_parquet_sink_stream": e9_parquet_sink_stream,
         "e10_enrich_stream": e10_enrich_stream,
         "e11_append_watermark_stream": e11_append_watermark_stream,
+        "e12_session_window": e12_session_window,
     }
 
 
@@ -2014,6 +2035,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e_sq - csq, 6) AS avg_sq_dist
             FROM base JOIN cn USING (label)
         """,
+        "s8_knn_rerank": """
+            WITH qt AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x / (CASE WHEN list_max(list_transform(
+                              CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+                            THEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y))) / 127.0
+                            ELSE 1.0 END)) AS DOUBLE)) AS qvec
+              FROM embeddings),
+            cq AS (SELECT vec_id AS query_id, qvec AS qv FROM qt
+                   WHERE vec_id IN (0,1,2,3,4)),
+            coarse AS (
+              SELECT query_id, neighbour_id FROM (
+                SELECT cq.query_id, c.vec_id AS neighbour_id,
+                       ROW_NUMBER() OVER (PARTITION BY cq.query_id
+                           ORDER BY list_cosine_similarity(cq.qv, c.qvec) DESC,
+                                    c.vec_id ASC) AS rk
+                FROM cq JOIN qt c ON c.vec_id <> cq.query_id)
+              WHERE rk <= 25),
+            fq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            rerank AS (
+              SELECT co.query_id, co.neighbour_id,
+                     list_cosine_similarity(fq.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM coarse co
+              JOIN embeddings e ON e.vec_id = co.neighbour_id
+              JOIN fq ON fq.query_id = co.query_id),
+            ranked AS (
+              SELECT query_id, neighbour_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbour_id ASC) AS rank
+              FROM rerank)
+            SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM ranked WHERE rank <= 5
+        """,
         "s5_knn_quantized": """
             WITH qt AS (
               SELECT vec_id,
@@ -2135,6 +2192,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events, wm
             GROUP BY 1, 2, wm.m
             HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= wm.m
+        """,
+        "e12_session_window": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                  >= 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+              FROM flagged
+            )
+            SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM numbered GROUP BY user_id, sess
         """,
         "e9_parquet_sink_stream": """
             WITH wm AS (SELECT MAX(ts) AS m FROM events)

@@ -369,3 +369,53 @@ def ann_recall(
             ),
         )
     )
+
+
+def knn_rerank(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    coarse_m: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: int8-quantized coarse top-``coarse_m`` →
+    EXACT cosine re-rank to top-``k`` — the production ANN pattern
+    (cheap compressed scan recalls a candidate pool, full-precision
+    scoring fixes the order).
+
+    Scale design: the coarse stage scans 4×-smaller vectors
+    (``knn_quantized``); the re-rank touches only ``queries·coarse_m``
+    rows — full-precision vectors are fetched by an id join, never
+    scanned corpus-wide.  Both stages break ties by neighbour id, so
+    the result is deterministic and the oracle composes the two stages
+    verbatim.
+    """
+    coarse = knn_quantized(embeddings, query_ids, k=coarse_m, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2norm(F.col(vec_col)).alias("_n")
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    cand = (
+        coarse.select("query_id", "neighbour_id")
+        .join(
+            base.select(
+                F.col(id_col).alias("neighbour_id"),
+                F.col(vec_col).alias("_cv"),
+                F.col("_n").alias("_cn"),
+            ),
+            "neighbour_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -146,3 +146,33 @@ def sessionize_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` — the
+    built-in form of ``sessionize_batch`` (one hash aggregate, window
+    merging done by the engine; in streaming it pairs with a watermark
+    for bounded state, no applyInPandasWithState needed).
+
+    Boundary semantics differ from ``sessionize_batch`` by half-open
+    convention: ``session_window`` extends a session only while the
+    next event arrives STRICTLY within ``gap`` (the window is
+    ``[ts, ts+gap)``), so a pair exactly ``gap`` apart starts a new
+    session, where the lag-based form (``> gap`` ⇒ new) keeps it.  The
+    oracle mirrors the ``>=`` rule.
+
+    Output: (session_start, user_id, n_events, sum_value).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("_s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_s.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

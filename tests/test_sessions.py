@@ -62,3 +62,28 @@ def test_stream_matches_batch_closed_sessions(spark, tmp_path):
     # sessions still open at end-of-data are withheld by the watermark
     assert got <= batch
     assert len(got) >= 0.9 * len(batch)
+
+
+def test_session_window_matches_lag_form_off_boundary(spark):
+    """Away from exact-gap boundaries the native session_window equals
+    the lag-based sessionizer."""
+    from projet_graphdb_spark.streaming import load_events
+    from projet_graphdb_spark.streaming.sessions import (
+        session_window_stats,
+        sessionize_batch,
+    )
+
+    from conftest import SF_TINY
+
+    events = load_events(spark, SF_TINY)
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_window_stats(events).collect()
+    }
+    lag = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    # the fixture has microsecond timestamps: exactly-30-min gaps are
+    # absent, so the two boundary conventions coincide
+    assert native == lag

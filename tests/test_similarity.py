@@ -83,3 +83,25 @@ def test_ann_recall_arithmetic(spark):
     assert got[0]["n_exact"] == 3 and got[0]["n_hit"] == 2
     assert abs(got[0]["recall"] - 2 / 3) < 1e-12
     assert got[1]["n_exact"] == 2 and got[1]["n_hit"] == 0 and got[1]["recall"] == 0.0
+
+
+def test_knn_rerank_improves_on_quantized_order(spark):
+    from projet_graphdb_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_rerank,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = knn_bruteforce(emb, query_ids=qids, k=5)
+    rr = knn_rerank(emb, query_ids=qids, k=5, coarse_m=50)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    got = {}
+    for r in rr.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    # with a 50-candidate pool on 500 vectors the exact re-rank should
+    # recover essentially the exact top-5
+    recalls = [len(ex[q] & got[q]) / 5 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
