@@ -371,6 +371,13 @@ def s8_knn_rerank(spark, sf_dir):
     )
 
 
+def t12_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy (functions/text.py::
+    char_entropy): the cheap gibberish/repetition signal — explode +
+    one (doc, char) aggregate + a rounded per-doc entropy fold."""
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1315,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_dedup_keep": d7_dedup_keep,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
+        "t12_char_entropy": t12_char_entropy,
         "t10_chunk_passages": t10_chunk_passages,
         "t6_repetition_signals": t6_repetition_signals,
         "t7_bm25_search": t7_bm25_search,
@@ -1858,6 +1866,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WINDOW w AS (PARTITION BY doc_id % 3 ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "t12_char_entropy": """
+            WITH nonempty AS (
+              SELECT doc_id, text FROM documents WHERE length(text) > 0
+            ),
+            chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c FROM nonempty
+            ),
+            counts AS (
+              SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+            ),
+            tot AS (
+              SELECT doc_id, SUM(n) AS t FROM counts GROUP BY doc_id
+            ),
+            ent AS (
+              SELECT counts.doc_id,
+                     CAST(MIN(t) AS BIGINT) AS n_chars,
+                     ROUND(-SUM((n / t) * log2(n / t)), 6) AS entropy_bits
+              FROM counts JOIN tot USING (doc_id) GROUP BY counts.doc_id
+            )
+            SELECT doc_id, n_chars, entropy_bits FROM ent
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), 0.0 FROM documents
+            WHERE length(text) = 0
         """,
         "d6_passage_dups": """
             WITH w AS (

@@ -544,3 +544,51 @@ def hash_sample(
         docs.select(F.col(id_col), (h % 100).alias("bucket"))
         .where(F.col("bucket") < pct)
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's character distribution
+    — the cheap gibberish/repetition quality signal (natural language
+    sits ~4 bits; single-character spam near 0; uniform noise near
+    log2(alphabet)).
+
+    Scale design: explode characters → one (doc, char) count aggregate
+    → per-doc entropy fold.  The shuffle key (doc_id, char) is
+    high-cardinality and uniform; the explode fan-out equals document
+    length, the same cost class as shingling.  Entropy rounds to
+    ``round_dp`` so the float log/division order can't drift vs the
+    oracle.
+
+    Output: (doc_id, n_chars, entropy_bits).
+    """
+    chars = (
+        # split('', '') yields [''] (one bogus empty char), so empty
+        # documents take the explicit zero-entropy branch below
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_c"))
+        .groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = chars.groupBy(id_col).agg(F.sum("_n").alias("_t"))
+    ent = (
+        chars.join(tot, id_col)
+        .withColumn("_p", F.col("_n") / F.col("_t"))
+        .groupBy(id_col)
+        .agg(
+            F.first("_t").alias("n_chars"),
+            F.round(-F.sum(F.col("_p") * F.log2(F.col("_p"))), round_dp).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+    empty = docs.where(F.length(F.col(text_col)) == 0).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_chars"),
+        F.lit(0.0).alias("entropy_bits"),
+    )
+    return ent.unionByName(empty)

@@ -263,3 +263,16 @@ def test_hash_sample_nested_and_dup_stable(spark):
     for pct in (0, 30, 60, 100):
         got = {r["doc_id"] for r in text.hash_sample(dup, pct=pct).collect()}
         assert (1 in got) == (2 in got), pct
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["n_chars"] == 4
+    assert got[2]["entropy_bits"] == 1.0          # two equiprobable chars
+    assert got[3]["entropy_bits"] == 0.0 and got[3]["n_chars"] == 0
+    assert got[4]["entropy_bits"] == round(math.log2(4), 6)  # = 2.0
