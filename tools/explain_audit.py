@@ -31,6 +31,8 @@ from projet_graphdb_spark.engine import get_spark  # noqa: E402
 NL_ALLOWED = {
     "s1_knn_bruteforce",  # corpus x ~5 broadcast query vectors
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
+    "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
+    "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
     "g11_transitive",  # 1-row binding seed x label table (broadcast of ONE row
     # feeding the first match over a script-created graph) — constant side
     "x17_inactive_rich",  # 1-row global-threshold aggregate x customer —
