@@ -314,6 +314,13 @@ def d6_passage_dups(spark, sf_dir):
     return dedup.passage_dups(_docs(spark, sf_dir))
 
 
+def d8_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (functions/dedup.py::simhash_pairs):
+    band-equality bucket join + map-side bit_count(xor) verify —
+    EXHAUSTIVE for hd <= bands-1 by pigeonhole, never all-pairs."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), bands=4, hash="md5")
+
+
 def t9_redact_pii(spark, sf_dir):
     """Regex PII redaction (functions/text.py::redact_pii): map-only
     regexp_count/replace/md5 column algebra, RE2-compatible pattern so
@@ -1320,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_top_ngrams": t5_top_ngrams,
         "d6_passage_dups": d6_passage_dups,
         "d7_dedup_keep": d7_dedup_keep,
+        "d8_simhash_pairs": d8_simhash_pairs,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -1910,6 +1918,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_docs,
                    MIN(doc_id) AS keep_doc
             FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1
+        """,
+        "d8_simhash_pairs": f"""
+            WITH sig AS (SELECT * FROM ({_simhash_oracle()}) _s),
+            bands AS (
+              SELECT doc_id, simhash, t.i AS band,
+                     (simhash >> (t.i * 15)) & 32767 AS bval
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hd
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "t9_redact_pii": r"""
             SELECT doc_id,

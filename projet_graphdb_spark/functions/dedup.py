@@ -458,3 +458,64 @@ def passage_dups(
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    max_hd: int | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: documents whose fingerprints
+    differ in at most ``max_hd`` bits, found WITHOUT an all-pairs scan.
+
+    The fingerprint splits into ``bands`` equal bit-bands; candidates
+    are pairs sharing any band value (one equi-join on (band, value)).
+    By pigeonhole this is EXHAUSTIVE for ``max_hd <= bands - 1``
+    (``max_hd`` defaults to exactly that): hd differing bits cannot
+    touch all ``bands`` bands, so some band matches — the verified
+    output EQUALS the brute-force hd-threshold pairs, sub-quadratically
+    (the d2/d3 banding idea applied to the Hamming space).
+
+    Scale design: band values are high-cardinality bucket keys (one
+    shuffle); verification is a map-side ``bit_count(xor)`` on the
+    joined pair — no shingle sets are ever compared pairwise.
+
+    Output: (id_a, id_b, hd).
+    """
+    nbits = 60 if hash == "md5" else 64
+    width = nbits // bands
+    if max_hd is None:
+        max_hd = bands - 1
+    mask = (1 << width) - 1
+    st = simhash_table(docs, text_col=text_col, id_col=id_col, n=n, hash=hash)
+    bvals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for i in range(bands)
+        ]
+    )
+    banded = st.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(bvals).alias("_band", "_bval")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_band", "_bval"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "_band", "_bval"
+    )
+    cand = (
+        a.join(b, ["_band", "_bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hd = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
+    return cand.withColumn("hd", hd).where(F.col("hd") <= max_hd).select(
+        "id_a", "id_b", "hd"
+    )

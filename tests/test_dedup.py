@@ -164,3 +164,24 @@ def test_passage_dups_cross_document(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_copies"] == 2 and r["n_docs"] == 2 and r["keep_doc"] == 1
+
+
+def test_simhash_pairs_exhaustive_below_band_bound(spark):
+    """With bands=4 the banded candidates are EXHAUSTIVE for hd <= 3
+    (pigeonhole): the output must equal brute-force pairs."""
+    from itertools import combinations
+
+    from projet_graphdb_spark.functions.dedup import simhash_pairs, simhash_table
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(120)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_table(docs, hash="md5").collect()}
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in simhash_pairs(docs, bands=4, hash="md5").collect()
+    }
+    assert got == expect and expect  # nonempty on the dup-seeded fixture
