@@ -135,3 +135,42 @@ def test_typechecker_label_universe(label):
 
         with pytest.raises(TypeCheckError):
             compile_program(src)
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=5
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_merge_idempotent_per_key(spark, vals):
+    """Merging the same key any number of times creates exactly one node
+    per distinct key (the upsert invariant)."""
+    clauses = " ".join(
+        f'merge (m{i}: A {{nom = "{v}"}})' for i, v in enumerate(vals)
+    )
+    src = "(:A {nom string})\n" + clauses
+    state, _ = run_program(spark, src)
+    noms = [a.get("nom") for a in state.collect_nodes()["A"].values()]
+    assert sorted(noms) == sorted(set(vals))
+
+
+@given(n_nodes=st.integers(1, 4))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_return_projection_matches_attrs(spark, n_nodes):
+    """return v, v.f projects exactly the stored attribute per row."""
+    creates = " ".join(f"create (p{i}: A)" for i in range(n_nodes))
+    sets = " ".join(f'set p{i}.nom = "v{i}"' for i in range(n_nodes))
+    src = f"(:A {{nom string}})\n{creates} {sets} match (q: A) return q, q.nom"
+    state, b = run_program(spark, src)
+    got = dict(tuple(r) for r in binding_table(b).collect())
+    attrs = state.collect_nodes()["A"]
+    assert got == {nid: a["nom"] for nid, a in attrs.items()}
