@@ -1595,8 +1595,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x14_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1609,8 +1609,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x15_local_supplier_volume": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1662,9 +1662,9 @@ def oracle_sql() -> dict[str, str]:
         "x18_promo_revenue": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
                    ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,2))
+                              THEN CAST(l_extendedprice AS DECIMAL(25,2)) * (1 - CAST(l_discount AS DECIMAL(25,2)))
                               ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
-                         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,2))) AS DOUBLE), 6)
+                         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)) * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE), 6)
                        AS promo_share
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1705,8 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x21_disjunctive_revenue": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
                    AND l_quantity BETWEEN 1 AND 11)

@@ -15,6 +15,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def rev_decimal() -> F.Column:
+    """Discounted revenue computed EXACTLY in DECIMAL:
+    ``dec(l_extendedprice) * (1 - dec(l_discount))``.
+
+    Casting the double PRODUCT to DECIMAL(25,2) is engine-dependent on
+    boundary cents (half-up vs half-even on values that land exactly on
+    x.xx5 after the double multiply — observed at sf0.1); casting each
+    FACTOR first is not: the doubles are within half an ulp of their
+    true 2-dec values, so nearest-cent rounding is unambiguous in any
+    engine, and the decimal multiply/sum after that is exact.
+    """
+    price = F.col("l_extendedprice").cast("decimal(25,2)")
+    disc = F.col("l_discount").cast("decimal(25,2)")
+    return price * (F.lit(1).cast("decimal(25,2)") - disc)
+
+
 def dsum(col: str, scale: int = 2) -> F.Column:
     """Order-independent sum of a double column: aggregate exactly in
     DECIMAL(25, scale), return double."""
@@ -211,9 +227,7 @@ def local_supplier_volume(
         j.groupBy("n_name")
         .agg(
             F.sum(
-                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-                    "decimal(25,2)"
-                )
+                rev_decimal()
             )
             .cast("double")
             .alias("revenue")
@@ -329,9 +343,7 @@ def promo_revenue_share(
     li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(25,2)"
-    )
+    rev = rev_decimal()
     j = li.join(
         part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey")
     )
@@ -459,9 +471,7 @@ def disjunctive_revenue(
     return j.where(arm1 | arm2 | arm3).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-                "decimal(25,2)"
-            )
+            rev_decimal()
         )
         .cast("double")
         .alias("revenue"),
@@ -588,9 +598,7 @@ def shipping_priority(
     )
     agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-                "decimal(25,2)"
-            )
+            rev_decimal()
         )
         .cast("double")
         .alias("revenue")
