@@ -883,6 +883,98 @@ def x23_distinct_users(spark, sf_dir):
     return relational.distinct_user_counts(load_events(spark, sf_dir))
 
 
+def x24_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped bilateral trade (functions/relational.py::
+    volume_shipping): the two-nation supplier/customer lookups broadcast
+    and PRUNE the fact rows map-side; only lineitem⋈orders shuffles;
+    per-(supp_nation, cust_nation, year) DECIMAL revenue."""
+    return relational.volume_shipping(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def x25_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped blame query (functions/relational.py::
+    waiting_suppliers): the EXISTS/NOT-EXISTS pair decorrelates into one
+    per-orderkey distinct-supplier aggregate (overall + late) joined
+    back on orderkey — 2 orderkey shuffles replace the naive 4-way
+    self-join; supplier-nation dim broadcast; top-k via
+    TakeOrderedAndProject."""
+    return relational.waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def x26_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped share-of-total filter (functions/relational.py::
+    important_parts): per-part DECIMAL revenue aggregated once; the
+    global total re-aggregates those |parts| rows (no second fact scan)
+    and broadcasts back for an exact map-side threshold
+    (value·1/fraction > total — multiply, never divide)."""
+    return relational.important_parts(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def x27_top_suppliers(spark, sf_dir):
+    """TPC-H Q15-shaped argmax with ties (functions/relational.py::
+    top_suppliers): per-supplier quarterly DECIMAL revenue, 1-row global
+    max broadcast back for an EXACT equality filter — no window sort
+    over the fact table, no float boundary."""
+    return relational.top_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+def x28_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS count (functions/relational.py::
+    order_priority_counts): LEFT SEMI join on orderkey (multiplicity
+    never materialized), date filter pushed to the orders scan,
+    ≤5-group map-side-combined aggregate."""
+    return relational.order_priority_counts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def x29_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share (functions/relational.py::
+    market_share): broadcast part/region/supplier-nation dims prune
+    map-side; ONE conditional DECIMAL aggregate computes target and
+    total volume in a single pass (no join of two aggregates)."""
+    return relational.market_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def x30_supplier_parts(spark, sf_dir):
+    """TPC-H Q16-shaped supplier diversity (functions/relational.py::
+    supplier_part_counts): broadcast part-dim prune + broadcast LEFT
+    ANTI bad-supplier exclusion (NOT IN without a shuffle);
+    count-distinct expands map-side so the shuffle carries distinct
+    (brand, size, suppkey) triples."""
+    return relational.supplier_part_counts(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1320,6 +1412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_disjunctive_revenue": x21_disjunctive_revenue,
         "x22_trailing_activity": x22_trailing_activity,
         "x23_distinct_users": x23_distinct_users,
+        "x24_volume_shipping": x24_volume_shipping,
+        "x25_waiting_suppliers": x25_waiting_suppliers,
+        "x26_important_parts": x26_important_parts,
+        "x27_top_suppliers": x27_top_suppliers,
+        "x28_order_priority": x28_order_priority,
+        "x29_market_share": x29_market_share,
+        "x30_supplier_parts": x30_supplier_parts,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1730,6 +1829,120 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "x24_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "x25_waiting_suppliers": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            po AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS ns,
+                       COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nls
+                FROM li GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) b
+            JOIN po USING (l_orderkey)
+            JOIN supplier ON s_suppkey = b.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE ns > 1 AND nls = 1 AND n_name = 'NATION_3'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "x26_important_parts": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                               * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS v
+                FROM lineitem GROUP BY l_partkey
+            ),
+            tot AS (SELECT SUM(v) AS t FROM pp)
+            SELECT l_partkey AS partkey, p_name, CAST(v AS DOUBLE) AS value
+            FROM pp CROSS JOIN tot
+            JOIN part ON p_partkey = l_partkey
+            WHERE v * 2000 > t
+            ORDER BY value DESC, partkey ASC
+        """,
+        "x27_top_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                               * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey AS suppkey, s_name,
+                   CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE r = (SELECT MAX(r) FROM rev)
+            ORDER BY suppkey
+        """,
+        "x28_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "x29_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                                  THEN CAST(l_extendedprice AS DECIMAL(25,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(25,2)))
+                                  ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)
+                         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n2.n_regionkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "x30_supplier_parts": """
+            SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -604,3 +604,327 @@ def shipping_priority(
         .alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(k)
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    two nations (either direction) per (supp_nation, cust_nation, year).
+
+    Scale design: supplier and customer are reduced to (key → nation
+    name) lookups restricted to the TWO nations of interest before
+    anything joins, so both dimension joins are broadcasts that also
+    PRUNE the fact rows map-side (inner join ⇒ only lineitems touching
+    the two nations survive).  The cross-pair predicate
+    (supp≠cust nation) is evaluated after both broadcasts, still
+    map-side.  The only shuffle is lineitem ⋈ orders on orderkey;
+    revenue accumulates in DECIMAL.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    n2 = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n2), supplier.s_nationkey == n2.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = customer.join(
+        F.broadcast(n2), customer.c_nationkey == n2.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev_decimal()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-shaped blame assignment: suppliers from one nation who
+    were the ONLY late supplier on a finished multi-supplier order.
+
+    "Late" is adapted to this schema (no commit/receipt dates):
+    ``l_shipdate > o_orderdate + late_days``.
+
+    Scale design: the EXISTS (another supplier participated) and NOT
+    EXISTS (no OTHER supplier was late) subqueries are decorrelated
+    into per-orderkey aggregates computed in ONE pass over lineitem —
+    ``count(distinct suppkey)`` overall and among the late rows — then
+    joined back on orderkey.  That is 2 shuffles total on orderkey
+    (agg + join), versus the naive 4-way self-join; the supplier-nation
+    dimension is a broadcast, and the final per-supplier count reuses
+    map-side partials.  Top-k via TakeOrderedAndProject.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    o = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    ).select("l_orderkey", "l_suppkey", late.alias("_late"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    blamed = (
+        li.where(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    n1 = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    fraction: float = 0.0005,
+) -> DataFrame:
+    """TPC-H Q11-shaped share-of-total filter: parts whose total revenue
+    exceeds ``fraction`` of ALL revenue.
+
+    Scale design: one DECIMAL aggregate per partkey (map-side combined);
+    the global total is the SUM of those per-part totals — a second
+    tiny aggregate over |parts| rows, not a second scan of the fact
+    table — broadcast back as a 1-row cross join for a map-side
+    threshold filter.  The threshold test multiplies instead of
+    dividing (``value · 1/fraction > total``) and stays in DECIMAL, so
+    the boundary is exact for the oracle.  Name join touches only
+    surviving keys.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(rev_decimal()).alias("_value")
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    inv = int(round(1.0 / fraction))
+    kept = per_part.join(F.broadcast(total)).where(
+        F.col("_value") * inv > F.col("_total")
+    )
+    return (
+        kept.join(part.select("p_partkey", "p_name"), kept.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.col("_value").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped argmax: the supplier(s) with maximum revenue in
+    a quarter (ties all kept, like the reference view formulation).
+
+    Scale design: per-supplier DECIMAL revenue is one map-side-combined
+    aggregate over the date-pruned scan; the global max is a 1-row
+    aggregate over |suppliers| rows, broadcast back for an EXACT
+    DECIMAL equality filter (no window sort over the fact table, no
+    float boundary ambiguity).  Supplier names join after the filter —
+    a handful of rows.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    rev = (
+        lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_decimal()).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    best = rev.join(F.broadcast(mx)).where(F.col("_rev") == F.col("_mx"))
+    return (
+        best.join(supplier, best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS count: orders per priority, in a quarter,
+    having at least one lineitem shipped more than ``late_days`` after
+    the order date (the schema-adapted commit<receipt predicate).
+
+    Scale design: the EXISTS is a LEFT SEMI join on orderkey — Spark
+    never materializes the multiplicity of matching lineitems, and the
+    date filter prunes orders at the parquet scan before the join.  The
+    final aggregate is over ≤5 priority groups, map-side combined.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    o = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_2",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: per order-year, the fraction of
+    revenue for one part type sold into one region that was supplied
+    by the target nation.
+
+    Scale design: part-type keys and the region's customer-nation set
+    are broadcast dims that prune lineitem/orders map-side; the
+    supplier→nation lookup is a broadcast that tags each row with the
+    supp nation for a ONE-PASS conditional aggregate
+    (share = Σ(case target)/Σ(all), both in DECIMAL, single division
+    at the end) — no second scan, no join of two aggregates.
+    """
+    p = part.where(F.col("p_type") == p_type).select("p_partkey")
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    rn = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    c = customer.join(
+        F.broadcast(rn), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    sn = supplier.join(
+        nation.select("n_nationkey", "n_name"),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate").join(
+        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+    )
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    j = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).join(
+        o, li.l_orderkey == o.o_orderkey
+    )
+    vol = rev_decimal()
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                F.lit(0).cast("decimal(25,2)")
+            )).alias("_target"),
+            F.sum(vol).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_target").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#13",
+    sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29),
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers able to
+    supply each (brand, size) combination, excluding one brand and
+    suppliers in bad standing (negative account balance — the
+    schema-adapted complaints predicate).
+
+    Scale design: the part dim filters broadcast-prune lineitem
+    map-side; bad suppliers are a broadcast LEFT ANTI join (NOT IN
+    without a shuffle); the count-distinct expands to per
+    (brand, size, suppkey) map-side dedup so the shuffle carries
+    distinct triples, not lineitems.
+    """
+    p = part.where(
+        (F.col("p_brand") != excl_brand) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return (
+        li.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )

@@ -424,3 +424,184 @@ def test_trailing_activity_frame(spark):
     assert (got[2]["n_trail"], got[2]["sum_trail"]) == (2, 15.0)
     assert (got[3]["n_trail"], got[3]["sum_trail"]) == (2, 7.0)
     assert (got[4]["n_trail"], got[4]["sum_trail"]) == (1, 7.0)
+
+
+def test_volume_shipping_semantics(spark):
+    import datetime as dt
+
+    nation = spark.createDataFrame(
+        [(10, "JAPAN"), (11, "INDIA"), (12, "PERU")],
+        "n_nationkey int, n_name string",
+    )
+    supp = spark.createDataFrame(
+        [(7, 10), (8, 11), (9, 12)], "s_suppkey long, s_nationkey int"
+    )
+    cust = spark.createDataFrame(
+        [(1, 11), (2, 10), (3, 12)], "c_custkey long, c_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [
+            # JAPAN supp → INDIA cust, 1996: counted (100)
+            (100, 7, dt.datetime(1996, 3, 1), 100.0, 0.0),
+            # INDIA supp → JAPAN cust, 1997: counted (50)
+            (101, 8, dt.datetime(1997, 3, 1), 50.0, 0.0),
+            # JAPAN supp → JAPAN cust: same nation, dropped
+            (101, 7, dt.datetime(1996, 3, 1), 77.0, 0.0),
+            # PERU supp: not a party, dropped
+            (100, 9, dt.datetime(1996, 3, 1), 88.0, 0.0),
+            # outside the date window
+            (100, 7, dt.datetime(1995, 3, 1), 99.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp,"
+        " l_extendedprice double, l_discount double",
+    )
+    out = relational.volume_shipping(
+        li, orders, cust, supp, nation, nation_a="JAPAN", nation_b="INDIA"
+    ).collect()
+    assert [(r["supp_nation"], r["cust_nation"], r["l_year"], r["revenue"]) for r in out] == [
+        ("INDIA", "JAPAN", 1997, 50.0),
+        ("JAPAN", "INDIA", 1996, 100.0),
+    ]
+
+
+def test_waiting_suppliers_semantics(spark):
+    import datetime as dt
+
+    nation = spark.createDataFrame([(10, "JAPAN")], "n_nationkey int, n_name string")
+    supp = spark.createDataFrame(
+        [(7, 10, "S7"), (8, 10, "S8")],
+        "s_suppkey long, s_nationkey int, s_name string",
+    )
+    d0 = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1996, 6, 1)     # > 90 days after d0
+    ontime = dt.datetime(1996, 2, 1)   # within 90 days
+    orders = spark.createDataFrame(
+        [(100, "F", d0), (101, "F", d0), (102, "O", d0), (103, "F", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            # order 100: supplier 7 late, supplier 8 on time → 7 blamed
+            (100, 7, late), (100, 8, ontime),
+            # order 101: BOTH late → nobody blamed
+            (101, 7, late), (101, 8, late),
+            # order 102: status O → excluded
+            (102, 7, late), (102, 8, ontime),
+            # order 103: single-supplier order → excluded (ns must be > 1)
+            (103, 7, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    out = relational.waiting_suppliers(li, orders, supp, nation, nation_name="JAPAN").collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("S7", 1)]
+
+
+def test_important_parts_threshold(spark):
+    part = spark.createDataFrame(
+        [(1, "big"), (2, "small")], "p_partkey long, p_name string"
+    )
+    # total = 1000; fraction 0.0005 → threshold 0.5; part 1 has 999.5+,
+    # part 2 has 0.4 → only part 1 survives (strict > on the boundary)
+    li = spark.createDataFrame(
+        [(1, 999.6, 0.0), (2, 0.4, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    out = relational.important_parts(li, part).collect()
+    assert [(r["partkey"], r["p_name"], r["value"]) for r in out] == [(1, "big", 999.6)]
+
+
+def test_top_suppliers_keeps_ties(spark):
+    import datetime as dt
+
+    supp = spark.createDataFrame(
+        [(7, "S7"), (8, "S8"), (9, "S9")], "s_suppkey long, s_name string"
+    )
+    d = dt.datetime(1996, 2, 1)
+    li = spark.createDataFrame(
+        [(7, d, 100.0, 0.0), (8, d, 100.0, 0.0), (9, d, 99.0, 0.0)],
+        "l_suppkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    out = relational.top_suppliers(li, supp).collect()
+    assert [(r["suppkey"], r["total_revenue"]) for r in out] == [(7, 100.0), (8, 100.0)]
+
+
+def test_order_priority_counts_exists(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(1997, 2, 1)
+    orders = spark.createDataFrame(
+        [(100, d0, "1-URGENT"), (101, d0, "1-URGENT"), (102, d0, "2-HIGH")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            # order 100: two late lineitems — still counts ONCE (semi join)
+            (100, dt.datetime(1997, 6, 1)), (100, dt.datetime(1997, 7, 1)),
+            # order 101: shipped within 60 days — no count
+            (101, dt.datetime(1997, 3, 1)),
+            # order 102: late
+            (102, dt.datetime(1997, 8, 1)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = relational.order_priority_counts(orders, li).collect()
+    assert [(r["o_orderpriority"], r["order_count"]) for r in out] == [
+        ("1-URGENT", 1), ("2-HIGH", 1)
+    ]
+
+
+def test_supplier_part_counts_exclusions(spark):
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 5), (2, "Brand#13", 5), (3, "Brand#1", 2)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    supp = spark.createDataFrame(
+        [(7, 10.0), (8, -1.0)], "s_suppkey long, s_acctbal double"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 7),  # counted
+            (1, 7),  # duplicate supplier — distinct collapses it
+            (1, 8),  # bad-standing supplier — anti-joined away
+            (2, 7),  # excluded brand
+            (3, 7),  # size 2 not in the size list
+        ],
+        "l_partkey long, l_suppkey long",
+    )
+    out = relational.supplier_part_counts(li, part, supp).collect()
+    assert [(r["p_brand"], r["p_size"], r["supplier_cnt"]) for r in out] == [
+        ("Brand#1", 5, 1)
+    ]
+
+
+def test_market_share_conditional_aggregate(spark):
+    import datetime as dt
+
+    region = spark.createDataFrame([(0, "ASIA")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 0), (11, "INDIA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    part = spark.createDataFrame([(1, "PROMO")], "p_partkey long, p_type string")
+    supp = spark.createDataFrame(
+        [(7, 10), (8, 11)], "s_suppkey long, s_nationkey int"
+    )
+    cust = spark.createDataFrame([(1, 11)], "c_custkey long, c_nationkey int")
+    orders = spark.createDataFrame(
+        [(100, 1, dt.datetime(1996, 5, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        # JAPAN supplies 25 of the 100 total volume in 1996
+        [(100, 1, 7, 25.0, 0.0), (100, 1, 8, 75.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_extendedprice double, l_discount double",
+    )
+    out = relational.market_share(
+        li, orders, cust, supp, nation, region, part, target_nation="JAPAN"
+    ).collect()
+    assert [(r["o_year"], r["mkt_share"]) for r in out] == [(1996, 0.25)]
