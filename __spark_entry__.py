@@ -385,6 +385,54 @@ def t12_char_entropy(spark, sf_dir):
     return text.char_entropy(_docs(spark, sf_dir))
 
 
+def t13_doc_frequency(spark, sf_dir):
+    """Corpus DF/IDF vocabulary table (functions/text.py::
+    doc_frequency): per-doc array_distinct before the corpus aggregate
+    (shuffle carries distinct doc-token pairs), corpus size N broadcast
+    as a 1-row aggregate, hapax tail pruned with min_df."""
+    return text.doc_frequency(_docs(spark, sf_dir))
+
+
+def t14_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum capped sample (functions/text.py::
+    stratified_sample): md5-of-salted-id order, at most 8 docs per
+    (lang, source) stratum — RNG-free, stable under re-sharding; one
+    shuffle on the strata key."""
+    return text.stratified_sample(
+        _docs(spark, sf_dir), strata=("lang", "source"), cap=8
+    )
+
+
+def a9_degree_histogram(spark, sf_dir):
+    """Per-relation degree-distribution histogram (functions/
+    graph_algos.py::degree_histogram) over the FK-projected TPC-H
+    graph: two map-side-combined aggregates; hubs collapse to one row
+    before the histogram shuffle."""
+    state = load_tpch_graph(spark, sf_dir)
+    return graph_algos.degree_histogram(state.edges)
+
+
+def a10_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient (functions/graph_algos.py::
+    clustering_coefficient) over the same bucket-chained customer graph
+    as a6: degree-oriented triangle enumeration + |V|-sized join,
+    cc = 2·tri/(deg·(deg−1)) rounded to 6 dp."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.clustering_coefficient(e)
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1430,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
+        "t13_doc_frequency": t13_doc_frequency,
+        "t14_stratified_sample": t14_stratified_sample,
         "t10_chunk_passages": t10_chunk_passages,
         "t6_repetition_signals": t6_repetition_signals,
         "t7_bm25_search": t7_bm25_search,
@@ -1462,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_triangle_count": a6_triangle_count,
         "a7_label_propagation": a7_label_propagation,
         "a8_kcore": a8_kcore,
+        "a9_degree_histogram": a9_degree_histogram,
+        "a10_clustering_coefficient": a10_clustering_coefficient,
         # the availableNow-drained streaming twins run LAST: their memory
         # sinks and state stores stay resident for the session, and the
         # GC pressure would otherwise tax whatever runs after them
@@ -2112,6 +2164,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(0 AS BIGINT), 0.0 FROM documents
             WHERE length(text) = 0
         """,
+        "t13_doc_frequency": """
+            WITH toks AS (
+              SELECT unnest(list_distinct(
+                       string_split_regex(trim(text), '\\s+'))) AS token
+              FROM documents
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT token, COUNT(*) AS df,
+                   ROUND(LN(n / COUNT(*)), 6) AS idf
+            FROM toks CROSS JOIN n
+            WHERE token <> ''
+            GROUP BY token, n
+            HAVING COUNT(*) >= 2
+            ORDER BY df DESC, token ASC
+        """,
+        "t14_stratified_sample": """
+            SELECT doc_id, lang, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat1') ASC,
+                                doc_id ASC) AS BIGINT) AS sample_rank
+            FROM documents
+            QUALIFY sample_rank <= 8
+        """,
         "d6_passage_dups": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -2551,6 +2627,69 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM tri
             )
             SELECT id, COUNT(*) AS triangles FROM v GROUP BY id
+        """,
+        "a9_degree_histogram": f"""
+            WITH ed AS (
+              SELECT 'in_nation' AS rel, {_CUST} AS src, {_NAT_C} AS dst FROM customer
+              UNION ALL
+              SELECT 'in_nation', {_SUPP}, {_NAT_S} FROM supplier
+              UNION ALL
+              SELECT 'in_region', {_NAT}, {_REG_N} FROM nation
+              UNION ALL
+              SELECT 'placed_by', {_ORD}, CAST(o_custkey + 1000000 AS BIGINT) FROM orders
+            ),
+            ends AS (
+              SELECT rel, src AS id FROM ed
+              UNION ALL SELECT rel, dst FROM ed
+            ),
+            deg AS (
+              SELECT rel, id, COUNT(*) AS degree FROM ends GROUP BY rel, id
+            )
+            SELECT rel, degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY rel, degree
+            ORDER BY rel, degree
+        """,
+        "a10_clustering_coefficient": """
+            WITH ck AS (
+              SELECT CAST(c_custkey AS BIGINT) AS raw,
+                     CAST(c_custkey + 1000000 AS BIGINT) AS k
+              FROM customer
+            ),
+            e0 AS (
+              SELECT a.k AS a, b.k AS b FROM ck a
+              JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+              UNION ALL
+              SELECT a.k, b.k FROM ck a
+              JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+            ),
+            e AS (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM e0 WHERE a <> b
+            ),
+            deg AS (
+              SELECT id, COUNT(*) AS degree FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY id
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tcount AS (
+              SELECT id, COUNT(*) AS triangles FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY id
+            )
+            SELECT deg.id, deg.degree,
+                   COALESCE(tcount.triangles, 0) AS triangles,
+                   ROUND(COALESCE(tcount.triangles, 0) * 2.0
+                         / (deg.degree * (deg.degree - 1)), 6) AS cc
+            FROM deg LEFT JOIN tcount ON tcount.id = deg.id
+            WHERE deg.degree >= 2
         """,
         "a4_sssp": f"""
             WITH RECURSIVE ed AS (

@@ -422,3 +422,70 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
     return alive.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("core_deg")
     ).filter(F.col("core_deg") >= k)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree-distribution histogram per relation label: how many nodes
+    have each total (in+out) degree — the first diagnostic run on any
+    large graph (skew detection, power-law fit, sanity checks).
+
+    Scale design: two map-side-combined aggregates — (rel, id) degree
+    counts, then (rel, degree) histogram.  The first shuffle carries one
+    row per endpoint incidence; the second one row per (node, rel).  A
+    hub vertex is ONE row in the second aggregate, so skew in the graph
+    does not skew the histogram computation itself.
+
+    Output: (rel, degree, n_nodes).
+    """
+    ends = edges.select("rel", F.col("src").alias("id")).unionByName(
+        edges.select("rel", F.col("dst").alias("id"))
+    )
+    deg = ends.groupBy("rel", "id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("rel", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("rel", "degree")
+    )
+
+
+def clustering_coefficient(edges: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Local clustering coefficient per vertex over the undirected view:
+    ``cc = 2·triangles / (deg·(deg−1))`` for vertices of degree ≥ 2.
+
+    Scale design: reuses :func:`triangle_count` (degree-oriented wedge
+    enumeration, O(m^1.5) total work regardless of skew); degrees are
+    one more map-side-combined aggregate over the SAME canonical
+    undirected edge set, and the final join is |V|-sized.  Rounded to
+    ``round_dp`` so the float division can't drift vs an oracle.
+
+    Output: (id, degree, triangles, cc) for deg ≥ 2 vertices.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.coalesce(F.col("triangles"), F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                round_dp,
+            ).alias("cc"),
+        )
+    )

@@ -592,3 +592,79 @@ def char_entropy(
         F.lit(0.0).alias("entropy_bits"),
     )
     return ent.unionByName(empty)
+
+
+def doc_frequency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus document-frequency / IDF table: for every token, the
+    number of documents containing it and ``ln(N/df)`` — the vocabulary
+    statistic behind quality filters, rare-word screens and TF-IDF.
+
+    Scale design: tokens are deduplicated PER DOCUMENT before the
+    corpus aggregate (``array_distinct`` map-side), so the shuffle
+    carries at most |doc|·|vocab-per-doc| rows and the token-count
+    aggregate is map-side combined.  The corpus size N joins as a
+    broadcast 1-row aggregate — never a driver-side ``count()`` in the
+    plan.  ``min_df`` prunes the hapax tail (typically ~half the
+    vocabulary) from the output.  IDF rounds to ``round_dp`` so float
+    ``ln`` agrees with any oracle bit-for-bit.
+
+    Output: (token, df, idf), df ≥ min_df.
+    """
+    toks = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token")
+    ).where(F.col("token") != "")
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    tab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tab.where(F.col("df") >= min_df)
+        .join(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("_n") / F.col("df")), round_dp).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: tuple = ("lang",),
+    cap: int = 50,
+    id_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Deterministic per-stratum capped sample: at most ``cap``
+    documents per stratum, chosen by md5 order of the salted id — the
+    corpus-balancing primitive (cap each language/source so one
+    stratum can't dominate a training mix).
+
+    Like ``hash_sample``, selection is content-independent RNG-free
+    hashing: re-runs, re-shards and incremental loads agree on which
+    documents are in.  One shuffle on the strata key; the window
+    row_number only sorts WITHIN each stratum's partition.  At extreme
+    stratum skew (one stratum = the whole corpus), swap the window for
+    the documented two-phase trick: filter to hash < adaptive
+    threshold, then exact-rank the survivors.
+
+    Output: (id, *strata, sample_rank) with sample_rank ≤ cap.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .select(F.col(id_col), *strata, F.col("_rk").cast("long").alias("sample_rank"))
+    )

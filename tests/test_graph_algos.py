@@ -207,3 +207,26 @@ def test_kcore_matches_networkx_style_python(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["core_deg"] for r in kcore(df, k=3).collect()}
     assert got == expect
+
+
+def test_degree_histogram_star(spark):
+    # star: hub degree 4 (one node), leaves degree 1 (four nodes)
+    e = spark.createDataFrame(
+        [(0, "r", i) for i in range(1, 5)], ["src", "rel", "dst"]
+    )
+    got = {(r["rel"], r["degree"]): r["n_nodes"]
+           for r in graph_algos.degree_histogram(e).collect()}
+    assert got == {("r", 4): 1, ("r", 1): 4}
+
+
+def test_clustering_coefficient_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1, cc(3)=1/3, 4 has deg 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r["id"]: (r["degree"], r["triangles"], r["cc"])
+           for r in graph_algos.clustering_coefficient(e).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert 4 not in got

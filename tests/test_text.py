@@ -276,3 +276,37 @@ def test_char_entropy_known_values(spark):
     assert got[2]["entropy_bits"] == 1.0          # two equiprobable chars
     assert got[3]["entropy_bits"] == 0.0 and got[3]["n_chars"] == 0
     assert got[4]["entropy_bits"] == round(math.log2(4), 6)  # = 2.0
+
+
+def test_doc_frequency_counts_docs_not_occurrences(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark join"), (2, "spark join join"), (3, "scan"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["token"]: (r["df"], r["idf"]) for r in text.doc_frequency(df, min_df=1).collect()}
+    # repeated in-doc tokens count once; the empty doc contributes nothing
+    assert got["spark"][0] == 2 and got["join"][0] == 2 and got["scan"][0] == 1
+    import math
+    assert got["scan"][1] == round(math.log(4 / 1), 6)
+    assert got["spark"][1] == round(math.log(4 / 2), 6)
+    # min_df prunes the hapax tail
+    pruned = {r["token"] for r in text.doc_frequency(df, min_df=2).collect()}
+    assert pruned == {"spark", "join"}
+
+
+def test_stratified_sample_cap_and_determinism(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = text.stratified_sample(df, strata=("lang",), cap=10).collect()
+    out2 = text.stratified_sample(df, strata=("lang",), cap=10).collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in out1) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in out2
+    )
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert all(len(v) == 10 and sorted(v) == list(range(1, 11)) for v in by_lang.values())
+    # nested-cap property: the cap-5 sample is a prefix of the cap-10 one
+    small = {r["doc_id"] for r in text.stratified_sample(df, strata=("lang",), cap=5).collect()}
+    big = {r["doc_id"] for r in out1}
+    assert small < big
