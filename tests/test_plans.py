@@ -39,6 +39,15 @@ GUARDED = [
     "e2_sessionize",
     "e3_stream_dedup",
     "e4_stream_join",
+    "x24_volume_shipping",
+    "x25_waiting_suppliers",
+    "x27_top_suppliers",
+    "x28_order_priority",
+    "x29_market_share",
+    "x30_supplier_parts",
+    "t14_stratified_sample",
+    "a9_degree_histogram",
+    "a10_clustering_coefficient",
 ]
 
 

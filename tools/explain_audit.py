@@ -42,6 +42,11 @@ NL_ALLOWED = {
     # the merge semantics (each binding row binds each matched node)
     "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
     # into the per-doc scorer — constant side by construction
+    "x26_important_parts",  # 1-row global-revenue-total aggregate broadcast
+    # into the per-part threshold filter (inequality can't become a hash
+    # join key) — constant side by construction
+    "t13_doc_frequency",  # 1-row corpus-size aggregate broadcast into the
+    # IDF projection — constant side by construction
 }
 
 # iterative algorithms materialize per-iteration checkpoints; their final
