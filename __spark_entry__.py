@@ -527,6 +527,46 @@ def _srp_planes(num_planes: int = 8, dim: int = 64) -> list:
     return [[float(x) for x in row] for row in rng.standard_normal((num_planes, dim))]
 
 
+def _srp_bands(n_bands: int = 4, bits: int = 4, dim: int = 64) -> list:
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    return [
+        [[float(x) for x in row] for row in rng.standard_normal((bits, dim))]
+        for _ in range(n_bands)
+    ]
+
+
+def s9_lsh_cosine_dups(spark, sf_dir):
+    """Corpus-wide near-dup pairs via banded SRP-LSH candidates + exact
+    cosine verify (functions/similarity.py::lsh_cosine_dups) — the
+    sub-quadratic pair-generation path (O(corpus + Σ bucket²), never
+    all-pairs); 4 bands × 4 seeded hyperplane bits; threshold tuned to
+    this corpus's similarity range (max pairwise cosine ≈ 0.5)."""
+    return similarity.lsh_cosine_dups(
+        _emb(spark, sf_dir), bands=_srp_bands(), threshold=0.4
+    )
+
+
+def m4_thumbnails(spark, sf_dir):
+    """Thumbnail-fit pipeline (functions/multimodal.py::thumbnail_plan):
+    Arrow-batched mapInPandas over image rows; resample stubbed, the
+    aspect-preserving shape arithmetic (scale = min(1, 64/max(w,h)),
+    floor, RGB byte cost) is real and oracle-checked."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            (100 + F.col("doc_id") % 1900).cast("int").alias("width"),
+            (100 + (F.col("doc_id") * 7) % 1000).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return multimodal.thumbnail_plan(media, max_side=64)
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -1497,9 +1537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_label_centroids": s6_label_centroids,
         "s7_ann_recall": s7_ann_recall,
         "s8_knn_rerank": s8_knn_rerank,
+        "s9_lsh_cosine_dups": s9_lsh_cosine_dups,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
+        "m4_thumbnails": m4_thumbnails,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -2329,6 +2371,26 @@ def oracle_sql() -> dict[str, str]:
             FROM tdocs t LEFT JOIN hits USING (doc_id)
         """,
         "s3_knn_lsh": _knn_lsh_oracle(),
+        "s9_lsh_cosine_dups": _lsh_dups_oracle(),
+        "m4_thumbnails": """
+            WITH img AS (
+              SELECT doc_id AS media_id,
+                     CAST(100 + doc_id % 1900 AS INT) AS in_width,
+                     CAST(100 + (doc_id * 7) % 1000 AS INT) AS in_height
+              FROM documents
+            ),
+            scaled AS (
+              SELECT *, LEAST(1.0, 64.0 / GREATEST(in_width, in_height)) AS s
+              FROM img
+            )
+            SELECT media_id, in_width, in_height,
+                   CAST(GREATEST(1, FLOOR(in_width * s)) AS INT) AS out_width,
+                   CAST(GREATEST(1, FLOOR(in_height * s)) AS INT) AS out_height,
+                   CAST(GREATEST(1, FLOOR(in_width * s)) AS BIGINT)
+                       * CAST(GREATEST(1, FLOOR(in_height * s)) AS BIGINT)
+                       * 3 AS n_bytes_out
+            FROM scaled
+        """,
         "s4_knn_ivf": """
             WITH cent AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -3103,6 +3165,40 @@ def _knn_lsh_oracle() -> str:
           FROM scored)
         SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _lsh_dups_oracle(threshold: float = 0.4) -> str:
+    """DuckDB mirror of s9: per-band SRP signatures from the same seeded
+    plane literals, per-band self-join candidates unioned + dedup'd,
+    exact cosine verify at the same unrounded threshold."""
+    band_exprs = []
+    for band in _srp_bands():
+        terms = []
+        for i, plane in enumerate(band):
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(terms))
+    sig_cols = ", ".join(f"({e}) AS b{i}" for i, e in enumerate(band_exprs))
+    cand_selects = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a"
+        f" JOIN sig b ON a.b{i} = b.b{i} AND a.vec_id < b.vec_id"
+        for i in range(len(band_exprs))
+    )
+    return f"""
+        WITH sig AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+        cand AS ({cand_selects})
+        SELECT id_a, id_b,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {threshold}
     """
 
 

@@ -162,3 +162,56 @@ def pack_decode_tasks(
         "task_bin",
         F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / target_bytes).cast("long"),
     )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("in_width", T.IntegerType(), True),
+        T.StructField("in_height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+    ]
+)
+
+
+def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Fit-within-``max_side`` thumbnail generation over image rows via
+    Arrow-batched ``mapInPandas``.
+
+    The pixel resample is STUBBED (no codec libraries here — a real
+    deployment swaps the byte-count line for PIL's ``Image.resize`` +
+    encode); the SHAPE arithmetic is real and checked: scale =
+    min(1, max_side/max(w,h)) preserving aspect ratio, floor to ≥1 px,
+    stub output cost = out_w·out_h·3 bytes (RGB).
+
+    Scale design: same plumbing contract as ``extract_features`` —
+    Arrow batches in and out, no per-row Python, embarrassingly
+    parallel; pair with ``pack_decode_tasks`` bins so one partition's
+    payloads fit executor memory.
+    """
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"] if m is not None else None)
+            h = pdf["meta"].map(lambda m: m["height"] if m is not None else None)
+            out = {"media_id": pdf["media_id"], "in_width": w, "in_height": h,
+                   "out_width": [], "out_height": [], "n_bytes_out": []}
+            for wi, hi in zip(w, h):
+                if wi is None or hi is None or wi <= 0 or hi <= 0:
+                    out["out_width"].append(None)
+                    out["out_height"].append(None)
+                    out["n_bytes_out"].append(None)
+                    continue
+                scale = min(1.0, max_side / max(wi, hi))
+                ow = max(1, int(wi * scale))
+                oh = max(1, int(hi * scale))
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["n_bytes_out"].append(ow * oh * 3)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _thumb, THUMBNAIL_SCHEMA
+    )

@@ -419,3 +419,68 @@ def knn_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def lsh_cosine_dups(
+    embeddings: DataFrame,
+    bands: list,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-WIDE near-duplicate pairs: banded SRP-LSH candidate
+    generation + exact cosine verification — the sub-quadratic scale
+    path (``embedding_cosine_dups`` is the exact in-block verifier;
+    this one needs no block column).
+
+    ``bands``: list of plane-lists; a pair is a candidate iff its two
+    vectors agree on EVERY bit of at least one band.  Recall is the
+    standard banded-LSH S-curve (more bands → higher recall, wider
+    bands → fewer false candidates); candidates are verified exactly,
+    so precision is 1 at the emitted threshold.
+
+    Scale design: one signature pass over the corpus (map-only), a
+    per-band self-join on the band signature — shuffle keyed on a
+    64-bucket-per-band hash, never all-pairs — a distinct on candidate
+    pairs, and two id-keyed joins to fetch vectors for the exact
+    verify.  Total cost O(corpus + Σ bucket²) instead of O(n²); at
+    100 TB tune bits-per-band so the largest bucket's pair count fits a
+    task, exactly like the MinHash banding in ``dedup.py``.
+
+    Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold, only
+    pairs colliding in ≥1 band.  Deterministic given the seeded planes.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2norm(F.col(vec_col)).alias("_n"),
+    )
+    # one signature pass, materialized: (id, one long per band) is tiny
+    # (~40 B/row at any corpus size), and without it each of the
+    # len(bands) union branches below would re-derive (and re-codegen)
+    # every plane dot product over the full corpus
+    sigs = base.select(
+        "_vid",
+        *[srp_signature(F.col("_v"), band).alias(f"_b{i}") for i in range(len(bands)) for band in [bands[i]]],
+    ).localCheckpoint(eager=True)
+    cand = None
+    for i in range(len(bands)):
+        c = sigs.select(F.lit(i).alias("_band"), F.col(f"_b{i}").alias("_sig"), "_vid")
+        cand = c if cand is None else cand.unionByName(c)
+    a = cand.select("_band", "_sig", F.col("_vid").alias("id_a"))
+    b = cand.select("_band", "_sig", F.col("_vid").alias("id_b"))
+    pairs = (
+        a.join(b, on=["_band", "_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = base.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -40,3 +40,26 @@ def test_pack_decode_tasks_balanced(spark):
     for kind in {r["kind"] for r in rows}:
         bins = sorted({b for (k, b) in by_bin if k == kind})
         assert bins == list(range(len(bins))), (kind, bins)
+
+
+def test_thumbnail_plan_aspect_and_stub_cost(spark):
+    from projet_graphdb_spark.functions.multimodal import thumbnail_plan
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, (1280, 720, None, None)),   # downscale
+            (2, "image", None, (32, 20, None, None)),      # already fits: untouched
+            (3, "image", None, (None, None, None, None)),  # missing dims -> nulls
+            (4, "audio", None, (None, None, 16000, None)), # not an image -> dropped
+            (5, "image", None, (2000, 10, None, None)),    # extreme aspect: >=1 px
+        ],
+        "media_id long, kind string, payload binary,"
+        " meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    got = {r["media_id"]: r for r in thumbnail_plan(media, max_side=64).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert (got[1]["out_width"], got[1]["out_height"]) == (64, 36)
+    assert got[1]["n_bytes_out"] == 64 * 36 * 3
+    assert (got[2]["out_width"], got[2]["out_height"]) == (32, 20)
+    assert got[3]["out_width"] is None and got[3]["n_bytes_out"] is None
+    assert (got[5]["out_width"], got[5]["out_height"]) == (64, 1)

@@ -105,3 +105,38 @@ def test_knn_rerank_improves_on_quantized_order(spark):
     # recover essentially the exact top-5
     recalls = [len(ex[q] & got[q]) / 5 for q in qids]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_lsh_cosine_dups_recall_and_exactness(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # 3 clusters of near-identical vectors + noise singletons
+    base = rng.standard_normal((3, 8))
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(3):
+            v = base[c] + rng.standard_normal(8) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(10):
+        rows.append((vid, [float(x) for x in rng.standard_normal(8)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bands = [
+        [[float(x) for x in row] for row in rng.standard_normal((4, 8))]
+        for _ in range(6)
+    ]
+    got = similarity.lsh_cosine_dups(emb, bands=bands, threshold=0.99).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # every emitted pair is truly >= threshold (exact verify) and in-cluster
+    for a, b in pairs:
+        assert a // 3 == b // 3 and a < 9 and b < 9
+    # near-identical vectors agree on every SRP bit with overwhelming
+    # probability -> all 9 in-cluster pairs found with 6 bands
+    assert len(pairs) == 9
+    # determinism
+    again = {(r["id_a"], r["id_b"]) for r in similarity.lsh_cosine_dups(
+        emb, bands=bands, threshold=0.99).collect()}
+    assert again == pairs
