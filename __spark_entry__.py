@@ -1063,6 +1063,51 @@ def x30_supplier_parts(spark, sf_dir):
     )
 
 
+def x31_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count histogram (functions/
+    relational.py::customer_order_distribution): LEFT OUTER join keeps
+    zero-order customers; count(o_orderkey) reuses the join's custkey
+    partitioning; second aggregate is |distinct counts| rows."""
+    return relational.customer_order_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def x32_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped returned-revenue top-k (functions/relational.py::
+    returned_item_customers): returnflag/date filters pushed into both
+    fact scans before the orderkey join; customer/nation dims join
+    AFTER the custkey aggregate; TakeOrderedAndProject top-20."""
+    return relational.returned_item_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def e13_sliding_window(spark, sf_dir):
+    """Sliding-window event stats (streaming/events.py::
+    sliding_event_stats): 1 h windows hopping every 15 min — Spark
+    expands each event to its 4 overlapping windows before ONE
+    map-side-combined aggregate (no self-join)."""
+    from projet_graphdb_spark.streaming.events import sliding_event_stats
+
+    return sliding_event_stats(load_events(spark, sf_dir))
+
+
+def d10_semantic_dedup(spark, sf_dir):
+    """Semantic dedup manifest (functions/similarity.py::
+    embedding_dup_clusters): connected components over the banded
+    SRP-LSH cosine pair graph, cluster id = min vec id, keep = the
+    canonical copy — SemDeDup-style corpus pruning; iteration only
+    touches vectors in ≥1 pair."""
+    return similarity.embedding_dup_clusters(
+        _emb(spark, sf_dir), bands=_srp_bands(), threshold=0.4
+    )
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1507,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x28_order_priority": x28_order_priority,
         "x29_market_share": x29_market_share,
         "x30_supplier_parts": x30_supplier_parts,
+        "x31_order_distribution": x31_order_distribution,
+        "x32_returned_items": x32_returned_items,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1515,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_passage_dups": d6_passage_dups,
         "d7_dedup_keep": d7_dedup_keep,
         "d8_simhash_pairs": d8_simhash_pairs,
+        "d10_semantic_dedup": d10_semantic_dedup,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -1546,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
         "e4_stream_join": e4_stream_join,
+        "e13_sliding_window": e13_sliding_window,
         "a1_bfs_levels": a1_bfs_levels,
         "a2_connected_components": a2_connected_components,
         "a3_pagerank": a3_pagerank,
@@ -2038,6 +2087,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
         """,
+        "x31_order_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                     ON o_custkey = c_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "x32_returned_items": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                              * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE)
+                         AS revenue
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
                    (SELECT COUNT(*) FROM events c
@@ -2372,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),
+        "d10_semantic_dedup": _semantic_dedup_oracle(),
         "m4_thumbnails": """
             WITH img AS (
               SELECT doc_id AS media_id,
@@ -2521,6 +2603,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "e13_sliding_window": """
+            WITH expanded AS (
+              SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                         - k * INTERVAL 15 MINUTE AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM expanded GROUP BY 1, 2
         """,
         "e2_sessionize": """
             WITH flagged AS (
@@ -3199,6 +3293,27 @@ def _lsh_dups_oracle(threshold: float = 0.4) -> str:
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    """d10: the s9 pair oracle closed transitively (min-label over the
+    undirected pair graph, the d5 playbook); vectors in no pair are
+    their own cluster."""
+    return f"""
+        WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({_lsh_dups_oracle()}) _t),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+        walk(id, lbl) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
+        SELECT v.vec_id,
+               COALESCE(c.cluster, v.vec_id) AS cluster_id,
+               v.vec_id = COALESCE(c.cluster, v.vec_id) AS keep
+        FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
     """
 
 

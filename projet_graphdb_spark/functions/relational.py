@@ -928,3 +928,78 @@ def supplier_part_counts(
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    excl_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly
+    k (non-excluded) orders — INCLUDING the zero-order customers, which
+    is what forces the outer join.
+
+    Scale design: the join carries the filtered orders against the
+    customer spine (LEFT OUTER on custkey — one fact shuffle); counting
+    ``o_orderkey`` (not *) makes unmatched customers count 0 in the
+    same aggregate, which reuses the join's custkey partitioning.  The
+    second aggregate collapses to |distinct counts| rows, map-side
+    combined.
+    """
+    o = orders.where(F.col("o_orderpriority") != excl_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped top-k: customers ranked by revenue of RETURNED
+    lineitems for orders placed in one quarter.
+
+    Scale design: the date filter pushes into the orders scan and the
+    returnflag filter into the lineitem scan BEFORE either shuffles;
+    lineitem⋈orders on orderkey and the custkey aggregate are the two
+    unavoidable fact exchanges; customer/nation dims join AFTER the
+    aggregate (|customers-with-returns| rows, AQE broadcasts); top-k is
+    TakeOrderedAndProject.  Revenue in DECIMAL.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    o = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_decimal()).cast("double").alias("revenue"))
+    )
+    c = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )

@@ -484,3 +484,43 @@ def lsh_cosine_dups(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def embedding_dup_clusters(
+    embeddings: DataFrame,
+    bands: list,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup manifest: connected components over the banded-LSH
+    cosine pair graph → (vec_id, cluster_id, keep) with one canonical
+    vector per near-duplicate cluster — the embedding-space analogue of
+    ``dedup.dup_clusters`` (SemDeDup-style corpus pruning: filter
+    ``keep`` and the redundant semantic copies drop out).
+
+    Scale: pair generation is :func:`lsh_cosine_dups` (sub-quadratic);
+    the component iteration runs only over vectors appearing in ≥1
+    pair (near-dup clusters are dense → tiny diameter → few rounds);
+    one left join re-attaches singletons.
+
+    Output: (vec_id, cluster_id, keep).
+    """
+    from .graph_algos import connected_components
+
+    pairs = lsh_cosine_dups(
+        embeddings, bands=bands, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(comp, F.col("vec_id") == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )

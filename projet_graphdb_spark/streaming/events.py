@@ -71,6 +71,39 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour") -> DataFrame
     )
 
 
+def sliding_event_stats(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """SLIDING-window per-type event stats (batch): each event lands in
+    window/slide overlapping windows (4 for 1 h / 15 min) — the hopping
+    aggregation used for rolling dashboards and rate limits.
+
+    Spark's ``window(ts, window, slide)`` expands each row to its
+    overlapping windows BEFORE the aggregate, so the shuffle carries
+    the (window/slide)× fan-out of partial aggregates, map-side
+    combined — still one exchange, no self-join.  Same DECIMAL sum
+    discipline as the tumbling form; the streaming twin is
+    ``streaming_windowed_counts`` with the same (window, slide) pair.
+
+    Output: (window_start, event_type, n_events, sum_value).
+    """
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("_w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_windowed_counts(
     spark: SparkSession,
     events_path: str,

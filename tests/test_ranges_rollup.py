@@ -605,3 +605,38 @@ def test_market_share_conditional_aggregate(spark):
         li, orders, cust, supp, nation, region, part, target_nation="JAPAN"
     ).collect()
     assert [(r["o_year"], r["mkt_share"]) for r in out] == [(1996, 0.25)]
+
+
+def test_customer_order_distribution_includes_zero(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(100, 1, "2-HIGH"), (101, 1, "2-HIGH"), (102, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    out = relational.customer_order_distribution(cust, orders).collect()
+    # cust 1 -> 2 orders; cust 2's only order is excluded -> 0; cust 3 -> 0
+    assert [(r["c_count"], r["custdist"]) for r in out] == [(0, 2), (2, 1)]
+
+
+def test_returned_item_customers_filters_and_ranks(spark):
+    import datetime as dt
+
+    nation = spark.createDataFrame([(10, "JAPAN")], "n_nationkey int, n_name string")
+    cust = spark.createDataFrame(
+        [(1, "C1", 5.0, 10), (2, "C2", 6.0, 10)],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, dt.datetime(1996, 2, 1)), (101, 2, dt.datetime(1996, 2, 1)),
+         (102, 1, dt.datetime(1995, 2, 1))],   # outside the quarter
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(100, "R", 100.0, 0.0), (100, "N", 999.0, 0.0),   # N not returned
+         (101, "R", 50.0, 0.0), (102, "R", 777.0, 0.0)],
+        "l_orderkey long, l_returnflag string, l_extendedprice double, l_discount double",
+    )
+    out = relational.returned_item_customers(cust, orders, li, nation).collect()
+    assert [(r["c_custkey"], r["revenue"], r["n_name"]) for r in out] == [
+        (1, 100.0, "JAPAN"), (2, 50.0, "JAPAN")
+    ]

@@ -140,3 +140,28 @@ def test_lsh_cosine_dups_recall_and_exactness(spark):
     again = {(r["id_a"], r["id_b"]) for r in similarity.lsh_cosine_dups(
         emb, bands=bands, threshold=0.99).collect()}
     assert again == pairs
+
+
+def test_embedding_dup_clusters_manifest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((2, 8))
+    rows = []
+    vid = 0
+    for c in range(2):
+        for _ in range(3):
+            v = base[c] + rng.standard_normal(8) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, [float(x) for x in rng.standard_normal(8)]))  # singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bands = [
+        [[float(x) for x in row] for row in rng.standard_normal((4, 8))]
+        for _ in range(6)
+    ]
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in similarity.embedding_dup_clusters(emb, bands=bands, threshold=0.99).collect()}
+    assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (0, False)
+    assert got[3] == (3, True) and got[4] == (3, False) and got[5] == (3, False)
+    assert got[6] == (6, True)  # singleton keeps itself

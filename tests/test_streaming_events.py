@@ -197,3 +197,23 @@ def test_append_mode_withholds_open_windows(spark, tmp_path):
     withheld = set(complete) - set(appended)
     assert all(ws + dt.timedelta(hours=1) > wm for ws, _ in withheld)
     assert all(ws + dt.timedelta(hours=1) <= wm for ws, _ in appended)
+
+
+def test_sliding_window_fanout_and_totals(spark):
+    import datetime as dt
+    from projet_graphdb_spark.streaming.events import sliding_event_stats
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 7), "click", 2.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = sliding_event_stats(ev, window="1 hour", slide="15 minutes").collect()
+    # one event -> exactly 4 hopping windows, starts 9:15..10:00
+    starts = sorted(r["window_start"] for r in out)
+    assert starts == [
+        dt.datetime(2024, 1, 1, 9, 15),
+        dt.datetime(2024, 1, 1, 9, 30),
+        dt.datetime(2024, 1, 1, 9, 45),
+        dt.datetime(2024, 1, 1, 10, 0),
+    ]
+    assert all(r["n_events"] == 1 and r["sum_value"] == 2.0 for r in out)
