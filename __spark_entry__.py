@@ -1097,6 +1097,42 @@ def e13_sliding_window(spark, sf_dir):
     return sliding_event_stats(load_events(spark, sf_dir))
 
 
+def x33_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped what-if aggregate (functions/relational.py::
+    forecast_revenue_change): all three predicates reach the parquet
+    reader as PushedFilters, 4-of-11-column scan, one
+    map-side-combined DECIMAL aggregate — the scan-pushdown showcase."""
+    return relational.forecast_revenue_change(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def x34_late_shipments(spark, sf_dir):
+    """TPC-H Q12-shaped two-way conditional count (functions/
+    relational.py::late_shipment_priority): one orderkey join (late
+    predicate as residual), ONE conditional aggregate computes both
+    priority classes in a single pass."""
+    return relational.late_shipment_priority(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def e14_sliding_stream(spark, sf_dir):
+    """The REAL sliding-window Structured-Streaming aggregation (1 h
+    windows hopping every 15 min — streaming/events.py::
+    streaming_windowed_counts with slide), drained availableNow;
+    complete mode equals the batch e13 form / oracle exactly."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source, streaming_windowed_counts
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = streaming_windowed_counts(
+            spark, path, schema, query_name="e14_sink", slide="15 minutes"
+        )
+    return drain(q, spark, "e14_sink")
+
+
 def d10_semantic_dedup(spark, sf_dir):
     """Semantic dedup manifest (functions/similarity.py::
     embedding_dup_clusters): connected components over the banded
@@ -1554,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_supplier_parts": x30_supplier_parts,
         "x31_order_distribution": x31_order_distribution,
         "x32_returned_items": x32_returned_items,
+        "x33_forecast_revenue": x33_forecast_revenue,
+        "x34_late_shipments": x34_late_shipments,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -1616,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_enrich_stream": e10_enrich_stream,
         "e11_append_watermark_stream": e11_append_watermark_stream,
         "e12_session_window": e12_session_window,
+        "e14_sliding_stream": e14_sliding_stream,
     }
 
 
@@ -2118,6 +2157,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "x33_forecast_revenue": """
+            SELECT COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                            * CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(25,2)) >= CAST(0.05 AS DECIMAL(25,2))
+              AND CAST(l_discount AS DECIMAL(25,2)) <= CAST(0.07 AS DECIMAL(25,2))
+              AND l_quantity < 24.0
+        """,
+        "x34_late_shipments": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
         """,
         "x6_range_count": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -2643,6 +2704,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e6_dedup_stream": """
             SELECT DISTINCT user_id, event_type, ts FROM events
+        """,
+        "e14_sliding_stream": """
+            WITH expanded AS (
+              SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                         - k * INTERVAL 15 MINUTE AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM expanded GROUP BY 1, 2
         """,
         "e7_join_stream": """
             SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

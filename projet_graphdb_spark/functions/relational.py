@@ -1003,3 +1003,76 @@ def returned_item_customers(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped what-if: revenue that would be lost by dropping
+    discounts in a band, for one year, below a quantity ceiling.
+
+    Scale design: this is THE scan-pushdown showcase — all three
+    predicates (date range, discount band, quantity ceiling) reach the
+    parquet reader as PushedFilters, the scan reads 4 columns of 11,
+    and the whole query is one map-side-combined DECIMAL aggregate with
+    no shuffle beyond the final 1-row reduce.  The discount-band
+    boundaries compare in DECIMAL so 0.05/0.07 behave as exact cents,
+    not nearest doubles.
+    """
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    disc = F.col("l_discount").cast("decimal(25,2)")
+    filtered = lineitem.where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (disc >= F.lit(disc_lo).cast("decimal(25,2)"))
+        & (disc <= F.lit(disc_hi).cast("decimal(25,2)"))
+        & (F.col("l_quantity") < max_qty)
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)") * disc)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12-shaped two-way conditional count: for LATE lineitems
+    (shipped > ``late_days`` after the order date — the schema-adapted
+    receipt>commit predicate), how many belong to high-priority orders
+    vs low, per linestatus.
+
+    Scale design: one orderkey equi-join (the only shuffle; the late
+    predicate rides the join as a residual condition), then ONE
+    conditional aggregate computes both priority classes in a single
+    pass — never two scans or a self-join union.
+    """
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_linestatus", "l_shipdate")
+    late = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

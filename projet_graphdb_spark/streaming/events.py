@@ -112,6 +112,7 @@ def streaming_windowed_counts(
     watermark: str = "2 hours",
     query_name: str = "ev_counts",
     output_mode: str = "complete",
+    slide: str | None = None,
 ):
     """The same aggregation as a Structured Streaming query.
 
@@ -135,7 +136,7 @@ def streaming_windowed_counts(
         spark.readStream.schema(schema)
         .parquet(events_path)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("_w"), F.col("event_type"))
+        .groupBy(F.window("ts", window, slide or window).alias("_w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),

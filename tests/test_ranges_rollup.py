@@ -640,3 +640,44 @@ def test_returned_item_customers_filters_and_ranks(spark):
     assert [(r["c_custkey"], r["revenue"], r["n_name"]) for r in out] == [
         (1, 100.0, "JAPAN"), (2, 50.0, "JAPAN")
     ]
+
+
+def test_forecast_revenue_change_boundaries(spark):
+    import datetime as dt
+
+    d = dt.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [
+            (d, 0.05, 10.0, 100.0),   # in band (inclusive lower)
+            (d, 0.07, 10.0, 200.0),   # in band (inclusive upper)
+            (d, 0.04, 10.0, 999.0),   # below band
+            (d, 0.08, 10.0, 999.0),   # above band
+            (d, 0.06, 24.0, 999.0),   # quantity at ceiling — excluded
+            (dt.datetime(1995, 6, 1), 0.06, 10.0, 999.0),  # outside year
+        ],
+        "l_shipdate timestamp, l_discount double, l_quantity double,"
+        " l_extendedprice double",
+    )
+    out = relational.forecast_revenue_change(li).collect()
+    assert out[0]["n_items"] == 2
+    assert out[0]["revenue"] == 100.0 * 0.05 + 200.0 * 0.07
+
+
+def test_late_shipment_priority_classes(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1996, 6, 1)
+    ontime = dt.datetime(1996, 2, 1)
+    orders = spark.createDataFrame(
+        [(100, d0, "1-URGENT"), (101, d0, "5-LOW")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(100, "F", late), (100, "O", late), (101, "F", late),
+         (101, "F", ontime)],   # on-time: excluded
+        "l_orderkey long, l_linestatus string, l_shipdate timestamp",
+    )
+    out = relational.late_shipment_priority(orders, li).collect()
+    assert [(r["l_linestatus"], r["high_line_count"], r["low_line_count"])
+            for r in out] == [("F", 1, 1), ("O", 1, 0)]

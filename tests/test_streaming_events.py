@@ -217,3 +217,27 @@ def test_sliding_window_fanout_and_totals(spark):
         dt.datetime(2024, 1, 1, 10, 0),
     ]
     assert all(r["n_events"] == 1 and r["sum_value"] == 2.0 for r in out)
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    from projet_graphdb_spark.streaming.events import sliding_event_stats
+
+    events = load_events(spark, SF_TINY)
+    src = str(tmp_path / "events_sliding")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = streaming_windowed_counts(
+        spark, src, schema, query_name="t_ev_sliding", slide="15 minutes"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_ev_sliding").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_stats(events).collect()
+    }
+    assert got == expect
