@@ -433,6 +433,14 @@ def a10_clustering_coefficient(spark, sf_dir):
     return graph_algos.clustering_coefficient(e)
 
 
+def t15_quality_filter(spark, sf_dir):
+    """Composite corpus-cleaning verdicts (functions/text.py::
+    quality_filter): C4/Gopher-style gate cascade (length window,
+    token-shape band, quality floor) with the first failing gate as
+    the auditable reject reason — map-only, fused into the scan."""
+    return text.quality_filter(_docs(spark, sf_dir))
+
+
 def d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1133,6 +1141,29 @@ def e14_sliding_stream(spark, sf_dir):
     return drain(q, spark, "e14_sink")
 
 
+def e15_upsert_stream(spark, sf_dir):
+    """CDC-style keyed UPSERT sink (streaming/upsert.py::
+    streaming_upsert_to_parquet): foreachBatch merges each micro-batch
+    (maxFilesPerTrigger splits the drain into several) into a keyed
+    parquet state via latest-per-key + staging-dir swap; the final
+    state equals "latest event per user" — idempotent under replay."""
+    import tempfile
+
+    from projet_graphdb_spark.streaming import state_partitions, stream_source
+    from projet_graphdb_spark.streaming.upsert import streaming_upsert_to_parquet
+
+    path, schema = stream_source(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_upsert_")
+    with state_partitions(spark, 8):
+        q = streaming_upsert_to_parquet(
+            spark, path, schema, base + "/state", base + "/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e15 upsert stream did not drain")
+    return spark.read.parquet(base + "/state")
+
+
 def d10_semantic_dedup(spark, sf_dir):
     """Semantic dedup manifest (functions/similarity.py::
     embedding_dup_clusters): connected components over the banded
@@ -1604,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
+        "t15_quality_filter": t15_quality_filter,
         "t13_doc_frequency": t13_doc_frequency,
         "t14_stratified_sample": t14_stratified_sample,
         "t10_chunk_passages": t10_chunk_passages,
@@ -1655,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_append_watermark_stream": e11_append_watermark_stream,
         "e12_session_window": e12_session_window,
         "e14_sliding_stream": e14_sliding_stream,
+        "e15_upsert_stream": e15_upsert_stream,
     }
 
 
@@ -2705,6 +2738,13 @@ def oracle_sql() -> dict[str, str]:
         "e6_dedup_stream": """
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
+        "t15_quality_filter": _quality_filter_oracle(),
+        "e15_upsert_stream": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
         "e14_sliding_stream": """
             WITH expanded AS (
               SELECT time_bucket(INTERVAL 15 MINUTE, ts)
@@ -3366,6 +3406,37 @@ def _lsh_dups_oracle(threshold: float = 0.4) -> str:
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _quality_filter_oracle(
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    atl_lo: float = 3.0,
+    atl_hi: float = 8.0,
+    min_quality: float = 0.5,
+) -> str:
+    """t15: the t1 stats oracle wrapped in the same gate cascade (first
+    failing gate = reject reason, NULL when all pass)."""
+    return f"""
+        WITH stats AS ({_text_stats_oracle()})
+        SELECT doc_id, n_tokens,
+               COALESCE(avg_token_len, 0.0) AS avg_token_len, quality,
+               (CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+                     WHEN n_tokens > {max_tokens} THEN 'too_long'
+                     WHEN COALESCE(avg_token_len, 0.0) < {atl_lo}
+                          OR COALESCE(avg_token_len, 0.0) > {atl_hi}
+                          THEN 'token_shape'
+                     WHEN quality < {min_quality} THEN 'low_quality'
+                END) IS NULL AS keep,
+               CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+                    WHEN n_tokens > {max_tokens} THEN 'too_long'
+                    WHEN COALESCE(avg_token_len, 0.0) < {atl_lo}
+                         OR COALESCE(avg_token_len, 0.0) > {atl_hi}
+                         THEN 'token_shape'
+                    WHEN quality < {min_quality} THEN 'low_quality'
+               END AS reject_reason
+        FROM stats
     """
 
 

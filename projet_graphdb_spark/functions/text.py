@@ -668,3 +668,46 @@ def stratified_sample(
         .where(F.col("_rk") <= cap)
         .select(F.col(id_col), *strata, F.col("_rk").cast("long").alias("sample_rank"))
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    atl_lo: float = 3.0,
+    atl_hi: float = 8.0,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Composite corpus-cleaning verdict (the C4/Gopher-style gate
+    cascade): length window → token-shape band → composite quality
+    floor, with the FIRST failing gate recorded as the reject reason —
+    what a pipeline needs to audit WHY documents drop, not just which.
+
+    Map-only: every gate is built from the same single-pass column
+    algebra as ``text_stats`` (no UDF, no shuffle, fused into the
+    scan); filtering ``keep`` yields the cleaned corpus, grouping by
+    ``reject_reason`` yields the drop report.
+
+    Output: (doc_id, n_tokens, avg_token_len, quality, keep,
+    reject_reason) — reject_reason NULL when keep.
+    """
+    t = F.col(text_col)
+    n = token_count(t)
+    atl = F.coalesce(avg_token_len(t), F.lit(0.0))
+    q = quality_score(t)
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when((atl < atl_lo) | (atl > atl_hi), F.lit("token_shape"))
+        .when(q < min_quality, F.lit("low_quality"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        atl.alias("avg_token_len"),
+        q.alias("quality"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )

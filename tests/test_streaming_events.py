@@ -241,3 +241,44 @@ def test_sliding_stream_equals_batch(spark, tmp_path):
         for r in sliding_event_stats(events).collect()
     }
     assert got == expect
+
+
+def test_upsert_stream_latest_per_key_and_restart(spark, tmp_path):
+    import datetime as dt
+    from projet_graphdb_spark.streaming.upsert import (
+        latest_per_key,
+        streaming_upsert_to_parquet,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "click", 1.0, "a"),
+        (2, dt.datetime(2024, 1, 1, 11), 7, "view", 2.0, "b"),   # 7's latest
+        (3, dt.datetime(2024, 1, 1, 9), 8, "click", 3.0, "c"),   # 8's only
+    ]
+    sch = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, sch).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    q = streaming_upsert_to_parquet(
+        spark, src, schema, state, ckpt, max_files_per_trigger=1
+    )
+    assert q.awaitTermination(120)
+    got = {r["user_id"]: (r["event_id"], r["event_type"])
+           for r in spark.read.parquet(state).collect()}
+    assert got == {7: (2, "view"), 8: (3, "click")}
+
+    # restart with no new input: checkpoint makes it a no-op, state intact
+    q2 = streaming_upsert_to_parquet(
+        spark, src, schema, state, ckpt, max_files_per_trigger=1
+    )
+    assert q2.awaitTermination(120)
+    got2 = {r["user_id"]: (r["event_id"], r["event_type"])
+            for r in spark.read.parquet(state).collect()}
+    assert got2 == got
+
+    # the reduce helper alone
+    df = spark.createDataFrame(rows, sch)
+    assert {r["event_id"] for r in latest_per_key(df).collect()} == {2, 3}

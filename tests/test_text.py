@@ -310,3 +310,24 @@ def test_stratified_sample_cap_and_determinism(spark):
     small = {r["doc_id"] for r in text.stratified_sample(df, strata=("lang",), cap=5).collect()}
     big = {r["doc_id"] for r in out1}
     assert small < big
+
+
+def test_quality_filter_first_failing_gate(spark):
+    long_good = " ".join(["alpha the and beta"] * 20)    # 80 tokens, stopwordy
+    df = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, "tiny doc"),                             # too_short
+            (3, " ".join(["word"] * 2000)),              # too_long
+            (4, " ".join(["zx"] * 50)),                  # avg len 2 -> token_shape
+            (5, " ".join(["jqxzkwvp"] * 25)),            # shape ok, no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"])
+           for r in text.quality_filter(df).collect()}
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "too_long")
+    assert got[4] == (False, "token_shape")
+    assert got[5][0] is False and got[5][1] == "low_quality"
+    assert got[1] == (True, None)
