@@ -1175,6 +1175,22 @@ def d10_semantic_dedup(spark, sf_dir):
     )
 
 
+def x35_funnel(spark, sf_dir):
+    """Strict sequential funnel view→click→purchase (functions/
+    relational.py::funnel_counts): per-step conditional-min chain, all
+    joins/aggregates sharing one user-keyed partitioning; 1-row
+    per-step reduce."""
+    return relational.funnel_counts(load_events(spark, sf_dir))
+
+
+def x36_retention(spark, sf_dir):
+    """Weekly retention cohorts (functions/relational.py::
+    retention_cohorts): first-activity week per user + distinct
+    (user, week) activity pairs — the shuffle carries pairs, not
+    events; tiny (cohort, offset) final aggregate."""
+    return relational.retention_cohorts(load_events(spark, sf_dir))
+
+
 def x6_range_count(spark, sf_dir):
     """Range (interval) join: clicks per user in the hour before each
     purchase — bucketed equi-join reformulation (functions/ranges.py),
@@ -1623,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_returned_items": x32_returned_items,
         "x33_forecast_revenue": x33_forecast_revenue,
         "x34_late_shipments": x34_late_shipments,
+        "x35_funnel": x35_funnel,
+        "x36_retention": x36_retention,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -2201,6 +2219,45 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(l_discount AS DECIMAL(25,2)) >= CAST(0.05 AS DECIMAL(25,2))
               AND CAST(l_discount AS DECIMAL(25,2)) <= CAST(0.07 AS DECIMAL(25,2))
               AND l_quantity < 24.0
+        """,
+        "x35_funnel": """
+            WITH typed AS (
+              SELECT user_id AS u, event_type AS t, ts FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s0 AS (
+              SELECT u, MIN(CASE WHEN t = 'view' THEN ts END) AS s0
+              FROM typed GROUP BY u
+            ),
+            s1 AS (
+              SELECT typed.u, MIN(ts) AS s1
+              FROM typed JOIN s0 ON s0.u = typed.u
+              WHERE t = 'click' AND ts > s0 GROUP BY typed.u
+            ),
+            s2 AS (
+              SELECT typed.u, MIN(ts) AS s2
+              FROM typed JOIN s1 ON s1.u = typed.u
+              WHERE t = 'purchase' AND ts > s1 GROUP BY typed.u
+            )
+            SELECT (SELECT COUNT(s0) FROM s0) AS n_step1,
+                   (SELECT COUNT(*) FROM s1) AS n_step2,
+                   (SELECT COUNT(*) FROM s2) AS n_step3
+        """,
+        "x36_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+              FROM events
+            ),
+            first AS (SELECT u, MIN(w) AS cohort FROM act GROUP BY u)
+            SELECT cohort AS cohort_week,
+                   (CAST(epoch(w) AS BIGINT)
+                    - CAST(epoch(cohort) AS BIGINT)) // 604800 AS weeks_since,
+                   COUNT(DISTINCT act.u) AS n_users
+            FROM act JOIN first ON first.u = act.u
+            WHERE (CAST(epoch(w) AS BIGINT)
+                   - CAST(epoch(cohort) AS BIGINT)) // 604800 < 8
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "x34_late_shipments": """
             SELECT l_linestatus,

@@ -1076,3 +1076,90 @@ def late_shipment_priority(
         )
         .orderBy("l_linestatus")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached each step IN
+    ORDER (view → click → purchase), where "reached step k" means the
+    user's earliest step-k event after having completed steps 1..k-1.
+
+    Semantics: step 1 time = min ts of step-1 events; step k time =
+    min ts of step-k events STRICTLY AFTER the user's step-(k-1) time.
+    This is the strict sequential funnel (a purchase before any click
+    does not count as conversion).
+
+    Scale design: one conditional-min aggregate + join per step, ALL
+    keyed on the user column — the aggregate output and both join sides
+    share one hash partitioning, so after the first exchange of the
+    type-filtered events the chain adds no full re-shuffles of the fact
+    side (each step joins the per-user step table, |users| rows, not
+    events).  Map-side combine collapses each user's events before the
+    wire; the final count is a 1-row reduce.
+    """
+    typed = events.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
+    )
+    # step-1 time per user
+    per_user = typed.groupBy("_u").agg(
+        F.min(F.when(F.col("_t") == steps[0], F.col("_ts"))).alias("_s0")
+    )
+    cur = per_user
+    for k in range(1, len(steps)):
+        prev = f"_s{k - 1}"
+        nxt = f"_s{k}"
+        stepk = (
+            typed.where(F.col("_t") == steps[k])
+            .join(cur.select("_u", prev), "_u")
+            .where(F.col("_ts") > F.col(prev))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(nxt))
+        )
+        cur = cur.join(stepk, "_u", "left")
+    aggs = [
+        F.count(F.col(f"_s{k}")).alias(f"n_step{k + 1}") for k in range(len(steps))
+    ]
+    out = cur.agg(*aggs)
+    return out.select(
+        *[F.col(f"n_step{k + 1}") for k in range(len(steps))]
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by FIRST-activity week;
+    for each (cohort week, weeks since) how many of them were active —
+    the standard growth-analytics triangle.
+
+    Scale design: first-activity week is one (user)-keyed aggregate;
+    activity weeks are the per-(user, week) distinct pairs (map-side
+    dedup so the shuffle carries pairs, not events); the cohort join
+    keys on user and reuses the first aggregate's partitioning; the
+    final (cohort, offset) aggregate is tiny.
+
+    Output: (cohort_week, weeks_since, n_users).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    activity = events.select(
+        F.col(user_col).alias("_u"), wk.alias("_w")
+    ).distinct()
+    first = activity.groupBy("_u").agg(F.min("_w").alias("_cohort"))
+    joined = activity.join(first, "_u")
+    weeks_since = (
+        (F.unix_timestamp("_w") - F.unix_timestamp("_cohort")) / (7 * 24 * 3600)
+    ).cast("long")
+    return (
+        joined.where(weeks_since < max_weeks)
+        .groupBy(F.col("_cohort").alias("cohort_week"), weeks_since.alias("weeks_since"))
+        .agg(F.countDistinct("_u").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -681,3 +681,45 @@ def test_late_shipment_priority_classes(spark):
     out = relational.late_shipment_priority(orders, li).collect()
     assert [(r["l_linestatus"], r["high_line_count"], r["low_line_count"])
             for r in out] == [("F", 1, 1), ("O", 1, 0)]
+
+
+def test_funnel_strict_order(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+            # user 2: purchase BEFORE click — stops at step 2
+            (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+            # user 3: never viewed — counts nowhere
+            (3, "click", t(1)), (3, "purchase", t(2)),
+            # user 4: view only
+            (4, "view", t(5)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = relational.funnel_counts(ev).collect()[0]
+    assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (3, 2, 1)
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: first week W0 (Mon 2024-01-01), active W0 and W1
+            (1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 10)),
+            # user 2: first week W0, active only W0 (twice — dedup'd)
+            (2, dt.datetime(2024, 1, 3)), (2, dt.datetime(2024, 1, 4)),
+            # user 3: first week W1
+            (3, dt.datetime(2024, 1, 9)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(r["cohort_week"], r["weeks_since"]): r["n_users"]
+           for r in relational.retention_cohorts(ev).collect()}
+    w0 = dt.datetime(2024, 1, 1)
+    w1 = dt.datetime(2024, 1, 8)
+    assert out == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
