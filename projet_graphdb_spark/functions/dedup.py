@@ -407,10 +407,14 @@ def dup_clusters(
     """
     from .graph_algos import connected_components
 
+    # materialize the pair list once: connected_components' undirected
+    # union references its input twice, and re-running the whole
+    # MinHash-LSH candidate+verify pipeline per branch doubles the
+    # expensive part
     pairs = minhash_lsh_pairs(
         docs, num_hashes=num_hashes, bands=bands, threshold=threshold,
         n=n, text_col=text_col, id_col=id_col, hash=hash,
-    )
+    ).localCheckpoint(eager=True)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

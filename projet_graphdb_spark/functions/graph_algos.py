@@ -64,21 +64,52 @@ def _ckpt_rotate(df: DataFrame, prev_handle):
     checkpoint (e.g. the input edge table), which is unrecoverable.
     """
     out = df.localCheckpoint(eager=True)
-    handle = None
+    handle = _ckpt_handle(out)
+    _unpersist(prev_handle)
+    return out, handle
+
+
+def _ckpt_handle(df: DataFrame):
+    """JVM RDD backing a checkpointed Dataset (under the optional
+    schema-preserving Project), or None."""
     try:
-        plan = out._jdf.queryExecution().analyzed()
+        plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "Project":
             plan = plan.child()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            handle = plan.rdd()
+            return plan.rdd()
     except Exception:
-        handle = None
-    if prev_handle is not None:
+        pass
+    return None
+
+
+def _unpersist(handle):
+    if handle is not None:
         try:
-            prev_handle.unpersist(False)
+            handle.unpersist(False)
         except Exception:
             pass  # best-effort: never fail the algorithm over cleanup
-    return out, handle
+
+
+def _ckpt_rotate_agg(df: DataFrame, prev_handle, agg_exprs: list):
+    """Checkpoint a per-iteration frame LAZILY and materialize it via
+    the fixpoint-witness aggregate — ONE Spark job per iteration where
+    eager-checkpoint-then-aggregate costs two (the per-job fixed cost
+    dominates the deliberately small bench graphs, and at scale it's
+    one fewer full pass over the iteration state).
+
+    Ordering matters: the predecessor is unpersisted only AFTER the
+    aggregate has computed (and thus persisted) every partition of the
+    new checkpoint — a lazy checkpoint still reads its parent's blocks
+    until it materializes.
+
+    Returns ``(checkpointed_df, rdd_handle, witness_row)``.
+    """
+    out = df.localCheckpoint(eager=False)
+    row = out.agg(*agg_exprs).collect()[0]
+    handle = _ckpt_handle(out)
+    _unpersist(prev_handle)
+    return out, handle, row
 
 
 def bfs_levels(
@@ -118,9 +149,11 @@ def bfs_levels(
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(level))
         )
-        # cut lineage each round; one action (count doubles as the
-        # emptiness test)
-        nxt, n, _ = _materialize(_shrink(nxt, small))
+        # cut lineage each round; the emptiness-test count materializes
+        # the lazy checkpoint in the same job (prev frontiers stay
+        # persisted — the growing visited union references them)
+        nxt, _, row = _ckpt_rotate_agg(_shrink(nxt, small), None, [F.count(F.lit(1))])
+        n = row[0]
         if n == 0:
             break
         levels.append(nxt)
@@ -223,10 +256,13 @@ def sssp(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        dist, ckpt_handle = _ckpt_rotate(_shrink(relaxed, small), ckpt_handle)
         # distances only ever decrease and the frontier only grows, so
-        # (count, sum) is a fixpoint witness
-        row = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        # (count, sum) is a fixpoint witness; the witness aggregate also
+        # materializes the round's checkpoint (one job, not two)
+        dist, ckpt_handle, row = _ckpt_rotate_agg(
+            _shrink(relaxed, small), ckpt_handle,
+            [F.count(F.lit(1)), F.sum("dist")],
+        )
         cur = (row[0], row[1])
         if cur == prev_sum:
             break
@@ -260,11 +296,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 "component"
             ),
         )
-        labels, ckpt_handle = _ckpt_rotate(_shrink(labels, small), ckpt_handle)
         # labels only ever decrease, so the total is a fixpoint witness:
-        # unchanged sum ⇔ no label moved (one cheap agg on the
-        # checkpointed labels instead of a join + isEmpty action)
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # unchanged sum ⇔ no label moved; the witness aggregate also
+        # materializes the round's checkpoint (one job, not two)
+        labels, ckpt_handle, row = _ckpt_rotate_agg(
+            _shrink(labels, small), ckpt_handle, [F.sum("component")]
+        )
+        cur_sum = row[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -414,8 +452,13 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
             alive.join(keep, "src", "leftsemi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
         )
-        alive, ckpt_handle = _ckpt_rotate(_shrink(alive, small), ckpt_handle)
-        n_nodes = alive.select("src").distinct().count()
+        # surviving-node count is the fixpoint witness; computing it as
+        # the checkpoint-materializing aggregate makes each peel round
+        # one job instead of two
+        alive, ckpt_handle, row = _ckpt_rotate_agg(
+            _shrink(alive, small), ckpt_handle, [F.countDistinct("src")]
+        )
+        n_nodes = row[0]
         if n_nodes == prev_nodes:
             break
         prev_nodes = n_nodes

@@ -508,10 +508,13 @@ def embedding_dup_clusters(
     """
     from .graph_algos import connected_components
 
+    # materialize the pair list once: connected_components' undirected
+    # union references its input twice, and re-running the whole LSH
+    # candidate+verify pipeline per branch doubles the expensive part
     pairs = lsh_cosine_dups(
         embeddings, bands=bands, threshold=threshold,
         id_col=id_col, vec_col=vec_col,
-    )
+    ).localCheckpoint(eager=True)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
