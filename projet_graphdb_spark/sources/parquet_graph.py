@@ -125,6 +125,10 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str):
         )
     if fmt == "json":
         return spark.read.json(f"{sf_dir}/{name}.json")
+    if fmt == "orc":
+        # columnar like parquet: predicate pushdown + column pruning
+        # reach the files through Spark's native ORC reader
+        return spark.read.orc(f"{sf_dir}/{name}.orc")
     raise ValueError(f"unknown table format {fmt!r}")
 
 

@@ -69,3 +69,24 @@ def test_load_graph_from_csv_matches_parquet(spark, tmp_path):
         b = sorted(map(tuple, cs.nodes[label].collect()))
         assert a == b, label
     assert sorted(map(tuple, pq.edges.collect())) == sorted(map(tuple, cs.edges.collect()))
+
+
+def test_load_graph_from_orc_matches_parquet(spark, tmp_path):
+    """ORC copies of the fixture tables project to the identical graph
+    (Spark's native ORC reader, pushdown/pruning like parquet)."""
+    import os
+
+    from projet_graphdb_spark.sources import load_tpch_graph
+
+    d = str(tmp_path / "orcsf")
+    os.makedirs(d, exist_ok=True)
+    for t in ["region", "nation", "supplier", "customer", "orders", "part"]:
+        df = spark.read.parquet(f"{SF_TINY}/{t}.parquet")
+        df.coalesce(1).write.mode("overwrite").orc(f"{d}/{t}.orc")
+    pq = load_tpch_graph(spark, SF_TINY)
+    oc = load_tpch_graph(spark, d, fmt="orc")
+    for label in pq.nodes:
+        a = sorted(map(tuple, pq.nodes[label].collect()))
+        b = sorted(map(tuple, oc.nodes[label].collect()))
+        assert a == b, label
+    assert sorted(map(tuple, pq.edges.collect())) == sorted(map(tuple, oc.edges.collect()))
