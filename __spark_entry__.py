@@ -385,6 +385,18 @@ def t12_char_entropy(spark, sf_dir):
     return text.char_entropy(_docs(spark, sf_dir))
 
 
+def t16_partitioned_corpus(spark, sf_dir):
+    """Hive-partitioned corpus layout + partition-pruned readback
+    (functions/text.py::partitioned_corpus_stats): writes partitionBy
+    (lang), then answers a one-language rollup where the lang predicate
+    is a PARTITION filter — other languages' directories are never
+    opened (plan-guarded in tests)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_corpus_parts_") + "/docs"
+    return text.partitioned_corpus_stats(_docs(spark, sf_dir), out, lang="en")
+
+
 def t13_doc_frequency(spark, sf_dir):
     """Corpus DF/IDF vocabulary table (functions/text.py::
     doc_frequency): per-doc array_distinct before the corpus aggregate
@@ -1654,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
         "t15_quality_filter": t15_quality_filter,
+        "t16_partitioned_corpus": t16_partitioned_corpus,
         "t13_doc_frequency": t13_doc_frequency,
         "t14_stratified_sample": t14_stratified_sample,
         "t10_chunk_passages": t10_chunk_passages,
@@ -2796,6 +2809,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
         "t15_quality_filter": _quality_filter_oracle(),
+        "t16_partitioned_corpus": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text)) AS total_chars
+            FROM documents WHERE lang = 'en'
+            GROUP BY source ORDER BY source
+        """,
         "e15_upsert_stream": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events

@@ -711,3 +711,35 @@ def quality_filter(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def partitioned_corpus_stats(
+    docs: DataFrame,
+    out_dir: str,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write the corpus hive-partitioned by (lang) and answer a
+    one-language rollup from the written layout — the partition-pruning
+    path every petabyte corpus depends on (a reader that scans all
+    languages to answer an English query is wrong at any scale).
+
+    The read back carries ``lang = 'x'`` as a PARTITION filter: Spark
+    lists only that directory — the other partitions are never opened
+    (asserted by the plan guard in tests).  Writes are idempotent
+    (overwrite) and the layout is what a downstream training job would
+    consume per-language.
+
+    Output: per-source (n_docs, total_chars) for the requested lang.
+    """
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    back = docs.sparkSession.read.parquet(out_dir).where(F.col("lang") == lang)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+        )
+        .orderBy("source")
+    )

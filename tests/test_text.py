@@ -331,3 +331,24 @@ def test_quality_filter_first_failing_gate(spark):
     assert got[4] == (False, "token_shape")
     assert got[5][0] is False and got[5][1] == "low_quality"
     assert got[1] == (True, None)
+
+
+def test_partitioned_corpus_prunes_partitions(spark, tmp_path):
+    rows = [(i, "t" * (i + 1), "en" if i % 2 else "fr", f"s{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = str(tmp_path / "parts")
+    got = text.partitioned_corpus_stats(docs, out, lang="en")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the language predicate must be a PARTITION filter on the scan
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120]
+    res = {r["source"]: (r["n_docs"], r["total_chars"]) for r in got.collect()}
+    odd = [r for r in rows if r[2] == "en"]
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    for i, t, _, s in odd:
+        exp[s][0] += 1
+        exp[s][1] += len(t)
+    assert res == {k: tuple(v) for k, v in exp.items()}
+    # the written layout is hive-partitioned by lang
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == ["lang=en", "lang=fr"]
