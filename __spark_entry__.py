@@ -1176,6 +1176,15 @@ def e15_upsert_stream(spark, sf_dir):
     return spark.read.parquet(base + "/state")
 
 
+def d11_passage_fuzzy(spark, sf_dir):
+    """Passage-level FUZZY dedup (functions/dedup.py::
+    passage_fuzzy_dups): sliding-window chunks become the MinHash-LSH
+    unit — recycled-with-edits paragraphs that whole-doc MinHash
+    dilutes and exact passage dedup misses; md5 hash family so the
+    oracle replays chunk grid → signatures → bands → Jaccard."""
+    return dedup.passage_fuzzy_dups(_docs(spark, sf_dir), threshold=0.5, hash="md5")
+
+
 def d10_semantic_dedup(spark, sf_dir):
     """Semantic dedup manifest (functions/similarity.py::
     embedding_dup_clusters): connected components over the banded
@@ -1662,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_dedup_keep": d7_dedup_keep,
         "d8_simhash_pairs": d8_simhash_pairs,
         "d10_semantic_dedup": d10_semantic_dedup,
+        "d11_passage_fuzzy": d11_passage_fuzzy,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -2618,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),
         "d10_semantic_dedup": _semantic_dedup_oracle(),
+        "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
             WITH img AS (
               SELECT doc_id AS media_id,
@@ -3349,7 +3360,12 @@ def _dup_clusters_oracle() -> str:
     """
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    source: str = "documents",
+) -> str:
     """DuckDB mirror of d3 (hash="md5"): md5-prefix shingle hashes masked
     to 31 bits, the same multiply-shift permutation family (plain bigint
     arithmetic, operands < 2^62 so no overflow), md5-prefix band hashes
@@ -3376,7 +3392,7 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
     )
     jac = "CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END"
     return f"""
-        WITH base AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+        WITH base AS (SELECT doc_id, {_SHINGLES} AS sh FROM ({source}) _mh_src),
         shr AS (SELECT doc_id, unnest(sh) AS s FROM base),
         h AS (SELECT doc_id, {_md5_fold60('s')} & 2147483647 AS h31 FROM shr),
         sig AS (SELECT doc_id,
@@ -3394,6 +3410,24 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
         SELECT id_a, id_b, {jac} AS jaccard
         FROM pairs WHERE ({jac}) >= {threshold}
     """
+
+
+def _passage_fuzzy_oracle(
+    size: int = 16, stride: int = 8, threshold: float = 0.5, pid_base: int = 10_000
+) -> str:
+    """d11: the d3 MinHash pipeline replayed over the sliding-window
+    passage grid (same size/stride arithmetic as the Spark chunker;
+    passage id = doc_id·pid_base + chunk index)."""
+    passages = f"""
+        SELECT doc_id * {pid_base} + i AS doc_id,
+               array_to_string(words[i * {stride} + 1 : i * {stride} + {size}], ' ') AS text
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS words,
+                 unnest(generate_series(0, (greatest(len(string_split(text, ' ')), 1) - 1) // {stride})) AS i
+          FROM documents
+        )
+    """
+    return _minhash_lsh_oracle(threshold=threshold, source=passages)
 
 
 def _simhash_oracle() -> str:

@@ -523,3 +523,45 @@ def simhash_pairs(
     return cand.withColumn("hd", hd).where(F.col("hd") <= max_hd).select(
         "id_a", "id_b", "hd"
     )
+
+
+def passage_fuzzy_dups(
+    docs: DataFrame,
+    size: int = 16,
+    stride: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+    pid_base: int = 10_000,
+) -> DataFrame:
+    """Passage-level FUZZY dedup: sliding-window chunks (the same
+    size/stride grid as ``text.chunk_passages``) become the unit of
+    MinHash-LSH near-dup detection — catching paragraphs recycled
+    across documents with small edits, which whole-document MinHash
+    (d3) dilutes away and exact passage dedup (d6) misses entirely.
+
+    Passage id = ``doc_id·pid_base + chunk_idx`` (documents here have
+    far fewer chunks than ``pid_base``; raise it for book-length docs).
+
+    Scale: the chunk explode is map-side (fan-out ≈ n_tokens/stride);
+    everything after is exactly :func:`minhash_lsh_pairs` on the
+    passage frame — O(passages + candidates), banded, never all-pairs.
+
+    Output: (id_a, id_b, jaccard) over PASSAGE ids, id_a < id_b.
+    """
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(stride))
+    passages = docs.select(
+        F.col(id_col), words.alias("_w"), F.posexplode(starts).alias("_i", "_s")
+    ).select(
+        (F.col(id_col) * pid_base + F.col("_i")).alias("pid"),
+        F.array_join(F.slice(F.col("_w"), F.col("_s"), size), " ").alias("text"),
+    )
+    return minhash_lsh_pairs(
+        passages, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        n=n, text_col="text", id_col="pid", hash=hash,
+    )

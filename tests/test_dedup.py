@@ -185,3 +185,25 @@ def test_simhash_pairs_exhaustive_below_band_bound(spark):
         for r in simhash_pairs(docs, bands=4, hash="md5").collect()
     }
     assert got == expect and expect  # nonempty on the dup-seeded fixture
+
+
+def test_passage_fuzzy_dups_catches_recycled_paragraph(spark):
+    para = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = para.replace("lazy", "sleepy")
+    filler = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, para + " " + filler),          # paragraph at chunk 0
+            (2, filler + " " + edited),        # edited copy buried at chunk 2 (stride 8)
+            (3, " ".join(f"z{i}" for i in range(30))),  # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.passage_fuzzy_dups(
+        docs, size=16, stride=8, threshold=0.4, hash="md5"
+    ).collect()
+    doc_pairs = {(r["id_a"] // 10_000, r["id_b"] // 10_000) for r in out
+                 if r["id_a"] // 10_000 != r["id_b"] // 10_000}
+    # the recycled paragraph links docs 1 and 2; doc 3 links to nobody
+    assert (1, 2) in doc_pairs
+    assert all(3 not in p for p in doc_pairs)
