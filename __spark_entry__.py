@@ -3364,7 +3364,7 @@ def _minhash_lsh_oracle(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
-    source: str = "documents",
+    source: str = "SELECT doc_id, text FROM documents",
 ) -> str:
     """DuckDB mirror of d3 (hash="md5"): md5-prefix shingle hashes masked
     to 31 bits, the same multiply-shift permutation family (plain bigint
