@@ -48,6 +48,17 @@ GUARDED = [
     "t14_stratified_sample",
     "a9_degree_histogram",
     "a10_clustering_coefficient",
+    "x31_order_distribution",
+    "x32_returned_items",
+    "x33_forecast_revenue",
+    "x34_late_shipments",
+    "x35_funnel",
+    "x36_retention",
+    "t15_quality_filter",
+    "e13_sliding_window",
+    "d11_passage_fuzzy",
+    "s9_lsh_cosine_dups",
+    "m4_thumbnails",
 ]
 
 
