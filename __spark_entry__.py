@@ -1196,6 +1196,30 @@ def d10_semantic_dedup(spark, sf_dir):
     )
 
 
+def x37_revenue_pivot(spark, sf_dir):
+    """Year × returnflag PIVOT matrix (functions/relational.py::
+    revenue_pivot): explicit pivot values compile to ONE conditional
+    aggregate — single shuffle, static schema, no per-category scan."""
+    return relational.revenue_pivot(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def e16_rate_spikes(spark, sf_dir):
+    """Windowed rate-spike monitor (functions/relational.py::
+    window_rate_spikes): hourly cells + a trailing-24-window ROWS-frame
+    mean per type; spike = count > 2× trailing mean with ≥8 windows of
+    history — integer-vs-exact-mean arithmetic, no stddev float drift."""
+    return relational.window_rate_spikes(load_events(spark, sf_dir))
+
+
+def t17_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (functions/text.py::
+    langid_confusion): declared lang vs heuristic prediction counts —
+    map-only scoring + a tiny aggregate."""
+    return text.langid_confusion(_docs(spark, sf_dir))
+
+
 def x35_funnel(spark, sf_dir):
     """Strict sequential funnel view→click→purchase (functions/
     relational.py::funnel_counts): per-step conditional-min chain, all
@@ -1662,6 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x34_late_shipments": x34_late_shipments,
         "x35_funnel": x35_funnel,
         "x36_retention": x36_retention,
+        "x37_revenue_pivot": x37_revenue_pivot,
+        "e16_rate_spikes": e16_rate_spikes,
+        "t17_langid_confusion": t17_langid_confusion,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
         "t3_token_shards": t3_token_shards,
@@ -2243,6 +2270,40 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(l_discount AS DECIMAL(25,2)) <= CAST(0.07 AS DECIMAL(25,2))
               AND l_quantity < 24.0
         """,
+        "x37_revenue_pivot": """
+            SELECT year(l_shipdate) AS ship_year,
+                   CAST(SUM(CASE WHEN l_returnflag = 'A'
+                            THEN CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2))) END)
+                        AS DOUBLE) AS "A",
+                   CAST(SUM(CASE WHEN l_returnflag = 'N'
+                            THEN CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2))) END)
+                        AS DOUBLE) AS "N",
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(l_extendedprice AS DECIMAL(25,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(25,2))) END)
+                        AS DOUBLE) AS "R"
+            FROM lineitem
+            GROUP BY 1 ORDER BY 1
+        """,
+        "e16_rate_spikes": """
+            WITH cells AS (
+              SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n_events,
+                   ROUND(CASE WHEN COUNT(n_events) OVER w > 0
+                         THEN SUM(n_events) OVER w / COUNT(n_events) OVER w
+                         END, 6) AS trailing_mean,
+                   COUNT(n_events) OVER w >= 8
+                     AND n_events > (SUM(n_events) OVER w
+                                     / COUNT(n_events) OVER w) * 2.0 AS spike
+            FROM cells
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        """,
         "x35_funnel": """
             WITH typed AS (
               SELECT user_id AS u, event_type AS t, ts FROM events
@@ -2820,6 +2881,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
         "t15_quality_filter": _quality_filter_oracle(),
+        "t17_langid_confusion": f"""
+            WITH stats AS ({{_TS_ORACLE}})
+            SELECT d.lang, s.lang_pred, COUNT(*) AS n_docs
+            FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{_TS_ORACLE}", _text_stats_oracle()),
         "t16_partitioned_corpus": """
             SELECT source,
                    COUNT(*) AS n_docs,

@@ -1163,3 +1163,75 @@ def retention_cohorts(
         .agg(F.countDistinct("_u").alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+def revenue_pivot(
+    lineitem: DataFrame,
+    flags: tuple = ("A", "N", "R"),
+) -> DataFrame:
+    """Year × returnflag revenue matrix via PIVOT — the wide-format
+    report shape (one column per category, one row per year).
+
+    Scale design: Spark compiles pivot-with-explicit-values to ONE
+    aggregate with a conditional expression per pivot column — a single
+    shuffle on the group key, no per-category scan or join.  Explicit
+    ``flags`` keep the plan static (omitting them costs an extra
+    distinct-values job and makes the schema data-dependent — never do
+    that at scale).  DECIMAL revenue, cast to double per cell.
+    """
+    return (
+        lineitem.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .pivot("l_returnflag", list(flags))
+        .agg(F.sum(rev_decimal()).cast("double"))
+        .orderBy("ship_year")
+    )
+
+
+def window_rate_spikes(
+    events: DataFrame,
+    window: str = "1 hour",
+    trail: int = 24,
+    mult: float = 2.0,
+    min_trail: int = 8,
+) -> DataFrame:
+    """Windowed rate-spike detection: flag (window, type) cells whose
+    event count exceeds ``mult`` × the trailing-``trail``-window mean —
+    the monitoring query a streaming pipeline materializes next to its
+    windowed aggregates.
+
+    Scale design: the windowed aggregate is one shuffle; the trailing
+    mean is a ROWS frame over (type)-partitioned window starts —
+    |window cells| rows, not events, so the second exchange is tiny.
+    The spike rule is integer-vs-exact-mean arithmetic (sum of longs /
+    count, one double division) — no stddev, so any engine reproduces
+    the boundary bit-for-bit.  Cells with < ``min_trail`` prior windows
+    are unflagged (insufficient history), matching the oracle.
+
+    Output: (window_start, event_type, n_events, trailing_mean,
+    spike).
+    """
+    from pyspark.sql.window import Window as W
+
+    cells = (
+        events.groupBy(
+            F.window("ts", window).alias("_w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("_w.start").alias("window_start"), "event_type", "n_events")
+    )
+    spec = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    nprior = F.count("n_events").over(spec)
+    # guard: an empty trailing frame (first cell per type) would divide
+    # by zero under ANSI mode — NULL mean, never-spike instead
+    tmean = F.when(nprior > 0, F.sum("n_events").over(spec) / nprior)
+    return cells.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(tmean, 6).alias("trailing_mean"),
+        ((nprior >= min_trail) & (F.col("n_events") > tmean * mult)).alias("spike"),
+    )

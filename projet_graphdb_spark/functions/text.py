@@ -743,3 +743,24 @@ def partitioned_corpus_stats(
         )
         .orderBy("source")
     )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID evaluation: confusion counts of declared language vs
+    the heuristic ``lang_id`` prediction — the eval loop that keeps a
+    classifier honest as the corpus drifts (pair of ``s7_ann_recall``
+    for the text side).
+
+    Map-only scoring + one tiny (lang, lang_pred) aggregate.
+    Output: (lang, lang_pred, n_docs).
+    """
+    return (
+        docs.select(F.col(lang_col), lang_id(F.col(text_col)).alias("lang_pred"))
+        .groupBy(lang_col, "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(lang_col, "lang_pred")
+    )

@@ -723,3 +723,52 @@ def test_retention_cohorts_triangle(spark):
     w0 = dt.datetime(2024, 1, 1)
     w1 = dt.datetime(2024, 1, 8)
     assert out == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
+
+
+def test_revenue_pivot_shape(spark):
+    import datetime as dt
+
+    li = spark.createDataFrame(
+        [
+            (dt.datetime(1996, 1, 1), "A", 100.0, 0.0),
+            (dt.datetime(1996, 1, 1), "R", 50.0, 0.0),
+            (dt.datetime(1997, 1, 1), "A", 10.0, 0.5),
+        ],
+        "l_shipdate timestamp, l_returnflag string, l_extendedprice double, l_discount double",
+    )
+    out = {r["ship_year"]: (r["A"], r["N"], r["R"])
+           for r in relational.revenue_pivot(li).collect()}
+    assert out[1996] == (100.0, None, 50.0)
+    assert out[1997] == (5.0, None, None)
+
+
+def test_window_rate_spikes_rule(spark):
+    import datetime as dt
+
+    rows = []
+    # 10 calm hours of 2 events, then an hour with 10 — a spike
+    for h in range(10):
+        rows += [(dt.datetime(2024, 1, 1, h, m), "click") for m in (0, 30)]
+    rows += [(dt.datetime(2024, 1, 1, 10, m), "click") for m in range(10)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["window_start"].hour: r for r in
+           relational.window_rate_spikes(ev, trail=24, mult=2.0, min_trail=8).collect()}
+    assert out[0]["spike"] is False and out[0]["trailing_mean"] is None
+    assert out[10]["spike"] is True and out[10]["n_events"] == 10
+    assert out[10]["trailing_mean"] == 2.0
+    # hour 5 has only 5 prior windows -> insufficient history
+    assert out[5]["spike"] is False
+
+
+def test_langid_confusion_counts(spark):
+    from projet_graphdb_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the and for with this"), (2, "en", "xyzzy qwerty"),
+         (3, "fr", "les des une est pas")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {(r["lang"], r["lang_pred"]): r["n_docs"]
+           for r in T.langid_confusion(docs).collect()}
+    assert out[("en", "en")] == 1 and out[("fr", "fr")] == 1
+    assert out[("en", "und")] == 1
