@@ -1220,6 +1220,22 @@ def t17_langid_confusion(spark, sf_dir):
     return text.langid_confusion(_docs(spark, sf_dir))
 
 
+def x38_json_props(spark, sf_dir):
+    """Semi-structured JSON payload extraction (functions/relational.py
+    ::json_props_stats): from_json with a STATIC schema fused into the
+    scan (no schema_of_json data pass), per-type aggregate, NULL-parse
+    accounting."""
+    return relational.json_props_stats(load_events(spark, sf_dir))
+
+
+def e17_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (functions/relational.py::
+    event_transitions): one user-keyed exchange feeds the lag window
+    over the unique (ts, event_id) timeline; map-side-combined pair
+    counts."""
+    return relational.event_transitions(load_events(spark, sf_dir))
+
+
 def x35_funnel(spark, sf_dir):
     """Strict sequential funnel view→click→purchase (functions/
     relational.py::funnel_counts): per-step conditional-min chain, all
@@ -1687,7 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_funnel": x35_funnel,
         "x36_retention": x36_retention,
         "x37_revenue_pivot": x37_revenue_pivot,
+        "x38_json_props": x38_json_props,
         "e16_rate_spikes": e16_rate_spikes,
+        "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
         "t1_text_stats": t1_text_stats,
         "t2_fingerprints": t2_fingerprints,
@@ -2286,6 +2304,28 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS "R"
             FROM lineitem
             GROUP BY 1 ORDER BY 1
+        """,
+        "x38_json_props": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INT) IS NULL
+                            THEN 1 ELSE 0 END) AS n_null_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   ROUND(SUM(CAST(json_extract(props, '$.k') AS INT))
+                         / (COUNT(CAST(json_extract(props, '$.k') AS INT)) * 1.0),
+                         6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "e17_transitions": """
+            WITH timeline AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type, COUNT(*) AS n_transitions
+            FROM timeline WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "e16_rate_spikes": """
             WITH cells AS (

@@ -1235,3 +1235,65 @@ def window_rate_spikes(
         F.round(tmean, 6).alias("trailing_mean"),
         ((nprior >= min_trail) & (F.col("n_events") > tmean * mult)).alias("spike"),
     )
+
+
+def json_props_stats(
+    events: DataFrame,
+    props_col: str = "props",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured column handling: parse the JSON ``props`` payload
+    with an explicit schema and aggregate the extracted field per type.
+
+    Scale design: ``from_json`` with a STATIC schema is a map-side JVM
+    expression fused into the scan (never ``schema_of_json`` over the
+    data — that's an extra pass and a data-dependent schema); the
+    aggregate is one shuffle on the type key.  Corrupt/missing payloads
+    parse to NULL and are counted separately rather than dropped.
+
+    Output: (event_type, n_with_k, n_null_k, sum_k, avg_k).
+    """
+    k = F.from_json(F.col(props_col), "k INT")["k"]
+    return (
+        events.select(F.col(type_col), k.alias("_k"))
+        .groupBy(type_col)
+        .agg(
+            F.count("_k").alias("n_with_k"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.round(F.sum("_k") / F.count("_k"), 6).alias("avg_k"),
+        )
+        .orderBy(type_col)
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition counts (the Markov matrix of user
+    behaviour): for each consecutive pair in a user's timeline, count
+    (prev_type → type).
+
+    Scale design: ONE user-keyed exchange + in-partition sort feeds the
+    ``lag`` window; the transition aggregate reuses nothing heavier
+    than the (prev, curr) pair count, map-side combined.  The ordering
+    key (ts, event_id) is unique, so the timeline — and therefore the
+    matrix — is fully deterministic.
+
+    Output: (prev_type, event_type, n_transitions).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(type_col).over(w)
+    return (
+        events.select(F.col(type_col), prev.alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", type_col)
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", type_col)
+    )

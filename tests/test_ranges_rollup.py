@@ -772,3 +772,32 @@ def test_langid_confusion_counts(spark):
            for r in T.langid_confusion(docs).collect()}
     assert out[("en", "en")] == 1 and out[("fr", "fr")] == 1
     assert out[("en", "und")] == 1
+
+
+def test_json_props_stats_null_accounting(spark):
+    ev = spark.createDataFrame(
+        [("click", '{"k": 10}'), ("click", '{"k": 20}'),
+         ("click", "not json"), ("view", '{"other": 1}')],
+        "event_type string, props string",
+    )
+    out = {r["event_type"]: r for r in relational.json_props_stats(ev).collect()}
+    assert out["click"]["n_with_k"] == 2 and out["click"]["n_null_k"] == 1
+    assert out["click"]["sum_k"] == 30 and out["click"]["avg_k"] == 15.0
+    assert out["view"]["n_with_k"] == 0 and out["view"]["n_null_k"] == 1
+
+
+def test_event_transitions_markov_counts(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", t(0)), (2, 1, "click", t(1)), (3, 1, "view", t(2)),
+            (4, 2, "view", t(0)), (5, 2, "click", t(1)),
+            (6, 3, "purchase", t(9)),   # single event — no transition
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {(r["prev_type"], r["event_type"]): r["n_transitions"]
+           for r in relational.event_transitions(ev).collect()}
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
