@@ -1220,6 +1220,31 @@ def t17_langid_confusion(spark, sf_dir):
     return text.langid_confusion(_docs(spark, sf_dir))
 
 
+def x39_winsorized_spend(spark, sf_dir):
+    """Outlier-robust per-segment spend (functions/relational.py::
+    winsorized_spend): exact per-segment [p5, p95] percentiles, then a
+    clamp+DECIMAL mean over the broadcast percentile table — the
+    value-cleaning (winsorization) primitive."""
+    return relational.winsorized_spend(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def d12_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (over d5's manifest): how many
+    clusters of each size the corpus contains — the dedup report a
+    pipeline publishes (singleton count = unique docs; the tail = the
+    template/boilerplate families)."""
+    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def x38_json_props(spark, sf_dir):
     """Semi-structured JSON payload extraction (functions/relational.py
     ::json_props_stats): from_json with a STATIC schema fused into the
@@ -1704,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_retention": x36_retention,
         "x37_revenue_pivot": x37_revenue_pivot,
         "x38_json_props": x38_json_props,
+        "x39_winsorized_spend": x39_winsorized_spend,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -1717,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_simhash_pairs": d8_simhash_pairs,
         "d10_semantic_dedup": d10_semantic_dedup,
         "d11_passage_fuzzy": d11_passage_fuzzy,
+        "d12_cluster_sizes": d12_cluster_sizes,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -2305,6 +2332,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY 1 ORDER BY 1
         """,
+        "x39_winsorized_spend": """
+            WITH seg AS (
+              SELECT c_mktsegment AS segment, o_totalprice
+              FROM orders JOIN customer ON c_custkey = o_custkey
+            ),
+            pct AS (
+              SELECT segment,
+                     quantile_cont(o_totalprice, 0.05) AS p_lo,
+                     quantile_cont(o_totalprice, 0.95) AS p_hi
+              FROM seg GROUP BY segment
+            )
+            SELECT segment,
+                   ROUND(ANY_VALUE(p_lo), 6) AS p_lo,
+                   ROUND(ANY_VALUE(p_hi), 6) AS p_hi,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, p_lo), p_hi)
+                                       AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS winsorized_avg
+            FROM seg JOIN pct USING (segment)
+            GROUP BY segment ORDER BY segment
+        """,
+        "d12_cluster_sizes": _cluster_sizes_oracle(),
         "x38_json_props": """
             SELECT event_type,
                    COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
@@ -3516,6 +3565,17 @@ def _minhash_lsh_oracle(
                               JOIN base y ON y.doc_id = c.id_b)
         SELECT id_a, id_b, {jac} AS jaccard
         FROM pairs WHERE ({jac}) >= {threshold}
+    """
+
+
+def _cluster_sizes_oracle() -> str:
+    """d12: the d5 manifest aggregated into a cluster-size histogram."""
+    return f"""
+        WITH manifest AS ({_dup_clusters_oracle()}),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM manifest GROUP BY cluster_id)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
 
 

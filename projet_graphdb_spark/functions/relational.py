@@ -1297,3 +1297,54 @@ def event_transitions(
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", type_col)
     )
+
+
+def winsorized_spend(
+    orders: DataFrame,
+    customer: DataFrame,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Outlier-robust per-segment spend: each market segment's mean
+    order price after winsorizing (clamping) to that segment's
+    [lo_q, hi_q] percentiles — the value-cleaning step that keeps a
+    handful of mega-orders from dominating a feature.
+
+    Scale design: percentiles and the clamped mean need the same
+    per-segment pass, but Spark computes BOTH aggregates over one
+    shuffle: the exact percentile aggregate first (segments are
+    bounded-cardinality, so the sort buffer is safe — the documented
+    approx_percentile swap-in applies otherwise), then the clamp+mean
+    re-joins the |segments|-row percentile table broadcast-style.
+    DECIMAL-summed mean, 6-dp round.
+
+    Output: (segment, p_lo, p_hi, n_orders, winsorized_avg).
+    """
+    seg = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice")
+    pct = seg.groupBy("segment").agg(
+        F.expr(f"percentile(o_totalprice, {lo_q})").alias("p_lo"),
+        F.expr(f"percentile(o_totalprice, {hi_q})").alias("p_hi"),
+    )
+    clamped = seg.join(F.broadcast(pct), "segment").select(
+        "segment",
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p_lo")), F.col("p_hi")).alias("_v"),
+    )
+    return (
+        clamped.groupBy("segment")
+        .agg(
+            F.round(F.first("p_lo"), 6).alias("p_lo"),
+            F.round(F.first("p_hi"), 6).alias("p_hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("_v").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_avg"),
+        )
+        .orderBy("segment")
+    )

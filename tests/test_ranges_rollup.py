@@ -801,3 +801,17 @@ def test_event_transitions_markov_counts(spark):
     out = {(r["prev_type"], r["event_type"]): r["n_transitions"]
            for r in relational.event_transitions(ev).collect()}
     assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_winsorized_spend_clamps_outliers(spark):
+    cust = spark.createDataFrame([(1, "B")], "c_custkey long, c_mktsegment string")
+    # 21 orders: 1..20 plus one 10000 outlier
+    orders = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(1, 21)] + [(99, 1, 10000.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = relational.winsorized_spend(orders, cust).collect()[0]
+    assert out["segment"] == "B" and out["n_orders"] == 21
+    # the 10000 collapses to p95; mean is bounded by the percentile band
+    assert out["p_lo"] <= out["winsorized_avg"] <= out["p_hi"]
+    assert out["winsorized_avg"] < 100.0
