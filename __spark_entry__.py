@@ -587,6 +587,16 @@ def m4_thumbnails(spark, sf_dir):
     return multimodal.thumbnail_plan(media, max_side=64)
 
 
+def s10_knn_ivf_trained(spark, sf_dir):
+    """IVF search over a REAL trained k-means codebook (functions/
+    similarity.py::knn_ivf_trained): Lloyd-trained cells, map-only
+    corpus assignment (codebook inlined as literals), nprobe=2 probe,
+    exact-cosine rank — the full train-index-search lifecycle."""
+    return similarity.knn_ivf_trained(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -1769,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_ann_recall": s7_ann_recall,
         "s8_knn_rerank": s8_knn_rerank,
         "s9_lsh_cosine_dups": s9_lsh_cosine_dups,
+        "s10_knn_ivf_trained": s10_knn_ivf_trained,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -2777,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),
+        "s10_knn_ivf_trained": _knn_ivf_trained_oracle(),
         "d10_semantic_dedup": _semantic_dedup_oracle(),
         "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
@@ -3390,11 +3402,9 @@ def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
     """
 
 
-def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) -> str:
-    """DuckDB mirror of a5: Lloyd iterations unrolled as chained
-    materialized CTEs — same left-to-right squared-distance fold, same
-    smaller-cid tie-break, same per-coordinate ROUND(,dp) after each
-    average, empty clusters keep their centroid."""
+def _kmeans_chain(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6):
+    """Shared Lloyd-iteration CTE chain (emb/c0/.../cN) + the distance
+    expression — used by the a5 oracle and the s10 trained-IVF oracle."""
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim + 1}), "
@@ -3422,19 +3432,70 @@ def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) ->
                USING (cid))""")
         prev = f"c{it}"
     chain = ",".join(parts)
-    return f"""
+    ctes = f"""
         WITH emb AS MATERIALIZED (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS MATERIALIZED (
           SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
           FROM emb WHERE vec_id < {k}),
-        {chain},
+        {chain}"""
+    return ctes, prev, dist
+
+
+def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) -> str:
+    """DuckDB mirror of a5: Lloyd iterations unrolled as chained
+    materialized CTEs — same left-to-right squared-distance fold, same
+    smaller-cid tie-break, same per-coordinate ROUND(,dp) after each
+    average, empty clusters keep their centroid."""
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp)
+    return f"""
+        {ctes},
         fin AS (
           SELECT e.vec_id, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                     ORDER BY {dist} ASC, c.cid ASC) AS rk
           FROM emb e CROSS JOIN {prev} c)
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin WHERE rk = 1
+    """
+
+
+def _knn_ivf_trained_oracle(
+    k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6,
+    nprobe: int = 2, topk: int = 5,
+) -> str:
+    """s10: the a5 Lloyd chain trains the codebook; corpus assignment
+    and query probes rank cells by the same squared distance (ties to
+    the smaller cid); candidates in the probed cells rank by exact
+    cosine."""
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp)
+    return f"""
+        {ctes},
+        ranked_cells AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN {prev} c),
+        assign AS (SELECT vec_id, cid FROM ranked_cells WHERE rk = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM ranked_cells
+                   WHERE vec_id IN (0, 1, 2, 3, 4) AND rk <= {nprobe}),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbour_id
+          FROM probes p JOIN assign a ON a.cid = p.cid
+          WHERE a.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, neighbour_id,
+                 list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                        CAST(ec.embedding AS DOUBLE[])) AS sim
+          FROM cand
+          JOIN embeddings eq ON eq.vec_id = query_id
+          JOIN embeddings ec ON ec.vec_id = neighbour_id),
+        ranked AS (
+          SELECT query_id, neighbour_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbour_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
+        FROM ranked WHERE rank <= {topk}
     """
 
 

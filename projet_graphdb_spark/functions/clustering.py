@@ -56,17 +56,19 @@ def _assign(emb: DataFrame, cents: dict, id_col: str, vec_col: str) -> DataFrame
     return emb.withColumn("cluster", F.array_min(arr)["cid"])
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
     num_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-) -> DataFrame:
-    """(id, cluster) after ``num_iter`` Lloyd iterations from the
-    deterministic seed (vectors with ``id < k``, coordinates rounded to
-    ``round_dp``)."""
+) -> dict:
+    """Trained codebook: {cid: centroid} after ``num_iter`` Lloyd
+    iterations from the deterministic seed (vectors with ``id < k``,
+    coordinates rounded to ``round_dp`` after every average).  The
+    driver-side dict is the INDEX METADATA a consumer (e.g. IVF search)
+    inlines as literals."""
     emb = embeddings.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
     seed = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     cents = {
@@ -93,9 +95,24 @@ def kmeans_assignments(
             )
             for cid in cents
         }
-    return _assign(emb, cents, id_col, vec_col).select(
-        F.col(id_col), F.col("cluster")
-    )
+    return cents
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, cluster) after ``num_iter`` Lloyd iterations from the
+    deterministic seed (vectors with ``id < k``, coordinates rounded to
+    ``round_dp``)."""
+    cents = kmeans_centroids(embeddings, k, num_iter, id_col, vec_col, round_dp)
+    return _assign(
+        embeddings.select(F.col(id_col), F.col(vec_col)), cents, id_col, vec_col
+    ).select(F.col(id_col), F.col("cluster"))
 
 
 def label_centroid_stats(

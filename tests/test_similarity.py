@@ -165,3 +165,24 @@ def test_embedding_dup_clusters_manifest(spark):
     assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (0, False)
     assert got[3] == (3, True) and got[4] == (3, False) and got[5] == (3, False)
     assert got[6] == (6, True)  # singleton keeps itself
+
+
+def test_knn_ivf_trained_probes_cells(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # two well-separated blobs; queries in blob 0 must find blob-0 mates
+    rows = []
+    for i in range(10):
+        v = rng.standard_normal(8) * 0.05 + (5.0 if i >= 5 else -5.0)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_ivf_trained(
+        emb, query_ids=[0, 6], n_centroids=2, num_iter=2, nprobe=1, k=3
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    # nprobe=1 on separated blobs -> neighbours stay in the query's blob
+    assert by_q[0] <= {1, 2, 3, 4} and len(by_q[0]) == 3
+    assert by_q[6] <= {5, 7, 8, 9} and len(by_q[6]) == 3
