@@ -1255,6 +1255,25 @@ def d12_cluster_sizes(spark, sf_dir):
     )
 
 
+def x40_gap_fill(spark, sf_dir):
+    """Calendar gap-fill + forward fill (functions/relational.py::
+    gap_fill_daily): per-key min/max aggregate exploded with
+    ``sequence`` builds the daily spine (|keys| × days rows, never a
+    driver loop); fact aggregate and spine join share the (key, day)
+    shuffle; per-key ordered window does the forward fill — no global
+    sort anywhere."""
+    return relational.gap_fill_daily(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def e18_daily_topk(spark, sf_dir):
+    """Per-day trending top-k event types (functions/relational.py::
+    daily_topk_types): one map-side-combined (day, type) aggregate,
+    day-partitioned rank window over the tiny aggregate table, share
+    of daily traffic via a window sum — the fact table is scanned
+    once."""
+    return relational.daily_topk_types(load_events(spark, sf_dir))
+
+
 def x38_json_props(spark, sf_dir):
     """Semi-structured JSON payload extraction (functions/relational.py
     ::json_props_stats): from_json with a STATIC schema fused into the
@@ -1740,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x37_revenue_pivot": x37_revenue_pivot,
         "x38_json_props": x38_json_props,
         "x39_winsorized_spend": x39_winsorized_spend,
+        "x40_gap_fill": x40_gap_fill,
+        "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -2363,6 +2384,42 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS winsorized_avg
             FROM seg JOIN pct USING (segment)
             GROUP BY segment ORDER BY segment
+        """,
+        "x40_gap_fill": """
+            WITH daily AS (
+              SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+                     SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS _rev
+              FROM orders GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT key, CAST(UNNEST(generate_series(_lo, _hi, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (SELECT key, MIN(day) AS _lo, MAX(day) AS _hi FROM daily GROUP BY key)
+            )
+            SELECT s.key, strftime(s.day, '%Y-%m-%d') AS day,
+                   ROUND(CAST(d._rev AS DOUBLE), 2) AS revenue,
+                   ROUND(CAST(LAST_VALUE(d._rev IGNORE NULLS) OVER (
+                       PARTITION BY s.key ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 2) AS filled_revenue,
+                   d._rev IS NULL AS is_gap
+            FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
+            ORDER BY s.key, s.day
+        """,
+        "e18_daily_topk": """
+            WITH per AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT day, event_type, n_events,
+                     ROW_NUMBER() OVER (PARTITION BY day
+                                        ORDER BY n_events DESC, event_type) AS rank,
+                     SUM(n_events) OVER (PARTITION BY day) AS _tot
+              FROM per
+            )
+            SELECT day, rank, event_type, n_events,
+                   ROUND(n_events / _tot, 6) AS share
+            FROM ranked WHERE rank <= 3 ORDER BY day, rank
         """,
         "d12_cluster_sizes": _cluster_sizes_oracle(),
         "x38_json_props": """

@@ -1348,3 +1348,102 @@ def winsorized_spend(
         )
         .orderBy("segment")
     )
+
+
+def gap_fill_daily(
+    orders: DataFrame,
+    key_col: str = "o_orderpriority",
+    ts_col: str = "o_orderdate",
+    val_col: str = "o_totalprice",
+) -> DataFrame:
+    """Time-series gap filling: densify each key's daily revenue onto a
+    complete calendar spine and forward-fill days with no orders — the
+    regularization step before any fixed-step feature (moving averages,
+    lag matrices) can be computed.
+
+    Scale design: the spine is built from ONE 2-row-per-key aggregate
+    (min/max day) exploded with ``sequence`` — never a driver-side date
+    loop — so spine size is |keys| × days, independent of fact-table
+    row count.  The fact aggregate and the spine join share the
+    (key, day) shuffle key; the forward fill is a per-key ordered
+    window (``last`` with ``ignorenulls``), which parallelizes across
+    keys — there is no global single-partition sort.  At 100 TB the
+    per-key day range is bounded (years, not rows), so window state
+    stays small.
+
+    Output: (key, day, revenue, filled_revenue, is_gap).
+    """
+    from pyspark.sql.window import Window as W
+
+    day = F.to_date(ts_col)
+    daily = (
+        orders.select(F.col(key_col).alias("key"), day.alias("day"), F.col(val_col))
+        .groupBy("key", "day")
+        .agg(F.sum(F.col(val_col).cast("decimal(25,2)")).alias("_rev"))
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        .select("key", F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    )
+    w = W.partitionBy("key").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(daily, ["key", "day"], "left")
+        .select(
+            "key",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.last("_rev", ignorenulls=True).over(w).cast("double"), 2
+            ).alias("filled_revenue"),
+            F.col("_rev").isNull().alias("is_gap"),
+        )
+        .orderBy("key", "day")
+    )
+
+
+def daily_topk_types(
+    events: DataFrame,
+    k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Trending leaderboard: each day's top-k event types by count
+    (ties broken by type name for determinism), with their share of
+    the day's traffic.
+
+    Scale design: one (day, type) hash aggregate (map-side combined),
+    then the rank window partitions by day — thousands of independent
+    partitions, no global sort.  The per-day totals reuse the same
+    aggregate via a window sum over the tiny (day × type) table rather
+    than a second scan of the fact table.
+
+    Output: (day, rank, event_type, n_events, share).
+    """
+    from pyspark.sql.window import Window as W
+
+    day = F.date_format(ts_col, "yyyy-MM-dd")
+    per = (
+        events.select(day.alias("day"), F.col(type_col))
+        .groupBy("day", type_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wday = W.partitionBy("day")
+    ranked = per.withColumn(
+        "rank",
+        F.row_number().over(
+            wday.orderBy(F.col("n_events").desc(), F.col(type_col))
+        ),
+    ).withColumn("_tot", F.sum("n_events").over(wday))
+    return (
+        ranked.where(F.col("rank") <= k)
+        .select(
+            "day",
+            "rank",
+            type_col,
+            "n_events",
+            F.round(F.col("n_events") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy("day", "rank")
+    )

@@ -815,3 +815,39 @@ def test_winsorized_spend_clamps_outliers(spark):
     # the 10000 collapses to p95; mean is bounded by the percentile band
     assert out["p_lo"] <= out["winsorized_avg"] <= out["p_hi"]
     assert out["winsorized_avg"] < 100.0
+
+
+def test_gap_fill_daily_densifies_and_ffills(spark):
+    import datetime as dt
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    orders = spark.createDataFrame(
+        [("A", d(1), 10.0), ("A", d(1), 5.0), ("A", d(4), 2.0),
+         ("B", d(2), 7.0)],
+        "o_orderpriority string, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {(r["key"], r["day"]): r for r in relational.gap_fill_daily(orders).collect()}
+    # A spans 1..4 → the spine has the two missing middle days
+    assert set(rows) == {("A", "2024-01-0%d" % i) for i in (1, 2, 3, 4)} | {
+        ("B", "2024-01-02")
+    }
+    assert rows[("A", "2024-01-01")]["revenue"] == 15.0
+    gap = rows[("A", "2024-01-02")]
+    assert gap["revenue"] is None and gap["is_gap"] is True
+    assert gap["filled_revenue"] == 15.0  # carried forward from day 1
+    assert rows[("A", "2024-01-04")]["filled_revenue"] == 2.0
+
+
+def test_daily_topk_types_rank_and_share(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [("view", t(0)), ("view", t(1)), ("click", t(2)), ("click", t(3)),
+         ("purchase", t(4)), ("refund", t(5))],
+        "event_type string, ts timestamp",
+    )
+    out = relational.daily_topk_types(ev, k=3).collect()
+    assert [r["event_type"] for r in out] == ["click", "view", "purchase"]
+    assert [r["rank"] for r in out] == [1, 2, 3]  # tie click/view broken by name
+    assert out[0]["share"] == round(2 / 6, 6)
