@@ -1274,6 +1274,36 @@ def e18_daily_topk(spark, sf_dir):
     return relational.daily_topk_types(load_events(spark, sf_dir))
 
 
+def x41_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed tables (sources/
+    bucketed.py): orders and lineitem are written bucketBy(orderkey)+
+    sortBy, then the join consumes the persisted layout — no Exchange
+    (and no Sort) before the SortMergeJoin; only the tiny final
+    priority aggregate shuffles.  The shuffle-once-at-ingest pattern
+    that carries hot fact-fact joins at 100 TB."""
+    import tempfile
+
+    from projet_graphdb_spark.sources.bucketed import bucketed_pair
+
+    o, l = bucketed_pair(
+        spark,
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        tempfile.mkdtemp(prefix="spark_bucketed_"),
+    )
+    return (
+        o.join(l, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def x38_json_props(spark, sf_dir):
     """Semi-structured JSON payload extraction (functions/relational.py
     ::json_props_stats): from_json with a STATIC schema fused into the
@@ -1760,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x38_json_props": x38_json_props,
         "x39_winsorized_spend": x39_winsorized_spend,
         "x40_gap_fill": x40_gap_fill,
+        "x41_bucketed_join": x41_bucketed_join,
         "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
@@ -2404,6 +2435,13 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "x41_bucketed_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE), 2)
+                       AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "e18_daily_topk": """
             WITH per AS (

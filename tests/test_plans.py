@@ -129,3 +129,22 @@ def test_x21_disjunction_pushed_to_scans(spark):
     assert li_scan, plan
     pushed = li_scan[0].split("PushedFilters:")[1].split("]")[0] if "PushedFilters:" in li_scan[0] else ""
     assert "Or" in pushed, plan
+
+
+def test_x41_bucketed_join_has_no_exchange_before_join(spark):
+    """The whole point of the bucketed layout: the orderkey join reads
+    the persisted bucket partitioning, so the ONLY Exchange in the plan
+    is the final small-key aggregate's."""
+    # at sf0.001 Catalyst would broadcast the small side, which hides the
+    # layout property under test — force the shuffle-join planning path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "x41_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    join_part = plan[plan.index("Join"):]
+    assert "Exchange" not in join_part, plan
+    # bucket layout visible on both scans
+    assert plan.count("Bucketed: true") == 2, plan
