@@ -1274,6 +1274,14 @@ def e18_daily_topk(spark, sf_dir):
     return relational.daily_topk_types(load_events(spark, sf_dir))
 
 
+def t18_unigram_logprob(spark, sf_dir):
+    """Unigram LM fluency score (functions/text.py::unigram_logprob):
+    corpus token frequencies via one explode+aggregate, 1-row total
+    cross-joined, broadcast vocabulary join, per-doc mean natural-log
+    probability — the KenLM-proxy quality ranker."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1791,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x39_winsorized_spend": x39_winsorized_spend,
         "x40_gap_fill": x40_gap_fill,
         "x41_bucketed_join": x41_bucketed_join,
+        "t18_unigram_logprob": t18_unigram_logprob,
         "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
@@ -2435,6 +2444,18 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "t18_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+            ),
+            nz AS (SELECT * FROM toks WHERE tok <> ''),
+            freq AS (SELECT tok, COUNT(*) AS _tf FROM nz GROUP BY tok),
+            tot AS (SELECT SUM(_tf) AS _tot FROM freq)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(SUM(LN(_tf / _tot)) / COUNT(*), 6) AS avg_logprob
+            FROM nz JOIN freq USING (tok) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "x41_bucketed_join": """
             SELECT o_orderpriority, COUNT(*) AS n_items,

@@ -764,3 +764,43 @@ def langid_confusion(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(lang_col, "lang_pred")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model score per document: the mean log-probability
+    of a doc's tokens under the corpus's own unigram distribution — the
+    classic cheap fluency/quality signal (a KenLM proxy) used to rank
+    documents before an expensive model sees them.
+
+    Scale design: one explode+aggregate builds the token frequency
+    table (map-side combined, shuffled on the token — high cardinality,
+    well spread); the corpus total is a 1-row aggregate cross-joined
+    in (a literal, not a window over one partition).  The scoring join
+    broadcasts the frequency table — vocabulary grows ~log(corpus), a
+    few GB at web scale; swap to a shuffle join on ``tok`` if the
+    vocabulary outgrows the driver.  Scoring aggregate re-shuffles on
+    doc_id only.
+
+    Output: (doc_id, n_tokens, avg_logprob), logprob natural-log,
+    rounded to 6 dp.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_tot"))
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("_tf") / F.col("_tot"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )

@@ -352,3 +352,17 @@ def test_partitioned_corpus_prunes_partitions(spark, tmp_path):
     # the written layout is hive-partitioned by lang
     import os
     assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == ["lang=en", "lang=fr"]
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(docs).collect()}
+    # corpus: a=2, b=2, total=4 → p(a)=p(b)=0.5
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[1]["avg_logprob"] == round(math.log(0.5), 6)
+    assert out[2]["avg_logprob"] == round(math.log(0.5), 6)
