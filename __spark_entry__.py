@@ -647,6 +647,22 @@ def m3_decode_bins(spark, sf_dir):
     return multimodal.pack_decode_tasks(media, target_bytes=4096)
 
 
+def m5_audio_frames(spark, sf_dir):
+    """Overlapping audio analysis frames (functions/multimodal.py::
+    audio_frame_plan): the 25ms/10ms STFT grid as task rows, built
+    from metadata with the payload column pruned out of the plan —
+    per-frame DSP parallelizes over frames, not recordings."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        (F.col("n_chars") * 50).alias("n_samples"),
+    )
+    return multimodal.audio_frame_plan(media)
+
+
 def m2_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: videos explode into one task row per
     sampled frame (every 10th), so the downstream per-frame decode
@@ -1845,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
         "m4_thumbnails": m4_thumbnails,
+        "m5_audio_frames": m5_audio_frames,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -3045,6 +3062,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    16 AS feature_dim
             FROM documents
+        """,
+        "m5_audio_frames": """
+            WITH audio AS (
+              SELECT doc_id AS media_id, CAST(n_chars * 50 AS BIGINT) AS n_samples
+              FROM documents WHERE doc_id % 3 = 1
+            ),
+            frames AS (
+              SELECT media_id,
+                     unnest(generate_series(0, n_samples - 400, 160)) AS start_sample
+              FROM audio WHERE n_samples >= 400
+            )
+            SELECT media_id, start_sample // 160 AS frame_idx,
+                   start_sample, start_sample + 400 AS end_sample
+            FROM frames
         """,
         "m2_frame_sample": """
             SELECT doc_id AS media_id,

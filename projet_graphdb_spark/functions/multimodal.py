@@ -215,3 +215,40 @@ def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         _thumb, THUMBNAIL_SCHEMA
     )
+
+
+def audio_frame_plan(
+    media: DataFrame,
+    width: int = 400,
+    hop: int = 160,
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Explode an audio row into overlapping analysis frames (the
+    25 ms / 10 ms STFT grid at 16 kHz: width=400, hop=160 samples) —
+    plan shaping only, no decode: one output row per frame so the
+    per-frame DSP (or stubbed decode) parallelizes over frames, not
+    over (few, long) recordings.
+
+    Frames are [start, start+width) for start = 0, hop, 2·hop, …
+    while the frame fits; clips shorter than one frame yield no rows.
+
+    Scale design: same shape as ``frame_sample_plan`` — a map-side
+    ``sequence``+``explode`` whose fan-out is n_samples/hop, built
+    from metadata without touching the payload column (column pruning
+    keeps the multi-MB payload out of this plan entirely).
+    """
+    n = F.col(n_samples_col).cast("long")
+    return (
+        media.filter(F.col("kind") == "audio")
+        .filter(n >= width)
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n - width, F.lit(hop))).alias("start_sample"),
+        )
+        .select(
+            "media_id",
+            (F.col("start_sample") / hop).cast("long").alias("frame_idx"),
+            "start_sample",
+            (F.col("start_sample") + width).alias("end_sample"),
+        )
+    )

@@ -63,3 +63,17 @@ def test_thumbnail_plan_aspect_and_stub_cost(spark):
     assert (got[2]["out_width"], got[2]["out_height"]) == (32, 20)
     assert got[3]["out_width"] is None and got[3]["n_bytes_out"] is None
     assert (got[5]["out_width"], got[5]["out_height"]) == (64, 1)
+
+
+def test_audio_frame_plan_stft_grid(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", 800), (2, "audio", 399), (3, "video", 4000)],
+        "media_id long, kind string, n_samples long",
+    )
+    rows = multimodal.audio_frame_plan(media, width=400, hop=160).collect()
+    # clip 2 is shorter than one frame, clip 3 is not audio
+    assert {r["media_id"] for r in rows} == {1}
+    # n=800, W=400, H=160 → starts 0,160,320 (480+400 > 800)
+    assert [(r["frame_idx"], r["start_sample"], r["end_sample"]) for r in rows] == [
+        (0, 0, 400), (1, 160, 560), (2, 320, 720),
+    ]
