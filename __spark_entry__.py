@@ -597,6 +597,15 @@ def s10_knn_ivf_trained(spark, sf_dir):
     )
 
 
+def s11_knn_pq_adc(spark, sf_dir):
+    """Product-quantization ADC kNN (functions/similarity.py::
+    knn_pq_adc): per-subspace Lloyd codebooks, map-only corpus
+    encoding to m codes, per-query LUT broadcast, one (query, vec)
+    sum-aggregate — billion-scale ANN compression (64 floats → 4
+    codes)."""
+    return similarity.knn_pq_adc(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -1857,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_knn_rerank": s8_knn_rerank,
         "s9_lsh_cosine_dups": s9_lsh_cosine_dups,
         "s10_knn_ivf_trained": s10_knn_ivf_trained,
+        "s11_knn_pq_adc": s11_knn_pq_adc,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -2922,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),
         "s10_knn_ivf_trained": _knn_ivf_trained_oracle(),
+        "s11_knn_pq_adc": _pq_adc_oracle(),
         "d10_semantic_dedup": _semantic_dedup_oracle(),
         "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
@@ -3603,6 +3614,76 @@ def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) ->
                                     ORDER BY {dist} ASC, c.cid ASC) AS rk
           FROM emb e CROSS JOIN {prev} c)
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin WHERE rk = 1
+    """
+
+
+def _pq_adc_oracle(
+    m: int = 4, ksub: int = 4, dim: int = 64, dp: int = 6, topk: int = 5,
+    query_ids: str = "0,1,2,3,4",
+) -> str:
+    """s11: per-subspace 1-iteration Lloyd codebooks (the a5 chain shape
+    sliced to v[lo:hi]), map-style corpus encoding, per-query subspace
+    LUT rounded to dp+3, ADC score = rounded sum of m LUT entries."""
+    sub = dim // m
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {sub + 1}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b)"
+    )
+    parts, cons = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""
+        e{j} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb),
+        c{j}0 AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
+          FROM e{j} WHERE vec_id < {ksub}),
+        a{j}1 AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rk
+            FROM e{j} e CROSS JOIN c{j}0 c) WHERE rk = 1),
+        u{j}1 AS (
+          SELECT a.cid, t.i AS ord, ROUND(AVG(e.v[t.i]), {dp}) AS m
+          FROM a{j}1 a JOIN e{j} e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) t
+          GROUP BY a.cid, t.i),
+        cb{j} AS MATERIALIZED (
+          SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+          FROM c{j}0 p LEFT JOIN
+               (SELECT cid, list(m ORDER BY ord) AS cv FROM u{j}1 GROUP BY cid) nc
+               USING (cid)),
+        code{j} AS MATERIALIZED (
+          SELECT vec_id, cid AS code FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rk
+            FROM e{j} e CROSS JOIN cb{j} c) WHERE rk = 1),
+        lut{j} AS (
+          SELECT e.vec_id AS query_id, c.cid AS code, ROUND({dist}, {dp + 3}) AS d
+          FROM e{j} e CROSS JOIN cb{j} c WHERE e.vec_id IN ({query_ids})),
+        con{j} AS (
+          SELECT l.query_id, cd.vec_id AS neighbour_id, l.d
+          FROM code{j} cd JOIN lut{j} l USING (code))""")
+        cons.append(f"SELECT * FROM con{j}")
+    chain = ",".join(parts)
+    union = " UNION ALL ".join(cons)
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {chain},
+        allc AS ({union}),
+        score AS (
+          SELECT query_id, neighbour_id, ROUND(SUM(d), {dp}) AS adc_dist
+          FROM allc WHERE neighbour_id <> query_id GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbour_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbour_id ASC) AS rank
+          FROM score)
+        SELECT query_id, neighbour_id, rank, adc_dist
+        FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
     """
 
 

@@ -599,3 +599,104 @@ def knn_ivf_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbour_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def knn_pq_adc(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 4,
+    num_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization kNN with asymmetric distance computation
+    (ADC) — the classic billion-scale ANN compression (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split each vector into ``m`` subvectors, Lloyd-train a tiny
+    ``ksub``-entry codebook per subspace, store each vector as ``m``
+    byte codes (here 64 floats → 4 codes = 64× smaller), and score a
+    full-precision query against codes via a per-query lookup table.
+
+    Scale shape — every stage is the one you'd run at 100 TB:
+
+    * **train**: per-subspace ``clustering.kmeans_centroids`` (map-only
+      assign + (ksub·dim/m)-bounded update);
+    * **encode**: codebooks inlined as literals → corpus encoding is a
+      PURE map-side expression, output m small ints per vector;
+    * **LUT**: |queries|·m·ksub rows computed from literals (map-only
+      over the tiny query set);
+    * **score**: codes posexploded to (vec, subspace, code) join the
+      BROADCAST LUT, then one (query, vec) sum-aggregate — no
+      full-precision vector ever moves after encoding.
+
+    Determinism/oracle: Lloyd rounding discipline from clustering.py;
+    ADC distance is a sum of m rounded per-subspace LUT entries; ties
+    rank by neighbour id.  Output: (query_id, neighbour_id, rank,
+    adc_dist).
+    """
+    from pyspark.sql.window import Window as W
+
+    from .clustering import _sqdist_to_literal, kmeans_centroids
+
+    sub = dim // m
+    slices = [F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)]
+    books = []
+    for j in range(m):
+        sv = embeddings.select(F.col(id_col), slices[j].alias(vec_col))
+        books.append(
+            kmeans_centroids(
+                sv, k=ksub, num_iter=num_iter,
+                id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            )
+        )
+
+    def _code(j):
+        arr = F.array(
+            *[
+                F.struct(
+                    _sqdist_to_literal(slices[j], cv).alias("d"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cv in sorted(books[j].items())
+            ]
+        )
+        return F.array_min(arr)["cid"]
+
+    codes = embeddings.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.posexplode(F.array(*[_code(j) for j in range(m)])).alias("_j", "_code"),
+    )
+    # per-query subspace LUT: distance from the query's j-th subvector to
+    # every codebook entry, rounded so the sum of m entries is replayable
+    lut_entries = [
+        F.struct(
+            F.lit(j).cast("int").alias("_j"),
+            F.lit(int(cid)).cast("long").alias("_code"),
+            F.round(_sqdist_to_literal(slices[j], cv), round_dp + 3).alias("_d"),
+        )
+        for j in range(m)
+        for cid, cv in sorted(books[j].items())
+    ]
+    lut = (
+        embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("_e"))
+        .select("query_id", F.col("_e._j").alias("_j"), F.col("_e._code").alias("_code"),
+                F.col("_e._d").alias("_d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), on=["_j", "_code"])
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbour_id")
+        .agg(F.round(F.sum("_d"), round_dp).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbour_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", "adc_dist")
+        .orderBy("query_id", "rank")
+    )

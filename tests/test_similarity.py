@@ -186,3 +186,22 @@ def test_knn_ivf_trained_probes_cells(spark):
     # nprobe=1 on separated blobs -> neighbours stay in the query's blob
     assert by_q[0] <= {1, 2, 3, 4} and len(by_q[0]) == 3
     assert by_q[6] <= {5, 7, 8, 9} and len(by_q[6]) == 3
+
+
+def test_knn_pq_adc_prefers_same_cluster(spark):
+    # two well-separated clusters in 8-d; PQ with 2 subspaces / 2 codes
+    # per subspace must rank same-cluster vectors above the other cluster
+    rows = []
+    for i in range(6):
+        base = [10.0] * 8 if i % 2 == 0 else [-10.0] * 8
+        rows.append((i, [v + (i * 0.01) for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_pq_adc(
+        emb, query_ids=[0, 1], k=2, m=2, ksub=2, dim=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbour_id"])
+    assert all(n % 2 == 0 for n in by_q[0])  # even cluster
+    assert all(n % 2 == 1 for n in by_q[1])  # odd cluster
+    assert all(len(v) == 2 for v in by_q.values())
