@@ -1307,6 +1307,14 @@ def t18_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
 
 
+def x42_latest_per_key(spark, sf_dir):
+    """CDC snapshot compaction (functions/relational.py::
+    latest_per_key): newest record per user via one hash exchange +
+    map-side-combined max_by — no window sort over the feed; the
+    append-log → current-state operator."""
+    return relational.latest_per_key(load_events(spark, sf_dir))
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1825,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x40_gap_fill": x40_gap_fill,
         "x41_bucketed_join": x41_bucketed_join,
         "t18_unigram_logprob": t18_unigram_logprob,
+        "x42_latest_per_key": x42_latest_per_key,
         "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
@@ -2471,6 +2480,14 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "x42_latest_per_key": """
+            SELECT user_id, event_id, event_type, value, ts FROM (
+              SELECT user_id, event_id, event_type, value, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 ORDER BY user_id
         """,
         "t18_unigram_logprob": """
             WITH toks AS (

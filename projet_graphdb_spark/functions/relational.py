@@ -1447,3 +1447,38 @@ def daily_topk_types(
         )
         .orderBy("day", "rank")
     )
+
+
+def latest_per_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """CDC-style compaction: the newest record per key — the operator
+    that turns an append-only change feed into current state (upsert
+    materialization, snapshot compaction).
+
+    Scale design: ONE hash exchange on the key feeds a per-key
+    ``max_by`` aggregate — no global sort, no window over an unsorted
+    feed; ``max_by`` with the (ts, id) tie-break struct is map-side
+    combined, so each partition contributes one candidate row per key
+    it sees.  This is strictly cheaper than the row_number()-over-
+    window form (which must materialize and sort every version).
+
+    Output: latest (key, event_id, event_type, value, ts) per key.
+    """
+    ord_key = F.struct(F.col(ts_col), F.col(tie_col))
+    row = F.struct("event_id", "event_type", "value", ts_col)
+    return (
+        events.groupBy(F.col(key_col))
+        .agg(F.max_by(row, ord_key).alias("_r"))
+        .select(
+            key_col,
+            F.col("_r.event_id").alias("event_id"),
+            F.col("_r.event_type").alias("event_type"),
+            F.col("_r.value").alias("value"),
+            F.col(f"_r.{ts_col}").alias(ts_col),
+        )
+        .orderBy(key_col)
+    )

@@ -793,7 +793,11 @@ def unigram_logprob(
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
     total = freq.agg(F.sum("_tf").alias("_tot"))
-    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    # fold the 1-row total into the (small) vocabulary BEFORE broadcast:
+    # the corpus-side plan is then a single BroadcastHashJoin; the benign
+    # vocab × 1-row nested loop never touches fact-table rows
+    freq = freq.crossJoin(F.broadcast(total))
+    scored = toks.join(F.broadcast(freq), "tok")
     return (
         scored.groupBy(id_col)
         .agg(

@@ -59,6 +59,10 @@ GUARDED = [
     "d11_passage_fuzzy",
     "s9_lsh_cosine_dups",
     "m4_thumbnails",
+    "x40_gap_fill",
+    "x42_latest_per_key",
+    "e18_daily_topk",
+    "m5_audio_frames",
 ]
 
 

@@ -851,3 +851,18 @@ def test_daily_topk_types_rank_and_share(spark):
     assert [r["event_type"] for r in out] == ["click", "view", "purchase"]
     assert [r["rank"] for r in out] == [1, 2, 3]  # tie click/view broken by name
     assert out[0]["share"] == round(2 / 6, 6)
+
+
+def test_latest_per_key_picks_newest_with_tiebreak(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [(1, 7, "view", 1.0, t(5)), (2, 7, "click", 2.0, t(9)),
+         (3, 8, "view", 3.0, t(1)), (4, 8, "purchase", 4.0, t(1))],
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
+    out = {r["user_id"]: r for r in relational.latest_per_key(ev).collect()}
+    assert out[7]["event_id"] == 2 and out[7]["event_type"] == "click"
+    # equal ts → larger event_id wins (struct max)
+    assert out[8]["event_id"] == 4 and out[8]["event_type"] == "purchase"

@@ -40,6 +40,9 @@ NL_ALLOWED = {
     "g21_merge",  # binding x matched-key nodes: the broadcast side is the
     # constant-keyed lookup result (a handful of rows) — the cross join IS
     # the merge semantics (each binding row binds each matched node)
+    "t18_unigram_logprob",  # 1-row corpus-total aggregate folded into the
+    # vocabulary table before broadcast — the NL join is vocab × 1 row and
+    # never touches exploded corpus tokens
     "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
     # into the per-doc scorer — constant side by construction
     "x26_important_parts",  # 1-row global-revenue-total aggregate broadcast
