@@ -1266,6 +1266,19 @@ def x39_winsorized_spend(spark, sf_dir):
     )
 
 
+def d13_bloom_incremental(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (functions/dedup.py::
+    bloom_new_docs): the corpus as a fixed-size broadcast bitmap,
+    map-side membership via Arrow-batched pandas UDF, exact anti-join
+    only for candidates — ingest-side dedup whose shuffle is O(dups),
+    not O(batch).  Result is exact (bloom has no false negatives;
+    false positives are removed by the verify join)."""
+    docs = _docs(spark, sf_dir)
+    new_batch = docs.where(F.col("source").isin("src0", "src1"))
+    corpus = docs.where(~F.col("source").isin("src0", "src1"))
+    return dedup.bloom_new_docs(spark, corpus, new_batch)
+
+
 def d12_cluster_sizes(spark, sf_dir):
     """Near-dup cluster-size histogram (over d5's manifest): how many
     clusters of each size the corpus contains — the dedup report a
@@ -1849,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_semantic_dedup": d10_semantic_dedup,
         "d11_passage_fuzzy": d11_passage_fuzzy,
         "d12_cluster_sizes": d12_cluster_sizes,
+        "d13_bloom_incremental": d13_bloom_incremental,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -2460,6 +2474,20 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS winsorized_avg
             FROM seg JOIN pct USING (segment)
             GROUP BY segment ORDER BY segment
+        """,
+        "d13_bloom_incremental": """
+            WITH fps AS (
+              SELECT doc_id, source,
+                     md5(array_to_string(
+                         list_sort(list_distinct(string_split(text, ' '))), ' '))
+                         AS fp
+              FROM documents
+            )
+            SELECT doc_id, fp FROM fps
+            WHERE source IN ('src0', 'src1')
+              AND fp NOT IN (SELECT fp FROM fps
+                             WHERE source NOT IN ('src0', 'src1'))
+            ORDER BY doc_id
         """,
         "x40_gap_fill": """
             WITH daily AS (

@@ -22,6 +22,8 @@ whole-stage codegen — no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -564,4 +566,79 @@ def passage_fuzzy_dups(
     return minhash_lsh_pairs(
         passages, num_hashes=num_hashes, bands=bands, threshold=threshold,
         n=n, text_col="text", id_col="pid", hash=hash,
+    )
+
+
+def bag_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (the "same words, any order" equivalence a
+    template/boilerplate dedup wants)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(text, " "))))
+    )
+
+
+def bloom_new_docs(
+    spark,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Incremental dedup with a Bloom prefilter: which docs in the new
+    ``batch`` are NOT already in ``corpus`` (by bag-of-words
+    fingerprint)?  Result is EXACT — the bloom filter only routes:
+
+    * batch rows whose k bit positions are not all set are **definitely
+      new** (no false negatives) and skip the join entirely;
+    * the remaining candidates — a small fraction at real scale — are
+      verified with an exact anti-join, which removes bloom false
+      positives.
+
+    Scale design: this is the ingest-side shape for 100 TB dedup — the
+    corpus is represented by a FIXED-SIZE bitmap (m_bits chosen for the
+    target false-positive rate; 2^30 bits = 128 MB handles ~10^8 keys
+    at ~1% FPP), broadcast once, tested map-side via an Arrow-batched
+    pandas UDF; only candidates shuffle into the anti-join, so the
+    expensive exchange is O(dups + false positives), not O(batch).
+    The bitmap here is assembled from a bounded ``distinct`` of set
+    positions (≤ m_bits rows by construction); a JVM
+    ``DataFrame.stat.bloomFilter`` build is the drop-in for when even
+    that collect is unwanted.
+
+    Output: (doc_id, fp) of genuinely-new batch docs.
+    """
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(F.concat(col, F.lit(f"#bloom{i}"))), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    cfp = corpus.select(bag_fingerprint(F.col(text_col)).alias("fp"))
+    set_rows = (
+        cfp.select(F.explode(F.array(*positions(F.col("fp")))).alias("p"))
+        .distinct()
+        .collect()  # bounded by m_bits, independent of corpus size
+    )
+    bits = np.zeros(m_bits, dtype=np.uint8)
+    bits[[int(r["p"]) for r in set_rows]] = 1
+    packed = spark.sparkContext.broadcast(np.packbits(bits).tobytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        bm = np.unpackbits(np.frombuffer(packed.value, dtype=np.uint8))
+        idx = np.stack(pos.to_numpy())
+        return pd.Series(bm[idx].all(axis=1).astype(bool))
+
+    b = batch.select(
+        F.col(id_col), bag_fingerprint(F.col(text_col)).alias("fp")
+    ).withColumn("_might", might_contain(F.array(*positions(F.col("fp")))))
+    definite_new = b.where(~F.col("_might"))
+    survivors = b.where(F.col("_might")).join(cfp, on="fp", how="left_anti")
+    return (
+        definite_new.unionByName(survivors)
+        .select(id_col, "fp")
+        .orderBy(id_col)
     )

@@ -207,3 +207,21 @@ def test_passage_fuzzy_dups_catches_recycled_paragraph(spark):
     # the recycled paragraph links docs 1 and 2; doc 3 links to nobody
     assert (1, 2) in doc_pairs
     assert all(3 not in p for p in doc_pairs)
+
+
+def test_bloom_new_docs_exact_vs_anti_join(spark):
+    corpus = spark.createDataFrame(
+        [(1, "b a"), (2, "c c d")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        # 10 = dup of 1 under the bag fingerprint (same token set, reordered)
+        # 11 = genuinely new; 12 = dup of 2 (distinct-set equal)
+        [(10, "a b"), (11, "x y z"), (12, "d c")],
+        "doc_id long, text string",
+    )
+    out = dedup.bloom_new_docs(spark, corpus, batch).collect()
+    assert [r["doc_id"] for r in out] == [11]
+    # exactness even with a tiny (collision-prone) bitmap: false
+    # positives must be removed by the verify join
+    tiny = dedup.bloom_new_docs(spark, corpus, batch, m_bits=8, n_hashes=2).collect()
+    assert [r["doc_id"] for r in tiny] == [11]
