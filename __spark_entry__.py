@@ -1328,6 +1328,14 @@ def x42_latest_per_key(spark, sf_dir):
     return relational.latest_per_key(load_events(spark, sf_dir))
 
 
+def t19_tfidf_pairs(spark, sf_dir):
+    """TF-IDF sparse cosine pairs (functions/text.py::
+    tfidf_cosine_pairs): inverted-index join with a DF cap on postings
+    (the d2 shape), IDF weighting so stopword overlap scores ~zero —
+    the no-embedding-model text similarity path."""
+    return text.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1847,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x41_bucketed_join": x41_bucketed_join,
         "t18_unigram_logprob": t18_unigram_logprob,
         "x42_latest_per_key": x42_latest_per_key,
+        "t19_tfidf_pairs": t19_tfidf_pairs,
         "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
@@ -2508,6 +2517,28 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "t19_tfidf_pairs": """
+            WITH toks AS (
+              SELECT doc_id AS did, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT * FROM toks WHERE tok <> ''),
+            tf AS (SELECT did, tok, COUNT(*) AS tf FROM nz GROUP BY 1, 2),
+            dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+                    HAVING COUNT(*) <= 256),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            w AS (SELECT did, tok, tf * LN(n / df) AS w
+                  FROM tf JOIN dfr USING (tok) CROSS JOIN n),
+            nm AS (SELECT did, SQRT(SUM(w * w)) AS nm FROM w GROUP BY did),
+            p AS (
+              SELECT a.did AS id_a, b.did AS id_b, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b USING (tok) WHERE a.did < b.did GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(dot / (na.nm * nb.nm), 6) AS cosine
+            FROM p JOIN nm na ON na.did = p.id_a JOIN nm nb ON nb.did = p.id_b
+            WHERE ROUND(dot / (na.nm * nb.nm), 6) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "x42_latest_per_key": """
             SELECT user_id, event_id, event_type, value, ts FROM (

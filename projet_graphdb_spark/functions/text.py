@@ -808,3 +808,70 @@ def unigram_logprob(
         )
         .orderBy(id_col)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sparse bag-of-words similarity: TF-IDF cosine between document
+    pairs via an inverted index — the no-embedding-model similarity
+    path (and the weighting that, unlike raw Jaccard, down-ranks
+    stopword overlap).
+
+    Scale design: the pair join is the d2 inverted-index shape —
+    postings shuffle on the (high-cardinality) token key, pairs only
+    materialize when they share a token, and ``max_df`` caps posting
+    lists so one stopword cannot contribute df² join rows (at web
+    scale the cap also deletes ~nothing from the score: ubiquitous
+    tokens carry ~zero IDF weight anyway).  TF, DF, norms, and the
+    dot-product each reduce with map-side combine; nothing is
+    quadratic in the corpus.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_did"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    tf = toks.groupBy("_did", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    df_ = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        df_ = df_.filter(F.col("_df") <= max_df)
+    n_docs = docs.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        tf.join(df_, on="_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_did",
+            "_tok",
+            (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_w"),
+        )
+    )
+    norms = w.groupBy("_did").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
+    w = w.join(norms, on="_did")
+    a = w.select(
+        F.col("_tok"),
+        F.col("_did").alias("id_a"), F.col("_w").alias("_wa"), F.col("_nm").alias("_na"),
+    )
+    b = w.select(
+        F.col("_tok"),
+        F.col("_did").alias("id_b"), F.col("_w").alias("_wb"), F.col("_nm").alias("_nb"),
+    )
+    return (
+        a.join(b, on="_tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), round_dp).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

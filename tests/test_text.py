@@ -366,3 +366,16 @@ def test_unigram_logprob_matches_hand_computation(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
     assert out[1]["avg_logprob"] == round(math.log(0.5), 6)
     assert out[2]["avg_logprob"] == round(math.log(0.5), 6)
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana cherry"),
+         (3, "dog elephant fox"), (4, "apple zebra yak")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in text.tfidf_cosine_pairs(docs, threshold=0.0, max_df=None).collect()}
+    assert out[(1, 2)] == 1.0          # identical docs
+    assert (1, 3) not in out           # no shared token → pair never appears
+    assert 0.0 < out[(1, 4)] < 1.0     # one shared token
