@@ -1336,6 +1336,15 @@ def t19_tfidf_pairs(spark, sf_dir):
     return text.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def t20_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    (functions/text.py::source_kl_divergence): one explode feeds both
+    the (source, token) and corpus aggregates; vocabulary-sized
+    broadcasts; per-source map-side-combined KL sum — the
+    domain-mixing / drift signal."""
+    return text.source_kl_divergence(_docs(spark, sf_dir))
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1856,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_unigram_logprob": t18_unigram_logprob,
         "x42_latest_per_key": x42_latest_per_key,
         "t19_tfidf_pairs": t19_tfidf_pairs,
+        "t20_source_kl": t20_source_kl,
         "e18_daily_topk": e18_daily_topk,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
@@ -2517,6 +2527,22 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "t20_source_kl": """
+            WITH toks AS (
+              SELECT source AS grp, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT * FROM toks WHERE tok <> ''),
+            stf AS (SELECT grp, tok, COUNT(*) AS stf FROM nz GROUP BY 1, 2),
+            ctf AS (SELECT tok, SUM(stf) AS ctf FROM stf GROUP BY tok),
+            stot AS (SELECT grp, SUM(stf) AS stot FROM stf GROUP BY grp),
+            ctot AS (SELECT SUM(ctf) AS ctot FROM ctf)
+            SELECT grp AS source, SUM(stf) AS n_tokens,
+                   ROUND(SUM((stf / stot) * LN((stf / stot) / (ctf / ctot))), 6)
+                       AS kl
+            FROM stf JOIN ctf USING (tok) JOIN stot USING (grp) CROSS JOIN ctot
+            GROUP BY grp ORDER BY grp
         """,
         "t19_tfidf_pairs": """
             WITH toks AS (

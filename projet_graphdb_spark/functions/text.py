@@ -875,3 +875,47 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Domain-shift detector: KL(source ‖ corpus) over unigram
+    distributions — how far each source's token mix drifts from the
+    corpus average.  The signal behind domain-mixing weights and
+    "this crawl slice changed" alerts.
+
+    Scale design: one explode feeds BOTH aggregates — per-(source,
+    token) counts (shuffle on the pair key) and, re-aggregated from
+    those counts, the corpus token counts — so the fact table is
+    scanned once and the corpus table is vocabulary-sized.  Totals are
+    per-group 1-row aggregates joined back broadcast-style; the KL sum
+    reduces per source with map-side combine.  Every source token
+    appears in the corpus by construction, so no smoothing is needed.
+
+    Output: (source, n_tokens, kl) with KL in nats, rounded.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    stf = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("_stf"))
+    ctf = stf.groupBy("tok").agg(F.sum("_stf").alias("_ctf"))
+    stot = stf.groupBy("grp").agg(F.sum("_stf").alias("_stot"))
+    ctot = ctf.agg(F.sum("_ctf").alias("_ctot"))
+    p = F.col("_stf") / F.col("_stot")
+    q = F.col("_ctf") / F.col("_ctot")
+    return (
+        stf.join(F.broadcast(ctf), "tok")
+        .join(F.broadcast(stot), "grp")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("_stf").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), round_dp).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

@@ -379,3 +379,19 @@ def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
     assert out[(1, 2)] == 1.0          # identical docs
     assert (1, 3) not in out           # no shared token → pair never appears
     assert 0.0 < out[(1, 4)] < 1.0     # one shared token
+
+
+def test_source_kl_divergence_zero_for_identical_mix(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [("s1", "a b"), ("s2", "a b"), ("s3", "a a")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in text.source_kl_divergence(docs).collect()}
+    # corpus: a=4, b=2 → q(a)=2/3, q(b)=1/3
+    # s1, s2 have p(a)=p(b)=1/2; s3 has p(a)=1
+    assert out["s1"]["kl"] == out["s2"]["kl"] != 0.0
+    expected_s3 = round(1.0 * math.log(1.0 / (4 / 6)), 6)
+    assert out["s3"]["kl"] == expected_s3
+    assert out["s1"]["n_tokens"] == 2
