@@ -843,9 +843,12 @@ def tfidf_cosine_pairs(
     if max_df is not None:
         df_ = df_.filter(F.col("_df") <= max_df)
     n_docs = docs.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    # fold the 1-row corpus count into the vocabulary-sized DF table
+    # BEFORE it broadcasts into the corpus join: the nested-loop join is
+    # vocab × 1 row; corpus-scale rows only ever see hash joins
+    df_ = df_.crossJoin(F.broadcast(n_docs))
     w = (
         tf.join(df_, on="_tok")
-        .crossJoin(F.broadcast(n_docs))
         .select(
             "_did",
             "_tok",
@@ -906,12 +909,14 @@ def source_kl_divergence(
     ctf = stf.groupBy("tok").agg(F.sum("_stf").alias("_ctf"))
     stot = stf.groupBy("grp").agg(F.sum("_stf").alias("_stot"))
     ctot = ctf.agg(F.sum("_ctf").alias("_ctot"))
+    # 1-row corpus total folded into the vocabulary table pre-broadcast
+    # (nested loop is vocab × 1 row, never per-(source, token) rows)
+    ctf = ctf.crossJoin(F.broadcast(ctot))
     p = F.col("_stf") / F.col("_stot")
     q = F.col("_ctf") / F.col("_ctot")
     return (
         stf.join(F.broadcast(ctf), "tok")
         .join(F.broadcast(stot), "grp")
-        .crossJoin(F.broadcast(ctot))
         .groupBy(F.col("grp").alias(group_col))
         .agg(
             F.sum("_stf").alias("n_tokens"),

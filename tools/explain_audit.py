@@ -43,6 +43,10 @@ NL_ALLOWED = {
     "t18_unigram_logprob",  # 1-row corpus-total aggregate folded into the
     # vocabulary table before broadcast — the NL join is vocab × 1 row and
     # never touches exploded corpus tokens
+    "t19_tfidf_pairs",  # same shape: 1-row doc-count folded into the
+    # DF-capped vocabulary table pre-broadcast
+    "t20_source_kl",  # same shape: 1-row corpus-total folded into the
+    # vocabulary-sized corpus-frequency table pre-broadcast
     "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
     # into the per-doc scorer — constant side by construction
     "x26_important_parts",  # 1-row global-revenue-total aggregate broadcast
