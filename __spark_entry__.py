@@ -606,6 +606,14 @@ def s11_knn_pq_adc(spark, sf_dir):
     return similarity.knn_pq_adc(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def s12_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composite index (functions/similarity.py::knn_ivfpq):
+    seeded coarse cells route queries to nprobe partitions; PQ ADC
+    scores candidates in the compressed domain — the FAISS-style
+    billion-vector architecture, one map-only index pass."""
+    return similarity.knn_ivfpq(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -1909,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_lsh_cosine_dups": s9_lsh_cosine_dups,
         "s10_knn_ivf_trained": s10_knn_ivf_trained,
         "s11_knn_pq_adc": s11_knn_pq_adc,
+        "s12_knn_ivfpq": s12_knn_ivfpq,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -3035,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),
         "s10_knn_ivf_trained": _knn_ivf_trained_oracle(),
         "s11_knn_pq_adc": _pq_adc_oracle(),
+        "s12_knn_ivfpq": _ivfpq_oracle(),
         "d10_semantic_dedup": _semantic_dedup_oracle(),
         "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
@@ -3719,13 +3729,14 @@ def _kmeans_oracle(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6) ->
     """
 
 
-def _pq_adc_oracle(
-    m: int = 4, ksub: int = 4, dim: int = 64, dp: int = 6, topk: int = 5,
+def _pq_chain(
+    m: int = 4, ksub: int = 4, dim: int = 64, dp: int = 6,
     query_ids: str = "0,1,2,3,4",
-) -> str:
-    """s11: per-subspace 1-iteration Lloyd codebooks (the a5 chain shape
-    sliced to v[lo:hi]), map-style corpus encoding, per-query subspace
-    LUT rounded to dp+3, ADC score = rounded sum of m LUT entries."""
+) -> tuple:
+    """Shared per-subspace PQ CTE chain (slices → 1-iter Lloyd codebooks
+    → corpus codes → per-query LUTs → per-subspace ADC contributions):
+    used by the s11 (flat PQ) and s12 (IVF-PQ) oracles.  Returns
+    (chain_sql, [con0..con{m-1}])."""
     sub = dim // m
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -3769,7 +3780,17 @@ def _pq_adc_oracle(
           SELECT l.query_id, cd.vec_id AS neighbour_id, l.d
           FROM code{j} cd JOIN lut{j} l USING (code))""")
         cons.append(f"SELECT * FROM con{j}")
-    chain = ",".join(parts)
+    return ",".join(parts), cons
+
+
+def _pq_adc_oracle(
+    m: int = 4, ksub: int = 4, dim: int = 64, dp: int = 6, topk: int = 5,
+    query_ids: str = "0,1,2,3,4",
+) -> str:
+    """s11: per-subspace 1-iteration Lloyd codebooks (the a5 chain shape
+    sliced to v[lo:hi]), map-style corpus encoding, per-query subspace
+    LUT rounded to dp+3, ADC score = rounded sum of m LUT entries."""
+    chain, cons = _pq_chain(m, ksub, dim, dp, query_ids)
     union = " UNION ALL ".join(cons)
     return f"""
         WITH emb AS MATERIALIZED (
@@ -3779,6 +3800,57 @@ def _pq_adc_oracle(
         score AS (
           SELECT query_id, neighbour_id, ROUND(SUM(d), {dp}) AS adc_dist
           FROM allc WHERE neighbour_id <> query_id GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbour_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbour_id ASC) AS rank
+          FROM score)
+        SELECT query_id, neighbour_id, rank, adc_dist
+        FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+def _ivfpq_oracle(
+    n_cells: int = 8, nprobe: int = 2,
+    m: int = 4, ksub: int = 4, dim: int = 64, dp: int = 6, topk: int = 5,
+    query_ids: str = "0,1,2,3,4",
+) -> str:
+    """s12: seeded IVF cells (rounded vectors with vec_id < n_cells, the
+    s4 codebook discipline) route corpus and queries; the s11 PQ chain
+    ADC-scores only candidates inside each query's nprobe probed
+    cells."""
+    chain, cons = _pq_chain(m, ksub, dim, dp, query_ids)
+    union = " UNION ALL ".join(cons)
+    full_dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cells AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
+          FROM emb WHERE vec_id < {n_cells}),
+        cell_rank AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {full_dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN cells c),
+        assign AS MATERIALIZED (SELECT vec_id, cid FROM cell_rank WHERE rk = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM cell_rank
+                   WHERE rk <= {nprobe} AND vec_id IN ({query_ids})),
+        cand AS MATERIALIZED (
+          SELECT p.query_id, a.vec_id AS neighbour_id
+          FROM probes p JOIN assign a USING (cid)
+          WHERE a.vec_id <> p.query_id),
+        {chain},
+        allc AS ({union}),
+        score AS (
+          SELECT c.query_id, c.neighbour_id, ROUND(SUM(a.d), {dp}) AS adc_dist
+          FROM cand c JOIN allc a
+            ON a.query_id = c.query_id AND a.neighbour_id = c.neighbour_id
+          GROUP BY 1, 2),
         ranked AS (
           SELECT query_id, neighbour_id, adc_dist,
                  ROW_NUMBER() OVER (PARTITION BY query_id

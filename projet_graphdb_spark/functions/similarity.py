@@ -700,3 +700,126 @@ def knn_pq_adc(
         .select("query_id", "neighbour_id", "rank", "adc_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 4,
+    num_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ composite index — the FAISS-style architecture that
+    carries billion-vector search: a coarse inverted file routes each
+    query to ``nprobe`` cells, and within candidates the score is the
+    PQ asymmetric (ADC) distance over ``m`` byte codes, so neither the
+    full corpus nor full-precision vectors are touched at query time.
+
+    Scale shape: cell codebook and PQ codebooks are driver metadata
+    inlined as literals → corpus assignment + encoding are ONE map-only
+    pass whose output is (cell, m codes) per vector — the entire
+    persisted index, ~bytes/vector.  A query reads ``nprobe/n_cells``
+    of the code table (cell = partition key), joins the broadcast LUT,
+    and reduces per (query, candidate).  Compared to s11 (flat PQ scan)
+    this prunes the scan; compared to s10 (IVF with exact re-rank) the
+    candidate scoring is compressed-domain.
+
+    Cells are seeded deterministically (rounded vectors with id <
+    n_cells — the s4 codebook discipline); PQ codebooks are 1-iteration
+    Lloyd per subspace (the s11 discipline), so the DuckDB oracle
+    replays routing, encoding, LUTs, and ranking bit-for-bit.
+
+    Output: (query_id, neighbour_id, rank, adc_dist).
+    """
+    from pyspark.sql.window import Window as W
+
+    from .clustering import _sqdist_to_literal, kmeans_centroids
+
+    vec = F.col(vec_col)
+    cells = {
+        int(r[0]): [round(float(x), round_dp) for x in r[1]]
+        for r in embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cell_structs = F.array(
+        *[
+            F.struct(
+                _sqdist_to_literal(vec, cv).alias("d"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, cv in sorted(cells.items())
+        ]
+    )
+
+    sub = dim // m
+    slices = [F.slice(vec, j * sub + 1, sub) for j in range(m)]
+    books = [
+        kmeans_centroids(
+            embeddings.select(F.col(id_col), slices[j].alias(vec_col)),
+            k=ksub, num_iter=num_iter,
+            id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+        )
+        for j in range(m)
+    ]
+
+    def _code(j):
+        arr = F.array(
+            *[
+                F.struct(
+                    _sqdist_to_literal(slices[j], cv).alias("d"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cv in sorted(books[j].items())
+            ]
+        )
+        return F.array_min(arr)["cid"]
+
+    # ONE map-only pass: (id, cell, m codes) — the persisted index rows
+    enc = embeddings.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.array_min(cell_structs)["cid"].alias("_cell"),
+        F.posexplode(F.array(*[_code(j) for j in range(m)])).alias("_j", "_code"),
+    )
+    qids = [int(q) for q in query_ids]
+    q = embeddings.filter(F.col(id_col).isin(qids))
+    probes = q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.slice(F.array_sort(cell_structs), 1, nprobe)).alias("_p"),
+    ).select("query_id", F.col("_p")["cid"].alias("_cell"))
+    lut_entries = [
+        F.struct(
+            F.lit(j).cast("int").alias("_j"),
+            F.lit(int(cid)).cast("long").alias("_code"),
+            F.round(_sqdist_to_literal(slices[j], cv), round_dp + 3).alias("_d"),
+        )
+        for j in range(m)
+        for cid, cv in sorted(books[j].items())
+    ]
+    lut = q.select(
+        F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("_e")
+    ).select(
+        "query_id", F.col("_e._j").alias("_j"), F.col("_e._code").alias("_code"),
+        F.col("_e._d").alias("_d"),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), on="_cell")
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .join(F.broadcast(lut), on=["query_id", "_j", "_code"])
+        .groupBy("query_id", "neighbour_id")
+        .agg(F.round(F.sum("_d"), round_dp).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbour_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", "adc_dist")
+        .orderBy("query_id", "rank")
+    )

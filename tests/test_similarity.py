@@ -205,3 +205,28 @@ def test_knn_pq_adc_prefers_same_cluster(spark):
     assert all(n % 2 == 0 for n in by_q[0])  # even cluster
     assert all(n % 2 == 1 for n in by_q[1])  # odd cluster
     assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_knn_ivfpq_subset_of_pq_candidates(spark):
+    # IVF-PQ = flat PQ restricted to probed cells: every (query,
+    # neighbour, adc_dist) it returns must carry the same ADC distance
+    # the flat PQ scan assigns to that pair
+    rows = []
+    for i in range(12):
+        base = [10.0] * 8 if i % 2 == 0 else [-10.0] * 8
+        rows.append((i, [v + (i * 0.01) for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = {
+        (r["query_id"], r["neighbour_id"]): r["adc_dist"]
+        for r in similarity.knn_pq_adc(
+            emb, query_ids=[0, 1], k=11, m=2, ksub=2, dim=8
+        ).collect()
+    }
+    ivfpq = similarity.knn_ivfpq(
+        emb, query_ids=[0, 1], n_cells=2, nprobe=1, k=3, m=2, ksub=2, dim=8
+    ).collect()
+    assert len(ivfpq) == 6
+    for r in ivfpq:
+        assert flat[(r["query_id"], r["neighbour_id"])] == r["adc_dist"]
+        # nprobe=1 on two clean clusters → candidates stay in-cluster
+        assert r["neighbour_id"] % 2 == r["query_id"] % 2
