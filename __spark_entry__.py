@@ -1622,6 +1622,20 @@ def e4_stream_join(spark, sf_dir):
     return click_purchase_pairs_batch(load_events(spark, sf_dir))
 
 
+def e19_daily_topk_stream(spark, sf_dir):
+    """Streaming twin of e18 (streaming/events.py::
+    streaming_daily_topk): the day×type counts run as a REAL watermarked
+    streaming aggregation drained availableNow; rank/share is a batch
+    post-step over the tiny drained aggregate.  Equals the e18 batch
+    oracle exactly."""
+    from projet_graphdb_spark.streaming import state_partitions, stream_source
+    from projet_graphdb_spark.streaming.events import streaming_daily_topk
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        return streaming_daily_topk(spark, path, schema, query_name="e19_sink")
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -1875,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_tfidf_pairs": t19_tfidf_pairs,
         "t20_source_kl": t20_source_kl,
         "e18_daily_topk": e18_daily_topk,
+        "e19_daily_topk_stream": e19_daily_topk_stream,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -2601,6 +2616,22 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "e19_daily_topk_stream": """
+            WITH per AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT day, event_type, n_events,
+                     ROW_NUMBER() OVER (PARTITION BY day
+                                        ORDER BY n_events DESC, event_type) AS rank,
+                     SUM(n_events) OVER (PARTITION BY day) AS _tot
+              FROM per
+            )
+            SELECT day, rank, event_type, n_events,
+                   ROUND(n_events / _tot, 6) AS share
+            FROM ranked WHERE rank <= 3 ORDER BY day, rank
         """,
         "e18_daily_topk": """
             WITH per AS (

@@ -260,3 +260,62 @@ def streaming_enriched_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_daily_topk(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    k: int = 3,
+    query_name: str = "daily_topk_sink",
+):
+    """Streaming twin of the trending leaderboard: the per-(day, type)
+    counts run as a REAL Structured Streaming aggregation (file stream →
+    1-day event-time watermark → tumbling 1-day windows → memory sink,
+    drained availableNow); the rank/share step is a batch post-
+    aggregation over the drained DAY×TYPE table — which is tiny by
+    construction, exactly the split a production monitor uses (heavy
+    count state in the stream, leaderboard math on the aggregate).
+
+    Returns (day, rank, event_type, n_events, share) — the
+    ``relational.daily_topk_types`` batch shape.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .harness import drain
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("_w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("_w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    per = drain(q, spark, query_name)
+    wday = W.partitionBy("day")
+    ranked = per.withColumn(
+        "rank",
+        F.row_number().over(
+            wday.orderBy(F.col("n_events").desc(), F.col("event_type"))
+        ),
+    ).withColumn("_tot", F.sum("n_events").over(wday))
+    return (
+        ranked.where(F.col("rank") <= k)
+        .select(
+            "day", "rank", "event_type", "n_events",
+            F.round(F.col("n_events") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy("day", "rank")
+    )

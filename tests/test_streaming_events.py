@@ -282,3 +282,30 @@ def test_upsert_stream_latest_per_key_and_restart(spark, tmp_path):
     # the reduce helper alone
     df = spark.createDataFrame(rows, sch)
     assert {r["event_id"] for r in latest_per_key(df).collect()} == {2, 3}
+
+
+def test_streaming_daily_topk_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    t = lambda d, h: dt.datetime(2024, 1, d, h)
+    rows = [
+        (1, t(1, 0), 1, "view", 1.0, "{}"), (2, t(1, 1), 1, "view", 1.0, "{}"),
+        (3, t(1, 2), 2, "click", 1.0, "{}"), (4, t(2, 0), 2, "click", 1.0, "{}"),
+        (5, t(2, 1), 3, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events")
+    df.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    from projet_graphdb_spark.functions import relational
+    from projet_graphdb_spark.streaming.events import streaming_daily_topk
+
+    stream_rows = streaming_daily_topk(
+        spark, path, schema, query_name="t_daily_topk"
+    ).collect()
+    batch_rows = relational.daily_topk_types(df, k=3).collect()
+    assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
