@@ -1287,6 +1287,16 @@ def d13_bloom_incremental(spark, sf_dir):
     return dedup.bloom_new_docs(spark, corpus, new_batch)
 
 
+def d14_containment(spark, sf_dir):
+    """Directed shingle containment |A∩B|/|A| (functions/dedup.py::
+    ngram_containment_pairs): the asymmetric quote/superset detector —
+    same capped inverted-index shape as d2, different denominator,
+    both orientations emitted."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), block_col="lang", threshold=0.5
+    )
+
+
 def d12_cluster_sizes(spark, sf_dir):
     """Near-dup cluster-size histogram (over d5's manifest): how many
     clusters of each size the corpus contains — the dedup report a
@@ -1905,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_passage_fuzzy": d11_passage_fuzzy,
         "d12_cluster_sizes": d12_cluster_sizes,
         "d13_bloom_incremental": d13_bloom_incremental,
+        "d14_containment": d14_containment,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -3024,6 +3035,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
             FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+        """,
+        "d14_containment": f"""
+            WITH base AS MATERIALIZED (
+              SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents
+            ),
+            post AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS s FROM base),
+            keep AS (SELECT lang, s FROM post GROUP BY lang, s HAVING COUNT(*) <= 256),
+            kept AS MATERIALIZED (
+              SELECT p.doc_id, p.lang, p.s FROM post p JOIN keep k USING (lang, s)),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM kept a JOIN kept b
+                ON a.lang = b.lang AND a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+            FROM inter JOIN sz sa ON sa.doc_id = id_a
+            WHERE ROUND(CAST(i AS DOUBLE) / sa.sz, 6) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "s1_knn_bruteforce": _knn_bf_oracle(),
         "s2_cosine_dups": """

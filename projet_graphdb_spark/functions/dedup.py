@@ -642,3 +642,64 @@ def bloom_new_docs(
         .select(id_col, "fp")
         .orderBy(id_col)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    block_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 256,
+) -> DataFrame:
+    """DIRECTED shingle containment within blocks: |A ∩ B| / |A| — the
+    asymmetric near-dup signal Jaccard misses.  A short document quoted
+    inside a long one scores containment ≈ 1 in the short→long
+    direction while its Jaccard stays low (the union is dominated by
+    the long doc), so quote/expansion/superset pairs surface here and
+    nowhere else.
+
+    Same inverted-index shape and stop-shingle ``max_df`` cap as
+    ``ngram_jaccard_pairs`` (one (block, shingle)-keyed self-join,
+    nothing quadratic in the corpus); the only difference is the
+    denominator and that both orientations of a pair are emitted.
+
+    Output: (id_a, id_b, containment) with id_a != id_b and
+    containment(A in B) >= threshold.
+    """
+    postings = (
+        shingle_frame(docs, n, id_col, text_col, [block_col])
+        .select(
+            F.col(id_col).alias("_did"),
+            F.col(block_col).alias("_blk"),
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_shh"),
+        )
+        .select("_did", "_blk", F.explode("_shh").alias("_s"))
+    )
+    if max_df is not None:
+        keep = (
+            postings.groupBy("_blk", "_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_blk", "_s")
+        )
+        postings = postings.join(keep, on=["_blk", "_s"])
+    sizes = postings.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))
+    postings = postings.join(sizes, on="_did")
+    a = postings.select(
+        "_blk", "_s", F.col("_did").alias("id_a"), F.col("_sz").alias("sz_a")
+    )
+    b = postings.select("_blk", "_s", F.col("_did").alias("id_b"))
+    inter = (
+        a.join(b, on=["_blk", "_s"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    cont = F.col("_i").cast("double") / F.col("sz_a").cast("double")
+    return (
+        inter.select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -225,3 +225,18 @@ def test_bloom_new_docs_exact_vs_anti_join(spark):
     # positives must be removed by the verify join
     tiny = dedup.bloom_new_docs(spark, corpus, batch, m_bits=8, n_hashes=2).collect()
     assert [r["doc_id"] for r in tiny] == [11]
+
+
+def test_containment_detects_quote_in_superset(spark):
+    short = "alpha beta gamma delta"
+    long_ = short + " epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en"), (3, "unrelated words here now", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dedup.ngram_containment_pairs(docs, "lang", threshold=0.5).collect()}
+    # short fully contained in long: containment(1→2) = 1.0
+    assert out[(1, 2)] == 1.0
+    # reverse direction diluted below threshold (2 of 8 shingles)
+    assert (2, 1) not in out and (1, 3) not in out
