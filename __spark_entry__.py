@@ -1363,6 +1363,15 @@ def t20_source_kl(spark, sf_dir):
     return text.source_kl_divergence(_docs(spark, sf_dir))
 
 
+def x43_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 validity intervals from the event change feed
+    (functions/relational.py::scd2_intervals): one key-partitioned
+    ordered window does run-collapsing (lag) and interval close
+    (lead) — the dimension-history build that x5's as-of join
+    queries."""
+    return relational.scd2_intervals(load_events(spark, sf_dir))
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1898,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x42_latest_per_key": x42_latest_per_key,
         "t19_tfidf_pairs": t19_tfidf_pairs,
         "t20_source_kl": t20_source_kl,
+        "x43_scd2_intervals": x43_scd2_intervals,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e16_rate_spikes": e16_rate_spikes,
@@ -2562,6 +2572,25 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "x43_scd2_intervals": """
+            WITH ordered AS (
+              SELECT user_id AS key, event_type AS state,
+                     ts AS valid_from, event_id AS tie,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            collapsed AS (
+              SELECT key, state, valid_from, tie FROM ordered
+              WHERE prev IS NULL OR prev <> state),
+            closed AS (
+              SELECT key, state, valid_from,
+                     LEAD(valid_from) OVER (PARTITION BY key
+                                            ORDER BY valid_from, tie) AS valid_to
+              FROM collapsed)
+            SELECT key, state, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM closed ORDER BY key, valid_from
         """,
         "t20_source_kl": """
             WITH toks AS (

@@ -1482,3 +1482,47 @@ def latest_per_key(
         )
         .orderBy(key_col)
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """SCD Type-2 dimension build: turn a change feed into validity
+    intervals — each key's state with [valid_from, valid_to) bounds,
+    open intervals marked current.  The warehouse operator behind
+    "what was this user's tier on March 3rd" (pairs with x5's as-of
+    join on the query side).
+
+    Scale design: ONE key-partitioned ordered window computes both the
+    change filter (``lag`` — drop rows whose state equals the previous
+    row's, collapsing runs) and the interval close (``lead`` over the
+    collapsed rows).  Everything rides the same (key) exchange; no
+    self-join of the feed against itself.
+
+    Output: (key, state, valid_from, valid_to, is_current).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, tie_col)
+    collapsed = (
+        events.select(
+            F.col(key_col).alias("key"), F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"), F.col(tie_col).alias("_tie"),
+        )
+        .withColumn("_prev", F.lag("state").over(
+            W.partitionBy("key").orderBy("valid_from", "_tie")))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    )
+    w2 = W.partitionBy("key").orderBy("valid_from", "_tie")
+    return (
+        collapsed.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "key", "state", "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("key", "valid_from")
+    )

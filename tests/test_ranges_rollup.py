@@ -866,3 +866,21 @@ def test_latest_per_key_picks_newest_with_tiebreak(spark):
     assert out[7]["event_id"] == 2 and out[7]["event_type"] == "click"
     # equal ts → larger event_id wins (struct max)
     assert out[8]["event_id"] == 4 and out[8]["event_type"] == "purchase"
+
+
+def test_scd2_intervals_collapse_and_close(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [(1, 7, "bronze", t(0)), (2, 7, "bronze", t(5)),   # run collapses
+         (3, 7, "gold", t(9)), (4, 8, "silver", t(2))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = relational.scd2_intervals(ev).collect()
+    u7 = [r for r in rows if r["key"] == 7]
+    assert [(r["state"], r["is_current"]) for r in u7] == [
+        ("bronze", False), ("gold", True)]
+    assert u7[0]["valid_to"] == t(9) and u7[1]["valid_to"] is None
+    u8 = [r for r in rows if r["key"] == 8]
+    assert u8[0]["state"] == "silver" and u8[0]["is_current"] is True
