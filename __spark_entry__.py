@@ -751,6 +751,17 @@ def a3_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def a11_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a 3-supplier seed set (graph_algos.
+    personalized_pagerank): teleport + dangling mass restart at the
+    personalization vector — the related-entities / recommendation
+    primitive, same per-iteration join+aggregate cost as a3."""
+    pr = graph_algos.personalized_pagerank(
+        _sn_subgraph(spark, sf_dir), sources=[10001, 10002, 10003], num_iter=10
+    )
+    return pr.select("id", F.round("rank", 8).alias("rank"))
+
+
 def a6_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting (graph_algos.triangle_count,
     degree-ordered wedge enumeration — O(m^1.5) worst case, skew-proof)
@@ -1926,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_cluster_sizes": d12_cluster_sizes,
         "d13_bloom_incremental": d13_bloom_incremental,
         "d14_containment": d14_containment,
+        "a11_personalized_pagerank": a11_personalized_pagerank,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -3096,6 +3108,7 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
         "a3_pagerank": _pagerank_oracle(),
+        "a11_personalized_pagerank": _ppr_oracle(),
         "a7_label_propagation": _lpa_oracle(),
         "a8_kcore": _kcore_oracle(),
         "a5_kmeans": _kmeans_oracle(),
@@ -3638,6 +3651,55 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
         deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+        {chain}
+        SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _ppr_oracle(
+    num_iter: int = 10, damping: float = 0.85,
+    sources: tuple = (10001, 10002, 10003),
+) -> str:
+    """a11: the a3 chain with a personalization vector — r0 = p,
+    teleport and dangling mass restart at p (uniform over the seed
+    set), identical IEEE literal discipline, ROUND(,8)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    pw = repr(1.0 / len(sources))
+    src_list = ",".join(str(s) for s in sources)
+    iters = []
+    prev = "r0"
+    for i in range(1, num_iter + 1):
+        iters.append(f"""
+        dang{i} AS (
+          SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+          FROM {prev} r LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL),
+        infl{i} AS (
+          SELECT ed.dst AS id, SUM(r.rank / deg.deg) AS inflow
+          FROM {prev} r JOIN deg ON deg.src = r.id JOIN ed ON ed.src = r.id
+          GROUP BY ed.dst),
+        r{i} AS MATERIALIZED (
+          SELECT nodes.id,
+                 CAST({one_minus_d} AS DOUBLE) * nodes.p
+                 + CAST({d} AS DOUBLE)
+                   * (COALESCE(infl{i}.inflow, CAST(0.0 AS DOUBLE))
+                      + (SELECT dm FROM dang{i}) * nodes.p) AS rank
+          FROM nodes LEFT JOIN infl{i} ON infl{i}.id = nodes.id)""")
+        prev = f"r{i}"
+    chain = ",".join(iters)
+    return f"""
+        WITH ed AS MATERIALIZED (
+          SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+          UNION ALL
+          SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+        ),
+        nodes AS MATERIALIZED (
+          SELECT id, CASE WHEN id IN ({src_list})
+                          THEN CAST({pw} AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS p
+          FROM (SELECT src AS id FROM ed UNION SELECT dst AS id FROM ed)),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+        r0 AS (SELECT id, p AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
     """

@@ -230,3 +230,24 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, round(1 / 3, 6))
     assert 4 not in got
+
+
+def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
+    # star: 1->2, 1->3; seed at 1. PPR must give 1 the teleport mass and
+    # rank(2) == rank(3) by symmetry; total mass stays ~1
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    out = {r["id"]: r["rank"] for r in graph_algos.personalized_pagerank(
+        edges, sources=[1], num_iter=20).collect()}
+    assert out[2] == out[3]
+    assert out[1] > out[2]
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    # numpy cross-check of the fixpoint: r = 0.15*p + 0.85*(M r + dang*p)
+    import numpy as np
+    p = np.array([1.0, 0.0, 0.0])
+    r = p.copy()
+    M = np.array([[0, 0, 0], [0.5, 0, 0], [0.5, 0, 0]])  # column-stochastic rows from 1
+    for _ in range(20):
+        dang = r[1] + r[2]  # 2 and 3 have no out-edges
+        r = 0.15 * p + 0.85 * (M @ r + dang * p)
+    for i, node in enumerate([1, 2, 3]):
+        assert abs(out[node] - r[i]) < 1e-9
