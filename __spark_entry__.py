@@ -1374,6 +1374,13 @@ def t20_source_kl(spark, sf_dir):
     return text.source_kl_divergence(_docs(spark, sf_dir))
 
 
+def x44_price_histogram(spark, sf_dir):
+    """Equi-width value histogram (functions/relational.py::
+    price_histogram): width_bucket map-side binning + one bounded-key
+    aggregate — the single-pass distribution profile."""
+    return relational.price_histogram(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def x43_scd2_intervals(spark, sf_dir):
     """SCD Type-2 validity intervals from the event change feed
     (functions/relational.py::scd2_intervals): one key-partitioned
@@ -1919,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_tfidf_pairs": t19_tfidf_pairs,
         "t20_source_kl": t20_source_kl,
         "x43_scd2_intervals": x43_scd2_intervals,
+        "x44_price_histogram": x44_price_histogram,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e16_rate_spikes": e16_rate_spikes,
@@ -2584,6 +2592,21 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "x44_price_histogram": """
+            WITH b AS (
+              -- width_bucket arithmetic spelled out (this DuckDB build
+              -- lacks the function): bucket i covers [lo+(i-1)w, lo+i*w)
+              SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                          WHEN o_totalprice >= 600000.0 THEN 21
+                          ELSE CAST(FLOOR((o_totalprice - 0.0) / 30000.0) AS BIGINT) + 1
+                     END AS bucket
+              FROM orders)
+            SELECT bucket,
+                   ROUND(0.0 + (bucket - 1) * 30000.0, 6) AS lo_edge,
+                   ROUND(0.0 + bucket * 30000.0, 6) AS hi_edge,
+                   COUNT(*) AS n_rows
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "x43_scd2_intervals": """
             WITH ordered AS (

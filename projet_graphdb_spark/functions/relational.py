@@ -1526,3 +1526,39 @@ def scd2_intervals(
         )
         .orderBy("key", "valid_from")
     )
+
+
+def price_histogram(
+    orders: DataFrame,
+    n_buckets: int = 20,
+    val_col: str = "o_totalprice",
+    lo: float = 0.0,
+    hi: float = 600000.0,
+) -> DataFrame:
+    """Equi-width histogram of a value column with fixed [lo, hi)
+    bounds — the one-pass distribution profile (dashboards, drift
+    checks, bin-packing decisions).
+
+    Scale design: ``width_bucket`` is a map-side expression; the
+    histogram is ONE hash aggregate on a ≤ n_buckets+2 key space
+    (underflow→0, overflow→n+1), so the reduce is bounded regardless
+    of row count.  Fixed bounds (not data-dependent min/max) keep it
+    single-pass; pair with a prior 1-row min/max aggregate when bounds
+    must adapt.
+
+    Output: (bucket, lo_edge, hi_edge, n_rows).
+    """
+    width = (hi - lo) / n_buckets
+    b = F.width_bucket(F.col(val_col), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    return (
+        orders.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + (F.col("bucket") - 1) * width, 6).alias("lo_edge"),
+            F.round(F.lit(lo) + F.col("bucket") * width, 6).alias("hi_edge"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )

@@ -884,3 +884,17 @@ def test_scd2_intervals_collapse_and_close(spark):
     assert u7[0]["valid_to"] == t(9) and u7[1]["valid_to"] is None
     u8 = [r for r in rows if r["key"] == 8]
     assert u8[0]["state"] == "silver" and u8[0]["is_current"] is True
+
+
+def test_price_histogram_bucket_edges_and_overflow(spark):
+    orders = spark.createDataFrame(
+        [(-5.0,), (0.0,), (29999.0,), (30000.0,), (599999.0,), (600000.0,), (700000.0,)],
+        "o_totalprice double",
+    )
+    rows = {r["bucket"]: r for r in relational.price_histogram(orders).collect()}
+    assert rows[0]["n_rows"] == 1            # underflow
+    assert rows[1]["n_rows"] == 2            # [0, 30000)
+    assert rows[1]["lo_edge"] == 0.0 and rows[1]["hi_edge"] == 30000.0
+    assert rows[2]["n_rows"] == 1            # boundary lands in next bucket
+    assert rows[20]["n_rows"] == 1           # last in-range bucket
+    assert rows[21]["n_rows"] == 2           # overflow (>= hi)
