@@ -63,6 +63,10 @@ GUARDED = [
     "x42_latest_per_key",
     "e18_daily_topk",
     "m5_audio_frames",
+    "x43_scd2_intervals",
+    "x44_price_histogram",
+    "d13_bloom_incremental",
+    "d14_containment",
 ]
 
 
