@@ -1374,6 +1374,25 @@ def t20_source_kl(spark, sf_dir):
     return text.source_kl_divergence(_docs(spark, sf_dir))
 
 
+def x45_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape over a synthesized supply cost (functions/
+    relational.py::product_profit): name-filtered part broadcast,
+    one orderkey fact shuffle, DECIMAL profit — completes the Q9 join
+    topology the schema's missing partsupp otherwise blocks."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return relational.product_profit(
+        rd("lineitem"), rd("orders"), rd("supplier"), rd("nation"), rd("part")
+    )
+
+
+def x46_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape over a synthesized availqty (functions/
+    relational.py::excess_stock_suppliers): decorrelated per-(part,
+    supplier) shipment aggregate, semi-join into supplier."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return relational.excess_stock_suppliers(rd("lineitem"), rd("supplier"), rd("part"))
+
+
 def x44_price_histogram(spark, sf_dir):
     """Equi-width value histogram (functions/relational.py::
     price_histogram): width_bucket map-side binning + one bounded-key
@@ -1927,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t20_source_kl": t20_source_kl,
         "x43_scd2_intervals": x43_scd2_intervals,
         "x44_price_histogram": x44_price_histogram,
+        "x45_product_profit": x45_product_profit,
+        "x46_excess_stock": x46_excess_stock,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e16_rate_spikes": e16_rate_spikes,
@@ -2592,6 +2613,38 @@ def oracle_sql() -> dict[str, str]:
                    d._rev IS NULL AS is_gap
             FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day
             ORDER BY s.key, s.day
+        """,
+        "x45_product_profit": """
+            SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                            * (CAST(1 AS DECIMAL(25,2)) - CAST(l_discount AS DECIMAL(25,2)))
+                            - CAST((l_partkey * 7 + l_suppkey * 3) % 1000 + 1
+                                   AS DECIMAL(25,2))
+                              * CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "x46_excess_stock": """
+            WITH shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(25,2))) AS qty
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            excess AS (
+              SELECT DISTINCT l_suppkey FROM shipped
+              WHERE CAST((l_partkey * 11 + l_suppkey * 5) % 20 AS DECIMAL(25,2))
+                    > qty)
+            SELECT s_suppkey AS suppkey, s_name
+            FROM supplier JOIN excess ON l_suppkey = s_suppkey
+            ORDER BY suppkey
         """,
         "x44_price_histogram": """
             WITH b AS (

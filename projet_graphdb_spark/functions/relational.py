@@ -1562,3 +1562,94 @@ def price_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def _synthetic_supplycost():
+    """Deterministic stand-in for TPC-H ps_supplycost (the schema has no
+    partsupp table): an integer derived from the (part, supplier) pair,
+    identical arithmetic in the DuckDB oracle."""
+    return (F.col("l_partkey") * 7 + F.col("l_suppkey") * 3) % 1000 + 1
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_like: str = "%red%",
+) -> DataFrame:
+    """TPC-H Q9 (product-type profit) over a SYNTHESIZED supply cost:
+    per (nation, order-year) profit = Σ price·(1−disc) − cost·qty for
+    parts matching ``name_like``.  partsupp doesn't exist in this
+    schema, so ps_supplycost is a deterministic function of the
+    (part, supplier) pair — the join/aggregate shape is exactly Q9's.
+
+    Scale design: part (filtered by the name predicate BEFORE the
+    join), supplier, and nation broadcast; lineitem shuffles once on
+    orderkey for the orders join; profit accumulates in DECIMAL.
+
+    Output: (nation, o_year, sum_profit).
+    """
+    p = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    cost = _synthetic_supplycost().cast("decimal(25,2)")
+    qty = F.col("l_quantity").cast("decimal(25,2)")
+    profit = rev_decimal() - cost * qty
+    return (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+def excess_stock_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    name_like: str = "%red%",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (excess inventory) over a SYNTHESIZED availqty:
+    suppliers holding more than half a year's shipped quantity of any
+    matching part.  availqty is a deterministic function of the
+    (part, supplier) pair — the decorrelated-subquery shape is Q20's.
+
+    Scale design: the year's shipments aggregate per (part, supplier)
+    pair once (map-side combined on the natural key); the name filter
+    broadcasts into that aggregate's input; the surviving pair list is
+    a LEFT SEMI join into supplier — no correlated re-scan per
+    supplier.
+
+    Output: (suppkey, s_name).
+    """
+    p = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    # synthetic availqty bounded at 20 units and compared against the FULL
+    # year's shipped quantity, so the predicate actually discriminates on
+    # this data (the classic half-year form passes every pair here)
+    avail = (F.col("l_partkey") * 11 + F.col("l_suppkey") * 5) % 20
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo))
+            & (F.col("l_shipdate") < F.lit(date_hi))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("_qty"))
+        .filter(avail.cast("decimal(25,2)") > F.col("_qty"))
+        .select(F.col("l_suppkey").alias("_sk"))
+        .distinct()
+    )
+    return (
+        supplier.join(shipped, supplier.s_suppkey == F.col("_sk"), "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name")
+        .orderBy("suppkey")
+    )

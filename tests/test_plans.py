@@ -67,6 +67,8 @@ GUARDED = [
     "x44_price_histogram",
     "d13_bloom_incremental",
     "d14_containment",
+    "x45_product_profit",
+    "x46_excess_stock",
 ]
 
 
