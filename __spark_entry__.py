@@ -1393,6 +1393,15 @@ def x46_excess_stock(spark, sf_dir):
     return relational.excess_stock_suppliers(rd("lineitem"), rd("supplier"), rd("part"))
 
 
+def x47_sketch_aggregates(spark, sf_dir):
+    """Sketch-vs-exact conformance (functions/relational.py::
+    sketch_aggregates): HLL distinct counts and t-digest medians —
+    the fixed-memory mergeable aggregates that replace exact forms at
+    100 TB — pinned within 5% of the exact answers the oracle
+    computes."""
+    return relational.sketch_aggregates(load_events(spark, sf_dir))
+
+
 def x44_price_histogram(spark, sf_dir):
     """Equi-width value histogram (functions/relational.py::
     price_histogram): width_bucket map-side binning + one bounded-key
@@ -1948,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x44_price_histogram": x44_price_histogram,
         "x45_product_profit": x45_product_profit,
         "x46_excess_stock": x46_excess_stock,
+        "x47_sketch_aggregates": x47_sketch_aggregates,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e16_rate_spikes": e16_rate_spikes,
@@ -2645,6 +2655,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x47_sketch_aggregates": """
+            -- the sketch columns assert Spark's HLL/t-digest landed within
+            -- tolerance of the exact values this oracle computes exactly
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS hll_ok,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+                   TRUE AS tdigest_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "x44_price_histogram": """
             WITH b AS (

@@ -1653,3 +1653,44 @@ def excess_stock_suppliers(
         .select(F.col("s_suppkey").alias("suppkey"), "s_name")
         .orderBy("suppkey")
     )
+
+
+def sketch_aggregates(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    val_col: str = "value",
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """The sketch aggregates that replace their exact forms at 100 TB —
+    ``approx_count_distinct`` (HyperLogLog++: fixed memory, mergeable
+    partials) and ``approx_percentile`` (t-digest) — computed alongside
+    the exact answers with a per-group tolerance check.
+
+    At scale the EXACT forms are the problem (count-distinct buffers
+    the key set per group; exact percentile sorts it); the sketches are
+    one map-side-combined pass each.  The output exposes the exact
+    values (oracle-checkable) plus booleans pinning the sketch within
+    ``rel_tol`` — so the driver's correctness gate verifies both the
+    exact math AND that the sketch path stays calibrated.
+
+    Output: (event_type, n_users_exact, hll_ok, p50_exact, tdigest_ok).
+    """
+    p50_exact = F.expr(f"percentile({val_col}, 0.5)")
+    p50_approx = F.expr(f"approx_percentile({val_col}, 0.5, 1000)")
+    hll = F.approx_count_distinct(user_col)
+    exact = F.count_distinct(F.col(user_col))
+    return (
+        events.groupBy(type_col)
+        .agg(
+            exact.alias("n_users_exact"),
+            (
+                F.abs(hll - exact) <= F.lit(rel_tol) * exact
+            ).alias("hll_ok"),
+            F.round(p50_exact, 6).alias("p50_exact"),
+            (
+                F.abs(p50_approx - p50_exact) <= F.lit(rel_tol) * F.abs(p50_exact)
+            ).alias("tdigest_ok"),
+        )
+        .orderBy(type_col)
+    )

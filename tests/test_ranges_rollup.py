@@ -898,3 +898,14 @@ def test_price_histogram_bucket_edges_and_overflow(spark):
     assert rows[2]["n_rows"] == 1            # boundary lands in next bucket
     assert rows[20]["n_rows"] == 1           # last in-range bucket
     assert rows[21]["n_rows"] == 2           # overflow (>= hi)
+
+
+def test_sketch_aggregates_flags_and_exact_values(spark):
+    ev = spark.createDataFrame(
+        [("click", u, float(u)) for u in range(1, 101)] + [("click", 1, 50.0)],
+        "event_type string, user_id long, value double",
+    )
+    out = relational.sketch_aggregates(ev).collect()[0]
+    assert out["n_users_exact"] == 100
+    assert out["hll_ok"] is True and out["tdigest_ok"] is True
+    assert out["p50_exact"] == 50.0
