@@ -1701,6 +1701,16 @@ def e19_daily_topk_stream(spark, sf_dir):
         return streaming_daily_topk(spark, path, schema, query_name="e19_sink")
 
 
+def e20_threshold_crossings(spark, sf_dir):
+    """First budget-crossing per user (streaming/crossings.py::
+    threshold_crossings_batch): per-user ordered DECIMAL cumsum +
+    min-by — the alert-once detector; the applyInPandasWithState twin
+    (integer-cents state, O(users)) is parity-tested in tests."""
+    from projet_graphdb_spark.streaming.crossings import threshold_crossings_batch
+
+    return threshold_crossings_batch(load_events(spark, sf_dir))
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -1960,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x47_sketch_aggregates": x47_sketch_aggregates,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
+        "e20_threshold_crossings": e20_threshold_crossings,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -2655,6 +2666,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "e20_threshold_crossings": """
+            WITH c AS (
+              SELECT user_id, ts, event_id,
+                     SUM(CAST(value AS DECIMAL(25,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM events),
+            q AS (
+              SELECT user_id, ts, cum,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM c WHERE cum >= CAST(500.0 AS DECIMAL(25,2)))
+            SELECT user_id, ts AS crossing_ts,
+                   ROUND(CAST(cum AS DOUBLE), 2) AS cum_at_crossing
+            FROM q WHERE rn = 1 ORDER BY user_id
         """,
         "x47_sketch_aggregates": """
             -- the sketch columns assert Spark's HLL/t-digest landed within

@@ -87,3 +87,37 @@ def test_session_window_matches_lag_form_off_boundary(spark):
     # the fixture has microsecond timestamps: exactly-30-min gaps are
     # absent, so the two boundary conventions coincide
     assert native == lag
+
+
+def test_threshold_crossings_stream_batch_parity(spark, tmp_path):
+    import datetime as dt
+
+    from projet_graphdb_spark.streaming.crossings import (
+        threshold_crossings_batch,
+        threshold_crossings_stream,
+    )
+    from projet_graphdb_spark.streaming import drain
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 7, "buy", 200.0, "{}"), (2, t(5), 7, "buy", 250.0, "{}"),
+        (3, t(9), 7, "buy", 100.0, "{}"),   # user 7 crosses 500 here
+        (4, t(2), 8, "buy", 499.99, "{}"),  # user 8 never crosses
+        (5, t(1), 9, "buy", 600.0, "{}"),   # user 9 crosses immediately
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events")
+    df.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    q = threshold_crossings_stream(spark, path, schema, query_name="t_cross")
+    stream_rows = sorted(
+        [tuple(r) for r in drain(q, spark, "t_cross").collect()]
+    )
+    batch_rows = sorted([tuple(r) for r in threshold_crossings_batch(df).collect()])
+    assert stream_rows == batch_rows
+    assert [r[0] for r in batch_rows] == [7, 9]
+    assert batch_rows[0][2] == 550.0
