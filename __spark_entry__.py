@@ -1393,6 +1393,14 @@ def x46_excess_stock(spark, sf_dir):
     return relational.excess_stock_suppliers(rd("lineitem"), rd("supplier"), rd("part"))
 
 
+def x48_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct users (functions/relational.py::
+    rolling_distinct_users): dedupe to (user, day) pairs, constant-N
+    fan-out to window end-days, distinct-count per end-day — the
+    exact WAU curve with bounded shuffles."""
+    return relational.rolling_distinct_users(load_events(spark, sf_dir))
+
+
 def x47_sketch_aggregates(spark, sf_dir):
     """Sketch-vs-exact conformance (functions/relational.py::
     sketch_aggregates): HLL distinct counts and t-digest medians —
@@ -1968,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_product_profit": x45_product_profit,
         "x46_excess_stock": x46_excess_stock,
         "x47_sketch_aggregates": x47_sketch_aggregates,
+        "x48_rolling_wau": x48_rolling_wau,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2666,6 +2675,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x48_rolling_wau": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            bounds AS (
+              SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+              FROM events),
+            fanned AS (
+              SELECT u, CAST(UNNEST(generate_series(d, d + 6, INTERVAL 1 DAY))
+                             AS DATE) AS end_day
+              FROM pairs)
+            SELECT strftime(end_day, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT u) AS n_active_users
+            FROM fanned CROSS JOIN bounds
+            WHERE end_day >= lo AND end_day <= hi
+            GROUP BY end_day ORDER BY day
         """,
         "e20_threshold_crossings": """
             WITH c AS (

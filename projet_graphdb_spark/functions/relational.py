@@ -1694,3 +1694,46 @@ def sketch_aggregates(
         )
         .orderBy(type_col)
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Rolling N-day distinct users (the WAU curve): for each day, how
+    many distinct users were active in the trailing ``window_days``
+    window ending that day.
+
+    Distinct counts don't sum across days, so the rolling window can't
+    reuse daily aggregates; the EXACT distributed form dedupes to
+    (user, day) pairs first — collapsing event volume to at most
+    |users|×|days| rows — then fans each pair out to the ≤N window
+    end-days it supports and distinct-counts per end-day.  Two
+    shuffles, both on bounded keyspaces; the fan-out constant is N,
+    never data-sized.  (The sketch alternative at extreme scale: daily
+    HLL sketches merged over the window — x47's family.)
+
+    Output: (day, n_active_users) for days with any activity window.
+    """
+    day = F.to_date(ts_col)
+    pairs = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    bounds = events.select(day.alias("_d")).agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    fanned = (
+        pairs.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+            ).alias("end_day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("end_day") >= F.col("_lo")) & (F.col("end_day") <= F.col("_hi")))
+    )
+    return (
+        fanned.groupBy(F.date_format("end_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct(F.col("u")).alias("n_active_users"))
+        .orderBy("day")
+    )

@@ -909,3 +909,21 @@ def test_sketch_aggregates_flags_and_exact_values(spark):
     assert out["n_users_exact"] == 100
     assert out["hll_ok"] is True and out["tdigest_ok"] is True
     assert out["p50_exact"] == 50.0
+
+
+def test_rolling_distinct_users_window_semantics(spark):
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d, 12)
+    ev = spark.createDataFrame(
+        [(1, t(1)), (1, t(1)), (2, t(3)), (3, t(9))],
+        "user_id long, ts timestamp",
+    )
+    out = {r["day"]: r["n_active_users"]
+           for r in relational.rolling_distinct_users(ev, window_days=7).collect()}
+    assert out["2024-01-01"] == 1           # only user 1
+    assert out["2024-01-03"] == 2           # users 1 and 2 in trailing 7d
+    assert out["2024-01-07"] == 2           # day 1 still inside [1..7]
+    assert out["2024-01-08"] == 1           # user 1 aged out, user 2 remains
+    assert out["2024-01-09"] == 2           # users 2 (day 3 within [3..9]) and 3
+    assert "2023-12-31" not in out          # clipped to observed range
