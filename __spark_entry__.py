@@ -680,6 +680,23 @@ def m5_audio_frames(spark, sf_dir):
     return multimodal.audio_frame_plan(media)
 
 
+def m6_patch_grid(spark, sf_dir):
+    """ViT patch-grid tokenization plan (functions/multimodal.py::
+    patch_grid_plan): one task row per 16×16 tile with grid/pixel
+    offsets, built from dimension metadata only — per-patch work
+    parallelizes over tiles."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        ((F.col("n_chars") % 5 + 1) * 16).cast("long").alias("width"),
+        ((F.col("n_chars") % 3 + 1) * 16).cast("long").alias("height"),
+    )
+    return multimodal.patch_grid_plan(media)
+
+
 def m2_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: videos explode into one task row per
     sampled frame (every 10th), so the downstream per-frame decode
@@ -2030,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_decode_bins": m3_decode_bins,
         "m4_thumbnails": m4_thumbnails,
         "m5_audio_frames": m5_audio_frames,
+        "m6_patch_grid": m6_patch_grid,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -3437,6 +3455,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    16 AS feature_dim
             FROM documents
+        """,
+        "m6_patch_grid": """
+            WITH img AS (
+              SELECT doc_id AS media_id,
+                     (n_chars % 5 + 1) AS nx, (n_chars % 3 + 1) AS ny
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            patches AS (
+              SELECT media_id, nx,
+                     unnest(generate_series(0, nx * ny - 1)) AS patch_idx
+              FROM img)
+            SELECT media_id, patch_idx,
+                   patch_idx % nx AS grid_x,
+                   patch_idx // nx AS grid_y,
+                   (patch_idx % nx) * 16 AS px_x,
+                   (patch_idx // nx) * 16 AS px_y
+            FROM patches
         """,
         "m5_audio_frames": """
             WITH audio AS (

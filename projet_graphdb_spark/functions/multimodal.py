@@ -252,3 +252,41 @@ def audio_frame_plan(
             (F.col("start_sample") + width).alias("end_sample"),
         )
     )
+
+
+def patch_grid_plan(
+    media: DataFrame,
+    patch: int = 16,
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Explode an image into its ViT patch grid: one task row per
+    ``patch``×``patch`` tile (row-major), with pixel offsets — the
+    tokenization plan a vision encoder's preprocessing runs per image,
+    shaped so per-patch work parallelizes over tiles, not images.
+
+    Partial tiles at the right/bottom edges are dropped (the standard
+    crop-to-multiple behavior); images smaller than one patch emit no
+    rows.  Like ``audio_frame_plan`` this is metadata-only: the payload
+    column never enters the plan, so the scan prunes to the id +
+    dimension columns.
+    """
+    nx = (F.col(width_col) / patch).cast("long")
+    ny = (F.col(height_col) / patch).cast("long")
+    return (
+        media.filter(F.col("kind") == "image")
+        .filter((nx > 0) & (ny > 0))
+        .select(
+            "media_id",
+            nx.alias("_nx"),
+            F.explode(F.sequence(F.lit(0), nx * ny - 1)).alias("patch_idx"),
+        )
+        .select(
+            "media_id",
+            "patch_idx",
+            (F.col("patch_idx") % F.col("_nx")).alias("grid_x"),
+            (F.col("patch_idx") / F.col("_nx")).cast("long").alias("grid_y"),
+            ((F.col("patch_idx") % F.col("_nx")) * patch).alias("px_x"),
+            ((F.col("patch_idx") / F.col("_nx")).cast("long") * patch).alias("px_y"),
+        )
+    )

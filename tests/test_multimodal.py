@@ -77,3 +77,17 @@ def test_audio_frame_plan_stft_grid(spark):
     assert [(r["frame_idx"], r["start_sample"], r["end_sample"]) for r in rows] == [
         (0, 0, 400), (1, 160, 560), (2, 320, 720),
     ]
+
+
+def test_patch_grid_plan_row_major_offsets(spark):
+    media = spark.createDataFrame(
+        [(1, "image", 48, 32), (2, "image", 15, 64), (3, "audio", 64, 64)],
+        "media_id long, kind string, width long, height long",
+    )
+    rows = multimodal.patch_grid_plan(media, patch=16).collect()
+    assert {r["media_id"] for r in rows} == {1}  # 2 too narrow, 3 not image
+    grid = {(r["grid_x"], r["grid_y"]): (r["px_x"], r["px_y"]) for r in rows}
+    assert len(rows) == 6                       # 3 × 2 grid
+    assert grid[(0, 0)] == (0, 0)
+    assert grid[(2, 1)] == (32, 16)
+    assert [r["patch_idx"] for r in sorted(rows, key=lambda r: r["patch_idx"])] == list(range(6))
