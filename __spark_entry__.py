@@ -1443,6 +1443,14 @@ def x43_scd2_intervals(spark, sf_dir):
     return relational.scd2_intervals(load_events(spark, sf_dir))
 
 
+def t21_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask plan (functions/text.py::
+    span_corruption_plan): hash-of-(doc, pos) mask decisions, run
+    collapse into spans via the scd2 lag/cumsum shape — a reproducible
+    denoising-objective plan."""
+    return text.span_corruption_plan(_docs(spark, sf_dir))
+
+
 def x41_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables (sources/
     bucketed.py): orders and lineitem are written bucketBy(orderkey)+
@@ -1994,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x46_excess_stock": x46_excess_stock,
         "x47_sketch_aggregates": x47_sketch_aggregates,
         "x48_rolling_wau": x48_rolling_wau,
+        "t21_span_corruption": t21_span_corruption,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2693,6 +2702,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "t21_span_corruption": """
+            WITH toks AS (
+              SELECT doc_id, arr, UNNEST(range(1, len(arr) + 1)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+            nz AS (
+              SELECT doc_id, i - 1 AS pos FROM toks WHERE arr[i] <> ''),
+            hashed AS (
+              SELECT doc_id, pos,
+                     ((strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                         || CAST(pos AS VARCHAR)), 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(pos AS VARCHAR)), 2, 1)) - 1)
+                     < 38 AS m
+              FROM nz),
+            flagged AS (
+              SELECT doc_id, pos, m,
+                     CAST(m AND NOT COALESCE(
+                       LAG(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                       AS INT) AS new_span
+              FROM hashed),
+            numbered AS (
+              SELECT doc_id, pos, m,
+                     SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS span_id
+              FROM flagged)
+            SELECT doc_id, span_id, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+                   COUNT(*) AS n_tokens
+            FROM numbered WHERE m GROUP BY doc_id, span_id
+            ORDER BY doc_id, span_id
         """,
         "x48_rolling_wau": """
             WITH pairs AS (

@@ -924,3 +924,57 @@ def source_kl_divergence(
         )
         .orderBy(group_col)
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    mask_pct: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption plan: deterministic mask spans per
+    document — which contiguous token runs a denoising objective blanks
+    out.  Emitting the PLAN (offsets, not rewritten text) keeps the
+    expensive rewrite in the training loader while the corpus job stays
+    reproducible: the mask decision is a pure hash of (doc, position),
+    so every re-run and every oracle replay selects identical spans.
+
+    A token masks when its md5-derived byte < mask_pct·256/100;
+    adjacent masked tokens collapse into one span (lag + cumulative
+    span numbering — the scd2 run-collapse shape, per-doc windows over
+    bounded doc lengths, never a global sort).
+
+    Output: (doc_id, span_id, start_pos, end_pos, n_tokens) with
+    0-based inclusive token positions and span_id numbering a doc's
+    spans from 1 in order.
+    """
+    from pyspark.sql.window import Window as W
+
+    cut = mask_pct * 256 // 100
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string"))),
+            1, 2,
+        ),
+        16, 10,
+    ).cast("int")
+    w = W.partitionBy(id_col).orderBy("pos")
+    flagged = toks.withColumn("_m", h < cut).withColumn(
+        "_new", (F.col("_m") & ~F.coalesce(F.lag("_m").over(w), F.lit(False))).cast("int")
+    )
+    numbered = flagged.withColumn(
+        "_span", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        numbered.where(F.col("_m"))
+        .groupBy(id_col, F.col("_span").alias("span_id"))
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(id_col, "span_id")
+    )

@@ -395,3 +395,21 @@ def test_source_kl_divergence_zero_for_identical_mix(spark):
     expected_s3 = round(1.0 * math.log(1.0 / (4 / 6)), 6)
     assert out["s3"]["kl"] == expected_s3
     assert out["s1"]["n_tokens"] == 2
+
+
+def test_span_corruption_plan_deterministic_runs(spark):
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id long, text string"
+    )
+    a = text.span_corruption_plan(docs, mask_pct=50).collect()
+    b = text.span_corruption_plan(docs, mask_pct=50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # reproducible
+    # spans are disjoint, ordered, within bounds, and runs are contiguous
+    prev_end = -2
+    for r in a:
+        assert r["start_pos"] > prev_end + 1 or prev_end == -2
+        assert 0 <= r["start_pos"] <= r["end_pos"] <= 9
+        assert r["n_tokens"] == r["end_pos"] - r["start_pos"] + 1
+        prev_end = r["end_pos"]
+    # ~50% masked in expectation; with 10 tokens demand at least one span
+    assert len(a) >= 1
