@@ -1410,6 +1410,17 @@ def x46_excess_stock(spark, sf_dir):
     return relational.excess_stock_suppliers(rd("lineitem"), rd("supplier"), rd("part"))
 
 
+def x49_mad_outliers(spark, sf_dir):
+    """Robust per-segment outlier flags (functions/relational.py::
+    mad_outliers): exact median + MAD over bounded segments, broadcast
+    stats tables, k·MAD flagging — the mega-order-proof robust
+    z-score."""
+    return relational.mad_outliers(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def x48_rolling_wau(spark, sf_dir):
     """Rolling 7-day distinct users (functions/relational.py::
     rolling_distinct_users): dedupe to (user, day) pairs, constant-N
@@ -2003,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x47_sketch_aggregates": x47_sketch_aggregates,
         "x48_rolling_wau": x48_rolling_wau,
         "t21_span_corruption": t21_span_corruption,
+        "x49_mad_outliers": x49_mad_outliers,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2702,6 +2714,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x49_mad_outliers": """
+            WITH seg AS (
+              SELECT c_mktsegment AS segment, o_totalprice
+              FROM orders JOIN customer ON c_custkey = o_custkey),
+            med AS (
+              SELECT segment, quantile_cont(o_totalprice, 0.5) AS m
+              FROM seg GROUP BY segment),
+            dev AS (
+              SELECT segment, o_totalprice, m,
+                     ABS(o_totalprice - m) AS adev
+              FROM seg JOIN med USING (segment)),
+            mad AS (
+              SELECT segment, quantile_cont(adev, 0.5) AS d
+              FROM dev GROUP BY segment)
+            SELECT segment, COUNT(*) AS n_orders,
+                   ROUND(ANY_VALUE(m), 6) AS median,
+                   ROUND(ANY_VALUE(d), 6) AS mad,
+                   SUM(CASE WHEN ABS(o_totalprice - m) > 3.0 * d
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM dev JOIN mad USING (segment)
+            GROUP BY segment ORDER BY segment
         """,
         "t21_span_corruption": """
             WITH toks AS (

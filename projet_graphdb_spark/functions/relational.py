@@ -1737,3 +1737,49 @@ def rolling_distinct_users(
         .agg(F.count_distinct(F.col("u")).alias("n_active_users"))
         .orderBy("day")
     )
+
+
+def mad_outliers(
+    orders: DataFrame,
+    customer: DataFrame,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection per segment: flag orders more than
+    ``k`` median-absolute-deviations from their segment's median —
+    the robust z-score that, unlike mean/stddev, a few mega-orders
+    can't drag.
+
+    Scale design: two grouped EXACT percentile passes (median, then
+    median of |x − median|) over bounded-cardinality segments — each
+    one shuffle, the second over the same key; the |segments|-row
+    stats tables broadcast back into the flagging pass.  For unbounded
+    groups swap in approx_percentile (x47's t-digest family).
+
+    Output: (segment, n_orders, median, mad, n_outliers).
+    """
+    seg = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice")
+    med = seg.groupBy("segment").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_med")
+    )
+    dev = seg.join(F.broadcast(med), "segment").select(
+        "segment", "o_totalprice", "_med",
+        F.abs(F.col("o_totalprice") - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy("segment").agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.first("_med"), 6).alias("median"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                (F.abs(F.col("o_totalprice") - F.col("_med"))
+                 > F.lit(k) * F.col("_mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("segment")
+    )

@@ -927,3 +927,16 @@ def test_rolling_distinct_users_window_semantics(spark):
     assert out["2024-01-08"] == 1           # user 1 aged out, user 2 remains
     assert out["2024-01-09"] == 2           # users 2 (day 3 within [3..9]) and 3
     assert "2023-12-31" not in out          # clipped to observed range
+
+
+def test_mad_outliers_robust_to_mega_order(spark):
+    cust = spark.createDataFrame([(1, "B")], "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(i, 1, float(100 + i)) for i in range(1, 20)] + [(99, 1, 1_000_000.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = relational.mad_outliers(orders, cust).collect()[0]
+    assert out["n_orders"] == 20
+    # median/MAD barely move despite the mega-order; exactly it is flagged
+    assert 100 <= out["median"] <= 120 and out["mad"] < 10
+    assert out["n_outliers"] == 1
