@@ -1325,6 +1325,33 @@ def d14_containment(spark, sf_dir):
     )
 
 
+def d15_lsh_calibration(spark, sf_dir):
+    """LSH recall calibration (the dedup analogue of s7's ANN recall):
+    exact-Jaccard ground-truth pairs (d2's capped inverted index,
+    floor 0.05) bucketed by similarity, each bucket scored by how many
+    pairs the banded MinHash path (d3, md5 family) detected — the
+    measured S-curve that justifies the band/row configuration.
+    Composition of two already-oracled pipelines; no new hot path."""
+    docs = _docs(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.05)
+    det = dedup.minhash_lsh_pairs(docs, threshold=0.05, hash="md5").select(
+        "id_a", "id_b", F.lit(1).alias("_det")
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+    return (
+        truth.join(det, ["id_a", "id_b"], "left")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_det"), F.lit(0))).alias("n_detected"),
+            F.round(
+                F.sum(F.coalesce(F.col("_det"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def d12_cluster_sizes(spark, sf_dir):
     """Near-dup cluster-size histogram (over d5's manifest): how many
     clusters of each size the corpus contains — the dedup report a
@@ -2034,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_cluster_sizes": d12_cluster_sizes,
         "d13_bloom_incremental": d13_bloom_incremental,
         "d14_containment": d14_containment,
+        "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
@@ -3317,6 +3345,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
             FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+        """,
+        "d15_lsh_calibration": f"""
+            WITH t_base AS MATERIALIZED (
+              SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents
+            ),
+            t_post AS MATERIALIZED (
+              SELECT doc_id, lang, unnest(sh) AS s FROM t_base),
+            t_keep AS (SELECT lang, s FROM t_post GROUP BY lang, s
+                       HAVING COUNT(*) <= 256),
+            t_kept AS MATERIALIZED (
+              SELECT p.doc_id, p.lang, p.s FROM t_post p
+              JOIN t_keep k USING (lang, s)),
+            t_sz AS (SELECT doc_id, COUNT(*) AS sz FROM t_kept GROUP BY doc_id),
+            t_inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM t_kept a JOIN t_kept b
+                ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT id_a, id_b,
+                     CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+              FROM t_inter JOIN t_sz sa ON sa.doc_id = id_a
+                           JOIN t_sz sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            det AS (
+              SELECT id_a, id_b, 1 AS _det
+              FROM ({_minhash_lsh_oracle(threshold=0.05)}) mh)
+            SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_true,
+                   SUM(COALESCE(_det, 0)) AS n_detected,
+                   ROUND(SUM(COALESCE(_det, 0)) / (COUNT(*) * 1.0), 6) AS recall
+            FROM truth LEFT JOIN det USING (id_a, id_b)
+            GROUP BY 1 ORDER BY bucket
         """,
         "d14_containment": f"""
             WITH base AS MATERIALIZED (

@@ -240,3 +240,24 @@ def test_containment_detects_quote_in_superset(spark):
     assert out[(1, 2)] == 1.0
     # reverse direction diluted below threshold (2 of 8 shingles)
     assert (2, 1) not in out and (1, 3) not in out
+
+
+def test_lsh_calibration_high_bucket_full_recall(spark):
+    # near-identical docs land in the top jaccard bucket and banded
+    # MinHash must catch all of them (the S-curve's right side)
+    base = "w%d " * 30
+    docs = spark.createDataFrame(
+        [(1, (base % tuple(range(30))).strip(), "en"),
+         (2, (base % tuple(range(30))).strip() + " extra", "en"),
+         (3, "completely different text entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    truth = dedup.ngram_jaccard_pairs(docs, "lang", threshold=0.05)
+    det = dedup.minhash_lsh_pairs(docs, threshold=0.05, hash="md5").select(
+        "id_a", "id_b"
+    ).collect()
+    t = truth.collect()
+    top = [r for r in t if r["jaccard"] >= 0.9]
+    assert top and all(
+        (r["id_a"], r["id_b"]) in {(d["id_a"], d["id_b"]) for d in det} for r in top
+    )
