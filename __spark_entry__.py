@@ -1437,6 +1437,14 @@ def x46_excess_stock(spark, sf_dir):
     return relational.excess_stock_suppliers(rd("lineitem"), rd("supplier"), rd("part"))
 
 
+def x50_revenue_pareto(spark, sf_dir):
+    """Revenue concentration deciles (functions/relational.py::
+    revenue_pareto): percentile thresholds instead of a global rank
+    window — no single-partition sort anywhere; bounded final
+    aggregate."""
+    return relational.revenue_pareto(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def x49_mad_outliers(spark, sf_dir):
     """Robust per-segment outlier flags (functions/relational.py::
     mad_outliers): exact median + MAD over bounded segments, broadcast
@@ -2042,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x48_rolling_wau": x48_rolling_wau,
         "t21_span_corruption": t21_span_corruption,
         "x49_mad_outliers": x49_mad_outliers,
+        "x50_revenue_pareto": x50_revenue_pareto,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2742,6 +2751,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x50_revenue_pareto": f"""
+            WITH per AS (
+              SELECT o_custkey,
+                     SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+              FROM orders GROUP BY 1),
+            th AS (
+              SELECT {", ".join(
+                  f"quantile_cont(CAST(rev AS DOUBLE), {i / 10}) AS t{i}"
+                  for i in range(1, 10))}
+              FROM per),
+            tot AS (SELECT SUM(rev) AS tot FROM per),
+            assigned AS (
+              SELECT rev,
+                     10 - ({" + ".join(
+                         f"CAST(CAST(rev AS DOUBLE) > t{i} AS INT)"
+                         for i in range(1, 10))}) AS decile
+              FROM per CROSS JOIN th)
+            SELECT decile, COUNT(*) AS n_customers,
+                   ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+                   ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(ANY_VALUE(tot) AS DOUBLE), 6)
+                       AS share
+            FROM assigned CROSS JOIN tot
+            GROUP BY decile ORDER BY decile
         """,
         "x49_mad_outliers": """
             WITH seg AS (

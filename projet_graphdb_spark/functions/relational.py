@@ -1783,3 +1783,54 @@ def mad_outliers(
         )
         .orderBy("segment")
     )
+
+
+def revenue_pareto(
+    orders: DataFrame,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Pareto / concentration profile: customers bucketed into revenue
+    deciles (decile 1 = biggest spenders), each decile's share of total
+    revenue — the 80/20 analysis.
+
+    Scale design: NO global rank window (a single-partition sort at
+    scale).  Instead: per-customer revenue (one shuffle on custkey),
+    EXACT decile thresholds from one percentile aggregate
+    (n_tiles-1 values, a driver-size result), threshold assignment as
+    a broadcast map-side comparison, and a bounded n_tiles-key final
+    aggregate.  Ties at a threshold go to the lower (richer) decile,
+    matching the SQL oracle's comparison direction.
+
+    Output: (decile, n_customers, revenue, share).
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("_rev")
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    thresholds = per.agg(
+        *[
+            F.expr(f"percentile(CAST(_rev AS DOUBLE), {q})").alias(f"_t{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    # decile = n_tiles - (number of thresholds strictly below _rev); the
+    # richest customers sit above every threshold → decile 1
+    above = sum(
+        (F.col("_rev").cast("double") > F.col(f"_t{i}")).cast("int")
+        for i in range(1, n_tiles)
+    )
+    total = per.agg(F.sum("_rev").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(thresholds))
+        .select("_rev", (F.lit(n_tiles) - above).alias("decile"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("_rev").cast("double") / F.first("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("decile")
+    )

@@ -940,3 +940,17 @@ def test_mad_outliers_robust_to_mega_order(spark):
     # median/MAD barely move despite the mega-order; exactly it is flagged
     assert 100 <= out["median"] <= 120 and out["mad"] < 10
     assert out["n_outliers"] == 1
+
+
+def test_revenue_pareto_deciles(spark):
+    orders = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(1, 101)],  # customer i spends i
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    rows = {r["decile"]: r for r in relational.revenue_pareto(orders).collect()}
+    assert sum(r["n_customers"] for r in rows.values()) == 100
+    # decile 1 = top spenders: strictly richer than decile 10, and the
+    # shares sum to 1
+    assert rows[1]["revenue"] > rows[10]["revenue"]
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+    assert rows[1]["revenue"] == sum(range(91, 101))  # 91..100 spenders
