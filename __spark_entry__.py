@@ -614,6 +614,16 @@ def s12_knn_ivfpq(spark, sf_dir):
     return similarity.knn_ivfpq(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def s13_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation eval (functions/similarity.py::
+    matryoshka_recall): recall@5 of prefix-truncated (16/32-dim) exact
+    kNN vs the 64-dim ground truth — the cut-depth measurement for
+    MRL-style embedding storage."""
+    return similarity.matryoshka_recall(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], dims=(16, 32), k=5
+    )
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -2100,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_knn_ivf_trained": s10_knn_ivf_trained,
         "s11_knn_pq_adc": s11_knn_pq_adc,
         "s12_knn_ivfpq": s12_knn_ivfpq,
+        "s13_matryoshka_recall": s13_matryoshka_recall,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -3484,6 +3495,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_knn_ivf_trained": _knn_ivf_trained_oracle(),
         "s11_knn_pq_adc": _pq_adc_oracle(),
         "s12_knn_ivfpq": _ivfpq_oracle(),
+        "s13_matryoshka_recall": _matryoshka_oracle(),
         "d10_semantic_dedup": _semantic_dedup_oracle(),
         "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
@@ -4127,6 +4139,47 @@ def _knn_bf_oracle() -> str:
               FROM scored)
             SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
             FROM ranked WHERE rank <= 5
+    """
+
+
+def _matryoshka_oracle(dims: tuple = (16, 32), k: int = 5) -> str:
+    """s13: per-dim truncated brute-force top-k (the s1 shape over
+    sliced DOUBLE[] vectors) overlap-joined with the full-dim top-k."""
+
+    def _topk(vec_a: str, vec_b: str, name: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT query_id, neighbour_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity({vec_a}, {vec_b}) DESC,
+                              e.vec_id ASC) AS rank
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+          WHERE rank <= {k})"""
+
+    full = _topk("CAST(q.qv AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])", "full_k")
+    parts, selects = [], []
+    for d in sorted(dims):
+        parts.append(
+            _topk(
+                f"(CAST(q.qv AS DOUBLE[]))[1:{d}]",
+                f"(CAST(e.embedding AS DOUBLE[]))[1:{d}]",
+                f"tr{d}",
+            )
+        )
+        selects.append(f"""
+            SELECT {d} AS dims, f.query_id,
+                   ROUND(COUNT(t.neighbour_id) / (COUNT(*) * 1.0), 6) AS recall
+            FROM full_k f LEFT JOIN tr{d} t
+              ON t.query_id = f.query_id AND t.neighbour_id = f.neighbour_id
+            GROUP BY f.query_id""")
+    chain = ",".join([full] + parts)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH q AS (SELECT vec_id, embedding AS qv FROM embeddings
+                   WHERE vec_id IN (0,1,2,3,4)),
+        {chain}
+        SELECT * FROM ({union}) ORDER BY dims, query_id
     """
 
 

@@ -823,3 +823,50 @@ def knn_ivfpq(
         .select("query_id", "neighbour_id", "rank", "adc_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_ids: list,
+    dims: tuple = (16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation: recall@k of exact kNN over
+    PREFIX-truncated embeddings vs the full-dimension ground truth —
+    the measurement that decides how far MRL-style vectors can be cut
+    (4× less storage and bandwidth per halving) before retrieval
+    quality pays.
+
+    Scale shape: one broadcast-queries corpus scan per dim setting
+    (the s1 shape; truncation is a map-side ``slice`` fused into the
+    scan — narrower vectors make the scan CHEAPER, which is the whole
+    point), then a k-row-per-query overlap join.
+
+    Output: (dims, query_id, recall) — recall over the top-k set.
+    """
+    full = knn_bruteforce(embeddings, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbour_id"
+    )
+    spine = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    out = None
+    for d in sorted(dims):
+        tr = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        det = knn_bruteforce(tr, query_ids, k, id_col, vec_col).select(
+            "query_id", "neighbour_id"
+        )
+        hits = full.join(det, ["query_id", "neighbour_id"]).groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_hits")
+        )
+        r = spine.join(hits, "query_id", "left").select(
+            F.lit(int(d)).alias("dims"),
+            "query_id",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n"), 6
+            ).alias("recall"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("dims", "query_id")

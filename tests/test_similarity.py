@@ -230,3 +230,24 @@ def test_knn_ivfpq_subset_of_pq_candidates(spark):
         assert flat[(r["query_id"], r["neighbour_id"])] == r["adc_dist"]
         # nprobe=1 on two clean clusters → candidates stay in-cluster
         assert r["neighbour_id"] % 2 == r["query_id"] % 2
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.matryoshka_recall(
+        emb, query_ids=[0, 1], dims=(8, 2), k=3
+    ).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["dims"], []).append(r["recall"])
+    # truncating to the FULL dimension must reproduce ground truth
+    assert all(v == 1.0 for v in by_dim[8])
+    # 2-dim recall is defined and bounded
+    assert all(0.0 <= v <= 1.0 for v in by_dim[2])
+    assert len(out) == 4
