@@ -486,6 +486,14 @@ def t8_contamination(spark, sf_dir):
     return text.contamination(_docs(spark, sf_dir))
 
 
+def t22_decontaminated_train(spark, sf_dir):
+    """Train-side decontamination manifest (functions/text.py::
+    decontaminated_train): train docs sharing > 50% of their shingles
+    with the test split get keep=false — the eval-integrity purge,
+    t8's reverse direction."""
+    return text.decontaminated_train(_docs(spark, sf_dir))
+
+
 def t7_bm25_search(spark, sf_dir):
     """BM25 keyword search over the corpus for a fixed rare/mid/common
     term mix (functions/text.py::bm25_topk): map-only per-term tf, one
@@ -2059,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x47_sketch_aggregates": x47_sketch_aggregates,
         "x48_rolling_wau": x48_rolling_wau,
         "t21_span_corruption": t21_span_corruption,
+        "t22_decontaminated_train": t22_decontaminated_train,
         "x49_mad_outliers": x49_mad_outliers,
         "x50_revenue_pareto": x50_revenue_pareto,
         "e18_daily_topk": e18_daily_topk,
@@ -3489,6 +3498,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(COALESCE(n_cont, 0) AS DOUBLE) / len(t.sh)
                         ELSE 0.0 END AS contamination_frac
             FROM tdocs t LEFT JOIN hits USING (doc_id)
+        """,
+        "t22_decontaminated_train": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents),
+            sp AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                                       WHEN bucket < 90 THEN 'val'
+                                       ELSE 'test' END AS split FROM h),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            tv AS (SELECT DISTINCT s FROM (
+                     SELECT unnest(sh) AS s FROM sh JOIN sp USING (doc_id)
+                     WHERE split = 'test')),
+            tr AS (SELECT sh.doc_id, sh.sh FROM sh JOIN sp USING (doc_id)
+                   WHERE split = 'train'),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM (
+                       SELECT doc_id, unnest(sh) AS s FROM tr) e
+                     JOIN tv USING (s) GROUP BY doc_id),
+            fr AS (
+              SELECT t.doc_id,
+                     CAST(len(t.sh) AS BIGINT) AS n_shingles,
+                     ROUND(CASE WHEN len(t.sh) > 0
+                           THEN CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(t.sh)
+                           ELSE 0.0 END, 6) AS test_overlap_frac
+              FROM tr t LEFT JOIN hits USING (doc_id))
+            SELECT doc_id, n_shingles, test_overlap_frac,
+                   test_overlap_frac <= 0.5 AS keep
+            FROM fr ORDER BY doc_id
         """,
         "s3_knn_lsh": _knn_lsh_oracle(),
         "s9_lsh_cosine_dups": _lsh_dups_oracle(),

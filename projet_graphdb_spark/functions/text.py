@@ -978,3 +978,59 @@ def span_corruption_plan(
         )
         .orderBy(id_col, "span_id")
     )
+
+
+def decontaminated_train(
+    docs: DataFrame,
+    max_overlap: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """The other direction of ``contamination``: the TRAIN-side purge
+    manifest.  A training document sharing more than ``max_overlap`` of
+    its shingles with the test split gets ``keep = false`` — the
+    eval-integrity filter a pipeline applies before the corpus ships.
+
+    Same two shingle-keyed shuffles as ``contamination`` (test vocab is
+    the smaller side by construction — the test split is ~10% of the
+    corpus — so its distinct-shingle table is the one that builds the
+    hash side).  Output: (doc_id, n_shingles, test_overlap_frac, keep).
+    """
+    from .dedup import shingle_frame
+
+    splits = hash_split(docs, id_col, text_col, train_pct, val_pct)
+    sh = shingle_frame(docs, n, id_col, text_col).join(
+        splits.select(id_col, "split"), id_col
+    )
+    test_vocab = (
+        sh.filter(F.col("split") == "test")
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col("split") == "train")
+    hits = (
+        train.select(F.col(id_col), F.explode("_sh").alias("sh"))
+        .join(test_vocab, "sh", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit"))
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+        / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.round(frac, 6).alias("test_overlap_frac"),
+            (F.round(frac, 6) <= max_overlap).alias("keep"),
+        )
+        .orderBy(id_col)
+    )

