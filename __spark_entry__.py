@@ -797,6 +797,27 @@ def a11_personalized_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 8).alias("rank"))
 
 
+def a12_feature_propagation(spark, sf_dir):
+    """GraphSAGE-mean message passing (graph_algos.feature_propagation):
+    two rounds of h' = ½h + ½·mean(neighbour h) over the undirected
+    supplier graph, supplier acctbal as the seed feature — the
+    relational GNN aggregation layer."""
+    edges = _sn_subgraph(spark, sf_dir)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.col("s_suppkey") + 10000).cast("long").alias("id"),
+        F.col("s_acctbal").cast("double").alias("h"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        F.lit(0.0).alias("h"),
+    )
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.col("r_regionkey").cast("long").alias("id"), F.lit(0.0).alias("h")
+    )
+    feats = sup.unionByName(nat).unionByName(reg)
+    return graph_algos.feature_propagation(edges, feats).orderBy("id")
+
+
 def a6_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting (graph_algos.triangle_count,
     degree-ordered wedge enumeration — O(m^1.5) worst case, skew-proof)
@@ -2091,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_containment": d14_containment,
         "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
+        "a12_feature_propagation": a12_feature_propagation,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -3464,6 +3486,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_pagerank": _pagerank_oracle(),
         "a11_personalized_pagerank": _ppr_oracle(),
+        "a12_feature_propagation": f"""
+            WITH ed AS MATERIALIZED (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION ALL
+              SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+            ),
+            bi AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
+              WHERE src <> dst),
+            f0 AS MATERIALIZED (
+              SELECT id, ROUND(h, 6) AS h FROM (
+                SELECT {_SUPP} AS id, CAST(s_acctbal AS DOUBLE) AS h FROM supplier
+                UNION ALL
+                SELECT {_NAT} AS id, 0.0 FROM nation
+                UNION ALL
+                SELECT CAST(r_regionkey AS BIGINT) AS id, 0.0 FROM region)),
+            n1 AS (SELECT b.dst AS id, ROUND(AVG(f.h), 6) AS m
+                   FROM bi b JOIN f0 f ON f.id = b.src GROUP BY b.dst),
+            f1 AS MATERIALIZED (
+              SELECT f.id, ROUND(0.5 * f.h + 0.5 * COALESCE(m, f.h), 6) AS h
+              FROM f0 f LEFT JOIN n1 USING (id)),
+            n2 AS (SELECT b.dst AS id, ROUND(AVG(f.h), 6) AS m
+                   FROM bi b JOIN f1 f ON f.id = b.src GROUP BY b.dst),
+            f2 AS (
+              SELECT f.id, ROUND(0.5 * f.h + 0.5 * COALESCE(m, f.h), 6) AS h
+              FROM f1 f LEFT JOIN n2 USING (id))
+            SELECT id, h FROM f2 ORDER BY id
+        """,
         "a7_label_propagation": _lpa_oracle(),
         "a8_kcore": _kcore_oracle(),
         "a5_kmeans": _kmeans_oracle(),

@@ -596,3 +596,53 @@ def personalized_pagerank(
         )
         ranks, ckpt_handle = _ckpt_rotate(_shrink(ranks, small), ckpt_handle)
     return ranks.select("id", "rank")
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    rounds: int = 2,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """GNN-style neighborhood aggregation in pure relational form:
+    ``rounds`` iterations of h' = α·h + (1−α)·mean(neighbors' h) over
+    the undirected graph — the GraphSAGE-mean message-passing layer a
+    feature pipeline runs to smooth node attributes (isolated nodes
+    keep their value).
+
+    Scale shape: per round ONE edge⋈feature join (shuffle on the edge
+    key) + one destination-keyed mean — identical cost profile to a
+    PageRank iteration; features round to ``round_dp`` each round so
+    reduction order never leaks into the result.
+
+    ``features``: (id, h).  Output: (id, h) after ``rounds``.
+    """
+    e = edges.select("src", "dst")
+    bi = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    bi, _, small = _materialize(bi)
+    h = features.select("id", F.round(F.col("h").cast("double"), round_dp).alias("h"))
+    ckpt_handle = None
+    for _ in range(rounds):
+        nbr = (
+            bi.join(h, bi.src == h.id)
+            .groupBy("dst")
+            .agg(F.round(F.avg("h"), round_dp).alias("_m"))
+        )
+        h = (
+            h.join(nbr, h.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(alpha) * F.col("h")
+                    + F.lit(1.0 - alpha) * F.coalesce(F.col("_m"), F.col("h")),
+                    round_dp,
+                ).alias("h"),
+            )
+        )
+        h, ckpt_handle = _ckpt_rotate(_shrink(h, small), ckpt_handle)
+    return h

@@ -251,3 +251,16 @@ def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
         r = 0.15 * p + 0.85 * (M @ r + dang * p)
     for i, node in enumerate([1, 2, 3]):
         assert abs(out[node] - r[i]) < 1e-9
+
+
+def test_feature_propagation_mean_mixing(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 0.0), (2, 6.0), (3, 0.0), (9, 42.0)], "id long, h double"
+    )
+    out = {r["id"]: r["h"] for r in graph_algos.feature_propagation(
+        edges, feats, rounds=1).collect()}
+    assert out[1] == 3.0          # ½·0 + ½·6
+    assert out[2] == 3.0          # ½·6 + ½·mean(0, 0)
+    assert out[3] == 3.0
+    assert out[9] == 42.0         # isolated node keeps its feature
