@@ -1484,6 +1484,54 @@ def x50_revenue_pareto(spark, sf_dir):
     return relational.revenue_pareto(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
+def x51_window_ranks(spark, sf_dir):
+    """The remaining rank-family window functions in one pass — ntile
+    quartiles, percent_rank, cume_dist over each priority group's
+    price ordering (unique (price, orderkey) sort key → fully
+    deterministic).  One shuffle on the group key; all four functions
+    share a single window sort."""
+    from pyspark.sql.window import Window as W
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("priority", "orderkey")
+    )
+
+
+def d16_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: for each source pair, how many
+    document pairs share a bag-of-words fingerprint — the report that
+    decides which crawls to dedup against which.  One shuffle on the
+    fingerprint; pairs materialize per-fingerprint (bounded by dup
+    group sizes), never corpus²."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        dedup.bag_fingerprint(F.col("text")).alias("fp"),
+        F.col("doc_id"),
+        F.col("source"),
+    )
+    a = fp.select("fp", F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
 def x49_mad_outliers(spark, sf_dir):
     """Robust per-segment outlier flags (functions/relational.py::
     mad_outliers): exact median + MAD over bounded segments, broadcast
@@ -2091,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_decontaminated_train": t22_decontaminated_train,
         "x49_mad_outliers": x49_mad_outliers,
         "x50_revenue_pareto": x50_revenue_pareto,
+        "x51_window_ranks": x51_window_ranks,
+        "d16_source_dup_matrix": d16_source_dup_matrix,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2793,6 +2843,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x51_window_ranks": """
+            SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+                   NTILE(4) OVER w AS quartile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY priority, orderkey
+        """,
+        "d16_source_dup_matrix": """
+            WITH fps AS (
+              SELECT doc_id, source,
+                     md5(array_to_string(
+                         list_sort(list_distinct(string_split(text, ' '))), ' '))
+                         AS fp
+              FROM documents)
+            SELECT LEAST(a.source, b.source) AS source_x,
+                   GREATEST(a.source, b.source) AS source_y,
+                   COUNT(*) AS n_dup_pairs
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY source_x, source_y
         """,
         "x50_revenue_pareto": f"""
             WITH per AS (
