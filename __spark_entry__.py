@@ -715,6 +715,21 @@ def m6_patch_grid(spark, sf_dir):
     return multimodal.patch_grid_plan(media)
 
 
+def m7_modality_interleave(spark, sf_dir):
+    """Modality-balanced interleave schedule (functions/multimodal.py::
+    modality_interleave_plan): round-robin training order computed
+    arithmetically from per-kind ranks — three parallel windows, no
+    global sort."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+    )
+    return multimodal.modality_interleave_plan(media)
+
+
 def m2_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: videos explode into one task row per
     sampled frame (every 10th), so the downstream per-frame decode
@@ -1532,6 +1547,26 @@ def d16_source_dup_matrix(spark, sf_dir):
     )
 
 
+def x52_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot diff (functions/relational.py::snapshot_diff):
+    yesterday's orders vs a rerun with deterministic removals (key %
+    97), price changes (key % 89) and additions (key % 101, shifted
+    ids) — only (key, digest) crosses the exchange."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders
+    kept = orders.where(F.col("o_orderkey") % 97 != 0)
+    changed = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return relational.snapshot_diff(old, changed.unionByName(added))
+
+
 def x49_mad_outliers(spark, sf_dir):
     """Robust per-segment outlier flags (functions/relational.py::
     mad_outliers): exact median + MAD over bounded segments, broadcast
@@ -2140,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x49_mad_outliers": x49_mad_outliers,
         "x50_revenue_pareto": x50_revenue_pareto,
         "x51_window_ranks": x51_window_ranks,
+        "x52_snapshot_diff": x52_snapshot_diff,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
@@ -2198,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_thumbnails": m4_thumbnails,
         "m5_audio_frames": m5_audio_frames,
         "m6_patch_grid": m6_patch_grid,
+        "m7_modality_interleave": m7_modality_interleave,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -2843,6 +2880,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x52_snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey AS key,
+                     md5(CAST(o_totalprice AS VARCHAR) || chr(31)
+                         || o_orderpriority) AS h
+              FROM orders),
+            newsnap AS (
+              SELECT o_orderkey AS key,
+                     md5(CAST(CASE WHEN o_orderkey % 89 = 0
+                                   THEN o_totalprice + 1.0
+                                   ELSE o_totalprice END AS VARCHAR) || chr(31)
+                         || o_orderpriority) AS h
+              FROM orders WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS key,
+                     md5(CAST(o_totalprice AS VARCHAR) || chr(31)
+                         || o_orderpriority) AS h
+              FROM orders WHERE o_orderkey % 101 = 0)
+            SELECT key,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed' END AS change_type
+            FROM old o FULL OUTER JOIN newsnap n USING (key)
+            WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+            ORDER BY key
         """,
         "x51_window_ranks": """
             SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
@@ -3800,6 +3863,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    16 AS feature_dim
             FROM documents
+        """,
+        "m7_modality_interleave": """
+            WITH media AS (
+              SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind
+              FROM documents)
+            SELECT media_id, kind,
+                   (ROW_NUMBER() OVER (PARTITION BY kind ORDER BY media_id) - 1) * 3
+                   + CASE kind WHEN 'image' THEN 0
+                               WHEN 'audio' THEN 1
+                               ELSE 2 END AS seq
+            FROM media ORDER BY seq
         """,
         "m6_patch_grid": """
             WITH img AS (

@@ -290,3 +290,43 @@ def patch_grid_plan(
             ((F.col("patch_idx") / F.col("_nx")).cast("long") * patch).alias("px_y"),
         )
     )
+
+
+def modality_interleave_plan(
+    media: DataFrame,
+    kinds: tuple = ("image", "audio", "video"),
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic modality-balanced interleave: a global training
+    order that round-robins across modalities (image, audio, video,
+    image, …) — the data-mixing schedule a multimodal loader consumes,
+    computed WITHOUT a global sort: seq = rank_within_kind × n_kinds +
+    kind_index, so each kind ranks independently (parallel windows)
+    and the interleave falls out arithmetically.
+
+    Kinds exhaust at their own pace (a shorter modality simply stops
+    contributing; seq stays strictly increasing within every kind).
+
+    Output: (media_id, kind, seq).
+    """
+    from pyspark.sql.window import Window as W
+
+    kind_idx = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in kinds]),
+            F.array(*[F.lit(i) for i in range(len(kinds))]),
+        ),
+        F.col("kind"),
+    )
+    w = W.partitionBy("kind").orderBy(id_col)
+    return (
+        media.where(F.col("kind").isin(list(kinds)))
+        .select(
+            F.col(id_col),
+            "kind",
+            (
+                (F.row_number().over(w) - 1) * len(kinds) + kind_idx
+            ).cast("long").alias("seq"),
+        )
+        .orderBy("seq")
+    )

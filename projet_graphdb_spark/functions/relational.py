@@ -1834,3 +1834,43 @@ def revenue_pareto(
         )
         .orderBy("decile")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "o_orderkey",
+    compare_cols: tuple = ("o_totalprice", "o_orderpriority"),
+) -> DataFrame:
+    """Keyed table diff between two snapshots: which rows were added,
+    removed, or changed — the reconciliation operator behind CDC
+    validation, backfill audits, and "what did yesterday's rerun
+    change".
+
+    Scale design: ONE full-outer join on the key (both sides shuffle
+    once); change detection compares an md5 over the tracked columns
+    computed map-side BEFORE the join, so wide rows never carry their
+    payload through the exchange — only (key, digest) moves.
+
+    Output: (key, change_type) for added / removed / changed rows
+    (unchanged rows are dropped — the diff is the output).
+    """
+    def digest(df):
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])).alias("_h"),
+        )
+
+    o = digest(old).withColumnRenamed("_h", "_ho")
+    n = digest(new).withColumnRenamed("_h", "_hn")
+    joined = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        joined.select("key", change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+        .orderBy("key")
+    )

@@ -91,3 +91,13 @@ def test_patch_grid_plan_row_major_offsets(spark):
     assert grid[(0, 0)] == (0, 0)
     assert grid[(2, 1)] == (32, 16)
     assert [r["patch_idx"] for r in sorted(rows, key=lambda r: r["patch_idx"])] == list(range(6))
+
+
+def test_modality_interleave_round_robin(spark):
+    media = spark.createDataFrame(
+        [(1, "audio"), (2, "image"), (3, "video"), (4, "image"), (9, "text")],
+        "media_id long, kind string",
+    )
+    rows = multimodal.modality_interleave_plan(media).collect()
+    assert [r["kind"] for r in rows] == ["image", "audio", "video", "image"]
+    assert [r["seq"] for r in rows] == [0, 1, 2, 3]  # unknown kind excluded

@@ -954,3 +954,16 @@ def test_revenue_pareto_deciles(spark):
     assert rows[1]["revenue"] > rows[10]["revenue"]
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
     assert rows[1]["revenue"] == sum(range(91, 101))  # 91..100 spenders
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D")],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    )
+    out = {r["key"]: r["change_type"] for r in relational.snapshot_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged → absent
