@@ -69,6 +69,12 @@ GUARDED = [
     "d14_containment",
     "x45_product_profit",
     "x46_excess_stock",
+    "x51_window_ranks",
+    "x52_snapshot_diff",
+    "d16_source_dup_matrix",
+    "m6_patch_grid",
+    "m7_modality_interleave",
+    "t22_decontaminated_train",
 ]
 
 

@@ -47,6 +47,12 @@ NL_ALLOWED = {
     # DF-capped vocabulary table pre-broadcast
     "t20_source_kl",  # same shape: 1-row corpus-total folded into the
     # vocabulary-sized corpus-frequency table pre-broadcast
+    "x48_rolling_wau",  # 1-row (min, max) date-bounds aggregate broadcast
+    # into the window fan-out — constant side by construction
+    "x50_revenue_pareto",  # 1-row percentile-thresholds + 1-row total
+    # aggregates broadcast into the decile assignment — constant sides
+    "s13_matryoshka_recall",  # the s1 exact-kNN shape per dim setting:
+    # corpus × ~5 broadcast query vectors (same allowance as s1/s5/s7/s8)
     "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
     # into the per-doc scorer — constant side by construction
     "x26_important_parts",  # 1-row global-revenue-total aggregate broadcast
