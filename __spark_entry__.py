@@ -210,6 +210,28 @@ def g23_set_per_row(spark, sf_dir):
     return binding_table(b)
 
 
+def g24_bulk_merge(spark, sf_dir):
+    """Set-based bulk MERGE (sources/graph_io.py::bulk_merge_nodes):
+    match-or-create a whole key batch against the nation node set in
+    one left join + one new-key rank — the scalable generalization of
+    the engine's driver-probed single MERGE (executor._merge_node)."""
+    from projet_graphdb_spark.sources.graph_io import bulk_merge_nodes
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    existing = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("_id"),
+        F.col("n_name").alias("key"),
+    )
+    batch = nation.where(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_name").alias("key")
+    ).unionByName(
+        spark.range(5).select(
+            F.concat(F.lit("NEWNATION_"), F.col("id").cast("string")).alias("key")
+        )
+    )
+    return bulk_merge_nodes(existing, batch, key_col="key", base_id=1000)
+
+
 def g10_agg_over_match(spark, sf_dir):
     """Extension: aggregation over match results (absent from the
     reference, SURVEY §2.2) — customers per nation."""
@@ -2119,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_merge": g21_merge,
         "g22_return_attrs": g22_return_attrs,
         "g23_set_per_row": g23_set_per_row,
+        "g24_bulk_merge": g24_bulk_merge,
         "x1_pricing_summary": x1_pricing_summary,
         "x2_topk_orders": x2_topk_orders,
         "x3_distinct_segments": x3_distinct_segments,
@@ -2343,6 +2366,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey + 100 AS BIGINT) AS n,
                    CAST(n_nationkey + 1000 AS BIGINT) AS n_nationkey
             FROM nation
+        """,
+        "g24_bulk_merge": """
+            WITH existing AS (
+              SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, n_name AS key
+              FROM nation),
+            batch AS (
+              SELECT DISTINCT key FROM (
+                SELECT n_name AS key FROM nation WHERE n_nationkey % 2 = 0
+                UNION ALL
+                SELECT 'NEWNATION_' || CAST(i AS VARCHAR) AS key
+                FROM (SELECT unnest(range(0, 5)) AS i))),
+            j AS (SELECT b.key, e.id AS eid FROM batch b
+                  LEFT JOIN existing e USING (key))
+            SELECT eid AS id, key, FALSE AS was_created FROM j
+            WHERE eid IS NOT NULL
+            UNION ALL
+            SELECT CAST(1000 + ROW_NUMBER() OVER (ORDER BY key) - 1 AS BIGINT)
+                       AS id, key, TRUE AS was_created
+            FROM j WHERE eid IS NULL
+            ORDER BY key
         """,
         "g10_agg_over_match": """
             SELECT n_name AS name, COUNT(*) AS n_customers

@@ -99,3 +99,53 @@ def load_edges_bucketed(spark: SparkSession, table: str = "graph_edges_bucketed"
     """Open the bucketed edge table (bucket metadata comes from the
     catalog — reading the files directly would lose it)."""
     return spark.table(table)
+
+
+def bulk_merge_nodes(
+    existing,
+    batch,
+    key_col: str,
+    id_col: str = "_id",
+    base_id: int = 1_000_000_000,
+):
+    """Set-based match-or-create (the bulk form of the engine's MERGE,
+    executor.py::_merge_node): resolve every key in ``batch`` to a node
+    id — existing keys keep their id, new keys are allocated dense ids
+    ``base_id + rank`` in sorted-key order.
+
+    This is the graph-ingest primitive the reference's one-row-at-a-time
+    fold (sem.ml:377-378) cannot express: ONE left join decides
+    match-vs-create for the whole batch, ONE rank assigns all new ids —
+    no per-row driver probe.
+
+    Id discipline: sorted-key ranking makes ids a pure function of the
+    key SET (deterministic across runs and partitionings — what the
+    correctness oracle replays).  The rank window serializes only the
+    NEW-key subset (the small side of any incremental ingest); for a
+    cold-start 100 TB load swap in the executor's partition-offset
+    allocator (executor.py::_create_node), which is layout-dependent
+    but fully parallel.
+
+    Returns (id, key, was_created) for every distinct batch key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    b = batch.select(F.col(key_col).alias("key")).distinct()
+    e = existing.select(
+        F.col(id_col).alias("_eid"), F.col(key_col).alias("key")
+    )
+    j = b.join(e, "key", "left")
+    matched = j.where(F.col("_eid").isNotNull()).select(
+        F.col("_eid").alias("id"), "key", F.lit(False).alias("was_created")
+    )
+    created = (
+        j.where(F.col("_eid").isNull())
+        .select("key")
+        .withColumn(
+            "id",
+            (F.lit(base_id) + F.row_number().over(W.orderBy("key")) - 1).cast("long"),
+        )
+        .select("id", "key", F.lit(True).alias("was_created"))
+    )
+    return matched.unionByName(created).orderBy("key")

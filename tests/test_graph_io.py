@@ -107,3 +107,21 @@ def test_bucketed_edges_join_without_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
+
+
+def test_bulk_merge_nodes_match_and_create(spark):
+    from projet_graphdb_spark.sources.graph_io import bulk_merge_nodes
+
+    existing = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta")], "_id long, key string"
+    )
+    batch = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("delta",), ("alpha",)], "key string"
+    )
+    out = {r["key"]: r for r in bulk_merge_nodes(
+        existing, batch, key_col="key", base_id=100).collect()}
+    assert out["alpha"]["id"] == 10 and out["alpha"]["was_created"] is False
+    # new keys: dense ids in sorted-key order (delta < gamma)
+    assert out["delta"]["id"] == 100 and out["delta"]["was_created"] is True
+    assert out["gamma"]["id"] == 101
+    assert len(out) == 3  # batch duplicates collapsed
