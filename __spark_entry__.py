@@ -516,6 +516,13 @@ def t22_decontaminated_train(spark, sf_dir):
     return text.decontaminated_train(_docs(spark, sf_dir))
 
 
+def t23_corpus_card(spark, sf_dir):
+    """One-row corpus datasheet (functions/text.py::corpus_card):
+    doc/token/vocab counts, exact-dup rate, mean quality, source-mix
+    entropy — every term reduces map-side to a single row."""
+    return text.corpus_card(_docs(spark, sf_dir))
+
+
 def t7_bm25_search(spark, sf_dir):
     """BM25 keyword search over the corpus for a fixed rare/mid/common
     term mix (functions/text.py::bm25_topk): map-only per-term tf, one
@@ -1934,6 +1941,29 @@ def e20_threshold_crossings(spark, sf_dir):
     return threshold_crossings_batch(load_events(spark, sf_dir))
 
 
+def e21_dimension_asof(spark, sf_dir):
+    """Point-in-time dimension lookup: each purchase event annotated
+    with the SCD2 state (x43's intervals) valid at its timestamp —
+    the query side of slowly-changing-dimension history.  User-keyed
+    equi-join carries the shuffle; the interval predicate filters
+    inside the join (per-user interval counts are bounded), never a
+    cross product."""
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    dim = relational.scd2_intervals(load_events(spark, sf_dir))
+    j = ev.join(
+        dim,
+        (ev.user_id == dim.key)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts"),
+        F.col("state").alias("state_at_event"),
+    ).orderBy("event_id")
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -2195,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x48_rolling_wau": x48_rolling_wau,
         "t21_span_corruption": t21_span_corruption,
         "t22_decontaminated_train": t22_decontaminated_train,
+        "t23_corpus_card": t23_corpus_card,
         "x49_mad_outliers": x49_mad_outliers,
         "x50_revenue_pareto": x50_revenue_pareto,
         "x51_window_ranks": x51_window_ranks,
@@ -2203,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
+        "e21_dimension_asof": e21_dimension_asof,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -3067,6 +3099,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE end_day >= lo AND end_day <= hi
             GROUP BY end_day ORDER BY day
         """,
+        "e21_dimension_asof": """
+            WITH ordered AS (
+              SELECT user_id AS key, event_type AS state,
+                     ts AS valid_from, event_id AS tie,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            collapsed AS (
+              SELECT key, state, valid_from, tie FROM ordered
+              WHERE prev IS NULL OR prev <> state),
+            dim AS (
+              SELECT key, state, valid_from,
+                     LEAD(valid_from) OVER (PARTITION BY key
+                                            ORDER BY valid_from, tie) AS valid_to
+              FROM collapsed)
+            SELECT e.event_id, e.user_id, e.ts, d.state AS state_at_event
+            FROM events e JOIN dim d
+              ON e.user_id = d.key AND e.ts >= d.valid_from
+                 AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+            WHERE e.event_type = 'purchase'
+            ORDER BY e.event_id
+        """,
         "e20_threshold_crossings": """
             WITH c AS (
               SELECT user_id, ts, event_id,
@@ -3729,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS contamination_frac
             FROM tdocs t LEFT JOIN hits USING (doc_id)
         """,
+        "t23_corpus_card": _corpus_card_oracle(),
         "t22_decontaminated_train": f"""
             WITH h AS (
               SELECT doc_id,
@@ -4464,6 +4519,57 @@ def _matryoshka_oracle(dims: tuple = (16, 32), k: int = 5) -> str:
                    WHERE vec_id IN (0,1,2,3,4)),
         {chain}
         SELECT * FROM ({union}) ORDER BY dims, query_id
+    """
+
+
+def _corpus_card_oracle() -> str:
+    """t23: the t1 quality expression averaged, plus token/vocab/dup/
+    source-entropy aggregates, all reduced to one row."""
+    def occ(w: str) -> str:
+        pad = "' ' || text || ' '"
+        needle = f"' {w} '"
+        return (
+            f"CAST((length({pad}) - length(replace({pad}, {needle}, '')))"
+            f" / {len(w) + 2} AS BIGINT)"
+        )
+
+    from projet_graphdb_spark.functions import text as _t
+
+    stop_total = " + ".join(
+        f"({' + '.join(occ(w) for w in words)})" for words in _t.LANG_MARKERS.values()
+    )
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    nonspace = "length(regexp_replace(text, '\\s', '', 'g'))"
+    atl = f"CASE WHEN ({ntok}) > 0 THEN CAST({nonspace} AS DOUBLE) / ({ntok}) END"
+    quality = f"""
+        least(({ntok}) / 200.0, 1.0) * 0.5
+        + CASE WHEN coalesce({atl}, 0.0) >= 3.0 AND coalesce({atl}, 0.0) <= 8.0
+               THEN 0.3 ELSE 0.0 END
+        + least(({stop_total}) / CAST(greatest(({ntok}), 1) AS DOUBLE), 0.2)
+    """
+    return f"""
+        WITH toks AS (
+          SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        nz AS (SELECT tok FROM toks WHERE tok <> ''),
+        ts AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab_size
+               FROM nz),
+        dup AS (
+          SELECT SUM(c - 1) AS n_dup, SUM(c) AS n_docs FROM (
+            SELECT md5({_CANON_TEXT}) AS fp, COUNT(*) AS c
+            FROM documents GROUP BY 1)),
+        q AS (SELECT ROUND(AVG(CAST({quality} AS DOUBLE)), 6) AS avg_quality
+              FROM documents),
+        src AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        ent AS (
+          SELECT ROUND(-SUM((c / t) * LN(c / t)), 6) AS source_entropy
+          FROM src CROSS JOIN (SELECT SUM(c) AS t FROM src))
+        SELECT n_docs, n_tokens, vocab_size,
+               ROUND(n_dup / (n_docs * 1.0), 6) AS dup_rate,
+               avg_quality, source_entropy
+        FROM dup CROSS JOIN ts CROSS JOIN q CROSS JOIN ent
     """
 
 

@@ -1034,3 +1034,58 @@ def decontaminated_train(
         )
         .orderBy(id_col)
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The one-row corpus datasheet: document/token/vocabulary counts,
+    exact-duplicate rate, mean quality, and source-mix entropy — the
+    summary a dataset release publishes and a pipeline diffs between
+    snapshots.
+
+    One explode feeds tokens and vocabulary; dup rate reuses the
+    ``fingerprint`` aggregate; source entropy is a two-level aggregate
+    over the (bounded) source key.  Everything reduces map-side; the
+    result is a single row however large the corpus.
+
+    Output: (n_docs, n_tokens, vocab_size, dup_rate, avg_quality,
+    source_entropy).
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("vocab_size"),
+    )
+    fps = docs.select(fingerprint(F.col(text_col)).alias("fp"))
+    dup = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_c")).agg(
+        F.sum(F.col("_c") - 1).alias("_n_dup"), F.sum("_c").alias("_n_docs")
+    )
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    ent = (
+        src.crossJoin(F.broadcast(src.agg(F.sum("_c").alias("_t"))))
+        .agg(
+            F.round(
+                -F.sum((F.col("_c") / F.col("_t")) * F.log(F.col("_c") / F.col("_t"))),
+                6,
+            ).alias("source_entropy")
+        )
+    )
+    q = docs.agg(F.round(F.avg(quality_score(F.col(text_col))), 6).alias("avg_quality"))
+    return (
+        dup.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            F.col("_n_docs").alias("n_docs"),
+            "n_tokens",
+            "vocab_size",
+            F.round(F.col("_n_dup") / F.col("_n_docs"), 6).alias("dup_rate"),
+            "avg_quality",
+            "source_entropy",
+        )
+    )

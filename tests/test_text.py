@@ -429,3 +429,20 @@ def test_decontaminated_train_flags_overlapping_doc(spark):
     for r in out:
         assert 0.0 <= r["test_overlap_frac"] <= 1.0
         assert r["keep"] == (r["test_overlap_frac"] <= 0.5)
+
+
+def test_corpus_card_single_row_summary(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s1"), (3, "d e", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = text.corpus_card(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3 and r["n_tokens"] == 8 and r["vocab_size"] == 5
+    assert r["dup_rate"] == round(1 / 3, 6)  # docs 1 and 2 identical
+    # source mix: 2/3 vs 1/3
+    exp_ent = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert r["source_entropy"] == round(exp_ent, 6)
