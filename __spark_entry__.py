@@ -1596,6 +1596,16 @@ def x52_snapshot_diff(spark, sf_dir):
     return relational.snapshot_diff(old, changed.unionByName(added))
 
 
+def x53_segment_trend(spark, sf_dir):
+    """Per-segment OLS revenue slope (functions/relational.py::
+    segment_trend): closed-form regression from five map-side-combined
+    exact sums — trend features with no window and no second pass."""
+    return relational.segment_trend(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def x49_mad_outliers(spark, sf_dir):
     """Robust per-segment outlier flags (functions/relational.py::
     mad_outliers): exact median + MAD over bounded segments, broadcast
@@ -1964,6 +1974,21 @@ def e21_dimension_asof(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def e22_crossings_stream(spark, sf_dir):
+    """REAL streaming twin of e20 (streaming/crossings.py::
+    threshold_crossings_stream): applyInPandasWithState with
+    integer-cents running state, drained availableNow as one batch
+    (order-sensitive stateful operators sort within a batch), equal to
+    the batch cumsum oracle."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.crossings import threshold_crossings_stream
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = threshold_crossings_stream(spark, path, schema, query_name="e22_sink")
+    return drain(q, spark, "e22_sink").orderBy("user_id")
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -2230,11 +2255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x50_revenue_pareto": x50_revenue_pareto,
         "x51_window_ranks": x51_window_ranks,
         "x52_snapshot_diff": x52_snapshot_diff,
+        "x53_segment_trend": x53_segment_trend,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
         "e21_dimension_asof": e21_dimension_asof,
+        "e22_crossings_stream": e22_crossings_stream,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -2956,6 +2983,27 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
         """,
+        "x53_segment_trend": """
+            WITH daily AS (
+              SELECT c_mktsegment AS segment,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS x,
+                     SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS y
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              GROUP BY 1, 2),
+            sums AS (
+              SELECT segment, COUNT(*) AS n_days,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM daily GROUP BY segment)
+            SELECT segment, n_days,
+                   ROUND((n_days * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n_days * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                       AS slope
+            FROM sums ORDER BY segment
+        """,
         "x52_snapshot_diff": """
             WITH old AS (
               SELECT o_orderkey AS key,
@@ -3120,6 +3168,22 @@ def oracle_sql() -> dict[str, str]:
                  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
             WHERE e.event_type = 'purchase'
             ORDER BY e.event_id
+        """,
+        "e22_crossings_stream": """
+            WITH c AS (
+              SELECT user_id, ts, event_id,
+                     SUM(CAST(value AS DECIMAL(25,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM events),
+            q AS (
+              SELECT user_id, ts, cum,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM c WHERE cum >= CAST(500.0 AS DECIMAL(25,2)))
+            SELECT user_id, ts AS crossing_ts,
+                   ROUND(CAST(cum AS DOUBLE), 2) AS cum_at_crossing
+            FROM q WHERE rn = 1 ORDER BY user_id
         """,
         "e20_threshold_crossings": """
             WITH c AS (

@@ -1874,3 +1874,50 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .orderBy("key")
     )
+
+
+def segment_trend(
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Per-segment revenue trend: the OLS slope (revenue per day) of
+    daily segment revenue over time, from closed-form sums — the trend
+    feature a forecast or anomaly job consumes.
+
+    Scale design: one (segment, day) aggregate collapses the fact
+    table, then the regression reduces with FIVE map-side-combined
+    sums (n, Σx, Σy, Σxy, Σx²) per segment — no window, no sort, no
+    second pass.  x is the integer epoch day and y the DECIMAL daily
+    revenue, so every sum is exact; only the final slope division is
+    floating point (rounded).
+
+    Output: (segment, n_days, slope).
+    """
+    seg = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("_x"),
+        F.col("o_totalprice"),
+    )
+    daily = seg.groupBy("segment", "_x").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("_y")
+    )
+    sums = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x").cast("long") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("n_days") * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    den = (
+        F.col("n_days") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    return sums.select(
+        "segment", "n_days", F.round(num / den, 6).alias("slope")
+    ).orderBy("segment")

@@ -149,3 +149,16 @@ def threshold_crossings_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# the stateful function ships to Python workers by pickle; register this
+# module for BY-VALUE serialization so workers need no importable copy of
+# the package (harness sessions may start outside the repo directory)
+try:  # pragma: no cover - environment-dependent
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass

@@ -176,3 +176,15 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFram
             "sum_value",
         )
     )
+
+
+# ship worker-side functions BY VALUE (no importable package needed on
+# Python workers — harness sessions may start outside the repo dir)
+try:  # pragma: no cover - environment-dependent
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
