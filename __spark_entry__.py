@@ -661,6 +661,35 @@ def s13_matryoshka_recall(spark, sf_dir):
     )
 
 
+def s14_similarity_histogram(spark, sf_dir):
+    """Embedding-space isotropy diagnostic: cosine histogram over a
+    deterministic pseudo-random pairing (i ↔ i·2654435761 mod N, the
+    Knuth multiplicative hash) — the collapsed-embedding / anisotropy
+    check run before trusting any similarity threshold.  One self-join
+    on the derived pair id (equi, no sampling RNG), bounded 10-key
+    aggregate."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    a = emb.select(
+        F.col("vec_id").alias("_i"),
+        F.col("embedding").alias("_va"),
+        ((F.col("vec_id") * 2654435761) % n).alias("_j"),
+    ).where(F.col("_i") != F.col("_j"))
+    b = emb.select(F.col("vec_id").alias("_j"), F.col("embedding").alias("_vb"))
+    cos = similarity.cosine(F.col("_va"), F.col("_vb"))
+    bucket = F.least(F.floor((cos + 1.0) / 0.2), F.lit(9)).cast("long")
+    return (
+        a.join(b, "_j")
+        .select(bucket.alias("bucket"), cos.alias("_c"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("_c"), 6).alias("avg_cos"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def s3_knn_lsh(spark, sf_dir):
     """ANN scale path: SRP-bucketed top-k (deterministic seeded planes,
     so the DuckDB oracle reproduces the exact buckets)."""
@@ -1432,6 +1461,26 @@ def d15_lsh_calibration(spark, sf_dir):
             ).alias("recall"),
         )
         .orderBy("bucket")
+    )
+
+
+def d17_dedup_weights(spark, sf_dir):
+    """Duplicate-aware sampling weights over d5's cluster manifest:
+    every document keeps weight 1/cluster_size, so a near-dup family
+    contributes ONE document's worth of probability mass to training
+    sampling — soft dedup (down-weighting) instead of hard removal.
+    One extra bounded-key aggregate + broadcast-back join on top of the
+    existing cluster pipeline."""
+    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        cl.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round(F.lit(1.0) / F.col("_sz"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -2257,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x52_snapshot_diff": x52_snapshot_diff,
         "x53_segment_trend": x53_segment_trend,
         "d16_source_dup_matrix": d16_source_dup_matrix,
+        "d17_dedup_weights": d17_dedup_weights,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -2310,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_knn_pq_adc": s11_knn_pq_adc,
         "s12_knn_ivfpq": s12_knn_ivfpq,
         "s13_matryoshka_recall": s13_matryoshka_recall,
+        "s14_similarity_histogram": s14_similarity_histogram,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -3343,6 +3394,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3 ORDER BY day, rank
         """,
         "d12_cluster_sizes": _cluster_sizes_oracle(),
+        "d17_dedup_weights": f"""
+            WITH manifest AS ({_dup_clusters_oracle()}),
+            sizes AS (SELECT cluster_id, COUNT(*) AS sz
+                      FROM manifest GROUP BY cluster_id)
+            SELECT m.doc_id, m.cluster_id, ROUND(1.0 / sz, 6) AS weight
+            FROM manifest m JOIN sizes USING (cluster_id)
+            ORDER BY m.doc_id
+        """,
         "x38_json_props": """
             SELECT event_type,
                    COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
@@ -3885,6 +3944,22 @@ def oracle_sql() -> dict[str, str]:
         "s11_knn_pq_adc": _pq_adc_oracle(),
         "s12_knn_ivfpq": _ivfpq_oracle(),
         "s13_matryoshka_recall": _matryoshka_oracle(),
+        "s14_similarity_histogram": """
+            WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+            pairs AS (
+              SELECT e.vec_id AS i, (e.vec_id * 2654435761) % n.n AS j,
+                     e.embedding AS va
+              FROM embeddings e CROSS JOIN n),
+            scored AS (
+              SELECT list_cosine_similarity(CAST(p.va AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS c
+              FROM pairs p JOIN embeddings b ON b.vec_id = p.j
+              WHERE p.i <> p.j)
+            SELECT CAST(LEAST(FLOOR((c + 1.0) / 0.2), 9) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG(c), 6) AS avg_cos
+            FROM scored GROUP BY 1 ORDER BY bucket
+        """,
         "d10_semantic_dedup": _semantic_dedup_oracle(),
         "d11_passage_fuzzy": _passage_fuzzy_oracle(),
         "m4_thumbnails": """
