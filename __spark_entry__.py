@@ -1655,6 +1655,15 @@ def x53_segment_trend(spark, sf_dir):
     )
 
 
+def x54_revenue_unpivot(spark, sf_dir):
+    """UNPIVOT round trip (functions/relational.py::revenue_unpivot):
+    x37's PIVOT matrix melted back to tidy long form via stack — the
+    oracle (a direct group-by) proves the reshape pair is lossless."""
+    return relational.revenue_unpivot(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def x49_mad_outliers(spark, sf_dir):
     """Robust per-segment outlier flags (functions/relational.py::
     mad_outliers): exact median + MAD over bounded segments, broadcast
@@ -2305,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x51_window_ranks": x51_window_ranks,
         "x52_snapshot_diff": x52_snapshot_diff,
         "x53_segment_trend": x53_segment_trend,
+        "x54_revenue_unpivot": x54_revenue_unpivot,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
         "e18_daily_topk": e18_daily_topk,
@@ -3033,6 +3043,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey, s_name
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
+        """,
+        "x54_revenue_unpivot": """
+            SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+                   l_returnflag AS returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                            * (CAST(1 AS DECIMAL(25,2))
+                               - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "x53_segment_trend": """
             WITH daily AS (

@@ -1921,3 +1921,28 @@ def segment_trend(
     return sums.select(
         "segment", "n_days", F.round(num / den, 6).alias("slope")
     ).orderBy("segment")
+
+
+def revenue_unpivot(
+    lineitem: DataFrame,
+    flags: tuple = ("A", "N", "R"),
+) -> DataFrame:
+    """UNPIVOT: melt the x37 wide revenue matrix back to tidy long form
+    (ship_year, returnflag, revenue) — the inverse reshape, via
+    ``stack`` (one map-side expression per row, no join and no
+    shuffle beyond the matrix's own aggregate).  NULL cells (category
+    absent in a year) are dropped, the standard melt contract.
+
+    Output: (ship_year, returnflag, revenue).
+    """
+    wide = revenue_pivot(lineitem, flags)
+    n = len(flags)
+    pairs = ", ".join(f"'{f}', `{f}`" for f in flags)
+    return (
+        wide.select(
+            "ship_year",
+            F.expr(f"stack({n}, {pairs}) as (returnflag, revenue)"),
+        )
+        .where(F.col("revenue").isNotNull())
+        .orderBy("ship_year", "returnflag")
+    )
