@@ -2047,6 +2047,42 @@ def e22_crossings_stream(spark, sf_dir):
     return drain(q, spark, "e22_sink").orderBy("user_id")
 
 
+def e23_dimension_asof_stream(spark, sf_dir):
+    """REAL streaming twin of e21: purchase events as a file STREAM,
+    interval-joined (stream-static inner join with a non-equi range
+    condition) against the batch-built SCD2 dimension, drained
+    availableNow — the continuously-enriched-feed shape.  Equals the
+    e21 batch oracle."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+
+    path, schema = stream_source(spark, sf_dir)
+    dim = relational.scd2_intervals(load_events(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "purchase")
+    )
+    joined = stream.join(
+        dim,
+        (stream.user_id == dim.key)
+        & (stream.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (stream.ts < dim.valid_to)),
+    ).select(
+        "event_id", "user_id", F.col("ts"), F.col("state").alias("state_at_event")
+    )
+    with state_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("e23_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        return drain(q, spark, "e23_sink").orderBy("event_id")
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -2322,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e20_threshold_crossings": e20_threshold_crossings,
         "e21_dimension_asof": e21_dimension_asof,
         "e22_crossings_stream": e22_crossings_stream,
+        "e23_dimension_asof_stream": e23_dimension_asof_stream,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -3217,6 +3254,28 @@ def oracle_sql() -> dict[str, str]:
             FROM fanned CROSS JOIN bounds
             WHERE end_day >= lo AND end_day <= hi
             GROUP BY end_day ORDER BY day
+        """,
+        "e23_dimension_asof_stream": """
+            WITH ordered AS (
+              SELECT user_id AS key, event_type AS state,
+                     ts AS valid_from, event_id AS tie,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            collapsed AS (
+              SELECT key, state, valid_from, tie FROM ordered
+              WHERE prev IS NULL OR prev <> state),
+            dim AS (
+              SELECT key, state, valid_from,
+                     LEAD(valid_from) OVER (PARTITION BY key
+                                            ORDER BY valid_from, tie) AS valid_to
+              FROM collapsed)
+            SELECT e.event_id, e.user_id, e.ts, d.state AS state_at_event
+            FROM events e JOIN dim d
+              ON e.user_id = d.key AND e.ts >= d.valid_from
+                 AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+            WHERE e.event_type = 'purchase'
+            ORDER BY e.event_id
         """,
         "e21_dimension_asof": """
             WITH ordered AS (
