@@ -1655,6 +1655,17 @@ def x53_segment_trend(spark, sf_dir):
     )
 
 
+def x55_zorder_layout(spark, sf_dir):
+    """Z-order clustering zone map (functions/relational.py::
+    zorder_layout_stats): Morton-interleave (custkey, day), split into
+    16 z-ranges, report per-range min/max of BOTH dimensions — the
+    multi-dimensional layout whose row-group stats prune filters on
+    either column."""
+    return relational.zorder_layout_stats(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def x54_revenue_unpivot(spark, sf_dir):
     """UNPIVOT round trip (functions/relational.py::revenue_unpivot):
     x37's PIVOT matrix melted back to tidy long form via stack — the
@@ -2351,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x52_snapshot_diff": x52_snapshot_diff,
         "x53_segment_trend": x53_segment_trend,
         "x54_revenue_unpivot": x54_revenue_unpivot,
+        "x55_zorder_layout": x55_zorder_layout,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
         "e18_daily_topk": e18_daily_topk,
@@ -3081,6 +3093,7 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN excess ON l_suppkey = s_suppkey
             ORDER BY suppkey
         """,
+        "x55_zorder_layout": _zorder_oracle(),
         "x54_revenue_unpivot": """
             SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
                    l_returnflag AS returnflag,
@@ -4788,6 +4801,30 @@ def _corpus_card_oracle() -> str:
                ROUND(n_dup / (n_docs * 1.0), 6) AS dup_rate,
                avg_quality, source_entropy
         FROM dup CROSS JOIN ts CROSS JOIN q CROSS JOIN ent
+    """
+
+
+def _zorder_oracle(bits: int = 10, n_files: int = 16) -> str:
+    """x55: the Morton interleave unrolled as a bit-test sum, identical
+    masking and z-range arithmetic."""
+    mask = (1 << bits) - 1
+    span = 1 << (2 * bits)
+    terms = " + ".join(
+        f"(((c >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH keyed AS (
+          SELECT (o_custkey & {mask}) AS c,
+                 (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                  & {mask}) AS d
+          FROM orders),
+        z AS (SELECT c, d, ({terms}) AS z FROM keyed)
+        SELECT (z * {n_files}) // {span} AS zfile,
+               COUNT(*) AS n_rows,
+               MIN(c) AS min_cust, MAX(c) AS max_cust,
+               MIN(d) AS min_day, MAX(d) AS max_day
+        FROM z GROUP BY 1 ORDER BY zfile
     """
 
 

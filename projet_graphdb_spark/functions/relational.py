@@ -1946,3 +1946,63 @@ def revenue_unpivot(
         .where(F.col("revenue").isNotNull())
         .orderBy("ship_year", "returnflag")
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` of two integer
+    columns — the multi-dimensional clustering key that keeps records
+    close in BOTH dimensions close in the file order, so parquet
+    row-group min/max stats prune scans filtered on EITHER column.
+
+    Pure map-side bit arithmetic (a sum of shifted bit tests — no UDF,
+    no loop at runtime), reproducible in any engine.
+    """
+    a = a.cast("long")
+    b = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return key
+
+
+def zorder_layout_stats(
+    orders: DataFrame,
+    bits: int = 10,
+    n_files: int = 16,
+) -> DataFrame:
+    """Z-order clustering demo over (custkey, order-day): assign every
+    order its Morton key, split the keyspace into ``n_files`` equal
+    z-ranges (the files a clustered write would produce), and report
+    each range's min/max of BOTH dimensions — the zone map that makes
+    either-column filters prune.
+
+    The point shown by the output: unlike a single-column sort (where
+    the second column's min/max spans everything in every file), each
+    z-range covers a narrow box in BOTH custkey and day, so a filter
+    on either dimension eliminates most ranges by stats alone.
+
+    Output: (zfile, n_rows, min_cust, max_cust, min_day, max_day).
+    """
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    mask = (1 << bits) - 1
+    keyed = orders.select(
+        F.col("o_custkey").bitwiseAND(F.lit(mask)).alias("_c"),
+        day.bitwiseAND(F.lit(mask)).alias("_d"),
+    ).select(
+        "_c", "_d", zorder_key(F.col("_c"), F.col("_d"), bits).alias("_z")
+    )
+    span = 1 << (2 * bits)
+    zfile = F.floor(F.col("_z") * n_files / F.lit(span)).cast("long")
+    return (
+        keyed.groupBy(zfile.alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_c").alias("min_cust"),
+            F.max("_c").alias("max_cust"),
+            F.min("_d").alias("min_day"),
+            F.max("_d").alias("max_day"),
+        )
+        .orderBy("zfile")
+    )

@@ -967,3 +967,30 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     )
     out = {r["key"]: r["change_type"] for r in relational.snapshot_diff(old, new).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged → absent
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    out = df.select(relational.zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()
+    # a bits at even positions, b bits at odd: a=101, b=011
+    # z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    #   = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    assert out[0]["z"] == 27
+
+
+def test_zorder_layout_boxes_bound_both_dims(spark):
+    import datetime as dt
+
+    rows = [(c, dt.datetime(1995, 1, 1) + dt.timedelta(days=(c * 7) % 1000))
+            for c in range(1, 600)]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    stats = relational.zorder_layout_stats(orders, bits=10, n_files=8).collect()
+    assert sum(r["n_rows"] for r in stats) == 599
+    # every z-range is a bounded box: neither dimension spans the whole
+    # domain in every file (the single-column-sort failure mode)
+    cust_spans = [r["max_cust"] - r["min_cust"] for r in stats]
+    day_spans = [r["max_day"] - r["min_day"] for r in stats]
+    full_cust = max(r["max_cust"] for r in stats) - min(r["min_cust"] for r in stats)
+    full_day = max(r["max_day"] for r in stats) - min(r["min_day"] for r in stats)
+    assert any(s < full_cust for s in cust_spans)
+    assert any(s < full_day for s in day_spans)
