@@ -1655,6 +1655,41 @@ def x53_segment_trend(spark, sf_dir):
     )
 
 
+def x56_forget_users(spark, sf_dir):
+    """Right-to-be-forgotten audit: given a deletion list (users with
+    custkey % 53 == 0), count the rows each table would purge and the
+    rows that remain — the compliance sweep before the actual
+    partition rewrite.  Each count is one broadcast semi/anti pass over
+    the fact table (the deletion list is always the tiny side); no
+    fact-fact join anywhere."""
+    users = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") % 53 == 0)
+        .select(F.col("c_custkey").alias("_u"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = load_events(spark, sf_dir)
+
+    def audit(df, key, table):
+        hit = df.join(F.broadcast(users), df[key] == F.col("_u"), "left_semi").count()
+        return spark.createDataFrame(
+            [(table, hit, df.count() - hit)],
+            "table_name string, n_purged long, n_remaining long",
+        )
+
+    cust_hit = users.count()
+    cust = spark.createDataFrame(
+        [("customer", cust_hit,
+          spark.read.parquet(f"{sf_dir}/customer.parquet").count() - cust_hit)],
+        "table_name string, n_purged long, n_remaining long",
+    )
+    return (
+        cust.unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(audit(events, "user_id", "events"))
+        .orderBy("table_name")
+    )
+
+
 def x55_zorder_layout(spark, sf_dir):
     """Z-order clustering zone map (functions/relational.py::
     zorder_layout_stats): Morton-interleave (custkey, day), split into
@@ -2363,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x53_segment_trend": x53_segment_trend,
         "x54_revenue_unpivot": x54_revenue_unpivot,
         "x55_zorder_layout": x55_zorder_layout,
+        "x56_forget_users": x56_forget_users,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
         "e18_daily_topk": e18_daily_topk,
@@ -3094,6 +3130,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x56_forget_users": """
+            WITH del AS (SELECT c_custkey AS u FROM customer
+                         WHERE c_custkey % 53 = 0)
+            SELECT 'customer' AS table_name,
+                   (SELECT COUNT(*) FROM del) AS n_purged,
+                   (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del)
+                       AS n_remaining
+            UNION ALL
+            SELECT 'events',
+                   (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT u FROM del)),
+                   (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT u FROM del))
+            UNION ALL
+            SELECT 'orders',
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT u FROM del)),
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT u FROM del))
+            ORDER BY table_name
+        """,
         "x54_revenue_unpivot": """
             SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
                    l_returnflag AS returnflag,
