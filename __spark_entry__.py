@@ -1690,6 +1690,23 @@ def x56_forget_users(spark, sf_dir):
     )
 
 
+def x57_copurchase_pairs(spark, sf_dir):
+    """Market-basket association pairs (functions/relational.py::
+    copurchase_pairs): basket-keyed self-join with a basket-size cap,
+    support + directional confidence — frequently-bought-together."""
+    return relational.copurchase_pairs(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
+    )
+
+
+def t24_bigram_pmi(spark, sf_dir):
+    """Collocation PMI (functions/text.py::bigram_pmi): positional
+    bigrams via zip-with-tail (no self-join), broadcast vocabulary
+    joins, ln PMI with a min-count floor — phrase mining / tokenizer
+    merge signal."""
+    return text.bigram_pmi(_docs(spark, sf_dir), min_count=5)
+
+
 def x55_zorder_layout(spark, sf_dir):
     """Z-order clustering zone map (functions/relational.py::
     zorder_layout_stats): Morton-interleave (custkey, day), split into
@@ -2399,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x54_revenue_unpivot": x54_revenue_unpivot,
         "x55_zorder_layout": x55_zorder_layout,
         "x56_forget_users": x56_forget_users,
+        "x57_copurchase_pairs": x57_copurchase_pairs,
+        "t24_bigram_pmi": t24_bigram_pmi,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
         "e18_daily_topk": e18_daily_topk,
@@ -3130,6 +3149,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x57_copurchase_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) <= 50),
+            kept AS (SELECT i.o, i.p FROM items i JOIN ok USING (o)),
+            counts AS (SELECT p, COUNT(*) AS n FROM kept GROUP BY p),
+            pairs AS (
+              SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+              FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT part_a, part_b, support,
+                   ROUND(support / (c.n * 1.0), 6) AS confidence
+            FROM pairs JOIN counts c ON c.p = part_a
+            ORDER BY part_a, part_b
+        """,
+        "t24_bigram_pmi": """
+            WITH arrs AS (
+              SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+              FROM documents),
+            bigrams AS (
+              SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+              FROM (SELECT ts, UNNEST(range(1, len(ts))) AS i FROM arrs)),
+            uni AS (
+              SELECT UNNEST(ts) AS tok FROM arrs),
+            ucnt AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+            nt AS (SELECT SUM(n) AS nt FROM ucnt),
+            np AS (SELECT COUNT(*) AS np FROM bigrams),
+            pc AS (SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM bigrams
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT tok_a, tok_b, n_pair,
+                   ROUND(LN((n_pair / np.np)
+                            / ((a.n / nt.nt) * (b.n / nt.nt))), 6) AS pmi
+            FROM pc JOIN ucnt a ON a.tok = tok_a JOIN ucnt b ON b.tok = tok_b
+            CROSS JOIN nt CROSS JOIN np
+            ORDER BY tok_a, tok_b
+        """,
         "x56_forget_users": """
             WITH del AS (SELECT c_custkey AS u FROM customer
                          WHERE c_custkey % 53 = 0)

@@ -2006,3 +2006,54 @@ def zorder_layout_stats(
         )
         .orderBy("zfile")
     )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame,
+    min_support: int = 3,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with support (co-count) and directional confidence —
+    the association-mining primitive behind "frequently bought
+    together".
+
+    Scale design: the self-join keys on the natural basket id
+    (orderkey) — the inverted-index shape again; ``max_basket`` drops
+    degenerate baskets before the join (a k-item basket emits k²/2
+    pairs), bounding fan-out.  Support counts and per-item totals are
+    map-side-combined aggregates; confidence = support/count(a) joins
+    the (small) frequent-pair table against the item-count table.
+
+    Output: (part_a, part_b, support, confidence) with part_a < part_b,
+    support >= min_support; confidence is P(b in basket | a in basket).
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p")
+    ).distinct()
+    sizes = items.groupBy("_o").agg(F.count(F.lit(1)).alias("_sz"))
+    items = items.join(
+        sizes.where(F.col("_sz") <= max_basket).select("_o"), "_o"
+    )
+    counts = items.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+    a = items.select("_o", F.col("_p").alias("part_a"))
+    b = items.select("_o", F.col("_p").alias("part_b"))
+    pairs = (
+        a.join(b, "_o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(counts.withColumnRenamed("_p", "part_a")), "part_a"
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("_n"), 6).alias("confidence"),
+        )
+        .orderBy("part_a", "part_b")
+    )

@@ -1089,3 +1089,62 @@ def corpus_card(
             "source_entropy",
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs — PMI = ln(p(ab) / (p(a)·p(b))) — the statistic that
+    separates real phrases ("machine learning") from chance
+    adjacency; the vocabulary-building signal for tokenizer merges and
+    phrase mining.
+
+    One pass builds bigrams positionally (zip the token array with its
+    tail — map-side, no self-join); unigram and bigram counts reduce
+    with map-side combine; the PMI join is two broadcast-sized
+    (vocabulary) hash joins.  ``min_count`` drops noise pairs before
+    scoring.
+
+    Output: (tok_a, tok_b, n_pair, pmi) for pairs with
+    n_pair >= min_count.
+    """
+    toks = docs.select(
+        F.split(F.col(text_col), " ").alias("_ts")
+    ).select(F.filter(F.col("_ts"), lambda t: t != "").alias("_ts"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ts"), 1, F.greatest(F.size("_ts") - 1, F.lit(0))),
+                F.slice(F.col("_ts"), 2, F.greatest(F.size("_ts") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.a").alias("tok_a"), F.col("_bg.b").alias("tok_b"))
+    uni = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "").groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    n_tokens = uni.agg(F.sum("_n").alias("_nt"))
+    n_pairs = bigrams.count()
+    pair_counts = (
+        bigrams.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("_n").alias("_na"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("_n").alias("_nb"))
+    p_pair = F.col("n_pair") / F.lit(n_pairs)
+    joined = (
+        pair_counts.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    pmi = F.log(
+        p_pair / ((F.col("_na") / F.col("_nt")) * (F.col("_nb") / F.col("_nt")))
+    )
+    return joined.select(
+        "tok_a", "tok_b", "n_pair", F.round(pmi, round_dp).alias("pmi")
+    ).orderBy("tok_a", "tok_b")

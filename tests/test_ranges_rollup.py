@@ -994,3 +994,16 @@ def test_zorder_layout_boxes_bound_both_dims(spark):
     full_day = max(r["max_day"] for r in stats) - min(r["min_day"] for r in stats)
     assert any(s < full_cust for s in cust_spans)
     assert any(s < full_day for s in day_spans)
+
+
+def test_copurchase_pairs_support_and_confidence(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = {(r["part_a"], r["part_b"]): r for r in
+           relational.copurchase_pairs(li, min_support=2).collect()}
+    assert out[(10, 20)]["support"] == 2
+    # part 10 appears in 3 baskets → confidence 2/3
+    assert out[(10, 20)]["confidence"] == round(2 / 3, 6)
+    assert (10, 30) not in out  # support 1 < min_support

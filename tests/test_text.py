@@ -446,3 +446,19 @@ def test_corpus_card_single_row_summary(spark):
     # source mix: 2/3 vs 1/3
     exp_ent = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert r["source_entropy"] == round(exp_ent, 6)
+
+
+def test_bigram_pmi_detects_collocation(spark):
+    import math
+
+    # "new york" always adjacent; "the cat"/"the dog" mix freely
+    docs = spark.createDataFrame(
+        [(1, "new york " * 5), (2, "the cat the dog the cat the dog")],
+        "doc_id long, text string",
+    )
+    out = {(r["tok_a"], r["tok_b"]): r for r in
+           text.bigram_pmi(docs, min_count=2).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny["n_pair"] == 5
+    assert ny["pmi"] > 0  # genuine collocation scores positive
