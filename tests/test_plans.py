@@ -75,6 +75,12 @@ GUARDED = [
     "m6_patch_grid",
     "m7_modality_interleave",
     "t22_decontaminated_train",
+    "x53_segment_trend",
+    "x54_revenue_unpivot",
+    "x55_zorder_layout",
+    "x57_copurchase_pairs",
+    "e21_dimension_asof",
+    "d17_dedup_weights",
 ]
 
 

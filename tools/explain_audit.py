@@ -53,6 +53,10 @@ NL_ALLOWED = {
     # aggregates broadcast into the decile assignment — constant sides
     "s13_matryoshka_recall",  # the s1 exact-kNN shape per dim setting:
     # corpus × ~5 broadcast query vectors (same allowance as s1/s5/s7/s8)
+    "t23_corpus_card",  # the output IS one row: every NL join crosses
+    # 1-row aggregates (token stats, dup rate, quality, entropy)
+    "t24_bigram_pmi",  # 1-row corpus totals (n_tokens, n_bigrams) folded
+    # into the min-count-filtered pair table — constant sides
     "t7_bm25_search",  # 1-row corpus-stats aggregate (N, avgdl) broadcast
     # into the per-doc scorer — constant side by construction
     "x26_important_parts",  # 1-row global-revenue-total aggregate broadcast
