@@ -2146,6 +2146,16 @@ def e23_dimension_asof_stream(spark, sf_dir):
         return drain(q, spark, "e23_sink").orderBy("event_id")
 
 
+def e24_watermark_audit(spark, sf_dir):
+    """Watermark sizing report (streaming/events.py::
+    watermark_lateness_audit): per candidate delay, events a watermark
+    would drop — arrival-bucketed running max (ordered window only over
+    the tiny bucket table, never the fact table)."""
+    from projet_graphdb_spark.streaming.events import watermark_lateness_audit
+
+    return watermark_lateness_audit(load_events(spark, sf_dir))
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -2426,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e21_dimension_asof": e21_dimension_asof,
         "e22_crossings_stream": e22_crossings_stream,
         "e23_dimension_asof_stream": e23_dimension_asof_stream,
+        "e24_watermark_audit": e24_watermark_audit,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -3375,6 +3386,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fanned CROSS JOIN bounds
             WHERE end_day >= lo AND end_day <= hi
             GROUP BY end_day ORDER BY day
+        """,
+        "e24_watermark_audit": """
+            WITH evb AS (
+              SELECT ts, event_id // 1000 AS b FROM events),
+            bmax AS (SELECT b, MAX(ts) AS bm FROM evb GROUP BY b),
+            wm AS (
+              SELECT b, MAX(bm) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmk
+              FROM bmax),
+            tagged AS (
+              SELECT COALESCE(epoch_us(wmk) - epoch_us(ts), 0) AS late_us
+              FROM evb JOIN wm USING (b))
+            SELECT d AS delay_minutes,
+                   SUM(CASE WHEN late_us > CAST(d AS BIGINT) * 60000000
+                            THEN 1 ELSE 0 END) AS n_late,
+                   COUNT(*) AS n_total
+            FROM tagged CROSS JOIN (SELECT unnest([0, 30, 60, 120]) AS d)
+            GROUP BY d ORDER BY delay_minutes
         """,
         "e23_dimension_asof_stream": """
             WITH ordered AS (

@@ -319,3 +319,55 @@ def streaming_daily_topk(
         )
         .orderBy("day", "rank")
     )
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    delays_minutes: tuple = (0, 30, 60, 120),
+    arrival_col: str = "event_id",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Watermark sizing report: for each candidate delay, how many
+    events would a watermark of that delay DROP — the measurement that
+    picks the state-size/completeness trade-off before a streaming job
+    ships.  Arrival order is the ingest sequence (``event_id``); an
+    event is late by (max event-time seen in strictly earlier arrival
+    buckets − its own event time).
+
+    Scale design: NO global-order window over the fact table.  Arrival
+    is bucketed (``arrival_col`` div ``bucket_size``); per-bucket max
+    event times form a TINY table whose running max is the only ordered
+    window (rows = n/bucket_size); the fact table then joins that
+    bucket watermark back broadcast-style.  First-bucket events are
+    never late (no earlier arrivals).
+
+    Output: (delay_minutes, n_late, n_total) per candidate delay.
+    """
+    b = (F.col(arrival_col) / bucket_size).cast("long")
+    evb = events.select(F.col("ts"), b.alias("_b"))
+    from pyspark.sql.window import Window as W
+
+    bmax = evb.groupBy("_b").agg(F.max("ts").alias("_bm"))
+    w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    wm = bmax.select(
+        "_b", F.max("_bm").over(w).alias("_wm")
+    )  # running max over the bucket TABLE (tiny), not the events
+    late_by = F.unix_micros(F.col("_wm")) - F.unix_micros(F.col("ts"))
+    tagged = evb.join(F.broadcast(wm), "_b").select(
+        F.coalesce(late_by, F.lit(0)).alias("_late_us")
+    )
+    rows = [
+        tagged.agg(
+            F.sum(
+                (F.col("_late_us") > d * 60_000_000).cast("long")
+            ).alias("n_late"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).select(
+            F.lit(int(d)).alias("delay_minutes"), "n_late", "n_total"
+        )
+        for d in delays_minutes
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("delay_minutes")

@@ -309,3 +309,24 @@ def test_streaming_daily_topk_equals_batch(spark, tmp_path):
     ).collect()
     batch_rows = relational.daily_topk_types(df, k=3).collect()
     assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
+
+
+def test_watermark_lateness_audit_counts(spark):
+    import datetime as dt
+
+    from projet_graphdb_spark.streaming.events import watermark_lateness_audit
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    # arrival order (event_id): bucket0 = ids 0,1 (max 10:00);
+    # bucket1 = ids 1000,1001 — id 1000 is 3h earlier than bucket0's max
+    ev = spark.createDataFrame(
+        [(0, t(9)), (1, t(10)), (1000, t(7)), (1001, t(11))],
+        "event_id long, ts timestamp",
+    )
+    out = {r["delay_minutes"]: r for r in
+           watermark_lateness_audit(ev, delays_minutes=(0, 60, 240),
+                                    bucket_size=1000).collect()}
+    assert out[0]["n_total"] == 4
+    assert out[0]["n_late"] == 1     # id 1000: 3h late vs bucket0 watermark
+    assert out[60]["n_late"] == 1    # still late beyond 1h
+    assert out[240]["n_late"] == 0   # 4h watermark keeps it
