@@ -81,6 +81,10 @@ GUARDED = [
     "x57_copurchase_pairs",
     "e21_dimension_asof",
     "d17_dedup_weights",
+    "x58_incremental_agg",
+    "e24_watermark_audit",
+    "g24_bulk_merge",
+    "s14_similarity_histogram",
 ]
 
 
