@@ -1720,6 +1720,16 @@ def x58_incremental_agg(spark, sf_dir):
     )
 
 
+def x59_dq_rules(spark, sf_dir):
+    """Declarative data-quality sweep (functions/relational.py::
+    data_quality_report): every rule a conditional aggregate in ONE
+    table pass — null/range/domain/uniqueness assertions as a report
+    row each."""
+    return relational.data_quality_report(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def x55_zorder_layout(spark, sf_dir):
     """Z-order clustering zone map (functions/relational.py::
     zorder_layout_stats): Morton-interleave (custkey, day), split into
@@ -2441,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x56_forget_users": x56_forget_users,
         "x57_copurchase_pairs": x57_copurchase_pairs,
         "x58_incremental_agg": x58_incremental_agg,
+        "x59_dq_rules": x59_dq_rules,
         "t24_bigram_pmi": t24_bigram_pmi,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
@@ -3174,6 +3185,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x59_dq_rules": """
+            WITH agg AS (
+              SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+                     SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+                     SUM(CASE WHEN o_orderpriority NOT IN
+                           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                         THEN 1 ELSE 0 END) AS bad_priority,
+                     SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate >= TIMESTAMP '2030-01-01'
+                         THEN 1 ELSE 0 END) AS bad_date,
+                     COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key
+              FROM orders)
+            SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+              SELECT 'orderkey_unique' AS rule, dup_key AS n_violations FROM agg
+              UNION ALL SELECT 'custkey_not_null', null_key FROM agg
+              UNION ALL SELECT 'orderdate_in_range', bad_date FROM agg
+              UNION ALL SELECT 'priority_in_domain', bad_priority FROM agg
+              UNION ALL SELECT 'totalprice_positive', nonpos_price FROM agg)
+            ORDER BY rule
+        """,
         "x58_incremental_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE), 2)

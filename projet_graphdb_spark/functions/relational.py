@@ -2096,3 +2096,53 @@ def incremental_agg_merge(
         )
         .orderBy(type_col)
     )
+
+
+def data_quality_report(orders: DataFrame) -> DataFrame:
+    """Declarative data-quality rule sweep (the Great-Expectations
+    shape): evaluate every rule in ONE pass over the table — each rule
+    is a conditional aggregate, so adding rules never adds scans — plus
+    a uniqueness check that reuses the same shuffle-free count pair.
+
+    Rules here: key non-null, key unique, positive amounts, priority in
+    its domain, dates within the loadable range.
+
+    Output: (rule, n_violations, passed).
+    """
+    dom = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    agg = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_key"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos_price"),
+        F.sum((~F.col("o_orderpriority").isin(dom)).cast("long")).alias("bad_priority"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1990-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01"))
+            ).cast("long")
+        ).alias("bad_date"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+    )
+    r = agg.select(
+        F.col("null_key"),
+        F.col("nonpos_price"),
+        F.col("bad_priority"),
+        F.col("bad_date"),
+        (F.col("n_rows") - F.col("n_keys")).alias("dup_key"),
+    )
+    rules = [
+        ("orderkey_unique", "dup_key"),
+        ("custkey_not_null", "null_key"),
+        ("orderdate_in_range", "bad_date"),
+        ("priority_in_domain", "bad_priority"),
+        ("totalprice_positive", "nonpos_price"),
+    ]
+    out = None
+    for name, col in rules:
+        row = r.select(
+            F.lit(name).alias("rule"),
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rule")

@@ -1007,3 +1007,22 @@ def test_copurchase_pairs_support_and_confidence(spark):
     # part 10 appears in 3 baskets → confidence 2/3
     assert out[(10, 20)]["confidence"] == round(2 / 3, 6)
     assert (10, 30) not in out  # support 1 < min_support
+
+
+def test_data_quality_report_flags_violations(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(1, 1, 10.0, "1-URGENT", dt.datetime(1995, 1, 1)),
+         (1, 2, -5.0, "9-BOGUS", dt.datetime(1890, 1, 1)),  # dup key + 3 bad
+         (3, None, 20.0, "5-LOW", dt.datetime(1996, 1, 1))],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string, o_orderdate timestamp",
+    )
+    out = {r["rule"]: r for r in relational.data_quality_report(orders).collect()}
+    assert out["orderkey_unique"]["n_violations"] == 1
+    assert out["custkey_not_null"]["n_violations"] == 1
+    assert out["totalprice_positive"]["n_violations"] == 1
+    assert out["priority_in_domain"]["n_violations"] == 1
+    assert out["orderdate_in_range"]["n_violations"] == 1
+    assert not any(r["passed"] for r in out.values())
