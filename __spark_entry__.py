@@ -938,6 +938,28 @@ def a7_label_propagation(spark, sf_dir):
     return graph_algos.label_propagation(e, num_iter=4)
 
 
+def a13_modularity(spark, sf_dir):
+    """Partition quality: per-community Newman modularity decomposition
+    (graph_algos.modularity) of a7's LPA communities over the same
+    bucket-chained customer graph — bounded per-community aggregates,
+    no quadratic term."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    labels = graph_algos.label_propagation(e, num_iter=4)
+    return graph_algos.modularity(e, labels)
+
+
 def s6_label_centroids(spark, sf_dir):
     """Per-label embedding centroid summary (functions/clustering.py::
     label_centroid_stats): map-side squared-norm fold + one
@@ -2481,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
         "a12_feature_propagation": a12_feature_propagation,
+        "a13_modularity": a13_modularity,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -4123,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_pagerank": _pagerank_oracle(),
         "a11_personalized_pagerank": _ppr_oracle(),
+        "a13_modularity": _modularity_oracle(),
         "a12_feature_propagation": f"""
             WITH ed AS MATERIALIZED (
               SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
@@ -4876,6 +4900,50 @@ def _lpa_oracle(num_iter: int = 4) -> str:
           SELECT DISTINCT src AS id, src AS label FROM bi),
         {chain}
         SELECT id, label FROM {prev}
+    """
+
+
+def _modularity_oracle() -> str:
+    """a13: the a7 LPA oracle as a subquery; undirected edges rebuilt
+    with md-prefixed CTEs (avoiding the nested oracle's names); per-
+    community internal-edge/degree aggregates and the Q decomposition."""
+    return f"""
+        WITH lpa AS ({_lpa_oracle()}),
+        mck AS (
+          SELECT CAST(c_custkey + 1000000 AS BIGINT) AS k,
+                 CAST(c_custkey AS BIGINT) AS raw
+          FROM customer),
+        me0 AS (
+          SELECT a.k AS a, b.k AS b FROM mck a
+          JOIN mck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k, b.k FROM mck a
+          JOIN mck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10),
+        mund AS (
+          SELECT DISTINCT LEAST(a, b) AS s, GREATEST(a, b) AS d
+          FROM me0 WHERE a <> b),
+        mm AS (SELECT COUNT(*) AS m FROM mund),
+        tagged AS (
+          SELECT u.s, u.d, la.label AS la_, lb.label AS lb_
+          FROM mund u JOIN lpa la ON la.id = u.s JOIN lpa lb ON lb.id = u.d),
+        internal AS (
+          SELECT la_ AS community, COUNT(*) AS internal_edges
+          FROM tagged WHERE la_ = lb_ GROUP BY 1),
+        deg AS (
+          SELECT id, COUNT(*) AS deg FROM (
+            SELECT s AS id FROM mund UNION ALL SELECT d FROM mund)
+          GROUP BY id),
+        perc AS (
+          SELECT label AS community, COUNT(*) AS n_nodes,
+                 SUM(COALESCE(deg, 0)) AS degree_sum
+          FROM lpa LEFT JOIN deg USING (id) GROUP BY 1)
+        SELECT community, n_nodes,
+               COALESCE(internal_edges, 0) AS internal_edges, degree_sum,
+               ROUND(COALESCE(internal_edges, 0) / (mm.m * 1.0)
+                     - (degree_sum / (2.0 * mm.m)) * (degree_sum / (2.0 * mm.m)),
+                     6) AS q_contrib
+        FROM perc LEFT JOIN internal USING (community) CROSS JOIN mm
+        ORDER BY community
     """
 
 

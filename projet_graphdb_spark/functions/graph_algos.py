@@ -646,3 +646,63 @@ def feature_propagation(
         )
         h, ckpt_handle = _ckpt_rotate(_shrink(h, small), ckpt_handle)
     return h
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition of a partition:
+    q_contrib(c) = L_c/m − (d_c/2m)² over the undirected simple graph —
+    the quality score that says whether a community assignment (e.g.
+    LPA's) beats random wiring.  Σ q_contrib = Newman's Q.
+
+    Scale shape: canonical (src<dst) edge dedup, two broadcast-or-hash
+    joins attach endpoint labels, then everything reduces to
+    per-community counts (bounded by |communities|) — no quadratic
+    term anywhere.
+
+    ``communities``: (id, label).  Output: (community, n_nodes,
+    internal_edges, degree_sum, q_contrib).
+    """
+    e = edges.select("src", "dst")
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates()
+    )
+    m = und.count()
+    la = communities.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+    lb = communities.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    tagged = und.join(la, "src").join(lb, "dst")
+    internal = (
+        tagged.where(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    per_c = (
+        communities.join(deg, "id", "left")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("_deg"), F.lit(0))).alias("degree_sum"),
+        )
+    )
+    q = (
+        F.coalesce(F.col("internal_edges"), F.lit(0)) / F.lit(float(m))
+        - (F.col("degree_sum") / F.lit(2.0 * m)) * (F.col("degree_sum") / F.lit(2.0 * m))
+    )
+    return (
+        per_c.join(internal, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(q, 6).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

@@ -264,3 +264,19 @@ def test_feature_propagation_mean_mixing(spark):
     assert out[2] == 3.0          # ½·6 + ½·mean(0, 0)
     assert out[3] == 3.0
     assert out[9] == 42.0         # isolated node keeps its feature
+
+
+def test_modularity_perfect_communities(spark):
+    # two disjoint triangles: perfect partition → Q = 2·(3/6 − (6/12)²) = 0.5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 200)],
+        "id long, label long",
+    )
+    out = {r["community"]: r for r in graph_algos.modularity(edges, comm).collect()}
+    for c in (100, 200):
+        assert out[c]["n_nodes"] == 3 and out[c]["internal_edges"] == 3
+        assert out[c]["degree_sum"] == 6
+        assert out[c]["q_contrib"] == 0.25
