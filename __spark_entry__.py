@@ -788,6 +788,14 @@ def m7_modality_interleave(spark, sf_dir):
     return multimodal.modality_interleave_plan(media)
 
 
+def m8_contrastive_pairs(spark, sf_dir):
+    """CLIP-style contrastive pair table (functions/multimodal.py::
+    contrastive_pairs_plan): caption×vector positives aligned by id,
+    Knuth-hash deterministic hard negatives — zero RNG, replayable
+    every epoch."""
+    return multimodal.contrastive_pairs_plan(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def m2_frame_sample(spark, sf_dir):
     """Multimodal frame sampling: videos explode into one task row per
     sampled frame (every 10th), so the downstream per-frame decode
@@ -1742,6 +1750,16 @@ def x58_incremental_agg(spark, sf_dir):
     )
 
 
+def x60_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram (functions/relational.py::
+    equidepth_histogram): quantile bucket edges from one percentile
+    aggregate, broadcast assignment, ≤ n-key reduce — the optimizer-
+    statistics histogram."""
+    return relational.equidepth_histogram(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
 def x59_dq_rules(spark, sf_dir):
     """Declarative data-quality sweep (functions/relational.py::
     data_quality_report): every rule a conditional aggregate in ONE
@@ -2474,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x57_copurchase_pairs": x57_copurchase_pairs,
         "x58_incremental_agg": x58_incremental_agg,
         "x59_dq_rules": x59_dq_rules,
+        "x60_equidepth_histogram": x60_equidepth_histogram,
         "t24_bigram_pmi": t24_bigram_pmi,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
@@ -2541,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_audio_frames": m5_audio_frames,
         "m6_patch_grid": m6_patch_grid,
         "m7_modality_interleave": m7_modality_interleave,
+        "m8_contrastive_pairs": m8_contrastive_pairs,
         "e1_event_window": e1_event_window,
         "e2_sessionize": e2_sessionize,
         "e3_stream_dedup": e3_stream_dedup,
@@ -3208,6 +3228,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x60_equidepth_histogram": f"""
+            WITH e AS (
+              SELECT MIN(o_totalprice) AS e0,
+                     {", ".join(f"quantile_cont(o_totalprice, {i / 10}) AS e{i}"
+                                for i in range(1, 10))},
+                     MAX(o_totalprice) AS e10
+              FROM orders),
+            assigned AS (
+              SELECT 1 + ({" + ".join(f"CAST(o_totalprice > e{i} AS INT)"
+                                      for i in range(1, 10))}) AS bucket,
+                     list_value(e0, {", ".join(f"e{i}" for i in range(1, 11))})
+                         AS edges
+              FROM orders CROSS JOIN e)
+            SELECT bucket,
+                   ROUND(edges[bucket], 6) AS lo_edge,
+                   ROUND(edges[bucket + 1], 6) AS hi_edge,
+                   COUNT(*) AS n_rows
+            FROM assigned GROUP BY bucket, edges ORDER BY bucket
+        """,
         "x59_dq_rules": """
             WITH agg AS (
               SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_key,
@@ -4405,6 +4444,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    16 AS feature_dim
             FROM documents
+        """,
+        "m8_contrastive_pairs": f"""
+            WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+            vec AS (
+              SELECT vec_id AS pair_id,
+                     ROUND(sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x)),
+                       (a, b) -> a + b)), 6) AS vec_norm,
+                     (vec_id * 2654435761) % n.n AS negative_id
+              FROM embeddings CROSS JOIN n),
+            cap AS (
+              SELECT doc_id AS pair_id, md5({_CANON_TEXT}) AS caption_fp
+              FROM documents)
+            SELECT cap.pair_id, caption_fp, vec_norm, negative_id
+            FROM cap JOIN vec USING (pair_id)
+            WHERE cap.pair_id <> negative_id
+            ORDER BY cap.pair_id
         """,
         "m7_modality_interleave": """
             WITH media AS (

@@ -342,3 +342,38 @@ try:  # pragma: no cover - environment-dependent
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:
     pass
+
+
+def contrastive_pairs_plan(
+    captions: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive training-pair construction: align the text table
+    with the vector (image-proxy) table by id into positive pairs and
+    attach each pair a deterministic in-corpus hard negative (the
+    Knuth-hash pairing from s14) — the CLIP-style data layout, built
+    with two hash joins and zero RNG so every epoch and every oracle
+    replay sees identical pairs.
+
+    Output: (pair_id, caption_fp, vec_norm, negative_id).
+    """
+    from .similarity import l2norm
+    from .text import fingerprint
+
+    cap = captions.select(
+        F.col(id_col).alias("pair_id"),
+        fingerprint(F.col("text")).alias("caption_fp"),
+    )
+    n = vectors.count()
+    vec = vectors.select(
+        F.col(vec_id_col).alias("pair_id"),
+        F.round(l2norm(F.col("embedding")), 6).alias("vec_norm"),
+        ((F.col(vec_id_col) * 2654435761) % n).alias("negative_id"),
+    )
+    return (
+        cap.join(vec, "pair_id")
+        .where(F.col("pair_id") != F.col("negative_id"))
+        .orderBy("pair_id")
+    )

@@ -2146,3 +2146,68 @@ def data_quality_report(orders: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rule")
+
+
+def equidepth_histogram(
+    orders: DataFrame,
+    n_buckets: int = 10,
+    val_col: str = "o_totalprice",
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges at exact quantiles so every
+    bucket holds ~the same row count — the histogram an optimizer's
+    statistics collector builds (equi-width x44 starves the tails;
+    equi-depth resolves them).
+
+    Same no-global-sort scheme as x50: ONE percentile aggregate
+    produces the n−1 edges (driver-size), assignment is a broadcast
+    map-side comparison, and the final aggregate has ≤ n keys.
+    Ties at an edge go to the lower bucket, mirrored by the oracle.
+
+    Output: (bucket, lo_edge, hi_edge, n_rows) with open-ended first/
+    last edges reported as the observed min/max.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = orders.agg(
+        *[
+            F.expr(f"percentile({val_col}, {q})").alias(f"_e{i}")
+            for i, q in enumerate(qs, start=1)
+        ],
+        F.min(val_col).alias("_e0"),
+        F.max(val_col).alias(f"_e{n_buckets}"),
+    )
+    above = sum(
+        (F.col(val_col) > F.col(f"_e{i}")).cast("int") for i in range(1, n_buckets)
+    )
+    return (
+        orders.select(val_col)
+        .crossJoin(F.broadcast(edges))
+        .select((above + 1).alias("bucket"), *[F.col(f"_e{i}") for i in range(n_buckets + 1)])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first(F.col("_e0")), 6).alias("_lo0"),
+            *[
+                F.round(F.first(F.col(f"_e{i}")), 6).alias(f"_k{i}")
+                for i in range(1, n_buckets + 1)
+            ],
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.element_at(
+                    F.array(F.col("_lo0"), *[F.col(f"_k{i}") for i in range(1, n_buckets + 1)]),
+                    F.col("bucket").cast("int"),
+                ),
+                6,
+            ).alias("lo_edge"),
+            F.round(
+                F.element_at(
+                    F.array(F.col("_lo0"), *[F.col(f"_k{i}") for i in range(1, n_buckets + 1)]),
+                    (F.col("bucket") + 1).cast("int"),
+                ),
+                6,
+            ).alias("hi_edge"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )
