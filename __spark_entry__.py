@@ -1760,6 +1760,42 @@ def x60_equidepth_histogram(spark, sf_dir):
     )
 
 
+def x61_jsonl_ingest(spark, sf_dir):
+    """Permissive JSONL ingestion: events round-tripped through a
+    JSON-lines file with 7 deterministically-injected broken lines,
+    read back with an EXPLICIT schema + columnNameOfCorruptRecord —
+    corrupt rows are counted, never dropped and never killing the job
+    (the ingest contract for dirty feeds; explicit schema keeps the
+    read single-pass, no inference job).  Output: per-type row counts
+    plus the _CORRUPT_ bucket."""
+    import tempfile
+
+    ev = load_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="spark_jsonl_") + "/events"
+    good = ev.selectExpr(
+        "to_json(struct(event_id, user_id, event_type, value)) AS line"
+    )
+    bad = spark.range(7).selectExpr("concat('{broken', id) AS line")
+    good.unionAll(bad).coalesce(4).write.mode("overwrite").text(tmp)
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "_corrupt string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(tmp)
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("_CORRUPT_")).alias("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
 def x59_dq_rules(spark, sf_dir):
     """Declarative data-quality sweep (functions/relational.py::
     data_quality_report): every rule a conditional aggregate in ONE
@@ -2493,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x58_incremental_agg": x58_incremental_agg,
         "x59_dq_rules": x59_dq_rules,
         "x60_equidepth_histogram": x60_equidepth_histogram,
+        "x61_jsonl_ingest": x61_jsonl_ingest,
         "t24_bigram_pmi": t24_bigram_pmi,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
@@ -3228,6 +3265,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x61_jsonl_ingest": """
+            SELECT event_type, COUNT(*) AS n_rows FROM events
+            GROUP BY event_type
+            UNION ALL SELECT '_CORRUPT_', 7
+            ORDER BY event_type
+        """,
         "x60_equidepth_histogram": f"""
             WITH e AS (
               SELECT MIN(o_totalprice) AS e0,
