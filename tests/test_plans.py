@@ -85,6 +85,9 @@ GUARDED = [
     "e24_watermark_audit",
     "g24_bulk_merge",
     "s14_similarity_histogram",
+    "x59_dq_rules",
+    "m8_contrastive_pairs",
+    "a13_modularity",
 ]
 
 

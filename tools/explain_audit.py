@@ -49,6 +49,8 @@ NL_ALLOWED = {
     # vocabulary-sized corpus-frequency table pre-broadcast
     "x48_rolling_wau",  # 1-row (min, max) date-bounds aggregate broadcast
     # into the window fan-out — constant side by construction
+    "x60_equidepth_histogram",  # 1-row quantile-edges aggregate broadcast
+    # into the bucket assignment — constant side (the x50 shape)
     "x50_revenue_pareto",  # 1-row percentile-thresholds + 1-row total
     # aggregates broadcast into the decile assignment — constant sides
     "s13_matryoshka_recall",  # the s1 exact-kNN shape per dim setting:
