@@ -523,6 +523,13 @@ def t23_corpus_card(spark, sf_dir):
     return text.corpus_card(_docs(spark, sf_dir))
 
 
+def t25_template_prefixes(spark, sf_dir):
+    """Boilerplate prefix mining (functions/text.py::template_prefixes):
+    shared 5-token document openings with doc/source counts — the
+    template detector near-dup misses when bodies diverge."""
+    return text.template_prefixes(_docs(spark, sf_dir), min_docs=2)
+
+
 def t7_bm25_search(spark, sf_dir):
     """BM25 keyword search over the corpus for a fixed rare/mid/common
     term mix (functions/text.py::bm25_topk): map-only per-term tf, one
@@ -1512,6 +1519,31 @@ def d17_dedup_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def d18_dedup_funnel(spark, sf_dir):
+    """Dedup policy funnel: how many documents each tier of the ladder
+    keeps — raw corpus, exact-canonical (d1 fingerprints), near-dup
+    clusters (d5's MinHash components) — the one-table report that
+    justifies (or kills) each tier's cost.  Reuses the existing
+    pipelines; three bounded aggregates."""
+    docs = _docs(spark, sf_dir)
+    n_raw = docs.count()
+    n_exact = docs.select(
+        dedup.fingerprint(F.col("text")).alias("fp")
+    ).distinct().count()
+    n_near = (
+        dedup.dup_clusters(docs, threshold=0.2, hash="md5")
+        .select("cluster_id").distinct().count()
+    )
+    return spark.createDataFrame(
+        [
+            ("0_raw", n_raw, 0),
+            ("1_exact", n_exact, n_raw - n_exact),
+            ("2_near", n_near, n_raw - n_near),
+        ],
+        "tier string, n_kept long, n_removed long",
+    ).orderBy("tier")
 
 
 def d12_cluster_sizes(spark, sf_dir):
@@ -2531,8 +2563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x60_equidepth_histogram": x60_equidepth_histogram,
         "x61_jsonl_ingest": x61_jsonl_ingest,
         "t24_bigram_pmi": t24_bigram_pmi,
+        "t25_template_prefixes": t25_template_prefixes,
         "d16_source_dup_matrix": d16_source_dup_matrix,
         "d17_dedup_weights": d17_dedup_weights,
+        "d18_dedup_funnel": d18_dedup_funnel,
         "e18_daily_topk": e18_daily_topk,
         "e19_daily_topk_stream": e19_daily_topk_stream,
         "e20_threshold_crossings": e20_threshold_crossings,
@@ -3332,6 +3366,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN counts c ON c.p = part_a
             ORDER BY part_a, part_b
         """,
+        "t25_template_prefixes": """
+            SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) >= 2
+            ORDER BY prefix
+        """,
         "t24_bigram_pmi": """
             WITH arrs AS (
               SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -3780,6 +3822,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3 ORDER BY day, rank
         """,
         "d12_cluster_sizes": _cluster_sizes_oracle(),
+        "d18_dedup_funnel": f"""
+            WITH manifest AS ({_dup_clusters_oracle()}),
+            raw AS (SELECT COUNT(*) AS n FROM documents),
+            exact AS (SELECT COUNT(DISTINCT md5({_CANON_TEXT})) AS n
+                      FROM documents),
+            near AS (SELECT COUNT(DISTINCT cluster_id) AS n FROM manifest)
+            SELECT '0_raw' AS tier, raw.n AS n_kept, 0 AS n_removed FROM raw
+            UNION ALL
+            SELECT '1_exact', exact.n, raw.n - exact.n FROM exact CROSS JOIN raw
+            UNION ALL
+            SELECT '2_near', near.n, raw.n - near.n FROM near CROSS JOIN raw
+            ORDER BY tier
+        """,
         "d17_dedup_weights": f"""
             WITH manifest AS ({_dup_clusters_oracle()}),
             sizes AS (SELECT cluster_id, COUNT(*) AS sz

@@ -1148,3 +1148,37 @@ def bigram_pmi(
     return joined.select(
         "tok_a", "tok_b", "n_pair", F.round(pmi, round_dp).alias("pmi")
     ).orderBy("tok_a", "tok_b")
+
+
+def template_prefixes(
+    docs: DataFrame,
+    n_tokens: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Boilerplate template mining: document PREFIXES (first
+    ``n_tokens`` tokens) shared by many documents — the crawl-header /
+    mirror-page detector that near-dup pipelines miss when bodies
+    diverge after a templated opening.
+
+    Map-side prefix extraction (one slice per row), then a single
+    aggregate on the prefix key with a distinct-source count — a
+    template spanning many sources is a mirror; one source is a site
+    header.  ``min_docs`` floors the report.
+
+    Output: (prefix, n_docs, n_sources).
+    """
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, n_tokens)
+    )
+    return (
+        docs.select(prefix.alias("prefix"), F.col(source_col))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col(source_col)).alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy("prefix")
+    )
