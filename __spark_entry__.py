@@ -1828,6 +1828,28 @@ def x61_jsonl_ingest(spark, sf_dir):
     )
 
 
+def x62_behavior_entropy(spark, sf_dir):
+    """Per-user behavioural diversity: Shannon entropy of each user's
+    event-type mix (the t20 arithmetic keyed per user) — the feature
+    separating single-action bots from organic sessions.  Two
+    aggregates sharing the (user, type) shuffle key; entropy reduces
+    map-side per user."""
+    ev = load_events(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("_c"))
+    tot = ut.groupBy("user_id").agg(F.sum("_c").alias("_t"))
+    p = F.col("_c") / F.col("_t")
+    return (
+        ut.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("_c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def x59_dq_rules(spark, sf_dir):
     """Declarative data-quality sweep (functions/relational.py::
     data_quality_report): every rule a conditional aggregate in ONE
@@ -2562,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x59_dq_rules": x59_dq_rules,
         "x60_equidepth_histogram": x60_equidepth_histogram,
         "x61_jsonl_ingest": x61_jsonl_ingest,
+        "x62_behavior_entropy": x62_behavior_entropy,
         "t24_bigram_pmi": t24_bigram_pmi,
         "t25_template_prefixes": t25_template_prefixes,
         "d16_source_dup_matrix": d16_source_dup_matrix,
@@ -3299,6 +3322,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x62_behavior_entropy": """
+            WITH ut AS (
+              SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT user_id, SUM(c) AS t FROM ut GROUP BY user_id)
+            SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+                   ROUND(-SUM((c / t) * LN(c / t)), 6) AS entropy
+            FROM ut JOIN tot USING (user_id)
+            GROUP BY user_id ORDER BY user_id
+        """,
         "x61_jsonl_ingest": """
             SELECT event_type, COUNT(*) AS n_rows FROM events
             GROUP BY event_type
