@@ -2309,6 +2309,39 @@ def e24_watermark_audit(spark, sf_dir):
     return watermark_lateness_audit(load_events(spark, sf_dir))
 
 
+def e26_restart_recovery(spark, sf_dir):
+    """Checkpoint-recovery proof: the e9 parquet-sink aggregation run as
+    TWO stream launches over one checkpoint — phase 1 drains the first
+    half of the timeline, the relaunch ingests only the NEW files
+    (file-source seen-log), carries window state across the restart,
+    and never double-writes (sink manifest).  The read-back equals the
+    single-run batch oracle — exactly-once across restarts."""
+    import tempfile
+
+    from projet_graphdb_spark.streaming import state_partitions
+    from projet_graphdb_spark.streaming.events import streaming_windowed_to_parquet
+
+    ev = load_events(spark, sf_dir)
+    split = "2024-01-16"
+    base = tempfile.mkdtemp(prefix="spark_e26_")
+    src, out, ckpt = base + "/src", base + "/out", base + "/ckpt"
+    ev.where(F.col("ts") < F.lit(split)).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    with state_partitions(spark, 8):
+        q1 = streaming_windowed_to_parquet(spark, src, schema, out, ckpt)
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise TimeoutError("e26 phase 1 did not drain")
+        # "the cluster restarts": new files land, a NEW query resumes
+        # from the same checkpoint
+        ev.where(F.col("ts") >= F.lit(split)).write.mode("append").parquet(src)
+        q2 = streaming_windowed_to_parquet(spark, src, schema, out, ckpt)
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("e26 phase 2 did not drain")
+    return spark.read.parquet(out)
+
+
 def e5_window_stream(spark, sf_dir):
     """The REAL Structured-Streaming windowed aggregation (file stream
     source → watermark → tumbling windows → memory sink), drained with
@@ -2597,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e22_crossings_stream": e22_crossings_stream,
         "e23_dimension_asof_stream": e23_dimension_asof_stream,
         "e24_watermark_audit": e24_watermark_audit,
+        "e26_restart_recovery": e26_restart_recovery,
         "e16_rate_spikes": e16_rate_spikes,
         "e17_transitions": e17_transitions,
         "t17_langid_confusion": t17_langid_confusion,
@@ -4793,6 +4827,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "e26_restart_recovery": """
+            WITH wm AS (SELECT MAX(ts) AS m FROM events)
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+            FROM events, wm
+            GROUP BY 1, 2, wm.m
+            HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= wm.m
         """,
         "e9_parquet_sink_stream": """
             WITH wm AS (SELECT MAX(ts) AS m FROM events)
