@@ -1026,3 +1026,30 @@ def test_data_quality_report_flags_violations(spark):
     assert out["priority_in_domain"]["n_violations"] == 1
     assert out["orderdate_in_range"]["n_violations"] == 1
     assert not any(r["passed"] for r in out.values())
+
+
+def test_segment_trend_recovers_known_slope(spark):
+    import datetime as dt
+
+    cust = spark.createDataFrame([(1, "B")], "c_custkey long, c_mktsegment string")
+    # revenue grows exactly 10/day for 30 days → slope 10
+    orders = spark.createDataFrame(
+        [(i, 1, 100.0 + 10.0 * i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+         for i in range(30)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    out = relational.segment_trend(orders, cust).collect()[0]
+    assert out["n_days"] == 30 and out["slope"] == 10.0
+
+
+def test_equidepth_histogram_balanced_counts(spark):
+    orders = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "o_totalprice double"
+    )
+    rows = relational.equidepth_histogram(orders, n_buckets=10).collect()
+    assert len(rows) == 10
+    assert all(r["n_rows"] == 10 for r in rows)      # perfectly equi-depth
+    assert rows[0]["lo_edge"] == 1.0 and rows[-1]["hi_edge"] == 100.0
+    # edges are increasing and contiguous
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_edge"] == b["lo_edge"]
