@@ -1850,6 +1850,46 @@ def x62_behavior_entropy(spark, sf_dir):
     )
 
 
+def x63_calendar_dim(spark, sf_dir):
+    """Generated calendar dimension: the date spine (x40's sequence
+    trick) enriched with weekday/month/quarter/weekend attributes and
+    joined to orders for a weekday revenue profile — the conformed
+    date dimension every warehouse query joins; generated, never
+    hand-loaded, so it can't drift from the data's range."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("_lo"),
+        F.max(F.to_date("o_orderdate")).alias("_hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day")
+    ).select(
+        "day",
+        F.date_format("day", "E").alias("weekday"),
+        F.dayofweek("day").alias("dow"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("_rev"),
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .groupBy("dow", "weekday", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.coalesce(F.col("_n"), F.lit(0))).alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("_rev"), F.lit(0).cast("decimal(25,2)"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("dow")
+    )
+
+
 def x59_dq_rules(spark, sf_dir):
     """Declarative data-quality sweep (functions/relational.py::
     data_quality_report): every rule a conditional aggregate in ONE
@@ -2618,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x60_equidepth_histogram": x60_equidepth_histogram,
         "x61_jsonl_ingest": x61_jsonl_ingest,
         "x62_behavior_entropy": x62_behavior_entropy,
+        "x63_calendar_dim": x63_calendar_dim,
         "t24_bigram_pmi": t24_bigram_pmi,
         "t25_template_prefixes": t25_template_prefixes,
         "d16_source_dup_matrix": d16_source_dup_matrix,
@@ -3356,6 +3397,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppkey
         """,
         "x55_zorder_layout": _zorder_oracle(),
+        "x63_calendar_dim": """
+            WITH bounds AS (
+              SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                     MAX(CAST(o_orderdate AS DATE)) AS hi
+              FROM orders),
+            cal AS (
+              SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                         AS day
+              FROM bounds),
+            cal2 AS (
+              SELECT day, strftime(day, '%a') AS weekday,
+                     dayofweek(day) + 1 AS dow,
+                     dayofweek(day) IN (0, 6) AS is_weekend
+              FROM cal),
+            daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+              FROM orders GROUP BY 1)
+            SELECT dow, weekday, is_weekend, COUNT(*) AS n_days,
+                   SUM(COALESCE(n, 0)) AS n_orders,
+                   ROUND(CAST(SUM(COALESCE(rev, 0)) AS DOUBLE), 2) AS revenue
+            FROM cal2 LEFT JOIN daily USING (day)
+            GROUP BY dow, weekday, is_weekend ORDER BY dow
+        """,
         "x62_behavior_entropy": """
             WITH ut AS (
               SELECT user_id, event_type, COUNT(*) AS c
