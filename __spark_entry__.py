@@ -975,6 +975,40 @@ def a13_modularity(spark, sf_dir):
     return graph_algos.modularity(e, labels)
 
 
+def a14_hits(spark, sf_dir):
+    """Hub/authority scores (graph_algos.hits): 5 L1-normalized HITS
+    power iterations over the directed supplier→nation→region subgraph
+    — the citation/web-link eigenvector pair next to a3's PageRank.
+    Oracle: the 5 iterations unrolled as chained CTEs (two half-steps
+    per round), ROUND(,6)."""
+    h = graph_algos.hits(_sn_subgraph(spark, sf_dir), num_iter=5)
+    return h.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def a15_link_prediction(spark, sf_dir):
+    """Common-neighbour / Jaccard / Adamic-Adar link prediction
+    (graph_algos.link_prediction) over the bucket-chained customer
+    graph: wedge self-join on the shared middle vertex (one shuffle,
+    Σ deg(w)² cost — the triangle-count envelope), anti-join removes
+    existing edges.  The classic graph-ML candidate generator."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.link_prediction(e, min_common=1)
+
+
 def s6_label_centroids(spark, sf_dir):
     """Per-label embedding centroid summary (functions/clustering.py::
     label_centroid_stats): map-side squared-norm fold + one
@@ -2692,6 +2726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_personalized_pagerank": a11_personalized_pagerank,
         "a12_feature_propagation": a12_feature_propagation,
         "a13_modularity": a13_modularity,
+        "a14_hits": a14_hits,
+        "a15_link_prediction": a15_link_prediction,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -4416,6 +4452,8 @@ def oracle_sql() -> dict[str, str]:
         "a3_pagerank": _pagerank_oracle(),
         "a11_personalized_pagerank": _ppr_oracle(),
         "a13_modularity": _modularity_oracle(),
+        "a14_hits": _hits_oracle(),
+        "a15_link_prediction": _LINK_PREDICTION_ORACLE,
         "a12_feature_propagation": f"""
             WITH ed AS MATERIALIZED (
               SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
@@ -5098,6 +5136,83 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
     """
+
+
+def _hits_oracle(num_iter: int = 5) -> str:
+    """DuckDB mirror of a14: the 5 HITS iterations unrolled as chained
+    CTEs — each round an auth half-step (sum hub over in-edges, L1
+    normalize) then a hub half-step over the NEW auth, identical
+    join/aggregate shape and IEEE DOUBLE discipline; ROUND(,6)."""
+    iters = []
+    prev = "s0"
+    for i in range(1, num_iter + 1):
+        iters.append(f"""
+        araw{i} AS (
+          SELECT ed.dst AS id, SUM(s.hub) AS ar
+          FROM {prev} s JOIN ed ON ed.src = s.id GROUP BY ed.dst),
+        at{i} AS (SELECT SUM(ar) AS t FROM araw{i}),
+        a{i} AS MATERIALIZED (
+          SELECT n.id,
+                 COALESCE(araw{i}.ar, CAST(0.0 AS DOUBLE)) / (SELECT t FROM at{i}) AS auth
+          FROM nodes n LEFT JOIN araw{i} ON araw{i}.id = n.id),
+        hraw{i} AS (
+          SELECT ed.src AS id, SUM(a.auth) AS hr
+          FROM a{i} a JOIN ed ON ed.dst = a.id GROUP BY ed.src),
+        ht{i} AS (SELECT SUM(hr) AS t FROM hraw{i}),
+        s{i} AS MATERIALIZED (
+          SELECT a.id,
+                 COALESCE(hraw{i}.hr, CAST(0.0 AS DOUBLE)) / (SELECT t FROM ht{i}) AS hub,
+                 a.auth
+          FROM a{i} a LEFT JOIN hraw{i} ON hraw{i}.id = a.id)""")
+        prev = f"s{i}"
+    chain = ",".join(iters)
+    return f"""
+        WITH ed AS MATERIALIZED (
+          SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+          UNION ALL
+          SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+        ),
+        nodes AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst AS id FROM ed),
+        s0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth FROM nodes),
+        {chain}
+        SELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM {prev}
+    """
+
+
+_LINK_PREDICTION_ORACLE = """
+    WITH ck AS (
+      SELECT CAST(c_custkey AS BIGINT) AS raw,
+             CAST(c_custkey + 1000000 AS BIGINT) AS k
+      FROM customer
+    ),
+    e0 AS (
+      SELECT a.k AS src, b.k AS dst FROM ck a
+      JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+      UNION ALL
+      SELECT a.k AS src, b.k AS dst FROM ck a
+      JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+    ),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nbr AS (SELECT src AS id, dst AS w FROM und),
+    deg AS (SELECT id, COUNT(*) AS d FROM nbr GROUP BY id),
+    wdeg AS (SELECT w, COUNT(*) AS wd FROM nbr GROUP BY w),
+    pairs AS (
+      SELECT l.id AS u, r.id AS v, COUNT(*) AS common,
+             SUM(CAST(1.0 AS DOUBLE) / LN(wdeg.wd)) AS aa
+      FROM nbr l JOIN nbr r ON r.w = l.w AND l.id < r.id
+      JOIN wdeg ON wdeg.w = l.w
+      GROUP BY l.id, r.id
+      HAVING COUNT(*) >= 1
+    ),
+    existing AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e0)
+    SELECT p.u, p.v, p.common,
+           ROUND(CAST(p.common AS DOUBLE) / (du.d + dv.d - p.common), 6) AS jaccard,
+           ROUND(p.aa, 6) AS adamic_adar
+    FROM pairs p
+    JOIN deg du ON du.id = p.u
+    JOIN deg dv ON dv.id = p.v
+    WHERE NOT EXISTS (SELECT 1 FROM existing ex WHERE ex.u = p.u AND ex.v = p.v)
+"""
 
 
 def _ppr_oracle(

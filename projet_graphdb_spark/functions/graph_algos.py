@@ -706,3 +706,124 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+def hits(edges: DataFrame, num_iter: int = 5) -> DataFrame:
+    """Hub/authority scores (Kleinberg's HITS) by power iteration.
+
+    Each iteration is two half-steps over the directed edge table:
+    ``auth(v) = Σ_{u→v} hub(u)`` then ``hub(u) = Σ_{u→v} auth(v)``,
+    each L1-normalized (deterministic and SQL-oracle-friendly; the
+    eigenvector direction is identical to the classic L2 form, only the
+    scale differs).  The reference has no whole-graph traversal at all;
+    this extends the a3/a11 eigenvector family to bipartite-ish
+    hub/authority structure (citation / web-link analysis).
+
+    Scale shape: per half-step one join edge⋈score (shuffle on src or
+    dst) + one aggregate — identical cost envelope to ``pagerank``.
+    The normalizing total is a 1-row aggregate broadcast INSIDE the
+    plan, so each iteration is one action (the checkpoint), never a
+    per-round collect.  Output: (id, hub, auth).
+    """
+    e, _, small = _materialize(edges.select("src", "dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes, _, _ = _materialize(nodes)
+    scores = nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    ckpt_handle = None
+    for _ in range(num_iter):
+        # auth half-step: pull hub mass along incoming edges
+        a_raw = (
+            scores.join(e, scores.id == e.src)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_araw"))
+        )
+        a_tot = a_raw.agg(F.sum("_araw").alias("_at"))
+        auths = (
+            nodes.join(a_raw, nodes.id == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "id", (F.coalesce(F.col("_araw"), F.lit(0.0)) / F.col("_at")).alias("auth")
+            )
+        )
+        # hub half-step: pull the NEW auth mass along outgoing edges
+        h_raw = (
+            auths.join(e, auths.id == e.dst)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_hraw"))
+        )
+        h_tot = h_raw.agg(F.sum("_hraw").alias("_ht"))
+        scores = (
+            auths.join(h_raw, auths.id == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "id",
+                (F.coalesce(F.col("_hraw"), F.lit(0.0)) / F.col("_ht")).alias("hub"),
+                "auth",
+            )
+        )
+        scores, ckpt_handle = _ckpt_rotate(_shrink(scores, small), ckpt_handle)
+    return scores
+
+
+def link_prediction(
+    edges: DataFrame, min_common: int = 1, round_dp: int = 6
+) -> DataFrame:
+    """Common-neighbour / Jaccard link prediction over the undirected
+    simple graph: for every non-adjacent pair (u < v) sharing ≥
+    ``min_common`` neighbours, emit the classic similarity scores
+    (common-neighbour count, Jaccard, Adamic-Adar).
+
+    Scale shape: wedge enumeration — the neighbour table self-joined on
+    the shared middle vertex ``w`` (one shuffle on w), aggregated per
+    pair, then an anti-join removes existing edges.  Cost is
+    Σ_w deg(w)², the same envelope as triangle counting; at 100 TB cap
+    or sample super-hub middles exactly like d2's posting cap (a hub
+    with deg 10⁶ contributes 10¹² wedges regardless of engine).
+    Output: (u, v, common, jaccard, adamic_adar).
+    """
+    e = edges.select("src", "dst")
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    nbr = und.select(F.col("src").alias("id"), F.col("dst").alias("w"))
+    deg = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("_deg"))
+    wdeg = nbr.groupBy("w").agg(F.count(F.lit(1)).alias("_wdeg"))
+    left = nbr.select(F.col("id").alias("u"), "w")
+    right = nbr.select(F.col("id").alias("v"), "w")
+    pairs = (
+        left.join(right, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(wdeg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(1.0 / F.log("_wdeg")).alias("_aa"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    # drop pairs that are already edges (canonical orientation)
+    existing = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("_deg").alias("_dv"))
+    return (
+        pairs.join(existing, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common") / (F.col("_du") + F.col("_dv") - F.col("common")), round_dp
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), round_dp).alias("adamic_adar"),
+        )
+    )

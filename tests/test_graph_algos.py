@@ -280,3 +280,67 @@ def test_modularity_perfect_communities(spark):
         assert out[c]["n_nodes"] == 3 and out[c]["internal_edges"] == 3
         assert out[c]["degree_sum"] == 6
         assert out[c]["q_contrib"] == 0.25
+
+
+def np_hits(edges, nodes, num_iter=5):
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(num_iter):
+        araw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            araw[t] += hub[s]
+        at = sum(araw.values())
+        auth = {v: araw[v] / at for v in nodes}
+        hraw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            hraw[s] += auth[t]
+        ht = sum(hraw.values())
+        hub = {v: hraw[v] / ht for v in nodes}
+    return hub, auth
+
+
+def test_hits_matches_python(spark, edges_df):
+    nodes = sorted({v for e in EDGES for v in e})
+    hub, auth = np_hits(EDGES, nodes)
+    out = {r["id"]: (r["hub"], r["auth"]) for r in graph_algos.hits(edges_df).collect()}
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert out[v][0] == pytest.approx(hub[v], abs=1e-9)
+        assert out[v][1] == pytest.approx(auth[v], abs=1e-9)
+
+
+def test_hits_chain_hub_authority_split(spark):
+    # path a→b→c: a is the only pure hub over b, c the deepest authority
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r["id"]: r for r in graph_algos.hits(e, num_iter=3).collect()}
+    assert out[0]["auth"] == 0.0 and out[2]["hub"] == 0.0
+    assert out[0]["hub"] > 0 and out[2]["auth"] > 0
+
+
+def test_link_prediction_square(spark):
+    # square 0-1-2-3-0 (undirected): diagonals (0,2) and (1,3) share 2
+    # common neighbours each, jaccard = 2/(2+2-2) = 1.0,
+    # adamic_adar = 2/ln(2); adjacent pairs share 0 → absent
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = {(r["u"], r["v"]): r for r in graph_algos.link_prediction(e).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    for r in rows.values():
+        assert r["common"] == 2
+        assert r["jaccard"] == pytest.approx(1.0)
+        assert r["adamic_adar"] == pytest.approx(round(2 / np.log(2), 6))
+
+
+def test_link_prediction_excludes_existing_and_directions(spark):
+    # triangle 0-1-2 plus pendant 3 attached to 0: (1,3) and (2,3) are
+    # candidate pairs via middle 0; (1,2) is an existing edge → excluded
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    rows = {(r["u"], r["v"]): r for r in graph_algos.link_prediction(e).collect()}
+    assert set(rows) == {(1, 3), (2, 3)}
+    for r in rows.values():
+        assert r["common"] == 1
+        # N(3)={0} deg 1, N(1)=N(2) deg 2 → 1/(2+1-1)
+        assert r["jaccard"] == pytest.approx(0.5)
