@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from projet_graphdb_spark.engine import binding_table, run_program
 from projet_graphdb_spark.functions import (
@@ -1007,6 +1008,168 @@ def a15_link_prediction(spark, sf_dir):
         .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
     )
     return graph_algos.link_prediction(e, min_common=1)
+
+
+def x64_peak_open_orders(spark, sf_dir):
+    """Interval-overlap peak concurrency: per order priority, the
+    maximum number of simultaneously open orders (open = o_orderdate
+    through the order's last l_shipdate) and the first day that peak is
+    reached.  The sweep-line classic done relationally: ±1 boundary
+    deltas → per-day net change (one aggregate bounds the window input
+    to DISTINCT DAYS, not rows) → running sum per priority → top-1.
+    At 100 TB the day-grain pre-aggregate is what keeps the window
+    state tiny regardless of order volume."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_close")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("_open"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    deltas = o.select(
+        F.col("o_orderpriority"), F.col("_open").alias("d"), F.lit(1).alias("_dl")
+    ).unionByName(
+        o.select(
+            F.col("o_orderpriority"),
+            F.date_add(F.to_date("_close"), 1).alias("d"),
+            F.lit(-1).alias("_dl"),
+        )
+    )
+    per_day = deltas.groupBy("o_orderpriority", "d").agg(F.sum("_dl").alias("_net"))
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    conc = per_day.withColumn("open_orders", F.sum("_net").over(w))
+    pick = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("open_orders"), F.asc("d")
+    )
+    return (
+        conc.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("open_orders").cast("long").alias("peak_open"),
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def t26_zipf_fit(spark, sf_dir):
+    """Corpus law-of-nature check: OLS fit of ln(term frequency) against
+    ln(rank) over the top-100 unigrams — the Zipf slope every corpus
+    datasheet reports (natural text ≈ −1; templated/synthetic corpora
+    flatten).  One shuffle on the token for counts; the top-100 sort is
+    a bounded TakeOrdered; the regression reduces in a single tiny
+    aggregate."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    tf = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
+    xy = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    ).select(F.log("r").alias("x"), F.log("freq").alias("y"))
+    stats = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return stats.select(
+        F.col("n").alias("top_n"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def e25_changepoint(spark, sf_dir):
+    """Single-changepoint detection (AMOC) on each event type's daily
+    count series: the split day maximizing |mean(after) − mean(before)|,
+    found in ONE pass via prefix sums — never the quadratic
+    all-splits-rescan.  The monitoring primitive behind "did the
+    pipeline's mix shift".  Day-grain pre-aggregate bounds window state
+    exactly like x64."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(w).alias("_S"),
+        F.row_number().over(w).alias("_k"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("_n"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("_T"),
+    )
+    cand = pre.where(F.col("_k") < F.col("_n")).select(
+        "event_type",
+        "d",
+        (F.col("_S") / F.col("_k")).alias("before_mean"),
+        ((F.col("_T") - F.col("_S")) / (F.col("_n") - F.col("_k"))).alias("after_mean"),
+    )
+    delta = F.abs(F.col("after_mean") - F.col("before_mean"))
+    pick = Window.partitionBy("event_type").orderBy(F.desc(delta), F.asc("d"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.round("before_mean", 6).alias("before_mean"),
+            F.round("after_mean", 6).alias("after_mean"),
+            F.round(delta, 6).alias("abs_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def d9_edit_verified_dups(spark, sf_dir):
+    """Edit-distance-verified near-dups: banded MinHash-LSH generates
+    candidates (sub-quadratic), then Levenshtein — O(len²) per pair,
+    affordable ONLY post-LSH — verifies each candidate exactly; emit
+    pairs with normalized edit similarity ≥ 0.5.  The character-grain
+    verification tier that catches what token-set Jaccard is blind to
+    (reorderings score high on Jaccard, low on edit similarity)."""
+    docs = _docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.05, hash="md5").select(
+        "id_a", "id_b"
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    ed = F.levenshtein("_ta", "_tb")
+    sim = F.round(
+        1 - ed / F.greatest(F.length("_ta"), F.length("_tb")), 6
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", ed.alias("edit_dist"), sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= 0.5)
+    )
+
+
+def m9_augmentation_plan(spark, sf_dir):
+    """Deterministic augmentation schedule (functions/multimodal.py::
+    augmentation_plan): 3 epochs of content-hash-derived crop/flip/
+    rotate/brightness parameters per media row — retry-safe and
+    speculative-execution-safe because no RNG state exists anywhere."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+    )
+    return multimodal.augmentation_plan(media, epochs=3)
 
 
 def s6_label_centroids(spark, sf_dir):
@@ -2728,6 +2891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_modularity": a13_modularity,
         "a14_hits": a14_hits,
         "a15_link_prediction": a15_link_prediction,
+        "x64_peak_open_orders": x64_peak_open_orders,
+        "t26_zipf_fit": t26_zipf_fit,
+        "e25_changepoint": e25_changepoint,
+        "d9_edit_verified_dups": d9_edit_verified_dups,
+        "m9_augmentation_plan": m9_augmentation_plan,
         "t9_redact_pii": t9_redact_pii,
         "t11_hash_sample": t11_hash_sample,
         "t12_char_entropy": t12_char_entropy,
@@ -4454,6 +4622,106 @@ def oracle_sql() -> dict[str, str]:
         "a13_modularity": _modularity_oracle(),
         "a14_hits": _hits_oracle(),
         "a15_link_prediction": _LINK_PREDICTION_ORACLE,
+        "x64_peak_open_orders": """
+            WITH li AS (SELECT l_orderkey, MAX(l_shipdate) AS close
+                        FROM lineitem GROUP BY l_orderkey),
+            o AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS open_d,
+                         CAST(close AS DATE) AS close_d
+                  FROM orders JOIN li ON li.l_orderkey = o_orderkey),
+            deltas AS (
+              SELECT o_orderpriority, open_d AS d, 1 AS dl FROM o
+              UNION ALL
+              SELECT o_orderpriority, close_d + 1 AS d, -1 AS dl FROM o),
+            per_day AS (SELECT o_orderpriority, d, SUM(dl) AS net
+                        FROM deltas GROUP BY 1, 2),
+            conc AS (SELECT o_orderpriority, d,
+                            SUM(net) OVER (PARTITION BY o_orderpriority
+                                           ORDER BY d) AS open_orders
+                     FROM per_day)
+            SELECT o_orderpriority, CAST(open_orders AS BIGINT) AS peak_open,
+                   strftime(d, '%Y-%m-%d') AS peak_day
+            FROM conc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY open_orders DESC, d ASC) = 1
+            ORDER BY o_orderpriority
+        """,
+        "t26_zipf_fit": """
+            WITH tf AS (
+              SELECT tok, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> '') GROUP BY tok),
+            top AS (SELECT tok, freq FROM tf
+                    ORDER BY freq DESC, tok ASC LIMIT 100),
+            xy AS (SELECT LN(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC)) AS x,
+                          LN(freq) AS y
+                   FROM top),
+            s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+            SELECT n AS top_n,
+                   ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+                   ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+                       AS zipf_intercept
+            FROM s
+        """,
+        "e25_changepoint": """
+            WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+                           FROM events GROUP BY 1, 2),
+            pre AS (SELECT event_type, d,
+                           SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS S,
+                           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n,
+                           SUM(c) OVER (PARTITION BY event_type) AS T
+                    FROM daily),
+            cand AS (SELECT event_type, d,
+                            CAST(S AS DOUBLE) / k AS before_mean,
+                            CAST(T - S AS DOUBLE) / (n - k) AS after_mean
+                     FROM pre WHERE k < n)
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+                   ROUND(before_mean, 6) AS before_mean,
+                   ROUND(after_mean, 6) AS after_mean,
+                   ROUND(ABS(after_mean - before_mean), 6) AS abs_delta
+            FROM cand
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ABS(after_mean - before_mean) DESC,
+                                                d ASC) = 1
+            ORDER BY event_type
+        """,
+        "d9_edit_verified_dups": f"""
+            WITH cand AS (SELECT id_a, id_b
+                          FROM ({_minhash_lsh_oracle(threshold=0.05)})),
+            j AS (SELECT c.id_a, c.id_b,
+                         CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+                         ROUND(1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                                   / GREATEST(len(a.text), len(b.text)), 6) AS edit_sim
+                  FROM cand c
+                  JOIN documents a ON a.doc_id = c.id_a
+                  JOIN documents b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b, edit_dist, edit_sim FROM j WHERE edit_sim >= 0.5
+        """,
+        "m9_augmentation_plan": """
+            WITH base AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     unnest([0, 1, 2]) AS epoch
+              FROM documents),
+            h AS (
+              SELECT media_id, epoch, kind,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           CAST(media_id AS VARCHAR) || ':'
+                           || CAST(epoch AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hv
+              FROM base)
+            SELECT media_id, epoch, kind,
+                   CAST(hv % 2 AS INT) AS flip,
+                   CAST((hv // 2) % 16 AS INT) AS crop_x,
+                   CAST((hv // 32) % 16 AS INT) AS crop_y,
+                   CAST(((hv // 512) % 4) * 90 AS INT) AS rot_deg,
+                   ROUND(((hv // 2048) % 21 - 10) / 100.0, 2) AS brightness
+            FROM h
+        """,
         "a12_feature_propagation": f"""
             WITH ed AS MATERIALIZED (
               SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier

@@ -377,3 +377,36 @@ def contrastive_pairs_plan(
         .where(F.col("pair_id") != F.col("negative_id"))
         .orderBy("pair_id")
     )
+
+
+def augmentation_plan(media: DataFrame, epochs: int = 3) -> DataFrame:
+    """Deterministic per-epoch augmentation parameter schedule.
+
+    Training pipelines re-augment every epoch; doing it with a seeded
+    driver RNG breaks retry/speculative-execution determinism.  Instead
+    every (media_id, epoch) derives its parameters from a content hash —
+    any task, on any executor, any attempt, computes the same plan.
+    Pure column algebra (md5 → 60-bit int → field extraction by integer
+    div/mod), map-only, no shuffle; the decode+apply step downstream
+    consumes this plan table next to the payload.
+
+    Output per (media_id, epoch): flip (0/1), crop_x / crop_y (0-15 px
+    offsets), rot_deg (0/90/180/270), brightness (-0.10..0.10).
+    """
+    key = F.concat_ws(":", F.col("media_id"), F.col("epoch"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (
+        media.select("media_id", "kind")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))))
+        .withColumn("_h", h)
+        .select(
+            "media_id",
+            "epoch",
+            "kind",
+            (F.col("_h") % 2).cast("int").alias("flip"),
+            (F.expr("_h div 2") % 16).cast("int").alias("crop_x"),
+            (F.expr("_h div 32") % 16).cast("int").alias("crop_y"),
+            ((F.expr("_h div 512") % 4) * 90).cast("int").alias("rot_deg"),
+            F.round(((F.expr("_h div 2048") % 21) - 10) / 100.0, 2).alias("brightness"),
+        )
+    )

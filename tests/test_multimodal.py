@@ -101,3 +101,22 @@ def test_modality_interleave_round_robin(spark):
     rows = multimodal.modality_interleave_plan(media).collect()
     assert [r["kind"] for r in rows] == ["image", "audio", "video", "image"]
     assert [r["seq"] for r in rows] == [0, 1, 2, 3]  # unknown kind excluded
+
+
+def test_augmentation_plan_deterministic_and_ranged(spark):
+    media = spark.createDataFrame(
+        [(1, "image"), (2, "audio")], "media_id long, kind string"
+    )
+    a = sorted(multimodal.augmentation_plan(media, epochs=3).collect(),
+               key=lambda r: (r["media_id"], r["epoch"]))
+    b = sorted(multimodal.augmentation_plan(media, epochs=3).collect(),
+               key=lambda r: (r["media_id"], r["epoch"]))
+    assert a == b                                   # retry-safe: no RNG state
+    assert len(a) == 6                              # 2 media × 3 epochs
+    for r in a:
+        assert r["flip"] in (0, 1)
+        assert 0 <= r["crop_x"] < 16 and 0 <= r["crop_y"] < 16
+        assert r["rot_deg"] in (0, 90, 180, 270)
+        assert -0.10 <= r["brightness"] <= 0.10
+    # epochs differ (hash covers the epoch, not just the id)
+    assert len({(r["flip"], r["crop_x"], r["crop_y"], r["rot_deg"]) for r in a}) > 1
