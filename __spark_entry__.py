@@ -1010,6 +1010,17 @@ def a15_link_prediction(spark, sf_dir):
     return graph_algos.link_prediction(e, min_common=1)
 
 
+def a16_landmark_closeness(spark, sf_dir):
+    """Landmark-approximated closeness centrality (graph_algos.
+    landmark_closeness): composite-key BFS from the 3 region landmarks
+    over the undirected supplier graph — k probes in ONE shared
+    frontier, the scalable stand-in for all-pairs closeness.  Oracle:
+    hop-bounded recursive CTE per landmark + min-dist aggregate."""
+    return graph_algos.landmark_closeness(
+        _sn_subgraph(spark, sf_dir), landmarks=[0, 1, 2], max_iter=8
+    )
+
+
 def x64_peak_open_orders(spark, sf_dir):
     """Interval-overlap peak concurrency: per order priority, the
     maximum number of simultaneously open orders (open = o_orderdate
@@ -1155,6 +1166,23 @@ def d9_edit_verified_dups(spark, sf_dir):
         .select("id_a", "id_b", ed.alias("edit_dist"), sim.alias("edit_sim"))
         .where(F.col("edit_sim") >= 0.5)
     )
+
+
+def e27_chained_agg_stream(spark, sf_dir):
+    """CHAINED stateful streaming aggregation (streaming/events.py::
+    streaming_daily_peak): quarter-hour rate → per-day peak + total as
+    ONE Structured-Streaming query with two windowed aggregates (Spark
+    ≥3.4 multiple stateful operators), append mode, drained
+    availableNow.  The oracle applies the identical two-tier rollup and
+    the append emission predicate (day end ≤ max ts − 2 h) in batch
+    SQL; batch/stream parity also pinned in tests/test_streaming_events."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.events import streaming_daily_peak
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = streaming_daily_peak(spark, path, schema, query_name="e27_sink")
+    return drain(q, spark, "e27_sink")
 
 
 def m9_augmentation_plan(spark, sf_dir):
@@ -2891,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_modularity": a13_modularity,
         "a14_hits": a14_hits,
         "a15_link_prediction": a15_link_prediction,
+        "a16_landmark_closeness": a16_landmark_closeness,
         "x64_peak_open_orders": x64_peak_open_orders,
         "t26_zipf_fit": t26_zipf_fit,
         "e25_changepoint": e25_changepoint,
@@ -2962,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_session_window": e12_session_window,
         "e14_sliding_stream": e14_sliding_stream,
         "e15_upsert_stream": e15_upsert_stream,
+        "e27_chained_agg_stream": e27_chained_agg_stream,
     }
 
 
@@ -4622,6 +4652,29 @@ def oracle_sql() -> dict[str, str]:
         "a13_modularity": _modularity_oracle(),
         "a14_hits": _hits_oracle(),
         "a15_link_prediction": _LINK_PREDICTION_ORACLE,
+        "a16_landmark_closeness": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            walk AS (
+              SELECT lm, lm AS id, 0 AS dist
+              FROM (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS lm)
+              UNION
+              SELECT w.lm, eu.dst AS id, w.dist + 1 AS dist
+              FROM walk w JOIN eu ON eu.src = w.id
+              WHERE w.dist < 8
+            ),
+            md AS (SELECT lm, id, MIN(dist) AS dist FROM walk GROUP BY lm, id)
+            SELECT id, COUNT(*) AS n_reached,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist,
+                   CASE WHEN SUM(dist) > 0
+                        THEN ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6)
+                        ELSE 0.0 END AS closeness
+            FROM md GROUP BY id
+        """,
         "x64_peak_open_orders": """
             WITH li AS (SELECT l_orderkey, MAX(l_shipdate) AS close
                         FROM lineitem GROUP BY l_orderkey),
@@ -5198,6 +5251,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "e27_chained_agg_stream": """
+            WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS m FROM events),
+            qh AS (
+              SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT date_trunc('day', w) AS day_start, event_type,
+                   MAX(n) AS peak_qh, CAST(SUM(n) AS BIGINT) AS day_total
+            FROM qh, wm
+            GROUP BY 1, 2, wm.m
+            HAVING date_trunc('day', MIN(w)) + INTERVAL 1 DAY <= wm.m
         """,
         "e26_restart_recovery": """
             WITH wm AS (SELECT MAX(ts) AS m FROM events)

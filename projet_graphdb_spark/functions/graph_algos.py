@@ -827,3 +827,64 @@ def link_prediction(
             F.round(F.col("_aa"), round_dp).alias("adamic_adar"),
         )
     )
+
+
+def landmark_closeness(
+    edges: DataFrame,
+    landmarks: list,
+    max_iter: int = 8,
+    directed: bool = False,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Landmark-approximated closeness centrality: exact BFS distances
+    from k landmark vertices, run as ONE composite-key frontier
+    ((landmark, node) pairs) rather than k sequential traversals —
+    closeness(v) ≈ reached / Σ dist(v, landmark), the standard k-probe
+    approximation (exact closeness is all-pairs, infeasible at scale;
+    k landmarks cost k× a single BFS and the frontier parallelism is
+    shared).
+
+    Per iteration: frontier ⋈ edges on the node key (one shuffle) +
+    anti-join against the visited set + min per (landmark, node) —
+    the a1 BFS pattern, state O(k·V).
+    Output: (id, n_reached, sum_dist, closeness).
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e, _, small = _materialize(e.dropDuplicates())
+    lm = [int(x) for x in landmarks]
+    seed = e.sparkSession.createDataFrame(
+        [(x, x, 0) for x in lm], "lm long, id long, dist int"
+    )
+    frontier = _shrink(seed, small)
+    visited = frontier
+    ckpt_f = ckpt_v = None
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("lm", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .join(visited, ["lm", "id"], "left_anti")
+            .groupBy("lm", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        nxt, ckpt_f = _ckpt_rotate(_shrink(nxt, small), ckpt_f)
+        if nxt.limit(1).count() == 0:
+            break
+        visited, ckpt_v = _ckpt_rotate(
+            _shrink(visited.unionByName(nxt), small), ckpt_v
+        )
+        frontier = nxt
+    out = visited.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+    return out.select(
+        "id",
+        "n_reached",
+        "sum_dist",
+        F.when(
+            F.col("sum_dist") > 0,
+            F.round(F.col("n_reached") / F.col("sum_dist"), round_dp),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
+    )

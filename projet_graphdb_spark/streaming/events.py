@@ -371,3 +371,79 @@ def watermark_lateness_audit(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("delay_minutes")
+
+
+def streaming_daily_peak(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    query_name: str = "daily_peak",
+    window: str = "15 minutes",
+    day: str = "1 day",
+    watermark: str = "2 hours",
+):
+    """CHAINED stateful streaming aggregation (Spark ≥3.4 multiple
+    stateful operators): quarter-hour counts per event type, then a
+    second windowed aggregate over ``window_time`` of the first —
+    per-day peak quarter-hour rate and day total, emitted append-mode
+    when the watermark passes the day end.
+
+    This is the two-tier rollup every monitoring pipeline wants
+    (fine-grain rate → daily summary) expressed as ONE streaming query:
+    no intermediate sink, no second job, state for both tiers bounded
+    by the same watermark.  At scale tier 1's state is
+    O(open windows × types) and tier 2's O(open days × types) — the
+    chain STRICTLY SHRINKS state versus materializing tier 1.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("_qh"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy(
+            F.window(F.window_time("_qh"), day).alias("_day"), F.col("event_type")
+        )
+        .agg(
+            F.max("n_events").alias("peak_qh"),
+            F.sum("n_events").alias("day_total"),
+        )
+        .select(
+            F.col("_day.start").alias("day_start"),
+            "event_type",
+            "peak_qh",
+            "day_total",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def daily_peak_batch(events: DataFrame, watermark_hours: int = 2) -> DataFrame:
+    """Batch twin of ``streaming_daily_peak`` INCLUDING the append-mode
+    emission contract: only days whose end the final watermark
+    (max ts − delay) has passed are present."""
+    qh = events.groupBy(
+        F.window("ts", "15 minutes").alias("_qh"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    day = qh.groupBy(
+        F.window(F.col("_qh.start"), "1 day").alias("_day"), F.col("event_type")
+    ).agg(F.max("n_events").alias("peak_qh"), F.sum("n_events").alias("day_total"))
+    wm = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {watermark_hours} HOURS")).alias("_wm")
+    )
+    return (
+        day.crossJoin(F.broadcast(wm))
+        .where(F.col("_day.end") <= F.col("_wm"))
+        .select(
+            F.col("_day.start").alias("day_start"),
+            "event_type",
+            "peak_qh",
+            "day_total",
+        )
+    )

@@ -344,3 +344,25 @@ def test_link_prediction_excludes_existing_and_directions(spark):
         assert r["common"] == 1
         # N(3)={0} deg 1, N(1)=N(2) deg 2 → 1/(2+1-1)
         assert r["jaccard"] == pytest.approx(0.5)
+
+
+def test_landmark_closeness_path_graph(spark):
+    # path 0-1-2-3 undirected, landmarks {0, 3}: node 1 → dists (1, 2);
+    # node 0 → (0, 3); all reach both landmarks
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = {r["id"]: r for r in
+           graph_algos.landmark_closeness(e, landmarks=[0, 3]).collect()}
+    assert all(out[v]["n_reached"] == 2 for v in (0, 1, 2, 3))
+    assert out[1]["sum_dist"] == 3 and out[2]["sum_dist"] == 3
+    assert out[0]["sum_dist"] == 3
+    assert out[1]["closeness"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_landmark_closeness_disconnected(spark):
+    # two components; landmark only in the first → second absent
+    e = spark.createDataFrame([(0, 1), (5, 6)], "src long, dst long")
+    out = {r["id"]: r for r in
+           graph_algos.landmark_closeness(e, landmarks=[0]).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["closeness"] == 0.0  # the landmark itself: dist 0
+    assert out[1]["closeness"] == pytest.approx(1.0)

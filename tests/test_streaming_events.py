@@ -330,3 +330,18 @@ def test_watermark_lateness_audit_counts(spark):
     assert out[0]["n_late"] == 1     # id 1000: 3h late vs bucket0 watermark
     assert out[60]["n_late"] == 1    # still late beyond 1h
     assert out[240]["n_late"] == 0   # 4h watermark keeps it
+
+
+def test_chained_daily_peak_stream_equals_batch(spark):
+    """Two chained stateful windowed aggregates in ONE streaming query
+    (quarter-hour rate → daily peak/total) must equal the batch twin
+    including the append-mode watermark emission contract."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.events import daily_peak_batch, streaming_daily_peak
+
+    path, schema = stream_source(spark, SF_TINY)
+    with state_partitions(spark, 4):
+        q = streaming_daily_peak(spark, path, schema, query_name="t_daily_peak")
+    got = sorted(map(tuple, drain(q, spark, "t_daily_peak").collect()))
+    want = sorted(map(tuple, daily_peak_batch(load_events(spark, SF_TINY)).collect()))
+    assert got == want and len(got) > 0
