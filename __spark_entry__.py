@@ -1168,6 +1168,18 @@ def d9_edit_verified_dups(spark, sf_dir):
     )
 
 
+def s15_mmr_rerank(spark, sf_dir):
+    """MMR diversified retrieval (functions/similarity.py::mmr_topk):
+    exact cosine top-10 candidates per query (s1's broadcast-queries ×
+    corpus-scan plan), then the λ=0.7 greedy redundancy-penalized pick
+    of 3 per query as an Arrow-batched applyInPandas over the bounded
+    candidate groups.  Oracle: the 3 greedy steps unrolled as chained
+    CTEs with QUALIFY argmax."""
+    return similarity.mmr_topk(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k_pick=3, n_cand=10
+    )
+
+
 def e27_chained_agg_stream(spark, sf_dir):
     """CHAINED stateful streaming aggregation (streaming/events.py::
     streaming_daily_peak): quarter-hour rate → per-day peak + total as
@@ -2991,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_session_window": e12_session_window,
         "e14_sliding_stream": e14_sliding_stream,
         "e15_upsert_stream": e15_upsert_stream,
+        "s15_mmr_rerank": s15_mmr_rerank,
         "e27_chained_agg_stream": e27_chained_agg_stream,
     }
 
@@ -5251,6 +5264,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "s15_mmr_rerank": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            cand AS (
+              SELECT * FROM (
+                SELECT q.query_id, e.vec_id AS neighbour_id,
+                       CAST(e.embedding AS DOUBLE[]) AS cv,
+                       list_cosine_similarity(q.qv,
+                           CAST(e.embedding AS DOUBLE[])) AS sim,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv,
+                                        CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id ASC) AS rank
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+              WHERE rank <= 10),
+            p1 AS (SELECT query_id, neighbour_id, cv, sim FROM cand WHERE rank = 1),
+            sc2 AS (
+              SELECT c.query_id, c.neighbour_id, c.cv, c.sim,
+                     0.7 * c.sim - (1 - 0.7)
+                         * list_cosine_similarity(c.cv, p.cv) AS mmr
+              FROM cand c JOIN p1 p USING (query_id)
+              WHERE c.neighbour_id <> p.neighbour_id),
+            p2 AS (SELECT * FROM sc2
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, neighbour_id ASC) = 1),
+            sc3 AS (
+              SELECT c.query_id, c.neighbour_id, c.sim,
+                     0.7 * c.sim - (1 - 0.7)
+                         * GREATEST(list_cosine_similarity(c.cv, p.cv),
+                                    list_cosine_similarity(c.cv, r.cv)) AS mmr
+              FROM cand c JOIN p1 p USING (query_id) JOIN p2 r USING (query_id)
+              WHERE c.neighbour_id <> p.neighbour_id
+                AND c.neighbour_id <> r.neighbour_id),
+            p3 AS (SELECT * FROM sc3
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, neighbour_id ASC) = 1)
+            SELECT query_id, 1 AS pick, neighbour_id AS vec_id,
+                   ROUND(sim, 6) AS relevance, ROUND(sim, 6) AS mmr_score
+            FROM p1
+            UNION ALL
+            SELECT query_id, 2 AS pick, neighbour_id AS vec_id,
+                   ROUND(sim, 6) AS relevance, ROUND(mmr, 6) AS mmr_score
+            FROM p2
+            UNION ALL
+            SELECT query_id, 3 AS pick, neighbour_id AS vec_id,
+                   ROUND(sim, 6) AS relevance, ROUND(mmr, 6) AS mmr_score
+            FROM p3
         """,
         "e27_chained_agg_stream": """
             WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS m FROM events),

@@ -870,3 +870,88 @@ def matryoshka_recall(
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("dims", "query_id")
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k_pick: int = 3,
+    n_cand: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval: per query, take
+    the exact cosine top-``n_cand`` candidates (relational, the s1
+    plan), then greedily pick ``k_pick`` results maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈picked} cos(d,s)`` — the standard
+    redundancy-penalized re-rank (Carbonell & Goldstein 1998).
+
+    Scale shape: candidate generation is the broadcast-queries ×
+    corpus-scan top-k (one bounded shuffle); the O(k·n_cand) greedy
+    loop runs per query group over ≤ ``n_cand`` rows via Arrow-batched
+    ``applyInPandas`` — the iterative kernel is bounded and
+    embarrassingly parallel across queries, never corpus-sized.
+    Ties break by neighbour id (deterministic).
+
+    Output: (query_id, pick, vec_id, relevance, mmr_score), pick 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("_cv"),
+        l2norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbour_id")
+    ).withColumn("sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select("query_id", "neighbour_id", "sim", F.col("_cv").cast("array<double>").alias("_v"))
+    )
+
+    out_schema = (
+        "query_id long, pick int, vec_id long, relevance double, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "neighbour_id"], ascending=[False, True])
+        ids = pdf["neighbour_id"].to_numpy()
+        rel = pdf["sim"].to_numpy()
+        vecs = np.stack(pdf["_v"].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1)
+        picked: list[int] = []
+        rows = []
+        qid = int(pdf["query_id"].iloc[0])
+        for step in range(1, min(k_pick, len(ids)) + 1):
+            if step == 1:
+                best = 0  # already sorted by (sim desc, id asc)
+                score = rel[best]
+            else:
+                pv = vecs[picked]
+                pn = norms[picked]
+                penal = (vecs @ pv.T) / np.outer(norms, pn)
+                mmr = lam * rel - (1 - lam) * penal.max(axis=1)
+                mmr[picked] = -np.inf
+                # argmax with id-ascending tie-break
+                m = mmr.max()
+                tied = np.flatnonzero(mmr == m)
+                best = tied[np.argmin(ids[tied])]
+                score = m
+            picked.append(best)
+            rows.append((qid, step, int(ids[best]), round(float(rel[best]), 6),
+                         round(float(score), 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "pick", "vec_id", "relevance", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(_mmr, out_schema)

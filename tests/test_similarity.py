@@ -251,3 +251,58 @@ def test_matryoshka_recall_full_dim_is_one(spark):
     # 2-dim recall is defined and bounded
     assert all(0.0 <= v <= 1.0 for v in by_dim[2])
     assert len(out) == 4
+
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    # query 0 = [1,0]; candidates 1 and 2 are EXACT duplicates (cosine 1
+    # → full redundancy penalty); 3 is less relevant but diverse.
+    # Plain top-2 = {1, 2}; MMR with λ=0.5 picks 3 second.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.05]),
+        (2, [1.0, 0.05]),
+        (3, [0.8, -0.6]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pick"]: r for r in
+           similarity.mmr_topk(emb, query_ids=[0], k_pick=3, n_cand=10,
+                               lam=0.5).collect()}
+    assert out[1]["vec_id"] == 1               # most relevant first
+    assert out[2]["vec_id"] == 3               # diversity beats near-dup
+    assert out[3]["vec_id"] == 2
+    assert out[1]["mmr_score"] == out[1]["relevance"]
+    assert out[2]["mmr_score"] < out[2]["relevance"]  # penalty applied
+
+
+def test_mmr_matches_numpy_greedy(spark, emb, emb_np):
+    ids, mat = emb_np
+    lam, n_cand, k_pick = 0.7, 10, 3
+    got = {}
+    for r in similarity.mmr_topk(emb, query_ids=[0, 1], k_pick=k_pick,
+                                 n_cand=n_cand, lam=lam).collect():
+        got.setdefault(r["query_id"], []).append((r["pick"], r["vec_id"]))
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in (0, 1):
+        qi = np.where(ids == qid)[0][0]
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        cand = sorted([(s, i) for s, i in zip(sims, ids) if i != qid],
+                      key=lambda t: (-t[0], t[1]))[:n_cand]
+        cidx = [np.where(ids == i)[0][0] for _, i in cand]
+        picked = []
+        for step in range(k_pick):
+            if not picked:
+                best = 0
+            else:
+                scores = []
+                for j, ci in enumerate(cidx):
+                    if j in picked:
+                        scores.append((-np.inf, ids[ci]))
+                        continue
+                    pen = max((mat[ci] @ mat[cidx[p]]) / (norms[ci] * norms[cidx[p]])
+                              for p in picked)
+                    scores.append((lam * cand[j][0] - (1 - lam) * pen, ids[ci]))
+                best = min(range(len(scores)),
+                           key=lambda j: (-scores[j][0], scores[j][1]))
+            picked.append(best)
+        expect = [(s + 1, int(ids[cidx[b]])) for s, b in enumerate(picked)]
+        assert sorted(got[qid]) == sorted(expect), qid
