@@ -88,6 +88,13 @@ GUARDED = [
     "x59_dq_rules",
     "m8_contrastive_pairs",
     "a13_modularity",
+    "a15_link_prediction",
+    "x64_peak_open_orders",
+    "t26_zipf_fit",
+    "e25_changepoint",
+    "d9_edit_verified_dups",
+    "m9_augmentation_plan",
+    "e27_chained_agg_stream",
 ]
 
 
