@@ -1168,6 +1168,66 @@ def d9_edit_verified_dups(spark, sf_dir):
     )
 
 
+def x65_orc_roundtrip(spark, sf_dir):
+    """Second columnar sink/source: the orders fact written to ORC
+    (zlib, Spark's native writer), read back, and aggregated — the
+    oracle computes the identical aggregate from the original parquet,
+    so the roundtrip is pinned lossless for longs, DECIMAL-exact sums,
+    and date strings.  At scale ORC vs parquet is a format choice, not
+    a plan choice: the scan/pushdown machinery is shared."""
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = tempfile.mkdtemp(prefix="spark_orc_") + "/orders"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def a17_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded random walks (graph_algos.random_walks):
+    4 DeepWalk steps from every bucket-head customer over the
+    bucket-chained graph — each step ONE (node, rank) equi-join of the
+    whole walk frontier against the ranked adjacency; neighbour choice
+    is md5₆₀(start:step:pos) mod degree, so the oracle replays the
+    identical walks."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    starts = ids.where((F.col("id") - 1000000) % 10 == 0)
+    return graph_algos.random_walks(e, starts, steps=4)
+
+
+def t27_mixture_rates(spark, sf_dir):
+    """Corpus mixing weights (functions/text.py::mixture_rates):
+    per-source sampling rates hitting a uniform target mixture at a 60%
+    char budget, availability-capped with one proportional
+    redistribution round — the pretraining data-mix step; the corpus is
+    scanned once regardless of rounds."""
+    return text.mixture_rates(_docs(spark, sf_dir), budget_frac=0.6)
+
+
 def s15_mmr_rerank(spark, sf_dir):
     """MMR diversified retrieval (functions/similarity.py::mmr_topk):
     exact cosine top-10 candidates per query (s1's broadcast-queries ×
@@ -3003,6 +3063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_session_window": e12_session_window,
         "e14_sliding_stream": e14_sliding_stream,
         "e15_upsert_stream": e15_upsert_stream,
+        "x65_orc_roundtrip": x65_orc_roundtrip,
+        "a17_random_walks": a17_random_walks,
+        "t27_mixture_rates": t27_mixture_rates,
         "s15_mmr_rerank": s15_mmr_rerank,
         "e27_chained_agg_stream": e27_chained_agg_stream,
     }
@@ -5265,6 +5328,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
         """,
+        "x65_orc_roundtrip": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_price,
+                   MIN(o_orderdate) AS first_date,
+                   MAX(o_orderdate) AS last_date
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "a17_random_walks": _random_walks_oracle(),
+        "t27_mixture_rates": """
+            WITH per AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail
+                         FROM documents GROUP BY source),
+            tot AS (SELECT SUM(avail) AS t, COUNT(*) AS ns FROM per),
+            base AS (SELECT source, avail, t * 0.6 / ns AS target,
+                            (t * 0.6 / ns) > avail AS capped
+                     FROM per, tot),
+            redis AS (SELECT
+                COALESCE(SUM(CASE WHEN capped THEN target - avail END),
+                         CAST(0.0 AS DOUBLE)) AS surplus,
+                COALESCE(SUM(CASE WHEN NOT capped THEN target END),
+                         CAST(0.0 AS DOUBLE)) AS opensum
+              FROM base),
+            rated AS (
+              SELECT source, avail, ROUND(target, 6) AS target, capped,
+                     ROUND(CASE WHEN capped THEN 1.0
+                                ELSE LEAST(1.0, (target + surplus * target / opensum)
+                                                / avail) END, 6) AS final_rate
+              FROM base, redis)
+            SELECT source, avail, target, capped, final_rate,
+                   ROUND(LEAST(final_rate * avail, avail), 6) AS expected
+            FROM rated ORDER BY source
+        """,
         "s15_mmr_rerank": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
@@ -5529,6 +5624,59 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _random_walks_oracle(steps: int = 4) -> str:
+    """DuckDB mirror of a17: the ranked adjacency of the bucket-chained
+    customer graph and the ``steps`` hash-chosen hops unrolled as CTEs;
+    the neighbour choice replays md5_hash60 (15-nibble md5 prefix as a
+    base-16 integer) mod degree exactly."""
+
+    def h60(expr: str) -> str:
+        return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substr(md5({expr}), 1, 15), ''),
+                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, b) -> a * 16 + b)"""
+
+    walks = []
+    prev = "w0"
+    for t in range(1, steps + 1):
+        key = (
+            f"CAST(w.start AS VARCHAR) || ':{t}:' || CAST(w.node AS VARCHAR)"
+        )
+        walks.append(f"""
+        w{t} AS (
+          SELECT w.start, a.w AS node
+          FROM {prev} w JOIN adj a ON a.p = w.node
+          WHERE a.rk = ({h60(key)}) % a.deg)""")
+        prev = f"w{t}"
+    chain = ",".join(walks)
+    selects = "\n            UNION ALL\n            ".join(
+        f"SELECT start, {t} AS step, node FROM w{t}" for t in range(steps + 1)
+    )
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+        ),
+        und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        adj AS (
+          SELECT src AS p, dst AS w,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY src) AS deg
+          FROM und),
+        w0 AS (SELECT k AS start, k AS node FROM ck WHERE raw % 10 = 0),
+        {chain}
+        {selects}
     """
 
 

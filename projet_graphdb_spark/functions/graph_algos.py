@@ -888,3 +888,56 @@ def landmark_closeness(
             F.round(F.col("n_reached") / F.col("sum_dist"), round_dp),
         ).otherwise(F.lit(0.0)).alias("closeness"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic hash-seeded random walks — the node2vec/DeepWalk
+    sampling primitive without RNG state: at step t from position p the
+    walk started at s takes neighbour number
+    ``md5₆₀(s ":" t ":" p) mod deg(p)`` of p's id-ordered adjacency
+    list.  Any executor, any retry, any engine replays the identical
+    walk (the md5-hex-prefix trick that makes the MinHash family
+    oracle-portable).
+
+    Scale shape: the ranked adjacency table is built once (one window
+    over the adjacency shuffled by node); each step is ONE equi-join of
+    the walk frontier against it on (node, rank) — steps are joins, not
+    per-walk loops, so 10⁹ walks advance together.  Walks stop early at
+    sinks (no out-neighbours).  Output: (start, step, node), step 0..``steps``.
+    """
+    from .dedup import md5_hash60
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    adj = e.dropDuplicates().select(F.col("src").alias("_p"), F.col("dst").alias("_w"))
+    from pyspark.sql.window import Window as _W
+
+    adj = adj.withColumn(
+        "_rk", F.row_number().over(_W.partitionBy("_p").orderBy("_w")) - 1
+    )
+    deg = adj.groupBy("_p").agg(F.count(F.lit(1)).alias("_deg"))
+    adj, _, small = _materialize(adj.join(deg, "_p"))
+
+    walk = starts.select(F.col("id").alias("start"), F.col("id").alias("node"))
+    out = walk.withColumn("step", F.lit(0))
+    for t in range(1, steps + 1):
+        key = F.concat_ws(":", F.col("start"), F.lit(t), F.col("node"))
+        nxt = (
+            walk.withColumn("_h", md5_hash60(key))
+            .join(adj, walk.node == adj._p)
+            .where(F.col("_rk") == F.col("_h") % F.col("_deg"))
+            .select("start", F.col("_w").alias("node"))
+        )
+        # every step stays referenced by the output union — checkpoint
+        # to cut lineage but never unpersist predecessors (bfs_levels
+        # pattern)
+        nxt, _ = _ckpt_rotate(_shrink(nxt, small), None)
+        out = out.unionByName(nxt.withColumn("step", F.lit(t)))
+        walk = nxt
+    return out

@@ -1182,3 +1182,63 @@ def template_prefixes(
         .where(F.col("n_docs") >= min_docs)
         .orderBy("prefix")
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    budget_frac: float = 0.6,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-source sampling rates that hit a target corpus mixture under
+    availability caps — the "data mixing" step of every pretraining
+    pipeline (uniform target share per source here; swap the target
+    expression for hand-tuned weights).
+
+    Water-filling, one redistribution round: each source's uniform
+    target is capped at its availability; the surplus from capped
+    sources is redistributed proportionally across uncapped ones (a
+    second overflow would iterate — one round is exact when at most one
+    tier of sources saturates, and is documented as approximate beyond).
+
+    Scale shape: one aggregate per source (map-side combined), then
+    pure arithmetic over the |sources|-row frame — the corpus is
+    scanned ONCE regardless of rounds.  Output per source:
+    (source, avail, target, capped, final_rate, expected).
+    """
+    per = docs.groupBy(source_col).agg(
+        F.sum(weight_col).cast("double").alias("avail")
+    )
+    tot = per.agg(
+        F.sum("avail").alias("_tot"), F.count(F.lit(1)).alias("_ns")
+    )
+    base = per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "avail",
+        (F.col("_tot") * F.lit(float(budget_frac)) / F.col("_ns")).alias("target"),
+    )
+    base = base.withColumn("capped", F.col("target") > F.col("avail"))
+    redis = base.agg(
+        F.sum(F.when(F.col("capped"), F.col("target") - F.col("avail")).otherwise(0.0)).alias("_surplus"),
+        F.sum(F.when(~F.col("capped"), F.col("target")).otherwise(0.0)).alias("_open"),
+    )
+    out = base.crossJoin(F.broadcast(redis)).select(
+        source_col,
+        "avail",
+        F.round("target", round_dp).alias("target"),
+        "capped",
+        F.round(
+            F.when(F.col("capped"), F.lit(1.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("target") + F.col("_surplus") * F.col("target") / F.col("_open"))
+                    / F.col("avail"),
+                )
+            ),
+            round_dp,
+        ).alias("final_rate"),
+    )
+    return out.withColumn(
+        "expected", F.round(F.least(F.col("final_rate") * F.col("avail"), F.col("avail")), round_dp)
+    ).orderBy(source_col)

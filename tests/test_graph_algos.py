@@ -366,3 +366,24 @@ def test_landmark_closeness_disconnected(spark):
     assert set(out) == {0, 1}
     assert out[0]["closeness"] == 0.0  # the landmark itself: dist 0
     assert out[1]["closeness"] == pytest.approx(1.0)
+
+
+def test_random_walks_follow_edges_and_repeat(spark):
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(0,), (2,)], "id long")
+    a = sorted((r["start"], r["step"], r["node"])
+               for r in graph_algos.random_walks(e, starts, steps=3).collect())
+    b = sorted((r["start"], r["step"], r["node"])
+               for r in graph_algos.random_walks(e, starts, steps=3).collect())
+    assert a == b                                    # fully deterministic
+    rows = {(s, t): node for s, t, node in a}
+    # every start emits steps 0..3 (cycle graph: no sinks)
+    assert len(a) == 2 * 4
+    und = {(0, 1), (1, 2), (2, 3), (3, 0)}
+    und |= {(b_, a_) for a_, b_ in und}
+    for (s, t), node in rows.items():
+        if t > 0:
+            assert (rows[(s, t - 1)], node) in und   # hop uses a real edge
+    assert rows[(0, 0)] == 0 and rows[(2, 0)] == 2

@@ -462,3 +462,21 @@ def test_bigram_pmi_detects_collocation(spark):
     ny = out[("new", "york")]
     assert ny["n_pair"] == 5
     assert ny["pmi"] > 0  # genuine collocation scores positive
+
+
+def test_mixture_rates_caps_and_redistributes(spark):
+    # source a: 100 chars, b: 1000, c: 1000; budget 0.6 → per-source
+    # target 420; a caps at 100 (rate 1), surplus 320 split evenly over
+    # b and c → 580 each → rate 0.58
+    rows = [("a", 100), ("b", 1000), ("c", 1000)]
+    docs = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in text.mixture_rates(docs, budget_frac=0.6).collect()}
+    assert out["a"]["capped"] and out["a"]["final_rate"] == 1.0
+    assert out["b"]["final_rate"] == pytest.approx(0.58)
+    assert out["c"]["final_rate"] == pytest.approx(0.58)
+    assert out["a"]["expected"] == 100.0
+    total_expected = sum(r["expected"] for r in out.values())
+    assert total_expected == pytest.approx(0.6 * 2100)  # budget hit exactly
