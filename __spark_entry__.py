@@ -1168,6 +1168,61 @@ def d9_edit_verified_dups(spark, sf_dir):
     )
 
 
+def e28_left_join_stream(spark, sf_dir):
+    """LEFT OUTER stream-stream join (streaming/stream_join.py::
+    click_purchase_left_stream), drained availableNow: matched pairs
+    emit eagerly; unmatched purchases null-emit once the GLOBAL
+    watermark — the MIN over both inputs' (max ts − 2 h) — passes their
+    timestamp.  The oracle replays inner matches plus exactly that
+    null-emission predicate; parity also pinned in
+    tests/test_skew_streamdedup.py."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.stream_join import click_purchase_left_stream
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = click_purchase_left_stream(spark, path, schema, query_name="e28_sink")
+    return drain(q, spark, "e28_sink")
+
+
+def x66_hierarchy_rollup(spark, sf_dir):
+    """Subtree rollup over an implicit binary-tree supplier hierarchy
+    (parent = suppkey div 2) WITHOUT recursion or joins for the
+    closure: every node's ancestor list is computable arithmetically
+    (k div 2^j, j = 0..⌈log₂ n⌉), so the ancestor-pairs table is one
+    explode — O(n log n) map-side rows — and subtree revenue is ONE
+    aggregate.  The recursive-CTE workload (BOM explosion, org
+    rollups) flattened into Spark's sweet spot; a path-enumeration
+    hierarchy at 100 TB works the same way off a materialized path
+    column.  Output: top-3 levels' subtree revenue."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("_rev")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    ).join(li, F.col("k") == F.col("l_suppkey"), "left")
+    anc = sup.select(
+        "k",
+        F.coalesce(F.col("_rev"), F.lit(0).cast("decimal(25,2)")).alias("_rev"),
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("_j"),
+    ).select(
+        F.expr("k div CAST(pow(2, _j) AS BIGINT)").alias("ancestor"),
+        "_rev",
+        "_j",
+    ).where(F.col("ancestor") >= 1)
+    out = anc.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("subtree_size"),
+        F.sum("_rev").cast("double").alias("subtree_revenue"),
+    )
+    depth = F.floor(F.log2("ancestor"))
+    return (
+        out.withColumn("level", depth.cast("int"))
+        .where(F.col("level") <= 2)
+        .select("ancestor", "level", "subtree_size", "subtree_revenue")
+        .orderBy("ancestor")
+    )
+
+
 def x65_orc_roundtrip(spark, sf_dir):
     """Second columnar sink/source: the orders fact written to ORC
     (zlib, Spark's native writer), read back, and aggregated — the
@@ -3063,11 +3118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_session_window": e12_session_window,
         "e14_sliding_stream": e14_sliding_stream,
         "e15_upsert_stream": e15_upsert_stream,
+        "x66_hierarchy_rollup": x66_hierarchy_rollup,
         "x65_orc_roundtrip": x65_orc_roundtrip,
         "a17_random_walks": a17_random_walks,
         "t27_mixture_rates": t27_mixture_rates,
         "s15_mmr_rerank": s15_mmr_rerank,
         "e27_chained_agg_stream": e27_chained_agg_stream,
+        "e28_left_join_stream": e28_left_join_stream,
     }
 
 
@@ -5327,6 +5384,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "e28_left_join_stream": """
+            WITH inner_pairs AS (
+              SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                     c.ts AS click_ts
+              FROM events p JOIN events c
+                ON c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+              WHERE p.event_type = 'purchase'),
+            wm AS (
+              SELECT MIN(m) - INTERVAL 2 HOUR AS w FROM (
+                SELECT event_type, MAX(ts) AS m FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY event_type)),
+            unmatched AS (
+              SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                     CAST(NULL AS TIMESTAMP) AS click_ts
+              FROM events p, wm
+              WHERE p.event_type = 'purchase' AND p.ts < wm.w
+                AND NOT EXISTS (SELECT 1 FROM inner_pairs i
+                                WHERE i.purchase_id = p.event_id))
+            SELECT * FROM inner_pairs
+            UNION ALL
+            SELECT * FROM unmatched
+        """,
+        "x66_hierarchy_rollup": """
+            WITH rev AS (
+              SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS r
+              FROM lineitem GROUP BY l_suppkey),
+            sup AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     COALESCE(rev.r, CAST(0 AS DECIMAL(25,2))) AS r
+              FROM supplier LEFT JOIN rev ON rev.l_suppkey = s_suppkey),
+            anc AS (
+              SELECT k // CAST(pow(2, j) AS BIGINT) AS ancestor, r
+              FROM sup CROSS JOIN (SELECT unnest(range(0, 15)) AS j)
+              WHERE k // CAST(pow(2, j) AS BIGINT) >= 1)
+            SELECT ancestor,
+                   CAST(FLOOR(log2(ancestor)) AS INT) AS level,
+                   COUNT(*) AS subtree_size,
+                   CAST(SUM(r) AS DOUBLE) AS subtree_revenue
+            FROM anc GROUP BY ancestor
+            HAVING CAST(FLOOR(log2(ancestor)) AS INT) <= 2
+            ORDER BY ancestor
         """,
         "x65_orc_roundtrip": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,

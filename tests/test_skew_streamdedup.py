@@ -109,3 +109,27 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     s = sorted(map(tuple, got.collect()))
     assert len(b) > 0
     assert b == s
+
+
+def test_left_outer_stream_join_parity(spark):
+    """Left-outer stream-stream join equals the batch twin, including
+    the min-over-inputs global-watermark null-emission contract."""
+    from conftest import SF_TINY
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.events import load_events
+    from projet_graphdb_spark.streaming.stream_join import (
+        click_purchase_left_batch,
+        click_purchase_left_stream,
+    )
+
+    path, schema = stream_source(spark, SF_TINY)
+    with state_partitions(spark, 4):
+        q = click_purchase_left_stream(spark, path, schema, query_name="t_cp_left")
+    key = lambda t: tuple(str(x) for x in t)
+    got = sorted(map(tuple, drain(q, spark, "t_cp_left").collect()), key=key)
+    want = sorted(
+        map(tuple, click_purchase_left_batch(load_events(spark, SF_TINY)).collect()),
+        key=key,
+    )
+    assert got == want and len(got) > 0
+    assert any(t[-1] is None for t in got)          # real null-extensions present
