@@ -1168,6 +1168,130 @@ def d9_edit_verified_dups(spark, sf_dir):
     )
 
 
+def x67_spatial_join(spark, sf_dir):
+    """Grid-bucketed spatial self-join: customers get deterministic
+    hash-derived coordinates on a 100×100 unit plane; pairs within
+    Euclidean distance 0.5 are found by bucketing into cell-size-0.5
+    grid cells and joining each point's cell to its 3×3 neighbourhood
+    (the 9-cell explode) — candidates bounded per cell, exact distance
+    verifies.  The standard spatial-join plan (geohash/S2 at planet
+    scale): NEVER the all-pairs cross join; skewed cells are the d2
+    posting-cap story.  Output: (id_a, id_b, dist)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    h1 = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("x"), "id")), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("y"), "id")), 1, 15), 16, 10).cast("long")
+    pts = c.select(
+        "id",
+        ((h1 % 1000000) / 10000.0).alias("x"),
+        ((h2 % 1000000) / 10000.0).alias("y"),
+    )
+    cell = 0.5
+    cx = F.floor(F.col("x") / cell).cast("long")
+    cy = F.floor(F.col("y") / cell).cast("long")
+    a = pts.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(*[F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ).alias("_c"),
+    ).select("id", "x", "y", "_c.cx", "_c.cy")
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("id") < F.col("id_b"))
+        .where(d2 <= F.lit(cell * cell))
+        .select(
+            F.col("id").alias("id_a"), "id_b",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+    )
+
+
+def x68_target_encoding(spark, sf_dir):
+    """Leakage-free K-fold target encoding: per customer market segment,
+    the mean order price computed EXCLUDING the row's own fold
+    (complement arithmetic: (sum_seg − sum_seg,fold)/(cnt_seg −
+    cnt_seg,fold)) — the classic ML categorical feature without
+    train-on-self leakage.  One (segment, fold) aggregate + one
+    segment aggregate; the fold assignment is a deterministic key hash.
+    Output per (segment, fold): the encoding value a row in that fold
+    would receive."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(25,2)").alias("_p")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    fold = (F.col("o_custkey") % 5).cast("int").alias("fold")
+    base = o.join(cust, "o_custkey").select("segment", fold, "_p")
+    per_sf = base.groupBy("segment", "fold").agg(
+        F.sum("_p").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    per_s = per_sf.groupBy("segment").agg(
+        F.sum("_s").alias("_ts"), F.sum("_n").alias("_tn")
+    )
+    return (
+        per_sf.join(per_s, "segment")
+        .select(
+            "segment",
+            "fold",
+            F.col("_n").alias("fold_rows"),
+            ((F.col("_ts") - F.col("_s")).cast("double")
+             / (F.col("_tn") - F.col("_n"))).alias("encoding"),
+        )
+        .orderBy("segment", "fold")
+    )
+
+
+def x69_order_streaks(spark, sf_dir):
+    """Gaps-and-islands: each customer's maximal runs of CONSECUTIVE
+    order months, via the classic monthnum − DENSE_RANK constant-group
+    trick — two windows partitioned by customer (one shuffle), zero
+    self-joins.  Output: customers' longest streak ≥ 3 months with its
+    span."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", F.to_date("o_orderdate").alias("_d")
+    )
+    months = o.select(
+        "o_custkey",
+        (F.year("_d") * 12 + F.month("_d") - 1).alias("_m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("_m")
+    grp = months.withColumn("_grp", F.col("_m") - F.dense_rank().over(w))
+    streaks = grp.groupBy("o_custkey", "_grp").agg(
+        F.count(F.lit(1)).alias("streak_months"),
+        F.min("_m").alias("_lo"),
+        F.max("_m").alias("_hi"),
+    )
+    pick = Window.partitionBy("o_custkey").orderBy(
+        F.desc("streak_months"), F.asc("_lo")
+    )
+    fmt = lambda c: F.concat_ws(
+        "-",
+        F.floor(F.col(c) / 12).cast("string"),
+        F.lpad((F.col(c) % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        streaks.withColumn("_rn", F.row_number().over(pick))
+        .where((F.col("_rn") == 1) & (F.col("streak_months") >= 3))
+        .select(
+            "o_custkey",
+            "streak_months",
+            fmt("_lo").alias("streak_start"),
+            fmt("_hi").alias("streak_end"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def e28_left_join_stream(spark, sf_dir):
     """LEFT OUTER stream-stream join (streaming/stream_join.py::
     click_purchase_left_stream), drained availableNow: matched pairs
@@ -3125,6 +3249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_mmr_rerank": s15_mmr_rerank,
         "e27_chained_agg_stream": e27_chained_agg_stream,
         "e28_left_join_stream": e28_left_join_stream,
+        "x67_spatial_join": x67_spatial_join,
+        "x68_target_encoding": x68_target_encoding,
+        "x69_order_streaks": x69_order_streaks,
     }
 
 
@@ -5384,6 +5511,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "x67_spatial_join": """
+            WITH h AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'x:' || CAST(c_custkey AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hx,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'y:' || CAST(c_custkey AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hy
+              FROM customer),
+            pts AS (
+              SELECT id,
+                     (hx % 1000000) / CAST(10000.0 AS DOUBLE) AS x,
+                     (hy % 1000000) / CAST(10000.0 AS DOUBLE) AS y
+              FROM h),
+            cells AS (
+              SELECT id, x, y,
+                     CAST(FLOOR(x / 0.5) AS BIGINT) AS cx,
+                     CAST(FLOOR(y / 0.5) AS BIGINT) AS cy
+              FROM pts),
+            a AS (
+              SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+              FROM cells
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)),
+            paired AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy AND a.id < b.id)
+            SELECT id_a, id_b, ROUND(sqrt(d2), 6) AS dist
+            FROM paired WHERE d2 <= 0.5 * 0.5
+        """,
+        "x68_target_encoding": """
+            WITH base AS (
+              SELECT c.c_mktsegment AS segment,
+                     CAST(o.o_custkey % 5 AS INT) AS fold,
+                     CAST(o.o_totalprice AS DECIMAL(25,2)) AS p
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            per_sf AS (
+              SELECT segment, fold, SUM(p) AS s, COUNT(*) AS n
+              FROM base GROUP BY segment, fold),
+            per_s AS (
+              SELECT segment, SUM(s) AS ts, SUM(n) AS tn FROM per_sf
+              GROUP BY segment)
+            SELECT segment, fold, n AS fold_rows,
+                   CAST(ts - s AS DOUBLE) / (tn - n) AS encoding
+            FROM per_sf JOIN per_s USING (segment)
+            ORDER BY segment, fold
+        """,
+        "x69_order_streaks": """
+            WITH months AS (
+              SELECT DISTINCT o_custkey,
+                     year(CAST(o_orderdate AS DATE)) * 12
+                     + month(CAST(o_orderdate AS DATE)) - 1 AS m
+              FROM orders),
+            grp AS (
+              SELECT o_custkey, m,
+                     m - DENSE_RANK() OVER (PARTITION BY o_custkey
+                                            ORDER BY m) AS g
+              FROM months),
+            streaks AS (
+              SELECT o_custkey, g, COUNT(*) AS streak_months,
+                     MIN(m) AS lo, MAX(m) AS hi
+              FROM grp GROUP BY o_custkey, g)
+            SELECT o_custkey, streak_months, streak_start, streak_end FROM (
+              SELECT o_custkey, streak_months,
+                     CAST(lo // 12 AS VARCHAR) || '-'
+                         || lpad(CAST(lo % 12 + 1 AS VARCHAR), 2, '0') AS streak_start,
+                     CAST(hi // 12 AS VARCHAR) || '-'
+                         || lpad(CAST(hi % 12 + 1 AS VARCHAR), 2, '0') AS streak_end
+              FROM streaks
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY streak_months DESC, lo ASC) = 1)
+            WHERE streak_months >= 3
+            ORDER BY o_custkey
         """,
         "e28_left_join_stream": """
             WITH inner_pairs AS (
