@@ -1168,6 +1168,42 @@ def d9_edit_verified_dups(spark, sf_dir):
     )
 
 
+def a18_maximal_independent_set(spark, sf_dir):
+    """Derandomized Luby MIS (graph_algos.maximal_independent_set) over
+    the bucket-chained customer graph: md5₆₀ content-hash priorities,
+    each round two adjacency joins + a min aggregate; oracle unrolls
+    the rounds as chained CTEs with identical hash arithmetic."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.maximal_independent_set(e, max_rounds=8)
+
+
+def s16_knn_hamming(spark, sf_dir):
+    """1-bit binarized kNN (functions/similarity.py::knn_hamming): sign
+    bits packed into two 32-bit words by Horner's rule, Hamming
+    distance by XOR+popcount — the 64× memory tier below int8 (s5),
+    bit-exact against the DuckDB oracle because everything is integer."""
+    return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def t28_blocklist_filter(spark, sf_dir):
+    """Token-level blocklist screening (functions/text.py::
+    blocklist_filter): occurrences, share, and keep flag per document —
+    map-only higher-order-function column algebra, no UDF."""
+    return text.blocklist_filter(_docs(spark, sf_dir))
+
+
 def x67_spatial_join(spark, sf_dir):
     """Grid-bucketed spatial self-join: customers get deterministic
     hash-derived coordinates on a 100×100 unit plane; pairs within
@@ -3250,6 +3286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e27_chained_agg_stream": e27_chained_agg_stream,
         "e28_left_join_stream": e28_left_join_stream,
         "x67_spatial_join": x67_spatial_join,
+        "a18_maximal_independent_set": a18_maximal_independent_set,
+        "s16_knn_hamming": s16_knn_hamming,
+        "t28_blocklist_filter": t28_blocklist_filter,
         "x68_target_encoding": x68_target_encoding,
         "x69_order_streaks": x69_order_streaks,
     }
@@ -5512,6 +5551,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
         """,
+        "a18_maximal_independent_set": _mis_oracle(),
+        "s16_knn_hamming": """
+            WITH sig AS (
+              SELECT vec_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(CAST(embedding[1:32] AS DOUBLE[]),
+                                      x -> CAST(x >= 0 AS BIGINT))),
+                       (a, b) -> a * 2 + b) AS s0,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(CAST(embedding[33:64] AS DOUBLE[]),
+                                      x -> CAST(x >= 0 AS BIGINT))),
+                       (a, b) -> a * 2 + b) AS s1
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, s0 AS q0, s1 AS q1
+                  FROM sig WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, s.vec_id AS neighbour_id,
+                     CAST(bit_count(xor(s.s0, q.q0))
+                          + bit_count(xor(s.s1, q.q1)) AS INT) AS hamming
+              FROM q JOIN sig s ON s.vec_id <> q.query_id)
+            SELECT query_id, neighbour_id, rank, hamming FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY hamming ASC, neighbour_id ASC) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "t28_blocklist_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                         AS n_tokens,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(
+                                 string_split_regex(trim(text), '\\s+'),
+                                 x -> list_contains(['slow', 'corrupt', 'spam'], x)))
+                          END AS n_blocked
+              FROM documents),
+            s AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(n_blocked AS BIGINT) AS n_blocked,
+                     CASE WHEN n_tokens > 0
+                          THEN ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 6)
+                          ELSE 0.0 END AS blocked_share
+              FROM t)
+            SELECT doc_id, n_tokens, n_blocked, blocked_share,
+                   blocked_share <= 0.05 AS keep
+            FROM s
+        """,
         "x67_spatial_join": """
             WITH h AS (
               SELECT CAST(c_custkey AS BIGINT) AS id,
@@ -5932,6 +6020,57 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _mis_oracle(rounds: int = 8) -> str:
+    """DuckDB mirror of a18: Luby rounds unrolled as chained CTEs over
+    the bucket-chained customer graph, identical md5₆₀ priorities."""
+    h60 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(md5(CAST(id AS VARCHAR)), 1, 15), ''),
+            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        (a, b) -> a * 16 + b)"""
+    chain = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+        minp{r} AS (
+          SELECT adj.p AS id, MIN(b.pri) AS mp
+          FROM adj JOIN {prev} a ON a.id = adj.p
+          JOIN {prev} b ON b.id = adj.w
+          GROUP BY adj.p),
+        sel{r} AS (
+          SELECT a.id FROM {prev} a LEFT JOIN minp{r} m ON m.id = a.id
+          WHERE m.id IS NULL OR a.pri < m.mp),
+        rem{r} AS (SELECT id FROM sel{r}
+                   UNION
+                   SELECT adj.w AS id FROM adj JOIN sel{r} s ON s.id = adj.p),
+        a{r} AS MATERIALIZED (
+          SELECT a.id, a.pri FROM {prev} a
+          WHERE NOT EXISTS (SELECT 1 FROM rem{r} x WHERE x.id = a.id))""")
+        prev = f"a{r}"
+    selects = "\n            UNION ALL\n            ".join(
+        f"SELECT id, {r} AS round FROM sel{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+        ),
+        und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        adj AS (SELECT src AS p, dst AS w FROM und WHERE src <> dst),
+        a0 AS (SELECT id, {h60} AS pri
+               FROM (SELECT DISTINCT p AS id FROM adj)),
+        {",".join(chain)}
+        {selects}
     """
 
 

@@ -941,3 +941,61 @@ def random_walks(
         out = out.unionByName(nxt.withColumn("step", F.lit(t)))
         walk = nxt
     return out
+
+
+def maximal_independent_set(
+    edges: DataFrame, max_rounds: int = 8, directed: bool = False
+) -> DataFrame:
+    """Luby's maximal independent set, derandomized: each round selects
+    every active vertex whose md5₆₀ priority beats all active
+    neighbours', then deactivates selections and their neighbourhoods.
+    The foundational symmetry-breaking primitive (distributed
+    scheduling, graph coloring's first color class) — O(log n) rounds
+    w.h.p., each round two adjacency joins + one aggregate.
+
+    Priorities are content hashes, not RNG, so any engine replays the
+    identical MIS (the a17 determinism discipline).
+    Output: (id, round) — the round each MIS member was selected.
+    """
+    from .dedup import md5_hash60
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    adj, _, small = _materialize(
+        e.where(F.col("src") != F.col("dst")).dropDuplicates()
+        .select(F.col("src").alias("_p"), F.col("dst").alias("_w"))
+    )
+    nodes = adj.select(F.col("_p").alias("id")).distinct()
+    pr = nodes.select("id", md5_hash60(F.col("id").cast("string")).alias("_pri"))
+    active, _, _ = _materialize(pr)
+    out = None
+    ckpt = None
+    for r in range(1, max_rounds + 1):
+        a_ids = active.select("id")
+        nb = (
+            adj.join(a_ids.withColumnRenamed("id", "_p"), "_p")
+            .join(active.select(F.col("id").alias("_w"), F.col("_pri").alias("_wp")), "_w")
+        )
+        minp = nb.groupBy("_p").agg(F.min("_wp").alias("_mp"))
+        sel = (
+            active.join(minp, active.id == minp._p, "left")
+            .where(F.col("_mp").isNull() | (F.col("_pri") < F.col("_mp")))
+            .select("id")
+        )
+        sel, _ = _ckpt_rotate(_shrink(sel, small), None)
+        if sel.limit(1).count() == 0:
+            break
+        tagged = sel.withColumn("round", F.lit(r))
+        out = tagged if out is None else out.unionByName(tagged)
+        removed = sel.unionByName(
+            adj.join(sel.withColumnRenamed("id", "_p"), "_p").select(
+                F.col("_w").alias("id")
+            )
+        ).distinct()
+        active, ckpt = _ckpt_rotate(
+            _shrink(active.join(removed, "id", "left_anti"), small), ckpt
+        )
+    if out is None:
+        out = nodes.withColumn("round", F.lit(0)).limit(0)
+    return out

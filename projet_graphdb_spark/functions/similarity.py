@@ -955,3 +955,63 @@ def mmr_topk(
         )
 
     return cand.groupBy("query_id").applyInPandas(_mmr, out_schema)
+
+
+def binary_signature(vec: Column) -> tuple[Column, Column]:
+    """1-bit binarization of a 64-dim vector: two 32-bit sign-bit words
+    (first half, second half), packed by Horner's rule (acc·2 + bit) so
+    any engine with a fold reproduces the exact words."""
+    def pack(sl: Column) -> Column:
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
+        )
+
+    return pack(F.slice(vec, 1, 32)), pack(F.slice(vec, 33, 32))
+
+
+def knn_hamming(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """64× compressed kNN: 1-bit sign binarization (64 dims → two
+    32-bit words) scored by Hamming distance — the memory tier below
+    int8 (s5): a billion vectors fit in 8 GB, XOR+popcount is the
+    cheapest possible scorer, and the sign-bit signature approximates
+    angular similarity (same family as SRP-LSH).  Exhaustive scan like
+    s1/s5 by design; pair with bucketing (s3/s4) for the index tier.
+
+    Output: (query_id, neighbour_id, rank, hamming) — ties by
+    neighbour id; fully integer, so the oracle is bit-exact.
+    """
+    s0, s1 = binary_signature(F.col(vec_col).cast("array<double>"))
+    sigs = embeddings.select(
+        F.col(id_col).alias("neighbour_id"), s0.alias("_s0"), s1.alias("_s1")
+    )
+    q = (
+        sigs.where(F.col("neighbour_id").isin(query_ids))
+        .select(
+            F.col("neighbour_id").alias("query_id"),
+            F.col("_s0").alias("_q0"),
+            F.col("_s1").alias("_q1"),
+        )
+    )
+    scored = sigs.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbour_id")
+    ).withColumn(
+        "hamming",
+        (
+            F.bit_count(F.col("_s0").bitwiseXOR(F.col("_q0")))
+            + F.bit_count(F.col("_s1").bitwiseXOR(F.col("_q1")))
+        ).cast("int"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "rank", "hamming")
+    )

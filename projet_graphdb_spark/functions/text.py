@@ -1242,3 +1242,36 @@ def mixture_rates(
     return out.withColumn(
         "expected", F.round(F.least(F.col("final_rate") * F.col("avail"), F.col("avail")), round_dp)
     ).orderBy(source_col)
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: tuple = ("slow", "corrupt", "spam"),
+    max_share: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level blocklist screening: per document, occurrences of
+    blocked tokens (multi-count, not distinct), their share of all
+    tokens, and the keep/reject flag at ``max_share`` — the lexical
+    safety/quality gate every corpus pipeline runs before training.
+
+    Map-only column algebra: tokens → higher-order ``filter`` against
+    the inlined blocklist array → counts; no UDF, no shuffle (the
+    blocklist is a literal; a 10⁵-term list would broadcast-join a
+    token explode instead).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    blocked = F.filter(
+        toks, lambda t: F.array_contains(F.array(*[F.lit(b) for b in blocklist]), t)
+    )
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    n_blk = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(blocked))
+    share = F.when(n_tok > 0, F.round(n_blk / n_tok, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_blk.cast("long").alias("n_blocked"),
+        share.alias("blocked_share"),
+        (share <= F.lit(max_share)).alias("keep"),
+    )

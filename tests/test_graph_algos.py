@@ -387,3 +387,30 @@ def test_random_walks_follow_edges_and_repeat(spark):
         if t > 0:
             assert (rows[(s, t - 1)], node) in und   # hop uses a real edge
     assert rows[(0, 0)] == 0 and rows[(2, 0)] == 2
+
+
+def test_mis_independent_and_maximal(spark):
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, size=(60, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mis = {r["id"] for r in graph_algos.maximal_independent_set(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independent: no two MIS members adjacent
+    for v in mis:
+        assert not (adj[v] & mis), v
+    # maximal: every non-member has a MIS neighbour
+    for v in set(adj) - mis:
+        assert adj[v] & mis, v
+
+
+def test_mis_path_graph_rounds(spark):
+    # path 0-1-2: either {1} (if 1 wins) or {0, 2}; determinism pinned
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    a = sorted((r["id"], r["round"]) for r in
+               graph_algos.maximal_independent_set(e).collect())
+    b = sorted((r["id"], r["round"]) for r in
+               graph_algos.maximal_independent_set(e).collect())
+    assert a == b and len(a) in (1, 2)

@@ -306,3 +306,20 @@ def test_mmr_matches_numpy_greedy(spark, emb, emb_np):
             picked.append(best)
         expect = [(s + 1, int(ids[cidx[b]])) for s, b in enumerate(picked)]
         assert sorted(got[qid]) == sorted(expect), qid
+
+
+def test_knn_hamming_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    got = {}
+    for r in similarity.knn_hamming(emb, query_ids=[0, 3], k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbour_id"], r["hamming"])
+        )
+    bits = (mat >= 0).astype(int)
+    for qid in (0, 3):
+        qi = np.where(ids == qid)[0][0]
+        hd = [(int((bits[i] != bits[qi]).sum()), int(ids[i]))
+              for i in range(len(ids)) if ids[i] != qid]
+        expect = sorted(hd)[:5]
+        expect = [(r + 1, nid, h) for r, (h, nid) in enumerate(expect)]
+        assert sorted(got[qid]) == expect, qid

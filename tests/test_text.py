@@ -480,3 +480,16 @@ def test_mixture_rates_caps_and_redistributes(spark):
     assert out["a"]["expected"] == 100.0
     total_expected = sum(r["expected"] for r in out.values())
     assert total_expected == pytest.approx(0.6 * 2100)  # budget hit exactly
+
+
+def test_blocklist_filter_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "slow query slow scan"), (2, "fast table"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.blocklist_filter(docs, blocklist=("slow",), max_share=0.4).collect()}
+    assert out[1]["n_blocked"] == 2 and out[1]["n_tokens"] == 4
+    assert out[1]["blocked_share"] == 0.5 and not out[1]["keep"]
+    assert out[2]["n_blocked"] == 0 and out[2]["keep"]
+    assert out[3]["n_tokens"] == 0 and out[3]["blocked_share"] == 0.0 and out[3]["keep"]
