@@ -59,6 +59,24 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_DUP_CLUSTERS_CACHE: dict = {}
+
+
+def _dup_clusters_cached(spark, sf_dir):
+    """d5's MinHash-LSH cluster manifest, memoized per (session, sf) —
+    the same move as sources/parquet_graph._LOAD_CACHE: d5/d12/d17/d18
+    all consume the identical manifest, and the iterative component
+    closure is the expensive part, so it is computed once and pinned
+    with localCheckpoint (blocks freed with the session)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DUP_CLUSTERS_CACHE:
+        cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+        if len(_DUP_CLUSTERS_CACHE) > 16:
+            _DUP_CLUSTERS_CACHE.clear()
+        _DUP_CLUSTERS_CACHE[key] = cl.localCheckpoint(eager=True)
+    return _DUP_CLUSTERS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # graph-core queries (engine end-to-end; SURVEY §2 operators O1-O10)
 # ---------------------------------------------------------------------------
@@ -373,7 +391,7 @@ def d7_dedup_keep(spark, sf_dir):
     """The deduplicated-corpus manifest: documents surviving corpus-level
     near-dup clustering (d5's canonical copies), joined back to their
     metadata — the actual output a training pipeline materializes."""
-    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    cl = _dup_clusters_cached(spark, sf_dir)
     return (
         _docs(spark, sf_dir)
         .join(cl.where(F.col("keep")).select("doc_id"), "doc_id", "leftsemi")
@@ -545,7 +563,7 @@ def d5_dup_clusters(spark, sf_dir):
     near-dup cluster (functions/dedup.py::dup_clusters).  md5 hash
     family so the DuckDB oracle replays pairs then closes them
     transitively with a recursive CTE."""
-    return dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    return _dup_clusters_cached(spark, sf_dir)
 
 
 def s1_knn_bruteforce(spark, sf_dir):
@@ -2020,7 +2038,7 @@ def d17_dedup_weights(spark, sf_dir):
     sampling — soft dedup (down-weighting) instead of hard removal.
     One extra bounded-key aggregate + broadcast-back join on top of the
     existing cluster pipeline."""
-    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    cl = _dup_clusters_cached(spark, sf_dir)
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
     return (
         cl.join(sizes, "cluster_id")
@@ -2045,7 +2063,7 @@ def d18_dedup_funnel(spark, sf_dir):
         dedup.fingerprint(F.col("text")).alias("fp")
     ).distinct().count()
     n_near = (
-        dedup.dup_clusters(docs, threshold=0.2, hash="md5")
+        _dup_clusters_cached(spark, sf_dir)
         .select("cluster_id").distinct().count()
     )
     return spark.createDataFrame(
@@ -2063,7 +2081,7 @@ def d12_cluster_sizes(spark, sf_dir):
     clusters of each size the corpus contains — the dedup report a
     pipeline publishes (singleton count = unique docs; the tail = the
     template/boilerplate families)."""
-    cl = dedup.dup_clusters(_docs(spark, sf_dir), threshold=0.2, hash="md5")
+    cl = _dup_clusters_cached(spark, sf_dir)
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")

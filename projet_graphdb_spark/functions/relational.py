@@ -2167,13 +2167,21 @@ def equidepth_histogram(
     last edges reported as the observed min/max.
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE array-percentile aggregate: a separate percentile() per edge
+    # would buffer the whole column once PER EDGE (n−1 sort buffers);
+    # the array form sorts one buffer and reads all n−1 quantiles off it
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
     edges = orders.agg(
-        *[
-            F.expr(f"percentile({val_col}, {q})").alias(f"_e{i}")
-            for i, q in enumerate(qs, start=1)
-        ],
+        F.expr(f"percentile({val_col}, {arr})").alias("_qarr"),
         F.min(val_col).alias("_e0"),
         F.max(val_col).alias(f"_e{n_buckets}"),
+    ).select(
+        "_e0",
+        f"_e{n_buckets}",
+        *[
+            F.element_at(F.col("_qarr"), i).alias(f"_e{i}")
+            for i in range(1, n_buckets)
+        ],
     )
     above = sum(
         (F.col(val_col) > F.col(f"_e{i}")).cast("int") for i in range(1, n_buckets)
