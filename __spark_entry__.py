@@ -1215,6 +1215,32 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def t29_sequence_packing(spark, sf_dir):
+    """Fixed-length example packing report (functions/text.py::
+    sequence_packing): 512-token examples packed per language in doc-id
+    order via the budget-cut window; per-example docs/used/pad/
+    efficiency — the padding-waste metric of LM batch construction."""
+    return text.sequence_packing(_docs(spark, sf_dir), max_len=512)
+
+
+def a19_diameter_estimate(spark, sf_dir):
+    """Graph diameter lower bound by DOUBLE-SWEEP BFS (the standard
+    estimator): BFS from a fixed seed, hop to the farthest vertex
+    (min-id tie-break), BFS again — the second eccentricity bounds the
+    diameter.  Two frontier expansions, each the a1 plan; exact
+    all-pairs eccentricity would be V full BFS runs, which is the point
+    of the estimator.  Output: one row (seed, far_vertex, diameter_lb)."""
+    e = _sn_subgraph(spark, sf_dir)
+    b1 = graph_algos.bfs_levels(e, sources=[2], directed=False)
+    far = b1.orderBy(F.desc("level"), F.asc("id")).limit(1).collect()[0]
+    b2 = graph_algos.bfs_levels(e, sources=[int(far["id"])], directed=False)
+    ecc = b2.agg(F.max("level").alias("_m")).collect()[0]["_m"]
+    return spark.createDataFrame(
+        [(2, int(far["id"]), int(ecc))],
+        "seed long, far_vertex long, diameter_lb long",
+    )
+
+
 def t28_blocklist_filter(spark, sf_dir):
     """Token-level blocklist screening (functions/text.py::
     blocklist_filter): occurrences, share, and keep flag per document —
@@ -3307,6 +3333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_maximal_independent_set": a18_maximal_independent_set,
         "s16_knn_hamming": s16_knn_hamming,
         "t28_blocklist_filter": t28_blocklist_filter,
+        "t29_sequence_packing": t29_sequence_packing,
+        "a19_diameter_estimate": a19_diameter_estimate,
         "x68_target_encoding": x68_target_encoding,
         "x69_order_streaks": x69_order_streaks,
     }
@@ -5568,6 +5596,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "t29_sequence_packing": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     LEAST(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END, 512) AS tk
+              FROM documents),
+            asn AS (
+              SELECT lang, doc_id, tk,
+                     CAST(FLOOR((SUM(tk) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - tk) / 512.0) AS BIGINT) AS example
+              FROM t)
+            SELECT lang AS "group", example, COUNT(*) AS n_docs,
+                   CAST(SUM(tk) AS BIGINT) AS used_tokens,
+                   CAST(512 - LEAST(SUM(tk), 512) AS BIGINT) AS pad_tokens,
+                   ROUND(CAST(LEAST(SUM(tk), 512) AS DOUBLE)
+                         / CAST(512.0 AS DOUBLE), 6) AS efficiency
+            FROM asn GROUP BY lang, example ORDER BY 1, 2
+        """,
+        "a19_diameter_estimate": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            bfs1 AS (
+              SELECT CAST(2 AS BIGINT) AS id, 0 AS lvl
+              UNION
+              SELECT eu.dst AS id, b.lvl + 1 AS lvl
+              FROM bfs1 b JOIN eu ON eu.src = b.id WHERE b.lvl < 20
+            ),
+            m1 AS (SELECT id, MIN(lvl) AS lvl FROM bfs1 GROUP BY id),
+            farpick AS (SELECT id FROM m1 ORDER BY lvl DESC, id ASC LIMIT 1),
+            bfs2 AS (
+              SELECT id, 0 AS lvl FROM farpick
+              UNION
+              SELECT eu.dst AS id, b.lvl + 1 AS lvl
+              FROM bfs2 b JOIN eu ON eu.src = b.id WHERE b.lvl < 20
+            ),
+            m2 AS (SELECT id, MIN(lvl) AS lvl FROM bfs2 GROUP BY id)
+            SELECT CAST(2 AS BIGINT) AS seed,
+                   (SELECT id FROM farpick) AS far_vertex,
+                   CAST((SELECT MAX(lvl) FROM m2) AS BIGINT) AS diameter_lb
         """,
         "a18_maximal_independent_set": _mis_oracle(),
         "s16_knn_hamming": """
