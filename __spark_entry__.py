@@ -1215,6 +1215,73 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def d20_prefix_filter_pairs(spark, sf_dir):
+    """EXACT set-similarity join by prefix filtering (functions/dedup.
+    py::prefix_filter_jaccard_pairs, AllPairs/PPJoin family): rare-token
+    prefixes generate candidates with zero recall loss — the
+    deterministic complement to d3's MinHash; oracle verifies via the
+    full inverted-index join (same exact answer by the prefix theorem)."""
+    return dedup.prefix_filter_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def x70_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by its holding interval to the next event — the correct
+    mean for irregularly-sampled series (plain AVG over-weights bursts).
+    One lead window per user + one aggregate; users with a single
+    event carry no interval and drop out."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros("ts")).alias("_dur"),
+    ).where(F.col("_dur").isNotNull())
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("_dur")) / F.sum("_dur"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def x71_ohlc(spark, sf_dir):
+    """OHLC candlesticks: per (hour, event type) the opening value (at
+    the earliest (ts, event_id)), high, low, and closing value (at the
+    latest) — one hash aggregate with min_by/max_by struct keys, the
+    time-series bar primitive with no window and no self-join."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.round(
+                F.expr(
+                    "min_by(value, concat(lpad(cast(unix_micros(ts) as string), 20, '0'),"
+                    " lpad(cast(event_id as string), 12, '0')))"
+                ),
+                6,
+            ).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(
+                F.expr(
+                    "max_by(value, concat(lpad(cast(unix_micros(ts) as string), 20, '0'),"
+                    " lpad(cast(event_id as string), 12, '0')))"
+                ),
+                6,
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
 def t29_sequence_packing(spark, sf_dir):
     """Fixed-length example packing report (functions/text.py::
     sequence_packing): 512-token examples packed per language in doc-id
@@ -3335,6 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_blocklist_filter": t28_blocklist_filter,
         "t29_sequence_packing": t29_sequence_packing,
         "a19_diameter_estimate": a19_diameter_estimate,
+        "d20_prefix_filter_pairs": d20_prefix_filter_pairs,
+        "x70_twap": x70_twap,
+        "x71_ohlc": x71_ohlc,
         "x68_target_encoding": x68_target_encoding,
         "x69_order_streaks": x69_order_streaks,
     }
@@ -5596,6 +5666,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, sess
+        """,
+        "d20_prefix_filter_pairs": f"""
+            WITH raw AS (
+              SELECT doc_id AS id, unnest({_SHINGLES}) AS tok FROM documents),
+            t2 AS (SELECT DISTINCT id, tok FROM raw),
+            sz AS (SELECT id, COUNT(*) AS s FROM t2 GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM t2 a JOIN t2 b ON b.tok = a.tok AND a.id < b.id
+              GROUP BY a.id, b.id),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jac
+              FROM pairs p
+              JOIN sz sa ON sa.id = p.id_a
+              JOIN sz sb ON sb.id = p.id_b)
+            SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.6
+        """,
+        "x70_twap": """
+            WITH spans AS (
+              SELECT user_id, value,
+                     epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                     - epoch_us(ts) AS dur
+              FROM events)
+            SELECT user_id, COUNT(*) AS n_intervals,
+                   ROUND(SUM(value * dur) / SUM(dur), 6) AS twap
+            FROM spans WHERE dur IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "x71_ohlc": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   ROUND(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6)
+                       AS open,
+                   ROUND(MAX(value), 6) AS high,
+                   ROUND(MIN(value), 6) AS low,
+                   ROUND(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6)
+                       AS close,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "t29_sequence_packing": """
             WITH t AS (

@@ -703,3 +703,70 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set-similarity join by PREFIX FILTERING (AllPairs/PPJoin
+    family): order each document's distinct word n-gram shingles by global rarity
+    (document frequency asc, token asc) and index only the first
+    ``|x| − ⌈t·|x|⌉ + 1`` tokens — two documents with Jaccard ≥ t MUST
+    share a prefix token (pigeonhole), so the candidate join touches
+    rare shingles only and the stop-token blow-up that forces d2's
+    posting cap never happens.  Candidates are verified exactly.
+
+    Pipeline: one DF aggregate, one per-doc rank window (shuffle on
+    doc), prefix self-join on the token (shuffle on token — bounded by
+    rarity), distinct, exact-intersection verify.  The complement to
+    d3's probabilistic MinHash: same output contract, zero recall loss.
+
+    Output: (id_a, id_b, jaccard ≥ threshold), exact.
+    """
+    toks = shingle_frame(docs, n, id_col, text_col).select(
+        F.col(id_col).alias("_id"), F.explode("_sh").alias("_tok")
+    )
+    sz = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    df_ = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = (
+        toks.join(df_, "_tok")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_tok"))
+            ),
+        )
+        .join(sz, "_id")
+    )
+    prefix = ranked.where(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_id", "_tok", "_sz")
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_tok", F.col("_sz").alias("_sza"))
+        .join(
+            prefix.select(F.col("_id").alias("id_b"), "_tok", F.col("_sz").alias("_szb")),
+            "_tok",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sza", "_szb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), "_tok")
+    tb = toks.select(F.col("_id").alias("id_b"), "_tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_tok"])
+        .groupBy("id_a", "id_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = F.col("_i") / (F.col("_sza") + F.col("_szb") - F.col("_i"))
+    return (
+        inter.where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
