@@ -95,6 +95,17 @@ GUARDED = [
     "d9_edit_verified_dups",
     "m9_augmentation_plan",
     "e27_chained_agg_stream",
+    "x65_orc_roundtrip",
+    "x66_hierarchy_rollup",
+    "x67_spatial_join",
+    "x68_target_encoding",
+    "x69_order_streaks",
+    "x70_twap",
+    "x71_ohlc",
+    "t28_blocklist_filter",
+    "t29_sequence_packing",
+    "a17_random_walks",
+    "d20_prefix_filter_pairs",
 ]
 
 
