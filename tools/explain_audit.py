@@ -30,6 +30,12 @@ from projet_graphdb_spark.engine import get_spark  # noqa: E402
 # broadcast side is a handful of rows by construction
 NL_ALLOWED = {
     "s1_knn_bruteforce",  # corpus x ~5 broadcast query vectors
+    "s15_mmr_rerank",  # candidate stage IS s1's broadcast-5-queries scan;
+    # the MMR greedy runs per-query over <=10 candidate rows
+    "s16_knn_hamming",  # same shape: exhaustive 1-bit scoring of ~5
+    # broadcast query signatures against the corpus scan
+    "t27_mixture_rates",  # 1-row corpus-total and 1-row redistribution
+    # aggregates broadcast into the |sources|-row frame — constant sides
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
