@@ -1215,6 +1215,76 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def g25_self_loop(spark, sf_dir):
+    """Self-loop motif (v)-[:r]->(v): the program extends the bulk
+    graph's schema with a reflexive relation, creates a loop on the
+    matched binding, and matches it back through the executor's
+    scol==tcol semi-join path (executor.py self-loop branch)."""
+    _, b = _graph_query(
+        spark,
+        sf_dir,
+        "(:Nation) -[:twin]-> (:Nation)\n"
+        'match (n: Nation) where n.name = "NATION_3" create (n) -[:twin]-> (n)\n'
+        "match (a: Nation) -[:twin]-> (a) return a",
+    )
+    return binding_table(b)
+
+
+def x72_linear_attribution(spark, sf_dir):
+    """Linear (equal-split) marketing attribution: each purchase's unit
+    of credit divides evenly across the clicks in its trailing hour —
+    the multi-touch model next to x5's last-touch as-of.  One bucketed
+    range join (x6's machinery) + one aggregate; no per-click windows."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = ranges.bucketed_range_join(
+        purchases, clicks, keys=["user_id"], lower_s=-3600, upper_s=0
+    )
+    return (
+        pairs.groupBy("user_id", "purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .withColumn("credit_each", F.round(1.0 / F.col("n_clicks"), 6))
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+def x73_conversion_delay(spark, sf_dir):
+    """Click→purchase conversion-delay distribution: exact p50/p90/p99
+    and mean of the wait between each purchase and the user's most
+    recent prior click (x5's as-of pick feeding ONE percentile
+    aggregate) — the funnel-latency report."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(purchases, clicks, keys=["user_id"], ts="ts", value_cols=["ts"])
+    delays = j.where(F.col("_r_ts").isNotNull()).select(
+        ((F.unix_micros("ts") - F.unix_micros("_r_ts")) / 1000000.0).alias("_d")
+    )
+    return (
+        delays.agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.expr("percentile(_d, array(0.5, 0.9, 0.99))").alias("_p"),
+            F.round(F.avg("_d"), 6).alias("mean_s"),
+        )
+        .select(
+            "n_conversions",
+            F.round(F.col("_p")[0], 6).alias("p50_s"),
+            F.round(F.col("_p")[1], 6).alias("p90_s"),
+            F.round(F.col("_p")[2], 6).alias("p99_s"),
+            "mean_s",
+        )
+    )
+
+
 def d20_prefix_filter_pairs(spark, sf_dir):
     """EXACT set-similarity join by prefix filtering (functions/dedup.
     py::prefix_filter_jaccard_pairs, AllPairs/PPJoin family): rare-token
@@ -3405,6 +3475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d20_prefix_filter_pairs": d20_prefix_filter_pairs,
         "x70_twap": x70_twap,
         "x71_ohlc": x71_ohlc,
+        "g25_self_loop": g25_self_loop,
+        "x72_linear_attribution": x72_linear_attribution,
+        "x73_conversion_delay": x73_conversion_delay,
         "x68_target_encoding": x68_target_encoding,
         "x69_order_streaks": x69_order_streaks,
     }
@@ -5684,6 +5757,35 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "g25_self_loop": f"""
+            SELECT {_NAT} AS a FROM nation WHERE n_name = 'NATION_3'
+        """,
+        "x72_linear_attribution": """
+            SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+                   ROUND(CAST(1.0 AS DOUBLE) / COUNT(*), 6) AS credit_each
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "x73_conversion_delay": """
+            WITH p AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts),
+            best AS (SELECT p.user_id, p.event_id, p.ts, MAX(c.ts) AS cts
+                     FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+                     GROUP BY 1, 2, 3),
+            d AS (SELECT (epoch_us(ts) - epoch_us(cts))
+                         / CAST(1000000.0 AS DOUBLE) AS dd FROM best)
+            SELECT COUNT(*) AS n_conversions,
+                   ROUND(quantile_cont(dd, 0.5), 6) AS p50_s,
+                   ROUND(quantile_cont(dd, 0.9), 6) AS p90_s,
+                   ROUND(quantile_cont(dd, 0.99), 6) AS p99_s,
+                   ROUND(AVG(dd), 6) AS mean_s
+            FROM d
         """,
         "x70_twap": """
             WITH spans AS (

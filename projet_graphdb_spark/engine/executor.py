@@ -816,6 +816,36 @@ def materialize_fold(spark: SparkSession, types: A.TypeGraph, fold) -> tuple:
     return state, binding
 
 
+def _merge_program_schema(state, extra: A.TypeGraph) -> None:
+    """Merge a program's type declarations into a preloaded state.
+
+    Re-declarations must match the loaded schema exactly; NEW node
+    labels get an empty typed frame, new relation decls extend the
+    schema graph.  The merge replaces ``state.types`` with a copy so a
+    shared/module-level TypeGraph is never mutated.
+    """
+    from ..frontend.typecheck import TypeCheckError
+    from .localrel import local_df
+    from .state import node_schema
+
+    have = {n.label: dict(n.attrs) for n in state.types.nodes}
+    new_nodes = [n for n in extra.nodes if n.label not in have]
+    for nd in extra.nodes:
+        if nd.label in have and dict(nd.attrs) != have[nd.label]:
+            raise TypeCheckError(
+                f"node type {nd.label!r} re-declared with different attributes"
+            )
+    have_r = {(r.src, r.rel, r.tgt) for r in state.types.rels}
+    new_rels = [r for r in extra.rels if (r.src, r.rel, r.tgt) not in have_r]
+    if not new_nodes and not new_rels:
+        return
+    state.types = A.TypeGraph(
+        list(state.types.nodes) + new_nodes, list(state.types.rels) + new_rels
+    )
+    for nd in new_nodes:
+        state.nodes[nd.label] = local_df(state.spark, [], node_schema(nd))
+
+
 def run_program(
     spark: SparkSession,
     src: str,
@@ -838,9 +868,13 @@ def run_program(
 
     parsed = normalize(parse(src))
     if initial_state is not None:
-        # match-only programs against a preloaded graph: typecheck against
-        # the loaded state's schema (program may omit or repeat the decls)
+        # programs against a preloaded graph: typecheck against the
+        # loaded state's schema.  The program may omit or repeat the
+        # decls — and may EXTEND the schema with new labels/relations
+        # (merged copy-on-write: the loaded state's TypeGraph may be a
+        # shared module-level object and is never mutated in place)
         state = initial_state
+        _merge_program_schema(state, parsed.types)
         prog = typecheck(NormProg(state.types, parsed.instructions))
         ex = Executor(state, set_eval=set_eval)
         return state, ex.run(prog)

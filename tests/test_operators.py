@@ -264,3 +264,40 @@ return q, q.age
     state2, b2 = run_program(spark, prog, set_eval="first_row", fold_prefix=False)
     got2 = dict(tuple(r) for r in binding_table(b2).collect())
     assert got2 == {0: 11, 1: 11}
+
+
+def test_schema_extension_on_loaded_graph(spark):
+    """A program may extend a preloaded graph's schema with new labels
+    and relations; conflicting re-declarations are rejected; the shared
+    TypeGraph object is never mutated."""
+    import pytest as _pytest
+
+    from conftest import SF_TINY
+    from projet_graphdb_spark.engine import run_program, binding_table
+    from projet_graphdb_spark.frontend.typecheck import TypeCheckError
+    from projet_graphdb_spark.sources.parquet_graph import TPCH_TYPE_GRAPH, load_tpch_graph
+
+    before_nodes = len(TPCH_TYPE_GRAPH.nodes)
+    before_rels = len(TPCH_TYPE_GRAPH.rels)
+    state = load_tpch_graph(spark, SF_TINY)
+    _, b = run_program(
+        spark,
+        "(:Tag {label string})\n"
+        "(:Tag) -[:tags]-> (:Nation)\n"
+        'create (t: Tag) set t.label = "hot"\n'
+        'match (n: Nation) where n.name = "NATION_1" create (t) -[:tags]-> (n)\n'
+        "match (x: Tag) -[:tags]-> (m: Nation) return x, m",
+        initial_state=state,
+    )
+    rows = binding_table(b).collect()
+    assert len(rows) == 1
+    # the module-level schema object is untouched (copy-on-write merge)
+    assert len(TPCH_TYPE_GRAPH.nodes) == before_nodes
+    assert len(TPCH_TYPE_GRAPH.rels) == before_rels
+    # conflicting re-declaration rejected
+    with _pytest.raises(TypeCheckError):
+        run_program(
+            spark,
+            "(:Nation {name bool})\nmatch (n: Nation) return n",
+            initial_state=load_tpch_graph(spark, SF_TINY),
+        )
