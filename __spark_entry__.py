@@ -1215,6 +1215,123 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x74_cdc_merge_apply(spark, sf_dir):
+    """CDC MERGE apply: an I/U/D operations log (derived
+    deterministically from orders: custkey mod 3 → op) applied to the
+    customer base table in ONE full-outer join + case — the batch
+    equivalent of MERGE INTO ... WHEN MATCHED/NOT MATCHED, the
+    lakehouse upsert primitive.  Deletes drop, updates overwrite the
+    segment, inserts add synthetic keys; output is the resulting table
+    state summarized per segment (count + key checksum, so the whole
+    state is pinned)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("k")
+    ).distinct()
+    ops = o.select(
+        "k",
+        F.element_at(
+            F.array(F.lit("U"), F.lit("D"), F.lit("I")), (F.col("k") % 3 + 1).cast("int")
+        ).alias("op"),
+    ).select(
+        F.when(F.col("op") == "I", F.col("k") + 1000000).otherwise(F.col("k")).alias("k"),
+        "op",
+        F.concat(F.lit("SEG_"), (F.col("k") % 5).cast("string")).alias("new_seg"),
+    )
+    merged = cust.join(ops, "k", "full_outer").select(
+        "k",
+        F.when(F.col("op") == "D", F.lit(None))
+        .when(F.col("op").isin("U", "I"), F.col("new_seg"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    # deletes surface as NULL seg — dropping them applies the D ops
+    applied = merged.where(F.col("seg").isNotNull())
+    return (
+        applied.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("seg")
+    )
+
+
+def x75_fk_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit: orphan counts for every
+    foreign-key edge of the star schema (lineitem→orders,
+    orders→customer, customer→nation, supplier→nation, nation→region)
+    — each check ONE left-anti join on the key, the DQ gate that runs
+    before any pipeline trusts its joins.  Output: one row per FK edge
+    with child row count and orphan count."""
+    t = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    checks = [
+        ("lineitem.l_orderkey->orders", t("lineitem").select(F.col("l_orderkey").alias("_k")),
+         t("orders").select(F.col("o_orderkey").alias("_k"))),
+        ("orders.o_custkey->customer", t("orders").select(F.col("o_custkey").alias("_k")),
+         t("customer").select(F.col("c_custkey").alias("_k"))),
+        ("customer.c_nationkey->nation", t("customer").select(F.col("c_nationkey").alias("_k")),
+         t("nation").select(F.col("n_nationkey").alias("_k"))),
+        ("supplier.s_nationkey->nation", t("supplier").select(F.col("s_nationkey").alias("_k")),
+         t("nation").select(F.col("n_nationkey").alias("_k"))),
+        ("nation.n_regionkey->region", t("nation").select(F.col("n_regionkey").alias("_k")),
+         t("region").select(F.col("r_regionkey").alias("_k"))),
+    ]
+    out = None
+    for name, child, parent in checks:
+        row = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            F.broadcast(
+                child.join(parent, "_k", "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_orphans")
+                )
+            )
+        ).select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+def m10_cutmix_plan(spark, sf_dir):
+    """Deterministic CutMix/Mixup pair schedule: each image is paired
+    per epoch with a hash-derived partner (offset 1 + h mod (n−1),
+    wrap-around — never itself, uniform-ish), with hash-derived box
+    coordinates and mix ratio — the m9 discipline (no RNG state,
+    retry-safe) applied to PAIRWISE augmentation.  Partner resolution
+    is arithmetic on a dense rank, so the plan is map-only plus one
+    1-row count broadcast."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id")
+    ).where(F.col("media_id") % 3 == 0)  # the m1 'image' kind
+    n = media.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = media.withColumn(
+        "_r", F.row_number().over(Window.orderBy("media_id")) - 1
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("cutmix"), "media_id", "epoch")), 1, 15),
+        16, 10,
+    ).cast("long")
+    base = ranked.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(1)))
+    ).crossJoin(F.broadcast(n)).withColumn("_h", h)
+    paired = base.withColumn(
+        "_pr", (F.col("_r") + 1 + (F.col("_h") % (F.col("_n") - 1))) % F.col("_n")
+    )
+    partner = ranked.select(F.col("_r").alias("_pr"), F.col("media_id").alias("partner_id"))
+    return (
+        paired.join(partner, "_pr")
+        .select(
+            "media_id",
+            "epoch",
+            "partner_id",
+            ((F.expr("_h div 8") % 64)).cast("int").alias("box_x"),
+            ((F.expr("_h div 512") % 64)).cast("int").alias("box_y"),
+            F.round(((F.expr("_h div 32768") % 80) + 10) / 100.0, 2).alias("mix_ratio"),
+        )
+        .orderBy("media_id", "epoch")
+    )
+
+
 def g25_self_loop(spark, sf_dir):
     """Self-loop motif (v)-[:r]->(v): the program extends the bulk
     graph's schema with a reflexive relation, creates a loop on the
@@ -3476,6 +3593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x70_twap": x70_twap,
         "x71_ohlc": x71_ohlc,
         "g25_self_loop": g25_self_loop,
+        "x74_cdc_merge_apply": x74_cdc_merge_apply,
+        "x75_fk_integrity_audit": x75_fk_integrity_audit,
+        "m10_cutmix_plan": m10_cutmix_plan,
         "x72_linear_attribution": x72_linear_attribution,
         "x73_conversion_delay": x73_conversion_delay,
         "x68_target_encoding": x68_target_encoding,
@@ -5757,6 +5877,82 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "x74_cdc_merge_apply": """
+            WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                                 c_mktsegment AS seg FROM customer),
+            ok AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),
+            ops AS (
+              SELECT CASE WHEN k % 3 = 2 THEN k + 1000000 ELSE k END AS k,
+                     CASE CAST(k % 3 AS INT) WHEN 0 THEN 'U'
+                          WHEN 1 THEN 'D' ELSE 'I' END AS op,
+                     'SEG_' || CAST(k % 5 AS VARCHAR) AS new_seg
+              FROM ok),
+            merged AS (
+              SELECT COALESCE(c.k, o.k) AS k,
+                     CASE WHEN o.op = 'D' THEN NULL
+                          WHEN o.op IN ('U', 'I') THEN o.new_seg
+                          ELSE c.seg END AS seg
+              FROM cust c FULL OUTER JOIN ops o ON o.k = c.k)
+            SELECT seg, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_checksum
+            FROM merged WHERE seg IS NOT NULL
+            GROUP BY seg ORDER BY seg
+        """,
+        "x75_fk_integrity_audit": """
+            SELECT 'customer.c_nationkey->nation' AS fk_edge,
+                   (SELECT COUNT(*) FROM customer) AS n_child,
+                   (SELECT COUNT(*) FROM customer
+                    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            UNION ALL
+            SELECT 'nation.n_regionkey->region',
+                   (SELECT COUNT(*) FROM nation),
+                   (SELECT COUNT(*) FROM nation
+                    WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier
+                    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            ORDER BY fk_edge
+        """,
+        "m10_cutmix_plan": """
+            WITH imgs AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents
+              WHERE doc_id % 3 = 0),
+            ranked AS (
+              SELECT media_id,
+                     ROW_NUMBER() OVER (ORDER BY media_id) - 1 AS r,
+                     COUNT(*) OVER () AS n
+              FROM imgs),
+            base AS (
+              SELECT media_id, r, n, unnest([0, 1]) AS epoch FROM ranked),
+            h AS (
+              SELECT media_id, epoch, r, n,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'cutmix:' || CAST(media_id AS VARCHAR) || ':'
+                           || CAST(epoch AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hv
+              FROM base)
+            SELECT h.media_id, h.epoch, p.media_id AS partner_id,
+                   CAST((hv // 8) % 64 AS INT) AS box_x,
+                   CAST((hv // 512) % 64 AS INT) AS box_y,
+                   ROUND(((hv // 32768) % 80 + 10) / 100.0, 2) AS mix_ratio
+            FROM h JOIN ranked p
+              ON p.r = (h.r + 1 + (hv % (h.n - 1))) % h.n
+            ORDER BY h.media_id, h.epoch
         """,
         "g25_self_loop": f"""
             SELECT {_NAT} AS a FROM nation WHERE n_name = 'NATION_3'
