@@ -1215,6 +1215,96 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def s17_crossmodal_recall(spark, sf_dir):
+    """Cross-modal retrieval eval (the CLIP validation loop): the
+    corpus splits into two 'modalities' (vec_id parity — m8's pairing
+    convention), each even vector queries the odd side for its true
+    partner (vec_id+1); report recall@1, recall@5 and MRR@5 over the
+    cosine ranking.  One broadcast-queries scan per side (the s1 plan)
+    + a bounded aggregate — the eval every retrieval index ships with."""
+    emb = _emb(spark, sf_dir)
+    a = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        similarity.l2norm(F.col("embedding")).alias("_qn"),
+    )
+    b = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("_cv"),
+        similarity.l2norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = b.crossJoin(F.broadcast(a)).withColumn(
+        "sim",
+        similarity.dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    hits = ranked.where(F.col("cand_id") == F.col("query_id") + 1).select(
+        "query_id", "rank"
+    )
+    n_q = F.lit(50)
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("_found"),
+            F.sum((F.col("rank") == 1).cast("int")).alias("_r1"),
+            F.sum(1.0 / F.col("rank")).alias("_rr"),
+        )
+        .select(
+            F.round(F.col("_r1") / n_q, 6).alias("recall_at_1"),
+            F.round(F.col("_found") / n_q, 6).alias("recall_at_5"),
+            F.round(F.col("_rr") / n_q, 6).alias("mrr_at_5"),
+        )
+    )
+
+
+def t30_bigram_perplexity(spark, sf_dir):
+    """Held-out bigram-LM evaluation: an add-one-smoothed bigram model
+    counted on the train split (t4's deterministic content-hash split)
+    scores the validation split — per-doc mean negative log-prob and
+    the corpus perplexity proxy.  Counting and scoring are each one
+    shuffle on the bigram; the model stays distributed (joined, never
+    collected) so a 10¹⁰-bigram vocabulary works the same way.
+    Output: one row (n_val_docs, n_scored_bigrams, avg_nll, perplexity)."""
+    docs = _docs(spark, sf_dir)
+    split = text.hash_split(docs)
+    tagged = docs.join(split.select("doc_id", "split"), "doc_id")
+    bigrams = lambda df: df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
+                " i -> concat(split(trim(text), '\\\\s+')[i - 1], ' ',"
+                " split(trim(text), '\\\\s+')[i]))"
+            )
+        ).alias("bg"),
+    ).where(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    train_bg = bigrams(tagged.where(F.col("split") == "train"))
+    val_bg = bigrams(tagged.where(F.col("split") == "val"))
+    counts = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.agg(
+        F.sum("_c").alias("_tot"), F.count(F.lit(1)).alias("_v")
+    )
+    scored = (
+        val_bg.join(counts, "bg", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1)
+                    / (F.col("_tot") + F.col("_v"))
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.agg(
+        F.count_distinct("doc_id").alias("n_val_docs"),
+        F.count(F.lit(1)).alias("n_scored_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("_nll")), 6).alias("perplexity"),
+    )
+
+
 def x74_cdc_merge_apply(spark, sf_dir):
     """CDC MERGE apply: an I/U/D operations log (derived
     deterministically from orders: custkey mod 3 → op) applied to the
@@ -3594,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x71_ohlc": x71_ohlc,
         "g25_self_loop": g25_self_loop,
         "x74_cdc_merge_apply": x74_cdc_merge_apply,
+        "s17_crossmodal_recall": s17_crossmodal_recall,
+        "t30_bigram_perplexity": t30_bigram_perplexity,
         "x75_fk_integrity_audit": x75_fk_integrity_audit,
         "m10_cutmix_plan": m10_cutmix_plan,
         "x72_linear_attribution": x72_linear_attribution,
@@ -5877,6 +5969,65 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "s17_crossmodal_recall": """
+            WITH a AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 100),
+            b AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            ranked AS (
+              SELECT query_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                cand_id ASC) AS rank
+              FROM a CROSS JOIN b),
+            hits AS (SELECT query_id, rank FROM ranked
+                     WHERE rank <= 5 AND cand_id = query_id + 1)
+            SELECT ROUND(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END)
+                         / CAST(50 AS DOUBLE), 6) AS recall_at_1,
+                   ROUND(COUNT(*) / CAST(50 AS DOUBLE), 6) AS recall_at_5,
+                   ROUND(SUM(CAST(1.0 AS DOUBLE) / rank)
+                         / CAST(50 AS DOUBLE), 6) AS mrr_at_5
+            FROM hits
+        """,
+        "t30_bigram_perplexity": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents),
+            sp AS (SELECT doc_id,
+                          CASE WHEN bucket < 80 THEN 'train'
+                               WHEN bucket < 90 THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM h),
+            toks AS (
+              SELECT d.doc_id, s.split,
+                     string_split_regex(trim(d.text), '\\s+') AS w
+              FROM documents d JOIN sp s USING (doc_id)
+              WHERE len(string_split_regex(trim(d.text), '\\s+')) >= 2
+                AND trim(d.text) <> ''),
+            bg AS (
+              SELECT doc_id, split,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i + 1])) AS bg
+              FROM toks),
+            counts AS (SELECT bg, COUNT(*) AS c FROM bg WHERE split = 'train'
+                       GROUP BY bg),
+            totals AS (SELECT SUM(c) AS tot, COUNT(*) AS v FROM counts),
+            scored AS (
+              SELECT b.doc_id,
+                     -LN((COALESCE(c.c, 0) + 1)
+                         / CAST(t.tot + t.v AS DOUBLE)) AS nll
+              FROM bg b LEFT JOIN counts c USING (bg), totals t
+              WHERE b.split = 'val')
+            SELECT COUNT(DISTINCT doc_id) AS n_val_docs,
+                   COUNT(*) AS n_scored_bigrams,
+                   ROUND(AVG(nll), 6) AS avg_nll,
+                   ROUND(EXP(AVG(nll)), 6) AS perplexity
+            FROM scored
         """,
         "x74_cdc_merge_apply": """
             WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k,
