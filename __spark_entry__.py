@@ -1215,6 +1215,51 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def a20_topo_layers(spark, sf_dir):
+    """Topological layering + cycle detection (graph_algos.topo_layers,
+    iterative Kahn peeling) over the child→parent supplier tree (x66's
+    implicit binary hierarchy) plus a planted 3-cycle: tree nodes get
+    layer = subtree height (leaves first), the cycle's nodes are
+    flagged cyclic with NULL layer.  Oracle: closed-form height
+    (max d with v·2^d ≤ N) + the planted cycle."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    ).where(F.col("k") >= 1)  # the implicit tree is over positive keys
+    tree = sup.where(F.col("k") >= 2).select(
+        F.col("k").alias("src"), F.expr("k div 2").alias("dst")
+    )
+    cyc = spark.createDataFrame(
+        [(900001, 900002), (900002, 900003), (900003, 900001)], "src long, dst long"
+    )
+    return graph_algos.topo_layers(tree.unionByName(cyc))
+
+
+def x76_schema_evolution(spark, sf_dir):
+    """Parquet schema evolution: two snapshot generations with
+    DIFFERENT column sets (an early slim export and a later wide one)
+    land in the same dataset directory; ``mergeSchema`` unifies them at
+    read time with absent columns null-filled — the source contract
+    that lets a 100 TB dataset grow columns without rewriting history.
+    Output pins row counts and per-column null accounting."""
+    import tempfile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = tempfile.mkdtemp(prefix="spark_evo_") + "/orders"
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/gen=0")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).write.mode("overwrite").parquet(base + "/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+
+
 def s17_crossmodal_recall(spark, sf_dir):
     """Cross-modal retrieval eval (the CLIP validation loop): the
     corpus splits into two 'modalities' (vec_id parity — m8's pairing
@@ -3686,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_cdc_merge_apply": x74_cdc_merge_apply,
         "s17_crossmodal_recall": s17_crossmodal_recall,
         "t30_bigram_perplexity": t30_bigram_perplexity,
+        "a20_topo_layers": a20_topo_layers,
+        "x76_schema_evolution": x76_schema_evolution,
         "x75_fk_integrity_audit": x75_fk_integrity_audit,
         "m10_cutmix_plan": m10_cutmix_plan,
         "x72_linear_attribution": x72_linear_attribution,
@@ -5969,6 +6016,29 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "a20_topo_layers": """
+            WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+                       WHERE s_suppkey >= 1),
+            nn AS (SELECT MAX(k) AS N FROM s),
+            lay AS (
+              SELECT k, MAX(d) AS layer
+              FROM s, nn, (SELECT unnest(range(0, 25)) AS d)
+              WHERE k * CAST(pow(2, d) AS BIGINT) <= N
+              GROUP BY k)
+            SELECT k AS id, CAST(layer AS INT) AS layer, FALSE AS cyclic FROM lay
+            UNION ALL
+            SELECT x AS id, CAST(NULL AS INT) AS layer, TRUE AS cyclic
+            FROM (SELECT CAST(unnest([900001, 900002, 900003]) AS BIGINT) AS x)
+        """,
+        "x76_schema_evolution": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_price,
+                   CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_status,
+                   COUNT(DISTINCT o_orderkey) AS n_keys
+            FROM orders
         """,
         "s17_crossmodal_recall": """
             WITH a AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

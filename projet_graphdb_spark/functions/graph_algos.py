@@ -999,3 +999,57 @@ def maximal_independent_set(
     if out is None:
         out = nodes.withColumn("round", F.lit(0)).limit(0)
     return out
+
+
+def topo_layers(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Topological layering + cycle detection by iterative Kahn
+    peeling: layer k = the nodes whose every predecessor sits in an
+    earlier layer; nodes never peeled (after ``max_iter`` rounds or at
+    fixpoint) are flagged as cyclic.  The DAG scheduling primitive
+    (dependency build order, lineage leveling).
+
+    Each round: one join of the remaining edges against the unpeeled
+    node set + one anti-join (the kcore peel shape).  Output:
+    (id, layer, cyclic) — layer is NULL for cyclic nodes.
+    """
+    e, _, small = _materialize(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst")).dropDuplicates()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    remaining, _, _ = _materialize(nodes)
+    live_e = e
+    out = None
+    ckpt_r = ckpt_e = None
+    for layer in range(max_iter):
+        # peel = remaining nodes with no incoming LIVE edge
+        peel = remaining.join(
+            live_e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+        )
+        peel, _ = _ckpt_rotate(_shrink(peel, small), None)
+        if peel.limit(1).count() == 0:
+            break
+        tagged = peel.withColumn("layer", F.lit(layer))
+        out = tagged if out is None else out.unionByName(tagged)
+        remaining, ckpt_r = _ckpt_rotate(
+            _shrink(remaining.join(peel, "id", "left_anti"), small), ckpt_r
+        )
+        live_e, ckpt_e = _ckpt_rotate(
+            _shrink(
+                live_e.join(peel.withColumnRenamed("id", "src"), "src", "left_anti"),
+                small,
+            ),
+            ckpt_e,
+        )
+    layered = (
+        out
+        if out is not None
+        else nodes.withColumn("layer", F.lit(0)).limit(0)
+    )
+    cyc = remaining.select("id", F.lit(None).cast("int").alias("layer"))
+    return layered.select("id", F.col("layer").cast("int").alias("layer")).withColumn(
+        "cyclic", F.lit(False)
+    ).unionByName(cyc.withColumn("cyclic", F.lit(True)))

@@ -414,3 +414,17 @@ def test_mis_path_graph_rounds(spark):
     b = sorted((r["id"], r["round"]) for r in
                graph_algos.maximal_independent_set(e).collect())
     assert a == b and len(a) in (1, 2)
+
+
+def test_topo_layers_dag_and_cycle(spark):
+    # diamond DAG 1→2, 1→3, 2→4, 3→4 (peeling on in-edges: 1 peels last)
+    # plus a 2-cycle {8, 9}
+    e = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (4, 3), (8, 9), (9, 8)], "src long, dst long"
+    )
+    out = {r["id"]: (r["layer"], r["cyclic"])
+           for r in graph_algos.topo_layers(e).collect()}
+    assert out[4] == (0, False)            # no incoming edges
+    assert out[2] == (1, False) and out[3] == (1, False)
+    assert out[1] == (2, False)
+    assert out[8] == (None, True) and out[9] == (None, True)
