@@ -1215,6 +1215,85 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x77_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((priority), (status), ()) — the custom
+    multi-hierarchy aggregate between x7's ROLLUP and x9's CUBE: three
+    report grains in ONE pass over orders (Spark expands sets into a
+    single hash aggregate), with GROUPING() ids disambiguating the
+    all-rows tier."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("_x77_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_stat,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+        FROM _x77_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_prio, g_stat, priority, status
+        """
+    )
+
+
+def t31_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility report per language: BPE-style regex
+    pre-tokens (letter runs / digit runs / punctuation runs — the
+    GPT-2 pre-tokenizer shape) versus whitespace words, with chars per
+    pre-token — the metric that predicts sequence-length inflation
+    before committing to a tokenizer.  Pure regexp_count column
+    algebra, one aggregate."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    pre = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"))
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    chars = F.length(F.trim("text"))
+    per_doc = docs.select(
+        "lang", pre.alias("_p"), words.alias("_w"), chars.alias("_c")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_p").cast("long").alias("n_pretokens"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.round(F.sum("_p") / F.sum("_w"), 6).alias("fertility"),
+            F.round(F.sum("_c") / F.sum("_p"), 6).alias("chars_per_pretoken"),
+        )
+        .orderBy("lang")
+    )
+
+
+def x78_csv_roundtrip(spark, sf_dir):
+    """CSV sink/source roundtrip with an EXPLICIT read schema (no
+    inference job): nation written as headered CSV, read back typed,
+    joined to region for a per-region count — pins the text-format
+    interchange path lossless for ints and strings.  At scale CSV is
+    the landing format; the explicit schema keeps ingestion
+    single-pass."""
+    import tempfile
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = tempfile.mkdtemp(prefix="spark_csv_") + "/nation"
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(path)
+    )
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        back.join(r, back.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def a20_topo_layers(spark, sf_dir):
     """Topological layering + cycle detection (graph_algos.topo_layers,
     iterative Kahn peeling) over the child→parent supplier tree (x66's
@@ -3733,6 +3812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t30_bigram_perplexity": t30_bigram_perplexity,
         "a20_topo_layers": a20_topo_layers,
         "x76_schema_evolution": x76_schema_evolution,
+        "x77_grouping_sets": x77_grouping_sets,
+        "t31_tokenizer_fertility": t31_tokenizer_fertility,
+        "x78_csv_roundtrip": x78_csv_roundtrip,
         "x75_fk_integrity_audit": x75_fk_integrity_audit,
         "m10_cutmix_plan": m10_cutmix_plan,
         "x72_linear_attribution": x72_linear_attribution,
@@ -6016,6 +6098,38 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "x77_grouping_sets": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                   CAST(GROUPING(o_orderstatus) AS INT) AS g_stat,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            ORDER BY g_prio, g_stat, priority, status
+        """,
+        "t31_tokenizer_fertility": """
+            WITH per AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS p,
+                     len(string_split_regex(trim(text), '\\s+')) AS w,
+                     len(trim(text)) AS c
+              FROM documents WHERE trim(text) <> '')
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(p) AS BIGINT) AS n_pretokens,
+                   CAST(SUM(w) AS BIGINT) AS n_words,
+                   ROUND(CAST(SUM(p) AS DOUBLE) / SUM(w), 6) AS fertility,
+                   ROUND(CAST(SUM(c) AS DOUBLE) / SUM(p), 6) AS chars_per_pretoken
+            FROM per GROUP BY lang ORDER BY lang
+        """,
+        "x78_csv_roundtrip": """
+            SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "a20_topo_layers": """
             WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
