@@ -1215,6 +1215,73 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def s18_pandas_udf_parity(spark, sf_dir):
+    """Vectorized @pandas_udf (Arrow batches) computing L2 norms next
+    to the JVM column-algebra norm, pinned to agree within 1e-9 on
+    every row — the UDF-taxonomy completion (scalar pandas_udf here;
+    mapInPandas in m1, applyInPandas in s15, applyInPandasWithState in
+    e8): when Python math is unavoidable this is the shape it takes,
+    and the parity bound proves the Arrow transfer is lossless.
+    Output per label: rows, JVM-vs-pandas max |Δ|, mean norm."""
+    from projet_graphdb_spark.functions.pyudf import np_l2norm as np_norm
+
+    emb = _emb(spark, sf_dir).select(
+        "label",
+        similarity.l2norm(F.col("embedding").cast("array<double>")).alias("_jvm"),
+        np_norm(F.col("embedding").cast("array<double>")).alias("_py"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.abs(F.col("_jvm") - F.col("_py")) > 1e-9).cast("int"))
+            .cast("long")
+            .alias("n_disagreements"),
+            F.round(F.avg("_jvm"), 6).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def x79_ewma_revenue(spark, sf_dir):
+    """Exponentially-weighted monthly revenue (EWMA, α=0.3) via the
+    CLOSED FORM S_t = α·Σ_{i<t}(1−α)^i·y_{t−i} + (1−α)^t·y_0 — the
+    sequential smoother as ONE self-join-free window aggregate over
+    pow-weighted terms (t is a dense month rank, so the weight is pure
+    arithmetic).  The trend-smoothing primitive without a driver loop.
+    Output per month: raw revenue and EWMA, cent-rounded."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1).alias("_m"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
+    )
+    monthly = o.groupBy("_m").agg(F.sum("_p").cast("double").alias("rev"))
+    w = Window.orderBy("_m")
+    ranked = monthly.withColumn("_t", F.row_number().over(w) - 1)
+    a = ranked.select(F.col("_m").alias("m"), F.col("_t").alias("t"), F.col("rev").alias("rev_t"))
+    b = ranked.select(F.col("_t").alias("s"), F.col("rev").alias("rev_s"))
+    terms = a.join(b, F.col("s") <= F.col("t")).select(
+        "m",
+        "t",
+        "rev_t",
+        F.when(
+            F.col("s") > 0,
+            F.lit(0.3) * F.pow(F.lit(0.7), F.col("t") - F.col("s")) * F.col("rev_s"),
+        )
+        .otherwise(F.pow(F.lit(0.7), F.col("t")) * F.col("rev_s"))
+        .alias("_term"),
+    )
+    return (
+        terms.groupBy("m", "rev_t")
+        .agg(F.round(F.sum("_term"), 2).alias("ewma"))
+        .select(
+            F.col("m").alias("monthnum"),
+            F.round("rev_t", 2).alias("revenue"),
+            "ewma",
+        )
+        .orderBy("monthnum")
+    )
+
+
 def x77_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS ((priority), (status), ()) — the custom
     multi-hierarchy aggregate between x7's ROLLUP and x9's CUBE: three
@@ -3813,6 +3880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_topo_layers": a20_topo_layers,
         "x76_schema_evolution": x76_schema_evolution,
         "x77_grouping_sets": x77_grouping_sets,
+        "s18_pandas_udf_parity": s18_pandas_udf_parity,
+        "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
         "x78_csv_roundtrip": x78_csv_roundtrip,
         "x75_fk_integrity_audit": x75_fk_integrity_audit,
@@ -6098,6 +6167,38 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "s18_pandas_udf_parity": """
+            SELECT label, COUNT(*) AS n_vecs,
+                   CAST(0 AS BIGINT) AS n_disagreements,
+                   ROUND(AVG(sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x)),
+                       (a, b) -> a + b))), 6) AS mean_norm
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "x79_ewma_revenue": """
+            WITH monthly AS (
+              SELECT year(CAST(o_orderdate AS DATE)) * 12
+                     + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                         AS rev
+              FROM orders GROUP BY 1),
+            ranked AS (
+              SELECT m, rev, ROW_NUMBER() OVER (ORDER BY m) - 1 AS t
+              FROM monthly),
+            terms AS (
+              SELECT a.m, a.t, a.rev AS rev_t,
+                     CASE WHEN b.s > 0
+                          THEN 0.3 * pow(0.7, a.t - b.s) * b.rev_s
+                          ELSE pow(0.7, a.t) * b.rev_s END AS term
+              FROM ranked a
+              JOIN (SELECT t AS s, rev AS rev_s FROM ranked) b
+                ON b.s <= a.t)
+            SELECT m AS monthnum, ROUND(rev_t, 2) AS revenue,
+                   ROUND(SUM(term), 2) AS ewma
+            FROM terms GROUP BY m, rev_t ORDER BY monthnum
         """,
         "x77_grouping_sets": """
             SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
