@@ -1215,6 +1215,94 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def s19_filtered_knn(spark, sf_dir):
+    """Metadata-filtered vector search (the vector-DB workhorse): exact
+    cosine top-3 PER QUERY restricted to corpus vectors sharing the
+    query's label — the filter composes BEFORE scoring, so the scan
+    prunes to the predicate's partitions instead of post-filtering a
+    global top-k (which under-fills).  Same broadcast-queries plan as
+    s1 with the label equi-condition fused into the join."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        F.col("embedding").alias("_qv"),
+        similarity.l2norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbour_id"),
+        F.col("label").alias("_cl"),
+        F.col("embedding").alias("_cv"),
+        similarity.l2norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("_ql") == F.col("_cl")) & (F.col("query_id") != F.col("neighbour_id")),
+    ).withColumn(
+        "sim",
+        similarity.dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("_ql").cast("int").alias("label"),
+            "neighbour_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def m11_alignment_plan(spark, sf_dir):
+    """CTC-style forced-alignment initialization: each document's audio
+    'frames' (one per 4 chars, the m5 frame convention) are allocated
+    across its tokens PROPORTIONALLY to token length by the largest-
+    remainder method — exact integer arithmetic (floor quota + ranked
+    remainders), so every frame is assigned, none twice.  Pure window
+    algebra per document; the alignment-seed table a speech pipeline
+    feeds its aligner.  Output: one row per (doc, token) with its
+    frame span."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id",
+        F.floor(F.length(F.trim("text")) / 4).cast("long").alias("_frames"),
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    ).where(F.col("_frames") > 0)
+    tot = toks.groupBy("doc_id").agg(F.sum(F.length("token")).alias("_chars"))
+    base = toks.join(tot, "doc_id").select(
+        "doc_id",
+        "pos",
+        "token",
+        "_frames",
+        (F.length("token") * F.col("_frames") / F.col("_chars")).alias("_quota"),
+    )
+    base = base.withColumn("_fl", F.floor("_quota").cast("long")).withColumn(
+        "_rem", F.col("_quota") - F.col("_fl")
+    )
+    per_doc = base.groupBy("doc_id").agg(
+        F.first("_frames").alias("_f"), F.sum("_fl").alias("_used")
+    )
+    ranked = base.join(per_doc, "doc_id").withColumn(
+        "_rr",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("_rem"), F.asc("pos"))
+        ),
+    )
+    alloc = ranked.withColumn(
+        "n_frames",
+        (F.col("_fl") + (F.col("_rr") <= F.col("_f") - F.col("_used")).cast("long")),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        alloc.select("doc_id", "pos", "token", "n_frames")
+        .withColumn("frame_start", F.sum("n_frames").over(w2) - F.col("n_frames"))
+        .orderBy("doc_id", "pos")
+    )
+
+
 def s18_pandas_udf_parity(spark, sf_dir):
     """Vectorized @pandas_udf (Arrow batches) computing L2 norms next
     to the JVM column-algebra norm, pinned to agree within 1e-9 on
@@ -3881,6 +3969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x76_schema_evolution": x76_schema_evolution,
         "x77_grouping_sets": x77_grouping_sets,
         "s18_pandas_udf_parity": s18_pandas_udf_parity,
+        "s19_filtered_knn": s19_filtered_knn,
+        "m11_alignment_plan": m11_alignment_plan,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
         "x78_csv_roundtrip": x78_csv_roundtrip,
@@ -6167,6 +6257,62 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "s19_filtered_knn": """
+            WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, CAST(q.ql AS INT) AS label,
+                     e.vec_id AS neighbour_id,
+                     list_cosine_similarity(q.qv,
+                         CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q JOIN embeddings e
+                ON e.label = q.ql AND e.vec_id <> q.query_id)
+            SELECT query_id, label, neighbour_id, rank, ROUND(sim, 6) AS sim
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbour_id ASC) AS INT) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        "m11_alignment_plan": """
+            WITH d AS (SELECT doc_id, trim(text) AS tx FROM documents
+                       WHERE trim(text) <> ''),
+            t0 AS (SELECT doc_id,
+                          CAST(FLOOR(len(tx) / 4) AS BIGINT) AS frames,
+                          string_split_regex(tx, '\\s+') AS arr
+                   FROM d),
+            ix AS (SELECT doc_id, frames, arr,
+                          unnest(range(1, len(arr) + 1)) AS i
+                   FROM t0 WHERE frames > 0),
+            toks AS (SELECT doc_id, frames, CAST(i - 1 AS INT) AS pos,
+                            arr[CAST(i AS INT)] AS token
+                     FROM ix),
+            tot AS (SELECT doc_id, SUM(len(token)) AS chars FROM toks
+                    GROUP BY doc_id),
+            base AS (
+              SELECT t.doc_id, t.pos, t.token, t.frames,
+                     len(t.token) * t.frames / CAST(c.chars AS DOUBLE) AS quota
+              FROM toks t JOIN tot c USING (doc_id)),
+            per AS (SELECT doc_id,
+                           SUM(CAST(FLOOR(quota) AS BIGINT)) AS used
+                    FROM base GROUP BY doc_id),
+            ranked AS (
+              SELECT b.*, p.used,
+                     ROW_NUMBER() OVER (PARTITION BY b.doc_id
+                       ORDER BY (b.quota - FLOOR(b.quota)) DESC,
+                                b.pos ASC) AS rr
+              FROM base b JOIN per p USING (doc_id)),
+            alloc AS (
+              SELECT doc_id, pos, token,
+                     CAST(FLOOR(quota) AS BIGINT)
+                     + CASE WHEN rr <= frames - used THEN 1 ELSE 0 END
+                         AS n_frames
+              FROM ranked)
+            SELECT doc_id, pos, token, n_frames,
+                   SUM(n_frames) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) - n_frames AS frame_start
+            FROM alloc ORDER BY doc_id, pos
         """,
         "s18_pandas_udf_parity": """
             SELECT label, COUNT(*) AS n_vecs,
