@@ -1215,6 +1215,81 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def t32_group_split_leakage(spark, sf_dir):
+    """Group-aware split leakage audit: near-dup pairs (d5's cluster
+    manifest) that CROSS the train/test boundary under (a) doc-level
+    content-hash splitting versus (b) source-level group splitting —
+    the measurement that justifies group k-fold: doc-level splits leak
+    near-duplicates across the boundary, source-level splits can't
+    leak within-source dups by construction.  Two bounded joins over
+    the memoized manifest."""
+    docs = _docs(spark, sf_dir)
+    cl = _dup_clusters_cached(spark, sf_dir).select("doc_id", "cluster_id")
+    pairs = (
+        cl.select(F.col("doc_id").alias("id_a"), "cluster_id")
+        .join(cl.select(F.col("doc_id").alias("id_b"), "cluster_id"), "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    doc_split = text.hash_split(docs).select(
+        "doc_id", F.col("split").alias("_dsp")
+    )
+    src_split = docs.select(
+        "doc_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+            .cast("long") % 100 < 80,
+            F.lit("train"),
+        ).otherwise(F.lit("heldout")).alias("_ssp"),
+    )
+    def cross_count(split_df, col, mode):
+        a = split_df.select(F.col("doc_id").alias("id_a"), F.col(col).alias("_sa"))
+        b = split_df.select(F.col("doc_id").alias("id_b"), F.col(col).alias("_sb"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .agg(
+                F.lit(mode).alias("split_mode"),
+                F.count(F.lit(1)).alias("n_dup_pairs"),
+                F.sum((F.col("_sa") != F.col("_sb")).cast("int"))
+                .cast("long")
+                .alias("n_cross_pairs"),
+            )
+        )
+    return cross_count(doc_split, "_dsp", "doc_hash").unionByName(
+        cross_count(src_split, "_ssp", "source_hash")
+    ).orderBy("split_mode")
+
+
+def x80_temporal_sanity(spark, sf_dir):
+    """Cross-table temporal-order DQ check: line items must not ship
+    before their order is placed — per order priority, the violation
+    count, total lines, and worst negative lag in days.  One fact-dim
+    join + one aggregate; the sanity gate that catches clock and
+    ETL-ordering bugs before they poison time features."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("_ship")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("_ord"),
+    )
+    j = li.join(o, "l_orderkey").withColumn(
+        "_lag", F.datediff("_ship", "_ord")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("_lag") < 0).cast("int")).cast("long").alias("n_violations"),
+            F.min("_lag").alias("min_lag_days"),
+            F.max("_lag").alias("max_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def s19_filtered_knn(spark, sf_dir):
     """Metadata-filtered vector search (the vector-DB workhorse): exact
     cosine top-3 PER QUERY restricted to corpus vectors sharing the
@@ -3971,6 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_pandas_udf_parity": s18_pandas_udf_parity,
         "s19_filtered_knn": s19_filtered_knn,
         "m11_alignment_plan": m11_alignment_plan,
+        "t32_group_split_leakage": t32_group_split_leakage,
+        "x80_temporal_sanity": x80_temporal_sanity,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
         "x78_csv_roundtrip": x78_csv_roundtrip,
@@ -6257,6 +6334,58 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "t32_group_split_leakage": f"""
+            WITH cl AS (SELECT doc_id, cluster_id
+                        FROM ({_dup_clusters_oracle()})),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM cl a JOIN cl b ON b.cluster_id = a.cluster_id
+                                  AND a.doc_id < b.doc_id),
+            dh AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5({_CANON_TEXT}), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM documents),
+            dsp AS (SELECT doc_id,
+                           CASE WHEN bucket < 80 THEN 'train'
+                                WHEN bucket < 90 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM dh),
+            ssp AS (
+              SELECT doc_id,
+                     CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(source), 1, 15), ''),
+                                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 < 80
+                          THEN 'train' ELSE 'heldout' END AS split
+              FROM documents)
+            SELECT 'doc_hash' AS split_mode, COUNT(*) AS n_dup_pairs,
+                   CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cross_pairs
+            FROM pairs JOIN dsp sa ON sa.doc_id = id_a
+                       JOIN dsp sb ON sb.doc_id = id_b
+            UNION ALL
+            SELECT 'source_hash' AS split_mode, COUNT(*) AS n_dup_pairs,
+                   CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cross_pairs
+            FROM pairs JOIN ssp sa ON sa.doc_id = id_a
+                       JOIN ssp sb ON sb.doc_id = id_b
+            ORDER BY split_mode
+        """,
+        "x80_temporal_sanity": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                      < CAST(o_orderdate AS DATE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   MIN(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                       AS min_lag_days,
+                   MAX(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                       AS max_lag_days
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "s19_filtered_knn": """
             WITH q AS (SELECT vec_id AS query_id, label AS ql,
