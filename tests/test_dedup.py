@@ -280,3 +280,37 @@ def test_source_dup_matrix_counts_cross_source_pairs(spark):
     keys = {(min(r["sa"], r["sb"]), max(r["sa"], r["sb"])) for r in pairs}
     assert ("s1", "s2") in keys and ("s1", "s1") in keys
     assert not any("s3" in k for k in keys)
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """Prefix filtering loses NOTHING: pairs equal the brute-force
+    shingle-Jaccard join on a random corpus (the exactness theorem)."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = list(rng.choice(vocab, size=12))
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup
+            mut = list(base)
+            mut[0] = str(rng.choice(vocab))
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                lo, hi = min(ia, ib), max(ia, ib)
+                expect[(lo, hi)] = round(j, 6)
+    assert got == expect and len(expect) > 0

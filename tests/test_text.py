@@ -493,3 +493,35 @@ def test_blocklist_filter_counts(spark):
     assert out[1]["blocked_share"] == 0.5 and not out[1]["keep"]
     assert out[2]["n_blocked"] == 0 and out[2]["keep"]
     assert out[3]["n_tokens"] == 0 and out[3]["blocked_share"] == 0.0 and out[3]["keep"]
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(1, 30))
+        rows.append((i, "en" if i % 2 else "fr", " ".join(["w"] * n)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = text.sequence_packing(docs, max_len=16).collect()
+    # conservation: every (truncated) token lands in exactly one example
+    total_in = sum(min(len(t.split()), 16) for _, _, t in rows)
+    assert sum(r["used_tokens"] for r in out) == total_in
+    assert sum(r["n_docs"] for r in out) == 40
+    for r in out:
+        assert 0 <= r["pad_tokens"] <= 16
+        assert 0 < r["efficiency"] <= 1.0 or r["used_tokens"] > 16
+
+
+def test_mixture_rates_never_oversamples(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, f"s{i % 7}", int(rng.integers(10, 5000))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    for frac in (0.2, 0.5, 0.9):
+        out = text.mixture_rates(docs, budget_frac=frac).collect()
+        for r in out:
+            assert 0.0 <= r["final_rate"] <= 1.0
+            assert r["expected"] <= r["avail"] + 1e-6
