@@ -1215,6 +1215,28 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def a21_maximal_matching(spark, sf_dir):
+    """Derandomized parallel greedy maximal matching (graph_algos.
+    maximal_matching) over the bucket-chained customer graph: an edge
+    joins the matching when its md5₆₀ priority is the per-vertex min
+    at both endpoints; oracle unrolls the rounds with identical hash
+    arithmetic."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.maximal_matching(e, max_rounds=10)
+
+
 def t32_group_split_leakage(spark, sf_dir):
     """Group-aware split leakage audit: near-dup pairs (d5's cluster
     manifest) that CROSS the train/test boundary under (a) doc-level
@@ -4047,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s19_filtered_knn": s19_filtered_knn,
         "m11_alignment_plan": m11_alignment_plan,
         "t32_group_split_leakage": t32_group_split_leakage,
+        "a21_maximal_matching": a21_maximal_matching,
         "x80_temporal_sanity": x80_temporal_sanity,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
@@ -6335,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
         """,
+        "a21_maximal_matching": _matching_oracle(),
         "t32_group_split_leakage": f"""
             WITH cl AS (SELECT doc_id, cluster_id
                         FROM ({_dup_clusters_oracle()})),
@@ -7234,6 +7258,58 @@ def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         {chain}
         SELECT id, ROUND(rank, 8) AS rank FROM {prev}
+    """
+
+
+def _matching_oracle(rounds: int = 10) -> str:
+    """DuckDB mirror of a21: greedy parallel matching rounds unrolled —
+    per round a per-vertex min of live edge priorities, edges winning
+    BOTH endpoints selected, their vertices' edges dropped."""
+    h60 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(md5(
+            CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15), ''),
+            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        (a, b) -> a * 16 + b)"""
+    chain = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+        vm{r} AS (
+          SELECT id, MIN(pri) AS m FROM (
+            SELECT u AS id, pri FROM {prev}
+            UNION ALL SELECT v AS id, pri FROM {prev})
+          GROUP BY id),
+        sel{r} AS (
+          SELECT l.u, l.v FROM {prev} l
+          JOIN vm{r} a ON a.id = l.u JOIN vm{r} b ON b.id = l.v
+          WHERE l.pri = a.m AND l.pri = b.m),
+        mv{r} AS (SELECT u AS id FROM sel{r} UNION SELECT v AS id FROM sel{r}),
+        l{r} AS MATERIALIZED (
+          SELECT l.* FROM {prev} l
+          WHERE NOT EXISTS (SELECT 1 FROM mv{r} m WHERE m.id = l.u)
+            AND NOT EXISTS (SELECT 1 FROM mv{r} m WHERE m.id = l.v))""")
+        prev = f"l{r}"
+    selects = "\n            UNION ALL\n            ".join(
+        f"SELECT u, v, {r} AS round FROM sel{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+        ),
+        canon AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                  FROM e0 WHERE src <> dst),
+        l0 AS (SELECT u, v, {h60} AS pri FROM canon),
+        {",".join(chain)}
+        {selects}
     """
 
 

@@ -1053,3 +1053,71 @@ def topo_layers(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return layered.select("id", F.col("layer").cast("int").alias("layer")).withColumn(
         "cyclic", F.lit(False)
     ).unionByName(cyc.withColumn("cyclic", F.lit(True)))
+
+
+def maximal_matching(
+    edges: DataFrame, max_rounds: int = 10, directed: bool = False
+) -> DataFrame:
+    """Parallel greedy MAXIMAL MATCHING, derandomized: each round keeps
+    every live edge whose md5₆₀ priority is the minimum at BOTH its
+    endpoints (with distinct priorities that is exactly "beats every
+    adjacent edge"), adds them to the matching, and drops all edges
+    touching newly matched vertices.  The assignment/pairing primitive
+    (task→worker, rider→driver) in O(log n) rounds w.h.p.
+
+    Per round: two per-vertex min aggregates + one join-back + one
+    anti-join — no line-graph materialization.  Output: (u, v, round).
+    """
+    from .dedup import md5_hash60
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .dropDuplicates()
+    )
+    live, _, small = _materialize(
+        canon.withColumn(
+            "_pri", md5_hash60(F.concat_ws(":", F.col("u"), F.col("v")))
+        )
+    )
+    out = None
+    ckpt = None
+    for r in range(1, max_rounds + 1):
+        vmin = (
+            live.select(F.col("u").alias("id"), "_pri")
+            .unionByName(live.select(F.col("v").alias("id"), "_pri"))
+            .groupBy("id")
+            .agg(F.min("_pri").alias("_vm"))
+        )
+        sel = (
+            live.join(vmin.withColumnRenamed("id", "u").withColumnRenamed("_vm", "_vmu"), "u")
+            .join(vmin.withColumnRenamed("id", "v").withColumnRenamed("_vm", "_vmv"), "v")
+            .where((F.col("_pri") == F.col("_vmu")) & (F.col("_pri") == F.col("_vmv")))
+            .select("u", "v")
+        )
+        sel, _ = _ckpt_rotate(_shrink(sel, small), None)
+        if sel.limit(1).count() == 0:
+            break
+        tagged = sel.withColumn("round", F.lit(r))
+        out = tagged if out is None else out.unionByName(tagged)
+        matched = (
+            sel.select(F.col("u").alias("id"))
+            .unionByName(sel.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        live, ckpt = _ckpt_rotate(
+            _shrink(
+                live.join(matched.withColumnRenamed("id", "u"), "u", "left_anti")
+                .join(matched.withColumnRenamed("id", "v"), "v", "left_anti"),
+                small,
+            ),
+            ckpt,
+        )
+    if out is None:
+        out = canon.withColumn("round", F.lit(0)).limit(0)
+    return out.select("u", "v", "round")

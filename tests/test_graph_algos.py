@@ -428,3 +428,18 @@ def test_topo_layers_dag_and_cycle(spark):
     assert out[2] == (1, False) and out[3] == (1, False)
     assert out[1] == (2, False)
     assert out[8] == (None, True) and out[9] == (None, True)
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, size=(50, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    m = [(r["u"], r["v"]) for r in graph_algos.maximal_matching(df).collect()]
+    used = [x for e in m for x in e]
+    assert len(used) == len(set(used))            # a matching: no shared vertex
+    und = {frozenset(e) for e in edges}
+    assert all(frozenset(e) in und for e in m)    # real edges only
+    # maximal: no live edge remains with both endpoints unmatched
+    matched = set(used)
+    for a, b in und:
+        assert a in matched or b in matched
