@@ -1215,6 +1215,103 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def e29_stream_metrics(spark, sf_dir):
+    """Streaming observability: drain the e5 windowed aggregation and
+    report the query-progress ledger — total input rows across
+    micro-batches and emitted result rows — the numbers an operator
+    alarms on (input vs watermark-held output).  The oracle pins both
+    against batch ground truth: availableNow must process EVERY input
+    row exactly once."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.events import streaming_windowed_counts
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = streaming_windowed_counts(spark, path, schema, query_name="e29_sink")
+    sink = drain(q, spark, "e29_sink")
+    input_rows = sum(
+        int(p["numInputRows"]) for p in (q.recentProgress or [])
+    )
+    n_windows = sink.count()
+    return spark.createDataFrame(
+        [(int(input_rows), int(n_windows))],
+        "total_input_rows long, emitted_windows long",
+    )
+
+
+def x81_mergeable_stats(spark, sf_dir):
+    """Mergeable (combinable) statistics: per-shard partial aggregates
+    (n, Σx, Σx²) for order prices — the form that merges associatively
+    across shards/days — recombined into EXACT global mean and
+    population variance per priority, pinned against the direct
+    var_pop.  The pattern behind every incremental stats store: never
+    ship raw rows, always ship partials."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 8).alias("_shard"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("_x"),
+    )
+    # DECIMAL partials: Σx and Σx² stay EXACT through both merge levels,
+    # so the engine-side and oracle-side doubles agree bit-for-bit (a
+    # float Σx² loses ~1e2 absolute here — catastrophic cancellation in
+    # S2/n − mean² would make the result engine-dependent)
+    partial = o.groupBy("o_orderpriority", "_shard").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+    )
+    merged = partial.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("_S"),
+        F.sum("_s2").cast("double").alias("_S2"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("_S") / F.col("n"), 4).alias("mean_price"),
+        F.round(
+            F.col("_S2") / F.col("n") - (F.col("_S") / F.col("n")) * (F.col("_S") / F.col("n")),
+            2,
+        ).alias("var_price"),
+    ).orderBy("o_orderpriority")
+
+
+def d21_dedup_decisions(spark, sf_dir):
+    """Per-document dedup decision manifest: WHY each document survives
+    or falls — 'exact_dup' (same canonical fingerprint as an earlier
+    doc), else 'near_dup' (non-canonical member of a d5 MinHash
+    cluster), else 'unique' — with the keeper it dedups to.  The
+    manifest a pipeline publishes next to the cleaned corpus; built
+    from the d1 fingerprint aggregate + the memoized cluster manifest,
+    precedence resolved relationally."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", dedup.fingerprint(F.col("text")).alias("_fp")
+    )
+    keeper = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
+    exact = fp.join(keeper, "_fp").select(
+        "doc_id", F.col("_keep").alias("_exact_keep")
+    )
+    near = _dup_clusters_cached(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("_near_keep"), "keep"
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact_keep") != F.col("doc_id"), F.lit("exact_dup"))
+            .when(~F.coalesce(F.col("keep"), F.lit(True)), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("decision"),
+            F.when(F.col("_exact_keep") != F.col("doc_id"), F.col("_exact_keep"))
+            .when(~F.coalesce(F.col("keep"), F.lit(True)), F.col("_near_keep"))
+            .otherwise(F.col("doc_id"))
+            .alias("keeper_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def a21_maximal_matching(spark, sf_dir):
     """Derandomized parallel greedy maximal matching (graph_algos.
     maximal_matching) over the bucket-chained customer graph: an edge
@@ -4070,6 +4167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m11_alignment_plan": m11_alignment_plan,
         "t32_group_split_leakage": t32_group_split_leakage,
         "a21_maximal_matching": a21_maximal_matching,
+        "x81_mergeable_stats": x81_mergeable_stats,
+        "d21_dedup_decisions": d21_dedup_decisions,
+        "e29_stream_metrics": e29_stream_metrics,
         "x80_temporal_sanity": x80_temporal_sanity,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
@@ -6359,6 +6459,47 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE jac >= 0.6
         """,
         "a21_maximal_matching": _matching_oracle(),
+        "x81_mergeable_stats": """
+            WITH partial AS (
+              SELECT o_orderpriority, o_orderkey % 8 AS shard,
+                     COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                         * CAST(o_totalprice AS DECIMAL(12,2))) AS s2
+              FROM orders GROUP BY 1, 2),
+            merged AS (
+              SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(s) AS DOUBLE) AS S, CAST(SUM(s2) AS DOUBLE) AS S2
+              FROM partial GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   ROUND(S / n, 4) AS mean_price,
+                   ROUND(S2 / n - (S / n) * (S / n), 2) AS var_price
+            FROM merged ORDER BY o_orderpriority
+        """,
+        "d21_dedup_decisions": f"""
+            WITH fp AS (SELECT doc_id, md5({_CANON_TEXT}) AS f FROM documents),
+            keeper AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+            exact AS (SELECT fp.doc_id, keeper.keep_id AS exact_keep
+                      FROM fp JOIN keeper USING (f)),
+            near AS (SELECT doc_id, cluster_id AS near_keep, keep
+                     FROM ({_dup_clusters_oracle()}))
+            SELECT e.doc_id,
+                   CASE WHEN e.exact_keep <> e.doc_id THEN 'exact_dup'
+                        WHEN NOT COALESCE(n.keep, TRUE) THEN 'near_dup'
+                        ELSE 'unique' END AS decision,
+                   CASE WHEN e.exact_keep <> e.doc_id THEN e.exact_keep
+                        WHEN NOT COALESCE(n.keep, TRUE) THEN n.near_keep
+                        ELSE e.doc_id END AS keeper_id
+            FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
+            ORDER BY e.doc_id
+        """,
+        "e29_stream_metrics": """
+            SELECT COUNT(*) AS total_input_rows,
+                   (SELECT COUNT(*) FROM (
+                      SELECT DISTINCT date_trunc('hour', ts), event_type
+                      FROM events)) AS emitted_windows
+            FROM events
+        """,
         "t32_group_split_leakage": f"""
             WITH cl AS (SELECT doc_id, cluster_id
                         FROM ({_dup_clusters_oracle()})),

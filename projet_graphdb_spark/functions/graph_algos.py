@@ -857,10 +857,14 @@ def landmark_closeness(
     seed = e.sparkSession.createDataFrame(
         [(x, x, 0) for x in lm], "lm long, id long, dist int"
     )
-    frontier = _shrink(seed, small)
-    visited = frontier
-    ckpt_f = ckpt_v = None
+    frontier = seed.localCheckpoint(eager=True)
+    # visited = lazy union of the per-round checkpointed frontiers (the
+    # bfs_levels trick): RDD union over materialized data, so each round
+    # runs ONE job — the lazy checkpoint materialized by its own
+    # emptiness-witness aggregate
+    rounds = [frontier]
     for _ in range(max_iter):
+        visited = functools.reduce(DataFrame.unionByName, rounds)
         nxt = (
             frontier.join(e, frontier.id == e.src)
             .select("lm", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
@@ -868,13 +872,12 @@ def landmark_closeness(
             .groupBy("lm", "id")
             .agg(F.min("dist").alias("dist"))
         )
-        nxt, ckpt_f = _ckpt_rotate(_shrink(nxt, small), ckpt_f)
-        if nxt.limit(1).count() == 0:
+        nxt, _, row = _ckpt_rotate_agg(_shrink(nxt, small), None, [F.count(F.lit(1))])
+        if row[0] == 0:
             break
-        visited, ckpt_v = _ckpt_rotate(
-            _shrink(visited.unionByName(nxt), small), ckpt_v
-        )
+        rounds.append(nxt)
         frontier = nxt
+    visited = functools.reduce(DataFrame.unionByName, rounds)
     out = visited.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_reached"),
         F.sum("dist").cast("long").alias("sum_dist"),
