@@ -3361,6 +3361,7 @@ def x41_bucketed_join(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
         tempfile.mkdtemp(prefix="spark_bucketed_"),
+        cache_key=sf_dir,
     )
     return (
         o.join(l, "o_orderkey")

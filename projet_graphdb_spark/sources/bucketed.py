@@ -48,15 +48,28 @@ def write_bucketed(
     )
 
 
+_PAIR_CACHE: dict = {}
+
+
 def bucketed_pair(
     spark: SparkSession,
     orders: DataFrame,
     lineitem: DataFrame,
     path: str,
     n_buckets: int = 8,
+    cache_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize orders + lineitem bucketed by orderkey and return the
-    catalog-backed frames (whose scans carry the bucket layout)."""
+    catalog-backed frames (whose scans carry the bucket layout).
+
+    With ``cache_key`` the ingest is memoized per (session, key): the
+    bucketed layout is written ONCE per session — exactly the
+    shuffle-once-at-ingest economics the layout exists for — and later
+    calls reuse the catalog tables."""
+    if cache_key is not None:
+        k = (spark.sparkContext.applicationId, cache_key, n_buckets)
+        if k in _PAIR_CACHE:
+            return _PAIR_CACHE[k]
     spark.sql("DROP TABLE IF EXISTS _bk_orders")
     spark.sql("DROP TABLE IF EXISTS _bk_lineitem")
     write_bucketed(orders, "_bk_orders", path, "o_orderkey", n_buckets)
@@ -67,4 +80,9 @@ def bucketed_pair(
         "o_orderkey",
         n_buckets,
     )
-    return spark.table("_bk_orders"), spark.table("_bk_lineitem")
+    out = spark.table("_bk_orders"), spark.table("_bk_lineitem")
+    if cache_key is not None:
+        if len(_PAIR_CACHE) > 16:
+            _PAIR_CACHE.clear()
+        _PAIR_CACHE[k] = out
+    return out
