@@ -1215,6 +1215,59 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def g26_save_load_roundtrip(spark, sf_dir):
+    """Graph persistence roundtrip in the gate: the bulk graph is
+    mutated by a script (new rel + edges), SAVED to parquet
+    (sources/graph_io.py::save_graph), LOADED back in the same session,
+    and the loaded state answers a match — pinning that the
+    persisted (nodes, edges, schema, counter) tuple reproduces query
+    results exactly."""
+    import tempfile
+
+    from projet_graphdb_spark.sources import load_graph, save_graph
+
+    state, _ = _graph_query(
+        spark,
+        sf_dir,
+        "(:Region) -[:gateway]-> (:Region)\n"
+        'match (r: Region) where r.name = "ASIA" '
+        'match (s: Region) where s.name = "EUROPE" '
+        "create (r) -[:gateway]-> (s)",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graphio_") + "/g26"
+    save_graph(state, path)
+    back = load_graph(spark, path)
+    _, b = run_program(
+        spark,
+        "match (a: Region) -[:gateway]-> (b: Region) return a, b",
+        initial_state=back,
+    )
+    return binding_table(b)
+
+
+def x82_join_hints(spark, sf_dir):
+    """Physical join-strategy override: the same orders⋈customer
+    aggregate executed with an explicit SHUFFLE_HASH hint (Catalyst
+    would default to broadcast or sort-merge) — the manual lever for
+    the case the optimizer can't see (e.g. a dimension that is small
+    NOW but won't be at 100 TB).  tests/test_plans.py pins the
+    ShuffledHashJoin; the oracle pins that strategy choice never
+    changes results."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def e29_stream_metrics(spark, sf_dir):
     """Streaming observability: drain the e5 windowed aggregation and
     report the query-progress ledger — total input rows across
@@ -4171,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x81_mergeable_stats": x81_mergeable_stats,
         "d21_dedup_decisions": d21_dedup_decisions,
         "e29_stream_metrics": e29_stream_metrics,
+        "g26_save_load_roundtrip": g26_save_load_roundtrip,
+        "x82_join_hints": x82_join_hints,
         "x80_temporal_sanity": x80_temporal_sanity,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
@@ -6493,6 +6548,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "g26_save_load_roundtrip": """
+            SELECT (SELECT CAST(r_regionkey AS BIGINT) FROM region
+                    WHERE r_name = 'ASIA') AS a,
+                   (SELECT CAST(r_regionkey AS BIGINT) FROM region
+                    WHERE r_name = 'EUROPE') AS b
+        """,
+        "x82_join_hints": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "e29_stream_metrics": """
             SELECT COUNT(*) AS total_input_rows,

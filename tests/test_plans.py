@@ -195,3 +195,8 @@ def test_x41_bucketed_join_has_no_exchange_before_join(spark):
     assert "Exchange" not in join_part, plan
     # bucket layout visible on both scans
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_join_hint_forces_shuffled_hash(spark):
+    plan = _plan(spark, "x82_join_hints")
+    assert "ShuffledHashJoin" in plan
