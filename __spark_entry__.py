@@ -1215,6 +1215,102 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x83_drill_across(spark, sf_dir):
+    """Drill-across: two independently aggregated fact tables (orders
+    revenue, lineitem shipped quantity) merged on the conformed month
+    dimension with a FULL OUTER join — the multi-fact BI pattern that
+    never joins raw facts to raw facts (each side reduces FIRST, the
+    merge touches |months| rows)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double").alias("qty_shipped"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        o.join(l, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("revenue", F.lit(0.0)), 2).alias("revenue"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(F.coalesce("qty_shipped", F.lit(0.0)), 2).alias("qty_shipped"),
+        )
+        .orderBy("month")
+    )
+
+
+def t34_keyword_extraction(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by TF·IDF (corpus
+    document frequency from one aggregate, term frequency per doc,
+    smoothed idf = ln((N+1)/(df+1))), ties broken lexicographically —
+    the tagging/labeling step of search and clustering pipelines.  Two
+    shuffles on the token + one bounded per-doc window."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("_tf") * F.log((F.col("_N") + 1) / (F.col("_df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("tok").alias("keyword"),
+                F.round("_score", 6).alias("score"))
+    )
+
+
+def a22_hub_removal_robustness(spark, sf_dir):
+    """Attack-robustness probe: connected-component structure of the
+    undirected supplier graph BEFORE and AFTER removing the
+    highest-degree hub vertices (the regions) — the percolation
+    question ("does the network survive losing its hubs") answered
+    with two runs of the existing CC operator over a degree-filtered
+    edge set.  Output: one row per scenario with component count and
+    largest-component size."""
+    e = _sn_subgraph(spark, sf_dir)
+    und = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    hubs = deg.orderBy(F.desc("_d"), F.asc("src")).limit(5).select("src")
+    kept = (
+        e.join(hubs.withColumnRenamed("src", "h1"), e.src == F.col("h1"), "left_anti")
+        .join(hubs.withColumnRenamed("src", "h2"), F.col("dst") == F.col("h2"), "left_anti")
+    )
+
+    def summarize(edges, scenario):
+        cc = graph_algos.connected_components(edges)
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+        return sizes.agg(
+            F.lit(scenario).alias("scenario"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("_sz").cast("long").alias("largest_component"),
+        )
+
+    return summarize(e, "full").unionByName(
+        summarize(kept, "hubs_removed")
+    ).orderBy("scenario")
+
+
 def g26_save_load_roundtrip(spark, sf_dir):
     """Graph persistence roundtrip in the gate: the bulk graph is
     mutated by a script (new rel + edges), SAVED to parquet
@@ -4226,6 +4322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e29_stream_metrics": e29_stream_metrics,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
+        "x83_drill_across": x83_drill_across,
+        "t34_keyword_extraction": t34_keyword_extraction,
+        "a22_hub_removal_robustness": a22_hub_removal_robustness,
         "x80_temporal_sanity": x80_temporal_sanity,
         "x79_ewma_revenue": x79_ewma_revenue,
         "t31_tokenizer_fertility": t31_tokenizer_fertility,
@@ -6548,6 +6647,80 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "x83_drill_across": """
+            WITH o AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                         AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY 1),
+            l AS (
+              SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+                         AS qty_shipped,
+                     COUNT(*) AS n_lines
+              FROM lineitem GROUP BY 1)
+            SELECT COALESCE(o.month, l.month) AS month,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   ROUND(COALESCE(revenue, 0.0), 2) AS revenue,
+                   COALESCE(n_lines, 0) AS n_lines,
+                   ROUND(COALESCE(qty_shipped, 0.0), 2) AS qty_shipped
+            FROM o FULL OUTER JOIN l ON l.month = o.month
+            ORDER BY month
+        """,
+        "t34_keyword_extraction": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2),
+            df AS (SELECT tok, COUNT(*) AS dfreq
+                   FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+            nn AS (SELECT COUNT(*) AS N FROM documents WHERE trim(text) <> ''),
+            scored AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tfreq * LN((nn.N + 1) / CAST(df.dfreq + 1 AS DOUBLE))
+                         AS score
+              FROM tf JOIN df USING (tok), nn)
+            SELECT doc_id, rank, tok AS keyword, ROUND(score, 6) AS score
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS INT) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        "a22_hub_removal_robustness": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            deg AS (SELECT src, COUNT(*) AS d FROM eu GROUP BY src),
+            hubs AS (SELECT src FROM deg ORDER BY d DESC, src ASC LIMIT 5),
+            euk AS (SELECT * FROM eu
+                    WHERE src NOT IN (SELECT src FROM hubs)
+                      AND dst NOT IN (SELECT src FROM hubs)),
+            reach_f AS (
+              SELECT src AS id, src AS peer FROM eu
+              UNION
+              SELECT r.id, eu.dst AS peer FROM reach_f r JOIN eu ON eu.src = r.peer
+            ),
+            comp_f AS (SELECT id, MIN(peer) AS c FROM reach_f GROUP BY id),
+            sz_f AS (SELECT c, COUNT(*) AS s FROM comp_f GROUP BY c),
+            reach_k AS (
+              SELECT src AS id, src AS peer FROM euk
+              UNION
+              SELECT r.id, euk.dst AS peer FROM reach_k r JOIN euk ON euk.src = r.peer
+            ),
+            comp_k AS (SELECT id, MIN(peer) AS c FROM reach_k GROUP BY id),
+            sz_k AS (SELECT c, COUNT(*) AS s FROM comp_k GROUP BY c)
+            SELECT 'full' AS scenario, COUNT(*) AS n_components,
+                   CAST(MAX(s) AS BIGINT) AS largest_component FROM sz_f
+            UNION ALL
+            SELECT 'hubs_removed' AS scenario, COUNT(*) AS n_components,
+                   CAST(MAX(s) AS BIGINT) AS largest_component FROM sz_k
+            ORDER BY scenario
         """,
         "g26_save_load_roundtrip": """
             SELECT (SELECT CAST(r_regionkey AS BIGINT) FROM region
