@@ -1215,6 +1215,29 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def g27_sql_surface(spark, sf_dir):
+    """SQL interop surface: the property graph registered as plain temp
+    views (one per label + edges) and queried with spark.sql — the
+    two-hop motif g3 expressed as ANSI joins over the SAME state the
+    miniGQL executor maintains, so SQL tooling (BI, dbt-style models)
+    composes with graph state without an export step."""
+    state = load_tpch_graph(spark, sf_dir)
+    for label, df in state.nodes.items():
+        df.createOrReplaceTempView(f"g_{label.lower()}")
+    state.edges.createOrReplaceTempView("g_edges")
+    return spark.sql(
+        """
+        SELECT c._id AS c, n._id AS n, r._id AS r
+        FROM g_customer c
+        JOIN g_edges e1 ON e1.src = c._id AND e1.rel = 'in_nation'
+        JOIN g_nation n ON n._id = e1.dst
+        JOIN g_edges e2 ON e2.src = n._id AND e2.rel = 'in_region'
+        JOIN g_region r ON r._id = e2.dst
+        WHERE r.name = 'ASIA'
+        """
+    )
+
+
 def x83_drill_across(spark, sf_dir):
     """Drill-across: two independently aggregated fact tables (orders
     revenue, lineitem shipped quantity) merged on the conformed month
@@ -4323,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
+        "g27_sql_surface": g27_sql_surface,
         "t34_keyword_extraction": t34_keyword_extraction,
         "a22_hub_removal_robustness": a22_hub_removal_robustness,
         "x80_temporal_sanity": x80_temporal_sanity,
@@ -6647,6 +6671,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "g27_sql_surface": f"""
+            SELECT {_CUST} AS c, {_NAT} AS n, {_REG} AS r
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
         """,
         "x83_drill_across": """
             WITH o AS (
