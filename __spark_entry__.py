@@ -1215,6 +1215,65 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x84_null_semantics(spark, sf_dir):
+    """Null-semantics conformance matrix: a column nullified on a
+    deterministic predicate (every 3rd order loses its priority) runs
+    through the aggregates and joins whose null behaviour differs by
+    engine lore — COUNT(*) vs COUNT(col), COUNT(DISTINCT col),
+    AVG-skips-nulls, null-safe equality join (<=>), GROUP BY null as a
+    real group — all pinned against ANSI.  The semantics regression
+    net for the trickiest corner of SQL."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("price"),
+    )
+    grouped = o.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("prio").alias("n_nonnull"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+    # null-safe self-join: the NULL group matches ITSELF under <=>
+    right = grouped.select(F.col("prio").alias("rp"), F.col("n_rows").alias("rn"))
+    return (
+        grouped.join(right, grouped.prio.eqNullSafe(right.rp))
+        .select(
+            F.coalesce(F.col("prio"), F.lit("NULL_GROUP")).alias("prio"),
+            "n_rows",
+            "n_nonnull",
+            F.round("sum_price", 2).alias("sum_price"),
+            F.col("rn").alias("selfjoin_rows"),
+        )
+        .orderBy("prio")
+    )
+
+
+def a23_ktruss(spark, sf_dir):
+    """k-truss decomposition (k=3): iteratively peel edges supported by
+    fewer than k−2 triangles until fixpoint — the edge-cohesion
+    primitive one notch above k-core (a8), run over the bucket-chained
+    customer graph.  Each round: one wedge join recomputes per-edge
+    support over LIVE edges + one filter (graph_algos.ktruss).  Oracle:
+    the rounds unrolled as chained CTEs."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(s: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + s).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {s}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .unionByName(step_edges(5))  # triangle-free bridges: the peel victims
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    return graph_algos.ktruss(e, k=3, max_rounds=4)
+
+
 def g27_sql_surface(spark, sf_dir):
     """SQL interop surface: the property graph registered as plain temp
     views (one per label + edges) and queried with spark.sql — the
@@ -4347,6 +4406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
         "g27_sql_surface": g27_sql_surface,
+        "x84_null_semantics": x84_null_semantics,
+        "a23_ktruss": a23_ktruss,
         "t34_keyword_extraction": t34_keyword_extraction,
         "a22_hub_removal_robustness": a22_hub_removal_robustness,
         "x80_temporal_sanity": x80_temporal_sanity,
@@ -6672,6 +6733,25 @@ def oracle_sql() -> dict[str, str]:
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
         """,
+        "x84_null_semantics": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE o_orderpriority END AS prio,
+                     CAST(o_totalprice AS DECIMAL(25,2)) AS price
+              FROM orders),
+            grouped AS (
+              SELECT prio, COUNT(*) AS n_rows, COUNT(prio) AS n_nonnull,
+                     CAST(SUM(price) AS DOUBLE) AS sum_price
+              FROM o GROUP BY prio)
+            SELECT COALESCE(g.prio, 'NULL_GROUP') AS prio, g.n_rows,
+                   g.n_nonnull, ROUND(g.sum_price, 2) AS sum_price,
+                   r.n_rows AS selfjoin_rows
+            FROM grouped g JOIN grouped r
+              ON g.prio IS NOT DISTINCT FROM r.prio
+            ORDER BY prio
+        """,
+        "a23_ktruss": _ktruss_oracle(),
         "g27_sql_surface": f"""
             SELECT {_CUST} AS c, {_NAT} AS n, {_REG} AS r
             FROM customer
@@ -7724,6 +7804,55 @@ def _matching_oracle(rounds: int = 10) -> str:
         l0 AS (SELECT u, v, {h60} AS pri FROM canon),
         {",".join(chain)}
         {selects}
+    """
+
+
+def _ktruss_oracle(k: int = 3, rounds: int = 4) -> str:
+    """DuckDB mirror of a23: per-round wedge-enumerated edge support
+    over LIVE edges (each triangle counted 3×, divided back out) and
+    the under-support peel, unrolled."""
+    chain = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+        nbr{r} AS (SELECT u AS a, v AS b FROM {prev}
+                   UNION ALL SELECT v AS a, u AS b FROM {prev}),
+        tri{r} AS (
+          SELECT w.m, w.x, w.y FROM (
+            SELECT n1.a AS m, n1.b AS x, n2.b AS y
+            FROM nbr{r} n1 JOIN nbr{r} n2 ON n2.a = n1.a AND n1.b < n2.b) w
+          WHERE EXISTS (SELECT 1 FROM {prev} e WHERE e.u = w.x AND e.v = w.y)),
+        sup{r} AS (
+          SELECT u, v, CAST(COUNT(*) / 3 AS BIGINT) AS support FROM (
+            SELECT LEAST(m, x) AS u, GREATEST(m, x) AS v FROM tri{r}
+            UNION ALL SELECT LEAST(m, y) AS u, GREATEST(m, y) AS v FROM tri{r}
+            UNION ALL SELECT x AS u, y AS v FROM tri{r})
+          GROUP BY u, v),
+        l{r} AS MATERIALIZED (
+          SELECT l.u, l.v, COALESCE(s.support, 0) AS support
+          FROM {prev} l LEFT JOIN sup{r} s USING (u, v)
+          WHERE COALESCE(s.support, 0) >= {k - 2})""")
+        prev = f"l{r}"
+    return f"""
+        WITH ck AS (
+          SELECT CAST(c_custkey AS BIGINT) AS raw,
+                 CAST(c_custkey + 1000000 AS BIGINT) AS k
+          FROM customer
+        ),
+        e0 AS (
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+          UNION ALL
+          SELECT a.k AS src, b.k AS dst FROM ck a
+          JOIN ck b ON b.raw = a.raw + 5 AND a.raw // 10 = b.raw // 10
+        ),
+        l0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+               FROM e0 WHERE src <> dst),
+        {",".join(chain)}
+        SELECT u, v, support FROM {prev}
     """
 
 

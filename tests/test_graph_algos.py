@@ -443,3 +443,24 @@ def test_maximal_matching_valid_and_maximal(spark):
     matched = set(used)
     for a, b in und:
         assert a in matched or b in matched
+
+
+def test_ktruss_peels_bridge_keeps_clique(spark):
+    # K4 (every edge in 2 triangles) + a bridge edge to a pendant: the
+    # 3-truss keeps K4 (support >= 1), peels the bridge; the 4-truss
+    # (k=4, support >= 2) also keeps exactly K4
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    t3 = {(r["u"], r["v"]): r["support"] for r in graph_algos.ktruss(e, k=3).collect()}
+    assert set(t3) == set(k4)
+    assert all(s == 2 for s in t3.values())
+    t4 = {(r["u"], r["v"]) for r in graph_algos.ktruss(e, k=4).collect()}
+    assert t4 == set(k4)
+
+
+def test_ktruss_cascade(spark):
+    # triangle chain: {0,1,2} and {2,3,4} share only vertex 2; a 4-truss
+    # requires support >= 2 -> everything cascades away
+    tri2 = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    e = spark.createDataFrame(tri2, "src long, dst long")
+    assert graph_algos.ktruss(e, k=4, max_rounds=5).count() == 0
