@@ -1215,6 +1215,94 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x85_semi_additive(spark, sf_dir):
+    """Semi-additive measure (the balance-sheet aggregation): a
+    customer's 'balance' for a month is their LAST order price in it
+    (last_value by (date, orderkey) — max_by with a composite string
+    key, the x71 discipline), and the month total sums balances ACROSS
+    customers but never across time — the aggregation rule OLAP tools
+    special-case, expressed as two plain hash aggregates."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+        F.to_date("o_orderdate").alias("_d"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
+    )
+    last_per = o.groupBy("o_custkey", "month").agg(
+        F.expr(
+            "max_by(_p, concat(lpad(cast(unix_date(_d) as string), 12, '0'),"
+            " lpad(cast(o_orderkey as string), 12, '0')))"
+        ).alias("_bal")
+    )
+    return (
+        last_per.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_bal").cast("double").alias("total_balance"),
+        )
+        .orderBy("month")
+    )
+
+
+def t35_source_novelty(spark, sf_dir):
+    """Per-source content novelty: the share of a source's distinct
+    3-gram shingles found NOWHERE else in the corpus — the
+    "what does this source uniquely contribute" number that prices a
+    data acquisition.  One (shingle → n_sources) aggregate + one
+    per-source reduce; no pairwise source comparison (that's d16's
+    matrix — this is the linear-cost summary)."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingle_frame(docs, 3, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", F.explode("_sh").alias("_g")).distinct()
+    spread = sh.groupBy("_g").agg(F.count_distinct("source").alias("_ns"))
+    return (
+        sh.join(spread, "_g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_ns") == 1).cast("int")).cast("long").alias("n_unique"),
+            F.round(
+                F.sum((F.col("_ns") == 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+def x86_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each order draws a hash-derived uniform u and the
+    top-5 per priority by u^(1/w) — w = totalprice — are the sample;
+    heavier orders win proportionally more often, yet any retry
+    reproduces the identical sample (the a17/m9 no-RNG discipline).
+    Key arithmetic: ln(u)/w ranking (monotone in u^(1/w)), one window."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("_w"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("ws"), "o_orderkey")), 1, 15), 16, 10
+    ).cast("long")
+    # u in (0,1): (h+1)/(2^60+1) — strictly inside so ln is finite
+    u = (h + 1) / F.lit(float(2**60 + 1))
+    keyed = o.withColumn("_k", F.log(u) / F.col("_w"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("_k"), F.asc("o_orderkey")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "o_orderpriority", "rank", "o_orderkey",
+            F.round("_w", 2).alias("weight"),
+        )
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
 def x84_null_semantics(spark, sf_dir):
     """Null-semantics conformance matrix: a column nullified on a
     deterministic predicate (every 3rd order loses its priority) runs
@@ -4407,6 +4495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x83_drill_across": x83_drill_across,
         "g27_sql_surface": g27_sql_surface,
         "x84_null_semantics": x84_null_semantics,
+        "x85_semi_additive": x85_semi_additive,
+        "t35_source_novelty": t35_source_novelty,
+        "x86_weighted_sample": x86_weighted_sample,
         "a23_ktruss": a23_ktruss,
         "t34_keyword_extraction": t34_keyword_extraction,
         "a22_hub_removal_robustness": a22_hub_removal_robustness,
@@ -6732,6 +6823,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "x85_semi_additive": """
+            WITH o AS (
+              SELECT o_custkey,
+                     strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                     CAST(o_orderdate AS DATE) AS d, o_orderkey,
+                     CAST(o_totalprice AS DECIMAL(25,2)) AS p
+              FROM orders),
+            last_per AS (
+              SELECT o_custkey, month,
+                     arg_max(p, lpad(CAST(CAST(d - DATE '1970-01-01' AS BIGINT)
+                                          AS VARCHAR), 12, '0')
+                                || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+                         AS bal
+              FROM o GROUP BY o_custkey, month)
+            SELECT month, COUNT(*) AS n_customers,
+                   CAST(SUM(bal) AS DOUBLE) AS total_balance
+            FROM last_per GROUP BY month ORDER BY month
+        """,
+        "t35_source_novelty": f"""
+            WITH sh AS (
+              SELECT DISTINCT source, unnest({_SHINGLES}) AS g
+              FROM documents),
+            spread AS (SELECT g, COUNT(DISTINCT source) AS ns FROM sh GROUP BY g)
+            SELECT source, COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique,
+                   ROUND(CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS novelty
+            FROM sh JOIN spread USING (g)
+            GROUP BY source ORDER BY source
+        """,
+        "x86_weighted_sample": """
+            WITH keyed AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(o_totalprice AS DOUBLE) AS w,
+                     LN((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(substr(md5(
+                               'ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15), ''),
+                             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                           (a, b) -> a * 16 + b) + 1)
+                        / CAST(1152921504606846977 AS DOUBLE))
+                     / CAST(o_totalprice AS DOUBLE) AS k
+              FROM orders)
+            SELECT o_orderpriority, rank, o_orderkey, ROUND(w, 2) AS weight
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY k DESC, o_orderkey ASC) AS INT) AS rank
+                  FROM keyed)
+            WHERE rank <= 5
+            ORDER BY o_orderpriority, rank
         """,
         "x84_null_semantics": """
             WITH o AS (
