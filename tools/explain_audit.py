@@ -36,6 +36,23 @@ NL_ALLOWED = {
     # broadcast query signatures against the corpus scan
     "t27_mixture_rates",  # 1-row corpus-total and 1-row redistribution
     # aggregates broadcast into the |sources|-row frame — constant sides
+    "s17_crossmodal_recall",  # ~50 broadcast query vectors x corpus scan
+    # (the s1 allowance)
+    "t30_bigram_perplexity",  # 1-row (total, vocab) aggregate broadcast
+    # into the scored validation bigrams — constant side
+    "t34_keyword_extraction",  # 1-row corpus doc-count broadcast into the
+    # tf x df join — constant side
+    "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
+    # cross-joined into five 1-row report rows — all constant sides
+    "m10_cutmix_plan",  # 1-row image-count broadcast into the partner
+    # arithmetic — constant side
+    "x79_ewma_revenue",  # months x months triangular term join — both
+    # sides are the |months|-row pre-aggregate (bounded by the calendar,
+    # not the data volume)
+    "g26_save_load_roundtrip",  # 1-row binding seed x label table over a
+    # script-mutated graph (the g11 allowance)
+    "g25_self_loop",  # same shape: 1-row matched binding x nation label
+    # scan feeding the created self-loop's match
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
