@@ -1215,6 +1215,82 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def d22_winnowing_pairs(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS plagiarism-detection scheme):
+    per document, hash every 3-gram, slide a window of 4 consecutive
+    gram hashes and keep each window's MINIMUM (ties → rightmost) —
+    the selected fingerprints GUARANTEE any shared run of ≥ w+k−1
+    tokens is detected, with ~2/(w+1) storage.  Pairs sharing ≥ 3
+    fingerprints emit.  The tie-break packs (hash, position) into ONE
+    integer key (hash₄₀·2²⁰ + (2²⁰−1−pos)), so the rolling MIN is a
+    plain BIGINT window aggregate on any engine.  One window per doc +
+    one inverted-index join on the fingerprint."""
+    docs = _docs(spark, sf_dir)
+    # POSITIONAL grams (shingle_frame dedups — winnowing must not)
+    toks = "split(trim(text), '\\\\s+')"
+    grams = docs.where(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size({toks}) - 2),"
+                f" i -> concat_ws(' ', {toks}[i - 1], {toks}[i], {toks}[i + 1]))"
+            )
+        ).alias("pos", "_g"),
+    )
+    h40 = F.conv(F.substring(F.md5("_g"), 1, 10), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))).alias("_k"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    fps = (
+        keyed.withColumn("_m", F.min("_k").over(w))
+        .select("doc_id", F.col("_m").alias("fp"))
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+def x87_rolling_range_frame(spark, sf_dir):
+    """Trailing 28-day revenue via a RANGE frame over DAY-GRAIN
+    pre-aggregates (RANGE BETWEEN 27 PRECEDING on the day number, so
+    gaps in the calendar are handled correctly where a ROWS frame would
+    silently span them) — per priority, the classic trailing-period
+    KPI with window state bounded by distinct days."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("_d"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
+    )
+    daily = o.groupBy("o_orderpriority", "_d").agg(F.sum("_p").alias("_rev"))
+    daily = daily.withColumn("_dn", F.unix_date("_d"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_dn")
+        .rangeBetween(-27, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.sum("_rev").over(w).cast("double").alias("rev_28d"),
+    ).orderBy("o_orderpriority", "day")
+
+
 def x85_semi_additive(spark, sf_dir):
     """Semi-additive measure (the balance-sheet aggregation): a
     customer's 'balance' for a month is their LAST order price in it
@@ -4496,6 +4572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_sql_surface": g27_sql_surface,
         "x84_null_semantics": x84_null_semantics,
         "x85_semi_additive": x85_semi_additive,
+        "d22_winnowing_pairs": d22_winnowing_pairs,
+        "x87_rolling_range_frame": x87_rolling_range_frame,
         "t35_source_novelty": t35_source_novelty,
         "x86_weighted_sample": x86_weighted_sample,
         "a23_ktruss": a23_ktruss,
@@ -6823,6 +6901,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "d22_winnowing_pairs": """
+            WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                       FROM documents
+                       WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+            ix AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+            grams AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                         || ' ' || w[CAST(i + 2 AS INT)] AS g
+              FROM ix),
+            keyed AS (
+              SELECT doc_id, pos,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(g), 1, 10), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) * 1048576
+                     + (1048575 - pos) AS k
+              FROM grams),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM keyed)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        "x87_rolling_range_frame": """
+            WITH daily AS (
+              SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+                     SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+              FROM orders GROUP BY 1, 2),
+            n AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS dn
+                  FROM daily)
+            SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS day,
+                   CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY dn
+                     RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS rev_28d
+            FROM n ORDER BY o_orderpriority, day
         """,
         "x85_semi_additive": """
             WITH o AS (
