@@ -1215,6 +1215,56 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x88_skew_report(spark, sf_dir):
+    """Key-skew diagnostic: the per-key row-count distribution of the
+    orders→customer join key summarized as max/mean ratio, top-1-key
+    share, and the GINI COEFFICIENT over sorted key counts (rank-sum
+    closed form G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n) — the report that says
+    whether a join needs the x8/x12 salting treatment BEFORE it burns a
+    shuffle.  One count aggregate + one window over |keys| rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.asc("_c"), F.asc("o_custkey"))
+    ranked = counts.withColumn("_i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.max("_c").cast("long").alias("max_key_rows"),
+        F.round(F.max("_c") / F.avg("_c"), 6).alias("max_over_mean"),
+        F.round(
+            2.0 * F.sum(F.col("_i").cast("double") * F.col("_c"))
+            / (F.count(F.lit(1)) * F.sum("_c"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def t36_dedup_length_bias(spark, sf_dir):
+    """Dedup-bias diagnostic: near-dup removal rate per document-length
+    quartile (NTILE over n_chars × the d5 cluster manifest) — the check
+    that dedup is not silently skewing the corpus toward long or short
+    documents.  One window + one bounded aggregate over the memoized
+    manifest."""
+    docs = _docs(spark, sf_dir)
+    cl = _dup_clusters_cached(spark, sf_dir).select("doc_id", "keep")
+    q = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))).alias("quartile"),
+    )
+    return (
+        q.join(cl, "doc_id")
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_removed"),
+            F.round(F.sum((~F.col("keep")).cast("int")) / F.count(F.lit(1)), 6).alias("removal_rate"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def d22_winnowing_pairs(spark, sf_dir):
     """Winnowing fingerprints (the MOSS plagiarism-detection scheme):
     per document, hash every 3-gram, slide a window of 4 consecutive
@@ -4573,6 +4623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x84_null_semantics": x84_null_semantics,
         "x85_semi_additive": x85_semi_additive,
         "d22_winnowing_pairs": d22_winnowing_pairs,
+        "x88_skew_report": x88_skew_report,
+        "t36_dedup_length_bias": t36_dedup_length_bias,
         "x87_rolling_range_frame": x87_rolling_range_frame,
         "t35_source_novelty": t35_source_novelty,
         "x86_weighted_sample": x86_weighted_sample,
@@ -6901,6 +6953,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "x88_skew_report": """
+            WITH counts AS (SELECT o_custkey, COUNT(*) AS c FROM orders
+                            GROUP BY o_custkey),
+            ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC,
+                           o_custkey ASC) AS i FROM counts)
+            SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(MAX(c) AS BIGINT) AS max_key_rows,
+                   ROUND(MAX(c) / AVG(c), 6) AS max_over_mean,
+                   ROUND(2.0 * SUM(CAST(i AS DOUBLE) * c)
+                         / (COUNT(*) * SUM(c))
+                         - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS gini
+            FROM ranked
+        """,
+        "t36_dedup_length_bias": f"""
+            WITH q AS (
+              SELECT doc_id, n_chars,
+                     NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC)
+                         AS quartile
+              FROM documents),
+            cl AS (SELECT doc_id, keep FROM ({_dup_clusters_oracle()}))
+            SELECT quartile, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   ROUND(CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS removal_rate
+            FROM q JOIN cl USING (doc_id)
+            GROUP BY quartile ORDER BY quartile
         """,
         "d22_winnowing_pairs": """
             WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
