@@ -16,3 +16,4 @@ def np_l2norm(v: pd.Series) -> pd.Series:
     import numpy as np
 
     return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
+
