@@ -1215,6 +1215,58 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def x89_filter_clause(spark, sf_dir):
+    """ANSI aggregate FILTER clause: one pass over orders computing
+    unconditional, predicate-filtered, and DISTINCT-filtered aggregates
+    side by side (COUNT(*) FILTER (WHERE …), SUM … FILTER, COUNT
+    (DISTINCT …) FILTER) — the conditional-aggregation syntax tier next
+    to x31's CASE-based classes, one hash aggregate."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("_x89_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                   AS urgent_revenue,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
+                   AS n_big_customers
+        FROM _x89_orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+def a24_bipartiteness(spark, sf_dir):
+    """Bipartiteness / odd-cycle check: BFS-parity 2-coloring of the
+    undirected supplier graph (color = level mod 2 from the a1 BFS per
+    landmark... here single-source per component via the region roots),
+    then ONE join counts monochromatic edges — zero conflicts ⟺
+    bipartite.  The supplier→nation→region layers ARE bipartite-ish
+    trees, so conflicts pin to 0; the check is the generic odd-cycle
+    detector."""
+    e = _sn_subgraph(spark, sf_dir)
+    lv = graph_algos.bfs_levels(e, sources=[0, 1, 2, 3, 4], directed=False)
+    color = lv.select("id", (F.col("level") % 2).alias("_c"))
+    und = e.select("src", "dst")
+    conflicts = (
+        und.join(color.withColumnRenamed("id", "src").withColumnRenamed("_c", "_ca"), "src")
+        .join(color.withColumnRenamed("id", "dst").withColumnRenamed("_c", "_cb"), "dst")
+        .where(F.col("_ca") == F.col("_cb"))
+    )
+    return color.agg(
+        F.count(F.lit(1)).alias("n_colored"),
+        F.sum((F.col("_c") == 0).cast("int")).cast("long").alias("n_color0"),
+    ).crossJoin(
+        F.broadcast(conflicts.agg(F.count(F.lit(1)).alias("n_conflicts")))
+    ).select(
+        "n_colored", "n_color0", "n_conflicts",
+        (F.col("n_conflicts") == 0).alias("is_bipartite"),
+    )
+
+
 def x88_skew_report(spark, sf_dir):
     """Key-skew diagnostic: the per-key row-count distribution of the
     orders→customer join key summarized as max/mean ratio, top-1-key
@@ -4624,6 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x85_semi_additive": x85_semi_additive,
         "d22_winnowing_pairs": d22_winnowing_pairs,
         "x88_skew_report": x88_skew_report,
+        "x89_filter_clause": x89_filter_clause,
+        "a24_bipartiteness": a24_bipartiteness,
         "t36_dedup_length_bias": t36_dedup_length_bias,
         "x87_rolling_range_frame": x87_rolling_range_frame,
         "t35_source_novelty": t35_source_novelty,
@@ -6953,6 +7007,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "x89_filter_clause": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_all,
+                   COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                        FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                       AS urgent_revenue,
+                   COUNT(DISTINCT o_custkey)
+                       FILTER (WHERE o_totalprice > 150000) AS n_big_customers
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "a24_bipartiteness": f"""
+            WITH RECURSIVE eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            bfs AS (
+              SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS id, 0 AS lvl
+              UNION
+              SELECT eu.dst AS id, b.lvl + 1 AS lvl
+              FROM bfs b JOIN eu ON eu.src = b.id WHERE b.lvl < 20
+            ),
+            color AS (SELECT id, MIN(lvl) % 2 AS c FROM bfs GROUP BY id),
+            ed AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION ALL
+              SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              WHERE TRUE
+            ),
+            conf AS (
+              SELECT COUNT(*) AS n FROM ed
+              JOIN color ca ON ca.id = ed.src
+              JOIN color cb ON cb.id = ed.dst
+              WHERE ca.c = cb.c)
+            SELECT (SELECT COUNT(*) FROM color) AS n_colored,
+                   (SELECT CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) FROM color) AS n_color0,
+                   (SELECT n FROM conf) AS n_conflicts,
+                   (SELECT n FROM conf) = 0 AS is_bipartite
         """,
         "x88_skew_report": """
             WITH counts AS (SELECT o_custkey, COUNT(*) AS c FROM orders
