@@ -1215,6 +1215,53 @@ def s16_knn_hamming(spark, sf_dir):
     return similarity.knn_hamming(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def g28_bind_params(spark, sf_dir):
+    """Prepared-statement surface: the g3 motif with the region name
+    supplied as a TYPED bind parameter (engine/executor.py::
+    bind_params) — $region renders as a validated quoted literal, so
+    user values can never splice program text (the injection-proof
+    templating contract)."""
+    state = load_tpch_graph(spark, sf_dir)
+    _, b = run_program(
+        spark,
+        "match (c: Customer) -[:in_nation]-> (n: Nation) -[:in_region]-> (r: Region)\n"
+        "where r.name = $region\n"
+        "return c, n, r",
+        initial_state=state,
+        params={"region": "ASIA"},
+    )
+    return binding_table(b)
+
+
+def m12_specaugment_plan(spark, sf_dir):
+    """SpecAugment mask schedule: per audio clip (the m1 kind routing)
+    and epoch, hash-derived time-mask and frequency-mask spans over the
+    m5 frame grid — the no-RNG-state augmentation discipline (m9/m10)
+    applied to spectrogram masking.  Map-only column algebra."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.floor(F.length(F.trim("text")) / 4).cast("long").alias("n_frames"),
+    ).where((F.col("media_id") % 3 == 1) & (F.col("n_frames") >= 8))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("sa"), "media_id", "epoch")), 1, 15),
+        16, 10,
+    ).cast("long")
+    base = media.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(1)))
+    ).withColumn("_h", h)
+    return base.select(
+        "media_id",
+        "epoch",
+        "n_frames",
+        ((F.col("_h") % 27) + 1).cast("int").alias("freq_mask_lo"),
+        ((F.expr("_h div 32") % 27) + 1).cast("int").alias("freq_mask_len"),
+        (F.expr("_h div 1024") % F.greatest(F.col("n_frames") - 4, F.lit(1)))
+        .cast("long")
+        .alias("time_mask_start"),
+        ((F.expr("_h div 65536") % 4) + 1).cast("int").alias("time_mask_len"),
+    ).orderBy("media_id", "epoch")
+
+
 def x89_filter_clause(spark, sf_dir):
     """ANSI aggregate FILTER clause: one pass over orders computing
     unconditional, predicate-filtered, and DISTINCT-filtered aggregates
@@ -4677,6 +4724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_winnowing_pairs": d22_winnowing_pairs,
         "x88_skew_report": x88_skew_report,
         "x89_filter_clause": x89_filter_clause,
+        "m12_specaugment_plan": m12_specaugment_plan,
+        "g28_bind_params": g28_bind_params,
         "a24_bipartiteness": a24_bipartiteness,
         "t36_dedup_length_bias": t36_dedup_length_bias,
         "x87_rolling_range_frame": x87_rolling_range_frame,
@@ -7007,6 +7056,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.doc_id END AS keeper_id
             FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
             ORDER BY e.doc_id
+        """,
+        "g28_bind_params": f"""
+            SELECT {_CUST} AS c, {_NAT} AS n, {_REG} AS r
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        """,
+        "m12_specaugment_plan": """
+            WITH media AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(FLOOR(len(trim(text)) / 4) AS BIGINT) AS n_frames
+              FROM documents
+              WHERE doc_id % 3 = 1
+                AND CAST(FLOOR(len(trim(text)) / 4) AS BIGINT) >= 8),
+            base AS (SELECT media_id, n_frames, unnest([0, 1]) AS epoch
+                     FROM media),
+            h AS (
+              SELECT media_id, epoch, n_frames,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'sa:' || CAST(media_id AS VARCHAR) || ':'
+                           || CAST(epoch AS VARCHAR)), 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hv
+              FROM base)
+            SELECT media_id, epoch, n_frames,
+                   CAST(hv % 27 + 1 AS INT) AS freq_mask_lo,
+                   CAST((hv // 32) % 27 + 1 AS INT) AS freq_mask_len,
+                   CAST((hv // 1024) % GREATEST(n_frames - 4, 1) AS BIGINT)
+                       AS time_mask_start,
+                   CAST((hv // 65536) % 4 + 1 AS INT) AS time_mask_len
+            FROM h ORDER BY media_id, epoch
         """,
         "x89_filter_clause": """
             SELECT o_orderstatus,

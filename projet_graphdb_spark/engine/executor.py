@@ -846,12 +846,50 @@ def _merge_program_schema(state, extra: A.TypeGraph) -> None:
         state.nodes[nd.label] = local_df(state.spark, [], node_schema(nd))
 
 
+def bind_params(src: str, params: dict) -> str:
+    """Typed bind parameters for miniGQL programs: ``$name`` placeholders
+    substitute as PROPER literals — strings are validated against the
+    lexer's charset and quoted, ints/bools render as their literal forms
+    — so user values can never splice program text (the prepared-
+    statement contract; naive f-string templating is the injection
+    vector this removes)."""
+    import re as _re
+
+    used = set()
+
+    def repl(m):
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"program references undefined parameter ${k}")
+        used.add(k)
+        v = params[k]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            if not _re.fullmatch(r"[A-Za-z0-9 ]*", v):
+                raise ValueError(
+                    f"string parameter ${k} contains characters outside the "
+                    "miniGQL string charset [A-Za-z0-9 ]"
+                )
+            return f'"{v}"'
+        raise TypeError(f"parameter ${k} has unsupported type {type(v).__name__}")
+
+    out = _re.sub(r"\$([A-Za-z_][A-Za-z0-9_]*)", repl, src)
+    unused = set(params) - used
+    if unused:
+        raise KeyError(f"unused parameters: {sorted(unused)}")
+    return out
+
+
 def run_program(
     spark: SparkSession,
     src: str,
     initial_state: GraphState | None = None,
     set_eval: str = "first_row",
     fold_prefix: bool = True,
+    params: dict | None = None,
 ):
     """Compile and execute a miniGQL program; returns (state, binding).
 
@@ -866,6 +904,8 @@ def run_program(
     """
     from ..plans import fold_literal_prefix
 
+    if params is not None:
+        src = bind_params(src, params)
     parsed = normalize(parse(src))
     if initial_state is not None:
         # programs against a preloaded graph: typecheck against the

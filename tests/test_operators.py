@@ -301,3 +301,20 @@ def test_schema_extension_on_loaded_graph(spark):
             "(:Nation {name bool})\nmatch (n: Nation) return n",
             initial_state=load_tpch_graph(spark, SF_TINY),
         )
+
+
+def test_bind_params_typed_and_injection_proof(spark):
+    import pytest as _pytest
+
+    from projet_graphdb_spark.engine.executor import bind_params
+
+    out = bind_params('where r.name = $x and r.ok = $b and r.n = $k',
+                      {"x": "ASIA", "b": True, "k": 7})
+    assert out == 'where r.name = "ASIA" and r.ok = true and r.n = 7'
+    # injection: the quote character is outside the miniGQL charset
+    with _pytest.raises(ValueError):
+        bind_params("where r.name = $x", {"x": 'A" and r.name = "B'})
+    with _pytest.raises(KeyError):
+        bind_params("where r.name = $x", {})
+    with _pytest.raises(KeyError):
+        bind_params("where r.name = $x", {"x": "A", "zz": 1})
