@@ -53,6 +53,8 @@ NL_ALLOWED = {
     # script-mutated graph (the g11 allowance)
     "g25_self_loop",  # same shape: 1-row matched binding x nation label
     # scan feeding the created self-loop's match
+    "a24_bipartiteness",  # two 1-row aggregates (color counts x conflict
+    # count) cross-joined into the single report row — constant sides
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
