@@ -1262,6 +1262,88 @@ def m12_specaugment_plan(spark, sf_dir):
     ).orderBy("media_id", "epoch")
 
 
+def x90_incremental_load(spark, sf_dir):
+    """High-water-mark incremental ingestion: given the previous
+    checkpoint (here: half the key range, derived deterministically),
+    load ONLY rows above it, compute the delta aggregate, and emit the
+    new checkpoint — the ELT pattern that makes a daily 100 TB feed
+    cost O(new data): the predicate reaches the parquet reader as a
+    PushedFilter, so old files never decompress."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hwm = o.agg(F.expr("max(o_orderkey) div 2").alias("_hwm"))
+    delta = o.join(F.broadcast(hwm), o.o_orderkey > F.col("_hwm"))
+    return delta.agg(
+        F.min("_hwm").alias("prev_hwm"),
+        F.count(F.lit(1)).alias("n_new_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("new_revenue"),
+        F.max("o_orderkey").alias("new_hwm"),
+    )
+
+
+def t37_pareto_tail(spark, sf_dir):
+    """Document-length tail index: the Pareto/power-law α MLE over
+    lengths above the median (α = n / Σ ln(x/x_min)) plus the tail
+    share — the datasheet number that says whether a corpus's length
+    distribution is heavy-tailed enough to need length-bucketed
+    batching.  Two tiny aggregates (median, then the conditional MLE
+    fold)."""
+    docs = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    med = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("_xm")
+    )
+    tail = docs.crossJoin(F.broadcast(med)).where(F.col("n_chars") > F.col("_xm"))
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(F.min("_xm"), 1).alias("x_min"),
+        F.round(
+            F.count(F.lit(1))
+            / F.sum(F.log(F.col("n_chars") / F.col("_xm"))),
+            6,
+        ).alias("alpha_mle"),
+    )
+
+
+def a25_friends_of_friends(spark, sf_dir):
+    """Friends-of-friends reach: per customer in the bucket-chained
+    graph, the count of distinct 2-hop neighbours that are NOT direct
+    neighbours (and not self) — the social-reach / recommendation-pool
+    size.  One wedge join + one anti-join per the a15 cost envelope."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(st: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + st).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {st}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    nbr = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    two_hop = (
+        nbr.select(F.col("a").alias("id"), F.col("b").alias("_m"))
+        .join(nbr.select(F.col("a").alias("_m"), F.col("b").alias("fof")), "_m")
+        .where(F.col("fof") != F.col("id"))
+        .select("id", "fof")
+        .distinct()
+        .join(
+            nbr.select(F.col("a").alias("id"), F.col("b").alias("fof")),
+            ["id", "fof"],
+            "left_anti",
+        )
+    )
+    return (
+        two_hop.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fof"))
+        .orderBy("id")
+    )
+
+
 def x89_filter_clause(spark, sf_dir):
     """ANSI aggregate FILTER clause: one pass over orders computing
     unconditional, predicate-filtered, and DISTINCT-filtered aggregates
@@ -4724,6 +4806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_winnowing_pairs": d22_winnowing_pairs,
         "x88_skew_report": x88_skew_report,
         "x89_filter_clause": x89_filter_clause,
+        "x90_incremental_load": x90_incremental_load,
+        "t37_pareto_tail": t37_pareto_tail,
+        "a25_friends_of_friends": a25_friends_of_friends,
         "m12_specaugment_plan": m12_specaugment_plan,
         "g28_bind_params": g28_bind_params,
         "a24_bipartiteness": a24_bipartiteness,
@@ -7089,6 +7174,50 @@ def oracle_sql() -> dict[str, str]:
                        AS time_mask_start,
                    CAST((hv // 65536) % 4 + 1 AS INT) AS time_mask_len
             FROM h ORDER BY media_id, epoch
+        """,
+        "x90_incremental_load": """
+            WITH hwm AS (SELECT CAST(MAX(o_orderkey) // 2 AS BIGINT) AS h
+                         FROM orders)
+            SELECT MIN(h) AS prev_hwm, COUNT(*) AS n_new_rows,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS new_revenue,
+                   MAX(o_orderkey) AS new_hwm
+            FROM orders, hwm WHERE o_orderkey > h
+        """,
+        "t37_pareto_tail": """
+            WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS xm
+                         FROM documents WHERE n_chars > 0),
+            tail AS (SELECT n_chars, xm FROM documents, med
+                     WHERE n_chars > 0 AND n_chars > xm)
+            SELECT COUNT(*) AS n_tail, ROUND(MIN(xm), 1) AS x_min,
+                   ROUND(COUNT(*) / SUM(LN(n_chars / xm)), 6) AS alpha_mle
+            FROM tail
+        """,
+        "a25_friends_of_friends": """
+            WITH ck AS (
+              SELECT CAST(c_custkey AS BIGINT) AS raw,
+                     CAST(c_custkey + 1000000 AS BIGINT) AS k
+              FROM customer
+            ),
+            e0 AS (
+              SELECT a.k AS src, b.k AS dst FROM ck a
+              JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+              UNION ALL
+              SELECT a.k AS src, b.k AS dst FROM ck a
+              JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+            ),
+            und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            nbr AS (SELECT src AS a, dst AS b FROM und),
+            two_hop AS (
+              SELECT DISTINCT n1.a AS id, n2.b AS fof
+              FROM nbr n1 JOIN nbr n2 ON n2.a = n1.b
+              WHERE n2.b <> n1.a),
+            pruned AS (
+              SELECT t.id, t.fof FROM two_hop t
+              WHERE NOT EXISTS (SELECT 1 FROM nbr n
+                                WHERE n.a = t.id AND n.b = t.fof))
+            SELECT id, COUNT(*) AS n_fof FROM pruned
+            GROUP BY id ORDER BY id
         """,
         "x89_filter_clause": """
             SELECT o_orderstatus,
