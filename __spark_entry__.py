@@ -1262,6 +1262,77 @@ def m12_specaugment_plan(spark, sf_dir):
     ).orderBy("media_id", "epoch")
 
 
+def x91_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent drill-down: each hierarchy node's subtree
+    revenue as a share of its parent's (parent = key div 2, the x66
+    arithmetic tree) — the ratio every drill-down UI shows next to a
+    node.  The subtree rollup joins ITSELF shifted by the parent
+    arithmetic: no recursion, two aggregates and one equi-join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("_rev")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    ).where(F.col("k") >= 1).join(li, F.col("k") == F.col("l_suppkey"), "left")
+    anc = sup.select(
+        "k",
+        F.coalesce(F.col("_rev"), F.lit(0).cast("decimal(25,2)")).alias("_rev"),
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("_j"),
+    ).select(
+        F.expr("k div CAST(pow(2, _j) AS BIGINT)").alias("node"), "_rev"
+    ).where(F.col("node") >= 1)
+    subtree = anc.groupBy("node").agg(F.sum("_rev").alias("_sub"))
+    parent = subtree.select(
+        F.col("node").alias("_pnode"), F.col("_sub").alias("_psub")
+    )
+    return (
+        subtree.where(F.col("node") >= 2)
+        .join(parent, F.expr("node div 2") == F.col("_pnode"))
+        .where(F.col("node") <= 15)  # top levels of the drill-down
+        .select(
+            "node",
+            F.col("_sub").cast("double").alias("subtree_revenue"),
+            F.round(
+                F.col("_sub").cast("double") / F.col("_psub").cast("double"), 6
+            ).alias("share_of_parent"),
+        )
+        .orderBy("node")
+    )
+
+
+def t38_vocab_coverage(spark, sf_dir):
+    """Vocabulary-size coverage curve: the share of all corpus token
+    OCCURRENCES covered by the top-k most frequent tokens, reported at
+    k ∈ {5, 10, 20} (the corpus vocabulary is small) — the tokenizer-budget artifact (how big must the
+    vocab be to cover 95%?).  One token count + one bounded window
+    cumsum over the top slice."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    tf = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    tot = tf.agg(F.sum("_c").alias("_t"))
+    w = Window.orderBy(F.desc("_c"), F.asc("tok"))
+    ranked = tf.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= 100)
+    cum = ranked.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            Window.orderBy(F.desc("_c"), F.asc("tok")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        cum.where(F.col("_r").isin(5, 10, 20))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_r").alias("vocab_k"),
+            F.col("_cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("_cum") / F.col("_t"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
 def x90_incremental_load(spark, sf_dir):
     """High-water-mark incremental ingestion: given the previous
     checkpoint (here: half the key range, derived deterministically),
@@ -4807,6 +4878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x88_skew_report": x88_skew_report,
         "x89_filter_clause": x89_filter_clause,
         "x90_incremental_load": x90_incremental_load,
+        "x91_percent_of_parent": x91_percent_of_parent,
+        "t38_vocab_coverage": t38_vocab_coverage,
         "t37_pareto_tail": t37_pareto_tail,
         "a25_friends_of_friends": a25_friends_of_friends,
         "m12_specaugment_plan": m12_specaugment_plan,
@@ -7174,6 +7247,45 @@ def oracle_sql() -> dict[str, str]:
                        AS time_mask_start,
                    CAST((hv // 65536) % 4 + 1 AS INT) AS time_mask_len
             FROM h ORDER BY media_id, epoch
+        """,
+        "x91_percent_of_parent": """
+            WITH rev AS (
+              SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS r
+              FROM lineitem GROUP BY l_suppkey),
+            sup AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     COALESCE(rev.r, CAST(0 AS DECIMAL(25,2))) AS r
+              FROM supplier LEFT JOIN rev ON rev.l_suppkey = s_suppkey
+              WHERE s_suppkey >= 1),
+            anc AS (
+              SELECT k // CAST(pow(2, j) AS BIGINT) AS node, r
+              FROM sup CROSS JOIN (SELECT unnest(range(0, 15)) AS j)
+              WHERE k // CAST(pow(2, j) AS BIGINT) >= 1),
+            subtree AS (SELECT node, SUM(r) AS sub FROM anc GROUP BY node)
+            SELECT s.node, CAST(s.sub AS DOUBLE) AS subtree_revenue,
+                   ROUND(CAST(s.sub AS DOUBLE) / CAST(p.sub AS DOUBLE), 6)
+                       AS share_of_parent
+            FROM subtree s JOIN subtree p ON p.node = s.node // 2
+            WHERE s.node >= 2 AND s.node <= 15
+            ORDER BY s.node
+        """,
+        "t38_vocab_coverage": """
+            WITH tf AS (
+              SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> '') GROUP BY tok),
+            tot AS (SELECT SUM(c) AS t FROM tf),
+            ranked AS (
+              SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+              FROM tf QUALIFY r <= 100),
+            cum AS (
+              SELECT r, SUM(c) OVER (ORDER BY c DESC, tok ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM ranked)
+            SELECT r AS vocab_k, CAST(cm AS BIGINT) AS covered_tokens,
+                   ROUND(CAST(cm AS DOUBLE) / (SELECT t FROM tot), 6)
+                       AS coverage
+            FROM cum WHERE r IN (5, 10, 20) ORDER BY vocab_k
         """,
         "x90_incremental_load": """
             WITH hwm AS (SELECT CAST(MAX(o_orderkey) // 2 AS BIGINT) AS h
