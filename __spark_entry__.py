@@ -1262,6 +1262,75 @@ def m12_specaugment_plan(spark, sf_dir):
     ).orderBy("media_id", "epoch")
 
 
+def a26_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over the undirected supplier graph's edges — the
+    one-number answer to "do hubs connect to hubs?".  Degrees join onto
+    the edge list, then a single aggregate evaluates the closed form in
+    EXACT integer sums (products stay BIGINT) before one final double
+    division — no float accumulation to drift."""
+    e = _sn_subgraph(spark, sf_dir)
+    und = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    pairs = (
+        und.join(deg.withColumnRenamed("_d", "_dj"), "src")
+        .join(
+            deg.withColumnRenamed("src", "dst").withColumnRenamed("_d", "_dk"),
+            "dst",
+        )
+        .select(F.col("_dj").cast("long").alias("j"), F.col("_dk").cast("long").alias("k"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias("sj2"),
+    )
+    # r = [S_jk/m − (S_j/2m)²] / [S_j²/2m − (S_j/2m)²]  (Newman 2002)
+    num = F.col("sjk") / F.col("m") - (F.col("sj") / (2 * F.col("m"))) * (
+        F.col("sj") / (2 * F.col("m"))
+    )
+    den = F.col("sj2") / (2 * F.col("m")) - (F.col("sj") / (2 * F.col("m"))) * (
+        F.col("sj") / (2 * F.col("m"))
+    )
+    return agg.select(
+        F.col("m").alias("n_edge_ends"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def x92_benford(spark, sf_dir):
+    """Benford's-law screening: the first-digit distribution of order
+    prices against the log₁₀(1+1/d) expectation with a χ² statistic —
+    the classic fabricated-numbers detector, one substring aggregate.
+    (Synthetic uniform-ish prices are EXPECTED to fail Benford — the
+    query reports the divergence either way.)"""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.substring(F.col("o_totalprice").cast("decimal(25,2)").cast("string"), 1, 1).cast("int")
+    counts = o.select(d.alias("digit")).where(F.col("digit") >= 1).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = counts.agg(F.sum("observed").alias("_n"))
+    expected = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            F.round(expected * F.col("_n"), 2).alias("expected"),
+            F.round(
+                (F.col("observed") - expected * F.col("_n"))
+                * (F.col("observed") - expected * F.col("_n"))
+                / (expected * F.col("_n")),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 def x91_percent_of_parent(spark, sf_dir):
     """Percent-of-parent drill-down: each hierarchy node's subtree
     revenue as a share of its parent's (parent = key div 2, the x66
@@ -4879,6 +4948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x89_filter_clause": x89_filter_clause,
         "x90_incremental_load": x90_incremental_load,
         "x91_percent_of_parent": x91_percent_of_parent,
+        "a26_assortativity": a26_assortativity,
+        "x92_benford": x92_benford,
         "t38_vocab_coverage": t38_vocab_coverage,
         "t37_pareto_tail": t37_pareto_tail,
         "a25_friends_of_friends": a25_friends_of_friends,
@@ -7247,6 +7318,49 @@ def oracle_sql() -> dict[str, str]:
                        AS time_mask_start,
                    CAST((hv // 65536) % 4 + 1 AS INT) AS time_mask_len
             FROM h ORDER BY media_id, epoch
+        """,
+        "a26_assortativity": f"""
+            WITH eu AS (
+              SELECT {_SUPP} AS src, {_NAT_S} AS dst FROM supplier
+              UNION ALL SELECT {_NAT_S} AS src, {_SUPP} AS dst FROM supplier
+              UNION ALL SELECT {_NAT} AS src, {_REG_N} AS dst FROM nation
+              UNION ALL SELECT {_REG_N} AS src, {_NAT} AS dst FROM nation
+            ),
+            deg AS (SELECT src, COUNT(*) AS d FROM eu GROUP BY src),
+            pairs AS (
+              SELECT dj.d AS j, dk.d AS k FROM eu
+              JOIN deg dj ON dj.src = eu.src
+              JOIN deg dk ON dk.src = eu.dst),
+            agg AS (
+              SELECT COUNT(*) AS m, SUM(j * k) AS sjk, SUM(j + k) AS sj,
+                     SUM(j * j + k * k) AS sj2
+              FROM pairs)
+            SELECT CAST(m AS BIGINT) AS n_edge_ends,
+                   ROUND((CAST(sjk AS DOUBLE) / m
+                          - (CAST(sj AS DOUBLE) / (2 * m))
+                            * (CAST(sj AS DOUBLE) / (2 * m)))
+                         / (CAST(sj2 AS DOUBLE) / (2 * m)
+                            - (CAST(sj AS DOUBLE) / (2 * m))
+                              * (CAST(sj AS DOUBLE) / (2 * m))), 6)
+                       AS assortativity
+            FROM agg
+        """,
+        "x92_benford": """
+            WITH counts AS (
+              SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(25,2))
+                                      AS VARCHAR), 1, 1) AS INT) AS digit,
+                     COUNT(*) AS observed
+              FROM orders
+              GROUP BY 1 HAVING digit >= 1),
+            tot AS (SELECT SUM(observed) AS n FROM counts)
+            SELECT digit, CAST(observed AS BIGINT) AS observed,
+                   ROUND(log10(1 + CAST(1.0 AS DOUBLE) / digit) * n, 2)
+                       AS expected,
+                   ROUND((observed - log10(1 + CAST(1.0 AS DOUBLE) / digit) * n)
+                         * (observed - log10(1 + CAST(1.0 AS DOUBLE) / digit) * n)
+                         / (log10(1 + CAST(1.0 AS DOUBLE) / digit) * n), 4)
+                       AS chi2_term
+            FROM counts, tot ORDER BY digit
         """,
         "x91_percent_of_parent": """
             WITH rev AS (
