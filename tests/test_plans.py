@@ -106,6 +106,28 @@ GUARDED = [
     "t29_sequence_packing",
     "a17_random_walks",
     "d20_prefix_filter_pairs",
+    "x72_linear_attribution",
+    "x73_conversion_delay",
+    "x74_cdc_merge_apply",
+    "x76_schema_evolution",
+    "x78_csv_roundtrip",
+    "x83_drill_across",
+    "x84_null_semantics",
+    "x85_semi_additive",
+    "x86_weighted_sample",
+    "x87_rolling_range_frame",
+    "x88_skew_report",
+    "x89_filter_clause",
+    "x91_percent_of_parent",
+    "t35_source_novelty",
+    "d21_dedup_decisions",
+    "d22_winnowing_pairs",
+    "a26_assortativity",
+    "g27_sql_surface",
+    "g28_bind_params",
+    "m11_alignment_plan",
+    "m12_specaugment_plan",
+    "s19_filtered_knn",
 ]
 
 
