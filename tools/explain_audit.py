@@ -55,6 +55,13 @@ NL_ALLOWED = {
     # scan feeding the created self-loop's match
     "a24_bipartiteness",  # two 1-row aggregates (color counts x conflict
     # count) cross-joined into the single report row — constant sides
+    "x90_incremental_load",  # 1-row high-water-mark aggregate broadcast
+    # into the delta predicate — constant side (the pushdown gate)
+    "x92_benford",  # 1-row digit-total aggregate x the 9-row digit table
+    "t37_pareto_tail",  # 1-row median aggregate broadcast into the tail
+    # filter — constant side
+    "t38_vocab_coverage",  # 1-row token-total aggregate x the 3-row
+    # coverage slice
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
