@@ -1981,6 +1981,56 @@ def x82_join_hints(spark, sf_dir):
     )
 
 
+def e31_global_agg_stream(spark, sf_dir):
+    """UNWINDOWED streaming aggregation in complete mode: per-type
+    running totals with NO time window — the third aggregation shape
+    next to tumbling (e5) and sliding (e14): state is O(|keys|)
+    forever, no watermark needed, re-emitted whole each trigger.
+    Drained availableNow it equals the batch GROUP BY exactly."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+
+    path, schema = stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    with state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("e31_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    return drain(q, spark, "e31_sink")
+
+
+def d23_band_sensitivity(spark, sf_dir):
+    """LSH tuning sensitivity: near-dup pairs detected at bands ∈
+    {4, 8, 16} over the SAME 32-hash MinHash signatures — the
+    recall-vs-candidate-cost dial (more bands → lower per-band
+    threshold → more candidates) reported as one three-row table; each
+    setting runs the full banded pipeline, the oracle replays all
+    three with the shared signature arithmetic."""
+    docs = _docs(spark, sf_dir)
+    out = None
+    for b in (4, 8, 16):
+        row = (
+            dedup.minhash_lsh_pairs(docs, bands=b, threshold=0.2, hash="md5")
+            .agg(
+                F.lit(b).alias("bands"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
 def e29_stream_metrics(spark, sf_dir):
     """Streaming observability: drain the e5 windowed aggregation and
     report the query-progress ledger — total input rows across
@@ -4937,6 +4987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x81_mergeable_stats": x81_mergeable_stats,
         "d21_dedup_decisions": d21_dedup_decisions,
         "e29_stream_metrics": e29_stream_metrics,
+        "d23_band_sensitivity": d23_band_sensitivity,
+        "e31_global_agg_stream": e31_global_agg_stream,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -7718,6 +7770,23 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "d23_band_sensitivity": f"""
+            SELECT 4 AS bands, COUNT(*) AS n_pairs
+            FROM ({_minhash_lsh_oracle(bands=4, threshold=0.2)})
+            UNION ALL
+            SELECT 8 AS bands, COUNT(*) AS n_pairs
+            FROM ({_minhash_lsh_oracle(bands=8, threshold=0.2)})
+            UNION ALL
+            SELECT 16 AS bands, COUNT(*) AS n_pairs
+            FROM ({_minhash_lsh_oracle(bands=16, threshold=0.2)})
+            ORDER BY bands
+        """,
+        "e31_global_agg_stream": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY event_type
         """,
         "e29_stream_metrics": """
             SELECT COUNT(*) AS total_input_rows,
