@@ -1301,6 +1301,66 @@ def a26_assortativity(spark, sf_dir):
     )
 
 
+def x93_multiset_ops(spark, sf_dir):
+    """Multiset (bag) set-operation semantics: INTERSECT ALL and EXCEPT
+    ALL between two overlapping order-priority bags (odd vs non-URGENT
+    orders) — duplicates preserved per SQL's min/difference-of-
+    multiplicities rules, pinned against ANSI.  The bag semantics
+    corner next to x84's null corner."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.where(F.col("o_orderkey") % 2 == 1).select("o_orderpriority")
+    b = o.where(F.col("o_orderpriority") != "1-URGENT").select("o_orderpriority")
+    inter = a.intersectAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("o_orderpriority", F.lit("intersect_all").alias("op"), "n")
+    exc = a.exceptAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("o_orderpriority", F.lit("except_all").alias("op"), "n")
+    return inter.unionByName(exc).orderBy("op", "o_orderpriority")
+
+
+def s21_mips_vs_cosine(spark, sf_dir):
+    """Inner-product (MIPS) vs cosine ranking divergence: for each
+    query, the overlap between the top-5 by raw dot product and the
+    top-5 by cosine — the norm-bias artifact that decides whether an
+    embedding index must normalize (recommender MIPS vs retrieval
+    cosine).  Two scored rankings off ONE scan+join, overlap by a
+    self-join on rank membership."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        similarity.l2norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbour_id"),
+        F.col("embedding").alias("_cv"),
+        similarity.l2norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbour_id")
+    ).withColumn("_dot", similarity.dot(F.col("_qv"), F.col("_cv"))).withColumn(
+        "_cos", F.col("_dot") / (F.col("_qn") * F.col("_cn"))
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("_dot"), F.asc("neighbour_id"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbour_id"))
+    ranked = scored.withColumn("_rd", F.row_number().over(wd)).withColumn(
+        "_rc", F.row_number().over(wc)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(((F.col("_rd") <= 5) & (F.col("_rc") <= 5)).cast("int"))
+            .cast("long")
+            .alias("overlap_at_5"),
+            F.round(
+                F.sum(((F.col("_rd") <= 5) & (F.col("_rc") <= 5)).cast("int")) / 5.0, 6
+            ).alias("agreement"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def x92_benford(spark, sf_dir):
     """Benford's-law screening: the first-digit distribution of order
     prices against the log₁₀(1+1/d) expectation with a χ² statistic —
@@ -5002,6 +5062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x91_percent_of_parent": x91_percent_of_parent,
         "a26_assortativity": a26_assortativity,
         "x92_benford": x92_benford,
+        "x93_multiset_ops": x93_multiset_ops,
+        "s21_mips_vs_cosine": s21_mips_vs_cosine,
         "t38_vocab_coverage": t38_vocab_coverage,
         "t37_pareto_tail": t37_pareto_tail,
         "a25_friends_of_friends": a25_friends_of_friends,
@@ -7396,6 +7458,47 @@ def oracle_sql() -> dict[str, str]:
                               * (CAST(sj AS DOUBLE) / (2 * m))), 6)
                        AS assortativity
             FROM agg
+        """,
+        "x93_multiset_ops": """
+            WITH a AS (SELECT o_orderpriority FROM orders
+                       WHERE o_orderkey % 2 = 1),
+            b AS (SELECT o_orderpriority FROM orders
+                  WHERE o_orderpriority <> '1-URGENT'),
+            i AS (SELECT o_orderpriority FROM a
+                  INTERSECT ALL SELECT o_orderpriority FROM b),
+            e AS (SELECT o_orderpriority FROM a
+                  EXCEPT ALL SELECT o_orderpriority FROM b)
+            SELECT o_orderpriority, 'intersect_all' AS op, COUNT(*) AS n
+            FROM i GROUP BY 1
+            UNION ALL
+            SELECT o_orderpriority, 'except_all' AS op, COUNT(*) AS n
+            FROM e GROUP BY 1
+            ORDER BY op, o_orderpriority
+        """,
+        "s21_mips_vs_cosine": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbour_id,
+                     list_inner_product(q.qv,
+                         CAST(e.embedding AS DOUBLE[])) AS d,
+                     list_cosine_similarity(q.qv,
+                         CAST(e.embedding AS DOUBLE[])) AS cs
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbour_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY d DESC, neighbour_id ASC) AS rd,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neighbour_id ASC) AS rc
+              FROM scored)
+            SELECT query_id,
+                   CAST(SUM(CASE WHEN rd <= 5 AND rc <= 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS overlap_at_5,
+                   ROUND(SUM(CASE WHEN rd <= 5 AND rc <= 5 THEN 1 ELSE 0 END)
+                         / CAST(5.0 AS DOUBLE), 6) AS agreement
+            FROM ranked GROUP BY query_id ORDER BY query_id
         """,
         "x92_benford": """
             WITH counts AS (
