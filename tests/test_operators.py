@@ -318,3 +318,25 @@ def test_bind_params_typed_and_injection_proof(spark):
         bind_params("where r.name = $x", {})
     with _pytest.raises(KeyError):
         bind_params("where r.name = $x", {"x": "A", "zz": 1})
+
+
+def test_failed_program_leaves_state_untouched(spark):
+    """Typecheck/parse failures happen BEFORE any execution, so a bad
+    program is atomic: the loaded graph is unchanged (no partial
+    creates)."""
+    import pytest as _pytest
+
+    from conftest import SF_TINY
+    from projet_graphdb_spark.engine import run_program
+    from projet_graphdb_spark.frontend.typecheck import TypeCheckError
+    from projet_graphdb_spark.sources.parquet_graph import load_tpch_graph
+
+    state = load_tpch_graph(spark, SF_TINY)
+    n_edges = state.edges.count()
+    with _pytest.raises(TypeCheckError):
+        run_program(
+            spark,
+            'match (r: Region) create (r) -[:no_such_rel]-> (r)',
+            initial_state=state,
+        )
+    assert state.edges.count() == n_edges
