@@ -38,6 +38,8 @@ NL_ALLOWED = {
     # aggregates broadcast into the |sources|-row frame — constant sides
     "s17_crossmodal_recall",  # ~50 broadcast query vectors x corpus scan
     # (the s1 allowance)
+    "s21_mips_vs_cosine",  # same shape: ~5 broadcast query vectors x
+    # corpus scan, scored twice off one join
     "t30_bigram_perplexity",  # 1-row (total, vocab) aggregate broadcast
     # into the scored validation bigrams — constant side
     "t34_keyword_extraction",  # 1-row corpus doc-count broadcast into the
