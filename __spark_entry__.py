@@ -1301,6 +1301,68 @@ def a26_assortativity(spark, sf_dir):
     )
 
 
+def x94_period_over_period(spark, sf_dir):
+    """Period-over-period BI staple: monthly revenue with prior-month
+    and prior-YEAR deltas and growth rates via LAG(1)/LAG(12) over the
+    month spine — one window, day-grain pre-aggregated, NULL-safe for
+    the first periods."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1).alias("_m"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
+    )
+    monthly = o.groupBy("_m").agg(F.sum("_p").cast("double").alias("rev"))
+    w = Window.orderBy("_m")
+    out = monthly.select(
+        "_m",
+        F.round("rev", 2).alias("revenue"),
+        F.lag("rev", 1).over(w).alias("_prev"),
+        F.lag("rev", 12).over(w).alias("_yoy"),
+    )
+    return out.select(
+        F.concat_ws(
+            "-",
+            F.expr("_m div 12").cast("string"),
+            F.lpad((F.col("_m") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("month"),
+        "revenue",
+        F.round(F.col("revenue") - F.col("_prev"), 2).alias("mom_delta"),
+        F.round((F.col("revenue") - F.col("_prev")) / F.col("_prev"), 6).alias("mom_growth"),
+        F.round((F.col("revenue") - F.col("_yoy")) / F.col("_yoy"), 6).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+def d24_blocking_candidates(spark, sf_dir):
+    """Record-linkage blocking WITHOUT hashing: candidates = document
+    pairs sharing a (length-bucket, first-token) block — the classic
+    deterministic blocking key of entity resolution — verified by
+    normalized Levenshtein ≥ 0.5 (the d9 metric).  The blocking-vs-LSH
+    comparison point: zero index build cost, recall limited to pairs
+    agreeing on the key (reported honestly as a candidate-count +
+    verified-count pair table per block-size decile... here the pairs
+    themselves)."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.expr("length(text) div 40").alias("_lb"),
+        F.split(F.trim("text"), r"\s+")[0].alias("_ft"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"), "_lb", "_ft"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"), "_lb", "_ft"
+    )
+    ed = F.levenshtein("_ta", "_tb")
+    sim = F.round(1 - ed / F.greatest(F.length("_ta"), F.length("_tb")), 6)
+    return (
+        a.join(b, ["_lb", "_ft"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= 0.5)
+    )
+
+
 def x93_multiset_ops(spark, sf_dir):
     """Multiset (bag) set-operation semantics: INTERSECT ALL and EXCEPT
     ALL between two overlapping order-priority bags (odd vs non-URGENT
@@ -5063,6 +5125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_assortativity": a26_assortativity,
         "x92_benford": x92_benford,
         "x93_multiset_ops": x93_multiset_ops,
+        "x94_period_over_period": x94_period_over_period,
+        "d24_blocking_candidates": d24_blocking_candidates,
         "s21_mips_vs_cosine": s21_mips_vs_cosine,
         "t38_vocab_coverage": t38_vocab_coverage,
         "t37_pareto_tail": t37_pareto_tail,
@@ -7458,6 +7522,41 @@ def oracle_sql() -> dict[str, str]:
                               * (CAST(sj AS DOUBLE) / (2 * m))), 6)
                        AS assortativity
             FROM agg
+        """,
+        "x94_period_over_period": """
+            WITH monthly AS (
+              SELECT year(CAST(o_orderdate AS DATE)) * 12
+                     + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                         AS rev
+              FROM orders GROUP BY 1),
+            lagged AS (
+              SELECT m, ROUND(rev, 2) AS revenue,
+                     LAG(rev, 1) OVER (ORDER BY m) AS prev,
+                     LAG(rev, 12) OVER (ORDER BY m) AS yoy
+              FROM monthly)
+            SELECT CAST(m // 12 AS VARCHAR) || '-'
+                       || lpad(CAST(m % 12 + 1 AS VARCHAR), 2, '0') AS month,
+                   revenue,
+                   ROUND(revenue - prev, 2) AS mom_delta,
+                   ROUND((revenue - prev) / prev, 6) AS mom_growth,
+                   ROUND((revenue - yoy) / yoy, 6) AS yoy_growth
+            FROM lagged ORDER BY month
+        """,
+        "d24_blocking_candidates": """
+            WITH keyed AS (
+              SELECT doc_id, text,
+                     length(text) // 40 AS lb,
+                     string_split_regex(trim(text), '\\s+')[1] AS ft
+              FROM documents WHERE trim(text) <> ''),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                               / GREATEST(len(a.text), len(b.text)), 6)
+                         AS edit_sim
+              FROM keyed a JOIN keyed b
+                ON b.lb = a.lb AND b.ft = a.ft AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, edit_sim FROM cand WHERE edit_sim >= 0.5
         """,
         "x93_multiset_ops": """
             WITH a AS (SELECT o_orderpriority FROM orders
