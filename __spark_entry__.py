@@ -1301,6 +1301,77 @@ def a26_assortativity(spark, sf_dir):
     )
 
 
+def m13_collate_waste(spark, sf_dir):
+    """Batch-collation padding waste: media grouped into byte-size
+    buckets (the m3 bins) are padded to the bucket max when collated —
+    per bucket: items, max size, padded total, wasted bytes, waste
+    share.  The number that justifies length-bucketed batching (m3)
+    over naive global batches.  Two aggregates."""
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.length("text").cast("long").alias("n_bytes"),
+        F.expr("length(text) div 64").alias("bucket"),
+    )
+    return (
+        media.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.sum("n_bytes").cast("long").alias("actual_bytes"),
+        )
+        .select(
+            "bucket",
+            "n_items",
+            "max_bytes",
+            (F.col("max_bytes") * F.col("n_items") - F.col("actual_bytes"))
+            .cast("long")
+            .alias("wasted_bytes"),
+            F.round(
+                (F.col("max_bytes") * F.col("n_items") - F.col("actual_bytes"))
+                / (F.col("max_bytes") * F.col("n_items")),
+                6,
+            ).alias("waste_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def t40_labeler_agreement(spark, sf_dir):
+    """Inter-labeler agreement (Cohen's κ) between two deterministic
+    binary 'annotators' — long-doc (chars > corpus median) vs
+    token-rich (tokens > corpus median) — the 2×2 confusion fold plus
+    κ = (pₒ − pₑ)/(1 − pₑ): the eval-ops metric for any labeling
+    pipeline, one pass + one tiny aggregate."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    meds = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("_mc"),
+        F.expr(
+            "percentile(size(split(trim(text), '\\\\s+')), 0.5)"
+        ).alias("_mt"),
+    )
+    lab = docs.crossJoin(F.broadcast(meds)).select(
+        (F.col("n_chars") > F.col("_mc")).cast("int").alias("a"),
+        (toks > F.col("_mt")).cast("int").alias("b"),
+    )
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).alias("agree"),
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+    )
+    po = F.col("agree") / F.col("n")
+    pe = (F.col("pa") / F.col("n")) * (F.col("pb") / F.col("n")) + (
+        1 - F.col("pa") / F.col("n")
+    ) * (1 - F.col("pb") / F.col("n"))
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
+
+
 def x94_period_over_period(spark, sf_dir):
     """Period-over-period BI staple: monthly revenue with prior-month
     and prior-YEAR deltas and growth rates via LAG(1)/LAG(12) over the
@@ -5126,6 +5197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x92_benford": x92_benford,
         "x93_multiset_ops": x93_multiset_ops,
         "x94_period_over_period": x94_period_over_period,
+        "m13_collate_waste": m13_collate_waste,
+        "t40_labeler_agreement": t40_labeler_agreement,
         "d24_blocking_candidates": d24_blocking_candidates,
         "s21_mips_vs_cosine": s21_mips_vs_cosine,
         "t38_vocab_coverage": t38_vocab_coverage,
@@ -7521,6 +7594,51 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(sj AS DOUBLE) / (2 * m))
                               * (CAST(sj AS DOUBLE) / (2 * m))), 6)
                        AS assortativity
+            FROM agg
+        """,
+        "m13_collate_waste": """
+            WITH media AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+                     length(text) // 64 AS bucket
+              FROM documents)
+            SELECT bucket, COUNT(*) AS n_items,
+                   CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+                   CAST(MAX(n_bytes) * COUNT(*) - SUM(n_bytes) AS BIGINT)
+                       AS wasted_bytes,
+                   ROUND(CAST(MAX(n_bytes) * COUNT(*) - SUM(n_bytes) AS DOUBLE)
+                         / (MAX(n_bytes) * COUNT(*)), 6) AS waste_share
+            FROM media GROUP BY bucket ORDER BY bucket
+        """,
+        "t40_labeler_agreement": """
+            WITH meds AS (
+              SELECT quantile_cont(n_chars, 0.5) AS mc,
+                     quantile_cont(len(string_split_regex(trim(text), '\\s+')),
+                                   0.5) AS mt
+              FROM documents WHERE trim(text) <> ''),
+            lab AS (
+              SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS a,
+                     CASE WHEN len(string_split_regex(trim(text), '\\s+')) > mt
+                          THEN 1 ELSE 0 END AS b
+              FROM documents, meds WHERE trim(text) <> ''),
+            agg AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+                     SUM(a) AS pa, SUM(b) AS pb
+              FROM lab)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   ROUND(CAST(agree AS DOUBLE) / n, 6) AS observed_agreement,
+                   ROUND((CAST(pa AS DOUBLE) / n) * (CAST(pb AS DOUBLE) / n)
+                         + (1 - CAST(pa AS DOUBLE) / n)
+                           * (1 - CAST(pb AS DOUBLE) / n), 6)
+                       AS expected_agreement,
+                   ROUND((CAST(agree AS DOUBLE) / n
+                          - ((CAST(pa AS DOUBLE) / n) * (CAST(pb AS DOUBLE) / n)
+                             + (1 - CAST(pa AS DOUBLE) / n)
+                               * (1 - CAST(pb AS DOUBLE) / n)))
+                         / (1 - ((CAST(pa AS DOUBLE) / n) * (CAST(pb AS DOUBLE) / n)
+                                 + (1 - CAST(pa AS DOUBLE) / n)
+                                   * (1 - CAST(pb AS DOUBLE) / n))), 6)
+                       AS cohens_kappa
             FROM agg
         """,
         "x94_period_over_period": """
