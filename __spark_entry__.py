@@ -1336,6 +1336,31 @@ def m13_collate_waste(spark, sf_dir):
     )
 
 
+def t39_lexical_richness(spark, sf_dir):
+    """Lexical richness per language: vocabulary size, type-token
+    ratio, and the hapax-legomena share (words occurring exactly once
+    — the Zipf tail mass) — the datasheet trio that separates
+    template-generated from organic text.  One token aggregate + one
+    bounded per-language reduce."""
+    docs = _docs(spark, sf_dir).where(F.trim("text") != "")
+    tf = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum((F.col("_c") == 1).cast("int")).cast("long").alias("n_hapax"),
+            F.round(F.count(F.lit(1)) / F.sum("_c"), 6).alias("type_token_ratio"),
+            F.round(
+                F.sum((F.col("_c") == 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
 def t40_labeler_agreement(spark, sf_dir):
     """Inter-labeler agreement (Cohen's κ) between two deterministic
     binary 'annotators' — long-doc (chars > corpus median) vs
@@ -5199,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x94_period_over_period": x94_period_over_period,
         "m13_collate_waste": m13_collate_waste,
         "t40_labeler_agreement": t40_labeler_agreement,
+        "t39_lexical_richness": t39_lexical_richness,
         "d24_blocking_candidates": d24_blocking_candidates,
         "s21_mips_vs_cosine": s21_mips_vs_cosine,
         "t38_vocab_coverage": t38_vocab_coverage,
@@ -7608,6 +7634,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(n_bytes) * COUNT(*) - SUM(n_bytes) AS DOUBLE)
                          / (MAX(n_bytes) * COUNT(*)), 6) AS waste_share
             FROM media GROUP BY bucket ORDER BY bucket
+        """,
+        "t39_lexical_richness": """
+            WITH tf AS (
+              SELECT lang, tok, COUNT(*) AS c FROM (
+                SELECT lang,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> '')
+              GROUP BY lang, tok)
+            SELECT lang, COUNT(*) AS vocab_size,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+                       AS type_token_ratio,
+                   ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS hapax_share
+            FROM tf GROUP BY lang ORDER BY lang
         """,
         "t40_labeler_agreement": """
             WITH meds AS (
