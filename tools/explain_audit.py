@@ -64,6 +64,8 @@ NL_ALLOWED = {
     # filter — constant side
     "t38_vocab_coverage",  # 1-row token-total aggregate x the 3-row
     # coverage slice
+    "t40_labeler_agreement",  # 1-row medians aggregate broadcast into
+    # the labeling pass — constant side
     "s5_knn_quantized",  # same shape: exhaustive int8 scoring of ~5 queries
     "s7_ann_recall",  # composes s1's exact side — same broadcast-5-queries scan
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
