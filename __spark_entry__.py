@@ -3780,6 +3780,32 @@ def e14_sliding_stream(spark, sf_dir):
     return drain(q, spark, "e14_sink")
 
 
+def e32_redelivery_idempotent(spark, sf_dir):
+    """At-least-once REDELIVERY idempotency: the whole source is drained
+    through the e15 keyed-upsert sink TWICE (fresh checkpoint the
+    second time = full redelivery of every event), and the returned
+    state is what survives — identical to a single delivery because
+    the merge is latest-per-key by (ts, event_id), not append.  The
+    claim that makes at-least-once transport safe to run against this
+    sink; the oracle is e15's (single-delivery) latest-per-user."""
+    import tempfile
+
+    from projet_graphdb_spark.streaming import state_partitions, stream_source
+    from projet_graphdb_spark.streaming.upsert import streaming_upsert_to_parquet
+
+    path, schema = stream_source(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_redeliver_")
+    with state_partitions(spark, 8):
+        for attempt in (1, 2):  # second run = full redelivery
+            q = streaming_upsert_to_parquet(
+                spark, path, schema, base + "/state", base + f"/ckpt{attempt}"
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("e32 redelivery stream did not drain")
+    return spark.read.parquet(base + "/state")
+
+
 def e15_upsert_stream(spark, sf_dir):
     """CDC-style keyed UPSERT sink (streaming/upsert.py::
     streaming_upsert_to_parquet): foreachBatch merges each micro-batch
@@ -5207,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e29_stream_metrics": e29_stream_metrics,
         "d23_band_sensitivity": d23_band_sensitivity,
         "e31_global_agg_stream": e31_global_agg_stream,
+        "e32_redelivery_idempotent": e32_redelivery_idempotent,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -7420,6 +7447,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(length(text)) AS total_chars
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source
+        """,
+        "e32_redelivery_idempotent": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
         """,
         "e15_upsert_stream": """
             SELECT event_id, ts, user_id, event_type, value, props
