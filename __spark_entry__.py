@@ -1262,6 +1262,42 @@ def m12_specaugment_plan(spark, sf_dir):
     ).orderBy("media_id", "epoch")
 
 
+def a27_transitivity(spark, sf_dir):
+    """Global transitivity: 3·triangles / wedges over the bucket-chained
+    customer graph — the one-number clustering summary next to a10's
+    per-vertex coefficients: triangle count from the a6 operator,
+    wedge count from Σ d·(d−1)/2 in one degree aggregate."""
+    state = load_tpch_graph(spark, sf_dir)
+    ids = state.nodes["Customer"].select(F.col("_id").alias("id"))
+
+    def step_edges(st: int):
+        return ids.select(
+            F.col("id").alias("src"), (F.col("id") + st).alias("dst")
+        ).where(F.expr(f"(id - 1000000) div 10 = (id - 1000000 + {st}) div 10"))
+
+    e = (
+        step_edges(1)
+        .unionByName(step_edges(2))
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+    )
+    tri_total = graph_algos.triangle_count(e).agg(
+        (F.sum("triangles") / 3).cast("long").alias("_t")
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    wedges = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.sum(F.expr("_d * (_d - 1) div 2")).cast("long").alias("_w"))
+    )
+    return tri_total.crossJoin(F.broadcast(wedges)).select(
+        F.col("_t").alias("n_triangles"),
+        F.col("_w").alias("n_wedges"),
+        F.round(3.0 * F.col("_t") / F.col("_w"), 6).alias("transitivity"),
+    )
+
+
 def a26_assortativity(spark, sf_dir):
     """Degree assortativity (Newman's r): the Pearson correlation of
     endpoint degrees over the undirected supplier graph's edges — the
@@ -5246,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x90_incremental_load": x90_incremental_load,
         "x91_percent_of_parent": x91_percent_of_parent,
         "a26_assortativity": a26_assortativity,
+        "a27_transitivity": a27_transitivity,
         "x92_benford": x92_benford,
         "x93_multiset_ops": x93_multiset_ops,
         "x94_period_over_period": x94_period_over_period,
@@ -7628,6 +7665,34 @@ def oracle_sql() -> dict[str, str]:
                        AS time_mask_start,
                    CAST((hv // 65536) % 4 + 1 AS INT) AS time_mask_len
             FROM h ORDER BY media_id, epoch
+        """,
+        "a27_transitivity": """
+            WITH ck AS (
+              SELECT CAST(c_custkey AS BIGINT) AS raw,
+                     CAST(c_custkey + 1000000 AS BIGINT) AS k
+              FROM customer
+            ),
+            e0 AS (
+              SELECT a.k AS src, b.k AS dst FROM ck a
+              JOIN ck b ON b.raw = a.raw + 1 AND a.raw // 10 = b.raw // 10
+              UNION ALL
+              SELECT a.k AS src, b.k AS dst FROM ck a
+              JOIN ck b ON b.raw = a.raw + 2 AND a.raw // 10 = b.raw // 10
+            ),
+            e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            tri AS (
+              SELECT COUNT(*) AS t FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            und AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b AS src, a AS dst FROM e),
+            wed AS (
+              SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM (
+                SELECT COUNT(*) AS d FROM und GROUP BY src))
+            SELECT CAST(t AS BIGINT) AS n_triangles, w AS n_wedges,
+                   ROUND(3.0 * t / w, 6) AS transitivity
+            FROM tri, wed
         """,
         "a26_assortativity": f"""
             WITH eu AS (
