@@ -57,6 +57,8 @@ NL_ALLOWED = {
     # scan feeding the created self-loop's match
     "a24_bipartiteness",  # two 1-row aggregates (color counts x conflict
     # count) cross-joined into the single report row — constant sides
+    "a27_transitivity",  # 1-row triangle total x 1-row wedge total —
+    # constant sides of the single summary row
     "x90_incremental_load",  # 1-row high-water-mark aggregate broadcast
     # into the delta predicate — constant side (the pushdown gate)
     "x92_benford",  # 1-row digit-total aggregate x the 9-row digit table
