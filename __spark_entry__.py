@@ -1433,6 +1433,56 @@ def t40_labeler_agreement(spark, sf_dir):
     )
 
 
+def x95_retention_policy(spark, sf_dir):
+    """Latest-N-per-key retention (the TTL/compaction policy): keep
+    each customer's 3 most recent orders (ROW_NUMBER DESC by
+    (date, key) ≤ 3) and report the per-segment retained row count,
+    retained revenue, and the share of rows dropped — the data-
+    lifecycle primitive behind every bounded-history table."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.to_date("o_orderdate")), F.desc("o_orderkey")
+    )
+    ranked = o.withColumn("_rn", F.row_number().over(w)).join(c, "o_custkey")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("_rn") <= 3).cast("int")).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("_rn") <= 3, F.col("o_totalprice").cast("decimal(25,2)"))
+            ).cast("double").alias("kept_revenue"),
+            F.round(
+                1 - F.sum((F.col("_rn") <= 3).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("dropped_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+def d25_manifest_checksum(spark, sf_dir):
+    """Order-invariant dedup-manifest fingerprint: per-cluster member
+    checksums (sum and xor of doc ids — commutative, so partitioning
+    and row order can't change them) folded into ONE corpus-level
+    drift-detection row.  Re-run the pipeline anywhere, compare one
+    row: any assignment change shows.  Built on the memoized d5
+    manifest, two bounded aggregates."""
+    cl = _dup_clusters_cached(spark, sf_dir).select("doc_id", "cluster_id")
+    per = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("doc_id").alias("_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum(F.col("_s") * F.col("_n")).cast("long").alias("weighted_checksum"),
+        F.max("_n").cast("long").alias("largest_cluster"),
+    )
+
+
 def x94_period_over_period(spark, sf_dir):
     """Period-over-period BI staple: monthly revenue with prior-month
     and prior-YEAR deltas and growth rates via LAG(1)/LAG(12) over the
@@ -5286,6 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x92_benford": x92_benford,
         "x93_multiset_ops": x93_multiset_ops,
         "x94_period_over_period": x94_period_over_period,
+        "x95_retention_policy": x95_retention_policy,
+        "d25_manifest_checksum": d25_manifest_checksum,
         "m13_collate_waste": m13_collate_waste,
         "t40_labeler_agreement": t40_labeler_agreement,
         "t39_lexical_richness": t39_lexical_richness,
@@ -7781,6 +7833,34 @@ def oracle_sql() -> dict[str, str]:
                                    * (1 - CAST(pb AS DOUBLE) / n))), 6)
                        AS cohens_kappa
             FROM agg
+        """,
+        "x95_retention_policy": """
+            WITH ranked AS (
+              SELECT o_custkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                o_orderkey DESC) AS rn
+              FROM orders)
+            SELECT c.c_mktsegment AS segment, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN rn <= 3
+                                 THEN CAST(o_totalprice AS DECIMAL(25,2)) END)
+                        AS DOUBLE) AS kept_revenue,
+                   ROUND(1 - CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)
+                                  AS DOUBLE) / COUNT(*), 6) AS dropped_share
+            FROM ranked JOIN customer c ON c.c_custkey = ranked.o_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "d25_manifest_checksum": f"""
+            WITH per AS (
+              SELECT cluster_id, COUNT(*) AS n, SUM(doc_id) AS s
+              FROM ({_dup_clusters_oracle()}) GROUP BY cluster_id)
+            SELECT COUNT(*) AS n_clusters,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(s * n) AS BIGINT) AS weighted_checksum,
+                   CAST(MAX(n) AS BIGINT) AS largest_cluster
+            FROM per
         """,
         "x94_period_over_period": """
             WITH monthly AS (
