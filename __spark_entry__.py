@@ -44,6 +44,13 @@ from projet_graphdb_spark.streaming import (
 
 SF_TINY = "/root/testdata/sf0.001"
 
+# Scale governors for the two pair-join queries whose fan-out is not
+# bounded by construction (the d2 stop-shingle playbook).  Both caps are
+# mirrored verbatim in the DuckDB oracles, so correctness is checked WITH
+# the governor on.  256 matches functions/dedup.py's default max_df.
+_D24_BLOCK_CAP = 256  # max docs per (length-bucket, first-token) block
+_D22_FP_MAX_DF = 256  # max docs sharing one winnowing fingerprint
+
 
 def _graph_query(spark: SparkSession, sf_dir: str, program: str):
     """Run a miniGQL program against the star-schema graph projection."""
@@ -1519,9 +1526,24 @@ def d24_blocking_candidates(spark, sf_dir):
     deterministic blocking key of entity resolution — verified by
     normalized Levenshtein ≥ 0.5 (the d9 metric).  The blocking-vs-LSH
     comparison point: zero index build cost, recall limited to pairs
-    agreeing on the key (reported honestly as a candidate-count +
-    verified-count pair table per block-size decile... here the pairs
-    themselves)."""
+    agreeing on the key.
+
+    Scale governors (the d2 playbook, mirrored in the oracle):
+    (1) blocks larger than ``_BLOCK_CAP`` docs are dropped before the
+    self-join — a single stop-word first token within one length bucket
+    would otherwise go quadratic (k docs → k² pairs); (2) a length-delta
+    prefilter kills pairs that CANNOT reach sim 0.5 (edit distance ≥
+    |len_a − len_b|, so 2·Δlen > max-len ⇒ sim < 0.5) before the O(n·m)
+    DP runs — a pure necessary condition, so the oracle is unchanged by
+    it; (3) the probe side is spread across cores by block key: the
+    small documents file scans as ONE task, the dim side broadcasts,
+    and the join output would inherit the scan's single partition —
+    every Levenshtein DP on one core.  The verify filter additionally
+    carries a non-pushable term (seeded rand, trivially true) so
+    Catalyst does not push the O(n·m) DP down into the join condition,
+    where it would be evaluated a second time for the output
+    projection."""
+    par = spark.sparkContext.defaultParallelism
     docs = _docs(spark, sf_dir).where(F.trim("text") != "")
     keyed = docs.select(
         "doc_id",
@@ -1529,7 +1551,14 @@ def d24_blocking_candidates(spark, sf_dir):
         F.expr("length(text) div 40").alias("_lb"),
         F.split(F.trim("text"), r"\s+")[0].alias("_ft"),
     )
-    a = keyed.select(
+    small = (
+        keyed.groupBy("_lb", "_ft")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") <= _D24_BLOCK_CAP)
+        .select("_lb", "_ft")
+    )
+    keyed = keyed.join(small, ["_lb", "_ft"])
+    a = keyed.repartition(par, "_lb", "_ft").select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"), "_lb", "_ft"
     )
     b = keyed.select(
@@ -1540,8 +1569,12 @@ def d24_blocking_candidates(spark, sf_dir):
     return (
         a.join(b, ["_lb", "_ft"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            2 * F.abs(F.length("_ta") - F.length("_tb"))
+            <= F.greatest(F.length("_ta"), F.length("_tb"))
+        )
         .select("id_a", "id_b", sim.alias("edit_sim"))
-        .where(F.col("edit_sim") >= 0.5)
+        .where((F.col("edit_sim") >= 0.5) & (F.rand(42) > F.lit(-1.0)))
     )
 
 
@@ -1899,8 +1932,18 @@ def d22_winnowing_pairs(spark, sf_dir):
     fingerprints emit.  The tie-break packs (hash, position) into ONE
     integer key (hash₄₀·2²⁰ + (2²⁰−1−pos)), so the rolling MIN is a
     plain BIGINT window aggregate on any engine.  One window per doc +
-    one inverted-index join on the fingerprint."""
-    docs = _docs(spark, sf_dir)
+    one inverted-index join on the fingerprint.
+
+    Scale governors (mirrored in the oracle): fingerprints shared by
+    more than ``_D22_FP_MAX_DF`` documents are dropped before the
+    self-join — a fingerprint of a ubiquitous trigram run is shared
+    corpus-wide and would emit k² rows (the d2/d14/t19 max_df cap).
+    The input is also explicitly spread by doc_id: the per-gram
+    md5+conv hashing is CPU-dense and would otherwise run inside the
+    single-task parquet scan of a small file."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # POSITIONAL grams (shingle_frame dedups — winnowing must not)
     toks = "split(trim(text), '\\\\s+')"
     grams = docs.where(
@@ -1930,6 +1973,13 @@ def d22_winnowing_pairs(spark, sf_dir):
         .select("doc_id", F.col("_m").alias("fp"))
         .distinct()
     )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= _D22_FP_MAX_DF)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -7883,11 +7933,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged ORDER BY month
         """,
         "d24_blocking_candidates": """
-            WITH keyed AS (
+            WITH keyed0 AS (
               SELECT doc_id, text,
                      length(text) // 40 AS lb,
                      string_split_regex(trim(text), '\\s+')[1] AS ft
               FROM documents WHERE trim(text) <> ''),
+            small AS (
+              SELECT lb, ft FROM keyed0 GROUP BY lb, ft
+              HAVING COUNT(*) <= 256),
+            keyed AS (
+              SELECT k.* FROM keyed0 k JOIN small s
+                ON s.lb = k.lb AND s.ft = k.ft),
             cand AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      ROUND(1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
@@ -8127,11 +8183,15 @@ def oracle_sql() -> dict[str, str]:
                        (a, b) -> a * 16 + b) * 1048576
                      + (1048575 - pos) AS k
               FROM grams),
-            fps AS (
+            fps0 AS (
               SELECT DISTINCT doc_id,
                      MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-              FROM keyed)
+              FROM keyed),
+            rare AS (
+              SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 256),
+            fps AS (
+              SELECT f.doc_id, f.fp FROM fps0 f JOIN rare r ON r.fp = f.fp)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
             FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 3
