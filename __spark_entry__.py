@@ -51,6 +51,42 @@ SF_TINY = "/root/testdata/sf0.001"
 _D24_BLOCK_CAP = 256  # max docs per (length-bucket, first-token) block
 _D22_FP_MAX_DF = 256  # max docs sharing one winnowing fingerprint
 
+# Queries that launch a REAL StreamingQuery (availableNow drain against a
+# checkpoint + state store).  bench.py runs these after all batch queries:
+# their memory sinks and state stores stay resident for the session, and
+# the GC pressure would otherwise tax whatever batch query runs next.
+STREAMING_QUERIES = frozenset({
+    "e5_window_stream", "e6_dedup_stream", "e7_join_stream",
+    "e8_sessionize_stream", "e9_parquet_sink_stream", "e10_enrich_stream",
+    "e11_append_watermark_stream", "e14_sliding_stream", "e15_upsert_stream",
+    "e19_daily_topk_stream", "e22_crossings_stream",
+    "e23_dimension_asof_stream", "e26_restart_recovery",
+    "e27_chained_agg_stream", "e28_left_join_stream", "e29_stream_metrics",
+    "e31_global_agg_stream", "e32_redelivery_idempotent",
+})
+
+# queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
+# in-family order preserved): the driver's correctness gate samples a
+# PREFIX of the registry, so any prefix window of >= 8 entries spans every
+# family instead of front-loading g/x (round-2 verdict: 227 of 277 queries
+# had zero driver-side verification because the first 50 were all g/x).
+_FAMILY_ORDER = "gxtdsmea"
+
+
+def _interleave_by_family(base: dict) -> dict:
+    fams: dict[str, list[str]] = {f: [] for f in _FAMILY_ORDER}
+    for name in base:
+        fams[name[0]].append(name)
+    out: dict = {}
+    cursors = {f: 0 for f in _FAMILY_ORDER}
+    while len(out) < len(base):
+        for f in _FAMILY_ORDER:
+            i = cursors[f]
+            if i < len(fams[f]):
+                out[fams[f][i]] = base[fams[f][i]]
+                cursors[f] = i + 1
+    return out
+
 
 def _graph_query(spark: SparkSession, sf_dir: str, program: str):
     """Run a miniGQL program against the star-schema graph projection."""
@@ -5135,6 +5171,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _interleave_by_family(_queries_base())
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_match_label": g1_match_label,
         "g2_match_rel_where": g2_match_rel_where,
@@ -5323,9 +5363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_kcore": a8_kcore,
         "a9_degree_histogram": a9_degree_histogram,
         "a10_clustering_coefficient": a10_clustering_coefficient,
-        # the availableNow-drained streaming twins run LAST: their memory
-        # sinks and state stores stay resident for the session, and the
-        # GC pressure would otherwise tax whatever runs after them
+        # availableNow-drained streaming twins (run last in bench.py via
+        # STREAMING_QUERIES; registry order is family-interleaved anyway)
         "e5_window_stream": e5_window_stream,
         "e6_dedup_stream": e6_dedup_stream,
         "e7_join_stream": e7_join_stream,

@@ -61,7 +61,16 @@ def main():
 
     timings = {}
     retried = []
-    for name, fn in E.queries().items():
+    # Real streaming queries run LAST: their memory sinks and state
+    # stores stay resident for the session, and the GC pressure would
+    # otherwise tax whichever batch query runs next.  The registry
+    # itself is family-interleaved for the driver's correctness prefix
+    # window, so the bench re-derives its own order here.
+    qs = E.queries()
+    streaming = getattr(E, "STREAMING_QUERIES", frozenset())
+    ordered = [(n, f) for n, f in qs.items() if n not in streaming]
+    ordered += [(n, f) for n, f in qs.items() if n in streaming]
+    for name, fn in ordered:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
