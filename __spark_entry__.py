@@ -72,20 +72,72 @@ STREAMING_QUERIES = frozenset({
 # had zero driver-side verification because the first 50 were all g/x).
 _FAMILY_ORDER = "gxtdsmea"
 
+# Queries whose r1 driver run ERRORED and were fixed in r2 but have never
+# been re-confirmed by a driver window since (round-4 verdict) — pinned to
+# the very front of the registry until a green CORRECTNESS file shows them.
+_RECONFIRM_FIRST = [
+    "a3_pagerank", "d3_minhash_lsh",
+    "e1_event_window", "e2_sessionize", "e3_stream_dedup", "e4_stream_join",
+]
+
 
 def _interleave_by_family(base: dict) -> dict:
-    fams: dict[str, list[str]] = {f: [] for f in _FAMILY_ORDER}
+    fams: dict[str, list[str]] = {}
     for name in base:
-        fams[name[0]].append(name)
+        fams.setdefault(name[0], []).append(name)
+    # Known families first in their canonical order; any future family
+    # letter joins the round-robin at the end instead of KeyError-ing.
+    order = [f for f in _FAMILY_ORDER if f in fams] + [
+        f for f in fams if f not in _FAMILY_ORDER
+    ]
     out: dict = {}
-    cursors = {f: 0 for f in _FAMILY_ORDER}
+    cursors = {f: 0 for f in order}
     while len(out) < len(base):
-        for f in _FAMILY_ORDER:
+        for f in order:
             i = cursors[f]
             if i < len(fams[f]):
                 out[fams[f][i]] = base[fams[f][i]]
                 cursors[f] = i + 1
     return out
+
+
+def _driver_checked_names() -> set:
+    """Names that appeared in any committed CORRECTNESS_r*.json window."""
+    import glob
+    import json
+    import os
+
+    seen: set = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                seen.update(data.keys())
+        except Exception:
+            continue  # a corrupt artifact must not break queries()
+    return seen
+
+
+def _rotate_window(interleaved: dict) -> dict:
+    """Self-rotating driver window: the correctness gate samples a fixed
+    PREFIX of queries(), so order never-driver-checked queries first.
+
+    Each round the driver commits a new CORRECTNESS_r*.json; re-reading
+    the accumulated key sets here advances the window automatically —
+    round N's prefix is made of queries absent from rounds 1..N-1
+    (round-4 verdict: r3 and r4 re-checked the identical 50 names while
+    176/277 queries had never met the oracle gate).  ``_RECONFIRM_FIRST``
+    (fixed-after-error, never re-run) jumps the queue entirely.  Both
+    partitions keep the family-interleaved relative order so any prefix
+    still spans every family.
+    """
+    checked = _driver_checked_names()
+    front = [n for n in _RECONFIRM_FIRST if n in interleaved]
+    fresh = [n for n in interleaved if n not in checked and n not in front]
+    stale = [n for n in interleaved if n in checked and n not in front]
+    return {n: interleaved[n] for n in front + fresh + stale}
 
 
 def _graph_query(spark: SparkSession, sf_dir: str, program: str):
@@ -326,6 +378,31 @@ def g11_transitive(spark, sf_dir):
         "create (c) -[:next]-> (d: N)\n"
         "create (d) -[:next]-> (e: N)\n"
         "match (x: N) -[:next*]-> (y: N) return x, y"
+    )
+    _, b = run_program(spark, prog)
+    return binding_table(b)
+
+
+def g29_mixed_varlength(spark, sf_dir):
+    """Mixed-label variable-length path (round-4 verdict item 7): the
+    relation ``hop`` is declared A→B and B→C, and ``-[:hop*2..2]->``
+    composes across the label change — the typechecker accepts it via
+    closure reachability over the schema label graph
+    (frontend/typecheck.py::_star_reachable) and the executor's
+    closure + endpoint-label semi-joins deliver exactly the A→C pairs.
+    Node ids are creation-ordered: a=0 b=1 c=2 d=3 e=4 f=5."""
+    prog = (
+        "(:A {v int})\n"
+        "(:B {v int})\n"
+        "(:C {v int})\n"
+        "(:A) -[:hop]-> (:B)\n"
+        "(:B) -[:hop]-> (:C)\n"
+        "create (a: A) -[:hop]-> (b: B)\n"
+        "create (b) -[:hop]-> (c: C)\n"
+        "create (d: A) -[:hop]-> (e: B)\n"
+        "create (e) -[:hop]-> (f: C)\n"
+        "create (b) -[:hop]-> (f)\n"
+        "match (x: A) -[:hop*2..2]-> (y: C) return x, y"
     )
     _, b = run_program(spark, prog)
     return binding_table(b)
@@ -1565,20 +1642,16 @@ def d24_blocking_candidates(spark, sf_dir):
     agreeing on the key.
 
     Scale governors (the d2 playbook, mirrored in the oracle):
-    (1) blocks larger than ``_BLOCK_CAP`` docs are dropped before the
-    self-join — a single stop-word first token within one length bucket
-    would otherwise go quadratic (k docs → k² pairs); (2) a length-delta
-    prefilter kills pairs that CANNOT reach sim 0.5 (edit distance ≥
-    |len_a − len_b|, so 2·Δlen > max-len ⇒ sim < 0.5) before the O(n·m)
-    DP runs — a pure necessary condition, so the oracle is unchanged by
-    it; (3) the probe side is spread across cores by block key: the
-    small documents file scans as ONE task, the dim side broadcasts,
-    and the join output would inherit the scan's single partition —
-    every Levenshtein DP on one core.  The verify filter additionally
-    carries a non-pushable term (seeded rand, trivially true) so
-    Catalyst does not push the O(n·m) DP down into the join condition,
-    where it would be evaluated a second time for the output
-    projection."""
+    (1) blocks larger than ``_D24_BLOCK_CAP`` docs are dropped before
+    the self-join — a single stop-word first token within one length
+    bucket would otherwise go quadratic (k docs → k² pairs); (2) a
+    length-delta prefilter kills pairs that CANNOT reach sim 0.5 (edit
+    distance ≥ |len_a − len_b|, so 2·Δlen > max-len ⇒ sim < 0.5) before
+    the O(n·m) DP runs — a pure necessary condition, so the oracle is
+    unchanged by it; (3) the probe side is spread across cores by block
+    key: the small documents file scans as ONE task, the dim side
+    broadcasts, and the join output would inherit the scan's single
+    partition — every Levenshtein DP on one core."""
     par = spark.sparkContext.defaultParallelism
     docs = _docs(spark, sf_dir).where(F.trim("text") != "")
     keyed = docs.select(
@@ -1610,7 +1683,7 @@ def d24_blocking_candidates(spark, sf_dir):
             <= F.greatest(F.length("_ta"), F.length("_tb"))
         )
         .select("id_a", "id_b", sim.alias("edit_sim"))
-        .where((F.col("edit_sim") >= 0.5) & (F.rand(42) > F.lit(-1.0)))
+        .where(F.col("edit_sim") >= 0.5)
     )
 
 
@@ -5171,7 +5244,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _interleave_by_family(_queries_base())
+    return _rotate_window(_interleave_by_family(_queries_base()))
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5187,6 +5260,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_create_node": g9_create_node,
         "g10_agg_over_match": g10_agg_over_match,
         "g11_transitive": g11_transitive,
+        "g29_mixed_varlength": g29_mixed_varlength,
         "g12_optional_match": g12_optional_match,
         "g13_not_exists": g13_not_exists,
         "g14_count_optional": g14_count_optional,
@@ -5569,6 +5643,16 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN e ON e.src = tc.dst)
             SELECT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y FROM tc
+        """,
+        "g29_mixed_varlength": """
+            WITH e(src, dst) AS (
+              SELECT * FROM (VALUES (0, 1), (1, 2), (3, 4), (4, 5), (1, 5))
+                  v(src, dst)),
+            hop2 AS (
+              SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src)
+            SELECT DISTINCT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y
+            FROM hop2
+            WHERE src IN (0, 3) AND dst IN (2, 5)
         """,
         "g12_optional_match": f"""
             SELECT {_CUST} AS c, {_ORD} AS o
@@ -6391,8 +6475,9 @@ def oracle_sql() -> dict[str, str]:
               FROM hashed),
             numbered AS (
               SELECT doc_id, pos, m,
-                     SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                                         ROWS UNBOUNDED PRECEDING) AS span_id
+                     CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS span_id
               FROM flagged)
             SELECT doc_id, span_id, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
                    COUNT(*) AS n_tokens
@@ -6563,7 +6648,7 @@ def oracle_sql() -> dict[str, str]:
             ctf AS (SELECT tok, SUM(stf) AS ctf FROM stf GROUP BY tok),
             stot AS (SELECT grp, SUM(stf) AS stot FROM stf GROUP BY grp),
             ctot AS (SELECT SUM(ctf) AS ctot FROM ctf)
-            SELECT grp AS source, SUM(stf) AS n_tokens,
+            SELECT grp AS source, CAST(SUM(stf) AS BIGINT) AS n_tokens,
                    ROUND(SUM((stf / stot) * LN((stf / stot) / (ctf / ctot))), 6)
                        AS kl
             FROM stf JOIN ctf USING (tok) JOIN stot USING (grp) CROSS JOIN ctot
@@ -9751,7 +9836,7 @@ def _modularity_oracle() -> str:
           GROUP BY id),
         perc AS (
           SELECT label AS community, COUNT(*) AS n_nodes,
-                 SUM(COALESCE(deg, 0)) AS degree_sum
+                 CAST(SUM(COALESCE(deg, 0)) AS BIGINT) AS degree_sum
           FROM lpa LEFT JOIN deg USING (id) GROUP BY 1)
         SELECT community, n_nodes,
                COALESCE(internal_edges, 0) AS internal_edges, degree_sum,
@@ -9861,7 +9946,8 @@ def _corpus_card_oracle() -> str:
         ts AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab_size
                FROM nz),
         dup AS (
-          SELECT SUM(c - 1) AS n_dup, SUM(c) AS n_docs FROM (
+          SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup,
+                 CAST(SUM(c) AS BIGINT) AS n_docs FROM (
             SELECT md5({_CANON_TEXT}) AS fp, COUNT(*) AS c
             FROM documents GROUP BY 1)),
         q AS (SELECT ROUND(AVG(CAST({quality} AS DOUBLE)), 6) AS avg_quality

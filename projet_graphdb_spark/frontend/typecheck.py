@@ -152,6 +152,44 @@ def _rel_declared(tg: A.TypeGraph, src: str, rel: str, tgt: str) -> bool:
     return any(r.src == src and r.rel == rel and r.tgt == tgt for r in tg.rels)
 
 
+def _star_reachable(
+    tg: A.TypeGraph,
+    src: str,
+    rel: str,
+    tgt: str,
+    lo: int,
+    hi: int | None,
+    undirected: bool,
+) -> bool:
+    """Endpoint-label check on the CLOSURE of ``rel``: is there a path
+    ``src → … → tgt`` of some length k with lo ≤ k (≤ hi) in the schema's
+    label graph restricted to ``rel`` declarations?  Mixed-label chains
+    (e.g. Customer -[:in*2]-> Region over Customer→Nation→Region) are
+    legal; the executor's closure + label semi-joins implement exactly
+    these semantics, so the typechecker should accept what they can
+    satisfy (natural Cypher / [FGG+18] semantics — the round-4 verdict's
+    g11 relaxation).  BFS over (label, length) states; unbounded ``hi``
+    is capped at lo + |labels| — any longer witness can be pumped down
+    below the cap through the cycle that made it long.
+    """
+    step: dict[str, set[str]] = {}
+    for r in tg.rels:
+        if r.rel != rel:
+            continue
+        step.setdefault(r.src, set()).add(r.tgt)
+        if undirected:
+            step.setdefault(r.tgt, set()).add(r.src)
+    cap = hi if hi is not None else lo + len(tg.node_labels())
+    frontier = {src}
+    for k in range(1, cap + 1):
+        frontier = {n for lbl in frontier for n in step.get(lbl, ())}
+        if not frontier:
+            return False
+        if k >= lo and tgt in frontier:
+            return True
+    return False
+
+
 def tc_instr(instr, env: Env) -> Env:
     tg = env.types
     if isinstance(instr, IActOnNode):
@@ -192,6 +230,25 @@ def tc_instr(instr, env: Env) -> Env:
         undirected = getattr(instr, "undirected", False)
         if undirected and getattr(instr, "action", None) == Action.CREATE:
             raise TypeCheckError("Undirected '-[:r]-' is only legal in match")
+        if getattr(instr, "star", False):
+            # variable-length extension: only a match; endpoint labels are
+            # checked on the CLOSURE (mixed-label chains compose as long as
+            # the schema's label graph carries a lo..hi-length rel-path)
+            if instr.action != Action.MATCH:
+                raise TypeCheckError("Variable-length '-[:r*]->' is only legal in match")
+            lo = getattr(instr, "star_min", 1)
+            hi = getattr(instr, "star_max", None)
+            if lo < 1 or (hi is not None and hi < lo):
+                raise TypeCheckError(
+                    f"Variable-length bounds *{lo}..{hi} are invalid (need 1 <= lo <= hi)"
+                )
+            if not _star_reachable(tg, lbl1, instr.rel, lbl2, lo, hi, undirected):
+                rng = f"*{lo}..{hi}" if hi is not None else f"*{lo}.."
+                raise TypeCheckError(
+                    f"Variable-length '-[:{instr.rel}{rng}]->' cannot reach "
+                    f"'{lbl2}' from '{lbl1}' in the declared type graph"
+                )
+            return env
         declared = _rel_declared(tg, lbl1, instr.rel, lbl2) or (
             # undirected: the declaration may run in either direction
             undirected and _rel_declared(tg, lbl2, instr.rel, lbl1)
@@ -200,22 +257,6 @@ def tc_instr(instr, env: Env) -> Env:
             raise TypeCheckError(
                 f"Relation '{instr.rel}' from '{lbl1}' to '{lbl2}' is not declared"
             )
-        if getattr(instr, "star", False):
-            # variable-length extension: only a match, and only over a
-            # relation between identical labels (hops must compose)
-            if instr.action != Action.MATCH:
-                raise TypeCheckError("Variable-length '-[:r*]->' is only legal in match")
-            if lbl1 != lbl2:
-                raise TypeCheckError(
-                    f"Variable-length '-[:{instr.rel}*]->' requires identical "
-                    f"endpoint labels, got '{lbl1}' and '{lbl2}'"
-                )
-            lo = getattr(instr, "star_min", 1)
-            hi = getattr(instr, "star_max", None)
-            if lo < 1 or (hi is not None and hi < lo):
-                raise TypeCheckError(
-                    f"Variable-length bounds *{lo}..{hi} are invalid (need 1 <= lo <= hi)"
-                )
         return env
     if isinstance(instr, IOptRel):
         bound = instr.tgt_var if instr.new_var == instr.src_var else instr.src_var

@@ -951,9 +951,17 @@ def span_corruption_plan(
     from pyspark.sql.window import Window as W
 
     cut = mask_pct * 256 // 100
-    toks = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
-    ).where(F.col("tok") != "")
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+        # posexplode emits int32 positions; widen to long so start_pos /
+        # end_pos come out int64 like every other position column (and
+        # like the BIGINT the DuckDB oracle produces).
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string"))),

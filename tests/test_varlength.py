@@ -56,7 +56,22 @@ def test_star_rejects_create(spark):
         run_program(spark, "(:N {v int})\n(:N) -[:next]-> (:N)\ncreate (a: N) -[:next*]-> (b: N)")
 
 
-def test_star_rejects_mixed_labels(spark):
+MIXED = """
+(:A {v int})
+(:B {v int})
+(:C {v int})
+(:A) -[:hop]-> (:B)
+(:B) -[:hop]-> (:C)
+create (a: A) -[:hop]-> (b: B)
+create (b) -[:hop]-> (c: C)
+create (d: A) -[:hop]-> (e: B)
+create (e) -[:hop]-> (f: C)
+"""
+
+
+def test_star_mixed_labels_single_hop(spark):
+    # emp is declared P→E only; *1.. reaches E from P in one hop, so the
+    # closure endpoint check accepts what the executor can satisfy
     prog = """
 (:P {v int})
 (:E {v int})
@@ -64,8 +79,34 @@ def test_star_rejects_mixed_labels(spark):
 create (a: P) -[:emp]-> (b: E)
 match (x: P) -[:emp*]-> (y: E) return x, y
 """
-    with pytest.raises(TypeCheckError, match="identical endpoint labels"):
-        run_program(spark, prog)
+    _, b = run_program(spark, prog)
+    assert [tuple(r) for r in binding_table(b).collect()] == [(0, 1)]
+
+
+def test_star_mixed_label_chain(spark):
+    # hop composes across the label change A→B→C; exactly-2-hop pairs
+    _, b = run_program(spark, MIXED + "match (x: A) -[:hop*2..2]-> (y: C) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    assert rows == [(0, 2), (3, 5)], rows
+
+
+def test_star_mixed_label_endpoint_filter(spark):
+    # unbounded closure still label-filters endpoints: A→B pairs at 1 hop
+    _, b = run_program(spark, MIXED + "match (x: A) -[:hop*]-> (y: B) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    assert rows == [(0, 1), (3, 4)], rows
+
+
+def test_star_rejects_unreachable_labels(spark):
+    # no hop-path of length >= 1 runs C→A in the label graph
+    with pytest.raises(TypeCheckError, match="cannot reach"):
+        run_program(spark, MIXED + "match (x: C) -[:hop*]-> (y: A) return x, y")
+
+
+def test_star_rejects_unreachable_length(spark):
+    # A→B exists at length 1 only; *2..2 cannot land on B
+    with pytest.raises(TypeCheckError, match="cannot reach"):
+        run_program(spark, MIXED + "match (x: A) -[:hop*2..2]-> (y: B) return x, y")
 
 
 def test_star_bounded_range(spark):

@@ -42,6 +42,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"COLS {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     a, b = canon(sdf), canon(odf)
+    # Driver parity: the gate's value hash survives integer-WIDTH divergence
+    # (r4 evidence: s1/e18 rank int32-vs-BIGINT passed hash_match) but NOT a
+    # numpy-KIND divergence — DuckDB promoting integer SUM to HUGEINT comes
+    # back as float64/object and broke t20/t21/t23/a13 despite equal values.
+    # Flag kind mismatches here so that class is caught locally before the
+    # driver sees it.  int⇄uint and both-datetime count as same-kind.
+    def _kind(dt) -> str:
+        k = np.dtype(dt).kind
+        return "i" if k == "u" else k
+
+    dtype_bad = [
+        c for c in a.columns if _kind(a[c].dtype) != _kind(b[c].dtype)
+    ]
+    if dtype_bad:
+        return "DTYPE " + ", ".join(
+            f"{c}: spark={a[c].dtype} oracle={b[c].dtype}" for c in dtype_bad
+        )
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
