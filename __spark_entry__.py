@@ -6197,7 +6197,7 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
               FROM orders GROUP BY 1)
             SELECT dow, weekday, is_weekend, COUNT(*) AS n_days,
-                   SUM(COALESCE(n, 0)) AS n_orders,
+                   CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS n_orders,
                    ROUND(CAST(SUM(COALESCE(rev, 0)) AS DOUBLE), 2) AS revenue
             FROM cal2 LEFT JOIN daily USING (day)
             GROUP BY dow, weekday, is_weekend ORDER BY dow
@@ -6207,7 +6207,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_type, COUNT(*) AS c
               FROM events GROUP BY 1, 2),
             tot AS (SELECT user_id, SUM(c) AS t FROM ut GROUP BY user_id)
-            SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types,
                    ROUND(-SUM((c / t) * LN(c / t)), 6) AS entropy
             FROM ut JOIN tot USING (user_id)
             GROUP BY user_id ORDER BY user_id
@@ -6239,14 +6239,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x59_dq_rules": """
             WITH agg AS (
-              SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_key,
-                     SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
-                     SUM(CASE WHEN o_orderpriority NOT IN
+              SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+                     CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+                     CAST(SUM(CASE WHEN o_orderpriority NOT IN
                            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
-                         THEN 1 ELSE 0 END) AS bad_priority,
-                     SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+                     CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
                                OR o_orderdate >= TIMESTAMP '2030-01-01'
-                         THEN 1 ELSE 0 END) AS bad_date,
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
                      COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key
               FROM orders)
             SELECT rule, n_violations, n_violations = 0 AS passed FROM (
@@ -6446,8 +6446,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT segment, COUNT(*) AS n_orders,
                    ROUND(ANY_VALUE(m), 6) AS median,
                    ROUND(ANY_VALUE(d), 6) AS mad,
-                   SUM(CASE WHEN ABS(o_totalprice - m) > 3.0 * d
-                            THEN 1 ELSE 0 END) AS n_outliers
+                   CAST(SUM(CASE WHEN ABS(o_totalprice - m) > 3.0 * d
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM dev JOIN mad USING (segment)
             GROUP BY segment ORDER BY segment
         """,
@@ -6512,8 +6512,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT COALESCE(epoch_us(wmk) - epoch_us(ts), 0) AS late_us
               FROM evb JOIN wm USING (b))
             SELECT d AS delay_minutes,
-                   SUM(CASE WHEN late_us > CAST(d AS BIGINT) * 60000000
-                            THEN 1 ELSE 0 END) AS n_late,
+                   CAST(SUM(CASE WHEN late_us > CAST(d AS BIGINT) * 60000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
                    COUNT(*) AS n_total
             FROM tagged CROSS JOIN (SELECT unnest([0, 30, 60, 120]) AS d)
             GROUP BY d ORDER BY delay_minutes
@@ -6760,8 +6760,8 @@ def oracle_sql() -> dict[str, str]:
         "x38_json_props": """
             SELECT event_type,
                    COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
-                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INT) IS NULL
-                            THEN 1 ELSE 0 END) AS n_null_k,
+                   CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INT) IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    ROUND(SUM(CAST(json_extract(props, '$.k') AS INT))
                          / (COUNT(CAST(json_extract(props, '$.k') AS INT)) * 1.0),
@@ -6837,10 +6837,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x34_late_shipments": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
             GROUP BY l_linestatus
@@ -6973,7 +6973,7 @@ def oracle_sql() -> dict[str, str]:
                  ap AS (SELECT * FROM ({_knn_lsh_oracle()}) _b)
             SELECT ex.query_id,
                    COUNT(*) AS n_exact,
-                   SUM(CASE WHEN ap.neighbour_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+                   CAST(SUM(CASE WHEN ap.neighbour_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
                    CAST(SUM(CASE WHEN ap.neighbour_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                        / COUNT(*) AS recall
             FROM ex LEFT JOIN ap
@@ -7160,7 +7160,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_minhash_lsh_oracle(threshold=0.05)}) mh)
             SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS bucket,
                    COUNT(*) AS n_true,
-                   SUM(COALESCE(_det, 0)) AS n_detected,
+                   CAST(SUM(COALESCE(_det, 0)) AS BIGINT) AS n_detected,
                    ROUND(SUM(COALESCE(_det, 0)) / (COUNT(*) * 1.0), 6) AS recall
             FROM truth LEFT JOIN det USING (id_a, id_b)
             GROUP BY 1 ORDER BY bucket
@@ -7707,7 +7707,7 @@ def oracle_sql() -> dict[str, str]:
         "t16_partitioned_corpus": """
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(length(text)) AS total_chars
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source
         """,
@@ -8624,8 +8624,8 @@ def oracle_sql() -> dict[str, str]:
                          AS n_frames
               FROM ranked)
             SELECT doc_id, pos, token, n_frames,
-                   SUM(n_frames) OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS UNBOUNDED PRECEDING) - n_frames AS frame_start
+                   CAST(SUM(n_frames) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) - n_frames AS BIGINT) AS frame_start
             FROM alloc ORDER BY doc_id, pos
         """,
         "s18_pandas_udf_parity": """

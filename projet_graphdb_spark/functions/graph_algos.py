@@ -32,11 +32,27 @@ from pyspark.sql import functions as F
 # 100 TB the iteration cost is real shuffle, not scheduling.
 _SMALL_ROWS = 4_000_000
 
+# Audit hook (tools/explain_audit.py, tests/test_plans.py): when set to a
+# list, every per-iteration DataFrame is appended just before its
+# checkpoint truncates the lineage — the only moment a SUPERSTEP's plan
+# is visible (the algorithm's final plan is just the last checkpoint's
+# scan).  The DataFrame (not a string) is captured so the auditor can
+# read the executed plan's SQLMetrics after the checkpoint ran it —
+# e.g. measure a nested-loop join's build-side row count.  None in
+# production: the cost is one `is None` test per iteration.
+PLAN_PROBE: list | None = None
+
+
+def _probe(df: DataFrame) -> None:
+    if PLAN_PROBE is not None:
+        PLAN_PROBE.append(df)
+
 
 def _materialize(df: DataFrame) -> tuple[DataFrame, int, bool]:
     """localCheckpoint + size probe.  Returns (frame, rows, is_small);
     small frames are coalesced to one partition so every downstream
     stage schedules one task instead of shuffle.partitions tasks."""
+    _probe(df)
     df = df.localCheckpoint(eager=True)
     n = df.count()  # free: already materialized
     if n <= _SMALL_ROWS:
@@ -63,6 +79,7 @@ def _ckpt_rotate(df: DataFrame, prev_handle):
     arbitrary frame's leaf RDD could kill a *shared* lineage-truncated
     checkpoint (e.g. the input edge table), which is unrecoverable.
     """
+    _probe(df)
     out = df.localCheckpoint(eager=True)
     handle = _ckpt_handle(out)
     _unpersist(prev_handle)
@@ -105,6 +122,7 @@ def _ckpt_rotate_agg(df: DataFrame, prev_handle, agg_exprs: list):
 
     Returns ``(checkpointed_df, rdd_handle, witness_row)``.
     """
+    _probe(df)
     out = df.localCheckpoint(eager=False)
     row = out.agg(*agg_exprs).collect()[0]
     handle = _ckpt_handle(out)

@@ -222,3 +222,61 @@ def test_x41_bucketed_join_has_no_exchange_before_join(spark):
 def test_join_hint_forces_shuffled_hash(spark):
     plan = _plan(spark, "x82_join_hints")
     assert "ShuffledHashJoin" in plan
+
+
+# Iterative algorithms: the final plan is just the last checkpoint's scan,
+# so the per-SUPERSTEP plans (captured via graph_algos.PLAN_PROBE at the
+# checkpoint funnel) carry the audit.  A nested-loop join inside a
+# superstep is tolerated only if its measured build side is tiny (the
+# pagerank dangling-mass 1-row broadcast), never by trust.
+ITERATIVE = [
+    "a1_bfs_levels",
+    "a2_connected_components",
+    "a3_pagerank",
+    "a4_sssp",
+    "a8_kcore",
+    "a13_modularity",
+]
+
+
+@pytest.mark.parametrize("name", ITERATIVE)
+def test_iterative_superstep_plans(spark, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_audit import audit_nl_build_sides
+
+    from projet_graphdb_spark.functions import graph_algos as GA
+
+    GA.PLAN_PROBE = steps = []
+    try:
+        E.queries()[name](spark, SF_TINY)
+    finally:
+        GA.PLAN_PROBE = None
+    assert steps, f"{name} captured no supersteps"
+    for i, sdf in enumerate(steps):
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            probs = audit_nl_build_sides(sdf, execute=False)
+            assert not probs, f"{name} superstep {i}: {probs}"
+
+
+def test_nl_allowed_build_sides_measured(spark):
+    """The NL_ALLOWED exemption is a CLAIM that the nested-loop join's
+    build side is tiny by construction; verify it from the executed
+    plan's SQLMetrics for representative shapes of each allowance class
+    (1-row aggregate, ~5 query vectors, calendar frame, binding seed)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_audit import audit_nl_build_sides
+
+    for name in [
+        "s1_knn_bruteforce",
+        "t23_corpus_card",
+        "x79_ewma_revenue",
+        "g29_mixed_varlength",
+        "t34_keyword_extraction",
+    ]:
+        probs = audit_nl_build_sides(E.queries()[name](spark, SF_TINY))
+        assert not probs, f"{name}: {probs}"

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E  # noqa: E402
 from projet_graphdb_spark.engine import get_spark  # noqa: E402
+from projet_graphdb_spark.functions import graph_algos as GA  # noqa: E402
 
 # queries whose plan legitimately contains a nested-loop join: the
 # broadcast side is a handful of rows by construction
@@ -73,6 +74,7 @@ NL_ALLOWED = {
     "s8_knn_rerank",  # coarse stage IS s5's int8 scan — same constant side
     "g11_transitive",  # 1-row binding seed x label table (broadcast of ONE row
     # feeding the first match over a script-created graph) — constant side
+    "g29_mixed_varlength",  # same g11 shape over the mixed-label chain
     "x17_inactive_rich",  # 1-row global-threshold aggregate x customer —
     # the broadcast side is a single row by construction
     "g21_merge",  # binding x matched-key nodes: the broadcast side is the
@@ -106,20 +108,26 @@ NL_ALLOWED = {
     # IDF projection — constant side by construction
 }
 
-# iterative algorithms materialize per-iteration checkpoints; their final
-# "plan" is just the checkpoint scan, so auditing it says nothing
-# a* iterate (checkpointed intermediates make the final plan opaque);
 # e5-e8 EXECUTE a streaming query on build — their batch twins e1-e4
-# carry the same logical shapes through the audit
+# carry the same logical shapes through the audit.  Iterative graph
+# algorithms are NOT skipped: their supersteps run while the query
+# DataFrame is being built, and graph_algos.PLAN_PROBE captures each
+# per-iteration plan for the same anti-pattern grep (the final plan alone
+# is just the last checkpoint's scan and says nothing).
 SKIP = {
-    "a1_bfs_levels",
-    "a2_connected_components",
-    "a3_pagerank",
     "e5_window_stream",
     "e6_dedup_stream",
     "e7_join_stream",
     "e8_sessionize_stream",
 }
+
+
+# A nested-loop join is only tolerable when its broadcast/smaller side is
+# tiny BY CONSTRUCTION (1-row aggregates, ~5 query vectors, calendar-bounded
+# frames).  The allow-list docstrings claim that; this cap VERIFIES it from
+# the executed plan's SQLMetrics, so an allow-listed side that silently
+# grows with the data fails the audit instead of going quadratic at scale.
+NL_BUILD_SIDE_CAP = 2048
 
 
 def audit_plan(name: str, plan: str) -> list:
@@ -128,6 +136,100 @@ def audit_plan(name: str, plan: str) -> list:
         for pat in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if pat in plan:
                 problems.append(f"{pat} in plan")
+    return problems
+
+
+def _walk_jplan(node, acc):
+    """Flatten a JVM SparkPlan tree, descending through AQE wrappers and
+    query stages (py4j: Scala Seq via .size()/.apply(i))."""
+    acc.append(node)
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        try:
+            _walk_jplan(node.executedPlan(), acc)
+            return acc
+        except Exception:
+            pass
+    for i in range(node.children().size()):
+        _walk_jplan(node.children().apply(i), acc)
+    if name.endswith("QueryStage"):
+        try:
+            _walk_jplan(node.plan(), acc)
+        except Exception:
+            pass
+    return acc
+
+
+def _num_output_rows(node):
+    """numOutputRows of ``node``, or of its nearest pre-order descendant
+    that carries the metric (WholeStageCodegen / InputAdapter wrappers
+    don't; the op inside does)."""
+    for n in _walk_jplan(node, []):
+        try:
+            return n.metrics().apply("numOutputRows").value()
+        except Exception:
+            continue
+    return None
+
+
+def _unwrap_child(node):
+    """Descend through pure wrappers (codegen, adapters, query stages,
+    exchange reuse) to the first operator that does work."""
+    while True:
+        nm = node.nodeName()
+        if nm.endswith("QueryStage"):
+            node = node.plan()
+        elif nm == "ReusedExchange":
+            node = node.child()
+        elif nm == "InputAdapter" or nm.startswith("WholeStageCodegen"):
+            node = node.children().apply(0)
+        else:
+            return node
+
+
+def audit_nl_build_sides(df, execute: bool = True) -> list:
+    """Assert every nested-loop join's build side in ``df``'s executed
+    plan stayed tiny.  ``execute=True`` collects first — on the
+    DataFrame's OWN QueryExecution (collect, not count — count plans a
+    fresh query whose metrics stay zero); pass False for a frame whose
+    plan already ran (a captured superstep materialized by its
+    checkpoint).  Only the join's OWN build-side exchange is measured —
+    a BroadcastExchange belonging to a nested hash join deeper in the
+    probe subtree is that join's business, not this one's."""
+    if execute:
+        df.collect()
+    problems = []
+    nodes = _walk_jplan(df._jdf.queryExecution().executedPlan(), [])
+    for node in nodes:
+        nm = node.nodeName()
+        if nm == "BroadcastNestedLoopJoin":
+            builds = []
+            for i in range(node.children().size()):
+                c = _unwrap_child(node.children().apply(i))
+                if c.nodeName() == "BroadcastExchange":
+                    builds.append(c)
+            if not builds:
+                problems.append("BNLJ build side not found")
+            for b in builds:
+                rows = _num_output_rows(b)
+                if rows is None:
+                    problems.append("BNLJ build side has no numOutputRows metric")
+                elif rows > NL_BUILD_SIDE_CAP:
+                    problems.append(
+                        f"BNLJ build side {rows} rows > cap {NL_BUILD_SIDE_CAP}"
+                    )
+        elif nm == "CartesianProduct":
+            sides = []
+            for i in range(node.children().size()):
+                sides.append(_num_output_rows(node.children().apply(i)))
+            known = [s for s in sides if s is not None]
+            if not known:
+                problems.append("CartesianProduct sides have no numOutputRows metric")
+            elif min(known) > NL_BUILD_SIDE_CAP:
+                problems.append(
+                    f"CartesianProduct smaller side {min(known)} rows "
+                    f"> cap {NL_BUILD_SIDE_CAP}"
+                )
     return problems
 
 
@@ -140,6 +242,7 @@ def main():
     for name, fn in E.queries().items():
         if name in SKIP or (only and name not in only):
             continue
+        GA.PLAN_PROBE = supersteps = []
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -147,7 +250,25 @@ def main():
             print(f"{name:<24} ERROR {type(ex).__name__}: {str(ex)[:120]}")
             failures += 1
             continue
+        finally:
+            GA.PLAN_PROBE = None
         problems = audit_plan(name, plan)
+        # Supersteps already executed (their checkpoints materialized
+        # them), so a nested-loop join found in one is judged by its
+        # MEASURED build-side rows, not by allow-list membership.
+        for i, sdf in enumerate(supersteps):
+            try:
+                sp = sdf._jdf.queryExecution().executedPlan().toString()
+                if "CartesianProduct" in sp or "BroadcastNestedLoopJoin" in sp:
+                    probs = audit_nl_build_sides(sdf, execute=False)
+                    problems += [f"superstep {i}: {p}" for p in probs]
+            except Exception as ex:
+                problems.append(f"superstep {i}: audit error {type(ex).__name__}")
+        if name in NL_ALLOWED and not problems:
+            try:
+                problems += audit_nl_build_sides(df)
+            except Exception as ex:
+                problems.append(f"build-side audit error {type(ex).__name__}: {str(ex)[:80]}")
         joins = sorted(set(re.findall(r"(\w*Join\w*)\s", plan)))
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widths = [len(s.split(",")) if s else 0 for s in scans]
