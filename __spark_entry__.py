@@ -730,7 +730,18 @@ def _srp_planes(num_planes: int = 8, dim: int = 64) -> list:
     return [[float(x) for x in row] for row in rng.standard_normal((num_planes, dim))]
 
 
-def _srp_bands(n_bands: int = 4, bits: int = 4, dim: int = 64) -> list:
+def _srp_bands(n_bands: int = 8, bits: int = 6, dim: int = 64) -> list:
+    """Seeded signed-random-projection planes for s9/d10 (and their
+    generated oracles — both sides derive from THIS function, so the
+    config can be retuned without splitting query and oracle).
+
+    8 bands × 6 bits: 64 buckets per band, so in-bucket candidate pairs
+    (the Σ bucket² term) are 16× fewer than the earlier 4×4 config whose
+    16 buckets/band went visibly quadratic at the 10× scale rehearsal
+    (s9: 31× time at 10× data).  Recall at the tuned 0.4 threshold stays
+    ≈ the 4×4 config's (1-(1-(2/3)^6)^8 ≈ 0.52 vs ≈ 0.58 for a
+    cosine-0.5 pair): more bits cut per-band recall, more bands win it
+    back — the standard banded-LSH S-curve trade."""
     import numpy as np
 
     rng = np.random.default_rng(43)
@@ -744,8 +755,9 @@ def s9_lsh_cosine_dups(spark, sf_dir):
     """Corpus-wide near-dup pairs via banded SRP-LSH candidates + exact
     cosine verify (functions/similarity.py::lsh_cosine_dups) — the
     sub-quadratic pair-generation path (O(corpus + Σ bucket²), never
-    all-pairs); 4 bands × 4 seeded hyperplane bits; threshold tuned to
-    this corpus's similarity range (max pairwise cosine ≈ 0.5)."""
+    all-pairs); 8 bands × 6 seeded hyperplane bits (see _srp_bands);
+    threshold tuned to this corpus's similarity range (max pairwise
+    cosine ≈ 0.5)."""
     return similarity.lsh_cosine_dups(
         _emb(spark, sf_dir), bands=_srp_bands(), threshold=0.4
     )
