@@ -2493,10 +2493,15 @@ def d23_band_sensitivity(spark, sf_dir):
     setting runs the full banded pipeline, the oracle replays all
     three with the shared signature arithmetic."""
     docs = _docs(spark, sf_dir)
+    # shingles + 32-hash signatures are band-independent: pay them once
+    # (checkpointed) and re-band three ways — the sweep's dominant cost
+    # drops from 3x to 1x (round-5 rehearsal follow-up)
+    shared = dedup.minhash_shared(docs, hash="md5")
     out = None
     for b in (4, 8, 16):
         row = (
-            dedup.minhash_lsh_pairs(docs, bands=b, threshold=0.2, hash="md5")
+            dedup.minhash_lsh_pairs(docs, bands=b, threshold=0.2, hash="md5",
+                                    shared=shared)
             .agg(
                 F.lit(b).alias("bands"),
                 F.count(F.lit(1)).alias("n_pairs"),

@@ -245,36 +245,28 @@ def minhash_signature_of_shingles(sh: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _hash_fn(hash: str):
+    if hash == "xxhash64":
+        return F.xxhash64
+    if hash == "md5":
+        return md5_hash60
+    raise ValueError(f"unknown hash {hash!r}")
+
+
+def minhash_shared(
     docs: DataFrame,
     num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xxhash64",
-) -> DataFrame:
-    """Sub-quadratic near-dup pairs: MinHash signatures → banded LSH
-    bucket join → exact Jaccard verification of candidates only.
-
-    ``hash``: ``xxhash64`` (the 100 TB default — fastest JVM hash) or
-    ``md5`` (60-bit md5-prefix shingle/band hashes — slower but
-    engine-portable, so a DuckDB oracle reproduces signatures → bands →
-    candidates → Jaccard exactly; the permutation family on top of the
-    hashed shingles is identical plain-integer arithmetic either way).
-
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
-    if hash == "xxhash64":
-        sh_hash = F.xxhash64
-        band_hash = F.xxhash64
-    elif hash == "md5":
-        sh_hash = md5_hash60
-        band_hash = md5_hash60
-    else:
-        raise ValueError(f"unknown hash {hash!r}")
-    rows_per_band = num_hashes // bands
+) -> tuple:
+    """Checkpointed ``(hashed-shingle base, signature frame)`` pair for
+    ``minhash_lsh_pairs`` — compute once, reuse across several band
+    configurations (d23's sensitivity sweep runs bands ∈ {4,8,16} over
+    the SAME signatures; without sharing, the shingle + 32-min-hash
+    aggregate — the dominant cost — is paid per setting)."""
+    sh_hash = _hash_fn(hash)
     # hashed shingle set, kept for the exact-verification step (long
     # arrays intersect much faster than string arrays)
     base = (
@@ -285,7 +277,43 @@ def minhash_lsh_pairs(
         )
         .localCheckpoint(eager=True)  # shared by signature + verify stages
     )
-    sig = minhash_signatures(base, num_hashes)
+    # signatures are docs x num_hashes longs — tiny; checkpointing makes
+    # them reusable across band settings without replaying the aggregate
+    sig = minhash_signatures(base, num_hashes).localCheckpoint(eager=True)
+    return base, sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+    shared: tuple | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: MinHash signatures → banded LSH
+    bucket join → exact Jaccard verification of candidates only.
+
+    ``hash``: ``xxhash64`` (the 100 TB default — fastest JVM hash) or
+    ``md5`` (60-bit md5-prefix shingle/band hashes — slower but
+    engine-portable, so a DuckDB oracle reproduces signatures → bands →
+    candidates → Jaccard exactly; the permutation family on top of the
+    hashed shingles is identical plain-integer arithmetic either way).
+
+    ``shared``: a ``minhash_shared(...)`` result to reuse across calls
+    (must have been built with the same num_hashes/n/hash).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    band_hash = _hash_fn(hash)
+    rows_per_band = num_hashes // bands
+    if shared is not None:
+        base, sig = shared
+    else:
+        base, sig = minhash_shared(docs, num_hashes, n, text_col, id_col, hash)
     # band key: (band index, hash of that band's signature slice).  The
     # banded frame is SLIM — (doc, band, bhash) only: carrying the
     # shingle arrays through an 8-way explode + self-join shuffle would

@@ -103,6 +103,14 @@ def test_star_rejects_unreachable_labels(spark):
         run_program(spark, MIXED + "match (x: C) -[:hop*]-> (y: A) return x, y")
 
 
+def test_star_mixed_label_undirected(spark):
+    # undirected closure composes across labels BOTH ways: 2-hop walks
+    # C→B→A over edges {0-1,1-2,3-4,4-5}
+    _, b = run_program(spark, MIXED + "match (x: C) -[:hop*2..2]- (y: A) return x, y")
+    rows = sorted(tuple(r) for r in binding_table(b).collect())
+    assert rows == [(2, 0), (5, 3)], rows
+
+
 def test_star_rejects_unreachable_length(spark):
     # A→B exists at length 1 only; *2..2 cannot land on B
     with pytest.raises(TypeCheckError, match="cannot reach"):

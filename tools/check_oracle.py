@@ -84,8 +84,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -94,6 +100,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,28 +109,43 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"{name:24s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:160]}")
+            results[name] = {"ok": False, "err": f"spark {type(ex).__name__}"}
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name:24s} rows-only   rows={len(sdf)}  spark={t_spark:.1f}s")
+            results[name] = {"ok": True, "rows": len(sdf), "rows_only": True}
             continue
         t0 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"{name:24s} ORACLE-ERROR {type(ex).__name__}: {str(ex)[:160]}")
+            results[name] = {"ok": False, "err": f"oracle {type(ex).__name__}"}
             failures += 1
             continue
         verdict = compare(name, sdf, odf)
         status = "ok" if verdict == "OK" else "MISMATCH"
         if verdict != "OK":
             failures += 1
+        results[name] = {"ok": verdict == "OK", "rows": len(sdf)}
+        if verdict != "OK":
+            results[name]["err"] = verdict
         print(
             f"{name:24s} {status:9s} rows={len(sdf)}  spark={t_spark:.1f}s "
             f"duck={time.time()-t0:.1f}s  {verdict if verdict != 'OK' else ''}"
         )
     print("FAILURES:", failures)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(
+                {"sf_dir": sf_dir, "n": len(results), "failures": failures,
+                 "queries": results},
+                fh, indent=1,
+            )
     sys.exit(1 if failures else 0)
 
 
