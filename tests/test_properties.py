@@ -174,3 +174,62 @@ def test_return_projection_matches_attrs(spark, n_nodes):
     got = dict(tuple(r) for r in binding_table(b).collect())
     attrs = state.collect_nodes()["A"]
     assert got == {nid: a["nom"] for nid, a in attrs.items()}
+
+
+# ---------------------------------------------------------------------------
+# _star_reachable (closure endpoint typecheck) vs brute-force enumeration
+# ---------------------------------------------------------------------------
+
+@st.composite
+def label_graphs(draw):
+    n = draw(st.integers(2, 5))
+    labels = [f"L{i}" for i in range(n)]
+    n_edges = draw(st.integers(1, 8))
+    edges = [
+        (labels[draw(st.integers(0, n - 1))], labels[draw(st.integers(0, n - 1))])
+        for _ in range(n_edges)
+    ]
+    src = labels[draw(st.integers(0, n - 1))]
+    tgt = labels[draw(st.integers(0, n - 1))]
+    lo = draw(st.integers(1, 4))
+    hi = draw(st.one_of(st.none(), st.integers(lo, 6)))
+    undirected = draw(st.booleans())
+    return labels, edges, src, tgt, lo, hi, undirected
+
+
+def _brute_reachable(labels, edges, src, tgt, lo, hi, undirected, cap=24):
+    """Exact-length BFS over the label multigraph, lengths 1..cap."""
+    step = {}
+    for a, b in edges:
+        step.setdefault(a, set()).add(b)
+        if undirected:
+            step.setdefault(b, set()).add(a)
+    frontier = {src}
+    top = hi if hi is not None else cap
+    for k in range(1, top + 1):
+        frontier = {d for s in frontier for d in step.get(s, ())}
+        if not frontier:
+            return False
+        if k >= lo and tgt in frontier:
+            return True
+    return False
+
+
+@given(label_graphs())
+@settings(max_examples=200, deadline=None)
+def test_star_reachable_matches_bruteforce(data):
+    """The typechecker's closure-reachability must agree with exhaustive
+    path-length enumeration — for unbounded hi, the lo+|labels| cap must
+    not reject a reachable pair (pump-down) nor accept an unreachable
+    one (brute force runs far past the cap to witness agreement)."""
+    import projet_graphdb_spark.frontend.ast as A
+    from projet_graphdb_spark.frontend.typecheck import _star_reachable
+
+    labels, edges, src, tgt, lo, hi, und = data
+    tg = A.TypeGraph(
+        nodes=[A.NodeTypeDecl(lbl, ()) for lbl in labels],
+        rels=[A.RelTypeDecl(a, "r", b) for a, b in edges],
+    )
+    got = _star_reachable(tg, src, "r", tgt, lo, hi, und)
+    want = _brute_reachable(labels, edges, src, tgt, lo, hi, und)
+    assert got == want, (edges, src, tgt, lo, hi, und, got, want)
