@@ -2065,18 +2065,22 @@ def d22_winnowing_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # POSITIONAL grams (shingle_frame dedups — winnowing must not)
-    toks = "split(trim(text), '\\\\s+')"
-    grams = docs.where(
-        F.size(F.split(F.trim("text"), r"\s+")) >= 3
-    ).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size({toks}) - 2),"
-                f" i -> concat_ws(' ', {toks}[i - 1], {toks}[i], {toks}[i + 1]))"
-            )
-        ).alias("pos", "_g"),
+    # POSITIONAL grams (shingle_frame dedups — winnowing must not).
+    # Tokenize into an attribute FIRST: split() referenced inside the
+    # transform lambda is re-evaluated per element index (no
+    # loop-invariant hoisting in lambda bodies) — O(len²) per doc.
+    grams = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_t"))
+        .where(F.size("_t") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 2),"
+                    " i -> concat_ws(' ', _t[i - 1], _t[i], _t[i + 1]))"
+                )
+            ).alias("pos", "_g"),
+        )
     )
     h40 = F.conv(F.substring(F.md5("_g"), 1, 10), 16, 10).cast("long")
     keyed = grams.select(
@@ -3037,16 +3041,24 @@ def t30_bigram_perplexity(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     split = text.hash_split(docs)
     tagged = docs.join(split.select("doc_id", "split"), "doc_id")
-    bigrams = lambda df: df.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
-                " i -> concat(split(trim(text), '\\\\s+')[i - 1], ' ',"
-                " split(trim(text), '\\\\s+')[i]))"
-            )
-        ).alias("bg"),
-    ).where(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    # tokenize ONCE into an attribute before the bigram lambda: a
+    # split() call INSIDE the transform would be re-evaluated for every
+    # element index (lambda bodies get no loop-invariant hoisting), an
+    # O(len²)-per-doc trap.  CollapseProject keeps the alias because the
+    # non-cheap split is referenced more than once.
+    bigrams = lambda df: (
+        df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> concat(_t[i - 1], ' ', _t[i]))"
+                )
+            ).alias("bg"),
+        )
+    )
     train_bg = bigrams(tagged.where(F.col("split") == "train"))
     val_bg = bigrams(tagged.where(F.col("split") == "val"))
     counts = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
