@@ -92,6 +92,14 @@ def srp_signature(vec: Column, planes: list) -> Column:
     ``planes``: list of hyperplanes (list of floats) — fixed/seeded by
     the caller; the signature is fully deterministic.
     """
+    # NOTE: the HOF dot is deliberate here.  Unrolling every plane
+    # (bands × bits × dim terms in one projection) grows the generated
+    # processNext() past janino's 64 KB method cap, and the fallback
+    # interprets the WHOLE stage — measured ~10× slower than the HOF at
+    # sf0.01.  Signatures are per-VECTOR (linear), so the interpreted
+    # fold is not the hot path.  (Unrolling the per-PAIR dot in
+    # embedding_cosine_dups was measured too: the fused join stage's
+    # generated code also degrades — the HOF fold wins there as well.)
     bits = []
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
