@@ -101,23 +101,33 @@ def _interleave_by_family(base: dict) -> dict:
     return out
 
 
-def _driver_checked_names() -> set:
-    """Names that appeared in any committed CORRECTNESS_r*.json window."""
+def _driver_checked_names() -> tuple:
+    """(seen, green): names that appeared in any committed
+    CORRECTNESS_r*.json window, and the subset whose best record passed
+    the oracle compare."""
     import glob
     import json
     import os
 
     seen: set = set()
+    green: set = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 data = json.load(fh)
-            if isinstance(data, dict):
-                seen.update(data.keys())
         except Exception:
             continue  # a corrupt artifact must not break queries()
-    return seen
+        if not isinstance(data, dict):
+            continue
+        seen.update(data.keys())
+        for k, v in data.items():
+            if isinstance(v, dict) and not v.get("err") and (
+                v.get("hash_match")
+                or (v.get("rows_match") and v.get("schema_match"))
+            ):
+                green.add(k)
+    return seen, green
 
 
 def _rotate_window(interleaved: dict) -> dict:
@@ -133,8 +143,13 @@ def _rotate_window(interleaved: dict) -> dict:
     partitions keep the family-interleaved relative order so any prefix
     still spans every family.
     """
-    checked = _driver_checked_names()
-    front = [n for n in _RECONFIRM_FIRST if n in interleaved]
+    checked, green = _driver_checked_names()
+    # pin fixed-after-error queries only UNTIL a window confirms them —
+    # a permanently-pinned green query would waste 6 of the 50 slots
+    # every subsequent round
+    front = [
+        n for n in _RECONFIRM_FIRST if n in interleaved and n not in green
+    ]
     fresh = [n for n in interleaved if n not in checked and n not in front]
     stale = [n for n in interleaved if n in checked and n not in front]
     return {n: interleaved[n] for n in front + fresh + stale}
