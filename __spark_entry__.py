@@ -122,10 +122,10 @@ def _driver_checked_names() -> tuple:
             continue
         seen.update(data.keys())
         for k, v in data.items():
-            if isinstance(v, dict) and not v.get("err") and (
-                v.get("hash_match")
-                or (v.get("rows_match") and v.get("schema_match"))
-            ):
+            # the gate's pass bar is rows+schema+HASH: a record with
+            # hash_match=false is red (the r3/r4 dtype failures were
+            # exactly rows/schema-green, hash-red)
+            if isinstance(v, dict) and not v.get("err") and v.get("hash_match") is True:
                 green.add(k)
     return seen, green
 
@@ -144,14 +144,18 @@ def _rotate_window(interleaved: dict) -> dict:
     still spans every family.
     """
     checked, green = _driver_checked_names()
-    # pin fixed-after-error queries only UNTIL a window confirms them —
-    # a permanently-pinned green query would waste 6 of the 50 slots
-    # every subsequent round
-    front = [
-        n for n in _RECONFIRM_FIRST if n in interleaved and n not in green
+    # FRONT: every query a window has seen but never passed — fixed
+    # oracles (the r3/r4 hash-red t20/t21/t23/a13) and fixed-after-error
+    # queries alike jump the queue until a window confirms them, then
+    # retire to the stale tail (a permanent pin would waste prefix
+    # slots every later round).  _RECONFIRM_FIRST names order first
+    # within the front for continuity with the round-4 verdict list.
+    needs_reconfirm = [n for n in interleaved if n in checked and n not in green]
+    front = [n for n in _RECONFIRM_FIRST if n in needs_reconfirm] + [
+        n for n in needs_reconfirm if n not in _RECONFIRM_FIRST
     ]
-    fresh = [n for n in interleaved if n not in checked and n not in front]
-    stale = [n for n in interleaved if n in checked and n not in front]
+    fresh = [n for n in interleaved if n not in checked]
+    stale = [n for n in interleaved if n in green]
     return {n: interleaved[n] for n in front + fresh + stale}
 
 

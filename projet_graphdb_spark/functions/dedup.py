@@ -260,12 +260,18 @@ def minhash_shared(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xxhash64",
+    checkpoint_sig: bool = True,
 ) -> tuple:
-    """Checkpointed ``(hashed-shingle base, signature frame)`` pair for
+    """``(hashed-shingle base, signature frame)`` pair for
     ``minhash_lsh_pairs`` — compute once, reuse across several band
     configurations (d23's sensitivity sweep runs bands ∈ {4,8,16} over
     the SAME signatures; without sharing, the shingle + 32-min-hash
-    aggregate — the dominant cost — is paid per setting)."""
+    aggregate — the dominant cost — is paid per setting).
+
+    ``checkpoint_sig``: materialize the signature frame (docs ×
+    num_hashes longs — tiny) so re-banding replays nothing.  A
+    single-config caller should pass False: the extra checkpoint job
+    buys nothing when the signatures feed exactly one band explode."""
     sh_hash = _hash_fn(hash)
     # hashed shingle set, kept for the exact-verification step (long
     # arrays intersect much faster than string arrays)
@@ -277,9 +283,9 @@ def minhash_shared(
         )
         .localCheckpoint(eager=True)  # shared by signature + verify stages
     )
-    # signatures are docs x num_hashes longs — tiny; checkpointing makes
-    # them reusable across band settings without replaying the aggregate
-    sig = minhash_signatures(base, num_hashes).localCheckpoint(eager=True)
+    sig = minhash_signatures(base, num_hashes)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
     return base, sig
 
 
@@ -313,7 +319,11 @@ def minhash_lsh_pairs(
     if shared is not None:
         base, sig = shared
     else:
-        base, sig = minhash_shared(docs, num_hashes, n, text_col, id_col, hash)
+        # single-config path: leave sig lazy so it fuses into the band
+        # explode below (pre-refactor behavior — no extra job)
+        base, sig = minhash_shared(
+            docs, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
+        )
     # band key: (band index, hash of that band's signature slice).  The
     # banded frame is SLIM — (doc, band, bhash) only: carrying the
     # shingle arrays through an 8-way explode + self-join shuffle would

@@ -241,9 +241,10 @@ ITERATIVE = [
 
 @pytest.mark.parametrize("name", ITERATIVE)
 def test_iterative_superstep_plans(spark, name):
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from explain_audit import audit_nl_build_sides
 
     from projet_graphdb_spark.functions import graph_algos as GA
@@ -266,9 +267,10 @@ def test_nl_allowed_build_sides_measured(spark):
     build side is tiny by construction; verify it from the executed
     plan's SQLMetrics for representative shapes of each allowance class
     (1-row aggregate, ~5 query vectors, calendar frame, binding seed)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from explain_audit import audit_nl_build_sides
 
     for name in [

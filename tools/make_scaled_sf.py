@@ -69,6 +69,11 @@ def _domain_sizes(spark, src: str) -> dict:
     for dom, tbl, col in pairs:
         df = spark.read.parquet(f"{src}/{tbl}.parquet")
         sizes[dom] = df.agg(F.max(col)).collect()[0][0] + 1
+    sizes["_emb_dim"] = (
+        spark.read.parquet(f"{src}/embeddings.parquet")
+        .select(F.size("embedding"))
+        .first()[0]
+    )
     return sizes
 
 
@@ -92,7 +97,12 @@ def _copy(df: DataFrame, table: str, i: int, sizes: dict) -> DataFrame:
             ),
         )
     if table == "embeddings" and i > 0:
-        dim_rot = 7 * i
+        # rotate MODULO the actual dimensionality: 7*i >= dim would make
+        # the first slice empty and the "rotation" an identity, silently
+        # recreating the cross-copy duplicate explosion this tool exists
+        # to prevent.  (7 is coprime to any power-of-two dim, so rot hits
+        # 0 only when i % dim == 0 — bump to 1 in that case.)
+        dim_rot = (7 * i) % sizes["_emb_dim"] or 1
         df = df.withColumn(
             "embedding",
             F.concat(

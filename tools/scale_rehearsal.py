@@ -60,11 +60,30 @@ def main():
         E.entry(spark).count()  # warm codegen
     except Exception:
         pass
+    out_path = os.path.join(REPO, "BENCH_sf1.json")
     out = {}
+    try:  # merge over prior rehearsals instead of discarding them
+        with open(out_path) as fh:
+            out = json.load(fh).get("queries", {})
+    except Exception:
+        pass
+
+    def _flush():
+        # write INCREMENTALLY: one erroring query (OOM, scaled-data edge)
+        # must not discard hours of prior measurements
+        with open(out_path, "w") as fh:
+            json.dump({"scaled_dir": scaled, "copies": 10, "queries": out}, fh, indent=1)
+
     for name in names:
         fn = qs[name]
-        t_small = _time(fn, spark, SF01)
-        t_big = _time(fn, spark, scaled)
+        try:
+            t_small = _time(fn, spark, SF01)
+            t_big = _time(fn, spark, scaled)
+        except Exception as ex:
+            out[name] = {"error": f"{type(ex).__name__}: {str(ex)[:160]}"}
+            print(f"{name:<26} ERROR {type(ex).__name__}", flush=True)
+            _flush()
+            continue
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         expo = round(math.log(t_big / t_small) / math.log(10), 2) if t_small > 0 else None
         out[name] = {
@@ -75,8 +94,7 @@ def main():
         }
         print(f"{name:<26} sf0.1={t_small:>8.3f}s sf1={t_big:>8.3f}s "
               f"ratio={ratio} exp={expo}", flush=True)
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
-        json.dump({"scaled_dir": scaled, "copies": 10, "queries": out}, fh, indent=1)
+        _flush()
     print("wrote BENCH_sf1.json")
 
 
