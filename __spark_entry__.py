@@ -80,6 +80,13 @@ _RECONFIRM_FIRST = [
     "e1_event_window", "e2_sessionize", "e3_stream_dedup", "e4_stream_join",
 ]
 
+# New queries a verdict explicitly wants confirmed in the NEXT window,
+# ahead of the interleaved fresh order (g29 is the 29th g-entry, so the
+# round-robin would otherwise bury it ~200 deep).  Like the reconfirm
+# pin, membership is only effective until a window records the query
+# green.
+_PIN_FIRST = ["g29_mixed_varlength"]
+
 
 def _interleave_by_family(base: dict) -> dict:
     fams: dict[str, list[str]] = {}
@@ -154,9 +161,14 @@ def _rotate_window(interleaved: dict) -> dict:
     front = [n for n in _RECONFIRM_FIRST if n in needs_reconfirm] + [
         n for n in needs_reconfirm if n not in _RECONFIRM_FIRST
     ]
-    fresh = [n for n in interleaved if n not in checked]
+    pinned = [
+        n for n in _PIN_FIRST
+        if n in interleaved and n not in green and n not in front
+    ]
+    head = front + pinned
+    fresh = [n for n in interleaved if n not in checked and n not in head]
     stale = [n for n in interleaved if n in green]
-    return {n: interleaved[n] for n in front + fresh + stale}
+    return {n: interleaved[n] for n in head + fresh + stale}
 
 
 def _graph_query(spark: SparkSession, sf_dir: str, program: str):
