@@ -1,0 +1,352 @@
+"""Differential fuzzing: random well-typed miniGQL programs run through
+BOTH the Spark engine and an independent ~150-line pure-Python list
+interpreter of the same semantics; binding table, node attributes and
+edge set must agree exactly.
+
+The model implements the REFERENCE semantics as this repo ships them
+(SURVEY §2 with the documented sane-semantics divergences): multi-row
+create advances the id counter by the row count, never-set attributes
+read as NULL (Kleene three-valued logic in `where`), `set` evaluates
+against the deterministic first row (binding-column order), delete
+cascades incident edges and leaves dangling bindings.
+
+The generator constrains programs to the deterministic envelope:
+- node creates only while the table is provably single-row (multi-row
+  creates assign ids in partition order — real ids, but which row gets
+  which is not a semantic promise);
+- `set` only while every preceding phase-B instruction is a non-empty
+  label match (reference `set` List.hd-crashes on an empty table);
+- no variable rebinding (shadowing works but makes the model hairier);
+- no `/` or `mod` (ANSI division-by-zero raising is pinned by
+  tests/test_conformance.py already).
+
+Usage: python tools/diff_fuzz.py [n_programs] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import projet_graphdb_spark.frontend.ast as A
+from projet_graphdb_spark.frontend import normalize, parse
+from projet_graphdb_spark.frontend.normalize import (
+    Action,
+    IActOnNode,
+    IActOnRel,
+    IDeleteNode,
+    IDeleteRel,
+    IReturn,
+    ISet,
+    IWhere,
+)
+from projet_graphdb_spark.frontend.typecheck import TypeCheckError, typecheck
+
+# ---------------------------------------------------------------------------
+# program generator
+# ---------------------------------------------------------------------------
+
+INT_ATTRS = ["a", "b"]
+STR_LIT = ["x", "y z", "w"]
+
+
+def gen_program(rng: random.Random) -> str:
+    labels = ["P", "Q", "R"][: rng.randint(1, 3)]
+    attrs = {}
+    lines = []
+    for lb in labels:
+        ats = [(nm, "int") for nm in rng.sample(INT_ATTRS, rng.randint(1, 2))]
+        if rng.random() < 0.4:
+            ats.append(("s", "string"))
+        attrs[lb] = ats
+        lines.append(f"(:{lb} {{{', '.join(f'{n} {t}' for n, t in ats)}}})")
+    rels = list(dict.fromkeys(
+        (rng.choice(labels), rng.choice(["r", "s"]), rng.choice(labels))
+        for _ in range(rng.randint(1, 3))
+    ))
+    for a, r, b in rels:
+        lines.append(f"(:{a}) -[:{r}]-> (:{b})")
+
+    bound: dict = {}  # var -> label
+    names = iter("nopqkuvwmj")
+    n_created: dict = {lb: 0 for lb in labels}
+
+    def int_expr(allow_attrs: bool) -> str:
+        cands = [str(rng.randint(0, 9))]
+        if allow_attrs:
+            for v, lb in bound.items():
+                for nm, tp in attrs[lb]:
+                    if tp == "int":
+                        cands.append(f"{v}.{nm}")
+        e = rng.choice(cands)
+        if rng.random() < 0.4:
+            e = f"{e} {rng.choice(['+', '-', '*'])} {rng.choice(cands)}"
+        return e
+
+    # phase A: single-row creates / rels / sets
+    for _ in range(rng.randint(2, 7)):
+        op = rng.random()
+        if op < 0.5 or not bound:
+            v, lb = next(names), rng.choice(labels)
+            lines.append(f"create ({v}: {lb})")
+            bound[v] = lb
+            n_created[lb] += 1
+        elif op < 0.8 and len(bound) >= 2:
+            pairs = [
+                (sv, r, tv)
+                for sv in bound for tv in bound
+                for (a, r, b) in rels
+                if bound[sv] == a and bound[tv] == b
+            ]
+            if pairs:
+                sv, r, tv = rng.choice(pairs)
+                lines.append(f"create ({sv}) -[:{r}]-> ({tv})")
+        else:
+            v = rng.choice(list(bound))
+            lb = bound[v]
+            nm, tp = rng.choice(attrs[lb])
+            rhs = f'"{rng.choice(STR_LIT)}"' if tp == "string" else int_expr(True)
+            lines.append(f"set {v}.{nm} = {rhs}")
+
+    # phase B: matches / where / set-early / deletes, then return
+    set_ok = True
+    for _ in range(rng.randint(1, 5)):
+        op = rng.random()
+        if op < 0.35:
+            nonempty = [lb for lb in labels if n_created[lb] > 0]
+            if not nonempty:
+                continue
+            v, lb = next(names), rng.choice(nonempty)
+            lines.append(f"match ({v}: {lb})")
+            bound[v] = lb
+        elif op < 0.55:
+            cands = [
+                (sv, r, tv)
+                for sv in bound for tv in bound
+                if sv != tv
+                for (a, r, b) in rels
+                if bound[sv] == a and bound[tv] == b
+            ]
+            if cands:
+                sv, r, tv = rng.choice(cands)
+                lines.append(f"match ({sv}) -[:{r}]-> ({tv})")
+                set_ok = False
+        elif op < 0.75:
+            conds = []
+            for v, lb in bound.items():
+                for nm, tp in attrs[lb]:
+                    if tp == "int":
+                        conds.append(
+                            f"{v}.{nm} {rng.choice(['=', '<>', '>=', '<', '>'])} "
+                            f"{int_expr(False)}"
+                        )
+            if conds:
+                c = rng.choice(conds)
+                if rng.random() < 0.3 and len(conds) > 1:
+                    c = f"{c} {rng.choice(['and', 'or'])} {rng.choice(conds)}"
+                lines.append(f"where {c}")
+                set_ok = False
+        elif op < 0.85 and set_ok and bound:
+            v = rng.choice(list(bound))
+            lb = bound[v]
+            nm, tp = rng.choice(attrs[lb])
+            rhs = f'"{rng.choice(STR_LIT)}"' if tp == "string" else int_expr(True)
+            lines.append(f"set {v}.{nm} = {rhs}")
+        elif op < 0.93 and bound:
+            v = rng.choice(list(bound))
+            lines.append(f"delete {v}")
+            del bound[v]
+            set_ok = False
+        else:
+            cands = [
+                (sv, r, tv)
+                for sv in bound for tv in bound
+                for (a, r, b) in rels
+                if bound[sv] == a and bound[tv] == b
+            ]
+            if cands:
+                sv, r, tv = rng.choice(cands)
+                lines.append(f"delete {sv} -[:{r}]-> {tv}")
+                set_ok = False
+    if bound:
+        k = rng.randint(1, min(3, len(bound)))
+        lines.append(f"return {', '.join(rng.sample(list(bound), k))}")
+    return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python model
+# ---------------------------------------------------------------------------
+
+
+def _eval3(e, row, nodes):
+    """Three-valued expression eval: None = NULL (Kleene, like Spark)."""
+    if isinstance(e, A.Const):
+        return e.value.python_value
+    if isinstance(e, A.AttribAcc):
+        nid = row[e.var]
+        rec = nodes.get(nid)
+        return None if rec is None else rec[1].get(e.field)
+    if isinstance(e, A.BinOp):
+        l = _eval3(e.left, row, nodes)
+        r = _eval3(e.right, row, nodes)
+        k = {"ADD": "add", "SUB": "sub", "MUL": "mul", "EQ": "eq", "NE": "neq",
+             "GE": "ge", "GT": "gt", "LE": "le", "LT": "lt",
+             "AND": "and", "OR": "or"}[e.op.name]
+        if k == "and":
+            if l is False or r is False:
+                return False
+            if l is None or r is None:
+                return None
+            return True
+        if k == "or":
+            if l is True or r is True:
+                return True
+            if l is None or r is None:
+                return None
+            return False
+        if l is None or r is None:
+            return None
+        return {
+            "add": lambda: l + r, "sub": lambda: l - r, "mul": lambda: l * r,
+            "eq": lambda: l == r, "neq": lambda: l != r,
+            "ge": lambda: l >= r, "gt": lambda: l > r,
+            "le": lambda: l <= r, "lt": lambda: l < r,
+        }[k]()
+    raise TypeError(e)
+
+
+def run_model(prog2):
+    nodes: dict = {}  # id -> (label, {attr: val})
+    edges: set = set()
+    next_id = 0
+    rows = [dict()]
+    env_order: list = []  # newest-first binding columns (vars; no rebinding)
+
+    for ins in prog2.instructions:
+        if isinstance(ins, IActOnNode) and ins.action == Action.CREATE:
+            assert len(rows) == 1, "generator promises single-row creates"
+            nid = next_id
+            next_id += 1
+            nodes[nid] = (ins.label, {})
+            rows = [dict(r, **{ins.var: nid}) for r in rows]
+            env_order.insert(0, ins.var)
+        elif isinstance(ins, IActOnNode):
+            ids = sorted(i for i, (lb, _) in nodes.items() if lb == ins.label)
+            rows = [dict(r, **{ins.var: i}) for r in rows for i in ids]
+            env_order.insert(0, ins.var)
+        elif isinstance(ins, IActOnRel) and ins.action == Action.CREATE:
+            edges |= {(r[ins.src_var], ins.rel, r[ins.tgt_var]) for r in rows}
+        elif isinstance(ins, IActOnRel):
+            rows = [
+                r for r in rows
+                if (r[ins.src_var], ins.rel, r[ins.tgt_var]) in edges
+            ]
+        elif isinstance(ins, IDeleteNode):
+            ids = {r[ins.var] for r in rows}
+            for i in ids:
+                nodes.pop(i, None)
+            edges = {e for e in edges if e[0] not in ids and e[2] not in ids}
+            rows = [{k: v for k, v in r.items() if k != ins.var} for r in rows]
+            env_order = [v for v in env_order if v != ins.var]
+        elif isinstance(ins, IDeleteRel):
+            pairs = {(r[ins.src_var], r[ins.tgt_var]) for r in rows}
+            edges = {
+                e for e in edges
+                if not (e[1] == ins.rel and (e[0], e[2]) in pairs)
+            }
+        elif isinstance(ins, IWhere):
+            rows = [r for r in rows if _eval3(ins.expr, r, nodes) is True]
+        elif isinstance(ins, ISet):
+            assert rows, "generator promises non-empty set"
+            first = min(rows, key=lambda r: tuple(r[v] for v in env_order))
+            val = _eval3(ins.expr, first, nodes)
+            for i in {r[ins.var] for r in rows}:
+                nodes[i][1][ins.field] = val
+        elif isinstance(ins, IReturn):
+            rows = [{v: r[v] for v in ins.vars} for r in rows]
+            env_order = list(ins.vars)
+        else:
+            raise TypeError(f"model does not cover {ins!r}")
+
+    table = sorted(
+        tuple(r[v] for v in sorted(env_order)) for r in rows
+    )
+    node_snap = {}
+    for i, (lb, ats) in nodes.items():
+        node_snap.setdefault(lb, {})[i] = {
+            k: v for k, v in ats.items() if v is not None
+        }
+    return sorted(env_order), table, node_snap, edges
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def run_one(spark, text: str) -> tuple:
+    """(ok, detail) for one program."""
+    from projet_graphdb_spark.engine import binding_table, run_program
+
+    prog2 = normalize(parse(text))
+    try:
+        typecheck(prog2)
+    except TypeCheckError as ex:
+        return None, f"generator slip (typecheck): {ex}"
+    cols, want_rows, want_nodes, want_edges = run_model(prog2)
+
+    state, b = run_program(spark, text)
+    tbl = binding_table(b)
+    got_rows = sorted(
+        tuple(r[c] for c in sorted(tbl.columns)) for r in tbl.collect()
+    )
+    got_nodes = {
+        lb: {i: ats for i, ats in m.items()}
+        for lb, m in state.collect_nodes().items()
+        if m  # model omits empty labels? keep all, compare below
+    }
+    # normalize: include empty labels on both sides
+    all_labels = set(got_nodes) | set(want_nodes) | set(state.nodes)
+    for lb in all_labels:
+        got_nodes.setdefault(lb, {})
+        want_nodes.setdefault(lb, {})
+    got_edges = state.collect_edges()
+
+    if sorted(tbl.columns) != cols:
+        return False, f"columns {sorted(tbl.columns)} != {cols}"
+    if got_rows != want_rows:
+        return False, f"rows {got_rows[:5]} != {want_rows[:5]}"
+    if got_nodes != want_nodes:
+        return False, f"nodes {got_nodes} != {want_nodes}"
+    if got_edges != want_edges:
+        return False, f"edges {sorted(got_edges)} != {sorted(want_edges)}"
+    return True, ""
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    from projet_graphdb_spark.engine import get_spark
+
+    spark = get_spark(app_name="diff-fuzz", master="local[4]", shuffle_partitions=4)
+    rng = random.Random(seed)
+    bad = skipped = 0
+    for trial in range(n):
+        text = gen_program(rng)
+        ok, detail = run_one(spark, text)
+        if ok is None:
+            skipped += 1
+            continue
+        if not ok:
+            bad += 1
+            print(f"=== DIVERGENCE (trial {trial}) ===\n{text}\n{detail}\n")
+    print(f"trials={n} divergences={bad} generator_slips={skipped}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
