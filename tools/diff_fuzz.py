@@ -61,6 +61,8 @@ def gen_program(rng: random.Random) -> str:
         ats = [(nm, "int") for nm in rng.sample(INT_ATTRS, rng.randint(1, 2))]
         if rng.random() < 0.4:
             ats.append(("s", "string"))
+        if rng.random() < 0.3:
+            ats.append(("f", "bool"))
         attrs[lb] = ats
         lines.append(f"(:{lb} {{{', '.join(f'{n} {t}' for n, t in ats)}}})")
     rels = list(dict.fromkeys(
@@ -108,7 +110,11 @@ def gen_program(rng: random.Random) -> str:
             v = rng.choice(list(bound))
             lb = bound[v]
             nm, tp = rng.choice(attrs[lb])
-            rhs = f'"{rng.choice(STR_LIT)}"' if tp == "string" else int_expr(True)
+            rhs = (
+                f'"{rng.choice(STR_LIT)}"' if tp == "string"
+                else rng.choice(["true", "false"]) if tp == "bool"
+                else int_expr(True)
+            )
             lines.append(f"set {v}.{nm} = {rhs}")
 
     # phase B: matches / where / set-early / deletes, then return
@@ -136,13 +142,26 @@ def gen_program(rng: random.Random) -> str:
                 set_ok = False
         elif op < 0.75:
             conds = []
+            int_accs, str_accs, bool_accs = [], [], []
             for v, lb in bound.items():
                 for nm, tp in attrs[lb]:
-                    if tp == "int":
-                        conds.append(
-                            f"{v}.{nm} {rng.choice(['=', '<>', '>=', '<', '>'])} "
-                            f"{int_expr(False)}"
-                        )
+                    acc = f"{v}.{nm}"
+                    (int_accs if tp == "int" else
+                     str_accs if tp == "string" else bool_accs).append(acc)
+            for acc in int_accs:
+                conds.append(
+                    f"{acc} {rng.choice(['=', '<>', '>=', '<', '>'])} "
+                    f"{int_expr(False)}"
+                )
+                # attr-vs-attr comparison (NULL-propagating on both sides)
+                conds.append(
+                    f"{acc} {rng.choice(['=', '<>', '>=', '<=' ])} "
+                    f"{rng.choice(int_accs)}"
+                )
+            for acc in str_accs:
+                conds.append(f"{acc} {rng.choice(['=', '<>'])} \"{rng.choice(STR_LIT)}\"")
+            for acc in bool_accs:
+                conds.append(f"{acc} = {rng.choice(['true', 'false'])}")
             if conds:
                 c = rng.choice(conds)
                 if rng.random() < 0.3 and len(conds) > 1:
@@ -153,7 +172,11 @@ def gen_program(rng: random.Random) -> str:
             v = rng.choice(list(bound))
             lb = bound[v]
             nm, tp = rng.choice(attrs[lb])
-            rhs = f'"{rng.choice(STR_LIT)}"' if tp == "string" else int_expr(True)
+            rhs = (
+                f'"{rng.choice(STR_LIT)}"' if tp == "string"
+                else rng.choice(["true", "false"]) if tp == "bool"
+                else int_expr(True)
+            )
             lines.append(f"set {v}.{nm} = {rhs}")
         elif op < 0.93 and bound:
             v = rng.choice(list(bound))
