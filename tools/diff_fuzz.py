@@ -8,7 +8,12 @@ The model implements the REFERENCE semantics as this repo ships them
 create advances the id counter by the row count, never-set attributes
 read as NULL (Kleene three-valued logic in `where`), `set` evaluates
 against the deterministic first row (binding-column order), delete
-cascades incident edges and leaves dangling bindings.
+cascades incident edges and leaves dangling bindings.  Extension
+operators are covered too: `optional match` (left-outer with a NULLable
+new var), `where not exists` (anti-join, anonymous labelled sides),
+`return distinct`, and union/intersect/except branch combination
+(fresh seed per branch over the SAME mutated graph, SQL DISTINCT
+semantics by variable name).
 
 The generator constrains programs to the deterministic envelope:
 - node creates only while the table is provably single-row (multi-row
@@ -39,8 +44,11 @@ from projet_graphdb_spark.frontend.normalize import (
     IActOnRel,
     IDeleteNode,
     IDeleteRel,
+    INotExistsRel,
+    IOptRel,
     IReturn,
     ISet,
+    ISetOp,
     IWhere,
 )
 from projet_graphdb_spark.frontend.typecheck import TypeCheckError, typecheck
@@ -117,10 +125,69 @@ def gen_program(rng: random.Random) -> str:
             )
             lines.append(f"set {v}.{nm} = {rhs}")
 
+    # set-op variant (~15%): read-only match/return branches combined by
+    # union/intersect/except — branch 1 carries the phase-A mutations
+    if rng.random() < 0.15:
+        def branch() -> str:
+            b_lines = []
+            lb = rng.choice(labels)
+            b_lines.append(f"match (z: {lb})")
+            cands = [(r, b) for (a, r, b) in rels if a == lb]
+            if cands and rng.random() < 0.5:
+                r, b2 = rng.choice(cands)
+                w = f"w{rng.randint(0, 9)}"
+                b_lines.append(f"match (z) -[:{r}]-> ({w}: {b2})")
+            b_lines.append("return z")
+            return "\n".join(b_lines)
+
+        lines.append(branch())
+        for _ in range(rng.randint(1, 2)):
+            lines.append(rng.choice(["union", "intersect", "except"]))
+            lines.append(branch())
+        return "\n".join(lines) + "\n"
+
     # phase B: matches / where / set-early / deletes, then return
     set_ok = True
+    nullable: set = set()
     for _ in range(rng.randint(1, 5)):
         op = rng.random()
+        if op < 0.28 and bound and rng.random() < 0.45:
+            # optional match: exactly one NEW labelled var, other side bound
+            cands = []
+            for v, lb in bound.items():
+                if v in nullable:
+                    continue
+                for (a, r, b2) in rels:
+                    if a == lb:
+                        cands.append((v, r, b2, "fwd"))
+                    if b2 == lb:
+                        cands.append((v, r, a, "rev"))
+            if cands:
+                v, r, lb2, d = rng.choice(cands)
+                w = next(names)
+                if d == "fwd":
+                    lines.append(f"optional match ({v}) -[:{r}]-> ({w}: {lb2})")
+                else:
+                    lines.append(f"optional match ({w}: {lb2}) -[:{r}]-> ({v})")
+                bound[w] = lb2
+                nullable.add(w)
+                set_ok = False
+            continue
+        if op < 0.30 and bound:
+            # where not exists: bound side + anonymous labelled side
+            cands = []
+            for v, lb in bound.items():
+                if v in nullable:
+                    continue
+                for (a, r, b2) in rels:
+                    if a == lb:
+                        cands.append(f"where not exists ({v}) -[:{r}]-> (:{b2})")
+                    if b2 == lb:
+                        cands.append(f"where not exists (:{a}) -[:{r}]-> ({v})")
+            if cands:
+                lines.append(rng.choice(cands))
+                set_ok = False
+            continue
         if op < 0.35:
             nonempty = [lb for lb in labels if n_created[lb] > 0]
             if not nonempty:
@@ -170,6 +237,8 @@ def gen_program(rng: random.Random) -> str:
                 set_ok = False
         elif op < 0.85 and set_ok and bound:
             v = rng.choice(list(bound))
+            if v in nullable:
+                continue
             lb = bound[v]
             nm, tp = rng.choice(attrs[lb])
             rhs = (
@@ -179,7 +248,10 @@ def gen_program(rng: random.Random) -> str:
             )
             lines.append(f"set {v}.{nm} = {rhs}")
         elif op < 0.93 and bound:
-            v = rng.choice(list(bound))
+            solid = [x for x in bound if x not in nullable]
+            if not solid:
+                continue
+            v = rng.choice(solid)
             lines.append(f"delete {v}")
             del bound[v]
             set_ok = False
@@ -187,6 +259,7 @@ def gen_program(rng: random.Random) -> str:
             cands = [
                 (sv, r, tv)
                 for sv in bound for tv in bound
+                if sv not in nullable and tv not in nullable
                 for (a, r, b) in rels
                 if bound[sv] == a and bound[tv] == b
             ]
@@ -196,7 +269,8 @@ def gen_program(rng: random.Random) -> str:
                 set_ok = False
     if bound:
         k = rng.randint(1, min(3, len(bound)))
-        lines.append(f"return {', '.join(rng.sample(list(bound), k))}")
+        kw = "return distinct" if rng.random() < 0.3 else "return"
+        lines.append(f"{kw} {', '.join(rng.sample(list(bound), k))}")
     return "\n".join(lines) + "\n"
 
 
@@ -242,18 +316,62 @@ def _eval3(e, row, nodes):
     raise TypeError(e)
 
 
+def _null_safe_key(t: tuple) -> tuple:
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
+
+
 def run_model(prog2):
-    nodes: dict = {}  # id -> (label, {attr: val})
-    edges: set = set()
-    next_id = 0
+    state = {"nodes": {}, "edges": set(), "next_id": 0}
+    instrs = list(prog2.instructions)
+    # set-op branches: branch 1 carries the mutations; each later branch
+    # runs from a FRESH SEED over the SAME (possibly mutated) graph;
+    # results combine by variable name with SQL DISTINCT semantics
+    # (executor.run).
+    branches, ops, cur = [], [], []
+    for i in instrs:
+        if isinstance(i, ISetOp):
+            branches.append(cur)
+            ops.append(i.op)
+            cur = []
+        else:
+            cur.append(i)
+    branches.append(cur)
+
+    env_order, rows = _run_instrs(branches[0], state)
+    if ops:
+        acc = {tuple(r[v] for v in sorted(env_order)) for r in rows}
+        for op, br in zip(ops, branches[1:]):
+            env2, rows2 = _run_instrs(br, state)
+            s2 = {tuple(r[v] for v in sorted(env2)) for r in rows2}
+            acc = (acc | s2) if op == "union" else (
+                acc & s2 if op == "intersect" else acc - s2
+            )
+        table = sorted(acc, key=_null_safe_key)
+    else:
+        table = sorted(
+            (tuple(r[v] for v in sorted(env_order)) for r in rows),
+            key=_null_safe_key,
+        )
+    node_snap = {}
+    for i, (lb, ats) in state["nodes"].items():
+        node_snap.setdefault(lb, {})[i] = {
+            k: v for k, v in ats.items() if v is not None
+        }
+    return sorted(env_order), table, node_snap, state["edges"]
+
+
+def _run_instrs(instrs, state):
+    nodes = state["nodes"]
     rows = [dict()]
     env_order: list = []  # newest-first binding columns (vars; no rebinding)
 
-    for ins in prog2.instructions:
+    for ins in instrs:
+        edges = state["edges"]
+        next_id = state["next_id"]
         if isinstance(ins, IActOnNode) and ins.action == Action.CREATE:
             assert len(rows) == 1, "generator promises single-row creates"
             nid = next_id
-            next_id += 1
+            state["next_id"] = next_id + 1
             nodes[nid] = (ins.label, {})
             rows = [dict(r, **{ins.var: nid}) for r in rows]
             env_order.insert(0, ins.var)
@@ -262,7 +380,9 @@ def run_model(prog2):
             rows = [dict(r, **{ins.var: i}) for r in rows for i in ids]
             env_order.insert(0, ins.var)
         elif isinstance(ins, IActOnRel) and ins.action == Action.CREATE:
-            edges |= {(r[ins.src_var], ins.rel, r[ins.tgt_var]) for r in rows}
+            state["edges"] = edges | {
+                (r[ins.src_var], ins.rel, r[ins.tgt_var]) for r in rows
+            }
         elif isinstance(ins, IActOnRel):
             rows = [
                 r for r in rows
@@ -272,15 +392,59 @@ def run_model(prog2):
             ids = {r[ins.var] for r in rows}
             for i in ids:
                 nodes.pop(i, None)
-            edges = {e for e in edges if e[0] not in ids and e[2] not in ids}
+            state["edges"] = {
+                e for e in edges if e[0] not in ids and e[2] not in ids
+            }
             rows = [{k: v for k, v in r.items() if k != ins.var} for r in rows]
             env_order = [v for v in env_order if v != ins.var]
         elif isinstance(ins, IDeleteRel):
             pairs = {(r[ins.src_var], r[ins.tgt_var]) for r in rows}
-            edges = {
+            state["edges"] = {
                 e for e in edges
                 if not (e[1] == ins.rel and (e[0], e[2]) in pairs)
             }
+        elif isinstance(ins, IOptRel):
+            # left outer: one row per matching correctly-labelled edge
+            # endpoint, else one row with the new var NULL
+            out = []
+            for r in rows:
+                if ins.new_var == ins.tgt_var:
+                    ms = [
+                        d for (s, rl, d) in edges
+                        if rl == ins.rel and s == r[ins.src_var]
+                        and nodes.get(d, (None,))[0] == ins.new_label
+                    ]
+                else:
+                    ms = [
+                        s for (s, rl, d) in edges
+                        if rl == ins.rel and d == r[ins.tgt_var]
+                        and nodes.get(s, (None,))[0] == ins.new_label
+                    ]
+                if ms:
+                    out += [dict(r, **{ins.new_var: m}) for m in ms]
+                else:
+                    out.append(dict(r, **{ins.new_var: None}))
+            rows = out
+            env_order.insert(0, ins.new_var)
+        elif isinstance(ins, INotExistsRel):
+            def _exists(r):
+                for s, rl, d in edges:
+                    if rl != ins.rel:
+                        continue
+                    if ins.src_var is not None:
+                        if s != r[ins.src_var]:
+                            continue
+                    elif nodes.get(s, (None,))[0] != ins.src_label:
+                        continue
+                    if ins.tgt_var is not None:
+                        if d != r[ins.tgt_var]:
+                            continue
+                    elif nodes.get(d, (None,))[0] != ins.tgt_label:
+                        continue
+                    return True
+                return False
+
+            rows = [r for r in rows if not _exists(r)]
         elif isinstance(ins, IWhere):
             rows = [r for r in rows if _eval3(ins.expr, r, nodes) is True]
         elif isinstance(ins, ISet):
@@ -291,19 +455,19 @@ def run_model(prog2):
                 nodes[i][1][ins.field] = val
         elif isinstance(ins, IReturn):
             rows = [{v: r[v] for v in ins.vars} for r in rows]
+            if getattr(ins, "distinct", False):
+                seen, out = set(), []
+                for r in rows:
+                    k = tuple(r[v] for v in ins.vars)
+                    if k not in seen:
+                        seen.add(k)
+                        out.append(r)
+                rows = out
             env_order = list(ins.vars)
         else:
             raise TypeError(f"model does not cover {ins!r}")
 
-    table = sorted(
-        tuple(r[v] for v in sorted(env_order)) for r in rows
-    )
-    node_snap = {}
-    for i, (lb, ats) in nodes.items():
-        node_snap.setdefault(lb, {})[i] = {
-            k: v for k, v in ats.items() if v is not None
-        }
-    return sorted(env_order), table, node_snap, edges
+    return env_order, rows
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +489,8 @@ def run_one(spark, text: str) -> tuple:
     state, b = run_program(spark, text)
     tbl = binding_table(b)
     got_rows = sorted(
-        tuple(r[c] for c in sorted(tbl.columns)) for r in tbl.collect()
+        (tuple(r[c] for c in sorted(tbl.columns)) for r in tbl.collect()),
+        key=_null_safe_key,
     )
     got_nodes = {
         lb: {i: ats for i, ats in m.items()}
