@@ -110,14 +110,17 @@ def _interleave_by_family(base: dict) -> dict:
 
 def _driver_checked_names() -> tuple:
     """(seen, green): names that appeared in any committed
-    CORRECTNESS_r*.json window, and the subset whose best record passed
-    the oracle compare."""
+    CORRECTNESS_r*.json window, and the subset whose MOST RECENT record
+    passed the oracle compare.  Latest-record-wins (the sorted glob gives
+    round order) so a query that was green in an old window but
+    hash-regressed in a newer one is re-fronted for reconfirmation
+    instead of sitting in the stale tail forever."""
     import glob
     import json
     import os
 
     seen: set = set()
-    green: set = set()
+    latest: dict = {}  # name -> most recent record
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -128,12 +131,15 @@ def _driver_checked_names() -> tuple:
         if not isinstance(data, dict):
             continue
         seen.update(data.keys())
-        for k, v in data.items():
-            # the gate's pass bar is rows+schema+HASH: a record with
-            # hash_match=false is red (the r3/r4 dtype failures were
-            # exactly rows/schema-green, hash-red)
-            if isinstance(v, dict) and not v.get("err") and v.get("hash_match") is True:
-                green.add(k)
+        latest.update(data)
+    green = {
+        k
+        for k, v in latest.items()
+        # the gate's pass bar is rows+schema+HASH: a record with
+        # hash_match=false is red (the r3/r4 dtype failures were
+        # exactly rows/schema-green, hash-red)
+        if isinstance(v, dict) and not v.get("err") and v.get("hash_match") is True
+    }
     return seen, green
 
 

@@ -271,7 +271,14 @@ def minhash_shared(
     ``checkpoint_sig``: materialize the signature frame (docs ×
     num_hashes longs — tiny) so re-banding replays nothing.  A
     single-config caller should pass False: the extra checkpoint job
-    buys nothing when the signatures feed exactly one band explode."""
+    buys nothing when the signatures feed exactly one band explode.
+
+    Returns ``(base, sig, config)`` where ``config`` records the
+    (num_hashes, n, hash) the frames were built with —
+    ``minhash_lsh_pairs`` asserts it against its own parameters, so a
+    mismatched reuse (sig built with 32 hashes, caller banding for 16)
+    fails loudly instead of slicing band keys from the wrong signature
+    layout."""
     sh_hash = _hash_fn(hash)
     # hashed shingle set, kept for the exact-verification step (long
     # arrays intersect much faster than string arrays)
@@ -286,7 +293,7 @@ def minhash_shared(
     sig = minhash_signatures(base, num_hashes)
     if checkpoint_sig:
         sig = sig.localCheckpoint(eager=True)
-    return base, sig
+    return base, sig, {"num_hashes": num_hashes, "n": n, "hash": hash}
 
 
 def minhash_lsh_pairs(
@@ -309,19 +316,28 @@ def minhash_lsh_pairs(
     candidates → Jaccard exactly; the permutation family on top of the
     hashed shingles is identical plain-integer arithmetic either way).
 
-    ``shared``: a ``minhash_shared(...)`` result to reuse across calls
-    (must have been built with the same num_hashes/n/hash).
+    ``shared``: a ``minhash_shared(...)`` result to reuse across calls —
+    its embedded config is checked against this call's
+    num_hashes/n/hash, and a mismatch raises (a sig built with 32
+    hashes banded as if 16 would silently emit wrong pairs).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     band_hash = _hash_fn(hash)
     rows_per_band = num_hashes // bands
     if shared is not None:
-        base, sig = shared
+        base, sig, cfg = shared
+        want = {"num_hashes": num_hashes, "n": n, "hash": hash}
+        if cfg != want:
+            raise ValueError(
+                f"minhash_lsh_pairs: shared frames were built with {cfg}, "
+                f"but this call requests {want} — rebuild with "
+                f"minhash_shared(**matching params)"
+            )
     else:
         # single-config path: leave sig lazy so it fuses into the band
         # explode below (pre-refactor behavior — no extra job)
-        base, sig = minhash_shared(
+        base, sig, _ = minhash_shared(
             docs, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
         )
     # band key: (band index, hash of that band's signature slice).  The

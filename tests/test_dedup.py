@@ -314,3 +314,17 @@ def test_prefix_filter_equals_bruteforce(spark):
                 lo, hi = min(ia, ib), max(ia, ib)
                 expect[(lo, hi)] = round(j, 6)
     assert got == expect and len(expect) > 0
+
+
+def test_minhash_shared_config_mismatch_raises(spark, docs):
+    """shared frames carry their build config; banding them under
+    different num_hashes/n/hash must raise instead of silently slicing
+    band keys from the wrong signature layout (round-5 ADVICE)."""
+    shared = dedup.minhash_shared(docs, num_hashes=32, hash="md5")
+    with pytest.raises(ValueError, match="built with"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=16, hash="md5", shared=shared)
+    with pytest.raises(ValueError, match="built with"):
+        dedup.minhash_lsh_pairs(docs, hash="xxhash64", shared=shared)
+    # matching config still works and is plan-only until collected
+    ok = dedup.minhash_lsh_pairs(docs, threshold=0.5, hash="md5", shared=shared)
+    assert {"id_a", "id_b", "jaccard"} <= set(ok.columns)

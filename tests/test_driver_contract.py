@@ -56,6 +56,29 @@ def test_rotation_green_requires_hash(tmp_path, monkeypatch):
                 ), k
 
 
+def test_rotation_green_is_latest_record_wins(monkeypatch, tmp_path):
+    """A query green in an OLD window but hash-red in a NEWER one must be
+    re-fronted: green derives from the most recent record per query, not
+    any-record-green (round-5 ADVICE)."""
+    old = tmp_path / "CORRECTNESS_r01.json"
+    new = tmp_path / "CORRECTNESS_r02.json"
+    rec_ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None}
+    rec_red = dict(rec_ok, hash_match=False)
+    old.write_text(json.dumps({"q_regressed": rec_ok, "q_stable": rec_ok}))
+    new.write_text(json.dumps({"q_regressed": rec_red}))
+    import __spark_entry__ as mod
+
+    # point the scanner at the synthetic artifacts via the module global
+    monkeypatch.setattr(mod, "__file__", str(tmp_path / "__spark_entry__.py"))
+    seen, green = mod._driver_checked_names()
+    assert seen == {"q_regressed", "q_stable"}
+    assert "q_stable" in green
+    assert "q_regressed" not in green, (
+        "hash-regressed query must lose green status (latest record wins)"
+    )
+
+
 def test_compare_flags_kind_divergence_only():
     """check_oracle's dtype guard: int32-vs-int64 passes (the driver's
     hash survives width), int64-vs-float64 fails (the HUGEINT class)."""

@@ -223,8 +223,15 @@ def audit_nl_build_sides(df, execute: bool = True) -> list:
             for i in range(node.children().size()):
                 sides.append(_num_output_rows(node.children().apply(i)))
             known = [s for s in sides if s is not None]
-            if not known:
-                problems.append("CartesianProduct sides have no numOutputRows metric")
+            if len(known) < len(sides):
+                # a metric-less side is UNKNOWN, not droppable: if the
+                # genuinely tiny side lacks the metric, min(known) would
+                # be the big probe side and the audit would false-fail —
+                # report the gap instead of guessing either way
+                problems.append(
+                    f"CartesianProduct: {len(sides) - len(known)} side(s) "
+                    f"missing numOutputRows metric (known sides: {known})"
+                )
             elif min(known) > NL_BUILD_SIDE_CAP:
                 problems.append(
                     f"CartesianProduct smaller side {min(known)} rows "
