@@ -294,6 +294,8 @@ def embedding_cosine_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = 4096,
+    exact_ok: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within blocks.
 
@@ -308,6 +310,15 @@ def embedding_cosine_dups(
     volume is |A| + S·|B|; pick S ≈ cluster parallelism.  (The
     sub-quadratic scale path for pair *generation* remains SRP/MinHash
     banding — this operator is the exact in-block verifier.)
+
+    ``max_block_rows``: mechanical guard against accidental quadratics
+    (round-5 rehearsal measured this operator at 90× cost for 10× data
+    when mis-used corpus-wide) — the in-block pair count is Σ block²,
+    so any block above the cap raises loudly BEFORE the join runs.
+    Pass ``exact_ok=True`` only when the quadratic cost is the point
+    (a deliberate small-corpus exactness baseline); the scale path for
+    large blocks is ``srp_cosine_pairs`` (s9), which bands the corpus
+    sub-quadratically and verifies exactly inside buckets.
     """
     base = embeddings.select(
         F.col(block_col).alias("_blk"),
@@ -315,6 +326,21 @@ def embedding_cosine_dups(
         F.col(vec_col).alias("_v"),
         l2norm(F.col(vec_col)).alias("_n"),
     ).localCheckpoint(eager=True)
+    if not exact_ok:
+        # one tiny agg over the already-materialized checkpoint blocks —
+        # negligible next to the quadratic join it refuses to run
+        biggest = (
+            base.groupBy("_blk").count().agg(F.max("count")).first()[0] or 0
+        )
+        if biggest > max_block_rows:
+            raise ValueError(
+                f"embedding_cosine_dups: largest {block_col!r} block has "
+                f"{biggest} rows > max_block_rows={max_block_rows}; the "
+                f"in-block join is quadratic (Σ block²). Use "
+                f"srp_cosine_pairs for corpus-scale near-dup pairs, or "
+                f"pass exact_ok=True if the exact quadratic baseline is "
+                f"intended."
+            )
     n_salts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
     a = base.select(
         "_blk",

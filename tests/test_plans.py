@@ -189,6 +189,27 @@ def test_s2_no_corpus_broadcast(spark):
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
 
 
+def test_s2_block_size_guard(spark):
+    """The quadratic in-block join must REFUSE oversized blocks (round-5
+    rehearsal: 90× cost at 10× data when mis-used corpus-wide) unless the
+    caller explicitly owns the cost with exact_ok=True."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    one_block = emb.withColumn("label", F.lit(0))  # everything in one block
+    with pytest.raises(ValueError, match="max_block_rows"):
+        similarity.embedding_cosine_dups(one_block, threshold=0.9,
+                                         max_block_rows=64)
+    # explicit opt-in still runs (the documented exactness-baseline use)
+    ok = similarity.embedding_cosine_dups(one_block, threshold=0.999,
+                                          max_block_rows=64, exact_ok=True)
+    assert {"id_a", "id_b", "sim"} == set(ok.columns)
+    # default cap admits every real block at test scale: s2 unchanged
+    assert E.queries()["s2_cosine_dups"](spark, SF_TINY).count() > 0
+
+
 def test_x21_disjunction_pushed_to_scans(spark):
     """Q19's point: Catalyst distributes the OR so each scan receives
     its side's disjunctive filter instead of evaluating everything
