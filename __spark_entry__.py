@@ -778,14 +778,14 @@ def _srp_bands(n_bands: int = 8, bits: int = 6, dim: int = 64) -> list:
     (s9: 31× time at 10× data).  Recall at the tuned 0.4 threshold stays
     ≈ the 4×4 config's (1-(1-(2/3)^6)^8 ≈ 0.52 vs ≈ 0.58 for a
     cosine-0.5 pair): more bits cut per-band recall, more bands win it
-    back — the standard banded-LSH S-curve trade."""
-    import numpy as np
+    back — the standard banded-LSH S-curve trade.
 
-    rng = np.random.default_rng(43)
-    return [
-        [[float(x) for x in row] for row in rng.standard_normal((bits, dim))]
-        for _ in range(n_bands)
-    ]
+    PINNED at 8×6 for oracle parity (the SQL mirror inlines these plane
+    literals); the library default (`similarity.lsh_cosine_dups(bands=
+    None)`) instead derives bits from corpus size via `srp_auto_bits` —
+    the law `bits ≈ log2(N / target_bucket_rows)` — so untuned callers
+    can't recreate the fixed-bucket quadratic at a new scale."""
+    return similarity.srp_bands(n_bands, bits, dim, seed=43)
 
 
 def s9_lsh_cosine_dups(spark, sf_dir):

@@ -253,6 +253,27 @@ def _hash_fn(hash: str):
     raise ValueError(f"unknown hash {hash!r}")
 
 
+def minhash_tuned_bands(num_hashes: int = 32, threshold: float = 0.5) -> int:
+    """Band count for banded MinHash-LSH whose S-curve midpoint best
+    matches the target Jaccard ``threshold``: with r = num_hashes/b rows
+    per band, a pair at similarity s collides in ≥1 band with
+    probability 1-(1-s^r)^b, and the curve's midpoint sits at
+    ≈ (1/b)^(1/r).  Picking b (among divisors of num_hashes) closest to
+    the threshold maximizes recall above it while keeping candidates
+    below it rare — the principled default when nobody hand-tuned.
+
+    (Unlike SRP's ``srp_auto_bits``, no corpus-size term belongs here:
+    MinHash band keys live in a 64-bit hash domain, so bucket occupancy
+    is driven by actual near-duplicate content, not by a fixed bucket
+    count that N outgrows.)
+    """
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    return min(
+        divisors,
+        key=lambda b: abs((1.0 / b) ** (b / num_hashes) - threshold),
+    )
+
+
 def minhash_shared(
     docs: DataFrame,
     num_hashes: int = 32,

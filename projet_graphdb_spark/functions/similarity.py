@@ -86,6 +86,59 @@ def knn_bruteforce(
     )
 
 
+def srp_auto_bits(
+    n_rows: int,
+    target_bucket_rows: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Bits-per-band for banded SRP-LSH, derived from corpus size:
+    ``bits ≈ log2(N / target_bucket_rows)``.
+
+    Rationale (learned empirically at the 10× scale rehearsal): with
+    FIXED bits the bucket count 2^bits is a constant, expected bucket
+    occupancy grows as N/2^bits, and the per-band self-join's candidate
+    pairs — the Σ bucket² term — go quadratic in N (s9's 4-bit config
+    measured 31× time at 10× data).  Deriving bits from N keeps expected
+    occupancy ≈ ``target_bucket_rows`` at any corpus size, so Σ bucket²
+    stays ~linear.  Clamped to [min_bits, max_bits]; at 24 bits the
+    16.7M buckets/band outnumber any realistic near-dup corpus shard.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def srp_bands(
+    n_bands: int = 8, bits: int = 6, dim: int = 64, seed: int = 43
+) -> list:
+    """Seeded SRP hyperplane bands (list of ``n_bands`` plane-lists of
+    ``bits`` planes each) — deterministic in (n_bands, bits, dim, seed),
+    so a SQL oracle can be generated from the very same literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [[float(x) for x in row] for row in rng.standard_normal((bits, dim))]
+        for _ in range(n_bands)
+    ]
+
+
+def srp_auto_bands(
+    n_rows: int,
+    dim: int,
+    n_bands: int = 8,
+    target_bucket_rows: int = 64,
+    seed: int = 43,
+) -> list:
+    """``srp_bands`` with bits derived from corpus size via
+    :func:`srp_auto_bits` — the N-derived default that makes the
+    fixed-constant quadratic (s9's rehearsal bug class) unreachable."""
+    return srp_bands(n_bands, srp_auto_bits(n_rows, target_bucket_rows), dim, seed)
+
+
 def srp_signature(vec: Column, planes: list) -> Column:
     """Signed-random-projection bit signature (long) for a vector.
 
@@ -457,7 +510,7 @@ def knn_rerank(
 
 def lsh_cosine_dups(
     embeddings: DataFrame,
-    bands: list,
+    bands: list | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -471,7 +524,13 @@ def lsh_cosine_dups(
     vectors agree on EVERY bit of at least one band.  Recall is the
     standard banded-LSH S-curve (more bands → higher recall, wider
     bands → fewer false candidates); candidates are verified exactly,
-    so precision is 1 at the emitted threshold.
+    so precision is 1 at the emitted threshold.  ``None`` (the default)
+    auto-tunes bits-per-band from the corpus size via
+    :func:`srp_auto_bits` — one count + one first() to learn (N, dim),
+    then seeded :func:`srp_auto_bands` — so a caller who never tuned
+    the constants cannot hit the fixed-bucket quadratic the 10× scale
+    rehearsal caught (s9: 31× at 10×).  Pass explicit bands when an
+    oracle or a recall experiment must pin the exact construction.
 
     Scale design: one signature pass over the corpus (map-only), a
     per-band self-join on the band signature — shuffle keyed on a
@@ -484,6 +543,11 @@ def lsh_cosine_dups(
     Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold, only
     pairs colliding in ≥1 band.  Deterministic given the seeded planes.
     """
+    if bands is None:
+        n_rows = embeddings.count()
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first is not None else 0
+        bands = srp_auto_bands(n_rows, dim)
     base = embeddings.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),
@@ -522,7 +586,7 @@ def lsh_cosine_dups(
 
 def embedding_dup_clusters(
     embeddings: DataFrame,
-    bands: list,
+    bands: list | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -533,8 +597,9 @@ def embedding_dup_clusters(
     ``dedup.dup_clusters`` (SemDeDup-style corpus pruning: filter
     ``keep`` and the redundant semantic copies drop out).
 
-    Scale: pair generation is :func:`lsh_cosine_dups` (sub-quadratic);
-    the component iteration runs only over vectors appearing in ≥1
+    Scale: pair generation is :func:`lsh_cosine_dups` (sub-quadratic;
+    ``bands=None`` auto-tunes bits from corpus size there); the
+    component iteration runs only over vectors appearing in ≥1
     pair (near-dup clusters are dense → tiny diameter → few rounds);
     one left join re-attaches singletons.
 

@@ -328,3 +328,14 @@ def test_minhash_shared_config_mismatch_raises(spark, docs):
     # matching config still works and is plan-only until collected
     ok = dedup.minhash_lsh_pairs(docs, threshold=0.5, hash="md5", shared=shared)
     assert {"id_a", "id_b", "jaccard"} <= set(ok.columns)
+
+
+def test_minhash_tuned_bands_tracks_threshold():
+    """Band choice follows the S-curve midpoint (1/b)^(1/r): higher
+    Jaccard thresholds want fewer, wider bands."""
+    assert dedup.minhash_tuned_bands(32, 0.5) == 8
+    assert dedup.minhash_tuned_bands(32, 0.25) == 16
+    b_hi = dedup.minhash_tuned_bands(32, 0.85)
+    b_lo = dedup.minhash_tuned_bands(32, 0.2)
+    assert b_hi < b_lo
+    assert 32 % b_hi == 0 and 32 % b_lo == 0

@@ -323,3 +323,31 @@ def test_knn_hamming_matches_numpy(spark, emb, emb_np):
         expect = sorted(hd)[:5]
         expect = [(r + 1, nid, h) for r, (h, nid) in enumerate(expect)]
         assert sorted(got[qid]) == expect, qid
+
+
+def test_srp_auto_bits_scales_with_corpus():
+    """The N-derived law: two corpus sizes an order apart must choose
+    DIFFERENT bits (a fixed constant is exactly the s9 rehearsal bug),
+    occupancy N/2^bits must stay near target, and clamps must hold."""
+    lo = similarity.srp_auto_bits(5_000)
+    hi = similarity.srp_auto_bits(50_000)
+    assert lo < hi, (lo, hi)
+    for n in (5_000, 50_000, 5_000_000):
+        bits = similarity.srp_auto_bits(n)
+        assert n / 2**bits <= 64, (n, bits)  # expected occupancy <= target
+    assert similarity.srp_auto_bits(10) == 4          # floor clamp
+    assert similarity.srp_auto_bits(10**12) == 24     # ceiling clamp
+
+
+def test_lsh_cosine_dups_auto_bands_matches_explicit(spark, emb):
+    """bands=None derives (N, dim) from the corpus and must equal the
+    explicitly constructed srp_auto_bands run — same seeded planes."""
+    n = emb.count()
+    dim = emb.select(F.size("embedding")).first()[0]
+    auto = similarity.lsh_cosine_dups(emb, threshold=0.3)
+    explicit = similarity.lsh_cosine_dups(
+        emb, bands=similarity.srp_auto_bands(n, dim), threshold=0.3
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
