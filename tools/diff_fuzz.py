@@ -15,15 +15,24 @@ new var), `where not exists` (anti-join, anonymous labelled sides),
 (fresh seed per branch over the SAME mutated graph, SQL DISTINCT
 semantics by variable name).
 
+Variable REBINDING is covered (round-5 verdict item 5): `create`/`match`
+may reuse a bound name; the model keeps a slot-per-binding environment
+with most-recent-wins resolution (sem.ml:75-81 prepend-on-bind), so the
+shadowed column's row multiplicity, the `test2.q` orphan-node quirk, and
+delete's unbind-all-entries rule are all checked against the engine.
+`/` and `mod` are covered with the reference's OCaml semantics
+(truncation toward zero; mod takes the dividend's sign — NOT Python's
+floor/divisor-sign rules).
+
 The generator constrains programs to the deterministic envelope:
 - node creates only while the table is provably single-row (multi-row
   creates assign ids in partition order — real ids, but which row gets
   which is not a semantic promise);
 - `set` only while every preceding phase-B instruction is a non-empty
   label match (reference `set` List.hd-crashes on an empty table);
-- no variable rebinding (shadowing works but makes the model hairier);
-- no `/` or `mod` (ANSI division-by-zero raising is pinned by
-  tests/test_conformance.py already).
+- `/`/`mod` divisors are nonzero literals (ANSI division-by-zero
+  raising is pinned by tests/test_conformance.py already; dividends go
+  negative via subtraction, exercising the sign rules).
 
 Usage: python tools/diff_fuzz.py [n_programs] [seed]
 """
@@ -93,14 +102,26 @@ def gen_program(rng: random.Random) -> str:
                         cands.append(f"{v}.{nm}")
         e = rng.choice(cands)
         if rng.random() < 0.4:
-            e = f"{e} {rng.choice(['+', '-', '*'])} {rng.choice(cands)}"
+            op = rng.choice(["+", "-", "*", "/", "mod"])
+            if op in ("/", "mod"):
+                # nonzero literal divisor: ANSI /0 raising is pinned by
+                # conformance tests, not the fuzz target
+                e = f"{e} {op} {rng.randint(1, 9)}"
+            else:
+                e = f"{e} {op} {rng.choice(cands)}"
         return e
 
     # phase A: single-row creates / rels / sets
     for _ in range(rng.randint(2, 7)):
         op = rng.random()
         if op < 0.5 or not bound:
-            v, lb = next(names), rng.choice(labels)
+            if bound and rng.random() < 0.25:
+                # REBIND an existing name: shadows the old binding and
+                # orphans its node (the test2.q `ab` quirk)
+                v = rng.choice(list(bound))
+            else:
+                v = next(names)
+            lb = rng.choice(labels)
             lines.append(f"create ({v}: {lb})")
             bound[v] = lb
             n_created[lb] += 1
@@ -192,7 +213,12 @@ def gen_program(rng: random.Random) -> str:
             nonempty = [lb for lb in labels if n_created[lb] > 0]
             if not nonempty:
                 continue
-            v, lb = next(names), rng.choice(nonempty)
+            if bound and rng.random() < 0.25:
+                v = rng.choice(list(bound))  # REBIND: cross-product with
+                nullable.discard(v)          # the shadowed column kept
+            else:
+                v = next(names)
+            lb = rng.choice(nonempty)
             lines.append(f"match ({v}: {lb})")
             bound[v] = lb
         elif op < 0.55:
@@ -279,18 +305,27 @@ def gen_program(rng: random.Random) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _eval3(e, row, nodes):
-    """Three-valued expression eval: None = NULL (Kleene, like Spark)."""
+def _trunc_div(l: int, r: int) -> int:
+    """OCaml `/`: integer division truncating toward zero (NOT Python's
+    floor division) — mirrors engine/exprs.py::int_div."""
+    q = abs(l) // abs(r)
+    return q if (l >= 0) == (r >= 0) else -q
+
+
+def _eval3(e, row, nodes, slot):
+    """Three-valued expression eval: None = NULL (Kleene, like Spark).
+    ``slot``: var-name → row-slot resolver (most-recent binding wins)."""
     if isinstance(e, A.Const):
         return e.value.python_value
     if isinstance(e, A.AttribAcc):
-        nid = row[e.var]
+        nid = row[slot(e.var)]
         rec = nodes.get(nid)
         return None if rec is None else rec[1].get(e.field)
     if isinstance(e, A.BinOp):
-        l = _eval3(e.left, row, nodes)
-        r = _eval3(e.right, row, nodes)
-        k = {"ADD": "add", "SUB": "sub", "MUL": "mul", "EQ": "eq", "NE": "neq",
+        l = _eval3(e.left, row, nodes, slot)
+        r = _eval3(e.right, row, nodes, slot)
+        k = {"ADD": "add", "SUB": "sub", "MUL": "mul", "DIV": "div",
+             "MOD": "mod", "EQ": "eq", "NE": "neq",
              "GE": "ge", "GT": "gt", "LE": "le", "LT": "lt",
              "AND": "and", "OR": "or"}[e.op.name]
         if k == "and":
@@ -309,6 +344,10 @@ def _eval3(e, row, nodes):
             return None
         return {
             "add": lambda: l + r, "sub": lambda: l - r, "mul": lambda: l * r,
+            # mod takes the DIVIDEND's sign (OCaml mod == Spark %), so it
+            # pairs with the truncating division: l == div*r + mod
+            "div": lambda: _trunc_div(l, r),
+            "mod": lambda: l - r * _trunc_div(l, r),
             "eq": lambda: l == r, "neq": lambda: l != r,
             "ge": lambda: l >= r, "gt": lambda: l > r,
             "le": lambda: l <= r, "lt": lambda: l < r,
@@ -337,19 +376,21 @@ def run_model(prog2):
             cur.append(i)
     branches.append(cur)
 
-    env_order, rows = _run_instrs(branches[0], state)
+    env, rows = _run_instrs(branches[0], state)
+    by_name = sorted(env, key=lambda p: p[0])  # (var, slot) name-sorted
     if ops:
-        acc = {tuple(r[v] for v in sorted(env_order)) for r in rows}
+        acc = {tuple(r[s] for _, s in by_name) for r in rows}
         for op, br in zip(ops, branches[1:]):
             env2, rows2 = _run_instrs(br, state)
-            s2 = {tuple(r[v] for v in sorted(env2)) for r in rows2}
+            bn2 = sorted(env2, key=lambda p: p[0])
+            s2 = {tuple(r[s] for _, s in bn2) for r in rows2}
             acc = (acc | s2) if op == "union" else (
                 acc & s2 if op == "intersect" else acc - s2
             )
         table = sorted(acc, key=_null_safe_key)
     else:
         table = sorted(
-            (tuple(r[v] for v in sorted(env_order)) for r in rows),
+            (tuple(r[s] for _, s in by_name) for r in rows),
             key=_null_safe_key,
         )
     node_snap = {}
@@ -357,13 +398,30 @@ def run_model(prog2):
         node_snap.setdefault(lb, {})[i] = {
             k: v for k, v in ats.items() if v is not None
         }
-    return sorted(env_order), table, node_snap, state["edges"]
+    return [v for v, _ in by_name], table, node_snap, state["edges"]
 
 
 def _run_instrs(instrs, state):
     nodes = state["nodes"]
     rows = [dict()]
-    env_order: list = []  # newest-first binding columns (vars; no rebinding)
+    # env: list[(var, slot)] NEWEST-FIRST, one unique slot per binding —
+    # the model of the engine's prepend-on-bind env (executor.Binding):
+    # a re-bound name resolves to its newest slot; the shadowed slot
+    # stays in the rows (its cross-product multiplicity is real).
+    env: list = []
+    _ns = [0]
+
+    def bind(var: str) -> str:
+        s = f"_s{_ns[0]}"
+        _ns[0] += 1
+        env.insert(0, (var, s))
+        return s
+
+    def slot(var: str) -> str:
+        for v, s in env:
+            if v == var:
+                return s
+        raise KeyError(var)
 
     for ins in instrs:
         edges = state["edges"]
@@ -373,32 +431,39 @@ def _run_instrs(instrs, state):
             nid = next_id
             state["next_id"] = next_id + 1
             nodes[nid] = (ins.label, {})
-            rows = [dict(r, **{ins.var: nid}) for r in rows]
-            env_order.insert(0, ins.var)
+            s = bind(ins.var)
+            rows = [dict(r, **{s: nid}) for r in rows]
         elif isinstance(ins, IActOnNode):
             ids = sorted(i for i, (lb, _) in nodes.items() if lb == ins.label)
-            rows = [dict(r, **{ins.var: i}) for r in rows for i in ids]
-            env_order.insert(0, ins.var)
+            s = bind(ins.var)
+            rows = [dict(r, **{s: i}) for r in rows for i in ids]
         elif isinstance(ins, IActOnRel) and ins.action == Action.CREATE:
+            ss, ts = slot(ins.src_var), slot(ins.tgt_var)
             state["edges"] = edges | {
-                (r[ins.src_var], ins.rel, r[ins.tgt_var]) for r in rows
+                (r[ss], ins.rel, r[ts]) for r in rows
             }
         elif isinstance(ins, IActOnRel):
+            ss, ts = slot(ins.src_var), slot(ins.tgt_var)
             rows = [
                 r for r in rows
-                if (r[ins.src_var], ins.rel, r[ins.tgt_var]) in edges
+                if (r[ss], ins.rel, r[ts]) in edges
             ]
         elif isinstance(ins, IDeleteNode):
-            ids = {r[ins.var] for r in rows}
+            s = slot(ins.var)  # newest binding's ids are what dies
+            ids = {r[s] for r in rows}
             for i in ids:
                 nodes.pop(i, None)
             state["edges"] = {
                 e for e in edges if e[0] not in ids and e[2] not in ids
             }
-            rows = [{k: v for k, v in r.items() if k != ins.var} for r in rows]
-            env_order = [v for v in env_order if v != ins.var]
+            # engine drops the newest COLUMN but unbinds EVERY env entry
+            # named var (executor._delete_node); shadowed slots stay in
+            # the rows, just unaddressable
+            rows = [{k: v for k, v in r.items() if k != s} for r in rows]
+            env = [(v, sl) for (v, sl) in env if v != ins.var]
         elif isinstance(ins, IDeleteRel):
-            pairs = {(r[ins.src_var], r[ins.tgt_var]) for r in rows}
+            ss, ts = slot(ins.src_var), slot(ins.tgt_var)
+            pairs = {(r[ss], r[ts]) for r in rows}
             state["edges"] = {
                 e for e in edges
                 if not (e[1] == ins.rel and (e[0], e[2]) in pairs)
@@ -407,37 +472,45 @@ def _run_instrs(instrs, state):
             # left outer: one row per matching correctly-labelled edge
             # endpoint, else one row with the new var NULL
             out = []
+            if ins.new_var == ins.tgt_var:
+                anchor = slot(ins.src_var)
+            else:
+                anchor = slot(ins.tgt_var)
             for r in rows:
                 if ins.new_var == ins.tgt_var:
                     ms = [
                         d for (s, rl, d) in edges
-                        if rl == ins.rel and s == r[ins.src_var]
+                        if rl == ins.rel and s == r[anchor]
                         and nodes.get(d, (None,))[0] == ins.new_label
                     ]
                 else:
                     ms = [
                         s for (s, rl, d) in edges
-                        if rl == ins.rel and d == r[ins.tgt_var]
+                        if rl == ins.rel and d == r[anchor]
                         and nodes.get(s, (None,))[0] == ins.new_label
                     ]
-                if ms:
-                    out += [dict(r, **{ins.new_var: m}) for m in ms]
-                else:
-                    out.append(dict(r, **{ins.new_var: None}))
-            rows = out
-            env_order.insert(0, ins.new_var)
+                out.append((r, ms))
+            ns = bind(ins.new_var)
+            rows = [
+                dict(r, **{ns: m})
+                for r, ms in out
+                for m in (ms if ms else [None])
+            ]
         elif isinstance(ins, INotExistsRel):
+            sv = slot(ins.src_var) if ins.src_var is not None else None
+            tv = slot(ins.tgt_var) if ins.tgt_var is not None else None
+
             def _exists(r):
                 for s, rl, d in edges:
                     if rl != ins.rel:
                         continue
-                    if ins.src_var is not None:
-                        if s != r[ins.src_var]:
+                    if sv is not None:
+                        if s != r[sv]:
                             continue
                     elif nodes.get(s, (None,))[0] != ins.src_label:
                         continue
-                    if ins.tgt_var is not None:
-                        if d != r[ins.tgt_var]:
+                    if tv is not None:
+                        if d != r[tv]:
                             continue
                     elif nodes.get(d, (None,))[0] != ins.tgt_label:
                         continue
@@ -446,28 +519,33 @@ def _run_instrs(instrs, state):
 
             rows = [r for r in rows if not _exists(r)]
         elif isinstance(ins, IWhere):
-            rows = [r for r in rows if _eval3(ins.expr, r, nodes) is True]
+            rows = [r for r in rows if _eval3(ins.expr, r, nodes, slot) is True]
         elif isinstance(ins, ISet):
             assert rows, "generator promises non-empty set"
-            first = min(rows, key=lambda r: tuple(r[v] for v in env_order))
-            val = _eval3(ins.expr, first, nodes)
-            for i in {r[ins.var] for r in rows}:
+            # engine orders by ALL env columns newest-first (executor._set
+            # order_cols), shadowed ones included
+            order = [s for _, s in env]
+            first = min(rows, key=lambda r: tuple(r[s] for s in order))
+            val = _eval3(ins.expr, first, nodes, slot)
+            s = slot(ins.var)
+            for i in {r[s] for r in rows}:
                 nodes[i][1][ins.field] = val
         elif isinstance(ins, IReturn):
-            rows = [{v: r[v] for v in ins.vars} for r in rows]
+            sel = [(v, slot(v)) for v in ins.vars]
+            rows = [{s: r[s] for _, s in sel} for r in rows]
             if getattr(ins, "distinct", False):
                 seen, out = set(), []
                 for r in rows:
-                    k = tuple(r[v] for v in ins.vars)
+                    k = tuple(r[s] for _, s in sel)
                     if k not in seen:
                         seen.add(k)
                         out.append(r)
                 rows = out
-            env_order = list(ins.vars)
+            env = sel
         else:
             raise TypeError(f"model does not cover {ins!r}")
 
-    return env_order, rows
+    return env, rows
 
 
 # ---------------------------------------------------------------------------
