@@ -96,6 +96,23 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Streaming throughput over stateful twins: input rows / full drain
+    # wall — a state-store or shuffle regression in the stateful path
+    # shows as a rate DROP even while the correctness twins stay green
+    # (the availableNow drains verify values, not cost).  e8 =
+    # applyInPandasWithState sessionization; e26 = two-launch
+    # checkpoint-recovery windowed agg (rate spans both phases).
+    try:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        tp = {
+            name: round(n_events / timings[name], 1)
+            for name in ("e8_sessionize_stream", "e26_restart_recovery")
+            if timings.get(name, -1) > 0
+        }
+        if tp:
+            out["stream_rows_per_sec"] = tp
+    except Exception:
+        pass
     if retried:
         out["retried"] = retried
     print(json.dumps(out))
