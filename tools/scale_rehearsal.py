@@ -6,7 +6,8 @@ the cheapest empirical test of every "scales to 100 TB" claim.
 A query whose time grows ~10x (exponent ~1 on the 10x step) scales
 linearly; >~15x earns a written cause in SCALE_REHEARSAL.md.
 
-Usage: python tools/scale_rehearsal.py [scaled_dir] [top_n]
+Usage: python tools/scale_rehearsal.py [scaled_dir] [top_n] [query ...]
+Explicit query names (if given) replace the top-N-by-floor selection.
 Writes /root/repo/BENCH_sf1.json (raw numbers).
 """
 
@@ -43,18 +44,25 @@ def _time(fn, spark, sf_dir, reps: int = 2) -> float:
 def main():
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscaled"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    explicit = sys.argv[3:]
     with open(os.path.join(REPO, "BENCH.json")) as fh:
         floors = json.load(fh)["queries"]
     qs = E.queries()
     streaming = getattr(E, "STREAMING_QUERIES", frozenset())
-    # costliest first, by committed floor; skip streaming twins (their
-    # state stores would outlive each measurement) — their batch twins
-    # carry the same shapes
-    names = [
-        n
-        for n, _ in sorted(floors.items(), key=lambda kv: -kv[1])
-        if n in qs and n not in streaming
-    ][:top_n]
+    if explicit:
+        unknown = [n for n in explicit if n not in qs]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
+        names = explicit
+    else:
+        # costliest first, by committed floor; skip streaming twins (their
+        # state stores would outlive each measurement) — their batch twins
+        # carry the same shapes
+        names = [
+            n
+            for n, _ in sorted(floors.items(), key=lambda kv: -kv[1])
+            if n in qs and n not in streaming
+        ][:top_n]
     spark = get_spark(app_name="scale-rehearsal")
     try:
         E.entry(spark).count()  # warm codegen
