@@ -173,6 +173,11 @@ def _rotate_window(interleaved: dict) -> dict:
     ]
     head = front + pinned
     fresh = [n for n in interleaved if n not in checked and n not in head]
+    # Round-7 drain: 68 of the 87 never-checked queries are x-forms and the
+    # family round-robin fronts at most ~31 per 50-slot window; exhaust the
+    # x backlog first (in-family order kept) so it drains in two rounds,
+    # then fall back to the interleaved order for the remainder.
+    fresh = [n for n in fresh if n[0] == "x"] + [n for n in fresh if n[0] != "x"]
     stale = [n for n in interleaved if n in green]
     return {n: interleaved[n] for n in head + fresh + stale}
 

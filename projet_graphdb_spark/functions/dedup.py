@@ -314,7 +314,13 @@ def minhash_shared(
     sig = minhash_signatures(base, num_hashes)
     if checkpoint_sig:
         sig = sig.localCheckpoint(eager=True)
-    return base, sig, {"num_hashes": num_hashes, "n": n, "hash": hash}
+    # config records the COLUMN layout too (round-7 advice): a shared
+    # tuple built from a different id/text column silently hashes the
+    # wrong corpus; the assert in minhash_lsh_pairs must catch that.
+    return base, sig, {
+        "num_hashes": num_hashes, "n": n, "hash": hash,
+        "text_col": text_col, "id_col": id_col,
+    }
 
 
 def minhash_lsh_pairs(
@@ -339,16 +345,25 @@ def minhash_lsh_pairs(
 
     ``shared``: a ``minhash_shared(...)`` result to reuse across calls —
     its embedded config is checked against this call's
-    num_hashes/n/hash, and a mismatch raises (a sig built with 32
-    hashes banded as if 16 would silently emit wrong pairs).
+    num_hashes/n/hash/text_col/id_col, and a mismatch raises (a sig
+    built with 32 hashes banded as if 16 — or built over a different
+    column layout — would silently emit wrong pairs).  When ``shared``
+    is given, ``docs`` is ignored: the tuple already embodies the
+    corpus.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     band_hash = _hash_fn(hash)
     rows_per_band = num_hashes // bands
     if shared is not None:
+        # NOTE: `docs` is unused on this path — the shared tuple IS the
+        # corpus (hashed shingles + signatures); only the banding and
+        # verification parameters of THIS call apply.
         base, sig, cfg = shared
-        want = {"num_hashes": num_hashes, "n": n, "hash": hash}
+        want = {
+            "num_hashes": num_hashes, "n": n, "hash": hash,
+            "text_col": text_col, "id_col": id_col,
+        }
         if cfg != want:
             raise ValueError(
                 f"minhash_lsh_pairs: shared frames were built with {cfg}, "

@@ -111,6 +111,58 @@ def srp_auto_bits(
     return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def srp_collision_prob(sim: float) -> float:
+    """Per-hyperplane SRP collision probability for a pair at cosine
+    similarity ``sim``: ``p = 1 - arccos(sim)/pi`` (Charikar 2002)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi
+
+
+def srp_recall(sim: float, bits: int, n_bands: int) -> float:
+    """Banded-LSH S-curve: probability a pair at cosine ``sim`` collides
+    on every bit of at least one of ``n_bands`` bands of ``bits`` planes:
+    ``1 - (1 - p^bits)^n_bands``.  Use to read off the recall a given
+    (bits, n_bands) construction achieves at a threshold."""
+    return 1.0 - (1.0 - srp_collision_prob(sim) ** bits) ** n_bands
+
+
+def srp_auto_n_bands(
+    bits: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    min_bands: int = 2,
+    max_bands: int = 64,
+) -> int:
+    """Band count holding the S-curve at ``target_recall`` for pairs AT
+    the similarity threshold: ``n_bands = ln(1-r) / ln(1 - p^bits)``.
+
+    Rationale (round-7 advice): auto-tuning bits up with log2(N) while
+    keeping n_bands FIXED silently collapses recall — at threshold 0.9
+    the fixed-8-band default drops from ~0.98 recall at 6 bits to ~0.31
+    at 20 bits.  Scaling n_bands with bits holds the S-curve midpoint
+    near the threshold instead.
+
+    Capped at ``max_bands`` (each band is one more signature column and
+    one more self-join leg, so bands are a real per-row and shuffle
+    cost).  When the cap binds — low thresholds make p^bits vanish, e.g.
+    threshold 0.4 at 14 bits needs ~1900 bands for 0.95 — the achieved
+    recall at the clamp is ``srp_recall(threshold, bits, max_bands)``
+    and callers who need more should lower ``bits`` (accepting bigger
+    buckets) or raise the threshold; :func:`srp_auto_bands` documents
+    the achieved figure via its return contract.
+    """
+    import math
+
+    q = srp_collision_prob(threshold) ** bits
+    if q >= 1.0:
+        return min_bands
+    if q <= 0.0:
+        return max_bands
+    need = math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - q)
+    return max(min_bands, min(max_bands, math.ceil(need)))
+
+
 def srp_bands(
     n_bands: int = 8, bits: int = 6, dim: int = 64, seed: int = 43
 ) -> list:
@@ -129,14 +181,25 @@ def srp_bands(
 def srp_auto_bands(
     n_rows: int,
     dim: int,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     target_bucket_rows: int = 64,
     seed: int = 43,
+    threshold: float = 0.9,
+    target_recall: float = 0.95,
 ) -> list:
     """``srp_bands`` with bits derived from corpus size via
     :func:`srp_auto_bits` — the N-derived default that makes the
-    fixed-constant quadratic (s9's rehearsal bug class) unreachable."""
-    return srp_bands(n_bands, srp_auto_bits(n_rows, target_bucket_rows), dim, seed)
+    fixed-constant quadratic (s9's rehearsal bug class) unreachable —
+    AND, when ``n_bands`` is None, the band count derived jointly from
+    (bits, threshold) via :func:`srp_auto_n_bands` so recall does not
+    collapse as bits grow (round-7 advice: fixed 8 bands at 20 bits is
+    ~0.31 recall at threshold 0.9).  If the 64-band cap binds, the
+    achieved recall is ``srp_recall(threshold, bits, 64)`` — lower
+    ``bits`` (bigger buckets) or raise the threshold to get more."""
+    bits = srp_auto_bits(n_rows, target_bucket_rows)
+    if n_bands is None:
+        n_bands = srp_auto_n_bands(bits, threshold, target_recall)
+    return srp_bands(n_bands, bits, dim, seed)
 
 
 def srp_signature(vec: Column, planes: list) -> Column:
@@ -514,6 +577,8 @@ def lsh_cosine_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus-WIDE near-duplicate pairs: banded SRP-LSH candidate
     generation + exact cosine verification — the sub-quadratic scale
@@ -525,12 +590,16 @@ def lsh_cosine_dups(
     standard banded-LSH S-curve (more bands → higher recall, wider
     bands → fewer false candidates); candidates are verified exactly,
     so precision is 1 at the emitted threshold.  ``None`` (the default)
-    auto-tunes bits-per-band from the corpus size via
-    :func:`srp_auto_bits` — one count + one first() to learn (N, dim),
-    then seeded :func:`srp_auto_bands` — so a caller who never tuned
-    the constants cannot hit the fixed-bucket quadratic the 10× scale
-    rehearsal caught (s9: 31× at 10×).  Pass explicit bands when an
-    oracle or a recall experiment must pin the exact construction.
+    auto-tunes BOTH knobs: bits-per-band from corpus size
+    (:func:`srp_auto_bits`, keeps Σ bucket² ~linear — the s9 31×-at-10×
+    bug class) and n_bands from (bits, threshold)
+    (:func:`srp_auto_n_bands`, holds ~0.95 recall at the threshold as
+    bits grow — fixed 8 bands was ~0.31 recall by 20 bits).  Sizing is
+    ONE aggregate pass (count + first vector length folded together;
+    pass ``n_rows``/``dim`` hints to skip it when known upstream).  If
+    the 64-band cap binds (low threshold × high bits), achieved recall
+    is ``srp_recall(threshold, bits, 64)``.  Pass explicit bands when
+    an oracle or a recall experiment must pin the exact construction.
 
     Scale design: one signature pass over the corpus (map-only), a
     per-band self-join on the band signature — shuffle keyed on a
@@ -544,10 +613,16 @@ def lsh_cosine_dups(
     pairs colliding in ≥1 band.  Deterministic given the seeded planes.
     """
     if bands is None:
-        n_rows = embeddings.count()
-        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = first["d"] if first is not None else 0
-        bands = srp_auto_bands(n_rows, dim)
+        if n_rows is None or dim is None:
+            # one aggregate pass for both sizing facts (the old
+            # count-then-first ran the upstream lineage twice)
+            sized = embeddings.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(F.size(F.col(vec_col))).alias("d"),
+            ).first()
+            n_rows = sized["n"] if n_rows is None else n_rows
+            dim = (sized["d"] or 0) if dim is None else dim
+        bands = srp_auto_bands(n_rows, dim, threshold=threshold)
     base = embeddings.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),

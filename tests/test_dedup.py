@@ -325,6 +325,16 @@ def test_minhash_shared_config_mismatch_raises(spark, docs):
         dedup.minhash_lsh_pairs(docs, num_hashes=16, hash="md5", shared=shared)
     with pytest.raises(ValueError, match="built with"):
         dedup.minhash_lsh_pairs(docs, hash="xxhash64", shared=shared)
+    # column-layout divergence must raise too (round-7 ADVICE): a shared
+    # tuple built over a different id/text column hashed the wrong corpus
+    with pytest.raises(ValueError, match="built with"):
+        dedup.minhash_lsh_pairs(
+            docs, hash="md5", shared=shared, text_col="other_text"
+        )
+    with pytest.raises(ValueError, match="built with"):
+        dedup.minhash_lsh_pairs(
+            docs, hash="md5", shared=shared, id_col="other_id"
+        )
     # matching config still works and is plan-only until collected
     ok = dedup.minhash_lsh_pairs(docs, threshold=0.5, hash="md5", shared=shared)
     assert {"id_a", "id_b", "jaccard"} <= set(ok.columns)

@@ -339,6 +339,31 @@ def test_srp_auto_bits_scales_with_corpus():
     assert similarity.srp_auto_bits(10**12) == 24     # ceiling clamp
 
 
+def test_srp_auto_n_bands_holds_recall():
+    """Round-7 advice: n_bands must scale WITH bits so recall at the
+    threshold does not collapse (fixed 8 bands = ~0.31 recall at 20
+    bits / threshold 0.9).  The law must hold >= target recall at every
+    uncapped point, cap at 64, and the achieved-recall helper must
+    agree with a hand S-curve."""
+    import math
+
+    thr, target = 0.9, 0.95
+    for bits in (4, 6, 8, 10, 12, 14):
+        nb = similarity.srp_auto_n_bands(bits, thr, target)
+        got = similarity.srp_recall(thr, bits, nb)
+        if nb < 64:  # uncapped → the target is met, not overshot wildly
+            assert got >= target, (bits, nb, got)
+            assert similarity.srp_recall(thr, bits, nb - 1) < target or nb == 2
+        # monotone: more bits never needs fewer bands
+    nbs = [similarity.srp_auto_n_bands(b, thr) for b in range(4, 22)]
+    assert nbs == sorted(nbs)
+    # low threshold × high bits: cap binds instead of exploding
+    assert similarity.srp_auto_n_bands(14, 0.4) == 64
+    # recall helper matches the closed form
+    p = 1 - math.acos(0.9) / math.pi
+    assert abs(similarity.srp_recall(0.9, 6, 8) - (1 - (1 - p**6) ** 8)) < 1e-12
+
+
 def test_lsh_cosine_dups_auto_bands_matches_explicit(spark, emb):
     """bands=None derives (N, dim) from the corpus and must equal the
     explicitly constructed srp_auto_bands run — same seeded planes."""
@@ -346,7 +371,8 @@ def test_lsh_cosine_dups_auto_bands_matches_explicit(spark, emb):
     dim = emb.select(F.size("embedding")).first()[0]
     auto = similarity.lsh_cosine_dups(emb, threshold=0.3)
     explicit = similarity.lsh_cosine_dups(
-        emb, bands=similarity.srp_auto_bands(n, dim), threshold=0.3
+        emb, bands=similarity.srp_auto_bands(n, dim, threshold=0.3),
+        threshold=0.3,
     )
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())

@@ -53,6 +53,13 @@ def main():
         unknown = [n for n in explicit if n not in qs]
         if unknown:
             sys.exit(f"unknown queries: {unknown}")
+        # same streaming-twin exclusion as the top-N path (round-7
+        # advice): naming a twin explicitly would leave its state stores
+        # alive across measurements — the exact contamination the top-N
+        # filter exists to avoid
+        twins = [n for n in explicit if n in streaming]
+        if twins:
+            sys.exit(f"streaming twins excluded from rehearsal: {twins}")
         names = explicit
     else:
         # costliest first, by committed floor; skip streaming twins (their
