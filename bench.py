@@ -21,6 +21,43 @@ import __spark_entry__ as E  # noqa: E402
 from projet_graphdb_spark.engine import get_spark  # noqa: E402
 
 
+def regression_warnings(
+    timings: dict,
+    floors: dict,
+    rates: dict | None = None,
+    rate_floors: dict | None = None,
+    wall_factor: float = 2.0,
+    rate_factor: float = 0.6,
+    min_floor_sec: float = 0.5,
+) -> list:
+    """Self-flagging regression alarm (round-6 verdict item 6): a bench
+    sample like r6's streaming section — 1.8-2.8x above committed floors
+    — should announce itself instead of waiting for a human diff.
+
+    Returns warning strings for (a) any query slower than
+    ``wall_factor`` x its committed floor (floors under
+    ``min_floor_sec`` are skipped: a 0.1 s query doubling is noise) and
+    (b) any throughput gauge below ``rate_factor`` x its floor.  One
+    sample cannot distinguish host-VM jitter from a real regression, so
+    these are WARNs to trigger a min-of-reps re-measurement, not
+    failures.
+    """
+    warns = []
+    for name, t in sorted(timings.items()):
+        fl = floors.get(name)
+        if fl and t > 0 and fl >= min_floor_sec and t > wall_factor * fl:
+            warns.append(
+                f"{name}: {t:.3f}s > {wall_factor:.1f}x floor {fl:.3f}s"
+            )
+    for name, r in sorted((rates or {}).items()):
+        fl = (rate_floors or {}).get(name)
+        if fl and r < rate_factor * fl:
+            warns.append(
+                f"{name}: {r:.1f} rows/s < {rate_factor:.1f}x floor {fl:.1f}"
+            )
+    return warns
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -46,10 +83,13 @@ def main():
     # the "retried" field of the output line.
     RETRY_OVER_SEC = 15.0
     ref = {}
+    rate_ref = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH.json")) as fh:
-            ref = json.load(fh).get("queries", {})
+            _committed = json.load(fh)
+            ref = _committed.get("queries", {})
+            rate_ref = _committed.get("stream_rows_per_sec", {})
     except Exception:
         pass
 
@@ -115,6 +155,13 @@ def main():
         pass
     if retried:
         out["retried"] = retried
+    warns = regression_warnings(
+        timings, ref, out.get("stream_rows_per_sec"), rate_ref
+    )
+    if warns:
+        out["warnings"] = warns
+        for w in warns:
+            print(f"# WARN regression: {w}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -1,0 +1,56 @@
+"""bench.py's self-flagging regression alarm (round-6 verdict item 6):
+a driver bench sample like r6's streaming section — queries 1.8-2.8x
+above their committed floors, a throughput gauge at 0.42x — must WARN
+in the bench output instead of waiting for a human to diff JSON files.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import regression_warnings  # noqa: E402
+
+
+def test_wall_regression_flagged():
+    warns = regression_warnings(
+        {"e6_dedup_stream": 2.89, "g1_match_label": 0.5},
+        {"e6_dedup_stream": 1.03, "g1_match_label": 0.45},
+    )
+    assert len(warns) == 1 and "e6_dedup_stream" in warns[0]
+    assert "2x" in warns[0] or "2.0x" in warns[0]
+
+
+def test_small_floors_are_noise_exempt():
+    # a 0.1s query doubling is jitter, not a regression
+    assert regression_warnings({"q": 0.4}, {"q": 0.1}) == []
+    # ...but a 0.5s+ floor doubling is flagged
+    assert regression_warnings({"q": 1.2}, {"q": 0.5}) != []
+
+
+def test_rate_drop_flagged():
+    warns = regression_warnings(
+        {"e26_restart_recovery": 3.0},
+        {"e26_restart_recovery": 2.83},
+        rates={"e26_restart_recovery": 14771.0},
+        rate_floors={"e26_restart_recovery": 35285.8},
+    )
+    assert len(warns) == 1 and "rows/s" in warns[0]
+
+
+def test_quiet_when_within_floors():
+    assert (
+        regression_warnings(
+            {"a": 1.0, "b": 2.0},
+            {"a": 0.9, "b": 1.5},
+            rates={"e8": 29000.0},
+            rate_floors={"e8": 29154.5},
+        )
+        == []
+    )
+
+
+def test_failed_and_unfloored_queries_ignored():
+    # -1 sentinel (failed) and names with no committed floor don't warn
+    assert regression_warnings({"new_q": 9.0, "failed_q": -1.0},
+                               {"failed_q": 1.0}) == []

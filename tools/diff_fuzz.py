@@ -93,6 +93,27 @@ def gen_program(rng: random.Random) -> str:
     names = iter("nopqkuvwmj")
     n_created: dict = {lb: 0 for lb in labels}
 
+    def reachable(l1, rel_name, l2, lo, hi, undirected) -> bool:
+        """Mirror of typecheck._star_reachable over the generated schema:
+        BFS on the label graph restricted to ``rel_name``; unbounded hi
+        capped at lo + |labels| (a longer witness pumps down)."""
+        step: dict = {}
+        for (a, r2, b2) in rels:
+            if r2 != rel_name:
+                continue
+            step.setdefault(a, set()).add(b2)
+            if undirected:
+                step.setdefault(b2, set()).add(a)
+        cap = hi if hi is not None else lo + len(labels)
+        frontier = {l1}
+        for k in range(1, cap + 1):
+            frontier = {n for lbl in frontier for n in step.get(lbl, ())}
+            if not frontier:
+                return False
+            if k >= lo and l2 in frontier:
+                return True
+        return False
+
     def int_expr(allow_attrs: bool) -> str:
         cands = [str(rng.randint(0, 9))]
         if allow_attrs:
