@@ -374,21 +374,37 @@ class Executor:
         pairs, prev_n, small = _materialize(e)
         handle = None
         if hi is not None:
-            # bounded: hop_k = hop_{k-1} ⋈ e (distinct pairs at exactly
-            # ≤ k hops is not tracked — pairs-at-≤k is what match needs)
-            hop = pairs  # pairs reachable in exactly-ish ≤ 1 hop
-            keep = pairs if lo <= 1 else None
+            # bounded: ONE accumulated frame of (src, dst, _k) distinct
+            # triples — _k the exact hop count — extended by joining the
+            # previous round's _k-slice with e, and re-checkpointed WITH
+            # the union folded inside each round (the unbounded branch's
+            # proven shape).  Unioning separately-checkpointed hop
+            # frames instead trips Catalyst's Union constraint rewrite
+            # ("key not found: src#N"): a localCheckpoint's LogicalRDD
+            # preserves constraints from the plan it snapshotted, which
+            # can reference attr ids that are not in the union child's
+            # output (caught by the round-7 variable-length fuzzer).
+            acc = pairs.withColumn("_k", F.lit(1))
+            handle = None
             for k in range(2, hi + 1):
-                hop = (
-                    hop.alias("a")
+                nxt = (
+                    acc.filter(F.col("_k") == k - 1).alias("a")
                     .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
-                    .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                    .select(
+                        F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"),
+                        F.lit(k).alias("_k"),
+                    )
                     .dropDuplicates()
                 )
-                hop, handle = _ckpt_rotate(_shrink(hop, small), None)
-                if k >= lo:
-                    keep = hop if keep is None else keep.unionByName(hop)
-            return (keep if keep is not None else hop.limit(0)).dropDuplicates()
+                acc, handle = _ckpt_rotate(
+                    _shrink(acc.unionByName(nxt), small), handle
+                )
+            return (
+                acc.filter(F.col("_k") >= lo)
+                .select("src", "dst")
+                .dropDuplicates()
+            )
         for _ in range(16):  # 2^16-hop cap: a backstop, not a tuning knob
             ext = (
                 pairs.alias("a")

@@ -243,17 +243,52 @@ def gen_program(rng: random.Random) -> str:
             lines.append(f"match ({v}: {lb})")
             bound[v] = lb
         elif op < 0.55:
-            cands = [
-                (sv, r, tv)
-                for sv in bound for tv in bound
-                if sv != tv
-                for (a, r, b) in rels
-                if bound[sv] == a and bound[tv] == b
-            ]
-            if cands:
-                sv, r, tv = rng.choice(cands)
-                lines.append(f"match ({sv}) -[:{r}]-> ({tv})")
-                set_ok = False
+            # variable-length / undirected extension forms (~40% of edge
+            # matches, round-6 verdict item 4): -[:r*]->, -[:r*lo..hi]->,
+            # -[:r]-, and their undirected-star combinations, endpoints
+            # any bound vars whose labels pass the closure reachability
+            # check (the typechecker's _star_reachable rule)
+            emitted = False
+            rel_names = list(dict.fromkeys(r for (_, r, _) in rels))
+            if rng.random() < 0.4 and bound:
+                for _ in range(8):  # rejection-sample a well-typed form
+                    sv = rng.choice(list(bound))
+                    tv = rng.choice(list(bound))
+                    rn = rng.choice(rel_names)
+                    kind = rng.choice(["*", "*b", "*u", "*bu", "u"])
+                    if kind == "*":
+                        lo, hi, und, sfx = 1, None, False, "*"
+                    elif kind == "*b":
+                        lo = rng.randint(1, 2)
+                        hi = rng.randint(lo, 3)
+                        und, sfx = False, f"*{lo}..{hi}"
+                    elif kind == "*u":
+                        lo, hi, und, sfx = 1, None, True, "*"
+                    elif kind == "*bu":
+                        lo = rng.randint(1, 2)
+                        hi = rng.randint(lo, 3)
+                        und, sfx = True, f"*{lo}..{hi}"
+                    else:
+                        lo, hi, und, sfx = 1, 1, True, ""
+                    if not reachable(bound[sv], rn, bound[tv], lo, hi, und):
+                        continue
+                    arrow = "->" if not und else "-"
+                    lines.append(f"match ({sv}) -[:{rn}{sfx}]{arrow} ({tv})")
+                    set_ok = False
+                    emitted = True
+                    break
+            if not emitted:
+                cands = [
+                    (sv, r, tv)
+                    for sv in bound for tv in bound
+                    if sv != tv
+                    for (a, r, b) in rels
+                    if bound[sv] == a and bound[tv] == b
+                ]
+                if cands:
+                    sv, r, tv = rng.choice(cands)
+                    lines.append(f"match ({sv}) -[:{r}]-> ({tv})")
+                    set_ok = False
         elif op < 0.75:
             conds = []
             int_accs, str_accs, bool_accs = [], [], []
@@ -376,6 +411,33 @@ def _eval3(e, row, nodes, slot):
     raise TypeError(e)
 
 
+def _closure_pairs(edges, rel, lo, hi, undirected):
+    """Model of executor._transitive_pairs: (src, dst) pairs connected
+    by a path of lo..hi edges of ``rel`` (hi=None → unbounded closure,
+    which the parser only produces with lo=1).  Bounded = union of
+    exactly-k-hop compositions for k in lo..hi, matching the engine's
+    hop-walk; undirected symmetrizes the edge set first."""
+    e = {(s, d) for (s, rl, d) in edges if rl == rel}
+    if undirected:
+        e |= {(d, s) for (s, d) in e}
+    if hi is None:
+        closure = set(e)
+        while True:
+            grown = closure | {
+                (a, d) for (a, b) in closure for (c, d) in e if b == c
+            }
+            if grown == closure:
+                return closure
+            closure = grown
+    hop = set(e)
+    out = set(e) if lo <= 1 else set()
+    for k in range(2, hi + 1):
+        hop = {(a, d) for (a, b) in hop for (c, d) in e if b == c}
+        if k >= lo:
+            out |= hop
+    return out
+
+
 def _null_safe_key(t: tuple) -> tuple:
     return tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
 
@@ -465,10 +527,22 @@ def _run_instrs(instrs, state):
             }
         elif isinstance(ins, IActOnRel):
             ss, ts = slot(ins.src_var), slot(ins.tgt_var)
-            rows = [
-                r for r in rows
-                if (r[ss], ins.rel, r[ts]) in edges
-            ]
+            if getattr(ins, "star", False):
+                ok = _closure_pairs(
+                    edges, ins.rel,
+                    getattr(ins, "star_min", 1), getattr(ins, "star_max", None),
+                    getattr(ins, "undirected", False),
+                )
+                rows = [r for r in rows if (r[ss], r[ts]) in ok]
+            elif getattr(ins, "undirected", False):
+                e1 = {(s, d) for (s, rl, d) in edges if rl == ins.rel}
+                e1 |= {(d, s) for (s, d) in e1}
+                rows = [r for r in rows if (r[ss], r[ts]) in e1]
+            else:
+                rows = [
+                    r for r in rows
+                    if (r[ss], ins.rel, r[ts]) in edges
+                ]
         elif isinstance(ins, IDeleteNode):
             s = slot(ins.var)  # newest binding's ids are what dies
             ids = {r[s] for r in rows}
@@ -624,7 +698,10 @@ def main():
     bad = skipped = 0
     for trial in range(n):
         text = gen_program(rng)
-        ok, detail = run_one(spark, text)
+        try:
+            ok, detail = run_one(spark, text)
+        except Exception as ex:  # an engine crash IS a divergence
+            ok, detail = False, f"engine raised {type(ex).__name__}: {str(ex)[:300]}"
         if ok is None:
             skipped += 1
             continue
