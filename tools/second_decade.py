@@ -1,0 +1,98 @@
+"""Second-decade (30x) scale point for the dedup/ANN leaders (round-6
+verdict item 5): the 10x rehearsal validated first-decade exponents;
+this measures the five costliest d/s queries at 30x (documents +
+embeddings scaled by tools/make_scaled_ds.py — the only tables the d/s
+family reads) to confirm the Σ bucket² terms stay tamed where a hidden
+quadratic would now dominate: a query with true cost n^a shows
+ratio ≈ 30^a, so exponent = log(t30/t01)/log(30) should match the
+first-decade figure, not exceed it.
+
+Results merge into BENCH_sf1.json under "second_decade".
+
+Usage: python tools/second_decade.py [scaled_dir] [query ...]
+Defaults: /tmp/sf30ds, the five d/s floor leaders.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from projet_graphdb_spark.engine import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+LEADERS = [
+    "d10_semantic_dedup", "d24_blocking_candidates", "s9_lsh_cosine_dups",
+    "s12_knn_ivfpq", "d15_lsh_calibration",
+]
+
+
+def _time(fn, spark, sf_dir, reps: int = 2) -> float:
+    best = math.inf
+    for _ in range(reps):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+        gc.collect()
+    return round(best, 3)
+
+
+def main():
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf30ds"
+    names = sys.argv[2:] or LEADERS
+    copies = 30
+    spark = get_spark(app_name="second-decade")
+    qs = E.queries()
+    try:
+        E.entry(spark).count()  # warm codegen
+    except Exception:
+        pass
+    out_path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(out_path) as fh:
+        doc = json.load(fh)
+    sec = doc.setdefault("second_decade", {"scaled_dir": scaled, "copies": copies})
+    results = sec.setdefault("queries", {})
+
+    def _flush():
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+
+    for name in names:
+        fn = qs[name]
+        try:
+            t_small = _time(fn, spark, SF01)
+            t_big = _time(fn, spark, scaled)
+        except Exception as ex:
+            results[name] = {"error": f"{type(ex).__name__}: {str(ex)[:160]}"}
+            print(f"{name:<26} ERROR {type(ex).__name__}: {str(ex)[:160]}",
+                  flush=True)
+            _flush()
+            continue
+        expo = (
+            round(math.log(t_big / t_small) / math.log(copies), 2)
+            if t_small > 0 else None
+        )
+        first = doc.get("queries", {}).get(name, {}).get("exponent")
+        results[name] = {
+            "sf0.1_sec": t_small,
+            f"x{copies}_sec": t_big,
+            f"ratio_{copies}x": round(t_big / t_small, 2) if t_small else None,
+            "exponent": expo,
+            "first_decade_exponent": first,
+        }
+        print(f"{name:<26} sf0.1={t_small:>8.3f}s x{copies}={t_big:>9.3f}s "
+              f"exp={expo} (first decade {first})", flush=True)
+        _flush()
+    print("merged into BENCH_sf1.json")
+
+
+if __name__ == "__main__":
+    main()
