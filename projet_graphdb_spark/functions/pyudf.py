@@ -17,3 +17,29 @@ def np_l2norm(v: pd.Series) -> pd.Series:
 
     return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
 
+
+
+def make_srp_sigs_udf(mat, offsets, weights):
+    """Factory for the large-construction SRP signature UDF (see
+    similarity.srp_signature_array): one BLAS matmul per Arrow batch,
+    then per-band bit packing.  Lives here because this module skips
+    ``from __future__ import annotations`` — pandas_udf needs REAL
+    type hints to infer the UDF kind.
+
+    ``mat``: (total_bits × dim) float64 plane matrix; ``offsets``:
+    per-band bit offsets (len n_bands+1); ``weights``: per-band
+    ``1 << arange(bits)`` int64 vectors."""
+    import numpy as np
+
+    n_bands = len(weights)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())  # (batch × dim)
+        S = (V @ mat.T) >= 0.0  # (batch × total_bits) sign bits
+        out = np.empty((len(V), n_bands), dtype=np.int64)
+        for j in range(n_bands):
+            out[:, j] = S[:, offsets[j]:offsets[j + 1]] @ weights[j]
+        return pd.Series(list(out))
+
+    return _sigs

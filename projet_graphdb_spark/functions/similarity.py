@@ -226,6 +226,47 @@ def srp_signature(vec: Column, planes: list) -> Column:
     return out
 
 
+# Above this many planes (n_bands × bits) the HOF expression tree is a
+# liability on BOTH sides: the driver spends minutes in single-threaded
+# Catalyst analysis over bands·bits·dim literal nodes (measured: the
+# 64-band × 10-bit auto construction at 30× data never finished its
+# FIRST job inside 10 min), and the generated code blows janino's 64 KB
+# method cap so the whole stage runs interpreted.  Past the cutoff we
+# switch to ONE Arrow-batched pandas UDF whose closure carries the
+# planes as a numpy matrix — plan size O(1), per-row cost one BLAS
+# matmul.  The pinned 8×6 oracle construction (48 planes) stays on the
+# JVM path, so oracle plans are unchanged.
+_MAX_JVM_PLANES = 96
+
+
+def srp_signature_array(vec: Column, bands: list) -> Column:
+    """Array of per-band SRP signatures (``array<long>``, one signature
+    per band) for a vector — the all-bands form of
+    :func:`srp_signature`, size-gated between a JVM expression build
+    (small constructions: whole-stage codegen, zero Python) and a
+    single vectorized numpy matmul UDF (large auto-tuned constructions,
+    where the expression tree itself becomes the bottleneck — see
+    ``_MAX_JVM_PLANES``).  Bit convention identical on both paths:
+    bit ``i`` of band ``j`` is set iff ``dot(vec, bands[j][i]) >= 0``.
+    """
+    n_planes = sum(len(b) for b in bands)
+    if n_planes <= _MAX_JVM_PLANES:
+        return F.array(*[srp_signature(vec, band) for band in bands])
+
+    import numpy as np
+
+    from .pyudf import make_srp_sigs_udf
+
+    # (total_bits × dim) plane matrix + per-band bit weights, captured
+    # in the UDF closure (a 640×64 float64 matrix is ~330 KB —
+    # task-binary noise next to the multi-MB literal plans it replaces)
+    mat = np.asarray([p for band in bands for p in band], dtype=np.float64)
+    band_sizes = [len(b) for b in bands]
+    offsets = np.cumsum([0] + band_sizes)
+    weights = [np.left_shift(1, np.arange(sz, dtype=np.int64)) for sz in band_sizes]
+    return make_srp_sigs_udf(mat, offsets, weights)(vec)
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_ids: list,
@@ -629,17 +670,18 @@ def lsh_cosine_dups(
         l2norm(F.col(vec_col)).alias("_n"),
     )
     # one signature pass, materialized: (id, one long per band) is tiny
-    # (~40 B/row at any corpus size), and without it each of the
-    # len(bands) union branches below would re-derive (and re-codegen)
-    # every plane dot product over the full corpus
+    # (~40 B/row at any corpus size); srp_signature_array size-gates
+    # between the codegen'd JVM expression (small/pinned constructions)
+    # and one Arrow matmul UDF (large auto-tuned ones).  posexplode —
+    # not an n-band union — turns the array into (band, sig) rows, so
+    # the plan stays O(1) in band count (the old 64-leg union was a
+    # driver-side analysis bottleneck before the first task ever ran)
     sigs = base.select(
-        "_vid",
-        *[srp_signature(F.col("_v"), band).alias(f"_b{i}") for i in range(len(bands)) for band in [bands[i]]],
+        "_vid", srp_signature_array(F.col("_v"), bands).alias("_sigs")
     ).localCheckpoint(eager=True)
-    cand = None
-    for i in range(len(bands)):
-        c = sigs.select(F.lit(i).alias("_band"), F.col(f"_b{i}").alias("_sig"), "_vid")
-        cand = c if cand is None else cand.unionByName(c)
+    cand = sigs.select(
+        "_vid", F.posexplode("_sigs").alias("_band", "_sig")
+    )
     a = cand.select("_band", "_sig", F.col("_vid").alias("id_a"))
     b = cand.select("_band", "_sig", F.col("_vid").alias("id_b"))
     pairs = (

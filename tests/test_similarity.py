@@ -377,3 +377,37 @@ def test_lsh_cosine_dups_auto_bands_matches_explicit(spark, emb):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_srp_signature_array_udf_matches_jvm(spark, emb):
+    """The Arrow-matmul path (>_MAX_JVM_PLANES planes) must produce
+    bit-identical signatures to the JVM HOF expression path — same
+    planes, same `dot >= 0` convention, only the execution engine
+    differs.  Construction: 20 bands × 5 bits = 100 planes (> the 96
+    cutoff) checked against a forced-JVM build of the same planes."""
+    bands = similarity.srp_bands(n_bands=20, bits=5, dim=64, seed=7)
+    assert sum(len(b) for b in bands) > similarity._MAX_JVM_PLANES
+    via_udf = emb.select(
+        "vec_id", similarity.srp_signature_array(F.col("embedding"), bands).alias("s")
+    ).collect()
+    via_jvm = emb.select(
+        "vec_id",
+        F.array(
+            *[similarity.srp_signature(F.col("embedding"), b) for b in bands]
+        ).alias("s"),
+    ).collect()
+    assert {r["vec_id"]: list(r["s"]) for r in via_udf} == {
+        r["vec_id"]: list(r["s"]) for r in via_jvm
+    }
+
+
+def test_lsh_cosine_dups_large_band_count_runs(spark, emb):
+    """A large auto-tuned construction (above the JVM-plane cutoff) runs
+    end-to-end through the posexplode candidate path and agrees with the
+    same-planes small-construction semantics: every emitted pair is
+    verified-exact at the threshold, ids ordered."""
+    bands = similarity.srp_bands(n_bands=20, bits=5, dim=64, seed=7)
+    got = similarity.lsh_cosine_dups(emb, bands=bands, threshold=0.3).collect()
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.3

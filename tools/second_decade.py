@@ -9,7 +9,17 @@ first-decade figure, not exceed it.
 
 Results merge into BENCH_sf1.json under "second_decade".
 
+``--auto`` instead measures the AUTO-TUNED scale path for the two
+SRP-LSH leaders (s9/d10 call ``lsh_cosine_dups`` /
+``embedding_dup_clusters`` with bands PINNED at 8x6 for oracle parity;
+the library default ``bands=None`` derives bits from corpus size via
+``srp_auto_bits`` so bucket occupancy — and hence the Σ bucket² term —
+stays flat as N grows).  Comparing the pinned and auto exponents at the
+same 30x point is the direct A/B for the fixed-bucket quadratic.
+Results merge under "second_decade"."auto_path".
+
 Usage: python tools/second_decade.py [scaled_dir] [query ...]
+       python tools/second_decade.py --auto [scaled_dir]
 Defaults: /tmp/sf30ds, the five d/s floor leaders.
 """
 
@@ -45,12 +55,35 @@ def _time(fn, spark, sf_dir, reps: int = 2) -> float:
     return round(best, 3)
 
 
+def _auto_queries():
+    """The s9/d10 pipelines with the library-default ``bands=None``
+    (srp_auto_bits + srp_auto_n_bands) instead of the oracle-pinned
+    8x6 construction — the configuration a user at a NEW scale gets."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from projet_graphdb_spark.functions import similarity
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    return {
+        "s9_auto_lsh_cosine_dups": lambda spark, sf_dir: similarity.lsh_cosine_dups(
+            _emb(spark, sf_dir), bands=None, threshold=0.4
+        ),
+        "d10_auto_semantic_dedup": lambda spark, sf_dir: similarity.embedding_dup_clusters(
+            _emb(spark, sf_dir), bands=None, threshold=0.4
+        ),
+    }
+
+
 def main():
-    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf30ds"
-    names = sys.argv[2:] or LEADERS
+    auto = "--auto" in sys.argv
+    argv = [a for a in sys.argv if a != "--auto"]
+    scaled = argv[1] if len(argv) > 1 else "/tmp/sf30ds"
+    names = argv[2:] or (list(_auto_queries()) if auto else LEADERS)
     copies = 30
     spark = get_spark(app_name="second-decade")
-    qs = E.queries()
+    qs = _auto_queries() if auto else E.queries()
     try:
         E.entry(spark).count()  # warm codegen
     except Exception:
@@ -59,7 +92,7 @@ def main():
     with open(out_path) as fh:
         doc = json.load(fh)
     sec = doc.setdefault("second_decade", {"scaled_dir": scaled, "copies": copies})
-    results = sec.setdefault("queries", {})
+    results = sec.setdefault("auto_path" if auto else "queries", {})
 
     def _flush():
         with open(out_path, "w") as fh:
@@ -80,13 +113,18 @@ def main():
             round(math.log(t_big / t_small) / math.log(copies), 2)
             if t_small > 0 else None
         )
-        first = doc.get("queries", {}).get(name, {}).get("exponent")
+        if auto:
+            # cross-reference the PINNED counterpart's second-decade exponent
+            pinned = name.replace("_auto", "")
+            first = sec.get("queries", {}).get(pinned, {}).get("exponent")
+        else:
+            first = doc.get("queries", {}).get(name, {}).get("exponent")
         results[name] = {
             "sf0.1_sec": t_small,
             f"x{copies}_sec": t_big,
             f"ratio_{copies}x": round(t_big / t_small, 2) if t_small else None,
             "exponent": expo,
-            "first_decade_exponent": first,
+            ("pinned_exponent" if auto else "first_decade_exponent"): first,
         }
         print(f"{name:<26} sf0.1={t_small:>8.3f}s x{copies}={t_big:>9.3f}s "
               f"exp={expo} (first decade {first})", flush=True)
