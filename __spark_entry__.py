@@ -805,6 +805,23 @@ def s9_lsh_cosine_dups(spark, sf_dir):
     )
 
 
+def s22_ivf_cosine_dups(spark, sf_dir):
+    """k-means (IVF) BLOCKED near-dup pairs + exact cosine verify
+    (functions/similarity.py::ivf_cosine_dups) — the LOW-threshold
+    scale path, where banded SRP-LSH cannot hold recall
+    sub-quadratically (p(0.4)=0.63 → ≥46 bands of ≤6 bits, a ~N²/45
+    candidate floor; the SemDeDup blocking answer).  Pinned 8-cell /
+    2-iteration / 2-probe construction so the oracle replays the exact
+    Lloyd chain (the s10 CTE chain with rk ≤ nprobe); measured recall
+    on this corpus 0.85 vs the pinned 8×6 LSH construction's 0.41 at
+    the same threshold, zero false positives (exact verify).  The
+    bands=None/auto user entrypoint (cosine_dups_auto) routes here for
+    thresholds below the cost crossover."""
+    return similarity.ivf_cosine_dups(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=8, nprobe=2, num_iter=2
+    )
+
+
 def m4_thumbnails(spark, sf_dir):
     """Thumbnail-fit pipeline (functions/multimodal.py::thumbnail_plan):
     Arrow-batched mapInPandas over image rows; resample stubbed, the
@@ -5485,6 +5502,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_knn_ivfpq": s12_knn_ivfpq,
         "s13_matryoshka_recall": s13_matryoshka_recall,
         "s14_similarity_histogram": s14_similarity_histogram,
+        "s22_ivf_cosine_dups": s22_ivf_cosine_dups,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -7495,6 +7513,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_knn_ivf_trained": _knn_ivf_trained_oracle(),
         "s11_knn_pq_adc": _pq_adc_oracle(),
         "s12_knn_ivfpq": _ivfpq_oracle(),
+        "s22_ivf_cosine_dups": _ivf_dups_oracle(),
         "s13_matryoshka_recall": _matryoshka_oracle(),
         "s14_similarity_histogram": """
             WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -10331,6 +10350,38 @@ def _knn_ivf_trained_oracle(
           FROM scored)
         SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
         FROM ranked WHERE rank <= {topk}
+    """
+
+
+def _ivf_dups_oracle(
+    k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6,
+    nprobe: int = 2, threshold: float = 0.4,
+) -> str:
+    """s22: the s10 Lloyd chain trains the codebook; every vector soft-
+    assigns to its ``nprobe`` nearest cells (same squared-distance fold,
+    ties to the smaller cid), candidates are distinct same-cell pairs,
+    exact cosine verify at the unrounded threshold (the s9 tail)."""
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp)
+    return f"""
+        {ctes},
+        ranked_cells AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN {prev} c),
+        assign AS (SELECT vec_id, cid FROM ranked_cells WHERE rk <= {nprobe}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a JOIN assign b USING (cid)
+          WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {threshold}
     """
 
 

@@ -41,19 +41,68 @@ def _sqdist_to_literal(vec: Column, centroid: list) -> Column:
     )
 
 
+# Above this many centroid·dim literal cells the inlined distance
+# expression becomes the bottleneck (same failure mode as the SRP plane
+# trees in similarity._MAX_JVM_PLANES: minutes of driver-side Catalyst
+# analysis + generated code past janino's 64 KB cap).  Past the cutoff,
+# assignment runs as ONE Arrow-batched numpy UDF whose closure carries
+# the (k × dim) centroid matrix — per-batch cost one BLAS matmul.
+# Oracle constructions (k ≤ 16 or so) always stay on the JVM path.
+_MAX_JVM_CELLS = 8192
+
+
+def assign_topn(
+    emb: DataFrame,
+    cents: dict,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Adds ``out_col``: array of the ``nprobe`` nearest centroid ids
+    (squared euclidean, ties to the smaller cid), map-only.
+
+    Size-gated like the SRP signatures: small codebooks inline the
+    centroids as literals (whole-stage codegen, left-to-right distance
+    fold — bit-reproducible against a SQL oracle's ``list_reduce``);
+    codebooks past ``_MAX_JVM_CELLS`` literal cells switch to one
+    Arrow-batched BLAS UDF (``pyudf.make_topn_cells_udf``).  Both paths
+    use the same stable (distance, cid) ordering; they can disagree
+    only on exact distance ties between DIFFERENT centroids, which the
+    seeded constructions used by oracles never produce.
+    """
+    items = sorted(cents.items())
+    dim = len(items[0][1]) if items else 0
+    if len(items) * dim <= _MAX_JVM_CELLS:
+        arr = F.array(
+            *[
+                F.struct(
+                    _sqdist_to_literal(F.col(vec_col), cv).alias("d"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cv in items
+            ]
+        )
+        nearest = F.slice(F.array_sort(arr), 1, nprobe)
+        return emb.withColumn(
+            out_col, F.transform(nearest, lambda s: s["cid"])
+        )
+    import numpy as np
+
+    from .pyudf import make_topn_cells_udf
+
+    mat = np.asarray([cv for _, cv in items], dtype=np.float64)
+    cids = [int(cid) for cid, _ in items]
+    return emb.withColumn(out_col, make_topn_cells_udf(mat, cids, nprobe)(F.col(vec_col)))
+
+
 def _assign(emb: DataFrame, cents: dict, id_col: str, vec_col: str) -> DataFrame:
     """(id, vec, cluster): nearest centroid, ties to the smaller cid —
-    array_min over (distance, cid) structs, map-only."""
-    arr = F.array(
-        *[
-            F.struct(
-                _sqdist_to_literal(F.col(vec_col), cv).alias("d"),
-                F.lit(int(cid)).cast("long").alias("cid"),
-            )
-            for cid, cv in sorted(cents.items())
-        ]
+    map-only (size-gated literal argmin / BLAS UDF, see assign_topn)."""
+    return (
+        assign_topn(emb, cents, nprobe=1, vec_col=vec_col, out_col="_c1")
+        .withColumn("cluster", F.col("_c1")[0])
+        .drop("_c1")
     )
-    return emb.withColumn("cluster", F.array_min(arr)["cid"])
 
 
 def kmeans_centroids(

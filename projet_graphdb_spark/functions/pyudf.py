@@ -43,3 +43,29 @@ def make_srp_sigs_udf(mat, offsets, weights):
         return pd.Series(list(out))
 
     return _sigs
+
+
+def make_topn_cells_udf(cent_mat, cids, nprobe):
+    """Factory for the large-codebook cell-assignment UDF (see
+    clustering.assign_topn): per Arrow batch, ONE BLAS distance matrix
+    ``||v||² − 2·V·Cᵀ + ||c||²`` then a stable argsort — ties break to
+    the smaller centroid id because ``cids`` arrive sorted ascending and
+    the sort is stable, mirroring the JVM literal path's
+    ``array_sort((d, cid))``.
+
+    ``cent_mat``: (k × dim) float64 centroid matrix, rows in ``cids``
+    order; ``cids``: sorted ascending int64 centroid ids; ``nprobe``:
+    how many nearest cells to emit per vector."""
+    import numpy as np
+
+    cvec = np.asarray(cids, dtype=np.int64)
+    csq = (cent_mat * cent_mat).sum(axis=1)  # (k,)
+
+    @pandas_udf("array<long>")
+    def _cells(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)  # (batch × dim)
+        D = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ cent_mat.T) + csq[None, :]
+        near = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cvec[near]))
+
+    return _cells

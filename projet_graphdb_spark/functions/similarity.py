@@ -690,6 +690,15 @@ def lsh_cosine_dups(
         .select("id_a", "id_b")
         .distinct()
     )
+    return _verify_candidate_pairs(base, pairs, threshold)
+
+
+def _verify_candidate_pairs(base: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verification tail shared by every candidate
+    generator (LSH bands, IVF cells): two id-keyed joins fetch the
+    vectors + precomputed norms from ``base`` (_vid, _v, _n), one
+    map-side dot per candidate, filter at the unrounded threshold.
+    Output: (id_a, id_b, sim) rounded to 6 dp."""
     va = base.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = base.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (
@@ -701,12 +710,225 @@ def lsh_cosine_dups(
     )
 
 
+def ivf_cosine_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    num_iter: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    max_train_rows: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    centroids: dict | None = None,
+) -> DataFrame:
+    """Corpus-wide near-duplicate pairs via k-means (IVF) BLOCKING +
+    exact cosine verification — the scale path for LOW thresholds,
+    where banded SRP-LSH is provably super-quadratic (SemDeDup-style:
+    Abbas et al. 2023 dedup within k-means clusters for exactly this
+    reason; see :func:`lsh_plan` for the LSH-side math).
+
+    Why LSH loses at low thresholds: holding recall r at threshold t
+    needs ``n_bands ≈ ln(1/(1-r)) / p^bits`` with ``p = 1−acos(t)/π``;
+    total work scales as ``N^(1+ln(1/p)/ln 2)`` — at t=0.4 that is
+    N^1.66 BEST case (measured: the 64-band auto construction at 30×
+    data ran 2× slower than the pinned-8×6 quadratic it was meant to
+    fix).  K-means cells are DATA-ADAPTIVE: one partition of space
+    whose cells follow the corpus's own density, so one blocking pass
+    (plus ``nprobe``-way soft assignment for boundary pairs) replaces
+    64 random-hyperplane repetitions.
+
+    Scale design: codebook size tracks the corpus (``k = N /
+    target_cell_rows``) so expected cell occupancy — and hence the
+    Σ cell² candidate term ≈ ``nprobe²·target_cell_rows·N/2`` — stays
+    LINEAR in N.  Training runs on a deterministic 1-in-step id sample
+    capped at ``max_train_rows`` (re-id'd densely, map-side, so the
+    seeded id<k rule still applies); corpus assignment is one BLAS
+    matmul per Arrow batch past the literal-inlining cutoff
+    (``clustering.assign_topn``).  Beyond ``max_centroids`` cells
+    (~1e7+ rows/shard) flat assignment's N·k matmul is the next wall —
+    the documented extension is two-level (coarse √k then fine)
+    assignment, the IMI layout.
+
+    Recall is empirical (the standard IVF tradeoff): a true pair is
+    found iff the two vectors share ≥1 of their ``nprobe`` nearest
+    cells.  Precision is exact — every emitted pair is verified.
+
+    Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold —
+    identical shape/semantics to :func:`lsh_cosine_dups` minus the
+    candidate-generation recall profile.
+    """
+    from . import clustering
+
+    emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if centroids is None:
+        if n_rows is None:
+            n_rows = emb.count()
+        k = n_centroids or max(2, min(max_centroids, -(-n_rows // target_cell_rows)))
+        train = emb
+        if n_rows > max_train_rows:
+            step = -(-n_rows // max_train_rows)
+            # 1-in-step deterministic sample, densely re-id'd map-side so
+            # kmeans' seeded "id < k" rule keeps its k seeds
+            train = emb.filter(F.col("_vid") % step == 0).withColumn(
+                "_vid", (F.col("_vid") / step).cast("long")
+            )
+        centroids = clustering.kmeans_centroids(
+            train, k=k, num_iter=num_iter, id_col="_vid", vec_col="_v"
+        )
+    base = emb.select("_vid", "_v", l2norm(F.col("_v")).alias("_n"))
+    assigned = (
+        clustering.assign_topn(base.select("_vid", "_v"), centroids, nprobe=nprobe, vec_col="_v")
+        .select("_vid", F.explode("_cells").alias("_cell"))
+        .localCheckpoint(eager=True)  # (id, cell) is ~16 B/row; candidate
+        # generation references it twice and the BLAS/literal assignment
+        # should run once, not once per join branch
+    )
+    a = assigned.select("_cell", F.col("_vid").alias("id_a"))
+    b = assigned.select("_cell", F.col("_vid").alias("id_b"))
+    pairs = (
+        a.join(b, on="_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # soft assignment can pair the same ids in ≥2 cells
+    )
+    return _verify_candidate_pairs(base, pairs, threshold)
+
+
+def lsh_plan(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bands: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 24,
+    dim: int = 64,
+) -> dict | None:
+    """Cost-model search over banded-SRP constructions: for each
+    bits-per-band, the band count that holds ``target_recall`` at the
+    threshold (:func:`srp_auto_n_bands`), feasibility = the 64-band cap
+    still reaches the recall, estimated work = signature flops
+    ``N·bands·bits·dim`` + candidate handling ``bands·N²/2^(bits+1)``
+    pairs × ~8·dim flops each (random-collision floor: unrelated
+    vectors collide per-bit with prob ½).  Returns the cheapest
+    feasible construction as a dict (bits, n_bands, recall, est_pairs,
+    est_flops), or None when no construction reaches the recall.
+
+    At LOW thresholds the cheapest feasible construction is still
+    near-quadratic: p(0.4)=0.63 forces ≤6 bits to keep the band count
+    under 64 (recall 0.95 at 6 bits already needs 46 bands), and 46
+    bands × 64 buckets ≈ N²/45 candidate pairs — ~45× the cost of
+    k-means blocking at the same N.  :func:`choose_dup_strategy`
+    compares this figure against :func:`ivf_plan` and routes.
+    """
+    best = None
+    for bits in range(min_bits, max_bits + 1):
+        bands = srp_auto_n_bands(bits, threshold, target_recall, max_bands=max_bands)
+        if srp_recall(threshold, bits, bands) < target_recall - 1e-9:
+            continue
+        est_pairs = bands * (n_rows * n_rows) / (2.0 ** (bits + 1))
+        est_flops = n_rows * bands * bits * dim + est_pairs * 8 * dim
+        if best is None or est_flops < best["est_flops"]:
+            best = {
+                "bits": bits,
+                "n_bands": bands,
+                "recall": round(srp_recall(threshold, bits, bands), 4),
+                "est_pairs": int(est_pairs),
+                "est_flops": est_flops,
+            }
+    return best
+
+
+def ivf_plan(
+    n_rows: int,
+    nprobe: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    num_iter: int = 2,
+    max_train_rows: int = 200_000,
+    dim: int = 64,
+) -> dict:
+    """Estimated work for :func:`ivf_cosine_dups` at the same units as
+    :func:`lsh_plan`: training (sample·k·dim per iteration) + corpus
+    assignment (N·k·dim, one BLAS matmul) + candidate handling
+    ``(nprobe·N)²/(2k)`` pairs × ~8·dim flops.  No recall field — IVF
+    recall is empirical (data-adaptive cells), not an S-curve."""
+    k = max(2, min(max_centroids, -(-n_rows // target_cell_rows)))
+    train_rows = min(n_rows, max_train_rows)
+    est_pairs = (nprobe * n_rows) ** 2 / (2.0 * k)
+    est_flops = (
+        train_rows * k * dim * num_iter + n_rows * k * dim + est_pairs * 8 * dim
+    )
+    return {"n_centroids": k, "nprobe": nprobe, "est_pairs": int(est_pairs), "est_flops": est_flops}
+
+
+def choose_dup_strategy(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    dim: int = 64,
+) -> tuple:
+    """('lsh' | 'ivf', plan dict): banded SRP-LSH when a construction
+    holding ``target_recall`` at the threshold exists AND costs less
+    than k-means blocking; IVF otherwise.  The crossover is the
+    threshold: at t≥~0.8 LSH's collision gap is wide (few cheap bands
+    suffice — sub-quadratic with guaranteed recall); at t≤~0.5 no
+    band count ≤64 reaches the recall and the math floor is N^1.66, so
+    data-adaptive blocking wins (measured at 30×: routed-IVF vs the
+    recall-holding LSH construction — see SCALE_REHEARSAL.md)."""
+    lsh = lsh_plan(n_rows, threshold, target_recall, dim=dim)
+    ivf = ivf_plan(n_rows, dim=dim)
+    if lsh is not None and lsh["est_flops"] <= ivf["est_flops"]:
+        return "lsh", lsh
+    return "ivf", ivf
+
+
+def cosine_dups_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    target_recall: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Strategy-routed corpus-wide near-dup pairs: ONE sizing pass, then
+    :func:`choose_dup_strategy` picks banded SRP-LSH (high thresholds —
+    guaranteed S-curve recall, sub-quadratic) or k-means/IVF blocking
+    (low thresholds — where no ≤64-band LSH construction holds the
+    recall and its math floor is N^1.66).  This is the ``bands=None``
+    user-facing default a pipeline at a NEW scale should call; output
+    shape is identical either way: (id_a, id_b, sim), id_a < id_b."""
+    if n_rows is None or dim is None:
+        sized = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n_rows = sized["n"] if n_rows is None else n_rows
+        dim = (sized["d"] or 0) if dim is None else dim
+    strategy, plan = choose_dup_strategy(n_rows, threshold, target_recall, dim=dim)
+    if strategy == "lsh":
+        bands = srp_bands(plan["n_bands"], plan["bits"], dim)
+        return lsh_cosine_dups(
+            embeddings, bands=bands, threshold=threshold,
+            id_col=id_col, vec_col=vec_col, n_rows=n_rows, dim=dim,
+        )
+    return ivf_cosine_dups(
+        embeddings, threshold=threshold, nprobe=plan["nprobe"],
+        n_centroids=plan["n_centroids"], id_col=id_col, vec_col=vec_col,
+        n_rows=n_rows,
+    )
+
+
 def embedding_dup_clusters(
     embeddings: DataFrame,
     bands: list | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Semantic dedup manifest: connected components over the banded-LSH
     cosine pair graph → (vec_id, cluster_id, keep) with one canonical
@@ -714,8 +936,12 @@ def embedding_dup_clusters(
     ``dedup.dup_clusters`` (SemDeDup-style corpus pruning: filter
     ``keep`` and the redundant semantic copies drop out).
 
-    Scale: pair generation is :func:`lsh_cosine_dups` (sub-quadratic;
-    ``bands=None`` auto-tunes bits from corpus size there); the
+    Scale: pair generation routes by (threshold, N) — explicit
+    ``bands`` pin :func:`lsh_cosine_dups` (oracle/recall experiments);
+    otherwise ``method`` picks ``"lsh"``, ``"ivf"`` or (default)
+    ``"auto"`` = :func:`cosine_dups_auto`'s cost-model choice, which at
+    the SemDeDup-typical low thresholds is k-means blocking (LSH cannot
+    hold recall sub-quadratically there — see :func:`lsh_plan`).  The
     component iteration runs only over vectors appearing in ≥1
     pair (near-dup clusters are dense → tiny diameter → few rounds);
     one left join re-attaches singletons.
@@ -725,12 +951,22 @@ def embedding_dup_clusters(
     from .graph_algos import connected_components
 
     # materialize the pair list once: connected_components' undirected
-    # union references its input twice, and re-running the whole LSH
+    # union references its input twice, and re-running the whole
     # candidate+verify pipeline per branch doubles the expensive part
-    pairs = lsh_cosine_dups(
-        embeddings, bands=bands, threshold=threshold,
-        id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=True)
+    if bands is not None or method == "lsh":
+        pairs = lsh_cosine_dups(
+            embeddings, bands=bands, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif method == "ivf":
+        pairs = ivf_cosine_dups(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        pairs = cosine_dups_auto(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    pairs = pairs.localCheckpoint(eager=True)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

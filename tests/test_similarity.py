@@ -411,3 +411,101 @@ def test_lsh_cosine_dups_large_band_count_runs(spark, emb):
     for r in got:
         assert r["id_a"] < r["id_b"]
         assert r["sim"] >= 0.3
+
+
+def _truth_pairs(ids, mat, threshold):
+    Vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    keep = S[iu] >= threshold
+    return {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[0][keep]], ids[iu[1][keep]])
+    }
+
+
+def test_ivf_cosine_dups_exact_precision_and_recall(spark, emb, emb_np):
+    """Every emitted pair is verified-exact at the threshold (precision
+    1 by construction); recall vs the brute-force ground truth beats
+    the pinned 8x6 LSH construction on this corpus (measured: IVF 0.85
+    vs LSH 0.41 at threshold 0.4 — data-adaptive cells vs random
+    hyperplanes)."""
+    ids, mat = emb_np
+    truth = _truth_pairs(ids, mat, 0.4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ivf_cosine_dups(
+            emb, threshold=0.4, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    assert got <= truth  # exact verification: zero false positives
+    assert len(got & truth) / len(truth) >= 0.7
+
+
+def test_assign_topn_jvm_udf_parity(spark, emb):
+    """The BLAS-UDF assignment path (codebooks past _MAX_JVM_CELLS)
+    must agree with the literal-inlined JVM path: same centroids, same
+    (distance, cid) stable ordering, only the execution engine differs.
+    Forced by monkeypatching the cutoff rather than training a 128+
+    centroid codebook on 500 rows."""
+    from projet_graphdb_spark.functions import clustering
+
+    cents = clustering.kmeans_centroids(emb, k=8, num_iter=1)
+    base = emb.select("vec_id", "embedding")
+    via_jvm = {
+        r["vec_id"]: list(r["_cells"])
+        for r in clustering.assign_topn(base, cents, nprobe=3).collect()
+    }
+    old = clustering._MAX_JVM_CELLS
+    clustering._MAX_JVM_CELLS = 0
+    try:
+        via_udf = {
+            r["vec_id"]: list(r["_cells"])
+            for r in clustering.assign_topn(base, cents, nprobe=3).collect()
+        }
+    finally:
+        clustering._MAX_JVM_CELLS = old
+    assert via_jvm == via_udf
+
+
+def test_choose_dup_strategy_threshold_crossover(spark):
+    """High thresholds -> LSH (a <=64-band construction holds 0.95
+    recall and is cheap); low thresholds -> IVF (the cheapest
+    recall-holding construction is <=6 bits x 46+ bands, a
+    near-quadratic candidate floor ~45x IVF's cost).  The router
+    formalizes the measured 30x result."""
+    strat_lo, plan_lo = similarity.choose_dup_strategy(60_000, 0.4)
+    strat_hi, plan_hi = similarity.choose_dup_strategy(60_000, 0.9)
+    assert strat_lo == "ivf"
+    assert strat_hi == "lsh"
+    assert similarity.srp_recall(0.9, plan_hi["bits"], plan_hi["n_bands"]) >= 0.95
+    # at 0.4 the best feasible LSH construction exists but is dominated
+    lsh_lo = similarity.lsh_plan(60_000, 0.4)
+    assert lsh_lo is not None and lsh_lo["est_flops"] > 10 * plan_lo["est_flops"]
+
+
+def test_cosine_dups_auto_routes_and_verifies(spark, emb, emb_np):
+    """The auto entrypoint returns the same (id_a, id_b, sim) contract
+    on both routes: ordered ids, exact sims at the threshold."""
+    ids, mat = emb_np
+    for threshold in (0.4, 0.9):
+        rows = similarity.cosine_dups_auto(emb, threshold=threshold).collect()
+        truth = _truth_pairs(ids, mat, threshold)
+        for r in rows:
+            assert r["id_a"] < r["id_b"]
+            assert r["sim"] >= threshold
+            assert (r["id_a"], r["id_b"]) in truth
+
+
+def test_embedding_dup_clusters_method_ivf(spark, emb):
+    """method='ivf' produces a valid manifest: every vec_id present
+    exactly once, cluster_id = min id of the component, keep iff
+    canonical."""
+    out = similarity.embedding_dup_clusters(emb, threshold=0.4, method="ivf").collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(m["keep"] for m in members) == 1
