@@ -85,7 +85,7 @@ _RECONFIRM_FIRST = [
 # round-robin would otherwise bury it ~200 deep).  Like the reconfirm
 # pin, membership is only effective until a window records the query
 # green.
-_PIN_FIRST = ["g29_mixed_varlength"]
+_PIN_FIRST = ["g29_mixed_varlength", "s23_dup_strategy_report"]
 
 
 def _interleave_by_family(base: dict) -> dict:
@@ -820,6 +820,22 @@ def s22_ivf_cosine_dups(spark, sf_dir):
     return similarity.ivf_cosine_dups(
         _emb(spark, sf_dir), threshold=0.4, n_centroids=8, nprobe=2, num_iter=2
     )
+
+
+def s23_dup_strategy_report(spark, sf_dir):
+    """The LSH↔IVF router's cost model as an oracle-checked table
+    (functions/similarity.py::dup_strategy_report): every banded-SRP
+    construction choose_dup_strategy weighs (bits 4..24, band count
+    holding 0.95 recall at the threshold) plus the IVF blocking row,
+    priced on THIS corpus (N from one count aggregate under a
+    broadcast 1-row cross join; all cost columns polynomial in N —
+    exact IEEE arithmetic, so the DuckDB twin reproduces the doubles
+    bit-for-bit from the same inlined construction literals), with
+    ``chosen`` marking the row the router picks.  The two thresholds
+    straddle the crossover: 0.9 → a cheap recall-holding LSH
+    construction, 0.4 → IVF (no ≤64-band LSH holds 0.95 there; the
+    30× frontier in SCALE_REHEARSAL.md is the measured companion)."""
+    return similarity.dup_strategy_report(_emb(spark, sf_dir))
 
 
 def m4_thumbnails(spark, sf_dir):
@@ -5503,6 +5519,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_matryoshka_recall": s13_matryoshka_recall,
         "s14_similarity_histogram": s14_similarity_histogram,
         "s22_ivf_cosine_dups": s22_ivf_cosine_dups,
+        "s23_dup_strategy_report": s23_dup_strategy_report,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -7514,6 +7531,7 @@ def oracle_sql() -> dict[str, str]:
         "s11_knn_pq_adc": _pq_adc_oracle(),
         "s12_knn_ivfpq": _ivfpq_oracle(),
         "s22_ivf_cosine_dups": _ivf_dups_oracle(),
+        "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s13_matryoshka_recall": _matryoshka_oracle(),
         "s14_similarity_histogram": """
             WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -9957,6 +9975,67 @@ def _knn_bf_oracle() -> str:
               FROM scored)
             SELECT query_id, neighbour_id, rank, ROUND(sim, 6) AS sim
             FROM ranked WHERE rank <= 5
+    """
+
+
+def _dup_strategy_oracle(thresholds: tuple = (0.4, 0.9)) -> str:
+    """s23: the construction table (bits, band count, S-curve recall,
+    feasibility) is pure scalar math shared with the Spark side — BOTH
+    engines get it inlined from the same similarity.lsh_constructions
+    call, so the only computed columns are the N-dependent costs:
+    polynomial IEEE double arithmetic written in the same evaluation
+    order as the Spark expressions (products of exact small integers
+    and powers of two — bit-identical on any engine).  ``chosen``
+    replays choose_dup_strategy's tie rules: cheapest feasible,
+    LSH beats IVF at equal flops (the router's <=), smaller bits wins
+    within LSH (the plan search's strict-improvement scan)."""
+    from projet_graphdb_spark.functions import similarity
+
+    rows = []
+    for t in thresholds:
+        for c in similarity.lsh_constructions(t, target_recall=0.95):
+            rows.append(
+                f"({t!r}, 'lsh', {c['bits']}, {c['n_bands']}, "
+                f"{round(c['recall'], 6)!r}, {str(c['feasible']).upper()})"
+            )
+        rows.append(f"({t!r}, 'ivf', 0, 0, -1.0, TRUE)")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH lit(threshold, method, bits, n_bands, recall, feasible) AS (
+          VALUES {values}
+        ),
+        n AS (SELECT COUNT(*) AS n_rows FROM embeddings),
+        base AS (
+          SELECT l.*, CAST(n.n_rows AS DOUBLE) AS nd,
+                 CAST(GREATEST(2, LEAST(16384,
+                      CAST(FLOOR((n.n_rows + 63) / 64.0) AS BIGINT)))
+                      AS DOUBLE) AS k
+          FROM lit l CROSS JOIN n
+        ),
+        cost AS (
+          SELECT threshold, method, bits, n_bands, recall, feasible, nd, k,
+                 CASE WHEN method = 'lsh'
+                      THEN n_bands * nd * nd / POW(2.0, bits + 1)
+                      ELSE (2.0 * nd) * (2.0 * nd) / (2.0 * k) END AS est_pairs
+          FROM base
+        ),
+        flops AS (
+          SELECT threshold, method, bits, n_bands, recall, feasible, est_pairs,
+                 CASE WHEN method = 'lsh'
+                      THEN nd * n_bands * bits * 64 + est_pairs * 512
+                      ELSE LEAST(nd, 200000.0) * k * 128 + nd * k * 64
+                           + est_pairs * 512 END AS est_flops
+          FROM cost
+        )
+        SELECT threshold, method,
+               CAST(bits AS BIGINT) AS bits,
+               CAST(n_bands AS BIGINT) AS n_bands,
+               recall, feasible, est_pairs, est_flops,
+               (ROW_NUMBER() OVER (PARTITION BY threshold
+                   ORDER BY feasible DESC, est_flops, method DESC, bits) = 1
+                AND feasible) AS chosen
+        FROM flops
+        ORDER BY threshold, method, bits
     """
 
 

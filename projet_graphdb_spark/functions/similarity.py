@@ -710,6 +710,103 @@ def _verify_candidate_pairs(base: DataFrame, pairs: DataFrame, threshold: float)
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_rows: int,
+    n_centroids: int | None = None,
+    num_iter: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    max_train_rows: int = 200_000,
+) -> dict:
+    """Train the IVF codebook over a ``(_vid, _v)`` frame: ``k = N /
+    target_cell_rows`` (occupancy — and hence the Σ cell² candidate
+    term — held constant as N grows), Lloyd iterations on a
+    deterministic 1-in-step id sample capped at ``max_train_rows``,
+    densely re-id'd map-side so the seeded ``id < k`` rule keeps its
+    k seeds.  Returns the centroid dict :func:`clustering.assign_topn`
+    consumes."""
+    from . import clustering
+
+    k = n_centroids or max(2, min(max_centroids, -(-n_rows // target_cell_rows)))
+    train = emb
+    if n_rows > max_train_rows:
+        step = -(-n_rows // max_train_rows)
+        train = emb.filter(F.col("_vid") % step == 0).withColumn(
+            "_vid", (F.col("_vid") / step).cast("long")
+        )
+    return clustering.kmeans_centroids(
+        train, k=k, num_iter=num_iter, id_col="_vid", vec_col="_v"
+    )
+
+
+def ivf_calibrate_recall(
+    assigned_topn: DataFrame,
+    threshold: float,
+    max_nprobe: int = 8,
+    sample_cap: int = 4096,
+    n_rows: int | None = None,
+) -> tuple[list[float], int]:
+    """Empirical IVF pair-recall per nprobe level, from a bounded
+    driver-side sample — the honesty device the cost-model router
+    needs (IVF has no S-curve; its recall at a threshold is a property
+    of the corpus's own geometry and MUST be measured, round-7 lesson:
+    the uncalibrated default delivered 0.116 where the caller asked
+    0.95).
+
+    Method: deterministic 1-in-step id sample (≤ ``sample_cap`` rows)
+    of the FULL corpus's top-``max_nprobe`` soft assignment
+    ``(_vid, _v, _cells)``; truth pairs at ``threshold`` computed
+    exactly within the sample (driver numpy, ≤ sample_cap² dots ≈ 16 M
+    — bounded regardless of N).  Pairs with both endpoints sampled are
+    a uniform sample of all truth pairs, so the fraction sharing ≥1 of
+    their top-j cells is an unbiased estimate of full-corpus recall at
+    nprobe=j — against the corpus's REAL centroids, not a re-trained
+    miniature (cell geometry depends on k/N, which re-training on a
+    sample would distort).
+
+    Returns ``(recalls, n_truth_pairs)``: ``recalls[j-1]`` = estimated
+    recall at nprobe=j, monotone nondecreasing in j; ``n_truth_pairs``
+    = 0 means the sample held no pair at the threshold (estimate
+    unavailable — caller should treat recall as unknown, not 1.0).
+    """
+    import numpy as np
+
+    if n_rows is None:
+        n_rows = assigned_topn.count()
+    step = max(1, -(-n_rows // sample_cap))
+    rows = (
+        assigned_topn.filter(F.col("_vid") % step == 0)
+        .select("_vid", "_v", "_cells")
+        .collect()
+    )
+    if len(rows) < 2:
+        return [float("nan")] * max_nprobe, 0
+    V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    cells = [list(r["_cells"]) for r in rows]
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    S = Vn @ Vn.T
+    ii, jj = np.where(np.triu(S >= threshold, k=1))
+    if len(ii) == 0:
+        return [float("nan")] * max_nprobe, 0
+    hits = [0] * max_nprobe
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ca, cb = cells[a], cells[b]
+        # smallest j such that top-j lists intersect: first index at
+        # which either side sees a cell the other has already listed
+        first = max_nprobe + 1
+        for j in range(1, max_nprobe + 1):
+            if (len(ca) >= j and ca[j - 1] in cb[:j]) or (
+                len(cb) >= j and cb[j - 1] in ca[: j - 1]
+            ):
+                first = j
+                break
+        for j in range(first, max_nprobe + 1):
+            hits[j - 1] += 1
+    n = len(ii)
+    return [h / n for h in hits], n
+
+
 def ivf_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -723,6 +820,7 @@ def ivf_cosine_dups(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     centroids: dict | None = None,
+    assigned_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide near-duplicate pairs via k-means (IVF) BLOCKING +
     exact cosine verification — the scale path for LOW thresholds,
@@ -754,38 +852,48 @@ def ivf_cosine_dups(
 
     Recall is empirical (the standard IVF tradeoff): a true pair is
     found iff the two vectors share ≥1 of their ``nprobe`` nearest
-    cells.  Precision is exact — every emitted pair is verified.
+    cells — MEASURE it with :func:`ivf_calibrate_recall` or let
+    :func:`cosine_dups_auto` calibrate-and-escalate for you (measured
+    at 30×: the uncalibrated nprobe=2/cell=64 default delivers 0.116
+    at threshold 0.4).  Precision is exact — every emitted pair is
+    verified.
+
+    ``assigned_cells``: a precomputed (_vid, _cell) frame (e.g. a
+    top-``max_nprobe`` assignment sliced to a calibrated nprobe) —
+    skips training and assignment so the router's single soft
+    assignment pass is reused, not repeated.
 
     Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold —
     identical shape/semantics to :func:`lsh_cosine_dups` minus the
     candidate-generation recall profile.
     """
-    from . import clustering
-
     emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    if centroids is None:
-        if n_rows is None:
-            n_rows = emb.count()
-        k = n_centroids or max(2, min(max_centroids, -(-n_rows // target_cell_rows)))
-        train = emb
-        if n_rows > max_train_rows:
-            step = -(-n_rows // max_train_rows)
-            # 1-in-step deterministic sample, densely re-id'd map-side so
-            # kmeans' seeded "id < k" rule keeps its k seeds
-            train = emb.filter(F.col("_vid") % step == 0).withColumn(
-                "_vid", (F.col("_vid") / step).cast("long")
-            )
-        centroids = clustering.kmeans_centroids(
-            train, k=k, num_iter=num_iter, id_col="_vid", vec_col="_v"
-        )
     base = emb.select("_vid", "_v", l2norm(F.col("_v")).alias("_n"))
-    assigned = (
-        clustering.assign_topn(base.select("_vid", "_v"), centroids, nprobe=nprobe, vec_col="_v")
-        .select("_vid", F.explode("_cells").alias("_cell"))
-        .localCheckpoint(eager=True)  # (id, cell) is ~16 B/row; candidate
-        # generation references it twice and the BLAS/literal assignment
-        # should run once, not once per join branch
-    )
+    if assigned_cells is None:
+        from . import clustering
+
+        if centroids is None:
+            if n_rows is None:
+                n_rows = emb.count()
+            centroids = ivf_train(
+                emb,
+                n_rows,
+                n_centroids=n_centroids,
+                num_iter=num_iter,
+                target_cell_rows=target_cell_rows,
+                max_centroids=max_centroids,
+                max_train_rows=max_train_rows,
+            )
+        assigned_cells = (
+            clustering.assign_topn(
+                base.select("_vid", "_v"), centroids, nprobe=nprobe, vec_col="_v"
+            )
+            .select("_vid", F.explode("_cells").alias("_cell"))
+            .localCheckpoint(eager=True)  # (id, cell) is ~16 B/row; candidate
+            # generation references it twice and the BLAS/literal assignment
+            # should run once, not once per join branch
+        )
+    assigned = assigned_cells
     a = assigned.select("_cell", F.col("_vid").alias("id_a"))
     b = assigned.select("_cell", F.col("_vid").alias("id_b"))
     pairs = (
@@ -824,21 +932,50 @@ def lsh_plan(
     compares this figure against :func:`ivf_plan` and routes.
     """
     best = None
-    for bits in range(min_bits, max_bits + 1):
-        bands = srp_auto_n_bands(bits, threshold, target_recall, max_bands=max_bands)
-        if srp_recall(threshold, bits, bands) < target_recall - 1e-9:
+    for c in lsh_constructions(threshold, target_recall, min_bits, max_bits, max_bands):
+        if not c["feasible"]:
             continue
-        est_pairs = bands * (n_rows * n_rows) / (2.0 ** (bits + 1))
-        est_flops = n_rows * bands * bits * dim + est_pairs * 8 * dim
+        est_pairs = c["n_bands"] * (n_rows * n_rows) / (2.0 ** (c["bits"] + 1))
+        est_flops = n_rows * c["n_bands"] * c["bits"] * dim + est_pairs * 8 * dim
         if best is None or est_flops < best["est_flops"]:
             best = {
-                "bits": bits,
-                "n_bands": bands,
-                "recall": round(srp_recall(threshold, bits, bands), 4),
+                "bits": c["bits"],
+                "n_bands": c["n_bands"],
+                "recall": round(c["recall"], 4),
                 "est_pairs": int(est_pairs),
                 "est_flops": est_flops,
             }
     return best
+
+
+def lsh_constructions(
+    threshold: float,
+    target_recall: float = 0.95,
+    min_bits: int = 4,
+    max_bits: int = 24,
+    max_bands: int = 64,
+) -> list:
+    """The candidate banded-SRP constructions :func:`lsh_plan` searches,
+    as a list of dicts (bits, n_bands, recall, feasible) — one per
+    bits-per-band, ``n_bands`` from :func:`srp_auto_n_bands`,
+    ``feasible`` = the ≤``max_bands`` construction still reaches
+    ``target_recall``.  Pure scalar math, shared by the router and by
+    the oracle-checked strategy report (s23), which inlines these very
+    values as literals on BOTH engines so the N-dependent cost columns
+    are the only computed parts."""
+    out = []
+    for bits in range(min_bits, max_bits + 1):
+        bands = srp_auto_n_bands(bits, threshold, target_recall, max_bands=max_bands)
+        rec = srp_recall(threshold, bits, bands)
+        out.append(
+            {
+                "bits": bits,
+                "n_bands": bands,
+                "recall": rec,
+                "feasible": rec >= target_recall - 1e-9,
+            }
+        )
+    return out
 
 
 def ivf_plan(
@@ -885,6 +1022,101 @@ def choose_dup_strategy(
     return "ivf", ivf
 
 
+def dup_strategy_report(
+    embeddings: DataFrame,
+    thresholds: tuple = (0.4, 0.9),
+    target_recall: float = 0.95,
+    dim: int = 64,
+    nprobe: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    num_iter: int = 2,
+    max_train_rows: int = 200_000,
+) -> DataFrame:
+    """The near-dup strategy router's cost model as an oracle-checkable
+    DataFrame — every construction :func:`choose_dup_strategy` weighs,
+    with its cost on THIS corpus and the row the router would pick, so
+    the routing decision is a checked query rather than prose.
+
+    One row per candidate banded-SRP construction per threshold
+    (bits 4..24, band count holding ``target_recall`` — the
+    :func:`lsh_constructions` table, inlined as literals: pure scalar
+    math, identical on any engine) plus one IVF row (``bits`` /
+    ``n_bands`` = 0, ``recall`` = -1: IVF recall is EMPIRICAL — measure
+    with :func:`ivf_calibrate_recall`; the cost model only prices its
+    candidate volume).  The corpus contributes exactly one number — N,
+    from a single count aggregate broadcast under a 1-row cross join —
+    and every cost column is polynomial in N (exact IEEE arithmetic,
+    no transcendentals on the data path, so a SQL oracle reproduces the
+    values bit-for-bit).
+
+    ``chosen`` mirrors :func:`choose_dup_strategy` exactly: cheapest
+    feasible row per threshold, LSH winning est_flops ties (the
+    router's ``<=``), smaller bits winning within LSH (the plan
+    search's strict-improvement scan).
+
+    Output: (threshold, method, bits, n_bands, recall, feasible,
+    est_pairs, est_flops, chosen), ordered by (threshold, method,
+    bits).  At the defaults the two thresholds land on opposite sides
+    of the crossover — 0.9 chooses a cheap recall-holding LSH
+    construction, 0.4 chooses IVF blocking (measured at 30×:
+    SCALE_REHEARSAL.md's cost-recall frontier).
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    rows = []
+    for t in thresholds:
+        for c in lsh_constructions(t, target_recall):
+            rows.append(
+                (float(t), "lsh", c["bits"], c["n_bands"],
+                 round(c["recall"], 6), bool(c["feasible"]))
+            )
+        rows.append((float(t), "ivf", 0, 0, -1.0, True))
+    lit = spark.createDataFrame(
+        rows,
+        "threshold double, method string, bits long, n_bands long, "
+        "recall double, feasible boolean",
+    )
+    n = embeddings.agg(F.count(F.lit(1)).alias("n_rows"))
+    nd = F.col("n_rows").cast("double")
+    k = F.greatest(
+        F.lit(2).cast("long"),
+        F.least(
+            F.lit(max_centroids).cast("long"),
+            F.floor((F.col("n_rows") + (target_cell_rows - 1)) / target_cell_rows),
+        ),
+    ).cast("double")
+    est_pairs = F.when(
+        F.col("method") == "lsh",
+        F.col("n_bands") * nd * nd / F.pow(F.lit(2.0), F.col("bits") + 1),
+    ).otherwise((nprobe * nd) * (nprobe * nd) / (2.0 * k))
+    est_flops = F.when(
+        F.col("method") == "lsh",
+        nd * F.col("n_bands") * F.col("bits") * dim + F.col("est_pairs") * (8 * dim),
+    ).otherwise(
+        F.least(nd, F.lit(float(max_train_rows))) * k * (dim * num_iter)
+        + nd * k * dim
+        + F.col("est_pairs") * (8 * dim)
+    )
+    w = Window.partitionBy("threshold").orderBy(
+        F.col("feasible").desc(), "est_flops", F.col("method").desc(), "bits"
+    )
+    return (
+        lit.crossJoin(F.broadcast(n))
+        .withColumn("est_pairs", est_pairs)
+        .withColumn("est_flops", est_flops)
+        .withColumn(
+            "chosen", (F.row_number().over(w) == 1) & F.col("feasible")
+        )
+        .select(
+            "threshold", "method", "bits", "n_bands", "recall", "feasible",
+            "est_pairs", "est_flops", "chosen",
+        )
+        .orderBy("threshold", "method", "bits")
+    )
+
+
 def cosine_dups_auto(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -893,6 +1125,8 @@ def cosine_dups_auto(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     dim: int | None = None,
+    max_nprobe: int = 8,
+    plan_out: dict | None = None,
 ) -> DataFrame:
     """Strategy-routed corpus-wide near-dup pairs: ONE sizing pass, then
     :func:`choose_dup_strategy` picks banded SRP-LSH (high thresholds —
@@ -900,7 +1134,30 @@ def cosine_dups_auto(
     (low thresholds — where no ≤64-band LSH construction holds the
     recall and its math floor is N^1.66).  This is the ``bands=None``
     user-facing default a pipeline at a NEW scale should call; output
-    shape is identical either way: (id_a, id_b, sim), id_a < id_b."""
+    shape is identical either way: (id_a, id_b, sim), id_a < id_b.
+
+    The IVF route is RECALL-CALIBRATED (round-7 lesson: the flops-only
+    router delivered 0.116 recall at 30×/t=0.4 against a 0.95 ask):
+    one top-``max_nprobe`` soft assignment pass, then
+    :func:`ivf_calibrate_recall` estimates recall per nprobe level from
+    a bounded sample against the REAL centroids, and the smallest
+    nprobe meeting ``target_recall`` generates candidates (the
+    assignment is sliced, not recomputed).  When even ``max_nprobe``
+    cannot reach the target, the router does NOT silently upgrade to a
+    near-quadratic plan — it warns with the achieved figure and the
+    cost of the recall-holding LSH alternative, and proceeds
+    best-effort (the SemDeDup posture: at low thresholds full pair
+    recall at corpus scale is a choice someone should make explicitly).
+
+    ``plan_out``: pass a dict to receive the routing receipt —
+    strategy, construction, calibrated ``recall_by_nprobe``, the chosen
+    nprobe and its ``calibrated_recall``, and ``sample_truth_pairs``
+    (0 = calibration sample held no pair at the threshold; recall then
+    unknown and the plan's default nprobe is used)."""
+    import warnings
+
+    from . import clustering
+
     if n_rows is None or dim is None:
         sized = embeddings.agg(
             F.count(F.lit(1)).alias("n"),
@@ -909,16 +1166,65 @@ def cosine_dups_auto(
         n_rows = sized["n"] if n_rows is None else n_rows
         dim = (sized["d"] or 0) if dim is None else dim
     strategy, plan = choose_dup_strategy(n_rows, threshold, target_recall, dim=dim)
+    if plan_out is not None:
+        plan_out.update({"strategy": strategy, "plan": dict(plan)})
     if strategy == "lsh":
         bands = srp_bands(plan["n_bands"], plan["bits"], dim)
+        if plan_out is not None:
+            plan_out["recall"] = plan["recall"]
         return lsh_cosine_dups(
             embeddings, bands=bands, threshold=threshold,
             id_col=id_col, vec_col=vec_col, n_rows=n_rows, dim=dim,
         )
+    emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    centroids = ivf_train(emb, n_rows, n_centroids=plan["n_centroids"])
+    assigned_topn = clustering.assign_topn(
+        emb, centroids, nprobe=max_nprobe, vec_col="_v"
+    ).localCheckpoint(eager=True)  # one (train + assign) pass feeds BOTH
+    # the calibration sample and candidate generation at whatever nprobe
+    # calibration picks — never a second N·k matmul
+    recalls, n_pairs = ivf_calibrate_recall(
+        assigned_topn, threshold, max_nprobe=max_nprobe, n_rows=n_rows
+    )
+    nprobe = plan["nprobe"]
+    achieved = None
+    if n_pairs > 0:
+        nprobe = next(
+            (j for j in range(1, max_nprobe + 1) if recalls[j - 1] >= target_recall),
+            max_nprobe,
+        )
+        achieved = recalls[nprobe - 1]
+        if achieved < target_recall:
+            lsh_alt = lsh_plan(n_rows, threshold, target_recall, dim=dim)
+            warnings.warn(
+                f"cosine_dups_auto: calibrated IVF recall at nprobe={nprobe} is "
+                f"{achieved:.3f} < target {target_recall} (threshold {threshold}, "
+                f"N={n_rows}); proceeding best-effort. The recall-holding LSH "
+                f"construction costs ~{lsh_alt['est_flops'] / plan['est_flops']:.0f}×"
+                f" this plan ({lsh_alt['n_bands']} bands × {lsh_alt['bits']} bits)"
+                if lsh_alt is not None
+                else f"cosine_dups_auto: calibrated IVF recall at nprobe={nprobe} is "
+                f"{achieved:.3f} < target {target_recall} and no ≤64-band LSH "
+                f"construction holds the target either; proceeding best-effort.",
+                stacklevel=2,
+            )
+    if plan_out is not None:
+        plan_out.update(
+            {
+                "nprobe": nprobe,
+                "calibrated_recall": achieved,
+                "recall_by_nprobe": recalls,
+                "sample_truth_pairs": n_pairs,
+            }
+        )
+    assigned_cells = (
+        assigned_topn.select(
+            "_vid", F.explode(F.slice("_cells", 1, nprobe)).alias("_cell")
+        ).localCheckpoint(eager=True)
+    )
     return ivf_cosine_dups(
-        embeddings, threshold=threshold, nprobe=plan["nprobe"],
-        n_centroids=plan["n_centroids"], id_col=id_col, vec_col=vec_col,
-        n_rows=n_rows,
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_rows=n_rows, assigned_cells=assigned_cells,
     )
 
 

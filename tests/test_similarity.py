@@ -509,3 +509,110 @@ def test_embedding_dup_clusters_method_ivf(spark, emb):
     for cid, members in by_cluster.items():
         assert cid == min(m["vec_id"] for m in members)
         assert sum(m["keep"] for m in members) == 1
+
+
+def test_ivf_calibrate_recall_monotone_and_unbiased(spark, emb, emb_np):
+    """recall_by_nprobe is monotone nondecreasing, and — because the
+    tiny fixture fits entirely inside the calibration sample cap — the
+    nprobe=j estimate EQUALS the true share of ground-truth pairs whose
+    top-j cell lists intersect."""
+    from projet_graphdb_spark.functions import clustering
+
+    ids, mat = emb_np
+    base = emb.select(
+        F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+    )
+    cents = similarity.ivf_train(base, n_rows=len(ids))
+    assigned = clustering.assign_topn(base, cents, nprobe=4, vec_col="_v")
+    recalls, n_pairs = similarity.ivf_calibrate_recall(
+        assigned, threshold=0.4, max_nprobe=4, n_rows=len(ids)
+    )
+    assert n_pairs > 0
+    assert recalls == sorted(recalls)
+    # independent recomputation from the collected assignment
+    cell_of = {
+        r["_vid"]: list(r["_cells"]) for r in assigned.collect()
+    }
+    truth = _truth_pairs(ids, mat, 0.4)
+    for j in (1, 4):
+        want = sum(
+            1 for a, b in truth if set(cell_of[a][:j]) & set(cell_of[b][:j])
+        ) / len(truth)
+        assert abs(recalls[j - 1] - want) < 1e-12
+
+
+def test_cosine_dups_auto_calibrated_receipt_and_reuse(spark, emb, emb_np):
+    """The routed IVF run must (a) emit a routing receipt with the
+    calibrated recall it actually achieves, (b) produce EXACTLY the
+    pairs of a direct ivf_cosine_dups call at the picked (k, nprobe) —
+    proving the sliced top-max_nprobe assignment is a reuse, not a
+    different construction."""
+    ids, mat = emb_np
+    receipt = {}
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.cosine_dups_auto(
+            emb, threshold=0.4, plan_out=receipt
+        ).collect()
+    )
+    assert receipt["strategy"] == "ivf"
+    assert receipt["sample_truth_pairs"] > 0
+    j = receipt["nprobe"]
+    assert receipt["calibrated_recall"] == receipt["recall_by_nprobe"][j - 1]
+    direct = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.ivf_cosine_dups(
+            emb,
+            threshold=0.4,
+            n_centroids=receipt["plan"]["n_centroids"],
+            nprobe=j,
+        ).collect()
+    )
+    assert got == direct
+
+
+def test_cosine_dups_auto_warns_when_target_unreachable(spark, emb):
+    """target_recall=1.0 with max_nprobe=1 cannot hold on this corpus
+    (the fixture's nprobe=2 recall is already ~0.85): the router must
+    WARN with the achieved figure and proceed best-effort — never
+    silently under-deliver (the round-7 0.116-vs-0.95 lesson)."""
+    import warnings as _w
+
+    receipt = {}
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = similarity.cosine_dups_auto(
+            emb, threshold=0.4, target_recall=1.0, max_nprobe=1,
+            plan_out=receipt,
+        ).collect()
+    assert receipt["calibrated_recall"] < 1.0
+    assert any("best-effort" in str(c.message) for c in caught)
+    assert out  # still produces (fewer) verified pairs
+
+
+def test_dup_strategy_report_matches_python_router(spark, emb):
+    """The oracle-checked cost-model table must agree with the router
+    it documents: per threshold exactly ONE chosen row, and its
+    (method, bits, n_bands / n_centroids, est_flops) equal
+    choose_dup_strategy's pick on the same corpus size."""
+    n = emb.count()
+    rows = similarity.dup_strategy_report(emb).collect()
+    by_thr = {}
+    for r in rows:
+        by_thr.setdefault(r["threshold"], []).append(r)
+    for thr, rs in by_thr.items():
+        chosen = [r for r in rs if r["chosen"]]
+        assert len(chosen) == 1, (thr, chosen)
+        c = chosen[0]
+        strat, plan = similarity.choose_dup_strategy(n, thr)
+        assert c["method"] == strat
+        assert c["est_flops"] == plan["est_flops"]
+        if strat == "lsh":
+            assert (c["bits"], c["n_bands"]) == (plan["bits"], plan["n_bands"])
+            assert c["feasible"] and c["recall"] >= 0.95 - 1e-6
+        # every infeasible row is never chosen; feasibility mirrors the
+        # S-curve at the 64-band cap
+        for r in rs:
+            if r["method"] == "lsh":
+                want = similarity.srp_recall(thr, r["bits"], r["n_bands"]) >= 0.95 - 1e-9
+                assert r["feasible"] == want

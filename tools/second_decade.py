@@ -9,13 +9,31 @@ first-decade figure, not exceed it.
 
 Results merge into BENCH_sf1.json under "second_decade".
 
-``--auto`` instead measures the AUTO-TUNED scale path for the two
-SRP-LSH leaders (s9/d10 call ``lsh_cosine_dups`` /
-``embedding_dup_clusters`` with bands PINNED at 8x6 for oracle parity;
-the library default ``bands=None`` derives bits from corpus size via
-``srp_auto_bits`` so bucket occupancy — and hence the Σ bucket² term —
-stays flat as N grows).  Comparing the pinned and auto exponents at the
-same 30x point is the direct A/B for the fixed-bucket quadratic.
+``--auto`` instead measures the library-default SCALE paths for the
+two near-dup leaders (the registered s9/d10 pin 8x6 SRP bands for
+oracle parity).  Three-way A/B at the same 30x point:
+
+* ``s9_auto_lsh_cosine_dups`` — ``lsh_cosine_dups(bands=None)``: LSH
+  with N-derived bits AND recall-holding band count.  Measured WORSE
+  than pinned (exp 1.42 vs 1.13): at threshold 0.4 holding recall
+  costs 64 bands x 10 bits, a bigger candidate volume than the
+  quadratic it fixes — the motivating datapoint for the router.
+* ``s9_routed_cosine_dups`` / ``d10_routed_semantic_dedup`` — the
+  ``cosine_dups_auto`` strategy router, which at threshold 0.4 picks
+  k-means (IVF) blocking (candidates ~ nprobe^2 * cell_rows * N / 2,
+  linear in N) and CALIBRATES recall per nprobe level from a bounded
+  sample, escalating nprobe toward the target and WARNING with the
+  achieved figure when the target is out of reach (at t=0.4 on this
+  corpus it is: the measured frontier tops out well below 0.95 —
+  weakly-similar 64-d pairs are near-random to any blocking scheme).
+* ``s9_routed_best_effort`` — the same router asked for
+  target_recall=0.25: the explicit SemDeDup-style posture, showing the
+  recall dial buys back the cost.
+
+Each routed entry records the router's receipt (picked nprobe +
+calibrated recall at the 30x point) so the speed number can never be
+quoted without the recall it paid for.
+
 Results merge under "second_decade"."auto_path".
 
 Usage: python tools/second_decade.py [scaled_dir] [query ...]
@@ -66,14 +84,47 @@ def _auto_queries():
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    import warnings
+
+    def _routed(name, **kw):
+        def fn(spark, sf_dir):
+            receipt = RECEIPTS.setdefault(name, {})
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # the under-target warn is
+                # the measurement here; the receipt records it
+                return similarity.cosine_dups_auto(
+                    _emb(spark, sf_dir), threshold=0.4, plan_out=receipt, **kw
+                )
+        return fn
+
     return {
         "s9_auto_lsh_cosine_dups": lambda spark, sf_dir: similarity.lsh_cosine_dups(
             _emb(spark, sf_dir), bands=None, threshold=0.4
         ),
-        "d10_auto_semantic_dedup": lambda spark, sf_dir: similarity.embedding_dup_clusters(
-            _emb(spark, sf_dir), bands=None, threshold=0.4
+        "s9_routed_cosine_dups": _routed("s9_routed_cosine_dups"),
+        "s9_routed_best_effort": _routed(
+            "s9_routed_best_effort", target_recall=0.25
+        ),
+        "d10_routed_semantic_dedup": lambda spark, sf_dir: similarity.embedding_dup_clusters(
+            _emb(spark, sf_dir), bands=None, threshold=0.4, method="auto"
         ),
     }
+
+
+# routing receipts captured by _auto_queries' routed wrappers; the LAST
+# fn call per name is the final rep at the 30x point, so the recorded
+# (nprobe, calibrated_recall) describe the big-corpus run
+RECEIPTS: dict = {}
+
+
+# auto-path name -> the oracle-pinned query whose second-decade exponent
+# is the comparison column
+PINNED = {
+    "s9_auto_lsh_cosine_dups": "s9_lsh_cosine_dups",
+    "s9_routed_cosine_dups": "s9_lsh_cosine_dups",
+    "s9_routed_best_effort": "s9_lsh_cosine_dups",
+    "d10_routed_semantic_dedup": "d10_semantic_dedup",
+}
 
 
 def main():
@@ -115,8 +166,7 @@ def main():
         )
         if auto:
             # cross-reference the PINNED counterpart's second-decade exponent
-            pinned = name.replace("_auto", "")
-            first = sec.get("queries", {}).get(pinned, {}).get("exponent")
+            first = sec.get("queries", {}).get(PINNED.get(name, ""), {}).get("exponent")
         else:
             first = doc.get("queries", {}).get(name, {}).get("exponent")
         results[name] = {
@@ -126,6 +176,13 @@ def main():
             "exponent": expo,
             ("pinned_exponent" if auto else "first_decade_exponent"): first,
         }
+        if name in RECEIPTS and RECEIPTS[name]:
+            r = RECEIPTS[name]
+            results[name]["nprobe"] = r.get("nprobe")
+            cal = r.get("calibrated_recall")
+            results[name][f"calibrated_recall_x{copies}"] = (
+                round(cal, 3) if cal is not None else None
+            )
         print(f"{name:<26} sf0.1={t_small:>8.3f}s x{copies}={t_big:>9.3f}s "
               f"exp={expo} (first decade {first})", flush=True)
         _flush()
