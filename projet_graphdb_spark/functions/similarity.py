@@ -847,8 +847,8 @@ def ivf_cosine_dups(
     matmul per Arrow batch past the literal-inlining cutoff
     (``clustering.assign_topn``).  Beyond ``max_centroids`` cells
     (~1e7+ rows/shard) flat assignment's N·k matmul is the next wall —
-    the documented extension is two-level (coarse √k then fine)
-    assignment, the IMI layout.
+    :func:`imi_cosine_dups` breaks it with the two-level IMI layout
+    (k1·k2 virtual cells from k1+k2 half-space centroids).
 
     Recall is empirical (the standard IVF tradeoff): a true pair is
     found iff the two vectors share ≥1 of their ``nprobe`` nearest
@@ -903,6 +903,98 @@ def ivf_cosine_dups(
         .distinct()  # soft assignment can pair the same ids in ≥2 cells
     )
     return _verify_candidate_pairs(base, pairs, threshold)
+
+
+def imi_cosine_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k1: int = 4,
+    k2: int = 4,
+    p1: int = 2,
+    p2: int = 2,
+    num_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+    max_train_rows: int = 200_000,
+) -> DataFrame:
+    """Corpus-wide near-dup pairs via an inverted MULTI-index (IMI,
+    Babenko & Lempitsky 2012) — the two-level assignment that
+    :func:`ivf_cosine_dups` documents as the wall-breaker past
+    ``max_centroids``: flat IVF assignment is one N·k·dim matmul, so at
+    ~1e7+ rows/shard (k = N/64 ≈ 1.6e5+) the codebook no longer
+    broadcasts and the matmul dominates.  IMI splits the vector into
+    two halves and trains an INDEPENDENT codebook per half; a virtual
+    cell is the PAIR of half-assignments, giving k1·k2 cells from only
+    k1+k2 stored centroids and an assignment cost of
+    N·(k1+k2)·(dim/2) — √k cheaper at equal cell count, and each
+    half-codebook is small enough to inline/broadcast again.
+
+    Probing: top-``p1`` cells in half one × top-``p2`` in half two =
+    p1·p2 virtual cells per vector (the grid form of IMI's
+    multi-sequence traversal — exactly mirrorable in SQL, which the
+    s24 oracle does).  Candidates are distinct same-virtual-cell pairs;
+    verification is exact cosine at the threshold (zero false
+    positives, the s9/s22 tail).  Like all IVF-family blocking, pair
+    RECALL is empirical — measure with :func:`ivf_calibrate_recall`
+    over the virtual-cell assignment.
+
+    Training runs on the same deterministic 1-in-step sample as
+    :func:`ivf_train`, per half; both halves share the sample pass.
+
+    Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold.
+    """
+    from . import clustering
+
+    emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        dim = emb.select(F.size("_v")).first()[0]
+    half = dim // 2
+    train = emb
+    if n_rows is None:
+        n_rows = emb.count()
+    if n_rows > max_train_rows:
+        step = -(-n_rows // max_train_rows)
+        train = emb.filter(F.col("_vid") % step == 0).withColumn(
+            "_vid", (F.col("_vid") / step).cast("long")
+        )
+    train = train.localCheckpoint(eager=True)  # both half-codebooks
+    # train from it; one scan, not two
+    lo = F.slice(F.col("_v"), 1, half)
+    hi = F.slice(F.col("_v"), half + 1, dim - half)
+    cents1 = clustering.kmeans_centroids(
+        train.select("_vid", lo.alias("_v")), k=k1, num_iter=num_iter,
+        id_col="_vid", vec_col="_v",
+    )
+    cents2 = clustering.kmeans_centroids(
+        train.select("_vid", hi.alias("_v")), k=k2, num_iter=num_iter,
+        id_col="_vid", vec_col="_v",
+    )
+    # both half-assignments as array columns on ONE frame, virtual cells
+    # from a nested transform — the whole soft assignment is map-only
+    # (no per-half explode + re-join shuffle)
+    both = emb.select("_vid", lo.alias("_v1"), hi.alias("_v2"))
+    both = clustering.assign_topn(both, cents1, nprobe=p1, vec_col="_v1", out_col="_c1s")
+    both = clustering.assign_topn(both, cents2, nprobe=p2, vec_col="_v2", out_col="_c2s")
+    assigned_cells = (
+        both.select(
+            "_vid",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_c1s",
+                        lambda c1: F.transform("_c2s", lambda c2: c1 * k2 + c2),
+                    )
+                )
+            ).alias("_cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return ivf_cosine_dups(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_rows=n_rows, assigned_cells=assigned_cells,
+    )
 
 
 def lsh_plan(
@@ -1235,6 +1327,7 @@ def embedding_dup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
+    plan_out: dict | None = None,
 ) -> DataFrame:
     """Semantic dedup manifest: connected components over the banded-LSH
     cosine pair graph → (vec_id, cluster_id, keep) with one canonical
@@ -1270,7 +1363,8 @@ def embedding_dup_clusters(
         )
     else:
         pairs = cosine_dups_auto(
-            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            plan_out=plan_out,
         )
     pairs = pairs.localCheckpoint(eager=True)
     comp = connected_components(

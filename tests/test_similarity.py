@@ -616,3 +616,54 @@ def test_dup_strategy_report_matches_python_router(spark, emb):
             if r["method"] == "lsh":
                 want = similarity.srp_recall(thr, r["bits"], r["n_bands"]) >= 0.95 - 1e-9
                 assert r["feasible"] == want
+
+
+def test_imi_cosine_dups_exact_precision_and_recall(spark, emb, emb_np):
+    """IMI (two half-space codebooks, virtual cell = pair of
+    half-assignments): every emitted pair exact-verified (zero false
+    positives), recall on the fixture comparable to flat IVF's — and
+    the assignment stores only k1+k2 centroids for k1·k2 cells."""
+    ids, mat = emb_np
+    truth = _truth_pairs(ids, mat, 0.4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.imi_cosine_dups(
+            emb, threshold=0.4, k1=4, k2=4, p1=2, p2=2, num_iter=1
+        ).collect()
+    }
+    assert got <= truth
+    assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_imi_virtual_cells_match_half_assignments(spark, emb):
+    """The p1·p2 virtual-cell grid must be exactly the cross of the two
+    half-space top-p assignments (cell = c1·k2 + c2) — recomputed
+    independently per half from the same trained codebooks."""
+    from projet_graphdb_spark.functions import clustering
+
+    dim, half, k2, p = 64, 32, 4, 2
+    base = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    chk = base.localCheckpoint(eager=True)
+    lo = F.slice(F.col("_v"), 1, half)
+    hi = F.slice(F.col("_v"), half + 1, dim - half)
+    c1 = clustering.kmeans_centroids(
+        chk.select("_vid", lo.alias("_v")), k=4, num_iter=1, id_col="_vid", vec_col="_v")
+    c2 = clustering.kmeans_centroids(
+        chk.select("_vid", hi.alias("_v")), k=k2, num_iter=1, id_col="_vid", vec_col="_v")
+    t1 = {r["_vid"]: list(r["_cells"]) for r in clustering.assign_topn(
+        chk.select("_vid", lo.alias("_v")), c1, nprobe=p, vec_col="_v").collect()}
+    t2 = {r["_vid"]: list(r["_cells"]) for r in clustering.assign_topn(
+        chk.select("_vid", hi.alias("_v")), c2, nprobe=p, vec_col="_v").collect()}
+    want = {
+        (v, a * k2 + b) for v in t1 for a in t1[v] for b in t2[v]
+    }
+    # drive the library path's assignment by reusing its building blocks
+    both = chk.select("_vid", lo.alias("_v1"), hi.alias("_v2"))
+    both = clustering.assign_topn(both, c1, nprobe=p, vec_col="_v1", out_col="_c1s")
+    both = clustering.assign_topn(both, c2, nprobe=p, vec_col="_v2", out_col="_c2s")
+    got = {
+        (r["_vid"], c1v * k2 + c2v)
+        for r in both.collect()
+        for c1v in r["_c1s"] for c2v in r["_c2s"]
+    }
+    assert got == want

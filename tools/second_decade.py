@@ -106,7 +106,8 @@ def _auto_queries():
             "s9_routed_best_effort", target_recall=0.25
         ),
         "d10_routed_semantic_dedup": lambda spark, sf_dir: similarity.embedding_dup_clusters(
-            _emb(spark, sf_dir), bands=None, threshold=0.4, method="auto"
+            _emb(spark, sf_dir), bands=None, threshold=0.4, method="auto",
+            plan_out=RECEIPTS.setdefault("d10_routed_semantic_dedup", {}),
         ),
     }
 
