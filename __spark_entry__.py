@@ -849,11 +849,14 @@ def s23_dup_strategy_report(spark, sf_dir):
     priced on THIS corpus (N from one count aggregate under a
     broadcast 1-row cross join; all cost columns polynomial in N —
     exact IEEE arithmetic, so the DuckDB twin reproduces the doubles
-    bit-for-bit from the same inlined construction literals), with
-    ``chosen`` marking the row the router picks.  The two thresholds
-    straddle the crossover: 0.9 → a cheap recall-holding LSH
-    construction, 0.4 → IVF (no ≤64-band LSH holds 0.95 there; the
-    30× frontier in SCALE_REHEARSAL.md is the measured companion)."""
+    bit-for-bit from the same inlined construction literals) plus the
+    flat-IVF and IMI blocking rows, with ``chosen`` marking the row
+    the router picks under its 2× recall-guarantee margin.  The choice
+    is (threshold, N)-dependent: 0.9 → a cheap recall-holding LSH
+    construction at any N; 0.4 → LSH at tiny N (the guarantee costs
+    little), flat IVF from ~1k rows (no ≤64-band LSH holds 0.95
+    sub-quadratically; the 30× frontier in SCALE_REHEARSAL.md is the
+    measured companion), IMI past flat's ~16k-cell assignment wall."""
     return similarity.dup_strategy_report(_emb(spark, sf_dir))
 
 
@@ -10006,10 +10009,13 @@ def _dup_strategy_oracle(thresholds: tuple = (0.4, 0.9)) -> str:
     call, so the only computed columns are the N-dependent costs:
     polynomial IEEE double arithmetic written in the same evaluation
     order as the Spark expressions (products of exact small integers
-    and powers of two — bit-identical on any engine).  ``chosen``
-    replays choose_dup_strategy's tie rules: cheapest feasible,
-    LSH beats IVF at equal flops (the router's <=), smaller bits wins
-    within LSH (the plan search's strict-improvement scan)."""
+    and powers of two — bit-identical on any engine; the one SQRT, for
+    IMI's half-codebook sizing, is IEEE-correctly-rounded everywhere).
+    ``chosen`` replays choose_dup_strategy's rules: lowest
+    margin-adjusted cost (LSH rows rank at est_flops/2 — guaranteed
+    recall is worth a 2× handicap over empirical-recall blocking),
+    ties lsh ≥ ivf ≥ imi, smaller bits within LSH (the plan search's
+    strict-improvement scan)."""
     from projet_graphdb_spark.functions import similarity
 
     rows = []
@@ -10020,6 +10026,7 @@ def _dup_strategy_oracle(thresholds: tuple = (0.4, 0.9)) -> str:
                 f"{round(c['recall'], 6)!r}, {str(c['feasible']).upper()})"
             )
         rows.append(f"({t!r}, 'ivf', 0, 0, -1.0, TRUE)")
+        rows.append(f"({t!r}, 'imi', 0, 0, -1.0, TRUE)")
     values = ",\n              ".join(rows)
     return f"""
         WITH lit(threshold, method, bits, n_bands, recall, feasible) AS (
@@ -10030,22 +10037,33 @@ def _dup_strategy_oracle(thresholds: tuple = (0.4, 0.9)) -> str:
           SELECT l.*, CAST(n.n_rows AS DOUBLE) AS nd,
                  CAST(GREATEST(2, LEAST(16384,
                       CAST(FLOOR((n.n_rows + 63) / 64.0) AS BIGINT)))
-                      AS DOUBLE) AS k
+                      AS DOUBLE) AS k,
+                 CAST(GREATEST(2, LEAST(4096,
+                      CAST(CEIL(SQRT(CAST(CEIL(n.n_rows / 64.0) AS DOUBLE)))
+                           AS BIGINT)))
+                      AS DOUBLE) AS k1
           FROM lit l CROSS JOIN n
         ),
         cost AS (
-          SELECT threshold, method, bits, n_bands, recall, feasible, nd, k,
+          SELECT threshold, method, bits, n_bands, recall, feasible, nd, k, k1,
                  CASE WHEN method = 'lsh'
                       THEN n_bands * nd * nd / POW(2.0, bits + 1)
-                      ELSE (2.0 * nd) * (2.0 * nd) / (2.0 * k) END AS est_pairs
+                      WHEN method = 'ivf'
+                      THEN (2.0 * nd) * (2.0 * nd) / (2.0 * k)
+                      ELSE (4.0 * nd) * (4.0 * nd) / (2.0 * k1 * k1)
+                 END AS est_pairs
           FROM base
         ),
         flops AS (
           SELECT threshold, method, bits, n_bands, recall, feasible, est_pairs,
                  CASE WHEN method = 'lsh'
                       THEN nd * n_bands * bits * 64 + est_pairs * 512
-                      ELSE LEAST(nd, 200000.0) * k * 128 + nd * k * 64
-                           + est_pairs * 512 END AS est_flops
+                      WHEN method = 'ivf'
+                      THEN LEAST(nd, 200000.0) * k * 128 + nd * k * 64
+                           + est_pairs * 512
+                      ELSE LEAST(nd, 200000.0) * k1 * 128 + nd * k1 * 64
+                           + est_pairs * 512
+                 END AS est_flops
           FROM cost
         )
         SELECT threshold, method,
@@ -10053,7 +10071,10 @@ def _dup_strategy_oracle(thresholds: tuple = (0.4, 0.9)) -> str:
                CAST(n_bands AS BIGINT) AS n_bands,
                recall, feasible, est_pairs, est_flops,
                (ROW_NUMBER() OVER (PARTITION BY threshold
-                   ORDER BY feasible DESC, est_flops, method DESC, bits) = 1
+                   ORDER BY feasible DESC,
+                            CASE WHEN method = 'lsh' THEN est_flops / 2.0
+                                 ELSE est_flops END,
+                            method DESC, bits) = 1
                 AND feasible) AS chosen
         FROM flops
         ORDER BY threshold, method, bits

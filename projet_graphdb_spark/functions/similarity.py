@@ -18,6 +18,8 @@ DuckDB's ``list_`` kernels for oracle comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -918,6 +920,7 @@ def imi_cosine_dups(
     dim: int | None = None,
     n_rows: int | None = None,
     max_train_rows: int = 200_000,
+    cells_only: bool = False,
 ) -> DataFrame:
     """Corpus-wide near-dup pairs via an inverted MULTI-index (IMI,
     Babenko & Lempitsky 2012) — the two-level assignment that
@@ -942,6 +945,10 @@ def imi_cosine_dups(
 
     Training runs on the same deterministic 1-in-step sample as
     :func:`ivf_train`, per half; both halves share the sample pass.
+
+    ``cells_only``: return the ``(_vid, _v, _cells)`` virtual-cell
+    assignment instead of pairs — :func:`cosine_dups_auto` feeds it to
+    :func:`ivf_calibrate_recall` and then to the shared candidate tail.
 
     Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold.
     """
@@ -973,24 +980,25 @@ def imi_cosine_dups(
     )
     # both half-assignments as array columns on ONE frame, virtual cells
     # from a nested transform — the whole soft assignment is map-only
-    # (no per-half explode + re-join shuffle)
-    both = emb.select("_vid", lo.alias("_v1"), hi.alias("_v2"))
+    # (no per-half explode + re-join shuffle).  _v is kept so
+    # ivf_calibrate_recall can sample this frame directly.
+    both = emb.select("_vid", F.col("_v"), lo.alias("_v1"), hi.alias("_v2"))
     both = clustering.assign_topn(both, cents1, nprobe=p1, vec_col="_v1", out_col="_c1s")
     both = clustering.assign_topn(both, cents2, nprobe=p2, vec_col="_v2", out_col="_c2s")
-    assigned_cells = (
-        both.select(
-            "_vid",
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_c1s",
-                        lambda c1: F.transform("_c2s", lambda c2: c1 * k2 + c2),
-                    )
-                )
-            ).alias("_cell"),
-        )
-        .localCheckpoint(eager=True)
+    assigned = both.select(
+        "_vid",
+        "_v",
+        F.flatten(
+            F.transform(
+                "_c1s", lambda c1: F.transform("_c2s", lambda c2: c1 * k2 + c2)
+            )
+        ).alias("_cells"),
     )
+    if cells_only:
+        return assigned
+    assigned_cells = assigned.select(
+        "_vid", F.explode("_cells").alias("_cell")
+    ).localCheckpoint(eager=True)
     return ivf_cosine_dups(
         embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
         n_rows=n_rows, assigned_cells=assigned_cells,
@@ -1093,25 +1101,79 @@ def ivf_plan(
     return {"n_centroids": k, "nprobe": nprobe, "est_pairs": int(est_pairs), "est_flops": est_flops}
 
 
+def imi_plan(
+    n_rows: int,
+    p: int = 2,
+    target_cell_rows: int = 64,
+    max_half_centroids: int = 4096,
+    num_iter: int = 2,
+    max_train_rows: int = 200_000,
+    dim: int = 64,
+) -> dict:
+    """Estimated work for :func:`imi_cosine_dups` at :func:`lsh_plan`'s
+    units: two half-codebook trainings (2·sample·k1·(dim/2) per
+    iteration), corpus assignment ``N·(k1+k2)·(dim/2)`` — the IMI win:
+    k1=k2=⌈√(N/cell)⌉ half-centroids give k1·k2 virtual cells, so
+    assignment cost grows with √k where flat IVF's grows with k — and
+    candidate handling ``(p²·N)²/(2·k1·k2)`` pairs × ~8·dim flops.
+    Below flat IVF's ``max_centroids`` cap the joint-trained flat cells
+    fit the data better at similar cost (measured at 30×,
+    SCALE_REHEARSAL.md); PAST the cap flat occupancy grows as
+    N/max_centroids and its Σ cell² term goes quadratic while IMI's
+    virtual-cell count keeps tracking N — that is the crossover this
+    plan exists to price.  No recall field (empirical, like IVF)."""
+    k1 = max(2, min(max_half_centroids, math.ceil(math.sqrt(-(-n_rows // target_cell_rows)))))
+    train_rows = min(n_rows, max_train_rows)
+    est_pairs = (p * p * n_rows) ** 2 / (2.0 * k1 * k1)
+    est_flops = (
+        2 * train_rows * k1 * (dim // 2) * num_iter
+        + n_rows * (2 * k1) * (dim // 2)
+        + est_pairs * 8 * dim
+    )
+    return {
+        "k1": k1, "k2": k1, "p1": p, "p2": p,
+        "est_pairs": int(est_pairs), "est_flops": est_flops,
+    }
+
+
 def choose_dup_strategy(
     n_rows: int,
     threshold: float,
     target_recall: float = 0.95,
     dim: int = 64,
+    guarantee_margin: float = 2.0,
 ) -> tuple:
-    """('lsh' | 'ivf', plan dict): banded SRP-LSH when a construction
-    holding ``target_recall`` at the threshold exists AND costs less
-    than k-means blocking; IVF otherwise.  The crossover is the
-    threshold: at t≥~0.8 LSH's collision gap is wide (few cheap bands
-    suffice — sub-quadratic with guaranteed recall); at t≤~0.5 no
-    band count ≤64 reaches the recall and the math floor is N^1.66, so
-    data-adaptive blocking wins (measured at 30×: routed-IVF vs the
-    recall-holding LSH construction — see SCALE_REHEARSAL.md)."""
+    """('lsh' | 'ivf' | 'imi', plan dict): banded SRP-LSH when a
+    construction holding ``target_recall`` at the threshold exists AND
+    costs less than blocking; otherwise the cheaper of flat-IVF and
+    IMI blocking.  Two crossovers: the THRESHOLD (at t≥~0.8 LSH's
+    collision gap is wide — few cheap bands, guaranteed recall; at
+    t≤~0.5 no ≤64-band construction reaches the recall and the math
+    floor is N^1.66, so data-adaptive blocking wins — measured at 30×,
+    SCALE_REHEARSAL.md), and the SIZE (below flat IVF's 16384-cell cap
+    its joint-trained cells beat IMI's product cells at similar cost;
+    past the cap — ~1M+ rows/shard — flat occupancy grows and its
+    Σ cell² goes quadratic while IMI assignment stays N·2√k·dim/2, so
+    IMI takes over).
+
+    ``guarantee_margin``: a recall-GUARANTEED LSH construction wins up
+    to this flops handicap over empirical-recall blocking — the
+    blocking plan's true cost includes possible nprobe/p escalation
+    after calibration (each step multiplies its candidate volume)
+    while LSH's recall is closed-form, so certainty is worth paying a
+    bounded premium for.  Ties: lsh ≥ ivf ≥ imi, mirrored exactly by
+    the s23 report's ORDER BY (lsh rows ranked at est_flops /
+    margin)."""
     lsh = lsh_plan(n_rows, threshold, target_recall, dim=dim)
     ivf = ivf_plan(n_rows, dim=dim)
-    if lsh is not None and lsh["est_flops"] <= ivf["est_flops"]:
+    imi = imi_plan(n_rows, dim=dim)
+    blocking = ("ivf", ivf) if ivf["est_flops"] <= imi["est_flops"] else ("imi", imi)
+    if (
+        lsh is not None
+        and lsh["est_flops"] / guarantee_margin <= blocking[1]["est_flops"]
+    ):
         return "lsh", lsh
-    return "ivf", ivf
+    return blocking
 
 
 def dup_strategy_report(
@@ -1124,6 +1186,7 @@ def dup_strategy_report(
     max_centroids: int = 16384,
     num_iter: int = 2,
     max_train_rows: int = 200_000,
+    guarantee_margin: float = 2.0,
 ) -> DataFrame:
     """The near-dup strategy router's cost model as an oracle-checkable
     DataFrame — every construction :func:`choose_dup_strategy` weighs,
@@ -1133,18 +1196,21 @@ def dup_strategy_report(
     One row per candidate banded-SRP construction per threshold
     (bits 4..24, band count holding ``target_recall`` — the
     :func:`lsh_constructions` table, inlined as literals: pure scalar
-    math, identical on any engine) plus one IVF row (``bits`` /
-    ``n_bands`` = 0, ``recall`` = -1: IVF recall is EMPIRICAL — measure
-    with :func:`ivf_calibrate_recall`; the cost model only prices its
-    candidate volume).  The corpus contributes exactly one number — N,
+    math, identical on any engine) plus one flat-IVF row and one IMI
+    row (``bits`` / ``n_bands`` = 0, ``recall`` = -1: blocking recall
+    is EMPIRICAL — measure with :func:`ivf_calibrate_recall`; the cost
+    model only prices candidate volume).  The corpus contributes exactly one number — N,
     from a single count aggregate broadcast under a 1-row cross join —
     and every cost column is polynomial in N (exact IEEE arithmetic,
     no transcendentals on the data path, so a SQL oracle reproduces the
     values bit-for-bit).
 
-    ``chosen`` mirrors :func:`choose_dup_strategy` exactly: cheapest
-    feasible row per threshold, LSH winning est_flops ties (the
-    router's ``<=``), smaller bits winning within LSH (the plan
+    ``chosen`` mirrors :func:`choose_dup_strategy` exactly: per
+    threshold the feasible row with the lowest MARGIN-ADJUSTED cost —
+    LSH rows rank at ``est_flops / guarantee_margin`` because their
+    recall is closed-form-guaranteed while blocking recall is
+    empirical-with-escalation-risk — ties broken lsh ≥ ivf ≥ imi (the
+    router's ``<=`` chain), smaller bits winning within LSH (the plan
     search's strict-improvement scan).
 
     Output: (threshold, method, bits, n_bands, recall, feasible,
@@ -1165,6 +1231,7 @@ def dup_strategy_report(
                  round(c["recall"], 6), bool(c["feasible"]))
             )
         rows.append((float(t), "ivf", 0, 0, -1.0, True))
+        rows.append((float(t), "imi", 0, 0, -1.0, True))
     lit = spark.createDataFrame(
         rows,
         "threshold double, method string, bits long, n_bands long, "
@@ -1179,20 +1246,46 @@ def dup_strategy_report(
             F.floor((F.col("n_rows") + (target_cell_rows - 1)) / target_cell_rows),
         ),
     ).cast("double")
-    est_pairs = F.when(
-        F.col("method") == "lsh",
-        F.col("n_bands") * nd * nd / F.pow(F.lit(2.0), F.col("bits") + 1),
-    ).otherwise((nprobe * nd) * (nprobe * nd) / (2.0 * k))
-    est_flops = F.when(
-        F.col("method") == "lsh",
-        nd * F.col("n_bands") * F.col("bits") * dim + F.col("est_pairs") * (8 * dim),
-    ).otherwise(
-        F.least(nd, F.lit(float(max_train_rows))) * k * (dim * num_iter)
-        + nd * k * dim
-        + F.col("est_pairs") * (8 * dim)
+    k1 = F.greatest(
+        F.lit(2).cast("long"),
+        F.least(
+            F.lit(4096).cast("long"),
+            F.ceil(F.sqrt(F.ceil(F.col("n_rows") / float(target_cell_rows)).cast("double"))),
+        ),
+    ).cast("double")
+    est_pairs = (
+        F.when(
+            F.col("method") == "lsh",
+            F.col("n_bands") * nd * nd / F.pow(F.lit(2.0), F.col("bits") + 1),
+        )
+        .when(
+            F.col("method") == "ivf",
+            (nprobe * nd) * (nprobe * nd) / (2.0 * k),
+        )
+        .otherwise((4.0 * nd) * (4.0 * nd) / (2.0 * k1 * k1))
     )
+    est_flops = (
+        F.when(
+            F.col("method") == "lsh",
+            nd * F.col("n_bands") * F.col("bits") * dim + F.col("est_pairs") * (8 * dim),
+        )
+        .when(
+            F.col("method") == "ivf",
+            F.least(nd, F.lit(float(max_train_rows))) * k * (dim * num_iter)
+            + nd * k * dim
+            + F.col("est_pairs") * (8 * dim),
+        )
+        .otherwise(
+            F.least(nd, F.lit(float(max_train_rows))) * k1 * (dim * num_iter)
+            + nd * k1 * dim
+            + F.col("est_pairs") * (8 * dim)
+        )
+    )
+    adjusted = F.when(
+        F.col("method") == "lsh", F.col("est_flops") / guarantee_margin
+    ).otherwise(F.col("est_flops"))
     w = Window.partitionBy("threshold").orderBy(
-        F.col("feasible").desc(), "est_flops", F.col("method").desc(), "bits"
+        F.col("feasible").desc(), adjusted, F.col("method").desc(), "bits"
     )
     return (
         lit.crossJoin(F.broadcast(n))
@@ -1222,11 +1315,13 @@ def cosine_dups_auto(
 ) -> DataFrame:
     """Strategy-routed corpus-wide near-dup pairs: ONE sizing pass, then
     :func:`choose_dup_strategy` picks banded SRP-LSH (high thresholds —
-    guaranteed S-curve recall, sub-quadratic) or k-means/IVF blocking
-    (low thresholds — where no ≤64-band LSH construction holds the
-    recall and its math floor is N^1.66).  This is the ``bands=None``
-    user-facing default a pipeline at a NEW scale should call; output
-    shape is identical either way: (id_a, id_b, sim), id_a < id_b.
+    guaranteed S-curve recall, sub-quadratic — winning up to a 2×
+    guarantee margin), k-means/IVF blocking (low thresholds — where no
+    ≤64-band LSH construction holds the recall and its math floor is
+    N^1.66), or IMI two-level blocking (past flat IVF's ~16k-cell
+    assignment wall).  This is the ``bands=None`` user-facing default a
+    pipeline at a NEW scale should call; output shape is identical on
+    every route: (id_a, id_b, sim), id_a < id_b.
 
     The IVF route is RECALL-CALIBRATED (round-7 lesson: the flops-only
     router delivered 0.116 recall at 30×/t=0.4 against a 0.95 ask):
@@ -1267,6 +1362,45 @@ def cosine_dups_auto(
         return lsh_cosine_dups(
             embeddings, bands=bands, threshold=threshold,
             id_col=id_col, vec_col=vec_col, n_rows=n_rows, dim=dim,
+        )
+    if strategy == "imi":
+        # past flat IVF's centroid cap: two-level assignment.  One
+        # virtual-cell grid pass feeds calibration and the candidate
+        # tail; recall has no escalation ladder here (the p dial
+        # rebuilds the assignment) — the receipt + warning carry it.
+        assigned = imi_cosine_dups(
+            embeddings, threshold=threshold, k1=plan["k1"], k2=plan["k2"],
+            p1=plan["p1"], p2=plan["p2"], id_col=id_col, vec_col=vec_col,
+            dim=dim, n_rows=n_rows, cells_only=True,
+        ).localCheckpoint(eager=True)
+        grid = plan["p1"] * plan["p2"]
+        recalls, n_pairs = ivf_calibrate_recall(
+            assigned, threshold, max_nprobe=grid, n_rows=n_rows
+        )
+        achieved = recalls[-1] if n_pairs > 0 else None
+        if achieved is not None and achieved < target_recall:
+            warnings.warn(
+                f"cosine_dups_auto: calibrated IMI recall at "
+                f"p={plan['p1']}×{plan['p2']} is {achieved:.3f} < target "
+                f"{target_recall} (threshold {threshold}, N={n_rows}); "
+                f"proceeding best-effort — raise p (rebuilds the cheap "
+                f"two-level assignment) or accept the SemDeDup posture.",
+                stacklevel=2,
+            )
+        if plan_out is not None:
+            plan_out.update(
+                {
+                    "calibrated_recall": achieved,
+                    "recall_by_nprobe": recalls,
+                    "sample_truth_pairs": n_pairs,
+                }
+            )
+        cells = assigned.select(
+            "_vid", F.explode("_cells").alias("_cell")
+        ).localCheckpoint(eager=True)
+        return ivf_cosine_dups(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            n_rows=n_rows, assigned_cells=cells,
         )
     emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     centroids = ivf_train(emb, n_rows, n_centroids=plan["n_centroids"])

@@ -549,10 +549,12 @@ def test_cosine_dups_auto_calibrated_receipt_and_reuse(spark, emb, emb_np):
     different construction."""
     ids, mat = emb_np
     receipt = {}
+    # t=0.1: blocking beats even the margin-handicapped LSH plan on
+    # this corpus size, pinning the calibrated-IVF branch
     got = sorted(
         (r["id_a"], r["id_b"], r["sim"])
         for r in similarity.cosine_dups_auto(
-            emb, threshold=0.4, plan_out=receipt
+            emb, threshold=0.1, plan_out=receipt
         ).collect()
     )
     assert receipt["strategy"] == "ivf"
@@ -563,7 +565,7 @@ def test_cosine_dups_auto_calibrated_receipt_and_reuse(spark, emb, emb_np):
         (r["id_a"], r["id_b"], r["sim"])
         for r in similarity.ivf_cosine_dups(
             emb,
-            threshold=0.4,
+            threshold=0.1,
             n_centroids=receipt["plan"]["n_centroids"],
             nprobe=j,
         ).collect()
@@ -582,7 +584,7 @@ def test_cosine_dups_auto_warns_when_target_unreachable(spark, emb):
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
         out = similarity.cosine_dups_auto(
-            emb, threshold=0.4, target_recall=1.0, max_nprobe=1,
+            emb, threshold=0.1, target_recall=1.0, max_nprobe=1,
             plan_out=receipt,
         ).collect()
     assert receipt["calibrated_recall"] < 1.0
@@ -667,3 +669,21 @@ def test_imi_virtual_cells_match_half_assignments(spark, emb):
         for c1v in r["_c1s"] for c2v in r["_c2s"]
     }
     assert got == want
+
+
+def test_choose_dup_strategy_size_crossover():
+    """Below flat IVF's 16384-cell cap the router picks flat IVF at low
+    thresholds (joint cells, similar cost); PAST the cap flat occupancy
+    grows as N/16384 and its candidate term goes quadratic while IMI's
+    virtual-cell count keeps tracking N — the router must flip to IMI,
+    and the IMI plan must be meaningfully cheaper there."""
+    strat_small, _ = similarity.choose_dup_strategy(60_000, 0.4)
+    assert strat_small == "ivf"
+    strat_big, plan_big = similarity.choose_dup_strategy(10_000_000, 0.4)
+    assert strat_big == "imi"
+    ivf_big = similarity.ivf_plan(10_000_000)
+    assert plan_big["est_flops"] < 0.5 * ivf_big["est_flops"]
+    # the IMI plan sizes the half codebooks to the corpus: k1*k2 tracks
+    # N/64 (within the ceil slack), so occupancy stays bounded
+    assert plan_big["k1"] == plan_big["k2"]
+    assert plan_big["k1"] ** 2 >= 10_000_000 / 64
