@@ -29,6 +29,8 @@ def regression_warnings(
     wall_factor: float = 2.0,
     rate_factor: float = 0.6,
     min_floor_sec: float = 0.5,
+    small_floor_cutoff: float = 2.0,
+    small_floor_factor: float = 3.0,
 ) -> list:
     """Self-flagging regression alarm (round-6 verdict item 6): a bench
     sample like r6's streaming section — 1.8-2.8x above committed floors
@@ -36,7 +38,13 @@ def regression_warnings(
 
     Returns warning strings for (a) any query slower than
     ``wall_factor`` x its committed floor (floors under
-    ``min_floor_sec`` are skipped: a 0.1 s query doubling is noise) and
+    ``min_floor_sec`` are skipped: a 0.1 s query doubling is noise;
+    floors under ``small_floor_cutoff`` require the stricter
+    ``small_floor_factor`` — the round-7 adjudication showed this
+    host's multiplicative jitter routinely carries 0.5-2 s queries to
+    2-3x their historical-min floors at EVERY commit, so a 2x bar
+    there is all false alarms; real state regressions on the fast
+    queries still trip the absolute rows/sec gauges) and
     (b) any throughput gauge below ``rate_factor`` x its floor.  One
     sample cannot distinguish host-VM jitter from a real regression, so
     these are WARNs to trigger a min-of-reps re-measurement, not
@@ -45,9 +53,10 @@ def regression_warnings(
     warns = []
     for name, t in sorted(timings.items()):
         fl = floors.get(name)
-        if fl and t > 0 and fl >= min_floor_sec and t > wall_factor * fl:
+        factor = wall_factor if fl and fl >= small_floor_cutoff else small_floor_factor
+        if fl and t > 0 and fl >= min_floor_sec and t > factor * fl:
             warns.append(
-                f"{name}: {t:.3f}s > {wall_factor:.1f}x floor {fl:.3f}s"
+                f"{name}: {t:.3f}s > {factor:.1f}x floor {fl:.3f}s"
             )
     for name, r in sorted((rates or {}).items()):
         fl = (rate_floors or {}).get(name)

@@ -14,18 +14,24 @@ from bench import regression_warnings  # noqa: E402
 
 def test_wall_regression_flagged():
     warns = regression_warnings(
-        {"e6_dedup_stream": 2.89, "g1_match_label": 0.5},
+        {"e6_dedup_stream": 3.2, "g1_match_label": 0.5},
         {"e6_dedup_stream": 1.03, "g1_match_label": 0.45},
     )
     assert len(warns) == 1 and "e6_dedup_stream" in warns[0]
-    assert "2x" in warns[0] or "2.0x" in warns[0]
+    assert "3.0x" in warns[0]
+    # a >=2s floor gets the standard 2x bar
+    warns = regression_warnings({"d10": 5.2}, {"d10": 2.5})
+    assert len(warns) == 1 and "2.0x" in warns[0]
 
 
 def test_small_floors_are_noise_exempt():
     # a 0.1s query doubling is jitter, not a regression
     assert regression_warnings({"q": 0.4}, {"q": 0.1}) == []
-    # ...but a 0.5s+ floor doubling is flagged
-    assert regression_warnings({"q": 1.2}, {"q": 0.5}) != []
+    # a sub-2s floor doubling is still jitter on this host (round-7
+    # adjudication: 0.5-2s queries run 2-3x their historical-min floors
+    # at every commit in degraded epochs) — only >3x trips
+    assert regression_warnings({"q": 1.2}, {"q": 0.5}) == []
+    assert regression_warnings({"q": 1.6}, {"q": 0.5}) != []
 
 
 def test_rate_drop_flagged():
