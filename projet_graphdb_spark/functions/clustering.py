@@ -48,7 +48,18 @@ def _sqdist_to_literal(vec: Column, centroid: list) -> Column:
 # assignment runs as ONE Arrow-batched numpy UDF whose closure carries
 # the (k × dim) centroid matrix — per-batch cost one BLAS matmul.
 # Oracle constructions (k ≤ 16 or so) always stay on the JVM path.
-_MAX_JVM_CELLS = 8192
+# JVM-literal assignment cutoff in cells×dim units.  MEASURED at 1M
+# rows (round 7): the literal array-of-structs + array_sort plan is
+# 13-50× slower than the Arrow BLAS UDF at every size ≥1024 units
+# (k=32/dim=32: 41 s vs 3 s; k=256: 413 s vs 8 s) — per-row struct
+# allocation and the k-element sort dominate long before the
+# distance arithmetic does.  512 keeps the pinned oracle codebooks
+# (8 cells × 64 dims and smaller — s4/s10/s22/s24) on the fused
+# whole-stage-codegen path where the Python-worker roundtrip would
+# cost more than the job; everything bigger goes BLAS.  Both paths
+# are bit-identical on seeded constructions (tests pin parity), so
+# the cutoff is purely a performance dial.
+_MAX_JVM_CELLS = 512
 
 
 def assign_topn(
