@@ -687,3 +687,26 @@ def test_choose_dup_strategy_size_crossover():
     # N/64 (within the ceil slack), so occupancy stays bounded
     assert plan_big["k1"] == plan_big["k2"]
     assert plan_big["k1"] ** 2 >= 10_000_000 / 64
+
+
+def test_cosine_dups_auto_imi_branch_runs(spark, emb, emb_np):
+    """Force the router's IMI branch (n_rows override past flat IVF's
+    cell cap) and check the full path — plan sizing, virtual-cell
+    assignment, calibration receipt, candidate tail — runs end-to-end
+    and keeps the exact-verify contract on the real 500-row corpus."""
+    ids, mat = emb_np
+    truth = _truth_pairs(ids, mat, 0.4)
+    receipt = {}
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # under-target warn is expected here
+        rows = similarity.cosine_dups_auto(
+            emb, threshold=0.4, n_rows=10_000_000, plan_out=receipt
+        ).collect()
+    assert receipt["strategy"] == "imi"
+    assert receipt["plan"]["k1"] == receipt["plan"]["k2"]
+    assert "recall_by_nprobe" in receipt
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) in truth
