@@ -44,6 +44,71 @@ def davg(col: str, scale: int = 2):
     return F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double") / F.count(F.col(col))
 
 
+# Size gate for broadcast hints on SF-LINEAR inputs (filtered customer /
+# part / supplier, derived per-key aggregates).  An unconditional
+# F.broadcast() on such a side is fine at SF100 (~1 MB) but an OOM-class
+# failure at SF10k+ — and worse than no hint, because the hint overrides
+# AQE's size-based fallback to a shuffle join.  32 MiB of Catalyst's
+# optimized-plan size estimate is comfortably under any executor budget
+# even at the usual ~5-10x estimate-to-in-memory blowup.
+#
+# Schema-CONSTANT sides (region=5 rows, nation=25, 1-row global
+# aggregates, per-segment stats over a 5-value domain) keep their
+# unconditional F.broadcast() — their cardinality is a property of the
+# schema, not of scale factor.
+BROADCAST_GATE_BYTES: int = 32 << 20
+
+# When a test sets this to a list, every maybe_broadcast decision is
+# appended as (size_bytes_or_None, hinted) so plan tests can assert the
+# gate — not the AQE-chosen strategy — controls the hint.
+_GATE_TRACE: list | None = None
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate for ``df``.
+
+    Driver-only and job-free: file-source relations report (pruned-column
+    scaled) file size, joins/aggregates propagate per the size-only stats
+    visitor.  Raises on backends without ``_jdf`` (Spark Connect) —
+    callers treat that as "cannot prove small"."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(stats.sizeInBytes())
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    gate_bytes: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Broadcast-hint ``df`` only when Catalyst's size estimate proves it
+    small (≤ ``gate_bytes``, default ``BROADCAST_GATE_BYTES``).
+
+    This is the scale-safe replacement for unconditional ``F.broadcast``
+    on SF-linear sides: at sf0.1..SF100 the estimate is KBs..MBs and the
+    hint fires exactly as before; at SF10k+ the estimate is TBs, no hint
+    is planted, and AQE remains free to pick (or reject) a runtime
+    broadcast from actual shuffle stats.  When the estimate is
+    unavailable the frame is returned unhinted — "cannot prove small"
+    must never mean "assume small".
+
+    ``probe``: size-estimate stand-in for composite frames.  The
+    size-only stats visitor MULTIPLIES children for joins, so
+    ``customer ⋈ nation`` estimates ~10^3× too high; when ``df`` is an
+    inner join of an SF-linear base against a schema-constant dim on the
+    dim's unique key, the output rows are bounded by the base — pass the
+    base as ``probe`` and its (still SF-linear, so still gated) estimate
+    decides."""
+    limit = BROADCAST_GATE_BYTES if gate_bytes is None else gate_bytes
+    try:
+        size: int | None = plan_size_bytes(df if probe is None else probe)
+    except Exception:
+        size = None
+    hinted = size is not None and 0 <= size <= limit
+    if _GATE_TRACE is not None:
+        _GATE_TRACE.append((size, hinted))
+    return F.broadcast(df) if hinted else df
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shaped rollup: per (returnflag, linestatus) pricing stats.
 
@@ -188,10 +253,12 @@ def local_supplier_volume(
     a handful of rows, and customers are pre-filtered to the region's
     nations BEFORE the fact joins, so the only real shuffles are
     orders⋈customer on custkey and lineitem⋈(orders⋈customer) on
-    orderkey — both unavoidable fact-side exchanges.  Supplier (10k
-    rows/SF, ~1 MB at SF100) and nation are broadcast: the supplier
-    join keys on (suppkey, nationkey) so the same-nation predicate is
-    part of the hash join, not a post-filter.  Revenue accumulates in
+    orderkey — both unavoidable fact-side exchanges.  Nation is
+    broadcast unconditionally (25 rows at every SF); supplier (10k
+    rows/SF — SF-linear) gets a size-GATED hint via maybe_broadcast,
+    so at SF10k+ the hint drops and AQE picks the strategy.  The
+    supplier join keys on (suppkey, nationkey) so the same-nation
+    predicate is part of the hash join, not a post-filter.  Revenue accumulates in
     DECIMAL (order independent); the final sort is over ≤|nations| rows.
     """
     lo = F.lit(date_lo).cast("timestamp")
@@ -217,7 +284,7 @@ def local_supplier_volume(
     j = (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
@@ -245,8 +312,10 @@ def small_order_revenue(
     one brand whose quantity is below 20% of that part's average
     quantity.
 
-    Scale design: the brand-filtered part keys are a broadcast dim, so
-    lineitem is pruned map-side before anything shuffles.  The per-part
+    Scale design: the brand-filtered part keys are a size-gated
+    broadcast dim (maybe_broadcast — part is SF-linear), so at small SF
+    lineitem is pruned map-side before anything shuffles and at SF10k+
+    AQE decides.  The per-part
     average and the re-join both key on ``l_partkey`` — Catalyst reuses
     one hash-partitioning for the aggregate and the join (no second
     exchange of the fact side).  The threshold test is evaluated in
@@ -257,7 +326,7 @@ def small_order_revenue(
     p = part.where(F.col("p_brand") == brand).select("p_partkey")
     li = (
         lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .drop("p_partkey")
     )
     qty_dec = F.col("l_quantity").cast("decimal(25,2)")
@@ -374,7 +443,8 @@ def cheapest_supplier(
     (ties to the smaller suppkey).  Q2 proper needs partsupp, which the
     fixture lacks; lineitem is the part↔supplier link here.
 
-    Scale design: the brand dim broadcast prunes lineitem map-side;
+    Scale design: the brand dim's size-gated broadcast (part and
+    supplier are SF-linear — maybe_broadcast) prunes lineitem map-side;
     the per-part argmin is ``MIN(struct(unit_price, suppkey))`` — an
     aggregate with map-side partials (lexicographic struct ordering
     gives the deterministic tie-break), NOT a window sort over the fact
@@ -385,7 +455,7 @@ def cheapest_supplier(
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit")
     li = (
         lineitem.select("l_partkey", "l_suppkey", unit)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .drop("p_partkey")
     )
     best = li.groupBy("l_partkey").agg(
@@ -399,7 +469,7 @@ def cheapest_supplier(
             F.col("_b._unit").alias("unit_price"),
             F.col("_b.l_suppkey").alias("suppkey"),
         )
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("partkey", "unit_price", "suppkey", "s_name", "n_name")
     )
@@ -432,7 +502,7 @@ def large_volume_orders(
     )
     c = customer.select("c_custkey", "c_name")
     return (
-        j.join(F.broadcast(c), j.o_custkey == c.c_custkey)
+        j.join(maybe_broadcast(c), j.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -576,9 +646,10 @@ def shipping_priority(
     for orders placed by one market segment before ``cutoff``.
 
     Scale design: filters land BEFORE the joins so they push into the
-    parquet scans; the segment-filtered customer keys are a small
-    dimension and are explicitly broadcast (map-side hash join, no
-    shuffle of the orders side for that join); the only real shuffle is
+    parquet scans; the segment-filtered customer keys take a size-GATED
+    broadcast hint (customer is SF-linear — maybe_broadcast: map-side
+    hash join while the estimate proves it small, AQE's choice past the
+    gate); the only real shuffle is
     lineitem ⋈ orders on the orderkey, which is also the aggregation
     key, so the groupBy reuses the join's partitioning instead of
     shuffling a second time.  Revenue accumulates in DECIMAL (order
@@ -593,7 +664,7 @@ def shipping_priority(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     j = li.join(
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).drop("c_custkey"),
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey).drop("c_custkey"),
         li.l_orderkey == F.col("o_orderkey"),
     )
     agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
@@ -622,11 +693,12 @@ def volume_shipping(
 
     Scale design: supplier and customer are reduced to (key → nation
     name) lookups restricted to the TWO nations of interest before
-    anything joins, so both dimension joins are broadcasts that also
+    anything joins, so both dimension joins are size-gated broadcasts
+    (customer/supplier are SF-linear — maybe_broadcast) that also
     PRUNE the fact rows map-side (inner join ⇒ only lineitems touching
     the two nations survive).  The cross-pair predicate
-    (supp≠cust nation) is evaluated after both broadcasts, still
-    map-side.  The only shuffle is lineitem ⋈ orders on orderkey;
+    (supp≠cust nation) is evaluated after both joins, still
+    map-side when the hint fires.  The only shuffle is lineitem ⋈ orders on orderkey;
     revenue accumulates in DECIMAL.
     """
     lo = F.lit(date_lo).cast("timestamp")
@@ -644,10 +716,12 @@ def volume_shipping(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     o = orders.select("o_orderkey", "o_custkey").join(
-        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+        # c/s are base ⋈ 2-row n2 on the unique nation key (|out| ≤
+        # |base|); the size-only join estimate multiplies — probe bases
+        maybe_broadcast(c, probe=customer), F.col("o_custkey") == c.c_custkey
     )
     j = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s, probe=supplier), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
     )
@@ -680,8 +754,9 @@ def waiting_suppliers(
     into per-orderkey aggregates computed in ONE pass over lineitem —
     ``count(distinct suppkey)`` overall and among the late rows — then
     joined back on orderkey.  That is 2 shuffles total on orderkey
-    (agg + join), versus the naive 4-way self-join; the supplier-nation
-    dimension is a broadcast, and the final per-supplier count reuses
+    (agg + join), versus the naive 4-way self-join; the supplier
+    dimension is a size-gated broadcast (SF-linear — maybe_broadcast),
+    and the final per-supplier count reuses
     map-side partials.  Top-k via TakeOrderedAndProject.
     """
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
@@ -715,7 +790,7 @@ def waiting_suppliers(
         F.broadcast(n1), supplier.s_nationkey == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(maybe_broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -849,9 +924,10 @@ def market_share(
     revenue for one part type sold into one region that was supplied
     by the target nation.
 
-    Scale design: part-type keys and the region's customer-nation set
-    are broadcast dims that prune lineitem/orders map-side; the
-    supplier→nation lookup is a broadcast that tags each row with the
+    Scale design: part-type keys and the region's customers are
+    size-gated broadcast dims (SF-linear — maybe_broadcast) that prune
+    lineitem/orders map-side at small SF; the
+    supplier→nation lookup likewise tags each row with the
     supp nation for a ONE-PASS conditional aggregate
     (share = Σ(case target)/Σ(all), both in DECIMAL, single division
     at the end) — no second scan, no join of two aggregates.
@@ -869,14 +945,18 @@ def market_share(
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     o = orders.select("o_orderkey", "o_custkey", "o_orderdate").join(
-        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+        # c = customer ⋈ 25-row rn on the unique nation key: |c| ≤
+        # |customer|, but the size-only join estimate multiplies — probe
+        # the base instead
+        maybe_broadcast(c, probe=customer), F.col("o_custkey") == c.c_custkey
     )
     li = lineitem.select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
-    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-    j = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).join(
-        o, li.l_orderkey == o.o_orderkey
-    )
+    ).join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
+    j = li.join(
+        # |sn| = |supplier| (unique-key nation lookup) — probe the base
+        maybe_broadcast(sn, probe=supplier), li.l_suppkey == sn.s_suppkey
+    ).join(o, li.l_orderkey == o.o_orderkey)
     vol = rev_decimal()
     return (
         j.groupBy(F.year("o_orderdate").alias("o_year"))
@@ -908,8 +988,9 @@ def supplier_part_counts(
     suppliers in bad standing (negative account balance — the
     schema-adapted complaints predicate).
 
-    Scale design: the part dim filters broadcast-prune lineitem
-    map-side; bad suppliers are a broadcast LEFT ANTI join (NOT IN
+    Scale design: the part dim filters prune lineitem map-side under a
+    size-gated broadcast hint (part/supplier are SF-linear —
+    maybe_broadcast); bad suppliers are a LEFT ANTI join (NOT IN
     without a shuffle); the count-distinct expands to per
     (brand, size, suppkey) map-side dedup so the shuffle carries
     distinct triples, not lineitems.
@@ -920,8 +1001,8 @@ def supplier_part_counts(
     bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
     li = (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(maybe_broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
     )
     return (
         li.groupBy("p_brand", "p_size")
@@ -1586,7 +1667,9 @@ def product_profit(
     (part, supplier) pair — the join/aggregate shape is exactly Q9's.
 
     Scale design: part (filtered by the name predicate BEFORE the
-    join), supplier, and nation broadcast; lineitem shuffles once on
+    join) and supplier take size-gated broadcast hints (SF-linear —
+    maybe_broadcast); nation broadcasts unconditionally (25 rows);
+    lineitem shuffles once on
     orderkey for the orders join; profit accumulates in DECIMAL.
 
     Output: (nation, o_year, sum_profit).
@@ -1596,10 +1679,10 @@ def product_profit(
     qty = F.col("l_quantity").cast("decimal(25,2)")
     profit = rev_decimal() - cost * qty
     return (
-        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        lineitem.join(maybe_broadcast(p), lineitem.l_partkey == p.p_partkey)
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(maybe_broadcast(supplier.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1641,7 +1724,7 @@ def excess_stock_suppliers(
             (F.col("l_shipdate") >= F.lit(date_lo))
             & (F.col("l_shipdate") < F.lit(date_hi))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("_qty"))
         .filter(avail.cast("decimal(25,2)") > F.col("_qty"))
@@ -2023,7 +2106,10 @@ def copurchase_pairs(
     degenerate baskets before the join (a k-item basket emits k²/2
     pairs), bounding fan-out.  Support counts and per-item totals are
     map-side-combined aggregates; confidence = support/count(a) joins
-    the (small) frequent-pair table against the item-count table.
+    the frequent-pair table against the per-item count table — whose
+    cardinality is |distinct parts| (UNBOUNDED in SF), so its broadcast
+    hint is size-gated via maybe_broadcast: past the gate both sides
+    shuffle on part_a and AQE picks the strategy.
 
     Output: (part_a, part_b, support, confidence) with part_a < part_b,
     support >= min_support; confidence is P(b in basket | a in basket).
@@ -2047,7 +2133,7 @@ def copurchase_pairs(
     )
     return (
         pairs.join(
-            F.broadcast(counts.withColumnRenamed("_p", "part_a")), "part_a"
+            maybe_broadcast(counts.withColumnRenamed("_p", "part_a")), "part_a"
         )
         .select(
             "part_a",

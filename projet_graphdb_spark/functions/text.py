@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .relational import maybe_broadcast
+
 # Tiny per-language stopword marker sets for the n-gram/stopword-count
 # language-ID heuristic.  Chosen to be disjoint across languages.
 LANG_MARKERS = {
@@ -793,11 +795,12 @@ def unigram_logprob(
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
     total = freq.agg(F.sum("_tf").alias("_tot"))
-    # fold the 1-row total into the (small) vocabulary BEFORE broadcast:
-    # the corpus-side plan is then a single BroadcastHashJoin; the benign
-    # vocab × 1-row nested loop never touches fact-table rows
+    # fold the 1-row total into the vocabulary BEFORE its (size-gated —
+    # vocab grows with corpus) broadcast: the corpus-side plan is then a
+    # single hash join; the benign vocab × 1-row nested loop never
+    # touches fact-table rows
     freq = freq.crossJoin(F.broadcast(total))
-    scored = toks.join(F.broadcast(freq), "tok")
+    scored = toks.join(maybe_broadcast(freq), "tok")
     return (
         scored.groupBy(id_col)
         .agg(
@@ -915,8 +918,8 @@ def source_kl_divergence(
     p = F.col("_stf") / F.col("_stot")
     q = F.col("_ctf") / F.col("_ctot")
     return (
-        stf.join(F.broadcast(ctf), "tok")
-        .join(F.broadcast(stot), "grp")
+        stf.join(maybe_broadcast(ctf), "tok")
+        .join(maybe_broadcast(stot), "grp")
         .groupBy(F.col("grp").alias(group_col))
         .agg(
             F.sum("_stf").alias("n_tokens"),
@@ -1146,8 +1149,8 @@ def bigram_pmi(
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("_n").alias("_nb"))
     p_pair = F.col("n_pair") / F.lit(n_pairs)
     joined = (
-        pair_counts.join(F.broadcast(ua), "tok_a")
-        .join(F.broadcast(ub), "tok_b")
+        pair_counts.join(maybe_broadcast(ua), "tok_a")
+        .join(maybe_broadcast(ub), "tok_b")
         .crossJoin(F.broadcast(n_tokens))
     )
     pmi = F.log(
