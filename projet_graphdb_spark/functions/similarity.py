@@ -809,6 +809,48 @@ def ivf_calibrate_recall(
     return [h / n for h in hits], n
 
 
+def _calibrate_grown(
+    assigned: DataFrame, threshold: float, max_nprobe: int, n_rows: int | None
+) -> tuple[list[float], int]:
+    """:func:`ivf_calibrate_recall`, growing the sample ONCE (4096→8192,
+    4× the expected in-sample pairs, S-matrix ≤ 512 MB driver RAM) when
+    the default sample holds no truth pair — expected pairs scale as
+    ~pairs·(cap/N)², so an empty sample is likeliest exactly at large N,
+    where an uncalibrated fallback would be most dangerous (round-8
+    advice on the round-7 silent-recall hole)."""
+    recalls, n_pairs = ivf_calibrate_recall(
+        assigned, threshold, max_nprobe=max_nprobe, n_rows=n_rows
+    )
+    if n_pairs == 0:
+        recalls, n_pairs = ivf_calibrate_recall(
+            assigned, threshold, max_nprobe=max_nprobe,
+            sample_cap=8192, n_rows=n_rows,
+        )
+    return recalls, n_pairs
+
+
+def _require_dense_int_ids(df: DataFrame, id_col: str, fn_name: str) -> None:
+    """Guard the dense-integer id contract shared by the IVF/IMI family:
+    deterministic ``id % step`` sampling, ``(id/step)`` re-id, and
+    ``id < k`` k-means seeding all assume ids are non-negative integers
+    densely covering 0..N-1.  A non-integer id type would crash deep in
+    the modulo — raise a clear TypeError at the entrypoint instead.
+    (Sparse INTEGER domains can't be detected without a pass over the
+    data; they degrade to fewer seeds/samples — the docstrings tell
+    callers to pre-densify with ``row_number()``.)"""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{fn_name}: id column {id_col!r} has type "
+            f"{dtype.simpleString()}, but the IVF/IMI sampling and "
+            f"seeding contract needs a DENSE non-negative integer id "
+            f"(0..N-1) — derive one with row_number() over a stable "
+            f"order (or monotonically_increasing_id + rank) first."
+        )
+
+
 def ivf_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -868,7 +910,14 @@ def ivf_cosine_dups(
     Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold —
     identical shape/semantics to :func:`lsh_cosine_dups` minus the
     candidate-generation recall profile.
+
+    ID CONTRACT: ``id_col`` must be a dense non-negative integer
+    (0..N-1) — training's ``id % step`` sample, its ``(id/step)``
+    re-id, and the ``id < k`` seeding depend on it.  Non-integer types
+    raise ``TypeError``; sparse integer domains silently train on
+    fewer seeds — pre-densify with ``row_number()``.
     """
+    _require_dense_int_ids(embeddings, id_col, "ivf_cosine_dups")
     emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     base = emb.select("_vid", "_v", l2norm(F.col("_v")).alias("_n"))
     if assigned_cells is None:
@@ -951,9 +1000,13 @@ def imi_cosine_dups(
     :func:`ivf_calibrate_recall` and then to the shared candidate tail.
 
     Output: (id_a, id_b, sim), id_a < id_b, cosine ≥ threshold.
+
+    ID CONTRACT: dense non-negative integer ids (0..N-1), like every
+    IVF-family entrypoint — see :func:`ivf_cosine_dups`.
     """
     from . import clustering
 
+    _require_dense_int_ids(embeddings, id_col, "imi_cosine_dups")
     emb = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     if dim is None:
         dim = emb.select(F.size("_v")).first()[0]
@@ -1098,7 +1151,10 @@ def ivf_plan(
     est_flops = (
         train_rows * k * dim * num_iter + n_rows * k * dim + est_pairs * 8 * dim
     )
-    return {"n_centroids": k, "nprobe": nprobe, "est_pairs": int(est_pairs), "est_flops": est_flops}
+    return {
+        "n_centroids": k, "nprobe": nprobe, "num_iter": num_iter,
+        "est_pairs": int(est_pairs), "est_flops": est_flops,
+    }
 
 
 def imi_plan(
@@ -1131,7 +1187,7 @@ def imi_plan(
         + est_pairs * 8 * dim
     )
     return {
-        "k1": k1, "k2": k1, "p1": p, "p2": p,
+        "k1": k1, "k2": k1, "p1": p, "p2": p, "num_iter": num_iter,
         "est_pairs": int(est_pairs), "est_flops": est_flops,
     }
 
@@ -1338,12 +1394,27 @@ def cosine_dups_auto(
 
     ``plan_out``: pass a dict to receive the routing receipt —
     strategy, construction, calibrated ``recall_by_nprobe``, the chosen
-    nprobe and its ``calibrated_recall``, and ``sample_truth_pairs``
-    (0 = calibration sample held no pair at the threshold; recall then
-    unknown and the plan's default nprobe is used)."""
+    nprobe and its ``calibrated_recall``, and ``sample_truth_pairs``.
+    When the default calibration sample holds no truth pair (expected
+    in-sample pairs scale as ~pairs·(cap/N)² — LIKELIEST exactly at the
+    large-N regimes this router targets), the sample is grown once
+    (4096→8192: 4× the expected pairs, S-matrix ≤ 512 MB driver RAM);
+    if it still holds none, recall is UNKNOWN — the router then WARNS
+    and escalates to ``max_nprobe`` (the already-computed assignment's
+    most-recall slice) instead of running the plan's uncalibrated
+    default, and the receipt records ``sample_truth_pairs = 0``.
+
+    ID CONTRACT: ``id_col`` must be a dense non-negative integer
+    (0..N-1, the synthetic tables' ``vec_id`` shape) — deterministic
+    ``id % step`` sampling and ``id < k`` k-means seeding depend on it.
+    Non-integer id types raise ``TypeError``; SPARSE integer domains
+    silently degrade to fewer seeds/samples — pre-densify with
+    ``row_number()`` first."""
     import warnings
 
     from . import clustering
+
+    _require_dense_int_ids(embeddings, id_col, "cosine_dups_auto")
 
     if n_rows is None or dim is None:
         sized = embeddings.agg(
@@ -1370,15 +1441,30 @@ def cosine_dups_auto(
         # rebuilds the assignment) — the receipt + warning carry it.
         assigned = imi_cosine_dups(
             embeddings, threshold=threshold, k1=plan["k1"], k2=plan["k2"],
-            p1=plan["p1"], p2=plan["p2"], id_col=id_col, vec_col=vec_col,
+            p1=plan["p1"], p2=plan["p2"], num_iter=plan["num_iter"],
+            id_col=id_col, vec_col=vec_col,
             dim=dim, n_rows=n_rows, cells_only=True,
         ).localCheckpoint(eager=True)
         grid = plan["p1"] * plan["p2"]
-        recalls, n_pairs = ivf_calibrate_recall(
+        recalls, n_pairs = _calibrate_grown(
             assigned, threshold, max_nprobe=grid, n_rows=n_rows
         )
+        # the IMI grid feeds calibration in rank1-major (p1×p2) order,
+        # NOT nearest-virtual-cell-first, so intermediate recalls[j-1]
+        # correspond to no real probe setting — only the FULL-grid value
+        # is meaningful, and candidates below explode the full grid
         achieved = recalls[-1] if n_pairs > 0 else None
-        if achieved is not None and achieved < target_recall:
+        if n_pairs == 0:
+            warnings.warn(
+                f"cosine_dups_auto: calibration sample (grown to 8192) "
+                f"held no truth pair at threshold {threshold} "
+                f"(N={n_rows}) — IMI recall is UNKNOWN, not implied "
+                f"high; candidates already probe the full "
+                f"p={plan['p1']}×{plan['p2']} grid, so there is no "
+                f"escalation left — verify a sample downstream.",
+                stacklevel=2,
+            )
+        elif achieved < target_recall:
             warnings.warn(
                 f"cosine_dups_auto: calibrated IMI recall at "
                 f"p={plan['p1']}×{plan['p2']} is {achieved:.3f} < target "
@@ -1391,7 +1477,10 @@ def cosine_dups_auto(
             plan_out.update(
                 {
                     "calibrated_recall": achieved,
-                    "recall_by_nprobe": recalls,
+                    # rank1-major grid order ⇒ per-prefix recalls are
+                    # not probe settings; record only the full grid
+                    "recall_by_nprobe": None,
+                    "recall_full_grid": achieved,
                     "sample_truth_pairs": n_pairs,
                 }
             )
@@ -1409,11 +1498,25 @@ def cosine_dups_auto(
     ).localCheckpoint(eager=True)  # one (train + assign) pass feeds BOTH
     # the calibration sample and candidate generation at whatever nprobe
     # calibration picks — never a second N·k matmul
-    recalls, n_pairs = ivf_calibrate_recall(
+    recalls, n_pairs = _calibrate_grown(
         assigned_topn, threshold, max_nprobe=max_nprobe, n_rows=n_rows
     )
     nprobe = plan["nprobe"]
     achieved = None
+    if n_pairs == 0:
+        # recall UNKNOWN (even the grown sample held no truth pair):
+        # running the plan's uncalibrated default would reopen the
+        # silent-0.116 hole — take the most-recall slice the computed
+        # assignment offers and say so
+        nprobe = max_nprobe
+        warnings.warn(
+            f"cosine_dups_auto: calibration sample (grown to 8192) held "
+            f"no truth pair at threshold {threshold} (N={n_rows}) — IVF "
+            f"recall is UNKNOWN, not implied high; escalating to "
+            f"nprobe={max_nprobe} (the assignment's most-recall slice) "
+            f"and proceeding — verify a sample downstream.",
+            stacklevel=2,
+        )
     if n_pairs > 0:
         nprobe = next(
             (j for j in range(1, max_nprobe + 1) if recalls[j - 1] >= target_recall),

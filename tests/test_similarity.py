@@ -573,6 +573,52 @@ def test_cosine_dups_auto_calibrated_receipt_and_reuse(spark, emb, emb_np):
     assert got == direct
 
 
+def test_cosine_dups_auto_empty_calibration_escalates(spark):
+    """When even the GROWN calibration sample holds no truth pair,
+    recall is unknown — the router must WARN and escalate to max_nprobe
+    (the assignment's most-recall slice), never run the plan's
+    uncalibrated default (round-8 advice: the silent fallback reopened
+    the 0.116 hole at exactly the large-N regimes the router targets).
+    Corpus: 2000 random dim-128 vectors — pair cosine ~ N(0, 1/128)
+    (max observed 0.44), so at t=0.5 there are no truth pairs, and
+    t=0.5 still pins the IVF route."""
+    import warnings as _w
+
+    rng = np.random.default_rng(42)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(128)]) for i in range(2000)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    receipt = {}
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = similarity.cosine_dups_auto(
+            corpus, threshold=0.5, max_nprobe=3, plan_out=receipt
+        ).collect()
+    assert receipt["strategy"] == "ivf"
+    assert receipt["sample_truth_pairs"] == 0
+    assert receipt["calibrated_recall"] is None
+    assert receipt["nprobe"] == 3  # escalated, not the plan default 2
+    assert any("UNKNOWN" in str(c.message) for c in caught)
+    assert out == []  # exact verification keeps zero false positives
+
+
+def test_ivf_family_rejects_non_integer_ids(spark, emb):
+    """The dense-integer id contract is guarded at every IVF-family
+    entrypoint: a string id must raise a clear TypeError instead of
+    crashing in the sampling modulo."""
+    bad = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    for fn in (
+        similarity.ivf_cosine_dups,
+        similarity.imi_cosine_dups,
+        similarity.cosine_dups_auto,
+    ):
+        with pytest.raises(TypeError, match="DENSE non-negative integer"):
+            fn(bad, threshold=0.4)
+
+
 def test_cosine_dups_auto_warns_when_target_unreachable(spark, emb):
     """target_recall=1.0 with max_nprobe=1 cannot hold on this corpus
     (the fixture's nprobe=2 recall is already ~0.85): the router must
@@ -706,7 +752,15 @@ def test_cosine_dups_auto_imi_branch_runs(spark, emb, emb_np):
         ).collect()
     assert receipt["strategy"] == "imi"
     assert receipt["plan"]["k1"] == receipt["plan"]["k2"]
-    assert "recall_by_nprobe" in receipt
+    # the routed IMI execution must run the Lloyd iterations the cost
+    # model priced (round-8 advice: the plan priced num_iter=2 while the
+    # branch ran the function default 1)
+    assert receipt["plan"]["num_iter"] == 2
+    # the IMI grid is rank1-major, not nearest-first: per-prefix recalls
+    # are no real probe setting, so the receipt records only the
+    # full-grid figure
+    assert receipt["recall_by_nprobe"] is None
+    assert receipt["recall_full_grid"] == receipt["calibrated_recall"]
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert (r["id_a"], r["id_b"]) in truth
