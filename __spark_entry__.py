@@ -86,7 +86,14 @@ _RECONFIRM_FIRST = [
 # pin, membership is only effective until a window records the query
 # green.
 _PIN_FIRST = [
+    # r7 pins (green in the r7 window — retired automatically) kept for
+    # provenance; r8 pins: the round-7 verdict's explicit asks (s22, the
+    # two newest language features) plus this round's new calibration
+    # oracle.  All 40 never-checked names fit the 50-slot window behind
+    # them, so r8 should drain the entire backlog.
     "g29_mixed_varlength", "s23_dup_strategy_report", "s24_imi_cosine_dups",
+    "s22_ivf_cosine_dups", "g27_sql_surface", "g28_bind_params",
+    "s25_ivf_recall_calibration",
 ]
 
 
@@ -858,6 +865,46 @@ def s23_dup_strategy_report(spark, sf_dir):
     sub-quadratically; the 30× frontier in SCALE_REHEARSAL.md is the
     measured companion), IMI past flat's ~16k-cell assignment wall."""
     return similarity.dup_strategy_report(_emb(spark, sf_dir))
+
+
+def s25_ivf_recall_calibration(spark, sf_dir):
+    """The recall-calibration primitive itself as an oracle-checked
+    query (functions/similarity.py::ivf_calibrate_recall — round-7's
+    honesty device: the uncalibrated router had silently delivered
+    0.116 recall against a 0.95 ask; round-8 verdict asked for the
+    primitive to be pinned directly, not only via s22/s24 plumbing).
+
+    Spark side runs the REAL pipeline — ivf_train (pinned 8 cells /
+    2 Lloyd iterations, the s22 codebook discipline so the oracle can
+    replay the chain), assign_topn(nprobe=4), then
+    ivf_calibrate_recall(threshold=0.4) — and returns its results as a
+    4-row frame (recall at nprobe=1..4 plus the truth-pair count).
+    The DuckDB twin replays ALL of it independently in SQL: the Lloyd
+    CTE chain, the rk≤4 soft assignment, the deterministic 1-in-step
+    sample, exact truth pairs at the threshold, and the
+    first-prefix-intersection rule (a pair is recalled at nprobe=j iff
+    its top-j cell prefixes intersect — the incremental scan in the
+    Python implementation is exactly that predicate).  recall = hits/n
+    is one IEEE division of two identical integers on both engines, so
+    the doubles hash-match bit-for-bit.
+
+    Output: (nprobe, recall, n_truth_pairs), one row per nprobe 1..4.
+    """
+    from projet_graphdb_spark.functions import clustering
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+    )
+    n = emb.count()
+    cents = similarity.ivf_train(emb, n_rows=n, n_centroids=8, num_iter=2)
+    assigned = clustering.assign_topn(emb, cents, nprobe=4, vec_col="_v")
+    recalls, n_pairs = similarity.ivf_calibrate_recall(
+        assigned, threshold=0.4, max_nprobe=4, n_rows=n
+    )
+    return spark.createDataFrame(
+        [(j, float(recalls[j - 1]), n_pairs) for j in range(1, 5)],
+        "nprobe long, recall double, n_truth_pairs long",
+    )
 
 
 def m4_thumbnails(spark, sf_dir):
@@ -5543,6 +5590,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s22_ivf_cosine_dups": s22_ivf_cosine_dups,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
+        "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
         "m1_media_features": m1_media_features,
         "m2_frame_sample": m2_frame_sample,
         "m3_decode_bins": m3_decode_bins,
@@ -7556,6 +7604,7 @@ def oracle_sql() -> dict[str, str]:
         "s22_ivf_cosine_dups": _ivf_dups_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
+        "s25_ivf_recall_calibration": _ivf_recall_oracle(),
         "s13_matryoshka_recall": _matryoshka_oracle(),
         "s14_similarity_histogram": """
             WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -10503,6 +10552,58 @@ def _ivf_dups_oracle(
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _ivf_recall_oracle(
+    k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6,
+    max_nprobe: int = 4, threshold: float = 0.4, sample_cap: int = 4096,
+) -> str:
+    """s25: independent SQL replay of ivf_calibrate_recall — the s22
+    Lloyd chain + rk≤max_nprobe soft assignment, the deterministic
+    vec_id %% step sample (step = ceil(N / sample_cap), 1 at these SFs),
+    exact truth pairs at the threshold, and recall-at-nprobe=j as the
+    share of truth pairs whose top-j cell PREFIXES intersect (the
+    Python first-intersection scan is exactly that predicate).  hits
+    and n are integers, recall is one IEEE division — bit-identical to
+    the driver-numpy figure when the counts agree."""
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp)
+    return f"""
+        {ctes},
+        ranked_cells AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN {prev} c),
+        stepv AS (
+          SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sample_cap}.0) AS BIGINT))
+                 AS step FROM emb),
+        samp AS MATERIALIZED (
+          SELECT e.vec_id, e.v, lc.cells
+          FROM emb e
+          JOIN (SELECT vec_id, list(cid ORDER BY rk) AS cells
+                FROM ranked_cells WHERE rk <= {max_nprobe}
+                GROUP BY vec_id) lc USING (vec_id)
+          CROSS JOIN stepv
+          WHERE e.vec_id % stepv.step = 0),
+        pairs AS MATERIALIZED (
+          SELECT a.cells AS ca, b.cells AS cb
+          FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= {threshold}),
+        n AS (SELECT COUNT(*) AS cnt FROM pairs),
+        per_j AS (
+          SELECT j.nprobe,
+                 SUM(CASE WHEN len(list_intersect(ca[1:j.nprobe],
+                                                  cb[1:j.nprobe])) > 0
+                     THEN 1 ELSE 0 END) AS hits
+          FROM pairs
+          CROSS JOIN (SELECT unnest(range(1, {max_nprobe + 1})) AS nprobe) j
+          GROUP BY j.nprobe)
+        SELECT CAST(per_j.nprobe AS BIGINT) AS nprobe,
+               CAST(hits AS DOUBLE) / cnt AS recall,
+               CAST(cnt AS BIGINT) AS n_truth_pairs
+        FROM per_j CROSS JOIN n
+        ORDER BY nprobe
     """
 
 
