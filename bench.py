@@ -67,6 +67,32 @@ def regression_warnings(
     return warns
 
 
+def probe_jvm_epoch(spark, reps: int = 3) -> float:
+    """Host-epoch probe (round-7 verdict item 7): min-of-``reps`` wall
+    time of a tiny FIXED JVM job (range → sum, no IO, no Python
+    workers).  On a healthy host this runs in ~0.05-0.15 s warm; during
+    the documented 10-30× degraded-VM windows (BASELINE.md diagnosis:
+    JVM ops crawl while pure-Python spin loops stay fast) it lands at
+    0.5 s+.  min-of-reps because a single sample can straddle a GC
+    pause."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(1_000_000).selectExpr("count(*) AS c", "sum(id) AS s").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
+def degraded_epoch_flag(probes: dict, threshold_sec: float = 0.5) -> bool:
+    """True when ANY recorded probe exceeds ``threshold_sec`` — the run
+    overlapped a degraded host epoch, so regression WARNs in the same
+    line self-contextualize (the r7 a20/a22 adjudication required a
+    manual worktree bisect to establish exactly this)."""
+    return any(
+        v is not None and v >= 0 and v > threshold_sec for v in probes.values()
+    )
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -80,6 +106,8 @@ def main():
         pass
 
     import gc
+
+    probes = {"before": probe_jvm_epoch(spark)}
 
     # The host VM intermittently degrades JVM execution ~10-30x for
     # 30-70 s windows (diagnosed round 1: guest CPU/disk/clock/GC/
@@ -164,6 +192,9 @@ def main():
         pass
     if retried:
         out["retried"] = retried
+    probes["after"] = probe_jvm_epoch(spark)
+    out["jvm_probe_sec"] = probes
+    out["degraded_epoch"] = degraded_epoch_flag(probes)
     warns = regression_warnings(
         timings, ref, out.get("stream_rows_per_sec"), rate_ref
     )
@@ -171,6 +202,13 @@ def main():
         out["warnings"] = warns
         for w in warns:
             print(f"# WARN regression: {w}", file=sys.stderr)
+        if out["degraded_epoch"]:
+            print(
+                "# NOTE: degraded host epoch detected by the JVM probe "
+                f"({probes}) — adjudicate the WARNs with min-of-reps "
+                "before treating them as regressions",
+                file=sys.stderr,
+            )
     print(json.dumps(out))
 
 

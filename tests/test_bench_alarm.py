@@ -60,3 +60,30 @@ def test_failed_and_unfloored_queries_ignored():
     # -1 sentinel (failed) and names with no committed floor don't warn
     assert regression_warnings({"new_q": 9.0, "failed_q": -1.0},
                                {"failed_q": 1.0}) == []
+
+
+def test_degraded_epoch_flag_pure_logic():
+    from bench import degraded_epoch_flag
+
+    # healthy warm probes: ~0.05-0.15s
+    assert degraded_epoch_flag({"before": 0.08, "after": 0.12}) is False
+    # either endpoint over the bar flags the run
+    assert degraded_epoch_flag({"before": 0.08, "after": 1.7}) is True
+    assert degraded_epoch_flag({"before": 3.0, "after": 0.1}) is True
+    # sentinel / missing probes never flag
+    assert degraded_epoch_flag({"before": -1.0, "after": None}) is False
+
+
+def test_probe_jvm_epoch_runs_fast_and_fixed(spark):
+    """The probe is a tiny fixed JVM job: it must return a small
+    positive min-of-reps figure on a warm session (well under the 0.5s
+    degraded bar on a healthy host — if THIS assertion flakes, the
+    session itself sits in a degraded epoch, which is exactly what the
+    probe exists to detect; re-run)."""
+    from bench import probe_jvm_epoch
+
+    # warm codegen once so the probe measures execution, not first-run
+    # class loading
+    spark.range(1_000_000).selectExpr("count(*) AS c", "sum(id) AS s").collect()
+    t = probe_jvm_epoch(spark)
+    assert 0 < t < 2.0
