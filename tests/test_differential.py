@@ -14,6 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
+import diff_fuzz
 from diff_fuzz import gen_program, run_one
 
 
@@ -21,6 +22,7 @@ def test_random_programs_match_model(spark):
     rng = random.Random(20260814)
     divergences = []
     n_rebind = n_divmod = 0
+    cov0 = dict(diff_fuzz.COVERAGE)
     for trial in range(200):
         text = gen_program(rng)
         binds = re.findall(r"(?:create|match) \((\w+):", text)
@@ -28,7 +30,7 @@ def test_random_programs_match_model(spark):
             n_rebind += 1
         if " mod " in text or " / " in text:
             n_divmod += 1
-        ok, detail = run_one(spark, text)
+        ok, detail = run_one(spark, text, rng=rng)
         assert ok is not None, f"generator slip:\n{text}\n{detail}"
         if not ok:
             divergences.append((text, detail))
@@ -36,3 +38,25 @@ def test_random_programs_match_model(spark):
     # the corpus must actually exercise the hard envelope, not dodge it
     assert n_rebind >= 30, n_rebind
     assert n_divmod >= 20, n_divmod
+    # the round-8 surfaces (g28 bind-param path, g27 SQL-over-views
+    # motif) are probabilistic — assert they actually fired
+    assert diff_fuzz.COVERAGE["bind_params"] - cov0["bind_params"] >= 40
+    assert diff_fuzz.COVERAGE["sql_surface"] - cov0["sql_surface"] >= 40
+
+
+def test_bind_params_rejections():
+    """The injection-proof templating contract's error envelope:
+    undefined placeholder, unused parameter, charset violation,
+    unsupported type — each a typed error, never a silent splice."""
+    import pytest
+
+    from projet_graphdb_spark.engine import bind_params
+
+    with pytest.raises(KeyError, match="undefined parameter"):
+        bind_params("where x.a = $missing", {})
+    with pytest.raises(KeyError, match="unused parameters"):
+        bind_params("where x.a = $p", {"p": 1, "extra": 2})
+    with pytest.raises(ValueError, match="charset"):
+        bind_params('where x.s = $p', {"p": 'evil" return x'})
+    with pytest.raises(TypeError, match="unsupported type"):
+        bind_params("where x.a = $p", {"p": 1.5})

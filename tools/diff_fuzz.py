@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -648,9 +649,97 @@ def _run_instrs(instrs, state):
 # ---------------------------------------------------------------------------
 
 
-def run_one(spark, text: str) -> tuple:
-    """(ok, detail) for one program."""
+# path-coverage counters for the in-suite soak: the new-surface checks
+# are probabilistic, so the soak asserts they actually fired instead of
+# silently dodging the envelope (the n_rebind/n_divmod discipline)
+COVERAGE = {"bind_params": 0, "sql_surface": 0}
+
+
+def parameterize(text: str, rng: random.Random):
+    """Rewrite a random subset of the program's literals (ints, strings,
+    booleans) as ``$pN`` bind placeholders — the g28 prepared-statement
+    surface.  Returns (ptext, params), or None when the program has no
+    parameterizable literal.  By construction
+    ``bind_params(ptext, params) == text`` must hold exactly (ints
+    render as str(int), strings re-quote, booleans lower) — the caller
+    asserts that round-trip before running the engine."""
+    spots = []  # (start, end, value)
+    for m in re.finditer(r'"([A-Za-z0-9 ]*)"', text):
+        spots.append((m.start(), m.end(), m.group(1)))
+    # standalone integer literals: not inside an identifier, not the
+    # digits of a previously introduced placeholder (none exist yet)
+    for m in re.finditer(r"(?<![\w$])\d+(?!\w)", text):
+        spots.append((m.start(), m.end(), int(m.group(0))))
+    for m in re.finditer(r"(?<![\w$])(true|false)(?!\w)", text):
+        spots.append((m.start(), m.end(), m.group(1) == "true"))
+    if not spots:
+        return None
+    chosen = [s for s in spots if rng.random() < 0.5] or [rng.choice(spots)]
+    chosen.sort()
+    params = {}
+    out = []
+    prev = 0
+    for i, (a, b, v) in enumerate(chosen):
+        name = f"p{i}"
+        params[name] = v
+        out.append(text[prev:a])
+        out.append(f"${name}")
+        prev = b
+    out.append(text[prev:])
+    return "".join(out), params
+
+
+def _sql_surface_check(spark, state, want_nodes, want_edges, rel_decls, rng):
+    """The g27 surface, fuzzed: register the final (mutated) graph state
+    as temp views and express a random schema edge's 1-hop motif THREE
+    ways — ANSI SQL over the views, the engine's own match on the same
+    state, and the pure-Python model's closure — all must agree.
+    Returns an error string or None."""
     from projet_graphdb_spark.engine import binding_table, run_program
+
+    l1, rel, l2 = rng.choice(rel_decls)
+    for label, df in state.nodes.items():
+        df.createOrReplaceTempView(f"fz_{label.lower()}")
+    state.edges.createOrReplaceTempView("fz_edges")
+    got_sql = sorted(
+        (r["x"], r["y"])
+        for r in spark.sql(
+            f"""
+            SELECT a._id AS x, b._id AS y
+            FROM fz_{l1.lower()} a
+            JOIN fz_edges e ON e.src = a._id AND e.rel = '{rel}'
+            JOIN fz_{l2.lower()} b ON b._id = e.dst
+            """
+        ).collect()
+    )
+    _, b2 = run_program(
+        spark,
+        f"match (x: {l1}) -[:{rel}]-> (y: {l2})\nreturn x, y",
+        initial_state=state,
+    )
+    tbl2 = binding_table(b2)
+    got_eng = sorted((r["x"], r["y"]) for r in tbl2.collect())
+    want = sorted(
+        (s, d)
+        for (s, r2, d) in want_edges
+        if r2 == rel and s in want_nodes.get(l1, {}) and d in want_nodes.get(l2, {})
+    )
+    if got_sql != want:
+        return f"sql-surface {l1}-{rel}->{l2}: sql {got_sql[:5]} != model {want[:5]}"
+    if got_eng != want:
+        return f"sql-surface {l1}-{rel}->{l2}: engine {got_eng[:5]} != model {want[:5]}"
+    return None
+
+
+def run_one(spark, text: str, rng: random.Random | None = None) -> tuple:
+    """(ok, detail) for one program.  When ``rng`` is given, the run
+    randomly exercises the two newest language surfaces as well: the
+    program may execute through the g28 bind-parameter path (literals
+    lifted to $pN placeholders; the rendered text must round-trip
+    exactly), and after the compare a random schema edge's motif is
+    cross-checked between ANSI SQL over registered views, the engine,
+    and the model (the g27 surface)."""
+    from projet_graphdb_spark.engine import bind_params, binding_table, run_program
 
     prog2 = normalize(parse(text))
     try:
@@ -659,7 +748,21 @@ def run_one(spark, text: str) -> tuple:
         return None, f"generator slip (typecheck): {ex}"
     cols, want_rows, want_nodes, want_edges = run_model(prog2)
 
-    state, b = run_program(spark, text)
+    run_text, run_params = text, None
+    if rng is not None and rng.random() < 0.5:
+        p = parameterize(text, rng)
+        if p is not None:
+            ptext, params = p
+            rendered = bind_params(ptext, params)
+            if rendered != text:
+                return False, (
+                    f"bind_params round-trip broke the program:\n{ptext}\n"
+                    f"params={params}\nrendered:\n{rendered}"
+                )
+            run_text, run_params = ptext, params
+            COVERAGE["bind_params"] += 1
+
+    state, b = run_program(spark, run_text, params=run_params)
     tbl = binding_table(b)
     got_rows = sorted(
         (tuple(r[c] for c in sorted(tbl.columns)) for r in tbl.collect()),
@@ -685,6 +788,15 @@ def run_one(spark, text: str) -> tuple:
         return False, f"nodes {got_nodes} != {want_nodes}"
     if got_edges != want_edges:
         return False, f"edges {sorted(got_edges)} != {sorted(want_edges)}"
+    if rng is not None and rng.random() < 0.5:
+        rel_decls = re.findall(r"\(:(\w+)\) -\[:(\w+)\]-> \(:(\w+)\)", text)
+        if rel_decls:
+            COVERAGE["sql_surface"] += 1
+            err = _sql_surface_check(
+                spark, state, want_nodes, want_edges, rel_decls, rng
+            )
+            if err:
+                return False, err
     return True, ""
 
 
@@ -699,7 +811,7 @@ def main():
     for trial in range(n):
         text = gen_program(rng)
         try:
-            ok, detail = run_one(spark, text)
+            ok, detail = run_one(spark, text, rng=rng)
         except Exception as ex:  # an engine crash IS a divergence
             ok, detail = False, f"engine raised {type(ex).__name__}: {str(ex)[:300]}"
         if ok is None:
