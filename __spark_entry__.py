@@ -1709,6 +1709,28 @@ def t40_labeler_agreement(spark, sf_dir):
     )
 
 
+def t41_temperature_mixing(spark, sf_dir):
+    """Temperature-based source mixing (functions/text.py::
+    temperature_mixing): p_i ∝ n_tokens_i^0.7 — the multilingual/
+    multi-corpus rebalancing rule — plus effective epochs per source at
+    a 1M-token budget (the repeat-rate overfitting signal).  One
+    map-side-combined aggregate; weights round to 6dp BEFORE the
+    normalizing sum, which accumulates exactly in DECIMAL, so
+    partial-agg order can never move the probabilities."""
+    return text.temperature_mixing(_docs(spark, sf_dir))
+
+
+def x96_cube_pricing(spark, sf_dir):
+    """CUBE grouping-sets rollup (functions/relational.py::
+    cube_pricing): all four grouping sets of (returnflag, linestatus)
+    pricing totals in one pass — the BI drill-up surface; subtotals
+    mark the rolled dimension 'ALL'.  DECIMAL sums keep every grouping
+    set order-independent."""
+    return relational.cube_pricing(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def x95_retention_policy(spark, sf_dir):
     """Latest-N-per-key retention (the TTL/compaction policy): keep
     each customer's 3 most recent orders (ROW_NUMBER DESC by
@@ -5677,9 +5699,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x93_multiset_ops": x93_multiset_ops,
         "x94_period_over_period": x94_period_over_period,
         "x95_retention_policy": x95_retention_policy,
+        "x96_cube_pricing": x96_cube_pricing,
         "d25_manifest_checksum": d25_manifest_checksum,
         "m13_collate_waste": m13_collate_waste,
         "t40_labeler_agreement": t40_labeler_agreement,
+        "t41_temperature_mixing": t41_temperature_mixing,
         "t39_lexical_richness": t39_lexical_richness,
         "d24_blocking_candidates": d24_blocking_candidates,
         "s21_mips_vs_cosine": s21_mips_vs_cosine,
@@ -8157,6 +8181,26 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS hapax_share
             FROM tf GROUP BY lang ORDER BY lang
         """,
+        "t41_temperature_mixing": """
+            WITH per AS (
+              SELECT source,
+                     CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+'))
+                              END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n_tokens,
+                     ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.7), 6) AS weight
+              FROM per),
+            tot AS (
+              SELECT CAST(SUM(CAST(weight AS DECIMAL(25,6))) AS DOUBLE) AS t
+              FROM w)
+            SELECT source, n_tokens, weight,
+                   ROUND(weight / t, 6) AS mix_prob,
+                   ROUND(ROUND(weight / t, 6) * 1000000.0 / n_tokens, 4)
+                       AS epochs
+            FROM w CROSS JOIN tot ORDER BY source
+        """,
         "t40_labeler_agreement": """
             WITH meds AS (
               SELECT quantile_cont(n_chars, 0.5) AS mc,
@@ -8188,6 +8232,18 @@ def oracle_sql() -> dict[str, str]:
                                    * (1 - CAST(pb AS DOUBLE) / n))), 6)
                        AS cohens_kappa
             FROM agg
+        """,
+        "x96_cube_pricing": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_price
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY 1, 2
         """,
         "x95_retention_policy": """
             WITH ranked AS (

@@ -2305,3 +2305,33 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def cube_pricing(lineitem: DataFrame) -> DataFrame:
+    """CUBE rollup of the Q1 pricing aggregate: every grouping set of
+    (returnflag, linestatus) — per-pair, per-flag, per-status, and the
+    grand total — in ONE pass (the BI drill-up surface; at scale a CUBE
+    is one shuffle with map-side partials per grouping set, never four
+    scans).  Subtotal rows mark the rolled-up dimension 'ALL' (the
+    fixture columns are non-null, so the marker is unambiguous — with
+    nullable dims use GROUPING() instead).
+
+    Output: (l_returnflag, l_linestatus, n_items, sum_qty, sum_price),
+    ordered by the two dims with 'ALL' rows sorting after the values.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1346,3 +1346,58 @@ def sequence_packing(
             F.least(F.col("used_tokens"), F.lit(max_len)) / F.lit(float(max_len)), 6
         ).alias("efficiency"),
     ).orderBy("group", "example")
+
+
+def temperature_mixing(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-based source mixing weights — the multilingual /
+    multi-corpus rebalancing rule (sample source i with
+    p_i ∝ n_i^alpha, alpha<1 upsamples the tail): per source, its token
+    count, unnormalized weight, mixing probability, and the effective
+    epochs over that source at a fixed token ``budget``
+    (epochs > 1 ⇒ the schedule repeats the source; the overfitting
+    signal a data-mixing review reads first).
+
+    Scale design: ONE aggregate over the corpus (token counts are a
+    map-side-combined SUM of per-doc whitespace counts — no explode);
+    everything after is arithmetic on |sources| rows.  Determinism:
+    n^alpha is one libm pow per source (no data-order dependence);
+    weights round to ``round_dp`` BEFORE the normalizing sum, which
+    then accumulates exactly in DECIMAL — the label_centroid_stats
+    round-then-exact-sum discipline, so partial-aggregation order can
+    never move the probabilities and a SQL oracle reproduces every bit.
+
+    Output: (source, n_tokens, weight, mix_prob, epochs) by source.
+    """
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(ntok)
+        ).alias("n_tokens")
+    )
+    w6 = F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))), round_dp)
+    per = per.withColumn("weight", w6)
+    total = per.agg(
+        F.sum(F.col("weight").cast(f"decimal(25,{round_dp})")).cast("double").alias("_t")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))  # 1-row aggregate: bounded
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            F.round(F.col("weight") / F.col("_t"), round_dp).alias("mix_prob"),
+            F.round(
+                F.round(F.col("weight") / F.col("_t"), round_dp)
+                * F.lit(float(budget)) / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -128,6 +128,7 @@ GUARDED = [
     "m11_alignment_plan",
     "m12_specaugment_plan",
     "s19_filtered_knn",
+    "x96_cube_pricing",
 ]
 
 
@@ -300,6 +301,7 @@ def test_nl_allowed_build_sides_measured(spark):
         "x79_ewma_revenue",
         "g29_mixed_varlength",
         "t34_keyword_extraction",
+        "t41_temperature_mixing",
     ]:
         probs = audit_nl_build_sides(E.queries()[name](spark, SF_TINY))
         assert not probs, f"{name}: {probs}"

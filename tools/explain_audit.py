@@ -45,6 +45,8 @@ NL_ALLOWED = {
     # into the scored validation bigrams — constant side
     "t34_keyword_extraction",  # 1-row corpus doc-count broadcast into the
     # tf x df join — constant side
+    "t41_temperature_mixing",  # 1-row normalizing-total aggregate
+    # broadcast into the |sources|-row weight frame — constant side
     "s23_dup_strategy_report",  # 1-row corpus-count aggregate broadcast
     # into the 44-row literal construction table — constant sides
     "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
