@@ -809,6 +809,63 @@ def ivf_calibrate_recall(
     return [h / n for h in hits], n
 
 
+def imi_calibrate_recall_grid(
+    assigned: DataFrame,
+    threshold: float,
+    p_cap: int,
+    sample_cap: int = 4096,
+    n_rows: int | None = None,
+) -> tuple[list[float], int]:
+    """Empirical IMI pair-recall per SUB-GRID level p=1..``p_cap``, from
+    the same bounded deterministic sample as :func:`ivf_calibrate_recall`.
+
+    ``assigned`` carries ``_cells`` as the rank1-major ``p_cap×p_cap``
+    virtual-cell grid (cell for half-ranks (i,j) at position
+    ``i·p_cap + j``).  The probe set at level p is the p×p SUB-GRID
+    (both half-ranks < p) — a REAL probe setting, unlike prefixes of
+    the flattened list — so ``recalls[p-1]`` is the unbiased estimate
+    of full-corpus pair recall when probing top-p cells per half.
+    Monotone nondecreasing in p by construction.
+
+    Returns ``(recalls, n_truth_pairs)``; ``n_truth_pairs = 0`` means
+    recall is unknown (treat as unknown, never as 1.0)."""
+    import numpy as np
+
+    if n_rows is None:
+        n_rows = assigned.count()
+    step = max(1, -(-n_rows // sample_cap))
+    rows = (
+        assigned.filter(F.col("_vid") % step == 0)
+        .select("_vid", "_v", "_cells")
+        .collect()
+    )
+    if len(rows) < 2:
+        return [float("nan")] * p_cap, 0
+    V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    cells = [list(r["_cells"]) for r in rows]
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    S = Vn @ Vn.T
+    ii, jj = np.where(np.triu(S >= threshold, k=1))
+    if len(ii) == 0:
+        return [float("nan")] * p_cap, 0
+    sub_idx = [
+        [i * p_cap + j for i in range(p) for j in range(p)]
+        for p in range(1, p_cap + 1)
+    ]
+    hits = [0] * p_cap
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ca, cb = cells[a], cells[b]
+        for p in range(1, p_cap + 1):
+            sa = {ca[k] for k in sub_idx[p - 1]}
+            sb = {cb[k] for k in sub_idx[p - 1]}
+            if sa & sb:
+                for q in range(p, p_cap + 1):
+                    hits[q - 1] += 1
+                break
+    n = len(ii)
+    return [h / n for h in hits], n
+
+
 def _calibrate_grown(
     assigned: DataFrame, threshold: float, max_nprobe: int, n_rows: int | None
 ) -> tuple[list[float], int]:
@@ -1392,9 +1449,16 @@ def cosine_dups_auto(
     best-effort (the SemDeDup posture: at low thresholds full pair
     recall at corpus scale is a choice someone should make explicitly).
 
+    The IMI route gets the same treatment (round-8): the top-``p_cap``
+    half-cells are assigned ONCE, :func:`imi_calibrate_recall_grid`
+    estimates recall per p×p SUB-grid (each a real probe setting), and
+    the smallest p meeting the target generates candidates — the grid
+    is sliced, never reassigned.
+
     ``plan_out``: pass a dict to receive the routing receipt —
-    strategy, construction, calibrated ``recall_by_nprobe``, the chosen
-    nprobe and its ``calibrated_recall``, and ``sample_truth_pairs``.
+    strategy, construction, calibrated ``recall_by_nprobe`` (IVF) /
+    ``recall_by_p`` (IMI), the chosen nprobe / p and its
+    ``calibrated_recall``, and ``sample_truth_pairs``.
     When the default calibration sample holds no truth pair (expected
     in-sample pairs scale as ~pairs·(cap/N)² — LIKELIEST exactly at the
     large-N regimes this router targets), the sample is grown once
@@ -1435,57 +1499,75 @@ def cosine_dups_auto(
             id_col=id_col, vec_col=vec_col, n_rows=n_rows, dim=dim,
         )
     if strategy == "imi":
-        # past flat IVF's centroid cap: two-level assignment.  One
-        # virtual-cell grid pass feeds calibration and the candidate
-        # tail; recall has no escalation ladder here (the p dial
-        # rebuilds the assignment) — the receipt + warning carry it.
+        # past flat IVF's centroid cap: two-level assignment with a
+        # REAL escalation ladder (round-8): assign the top-``p_cap``
+        # half-cells ONCE, calibrate recall per p×p SUB-grid (each a
+        # real probe setting — the flat-IVF nprobe-slicing trick
+        # applied to the grid), and generate candidates from the
+        # smallest sub-grid meeting the target.  Escalating never
+        # recomputes the assignment; it only widens the slice.
+        p_cap = min(4, plan["k1"], plan["k2"])
         assigned = imi_cosine_dups(
             embeddings, threshold=threshold, k1=plan["k1"], k2=plan["k2"],
-            p1=plan["p1"], p2=plan["p2"], num_iter=plan["num_iter"],
+            p1=p_cap, p2=p_cap, num_iter=plan["num_iter"],
             id_col=id_col, vec_col=vec_col,
             dim=dim, n_rows=n_rows, cells_only=True,
         ).localCheckpoint(eager=True)
-        grid = plan["p1"] * plan["p2"]
-        recalls, n_pairs = _calibrate_grown(
-            assigned, threshold, max_nprobe=grid, n_rows=n_rows
+        recalls, n_pairs = imi_calibrate_recall_grid(
+            assigned, threshold, p_cap=p_cap, n_rows=n_rows
         )
-        # the IMI grid feeds calibration in rank1-major (p1×p2) order,
-        # NOT nearest-virtual-cell-first, so intermediate recalls[j-1]
-        # correspond to no real probe setting — only the FULL-grid value
-        # is meaningful, and candidates below explode the full grid
-        achieved = recalls[-1] if n_pairs > 0 else None
         if n_pairs == 0:
+            recalls, n_pairs = imi_calibrate_recall_grid(
+                assigned, threshold, p_cap=p_cap, sample_cap=8192,
+                n_rows=n_rows,
+            )
+        p = plan["p1"]
+        achieved = None
+        if n_pairs == 0:
+            p = p_cap
             warnings.warn(
                 f"cosine_dups_auto: calibration sample (grown to 8192) "
                 f"held no truth pair at threshold {threshold} "
                 f"(N={n_rows}) — IMI recall is UNKNOWN, not implied "
-                f"high; candidates already probe the full "
-                f"p={plan['p1']}×{plan['p2']} grid, so there is no "
-                f"escalation left — verify a sample downstream.",
+                f"high; escalating to the full p={p_cap}×{p_cap} grid "
+                f"and proceeding — verify a sample downstream.",
                 stacklevel=2,
             )
-        elif achieved < target_recall:
-            warnings.warn(
-                f"cosine_dups_auto: calibrated IMI recall at "
-                f"p={plan['p1']}×{plan['p2']} is {achieved:.3f} < target "
-                f"{target_recall} (threshold {threshold}, N={n_rows}); "
-                f"proceeding best-effort — raise p (rebuilds the cheap "
-                f"two-level assignment) or accept the SemDeDup posture.",
-                stacklevel=2,
+        else:
+            p = next(
+                (q for q in range(1, p_cap + 1)
+                 if recalls[q - 1] >= target_recall),
+                p_cap,
             )
+            achieved = recalls[p - 1]
+            if achieved < target_recall:
+                warnings.warn(
+                    f"cosine_dups_auto: calibrated IMI recall at the full "
+                    f"p={p_cap}×{p_cap} grid is {achieved:.3f} < target "
+                    f"{target_recall} (threshold {threshold}, N={n_rows}); "
+                    f"proceeding best-effort — raise k1/k2 occupancy or "
+                    f"accept the SemDeDup posture.",
+                    stacklevel=2,
+                )
         if plan_out is not None:
             plan_out.update(
                 {
+                    "p": p,
+                    "p_cap": p_cap,
                     "calibrated_recall": achieved,
-                    # rank1-major grid order ⇒ per-prefix recalls are
-                    # not probe settings; record only the full grid
-                    "recall_by_nprobe": None,
-                    "recall_full_grid": achieved,
+                    # each entry IS a real probe setting (p×p sub-grid)
+                    "recall_by_p": recalls,
+                    "recall_full_grid": recalls[-1] if n_pairs else None,
                     "sample_truth_pairs": n_pairs,
                 }
             )
+        if p == p_cap:
+            sub = F.col("_cells")
+        else:
+            idx = [i * p_cap + j for i in range(p) for j in range(p)]
+            sub = F.array(*[F.col("_cells")[k] for k in idx])
         cells = assigned.select(
-            "_vid", F.explode("_cells").alias("_cell")
+            "_vid", F.explode(sub).alias("_cell")
         ).localCheckpoint(eager=True)
         return ivf_cosine_dups(
             embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,

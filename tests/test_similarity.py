@@ -756,11 +756,48 @@ def test_cosine_dups_auto_imi_branch_runs(spark, emb, emb_np):
     # model priced (round-8 advice: the plan priced num_iter=2 while the
     # branch ran the function default 1)
     assert receipt["plan"]["num_iter"] == 2
-    # the IMI grid is rank1-major, not nearest-first: per-prefix recalls
-    # are no real probe setting, so the receipt records only the
-    # full-grid figure
-    assert receipt["recall_by_nprobe"] is None
-    assert receipt["recall_full_grid"] == receipt["calibrated_recall"]
+    # round-8 escalation ladder: the receipt's per-p recalls are REAL
+    # probe settings (p×p sub-grids of one top-p_cap assignment),
+    # monotone in p; the chosen p is the smallest meeting the target
+    # (or p_cap best-effort), and calibrated_recall is its entry
+    assert 1 <= receipt["p"] <= receipt["p_cap"] == 4
+    recalls = receipt["recall_by_p"]
+    assert len(recalls) == 4
+    if receipt["sample_truth_pairs"] > 0:
+        assert recalls == sorted(recalls)
+        assert receipt["calibrated_recall"] == recalls[receipt["p"] - 1]
+        assert receipt["recall_full_grid"] == recalls[-1]
+    else:
+        # the faked 10M n_rows makes the 1-in-2442 calibration sample
+        # degenerate on the 500-row fixture: recall is UNKNOWN and the
+        # router must have escalated to the full grid, not defaulted
+        assert receipt["calibrated_recall"] is None
+        assert receipt["p"] == receipt["p_cap"]
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert (r["id_a"], r["id_b"]) in truth
+
+
+def test_imi_grid_calibration_unbiased(spark, emb, emb_np):
+    """imi_calibrate_recall_grid's p-level estimates equal the TRUE
+    share of ground-truth pairs whose p×p sub-grids intersect (the
+    fixture fits inside the sample cap, so the estimate is exact)."""
+    ids, mat = emb_np
+    p_cap = 3
+    assigned = similarity.imi_cosine_dups(
+        emb, threshold=0.4, k1=4, k2=4, p1=p_cap, p2=p_cap,
+        num_iter=1, dim=64, cells_only=True,
+    )
+    recalls, n_pairs = similarity.imi_calibrate_recall_grid(
+        assigned, threshold=0.4, p_cap=p_cap, n_rows=len(ids)
+    )
+    assert n_pairs > 0 and recalls == sorted(recalls)
+    cell_of = {r["_vid"]: list(r["_cells"]) for r in assigned.collect()}
+    truth = _truth_pairs(ids, mat, 0.4)
+    for p in (1, 2, 3):
+        idx = [i * p_cap + j for i in range(p) for j in range(p)]
+        want = sum(
+            1 for a, b in truth
+            if {cell_of[a][k] for k in idx} & {cell_of[b][k] for k in idx}
+        ) / len(truth)
+        assert abs(recalls[p - 1] - want) < 1e-12, (p, recalls[p - 1], want)
