@@ -63,6 +63,7 @@ STREAMING_QUERIES = frozenset({
     "e23_dimension_asof_stream", "e26_restart_recovery",
     "e27_chained_agg_stream", "e28_left_join_stream", "e29_stream_metrics",
     "e31_global_agg_stream", "e32_redelivery_idempotent",
+    "e33_late_drop_stream",
 })
 
 # queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
@@ -4246,6 +4247,33 @@ def e32_redelivery_idempotent(spark, sf_dir):
     return spark.read.parquet(base + "/state")
 
 
+def e33_late_drop_stream(spark, sf_dir):
+    """The engine's late-data DROP path, actually executed
+    (streaming/late_drop.py::streaming_late_window_counts): every other
+    twin drains in one micro-batch where nothing is ever late; here the
+    source replays as THREE ordered files (event_id % 3, pinned names +
+    mtimes, maxFilesPerTrigger=1), so batches 1-2 carry rows far older
+    than the watermark batch 0 establishes.  Pins Spark's split-
+    watermark semantics (SPARK-24634 lineage): late-event filtering
+    uses the PREVIOUS batch's watermark (so batch 1 drops nothing),
+    eviction uses the current one, and availableNow's trailing no-data
+    batch finalizes emission at ms-floor(global max ts) − delay.  The
+    oracle replays exactly that protocol in SQL (per-batch ms-floored
+    max, 2-PRECEDING running max for the late filter, final-watermark
+    emission cut) — counts and DECIMAL-exact sums match bit-for-bit."""
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.late_drop import (
+        streaming_late_window_counts,
+    )
+
+    path, schema = stream_source(spark, sf_dir)
+    with state_partitions(spark, 8):
+        q = streaming_late_window_counts(
+            spark, path, schema, query_name="e33_sink"
+        )
+    return drain(q, spark, "e33_sink").orderBy("window_start")
+
+
 def e15_upsert_stream(spark, sf_dir):
     """CDC-style keyed UPSERT sink (streaming/upsert.py::
     streaming_upsert_to_parquet): foreachBatch merges each micro-batch
@@ -5682,6 +5710,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d23_band_sensitivity": d23_band_sensitivity,
         "e31_global_agg_stream": e31_global_agg_stream,
         "e32_redelivery_idempotent": e32_redelivery_idempotent,
+        "e33_late_drop_stream": e33_late_drop_stream,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -7915,6 +7944,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source
+        """,
+        "e33_late_drop_stream": """
+            WITH ev AS (
+              SELECT event_id % 3 AS b, ts, value,
+                     (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us
+              FROM events),
+            bwm AS (
+              SELECT b, (MAX(epoch_us(ts)) // 1000) * 1000 AS maxms_us
+              FROM ev GROUP BY b),
+            wml AS (
+              -- late-event filter uses the PREVIOUS batch's watermark:
+              -- stats of batches <= b-2 (split-watermark semantics)
+              SELECT b,
+                     MAX(maxms_us) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                       - 3600000000 AS wm_late_us
+              FROM bwm),
+            wmf AS (SELECT MAX(maxms_us) - 3600000000 AS wm_us FROM bwm),
+            kept AS (
+              SELECT ev.ws_us, ev.value FROM ev JOIN wml USING (b)
+              WHERE wml.wm_late_us IS NULL
+                 OR ev.ws_us + 21600000000 > wml.wm_late_us)
+            SELECT make_timestamp(ws_us) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sum_value
+            FROM kept CROSS JOIN wmf
+            WHERE ws_us + 21600000000 <= wmf.wm_us
+            GROUP BY 1 ORDER BY 1
         """,
         "e32_redelivery_idempotent": """
             SELECT event_id, ts, user_id, event_type, value, props

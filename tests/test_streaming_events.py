@@ -345,3 +345,47 @@ def test_chained_daily_peak_stream_equals_batch(spark):
     got = sorted(map(tuple, drain(q, spark, "t_daily_peak").collect()))
     want = sorted(map(tuple, daily_peak_batch(load_events(spark, SF_TINY)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_multibatch_late_drop_semantics(spark):
+    """The e33 multi-batch replay must (a) actually DROP late rows (the
+    result is a strict subset of the batch totals), (b) follow Spark's
+    split-watermark protocol — batch 1 keeps its rows (late filter uses
+    the PREVIOUS batch's watermark = -inf) while batch 2's old rows
+    drop — and (c) be deterministic across drains."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.streaming import drain, state_partitions, stream_source
+    from projet_graphdb_spark.streaming.late_drop import (
+        streaming_late_window_counts,
+    )
+
+    path, schema = stream_source(spark, SF_TINY)
+    runs = []
+    for i in range(2):
+        with state_partitions(spark, 4):
+            q = streaming_late_window_counts(
+                spark, path, schema, query_name=f"t_late_drop{i}"
+            )
+        runs.append(
+            sorted(map(tuple, drain(q, spark, f"t_late_drop{i}").collect()))
+        )
+    assert runs[0] == runs[1] and runs[0]  # deterministic, non-empty
+    got = {w: n for w, n, _ in runs[0]}
+    # full batch totals per window and per arrival batch
+    ev = load_events(spark, SF_TINY).select(
+        F.window("ts", "6 hours").start.alias("w"),
+        (F.col("event_id") % 3).alias("b"),
+    )
+    per = {
+        (r["w"], r["b"]): r["c"]
+        for r in ev.groupBy("w", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    windows = sorted({w for w, _ in per})
+    # every emitted early window holds batches 0+1 but NOT batch 2
+    for w in windows[: len(windows) // 2]:
+        want = per.get((w, 0), 0) + per.get((w, 1), 0)
+        assert got[w] == want, (w, got[w], want)
+        assert got[w] < want + per.get((w, 2), 0)  # batch 2 really dropped
+    # the final (still-open) window is withheld by append mode
+    assert windows[-1] not in got
