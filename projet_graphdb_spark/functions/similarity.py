@@ -1521,32 +1521,44 @@ def cosine_dups_auto(
                 assigned, threshold, p_cap=p_cap, sample_cap=8192,
                 n_rows=n_rows,
             )
+        # Escalation is COST-BOUNDED, unlike the IVF branch: there
+        # k ∝ N holds candidate volume linear at any nprobe, while here
+        # the codebook is fixed at √-scale, so level p costs (p/2)⁴ ×
+        # the plan's candidate volume (p_cap=4 ⇒ 16×).  Auto-escalation
+        # therefore only goes UP when a level actually REACHES the
+        # target; when even the full grid misses it, silently paying
+        # 16× for recall that still under-delivers would dwarf the LSH
+        # alternative — stay at the plan's p, warn, and put the whole
+        # measured ladder in the receipt so the caller can choose.
         p = plan["p1"]
         achieved = None
         if n_pairs == 0:
-            p = p_cap
             warnings.warn(
                 f"cosine_dups_auto: calibration sample (grown to 8192) "
                 f"held no truth pair at threshold {threshold} "
                 f"(N={n_rows}) — IMI recall is UNKNOWN, not implied "
-                f"high; escalating to the full p={p_cap}×{p_cap} grid "
-                f"and proceeding — verify a sample downstream.",
+                f"high; keeping the plan's p={p} (grid escalation "
+                f"multiplies candidate volume ~(p/{p})⁴ for unknown "
+                f"benefit) — verify a sample downstream.",
                 stacklevel=2,
             )
         else:
-            p = next(
+            reaching = next(
                 (q for q in range(1, p_cap + 1)
                  if recalls[q - 1] >= target_recall),
-                p_cap,
+                None,
             )
+            p = reaching if reaching is not None else min(p, p_cap)
             achieved = recalls[p - 1]
             if achieved < target_recall:
                 warnings.warn(
-                    f"cosine_dups_auto: calibrated IMI recall at the full "
-                    f"p={p_cap}×{p_cap} grid is {achieved:.3f} < target "
-                    f"{target_recall} (threshold {threshold}, N={n_rows}); "
-                    f"proceeding best-effort — raise k1/k2 occupancy or "
-                    f"accept the SemDeDup posture.",
+                    f"cosine_dups_auto: calibrated IMI recall misses the "
+                    f"target at EVERY probe level (full p={p_cap}×{p_cap} "
+                    f"grid reaches {recalls[-1]:.3f} < {target_recall}, "
+                    f"threshold {threshold}, N={n_rows}); staying at the "
+                    f"plan's p={p} ({achieved:.3f}) — escalation costs "
+                    f"~(p/{p})⁴ × candidates without reaching the ask; "
+                    f"the receipt's recall_by_p prices each level.",
                     stacklevel=2,
                 )
         if plan_out is not None:

@@ -770,9 +770,11 @@ def test_cosine_dups_auto_imi_branch_runs(spark, emb, emb_np):
     else:
         # the faked 10M n_rows makes the 1-in-2442 calibration sample
         # degenerate on the 500-row fixture: recall is UNKNOWN and the
-        # router must have escalated to the full grid, not defaulted
+        # router stays at the plan's p (IMI grid escalation multiplies
+        # candidate volume ~p^4 for unknown benefit — unlike IVF, where
+        # k ∝ N keeps nprobe escalation linear)
         assert receipt["calibrated_recall"] is None
-        assert receipt["p"] == receipt["p_cap"]
+        assert receipt["p"] == receipt["plan"]["p1"]
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert (r["id_a"], r["id_b"]) in truth
