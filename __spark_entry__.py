@@ -4365,6 +4365,39 @@ def d13_bloom_incremental(spark, sf_dir):
     return dedup.bloom_new_docs(spark, corpus, new_batch)
 
 
+def d26_incremental_lsh(spark, sf_dir):
+    """Incremental NEAR-dup ingest against a persisted corpus LSH index
+    (functions/dedup.py::incremental_lsh_dups) — the near-dup analogue
+    of d13's exact path.  The corpus (everything outside src0/src1) is
+    indexed ONCE by lsh_band_index into (doc_id, band, bhash) rows,
+    sunk to parquet partitioned by band and read BACK — the read-back
+    keeps the incremental contract honest: the shard join sees only
+    the index files, never the corpus minhash pipeline.  The new shard
+    (src0/src1, d13's split) pays O(shard × bands) signature work, a
+    (band, bhash) join against the index, and a candidate-bounded
+    exact-Jaccard verify whose corpus text lookup is semi-join-pruned —
+    nothing re-scales with corpus size, which is the only affordable
+    near-dup shape when 100 TB of corpus meets a daily shard.  md5
+    family for oracle portability (d3's playbook); the oracle replays
+    the full-corpus LSH and keeps exactly the shard×corpus cut —
+    band keys are per-document, so the candidate sets are provably
+    identical."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/corpus_index"
+    dedup.lsh_band_index(corpus, hash="md5").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    return dedup.incremental_lsh_dups(
+        corpus, new_batch, threshold=0.2, hash="md5", index=index
+    )
+
+
 def d14_containment(spark, sf_dir):
     """Directed shingle containment |A∩B|/|A| (functions/dedup.py::
     ngram_containment_pairs): the asymmetric quote/superset detector —
@@ -5594,6 +5627,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_passage_fuzzy": d11_passage_fuzzy,
         "d12_cluster_sizes": d12_cluster_sizes,
         "d13_bloom_incremental": d13_bloom_incremental,
+        "d26_incremental_lsh": d26_incremental_lsh,
         "d14_containment": d14_containment,
         "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
@@ -7586,6 +7620,21 @@ def oracle_sql() -> dict[str, str]:
         "a8_kcore": _kcore_oracle(),
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
+        # d26: the full-corpus LSH replay restricted to the shard×corpus
+        # cut — band keys are per-document functions of the signature,
+        # so these are exactly the candidates the index join produces.
+        "d26_incremental_lsh": f"""
+            WITH allp AS ({_minhash_lsh_oracle(threshold=0.2)}),
+            flag AS (SELECT doc_id, source IN ('src0', 'src1') AS is_new
+                     FROM documents)
+            SELECT CASE WHEN fa.is_new THEN p.id_a ELSE p.id_b END AS new_id,
+                   CASE WHEN fa.is_new THEN p.id_b ELSE p.id_a END AS corpus_id,
+                   p.jaccard
+            FROM allp p
+            JOIN flag fa ON fa.doc_id = p.id_a
+            JOIN flag fb ON fb.doc_id = p.id_b
+            WHERE fa.is_new <> fb.is_new
+        """,
         "d4_simhash": _simhash_oracle(),
         "d5_dup_clusters": _dup_clusters_oracle(),
         "t7_bm25_search": _bm25_oracle(terms=["dup", "vector", "join"], k=10),

@@ -323,6 +323,153 @@ def minhash_shared(
     }
 
 
+def _band_frame(sig: DataFrame, num_hashes: int, bands: int, band_hash) -> DataFrame:
+    """(_did, band, bhash) from a signature frame — the slim banded key
+    shared by the self-join path (:func:`minhash_lsh_pairs`) and the
+    persisted-index incremental path (:func:`lsh_band_index` /
+    :func:`incremental_lsh_dups`).  The band key is a pure per-document
+    function of the signature, so two frames banded with the same
+    (num_hashes, bands, hash) collide identically regardless of which
+    corpus they came from — the property that makes the index reusable
+    across ingest batches."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col("_did"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        band_hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{j * rows_per_band + k}").cast("string")
+                                    for k in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_did", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+
+
+def lsh_band_index(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """The PERSISTABLE corpus near-dup index: one (id, band, bhash) row
+    per document per band — ``bands × N`` rows of three longs, built in
+    one linear pass (shingle → minhash → band hash, no join, no
+    shuffle beyond the scan).
+
+    MinHash's permutation family is corpus-INDEPENDENT (fixed
+    multiply-shift coefficients over a fixed shingle hash — unlike,
+    say, a trained IVF codebook), so an index written once stays valid
+    as new shards arrive.  That is what makes near-dup dedup
+    incremental at 100 TB: index the corpus once, sink it to parquet
+    partitioned by ``band`` (bucket-by ``bhash`` for a co-located
+    join), and every future ingest batch joins against the index
+    instead of re-reading the corpus — see
+    :func:`incremental_lsh_dups`."""
+    _, sig, _ = minhash_shared(
+        docs, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
+    )
+    return _band_frame(sig, num_hashes, bands, _hash_fn(hash)).select(
+        F.col("_did").alias(id_col), "band", "bhash"
+    )
+
+
+def incremental_lsh_dups(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW SHARD and an already-indexed corpus
+    — the ingest-side counterpart of :func:`minhash_lsh_pairs`, and the
+    near-dup analogue of :func:`bloom_new_docs`'s exact path.
+
+    The batch pipeline re-minhashes everything per run; at 100 TB of
+    corpus meeting a daily shard that is the wrong cost shape.  Here
+    the corpus appears ONLY through (a) ``index`` — a
+    :func:`lsh_band_index` frame, in production read back from its
+    parquet sink (built inline when omitted) — for candidate
+    generation, and (b) a candidate-bounded semi-join back to the
+    corpus text for exact Jaccard verification.  Ingest cost is
+    O(shard × bands) signature work + a (band, bhash) join whose
+    shuffle carries the SHARD's band keys against the index, +
+    O(candidates) verification; nothing scales with corpus size except
+    the index scan, which partition-prunes on ``band`` when the sink
+    was partitioned that way.
+
+    Candidate equivalence: band keys are per-document functions of the
+    signature (see :func:`_band_frame`), so shard×corpus candidates
+    from this index join are EXACTLY the shard×corpus subset of the
+    candidates the full-corpus self-join would produce — the DuckDB
+    oracle replays it that way (d26).
+
+    ``corpus`` and ``new_batch`` must have disjoint ``id_col`` domains
+    (same contract as :func:`bloom_new_docs`).
+
+    Output: (new_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    band_hash = _hash_fn(hash)
+    sh_hash = _hash_fn(hash)
+    if index is None:
+        index = lsh_band_index(corpus, num_hashes, bands, n, text_col, id_col, hash)
+    nb_base, nb_sig, _ = minhash_shared(
+        new_batch, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
+    )
+    cand = (
+        _band_frame(nb_sig, num_hashes, bands, band_hash)
+        .select(F.col("_did").alias("new_id"), "band", "bhash")
+        .join(
+            index.select(F.col(id_col).alias("corpus_id"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates()  # same pair can collide in several bands
+    )
+    # exact verification: shard shingles are already in hand (nb_base);
+    # corpus shingles are recomputed for CANDIDATE documents only — the
+    # semi-join prunes the corpus scan to O(distinct candidate ids).
+    cand_ids = cand.select(F.col("corpus_id").alias(id_col)).dropDuplicates()
+    corp_base = shingle_frame(
+        corpus.join(cand_ids, id_col, "left_semi"), n, id_col, text_col
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        F.transform(F.col("_sh"), lambda s: sh_hash(s)).alias("sh_b"),
+    )
+    pairs = cand.join(
+        nb_base.select(F.col("_did").alias("new_id"), F.col("_sh").alias("sh_a")),
+        "new_id",
+    ).join(corp_base, "corpus_id")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return pairs.select("new_id", "corpus_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -381,28 +528,7 @@ def minhash_lsh_pairs(
     # shingle arrays through an 8-way explode + self-join shuffle would
     # multiply shuffle volume by ~2·bands; instead candidates re-attach
     # shingles from `base` after the (cheap) id-only bucket join.
-    banded = sig.select(
-        F.col("_did"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        band_hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{j * rows_per_band + k}").cast("string")
-                                    for k in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_did", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+    banded = _band_frame(sig, num_hashes, bands, band_hash)
 
     a = banded.select("band", "bhash", F.col("_did").alias("id_a"))
     b = banded.select("band", "bhash", F.col("_did").alias("id_b"))

@@ -227,6 +227,50 @@ def test_bloom_new_docs_exact_vs_anti_join(spark):
     assert [r["doc_id"] for r in tiny] == [11]
 
 
+def test_incremental_lsh_equals_batch_cross_cut(spark, docs):
+    """The incremental index-join path must produce EXACTLY the
+    shard×corpus subset of the batch pipeline's pairs — band keys are
+    per-document, so candidates (and hence verified pairs) coincide."""
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    inc = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in dedup.incremental_lsh_dups(
+            corpus, new_batch, threshold=0.2
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new_batch.select("doc_id").collect()}
+    batch = dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    cross = {
+        (
+            (r["id_a"], r["id_b"]) if r["id_a"] in new_ids else (r["id_b"], r["id_a"])
+        ) + (round(r["jaccard"], 9),)
+        for r in batch
+        if (r["id_a"] in new_ids) != (r["id_b"] in new_ids)
+    }
+    assert inc == cross and inc  # nonempty on the dup-seeded fixture
+
+
+def test_incremental_lsh_index_roundtrip(spark, docs, tmp_path):
+    """A parquet-persisted lsh_band_index read back must drive the same
+    pairs as the inline-built index (the production contract: index
+    once, reuse per shard)."""
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    path = str(tmp_path / "corpus_index")
+    dedup.lsh_band_index(corpus).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
+    persisted = dedup.incremental_lsh_dups(
+        corpus, new_batch, threshold=0.2, index=spark.read.parquet(path)
+    ).collect()
+    inline = dedup.incremental_lsh_dups(corpus, new_batch, threshold=0.2).collect()
+    key = lambda r: (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+    assert sorted(map(key, persisted)) == sorted(map(key, inline))
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"
