@@ -832,6 +832,44 @@ def s22_ivf_cosine_dups(spark, sf_dir):
     )
 
 
+def s26_incremental_ivf_dups(spark, sf_dir):
+    """Incremental near-dup ingest for EMBEDDINGS against a frozen IVF
+    index (functions/similarity.py::incremental_ivf_dups) — the
+    vector-space twin of d26.  Ids are arrival-ordered, so the newest
+    10% of vectors play the daily shard and the older 90% the indexed
+    corpus.  The codebook is trained on the CORPUS ONLY (the persisted
+    artifact — k×dim floats), the corpus's (id, cell) soft assignment
+    is sunk to parquet partitioned by cell and read BACK, and the
+    shard pays one map-only assignment + a cell join against the index
+    + a candidate-bounded exact-cosine verify.  Same pinned 8-cell /
+    2-iter / 2-probe construction as s22, so the oracle replays the
+    Lloyd chain over the corpus cut and keeps the shard×corpus pairs.
+    The frozen-codebook recall-drift caveat is documented on the
+    function; per-shard ivf_calibrate_recall is the watchdog."""
+    import tempfile
+
+    from projet_graphdb_spark.functions import clustering
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    centroids = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/corpus_cells"
+    clustering.assign_topn(corp, centroids, nprobe=2, vec_col="_v").select(
+        "_vid", F.explode("_cells").alias("_cell")
+    ).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    return similarity.incremental_ivf_dups(
+        corpus,
+        shard,
+        threshold=0.4,
+        nprobe=2,
+        centroids=centroids,
+        corpus_cells=spark.read.parquet(path),
+    )
+
+
 def s24_imi_cosine_dups(spark, sf_dir):
     """Inverted multi-index (IMI) near-dup pairs
     (functions/similarity.py::imi_cosine_dups): the two-level
@@ -5672,6 +5710,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_matryoshka_recall": s13_matryoshka_recall,
         "s14_similarity_histogram": s14_similarity_histogram,
         "s22_ivf_cosine_dups": s22_ivf_cosine_dups,
+        "s26_incremental_ivf_dups": s26_incremental_ivf_dups,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
         "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
@@ -7704,6 +7743,7 @@ def oracle_sql() -> dict[str, str]:
         "s11_knn_pq_adc": _pq_adc_oracle(),
         "s12_knn_ivfpq": _ivfpq_oracle(),
         "s22_ivf_cosine_dups": _ivf_dups_oracle(),
+        "s26_incremental_ivf_dups": _incremental_ivf_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),
@@ -10457,9 +10497,18 @@ def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
     """
 
 
-def _kmeans_chain(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6):
+def _kmeans_chain(
+    k: int = 8,
+    num_iter: int = 2,
+    dim: int = 64,
+    dp: int = 6,
+    emb_src: str | None = None,
+):
     """Shared Lloyd-iteration CTE chain (emb/c0/.../cN) + the distance
-    expression — used by the a5 oracle and the s10 trained-IVF oracle."""
+    expression — used by the a5 oracle and the s10 trained-IVF oracle.
+    ``emb_src``: SQL producing (vec_id, v DOUBLE[]) to train on —
+    defaults to the full embeddings table; s26 passes the corpus cut so
+    the codebook is trained without the shard."""
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim + 1}), "
@@ -10487,9 +10536,10 @@ def _kmeans_chain(k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6):
                USING (cid))""")
         prev = f"c{it}"
     chain = ",".join(parts)
+    if emb_src is None:
+        emb_src = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
     ctes = f"""
-        WITH emb AS MATERIALIZED (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH emb AS MATERIALIZED ({emb_src}),
         c0 AS MATERIALIZED (
           SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
           FROM emb WHERE vec_id < {k}),
@@ -10715,6 +10765,48 @@ def _ivf_dups_oracle(
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _incremental_ivf_oracle(
+    k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6,
+    nprobe: int = 2, threshold: float = 0.4, frac: float = 0.9,
+) -> str:
+    """s26: the s22 Lloyd chain trained on the corpus CUT only
+    (vec_id < floor(frac·N) — ids are arrival-ordered, the tail is the
+    shard), soft assignment of EVERY vector to its nprobe nearest
+    frozen cells, candidates restricted to the shard×corpus cut, exact
+    cosine verify.  Band/cell keys are per-vector functions of the
+    frozen codebook, so these are exactly the candidates the
+    index-join produces."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    emb_src = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id < {cut}"
+    )
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp, emb_src=emb_src)
+    return f"""
+        {ctes},
+        alle AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ranked AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM alle e CROSS JOIN {prev} c),
+        assign AS (SELECT vec_id, cid FROM ranked WHERE rk <= {nprobe}),
+        cand AS (
+          SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS corpus_id
+          FROM assign n JOIN assign o USING (cid)
+          WHERE n.vec_id >= {cut} AND o.vec_id < {cut})
+        SELECT new_id, corpus_id,
+               ROUND(list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                            CAST(eo.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings en ON en.vec_id = new_id
+        JOIN embeddings eo ON eo.vec_id = corpus_id
+        WHERE list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                     CAST(eo.embedding AS DOUBLE[])) >= {threshold}
     """
 
 

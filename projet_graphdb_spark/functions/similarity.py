@@ -1013,6 +1013,112 @@ def ivf_cosine_dups(
     return _verify_candidate_pairs(base, pairs, threshold)
 
 
+def incremental_ivf_dups(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    num_iter: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    max_train_rows: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    centroids: dict | None = None,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW SHARD of embeddings and an already-
+    indexed corpus — the embedding-space twin of
+    :func:`dedup.incremental_lsh_dups`, and the ingest-side shape of
+    :func:`ivf_cosine_dups`.
+
+    The batch pipeline re-trains and re-assigns the whole corpus per
+    run.  Incremental ingest reuses two persisted artifacts instead:
+    ``centroids`` — the trained codebook (k × dim floats, trivially
+    storable; trained here on the CORPUS ONLY when omitted, never on
+    the shard, so the index stays frozen as shards arrive) — and
+    ``corpus_cells`` — the corpus's (_vid, _cell) soft assignment, in
+    production read back from its parquet sink (built inline when
+    omitted).  Per shard the cost is one map-only ``assign_topn`` over
+    the shard, a cell-keyed join of shard cells against corpus cells,
+    and an exact-cosine verify whose corpus vector lookup is
+    candidate-bounded (semi-join pruned) — nothing re-scales with
+    corpus size except the slim cell-index scan.
+
+    The standard IVF caveat sharpens here: a frozen codebook's recall
+    DRIFTS if the shard distribution moves away from the corpus that
+    trained it (cells no longer track density).  Calibrate per shard
+    with :func:`ivf_calibrate_recall` over the combined assignment and
+    re-train when the measured recall decays — the codebook is a cache,
+    not a truth.
+
+    ID CONTRACT: ``corpus`` needs the dense 0..N-1 integer ids of
+    :func:`ivf_cosine_dups` (training samples/seeds by id); shard ids
+    need only be integers disjoint from the corpus's.
+
+    Output: (new_id, corpus_id, sim) with cosine sim ≥ threshold,
+    rounded to 6 dp like every similarity surface here.
+    """
+    from . import clustering
+
+    _require_dense_int_ids(corpus, id_col, "incremental_ivf_dups")
+    corp = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if centroids is None:
+        if n_rows is None:
+            n_rows = corp.count()
+        centroids = ivf_train(
+            corp,
+            n_rows,
+            n_centroids=n_centroids,
+            num_iter=num_iter,
+            target_cell_rows=target_cell_rows,
+            max_centroids=max_centroids,
+            max_train_rows=max_train_rows,
+        )
+    if corpus_cells is None:
+        corpus_cells = (
+            clustering.assign_topn(corp, centroids, nprobe=nprobe, vec_col="_v")
+            .select("_vid", F.explode("_cells").alias("_cell"))
+        )
+    shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    shard_cells = clustering.assign_topn(
+        shard, centroids, nprobe=nprobe, vec_col="_v"
+    ).select("_vid", F.explode("_cells").alias("_cell"))
+    cand = (
+        shard_cells.select(F.col("_cell"), F.col("_vid").alias("new_id"))
+        .join(
+            corpus_cells.select(F.col("_cell"), F.col("_vid").alias("corpus_id")),
+            "_cell",
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()  # soft assignment can pair the same ids in ≥2 cells
+    )
+    # exact verify: shard vectors in hand; corpus vectors fetched for
+    # candidate ids only (left-semi prunes the corpus scan)
+    cand_ids = cand.select(F.col("corpus_id").alias("_vid")).distinct()
+    corp_sub = corp.join(cand_ids, "_vid", "left_semi")
+    va = shard.select(
+        F.col("_vid").alias("new_id"),
+        F.col("_v").alias("_va"),
+        l2norm(F.col("_v")).alias("_na"),
+    )
+    vb = corp_sub.select(
+        F.col("_vid").alias("corpus_id"),
+        F.col("_v").alias("_vb"),
+        l2norm(F.col("_v")).alias("_nb"),
+    )
+    return (
+        cand.join(va, "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("new_id", "corpus_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def imi_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -442,6 +442,60 @@ def test_ivf_cosine_dups_exact_precision_and_recall(spark, emb, emb_np):
     assert len(got & truth) / len(truth) >= 0.7
 
 
+def test_incremental_ivf_equals_batch_cross_cut(spark, emb):
+    """Under a SHARED frozen codebook, the incremental index-join path
+    must produce exactly the shard×corpus subset of the batch
+    pipeline's pairs — cell keys are per-vector functions of the
+    codebook, so candidates (and verified pairs) coincide."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["sim"])
+        for r in similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2, centroids=cents
+        ).collect()
+    }
+    batch = similarity.ivf_cosine_dups(
+        emb, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()
+    cross = {
+        ((r["id_a"], r["id_b"]) if r["id_a"] >= cut else (r["id_b"], r["id_a"]))
+        + (r["sim"],)
+        for r in batch
+        if (r["id_a"] >= cut) != (r["id_b"] >= cut)
+    }
+    assert inc == cross and inc  # nonempty on the dup-seeded fixture
+
+
+def test_incremental_ivf_index_roundtrip(spark, emb, tmp_path):
+    """A parquet-persisted corpus cell assignment read back must drive
+    the same pairs as the inline-built one (the production contract:
+    assign the corpus once, reuse per shard)."""
+    from projet_graphdb_spark.functions import clustering
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "corpus_cells")
+    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
+        "_vid", F.explode("_cells").alias("_cell")
+    ).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    persisted = similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()
+    inline = similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()
+    assert sorted(map(key, persisted)) == sorted(map(key, inline))
+
+
 def test_assign_topn_jvm_udf_parity(spark, emb):
     """The BLAS-UDF assignment path (codebooks past _MAX_JVM_CELLS)
     must agree with the literal-inlined JVM path: same centroids, same
