@@ -64,6 +64,7 @@ STREAMING_QUERIES = frozenset({
     "e27_chained_agg_stream", "e28_left_join_stream", "e29_stream_metrics",
     "e31_global_agg_stream", "e32_redelivery_idempotent",
     "e33_late_drop_stream",
+    "e34_ingest_dedup_stream",
 })
 
 # queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
@@ -4285,6 +4286,51 @@ def e32_redelivery_idempotent(spark, sf_dir):
     return spark.read.parquet(base + "/state")
 
 
+def e34_ingest_dedup_stream(spark, sf_dir):
+    """Streaming incremental near-dup ingest (streaming/ingest_dedup.py
+    ::streaming_ingest_dedup): the production composition of d26 — the
+    corpus LSH band index is built and persisted ONCE, then the new
+    shard (src0/src1) drains through a file stream in several REAL
+    micro-batches (repartition(4) writer + maxFilesPerTrigger=1), each
+    foreachBatch joining only its own documents against the index and
+    appending verified pairs.  Emitted pairs are shard×corpus and band
+    keys are per-document, so batch boundaries cannot change the union
+    — the drained output matches d26's full SQL oracle exactly, making
+    this one of the streaming twins with a value-level (not rows-only)
+    oracle.  md5 family for oracle portability."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = tempfile.mkdtemp(prefix="spark_ingest_dedup_")
+    # several shard files -> several availableNow micro-batches
+    new_batch.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus, hash="md5").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(base + "/index")
+    from projet_graphdb_spark.streaming import state_partitions, streaming_ingest_dedup
+
+    with state_partitions(spark, 8):
+        q = streaming_ingest_dedup(
+            spark,
+            base + "/shard",
+            schema,
+            corpus,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs",
+            base + "/ckpt",
+            threshold=0.2,
+            hash="md5",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e34 ingest-dedup stream did not drain")
+    return spark.read.parquet(base + "/pairs")
+
+
 def e33_late_drop_stream(spark, sf_dir):
     """The engine's late-data DROP path, actually executed
     (streaming/late_drop.py::streaming_late_window_counts): every other
@@ -5784,6 +5830,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e31_global_agg_stream": e31_global_agg_stream,
         "e32_redelivery_idempotent": e32_redelivery_idempotent,
         "e33_late_drop_stream": e33_late_drop_stream,
+        "e34_ingest_dedup_stream": e34_ingest_dedup_stream,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -7659,21 +7706,11 @@ def oracle_sql() -> dict[str, str]:
         "a8_kcore": _kcore_oracle(),
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
-        # d26: the full-corpus LSH replay restricted to the shard×corpus
-        # cut — band keys are per-document functions of the signature,
-        # so these are exactly the candidates the index join produces.
-        "d26_incremental_lsh": f"""
-            WITH allp AS ({_minhash_lsh_oracle(threshold=0.2)}),
-            flag AS (SELECT doc_id, source IN ('src0', 'src1') AS is_new
-                     FROM documents)
-            SELECT CASE WHEN fa.is_new THEN p.id_a ELSE p.id_b END AS new_id,
-                   CASE WHEN fa.is_new THEN p.id_b ELSE p.id_a END AS corpus_id,
-                   p.jaccard
-            FROM allp p
-            JOIN flag fa ON fa.doc_id = p.id_a
-            JOIN flag fb ON fb.doc_id = p.id_b
-            WHERE fa.is_new <> fb.is_new
-        """,
+        "d26_incremental_lsh": _incremental_lsh_oracle(),
+        # e34: the streaming drain appends the same shard×corpus pairs
+        # batch by batch — band keys are per-document, so micro-batch
+        # boundaries cannot change the union (d26's exact oracle).
+        "e34_ingest_dedup_stream": _incremental_lsh_oracle(),
         "d4_simhash": _simhash_oracle(),
         "d5_dup_clusters": _dup_clusters_oracle(),
         "t7_bm25_search": _bm25_oracle(terms=["dup", "vector", "join"], k=10),
@@ -11064,6 +11101,25 @@ def _minhash_lsh_oracle(
                               JOIN base y ON y.doc_id = c.id_b)
         SELECT id_a, id_b, {jac} AS jaccard
         FROM pairs WHERE ({jac}) >= {threshold}
+    """
+
+
+def _incremental_lsh_oracle(threshold: float = 0.2) -> str:
+    """d26 / e34: the full-corpus LSH replay restricted to the
+    shard×corpus cut — band keys are per-document functions of the
+    signature, so these are exactly the candidates the index join (and
+    any micro-batched union of index joins) produces."""
+    return f"""
+        WITH allp AS ({_minhash_lsh_oracle(threshold=threshold)}),
+        flag AS (SELECT doc_id, source IN ('src0', 'src1') AS is_new
+                 FROM documents)
+        SELECT CASE WHEN fa.is_new THEN p.id_a ELSE p.id_b END AS new_id,
+               CASE WHEN fa.is_new THEN p.id_b ELSE p.id_a END AS corpus_id,
+               p.jaccard
+        FROM allp p
+        JOIN flag fa ON fa.doc_id = p.id_a
+        JOIN flag fb ON fb.doc_id = p.id_b
+        WHERE fa.is_new <> fb.is_new
     """
 
 

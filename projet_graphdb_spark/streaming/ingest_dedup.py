@@ -1,0 +1,67 @@
+"""Streaming incremental near-dup ingest: ``foreachBatch`` joining each
+micro-batch of NEW documents against a persisted corpus LSH band index
+(:func:`projet_graphdb_spark.functions.dedup.incremental_lsh_dups`).
+
+This is the production shape of ingest-side dedup: the corpus index is
+built once (:func:`...dedup.lsh_band_index`, sunk to parquet), and the
+document stream drains through it — each micro-batch pays its own
+O(batch × bands) signature work plus a candidate-bounded verify, never
+a corpus re-scan.
+
+Why the composition is exact: emitted pairs are shard×corpus only, and
+a document's band keys are a pure function of its own text, so batch
+boundaries cannot change the pair set — the union over micro-batches
+equals the one-shot :func:`incremental_lsh_dups` over the whole shard
+(that is the oracle-checked invariant behind e34, which reuses d26's
+full SQL oracle).  Pairs are appended per batch; a replayed micro-batch
+re-appends the same rows, deduplicated by the reader — or swap the
+append dir for a table format with MERGE for transactional
+exactly-once, keeping the join logic unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projet_graphdb_spark.functions import dedup
+
+
+def streaming_ingest_dedup(
+    spark: SparkSession,
+    shard_path: str,
+    schema,
+    corpus: DataFrame,
+    index: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    hash: str = "xxhash64",
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain a file stream of new documents with availableNow, joining
+    every micro-batch against the persisted ``index`` and appending the
+    verified (new_id, corpus_id, jaccard) pairs to ``out_dir``.
+
+    ``corpus`` is referenced only by the candidate-bounded verify
+    lookup inside ``incremental_lsh_dups`` (semi-join pruned);
+    ``max_files_per_trigger=1`` forces several REAL micro-batches so
+    the per-batch path is what actually runs.  Returns the
+    StreamingQuery.
+    """
+
+    def _ingest(batch_df: DataFrame, batch_id: int):
+        pairs = dedup.incremental_lsh_dups(
+            corpus, batch_df, threshold=threshold, hash=hash, index=index
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(shard_path)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

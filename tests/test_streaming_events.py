@@ -389,3 +389,41 @@ def test_multibatch_late_drop_semantics(spark):
         assert got[w] < want + per.get((w, 2), 0)  # batch 2 really dropped
     # the final (still-open) window is withheld by append mode
     assert windows[-1] not in got
+
+
+def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
+    """The foreachBatch incremental near-dup drain must union to the
+    one-shot incremental_lsh_dups result: pairs are shard×corpus and
+    band keys are per-document, so micro-batch boundaries cannot change
+    the pair set.  Multiple real micro-batches are forced (4 shard
+    files, maxFilesPerTrigger=1) so the per-batch path is exercised."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import dedup
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = str(tmp_path)
+    shard.repartition(4).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(base + "/index")
+    with state_partitions(spark, 4):
+        q = streaming_ingest_dedup(
+            spark, base + "/shard", schema, corpus,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs", base + "/ckpt", threshold=0.2,
+        )
+        assert q.awaitTermination(300)
+    # >1 micro-batch actually ran (one per shard file)
+    assert q.lastProgress["batchId"] >= 2
+    key = lambda r: (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+    got = sorted(map(key, spark.read.parquet(base + "/pairs").collect()))
+    want = sorted(map(key, dedup.incremental_lsh_dups(
+        corpus, shard, threshold=0.2).collect()))
+    assert got == want and got
