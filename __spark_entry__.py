@@ -91,8 +91,10 @@ _PIN_FIRST = [
     # r7 pins (green in the r7 window — retired automatically) kept for
     # provenance; r8 pins: the round-7 verdict's explicit asks (s22, the
     # two newest language features) plus this round's new calibration
-    # oracle.  All 40 never-checked names fit the 50-slot window behind
-    # them, so r8 should drain the entire backlog.
+    # oracle.  All 47 never-checked names (the r7 backlog of 40 + this
+    # round's s25/x96/t41/e33/d26/s26/e34) fit the 50-slot window, so
+    # r8 drains the entire backlog — which is also why the query count
+    # is frozen at 288 for the round.
     "g29_mixed_varlength", "s23_dup_strategy_report", "s24_imi_cosine_dups",
     "s22_ivf_cosine_dups", "g27_sql_surface", "g28_bind_params",
     "s25_ivf_recall_calibration",
