@@ -23,8 +23,8 @@ map-side ((vec_id div N)·cut + vec_id mod N) to keep ivf_train's dense
 0..N-1 contract; the fixed shard's ids are shifted past the corpus
 domain so the two stay disjoint.
 
-Usage: python tools/incremental_rehearsal.py [src_dir] [out_json]
-Defaults: /root/testdata/sf0.1 /tmp/incremental_rehearsal.json
+Usage: python tools/incremental_rehearsal.py [src_dir] [out_json] [copies...]
+Defaults: /root/testdata/sf0.1 /tmp/incremental_rehearsal.json 1 10 30
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ import make_scaled_sf as uniform  # noqa: E402
 from projet_graphdb_spark.engine import get_spark  # noqa: E402
 from projet_graphdb_spark.functions import clustering, dedup, similarity  # noqa: E402
 
-COPIES = (1, 10, 30)
+COPIES = [1, 10, 30]
 THRESH_J = 0.2  # d26's jaccard threshold
 THRESH_C = 0.4  # s26's cosine threshold
 
@@ -178,6 +178,8 @@ def rehearse_emb(spark, src, tmp):
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/incremental_rehearsal.json"
+    if len(sys.argv) > 3:
+        COPIES[:] = [int(a) for a in sys.argv[3:]]
     tmp = "/tmp/incr_rehearsal"
     os.makedirs(tmp, exist_ok=True)
     spark = get_spark(app_name="incremental-rehearsal")
