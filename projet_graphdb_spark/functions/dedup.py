@@ -379,12 +379,26 @@ def lsh_band_index(
     partitioned by ``band`` (bucket-by ``bhash`` for a co-located
     join), and every future ingest batch joins against the index
     instead of re-reading the corpus — see
-    :func:`incremental_lsh_dups`."""
+    :func:`incremental_lsh_dups`.
+
+    The LSH config is embedded as constant columns (``_num_hashes``,
+    ``_n``, ``_hash`` — RLE'd to nothing in parquet, column-pruned out
+    of the ingest join) so a read-back index carries its own
+    provenance: :func:`incremental_lsh_dups` refuses an index whose
+    config doesn't match the call — the same fail-loudly contract as
+    ``minhash_shared``'s shared tuple (a shard banded with 32 hashes
+    against a 64-hash index would silently match nothing)."""
     _, sig, _ = minhash_shared(
         docs, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
     )
     return _band_frame(sig, num_hashes, bands, _hash_fn(hash)).select(
-        F.col("_did").alias(id_col), "band", "bhash"
+        F.col("_did").alias(id_col),
+        "band",
+        "bhash",
+        F.lit(num_hashes).alias("_num_hashes"),
+        F.lit(bands).alias("_bands"),
+        F.lit(n).alias("_n"),
+        F.lit(hash).alias("_hash"),
     )
 
 
@@ -432,6 +446,30 @@ def incremental_lsh_dups(
     sh_hash = _hash_fn(hash)
     if index is None:
         index = lsh_band_index(corpus, num_hashes, bands, n, text_col, id_col, hash)
+    else:
+        # fail-loudly contract (the minhash_shared cfg assert, extended
+        # to persisted artifacts): a shard banded with this call's
+        # params against an index built with different ones would
+        # silently match nothing.
+        want = {"_num_hashes": num_hashes, "_bands": bands, "_n": n, "_hash": hash}
+        missing = [c for c in want if c not in index.columns]
+        if missing:
+            raise ValueError(
+                f"incremental_lsh_dups: index lacks config columns "
+                f"{missing} — rebuild it with lsh_band_index (indexes "
+                f"carry their LSH config as constant columns so a "
+                f"mismatched read-back fails loudly)"
+            )
+        got = index.select(*want).first()
+        # an empty index (empty corpus) has no config row — and no
+        # pairs to mis-match either
+        stored = {c: got[c] for c in want} if got is not None else want
+        if stored != want:
+            raise ValueError(
+                f"incremental_lsh_dups: index was built with {stored}, "
+                f"but this call requests {want} — rebuild the index or "
+                f"match the call's parameters"
+            )
     nb_base, nb_sig, _ = minhash_shared(
         new_batch, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
     )
@@ -501,7 +539,6 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     band_hash = _hash_fn(hash)
-    rows_per_band = num_hashes // bands
     if shared is not None:
         # NOTE: `docs` is unused on this path — the shared tuple IS the
         # corpus (hashed shingles + signatures); only the banding and

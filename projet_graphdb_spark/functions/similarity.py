@@ -1013,6 +1013,11 @@ def ivf_cosine_dups(
     return _verify_candidate_pairs(base, pairs, threshold)
 
 
+# staleness-guard sample width for incremental_ivf_dups: first N dense
+# corpus ids re-assigned and compared against a passed cell sink
+_STALE_SAMPLE = 64
+
+
 def incremental_ivf_dups(
     corpus: DataFrame,
     new_batch: DataFrame,
@@ -1082,6 +1087,35 @@ def incremental_ivf_dups(
             clustering.assign_topn(corp, centroids, nprobe=nprobe, vec_col="_v")
             .select("_vid", F.explode("_cells").alias("_cell"))
         )
+    else:
+        # staleness guard: cell ids from different codebooks look
+        # identical, so a re-trained codebook paired with an old cell
+        # sink (or a different nprobe) would silently skew candidates.
+        # Re-assign the first ``_STALE_SAMPLE`` corpus ids (dense
+        # contract) with THIS call's centroids+nprobe and require the
+        # stored assignment to agree — two bounded jobs.
+        sample = corp.filter(F.col("_vid") < _STALE_SAMPLE)
+        fresh = {
+            (r["_vid"], r["_cell"])
+            for r in clustering.assign_topn(
+                sample, centroids, nprobe=nprobe, vec_col="_v"
+            )
+            .select("_vid", F.explode("_cells").alias("_cell"))
+            .collect()
+        }
+        stored = {
+            (r["_vid"], r["_cell"])
+            for r in corpus_cells.filter(F.col("_vid") < _STALE_SAMPLE).collect()
+        }
+        if fresh != stored:
+            raise ValueError(
+                "incremental_ivf_dups: the passed corpus_cells disagree "
+                "with this call's centroids/nprobe on a sample of "
+                f"{_STALE_SAMPLE} corpus ids ({len(stored - fresh)} stale, "
+                f"{len(fresh - stored)} missing rows) — the cell sink was "
+                "built with a different codebook or probe width; re-assign "
+                "the corpus (or pass the matching centroids)"
+            )
     shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     shard_cells = clustering.assign_topn(
         shard, centroids, nprobe=nprobe, vec_col="_v"

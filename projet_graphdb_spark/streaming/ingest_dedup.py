@@ -34,13 +34,24 @@ def streaming_ingest_dedup(
     index: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     hash: str = "xxhash64",
     max_files_per_trigger: int | None = 1,
 ):
     """Drain a file stream of new documents with availableNow, joining
     every micro-batch against the persisted ``index`` and appending the
     verified (new_id, corpus_id, jaccard) pairs to ``out_dir``.
+
+    The LSH config (num_hashes/bands/n/hash) is forwarded to every
+    per-batch ``incremental_lsh_dups`` call, which validates it against
+    the config columns the index carries — a corpus indexed with a
+    non-default construction fails loudly at the FIRST micro-batch
+    instead of draining "successfully" with zero matches.
 
     ``corpus`` is referenced only by the candidate-bounded verify
     lookup inside ``incremental_lsh_dups`` (semi-join pruned);
@@ -51,12 +62,21 @@ def streaming_ingest_dedup(
 
     def _ingest(batch_df: DataFrame, batch_id: int):
         pairs = dedup.incremental_lsh_dups(
-            corpus, batch_df, threshold=threshold, hash=hash, index=index
+            corpus,
+            batch_df,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            hash=hash,
+            index=index,
         )
         pairs.write.mode("append").parquet(out_dir)
 
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
         reader.parquet(shard_path)

@@ -271,6 +271,26 @@ def test_incremental_lsh_index_roundtrip(spark, docs, tmp_path):
     assert sorted(map(key, persisted)) == sorted(map(key, inline))
 
 
+def test_incremental_lsh_index_config_mismatch_raises(spark, docs):
+    """A persisted index carries its LSH config as constant columns; a
+    call with different params must fail loudly (a 16-band shard against
+    an 8-band index would silently match nothing)."""
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    idx = dedup.lsh_band_index(corpus, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        dedup.incremental_lsh_dups(
+            corpus, new_batch, bands=16, threshold=0.2, index=idx
+        )
+    # an index stripped of its config columns is rejected outright
+    with pytest.raises(ValueError, match="config columns"):
+        dedup.incremental_lsh_dups(
+            corpus, new_batch, threshold=0.2,
+            index=idx.select("doc_id", "band", "bhash"),
+        )
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"

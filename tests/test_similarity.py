@@ -496,6 +496,39 @@ def test_incremental_ivf_index_roundtrip(spark, emb, tmp_path):
     assert sorted(map(key, persisted)) == sorted(map(key, inline))
 
 
+def test_incremental_ivf_stale_cells_raise(spark, emb):
+    """Cell ids from different codebooks look identical, so a passed
+    corpus_cells sink is sample-validated against this call's
+    centroids+nprobe: a re-trained codebook over an old sink (or a
+    narrower stored probe) must raise, not silently skew candidates."""
+    from projet_graphdb_spark.functions import clustering
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    stale_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=1)
+    assert cents != stale_cents  # different training really moved them
+    stale_cells = clustering.assign_topn(
+        corp, stale_cents, nprobe=2, vec_col="_v"
+    ).select("_vid", F.explode("_cells").alias("_cell"))
+    with pytest.raises(ValueError, match="stale"):
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2,
+            centroids=cents, corpus_cells=stale_cells,
+        )
+    # nprobe mismatch against a correctly-codebooked sink also raises
+    narrow_cells = clustering.assign_topn(
+        corp, cents, nprobe=1, vec_col="_v"
+    ).select("_vid", F.explode("_cells").alias("_cell"))
+    with pytest.raises(ValueError, match="corpus_cells disagree"):
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2,
+            centroids=cents, corpus_cells=narrow_cells,
+        )
+
+
 def test_assign_topn_jvm_udf_parity(spark, emb):
     """The BLAS-UDF assignment path (codebooks past _MAX_JVM_CELLS)
     must agree with the literal-inlined JVM path: same centroids, same

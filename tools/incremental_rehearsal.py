@@ -61,12 +61,11 @@ def _scaled_union(base, table, n, sizes):
     return out
 
 
-def rehearse_docs(spark, src, tmp):
+def rehearse_docs(spark, src, tmp, sizes):
     docs = spark.read.parquet(f"{src}/documents.parquet")
     is_new = F.col("source").isin("src0", "src1")
     shard = docs.where(is_new).localCheckpoint(eager=True)
     corpus_base = docs.where(~is_new)
-    sizes = uniform._domain_sizes(spark, src)
     n_shard = shard.count()
     results = []
     for n in COPIES:
@@ -110,11 +109,10 @@ def incremental_count_docs(corpus, shard, index):
     ).count()
 
 
-def rehearse_emb(spark, src, tmp):
+def rehearse_emb(spark, src, tmp, sizes):
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     n_total = emb.count()
     cut = int(n_total * 0.9)
-    sizes = uniform._domain_sizes(spark, src)
     corpus_base = emb.where(F.col("vec_id") < cut)
     results = []
     for n in COPIES:
@@ -132,7 +130,10 @@ def rehearse_emb(spark, src, tmp):
         )
         corpus = spark.read.parquet(cdir)
         n_corpus = n * cut
-        # fixed shard, ids shifted past the corpus domain
+        # fixed shard, ids shifted past the corpus domain — this shift is
+        # also what keeps the BATCH arm's union densely id'd 0..N-1
+        # (corpus 0..n_corpus-1 + shard n_corpus..), per ivf_train's
+        # id%step / id<k contract
         shard = emb.where(F.col("vec_id") >= cut).withColumn(
             "vec_id", F.col("vec_id") - cut + F.lit(n_corpus)
         ).localCheckpoint(eager=True)
@@ -157,9 +158,7 @@ def rehearse_emb(spark, src, tmp):
         )
         t_batch, n_batch = _timed(
             lambda: similarity.ivf_cosine_dups(
-                corpus.unionByName(shard.withColumn(
-                    # batch path needs dense ids over the union too
-                    "vec_id", F.col("vec_id"))),
+                corpus.unionByName(shard),
                 threshold=THRESH_C, nprobe=2, n_rows=n_corpus + (n_total - cut),
             ).count()
         )
@@ -183,10 +182,11 @@ def main():
     tmp = "/tmp/incr_rehearsal"
     os.makedirs(tmp, exist_ok=True)
     spark = get_spark(app_name="incremental-rehearsal")
+    sizes = uniform._domain_sizes(spark, src)  # once — both paths share it
     out = {
         "src": src,
-        "documents": rehearse_docs(spark, src, tmp),
-        "embeddings": rehearse_emb(spark, src, tmp),
+        "documents": rehearse_docs(spark, src, tmp, sizes),
+        "embeddings": rehearse_emb(spark, src, tmp, sizes),
     }
     with open(out_json, "w") as fh:
         json.dump(out, fh, indent=1)
