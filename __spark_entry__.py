@@ -9539,11 +9539,15 @@ def oracle_sql() -> dict[str, str]:
               FROM sup CROSS JOIN (SELECT unnest(range(0, 15)) AS j)
               WHERE k // CAST(pow(2, j) AS BIGINT) >= 1)
             SELECT ancestor,
-                   CAST(FLOOR(log2(ancestor)) AS INT) AS level,
+                   -- greatest() guards DuckDB's eager vector evaluation:
+                   -- ancestor >= 1 on the real domain (the anc CTE
+                   -- filters), but at larger SFs the optimizer evaluates
+                   -- log2 over vectors that still carry filtered-out 0s
+                   CAST(FLOOR(log2(greatest(ancestor, 1))) AS INT) AS level,
                    COUNT(*) AS subtree_size,
                    CAST(SUM(r) AS DOUBLE) AS subtree_revenue
             FROM anc GROUP BY ancestor
-            HAVING CAST(FLOOR(log2(ancestor)) AS INT) <= 2
+            HAVING CAST(FLOOR(log2(greatest(ancestor, 1))) AS INT) <= 2
             ORDER BY ancestor
         """,
         "x65_orc_roundtrip": """

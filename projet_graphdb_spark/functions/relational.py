@@ -1761,7 +1761,11 @@ def sketch_aggregates(
     """
     p50_exact = F.expr(f"percentile({val_col}, 0.5)")
     p50_approx = F.expr(f"approx_percentile({val_col}, 0.5, 1000)")
-    hll = F.approx_count_distinct(user_col)
+    # rsd=0.01 (≈10k registers — still fixed memory) keeps the sketch
+    # 5σ inside the 5% tolerance; the default rsd=0.05 EQUALS the
+    # tolerance, so ~1/3 of groups would fail it at any cardinality
+    # large enough to leave HLL's exact sparse mode (seen at sf0.1)
+    hll = F.approx_count_distinct(user_col, 0.01)
     exact = F.count_distinct(F.col(user_col))
     return (
         events.groupBy(type_col)
