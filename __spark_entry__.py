@@ -91,10 +91,10 @@ _PIN_FIRST = [
     # r7 pins (green in the r7 window — retired automatically) kept for
     # provenance; r8 pins: the round-7 verdict's explicit asks (s22, the
     # two newest language features) plus this round's new calibration
-    # oracle.  All 47 never-checked names (the r7 backlog of 40 + this
-    # round's s25/x96/t41/e33/d26/s26/e34) fit the 50-slot window, so
-    # r8 drains the entire backlog — which is also why the query count
-    # is frozen at 288 for the round.
+    # oracle.  All 48 never-checked names (the r7 backlog of 40 + this
+    # round's s25/x96/t41/e33/d26/d27/s26/e34) fit the 50-slot window,
+    # so r8 drains the entire backlog — which is also why the query
+    # count is frozen at 289 for the round.
     "g29_mixed_varlength", "s23_dup_strategy_report", "s24_imi_cosine_dups",
     "s22_ivf_cosine_dups", "g27_sql_surface", "g28_bind_params",
     "s25_ivf_recall_calibration",
@@ -4484,6 +4484,24 @@ def d26_incremental_lsh(spark, sf_dir):
     )
 
 
+def d27_ingest_decisions(spark, sf_dir):
+    """The complete per-document ingest verdict (functions/dedup.py::
+    ingest_dedup_decisions): d26's shard×corpus join is blind to
+    documents that duplicate EACH OTHER within the shard, so the full
+    decision composes (a) the persisted-index cross pairs with (b) the
+    batch pipeline over the SHARD ONLY — corpus still touched only via
+    index + pruned verify.  dup_of_corpus (keeper = smallest matching
+    corpus id, corpus copy is canonical) beats dup_in_batch (keeper =
+    smallest-id shard partner, first-arrival-wins) beats unique.  md5
+    family; the oracle composes the d26 and shard-restricted d3
+    replays."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin("src0", "src1")
+    return dedup.ingest_dedup_decisions(
+        docs.where(~is_new), docs.where(is_new), threshold=0.2, hash="md5"
+    )
+
+
 def d14_containment(spark, sf_dir):
     """Directed shingle containment |A∩B|/|A| (functions/dedup.py::
     ngram_containment_pairs): the asymmetric quote/superset detector —
@@ -5714,6 +5732,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_cluster_sizes": d12_cluster_sizes,
         "d13_bloom_incremental": d13_bloom_incremental,
         "d26_incremental_lsh": d26_incremental_lsh,
+        "d27_ingest_decisions": d27_ingest_decisions,
         "d14_containment": d14_containment,
         "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
@@ -7709,6 +7728,30 @@ def oracle_sql() -> dict[str, str]:
         "a5_kmeans": _kmeans_oracle(),
         "d3_minhash_lsh": _minhash_lsh_oracle(),
         "d26_incremental_lsh": _incremental_lsh_oracle(),
+        # d27: d26's cross pairs + the d3 replay restricted to the shard
+        # compose into the per-document verdict (corpus keeper beats
+        # batch keeper beats unique; min-id keepers both tiers)
+        "d27_ingest_decisions": f"""
+            WITH cross_pairs AS ({_incremental_lsh_oracle(threshold=0.2)}),
+            within AS ({_minhash_lsh_oracle(
+                threshold=0.2,
+                source="SELECT doc_id, text FROM documents "
+                       "WHERE source IN ('src0', 'src1')",
+            )}),
+            ck AS (SELECT new_id, MIN(corpus_id) AS _ck
+                   FROM cross_pairs GROUP BY new_id),
+            bk AS (SELECT id_b AS new_id, MIN(id_a) AS _bk
+                   FROM within GROUP BY id_b)
+            SELECT d.doc_id AS new_id,
+                   CASE WHEN ck._ck IS NOT NULL THEN 'dup_of_corpus'
+                        WHEN bk._bk IS NOT NULL THEN 'dup_in_batch'
+                        ELSE 'unique' END AS status,
+                   COALESCE(ck._ck, bk._bk, d.doc_id) AS keeper_id
+            FROM documents d
+            LEFT JOIN ck ON ck.new_id = d.doc_id
+            LEFT JOIN bk ON bk.new_id = d.doc_id
+            WHERE d.source IN ('src0', 'src1')
+        """,
         # e34: the streaming drain appends the same shard×corpus pairs
         # batch by batch — band keys are per-document, so micro-batch
         # boundaries cannot change the union (d26's exact oracle).

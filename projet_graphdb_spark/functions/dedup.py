@@ -508,6 +508,75 @@ def incremental_lsh_dups(
     )
 
 
+def ingest_dedup_decisions(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxhash64",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """The complete per-document ingest verdict — the piece
+    :func:`incremental_lsh_dups` alone doesn't give you: a shard can
+    contain documents that duplicate EACH OTHER (a crawl re-fetching
+    the same page twice in one day), which the shard×corpus join is
+    blind to by construction.
+
+    Composition, still never touching the corpus beyond the index +
+    pruned verify: (a) shard×corpus pairs via the persisted-index path,
+    (b) within-shard pairs via the batch pipeline over the SHARD ONLY
+    (the shard is the small side — O(shard²) worst case bounded by
+    banding, independent of corpus size).  Decision per new document,
+    first match wins:
+
+    - ``dup_of_corpus`` — has a corpus near-dup; keeper = smallest
+      matching corpus id (the corpus copy is canonical: it is already
+      indexed, deduped, and possibly referenced downstream).
+    - ``dup_in_batch`` — no corpus match but a within-shard partner
+      with a SMALLER id exists; keeper = smallest such partner
+      (first-arrival-wins by id; deliberately non-transitive — the
+      keeper itself may be a corpus dup, in which case ITS row says
+      so, and a chain collapses over successive ingests exactly like
+      :func:`bloom_new_docs`'s exact tier).
+    - ``unique`` — keeper = itself; the document enters the corpus
+      (and, in production, its band keys append to the index).
+
+    Output: (new_id, status, keeper_id).
+    """
+    cross = incremental_lsh_dups(
+        corpus, new_batch, num_hashes, bands, threshold, n,
+        text_col, id_col, hash, index,
+    )
+    within = minhash_lsh_pairs(
+        new_batch, num_hashes, bands, threshold, n, text_col, id_col, hash
+    )
+    corp_keep = cross.groupBy("new_id").agg(F.min("corpus_id").alias("_ck"))
+    batch_keep = (
+        within.select(F.col("id_b").alias("new_id"), F.col("id_a").alias("_p"))
+        .groupBy("new_id")
+        .agg(F.min("_p").alias("_bk"))
+    )
+    return (
+        new_batch.select(F.col(id_col).alias("new_id"))
+        .join(corp_keep, "new_id", "left")
+        .join(batch_keep, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("_ck").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_bk").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce(F.col("_ck"), F.col("_bk"), F.col("new_id")).alias(
+                "keeper_id"
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 32,

@@ -271,6 +271,72 @@ def test_incremental_lsh_index_roundtrip(spark, docs, tmp_path):
     assert sorted(map(key, persisted)) == sorted(map(key, inline))
 
 
+def test_ingest_decisions_consistent_with_pair_sets(spark, docs):
+    """Every shard document gets exactly one status, and each status is
+    exactly characterized by the two pair sets: dup_of_corpus ⟺ has a
+    cross pair (keeper = min corpus partner); dup_in_batch ⟺ no cross
+    pair but a smaller-id within-shard partner (keeper = min such);
+    unique ⟺ neither (keeper = self)."""
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    dec = {
+        r["new_id"]: (r["status"], r["keeper_id"])
+        for r in dedup.ingest_dedup_decisions(
+            corpus, shard, threshold=0.2
+        ).collect()
+    }
+    shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+    assert set(dec) == shard_ids
+    cross = {}
+    for r in dedup.incremental_lsh_dups(corpus, shard, threshold=0.2).collect():
+        cross.setdefault(r["new_id"], []).append(r["corpus_id"])
+    within = {}
+    for r in dedup.minhash_lsh_pairs(shard, threshold=0.2).collect():
+        within.setdefault(r["id_b"], []).append(r["id_a"])
+    statuses = set()
+    for nid, (status, keeper) in dec.items():
+        statuses.add(status)
+        if nid in cross:
+            assert status == "dup_of_corpus" and keeper == min(cross[nid])
+        elif nid in within:
+            assert status == "dup_in_batch" and keeper == min(within[nid])
+        else:
+            assert status == "unique" and keeper == nid
+    # the tiny fixture seeds corpus dups but no batch-only twins
+    assert {"dup_of_corpus", "unique"} <= statuses
+
+
+def test_ingest_decisions_all_three_statuses(spark):
+    """Synthetic trio covering the full decision lattice: a corpus dup
+    (corpus keeper beats the batch partner), a batch-only twin pair
+    (smaller id keeps), and a unique document."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # corpus dup
+            (11, "one two three four five six seven"),     # batch twin (keeper)
+            (12, "one two three four five six seven"),     # batch twin (dup)
+            (13, "totally different words entirely here"), # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["new_id"]: (r["status"], r["keeper_id"])
+        for r in dedup.ingest_dedup_decisions(
+            corpus, shard, threshold=0.5
+        ).collect()
+    }
+    assert got == {
+        10: ("dup_of_corpus", 1),
+        11: ("unique", 11),
+        12: ("dup_in_batch", 11),
+        13: ("unique", 13),
+    }
+
+
 def test_incremental_lsh_index_config_mismatch_raises(spark, docs):
     """A persisted index carries its LSH config as constant columns; a
     call with different params must fail loudly (a 16-band shard against
