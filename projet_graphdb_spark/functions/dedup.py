@@ -402,6 +402,50 @@ def lsh_band_index(
     )
 
 
+def lsh_index_append(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Grow a persisted LSH band index IN PLACE with newly-accepted
+    documents — the maintenance step that closes the ingest lifecycle
+    (:func:`ingest_dedup_decisions` decides, the ``unique`` keepers
+    enter the corpus, and their band keys must enter the index or the
+    NEXT shard can't see them).
+
+    The construction is read from the index's own embedded config
+    columns (see :func:`lsh_band_index`), so the appended rows are
+    built with EXACTLY the parameters the index carries — a caller
+    cannot accidentally append 16-band keys to an 8-band index.
+    Append-only parquet partitioned by ``band``: on a real filesystem
+    or object store this is one atomic-enough file commit per
+    partition; swap for a transactional table format when concurrent
+    ingests need isolation — the band frame is unchanged.
+
+    Returns the config dict used (num_hashes/bands/n/hash)."""
+    row = (
+        spark.read.parquet(index_path)
+        .select("_num_hashes", "_bands", "_n", "_hash")
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"lsh_index_append: index at {index_path} is empty or lacks "
+            f"config columns — build it with lsh_band_index first"
+        )
+    cfg = {
+        "num_hashes": row["_num_hashes"], "bands": row["_bands"],
+        "n": row["_n"], "hash": row["_hash"],
+    }
+    lsh_band_index(
+        new_docs, cfg["num_hashes"], cfg["bands"], cfg["n"],
+        text_col, id_col, cfg["hash"],
+    ).write.mode("append").partitionBy("band").parquet(index_path)
+    return cfg
+
+
 def incremental_lsh_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

@@ -357,6 +357,40 @@ def test_incremental_lsh_index_config_mismatch_raises(spark, docs):
         )
 
 
+def test_lsh_index_append_multi_day_lifecycle(spark, docs, tmp_path):
+    """Two ingest days against one growing index: day-1's unique
+    keepers are appended (lsh_index_append reads the construction from
+    the index's own config columns), and day-2's pairs against the
+    grown index must equal a from-scratch index over corpus ∪ accepted
+    — the next shard really sees yesterday's arrivals."""
+    corpus = docs.where(~F.col("source").isin("src0", "src1"))
+    day1 = docs.where(F.col("source") == "src0")
+    day2 = docs.where(F.col("source") == "src1")
+    path = str(tmp_path / "index")
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(path)
+    dec1 = dedup.ingest_dedup_decisions(
+        corpus, day1, threshold=0.2, index=spark.read.parquet(path)
+    )
+    accepted = day1.join(
+        dec1.where(F.col("status") == "unique").select(
+            F.col("new_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    cfg = dedup.lsh_index_append(spark, path, accepted)
+    assert cfg == {"num_hashes": 32, "bands": 8, "n": 3, "hash": "xxhash64"}
+    corpus2 = corpus.unionByName(accepted)
+    key = lambda r: (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+    got = sorted(map(key, dedup.incremental_lsh_dups(
+        corpus2, day2, threshold=0.2, index=spark.read.parquet(path)
+    ).collect()))
+    want = sorted(map(key, dedup.incremental_lsh_dups(
+        corpus2, day2, threshold=0.2
+    ).collect()))
+    assert got == want and got
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"
