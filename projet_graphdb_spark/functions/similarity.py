@@ -1018,6 +1018,45 @@ def ivf_cosine_dups(
 _STALE_SAMPLE = 64
 
 
+def ivf_cells_append(
+    spark,
+    cells_path: str,
+    centroids: dict,
+    new_vectors: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF cell sink IN PLACE with newly-accepted
+    vectors — the embedding-side twin of :func:`dedup.lsh_index_append`
+    closing the s26 lifecycle: accepted vectors enter the corpus, and
+    their (id, cell) rows must enter the sink or the next shard can't
+    near-dup against them.
+
+    The FROZEN ``centroids`` must be the codebook the sink was built
+    with — :func:`incremental_ivf_dups`' staleness guard cross-checks a
+    sample on every subsequent read, so a drifted append fails loudly
+    at the next ingest rather than silently skewing candidates.  The
+    codebook-drift caveat compounds as appends accumulate: recalibrate
+    per shard (:func:`ivf_calibrate_recall`) and re-train + re-assign
+    when measured recall decays."""
+    from . import clustering
+
+    (
+        clustering.assign_topn(
+            new_vectors.select(
+                F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+            ),
+            centroids,
+            nprobe=nprobe,
+            vec_col="_v",
+        )
+        .select("_vid", F.explode("_cells").alias("_cell"))
+        .write.mode("append")
+        .parquet(cells_path)
+    )
+
+
 def incremental_ivf_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

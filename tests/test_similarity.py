@@ -529,6 +529,38 @@ def test_incremental_ivf_stale_cells_raise(spark, emb):
         )
 
 
+def test_ivf_cells_append_multi_day_lifecycle(spark, emb, tmp_path):
+    """Two ingest days against one growing cell sink under a frozen
+    codebook: day-1 vectors are appended with ivf_cells_append, and
+    day-2's pairs against the grown sink must equal an inline
+    assignment over corpus ∪ day-1 — and the staleness guard must
+    accept the grown sink (same codebook, same nprobe)."""
+    from projet_graphdb_spark.functions import clustering
+
+    n = emb.count()
+    c1, c2 = int(n * 0.8), int(n * 0.9)
+    corpus = emb.where(F.col("vec_id") < c1)
+    day1 = emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    day2 = emb.where(F.col("vec_id") >= c2)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, c1, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "cells")
+    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
+        "_vid", F.explode("_cells").alias("_cell")
+    ).write.parquet(path)
+    similarity.ivf_cells_append(spark, path, cents, day1, nprobe=2)
+    corpus2 = corpus.unionByName(day1)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, day2, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, day2, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()))
+    assert got == want and got
+
+
 def test_assign_topn_jvm_udf_parity(spark, emb):
     """The BLAS-UDF assignment path (codebooks past _MAX_JVM_CELLS)
     must agree with the literal-inlined JVM path: same centroids, same
