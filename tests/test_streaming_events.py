@@ -391,6 +391,41 @@ def test_multibatch_late_drop_semantics(spark):
     assert windows[-1] not in got
 
 
+def test_ingest_dedup_stream_restart_appends_nothing(spark, tmp_path):
+    """A second availableNow drain over the SAME checkpoint must process
+    zero batches: committed micro-batches are never replayed, so the
+    append-mode pair sink stays exactly-once across restarts (the
+    foreachBatch body itself is not idempotent — the checkpoint is the
+    guarantee, and this pins it)."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import dedup
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = str(tmp_path)
+    shard.repartition(3).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(base + "/index")
+    index = spark.read.parquet(base + "/index")
+    counts = []
+    for _ in range(2):
+        with state_partitions(spark, 4):
+            q = streaming_ingest_dedup(
+                spark, base + "/shard", schema, corpus, index,
+                base + "/pairs", base + "/ckpt", threshold=0.2,
+            )
+            assert q.awaitTermination(300)
+        counts.append(spark.read.parquet(base + "/pairs").count())
+    assert counts[0] == counts[1] and counts[0] > 0
+
+
 def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
     """The foreachBatch incremental near-dup drain must union to the
     one-shot incremental_lsh_dups result: pairs are shard×corpus and
