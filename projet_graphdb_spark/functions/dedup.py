@@ -446,6 +446,38 @@ def lsh_index_append(
     return cfg
 
 
+def lsh_index_forget(
+    spark,
+    index_path: str,
+    forget_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Remove documents from a persisted LSH band index — the
+    right-to-be-forgotten path (the fact-table side is x56): rewrite
+    the index minus the forgotten ids via write-to-staging + atomic
+    directory swap (the same discipline as the streaming upsert sink;
+    on object stores use a transactional table format's DELETE and keep
+    the anti-join unchanged).
+
+    One anti-join over the slim (id, band, bhash) frame — never touches
+    document text.  Config columns survive the rewrite, so subsequent
+    :func:`lsh_index_append` / :func:`incremental_lsh_dups` calls keep
+    their fail-loudly validation."""
+    import os
+    import shutil
+
+    existing = spark.read.parquet(index_path)
+    keep = existing.join(
+        forget_ids.select(F.col(id_col)).dropDuplicates(), id_col, "left_anti"
+    )
+    staging = index_path + ".staging-forget"
+    keep.write.mode("overwrite").partitionBy("band").parquet(staging)
+    old = index_path + ".old-forget"
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old)
+
+
 def incremental_lsh_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

@@ -1057,6 +1057,33 @@ def ivf_cells_append(
     )
 
 
+def ivf_cells_forget(
+    spark,
+    cells_path: str,
+    forget_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a persisted IVF cell sink — the embedding
+    twin of :func:`dedup.lsh_index_forget` (one anti-join over the slim
+    (_vid, _cell) frame, staging + atomic swap; swap for a table
+    format's DELETE on object stores)."""
+    import os
+    import shutil
+
+    existing = spark.read.parquet(cells_path)
+    keep = existing.join(
+        forget_ids.select(F.col(id_col).alias("_vid")).dropDuplicates(),
+        "_vid",
+        "left_anti",
+    )
+    staging = cells_path + ".staging-forget"
+    keep.write.mode("overwrite").parquet(staging)
+    old = cells_path + ".old-forget"
+    os.rename(cells_path, old)
+    os.rename(staging, cells_path)
+    shutil.rmtree(old)
+
+
 def incremental_ivf_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

@@ -391,6 +391,38 @@ def test_lsh_index_append_multi_day_lifecycle(spark, docs, tmp_path):
     assert got == want and got
 
 
+def test_lsh_index_forget_removes_and_preserves_config(spark, docs, tmp_path):
+    """Forgetting a corpus document must make it invisible to the next
+    ingest (pairs equal a from-scratch index over corpus-minus) while
+    config columns survive the rewrite so appends keep validating."""
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    path = str(tmp_path / "index")
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(path)
+    # forget the corpus side of every detected pair — the strongest cut
+    pairs = dedup.incremental_lsh_dups(
+        corpus, shard, threshold=0.2, index=spark.read.parquet(path)
+    ).collect()
+    assert pairs
+    gone = spark.createDataFrame(
+        [(r["corpus_id"],) for r in pairs], "doc_id long"
+    )
+    dedup.lsh_index_forget(spark, path, gone)
+    corpus2 = corpus.join(gone, "doc_id", "left_anti")
+    key = lambda r: (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+    got = sorted(map(key, dedup.incremental_lsh_dups(
+        corpus2, shard, threshold=0.2, index=spark.read.parquet(path)
+    ).collect()))
+    want = sorted(map(key, dedup.incremental_lsh_dups(
+        corpus2, shard, threshold=0.2
+    ).collect()))
+    assert got == want
+    # config columns survived: append still validates and works
+    cfg = dedup.lsh_index_append(spark, path, shard)
+    assert cfg["num_hashes"] == 32
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"

@@ -561,6 +561,42 @@ def test_ivf_cells_append_multi_day_lifecycle(spark, emb, tmp_path):
     assert got == want and got
 
 
+def test_ivf_cells_forget_removes_vectors(spark, emb, tmp_path):
+    """Forgetting corpus vectors must make them invisible to the next
+    ingest: pairs against the rewritten sink equal an inline assignment
+    over corpus-minus (same frozen codebook)."""
+    from projet_graphdb_spark.functions import clustering
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "cells")
+    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
+        "_vid", F.explode("_cells").alias("_cell")
+    ).write.parquet(path)
+    pairs = similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()
+    assert pairs
+    gone = spark.createDataFrame(
+        [(r["corpus_id"],) for r in pairs], "vec_id long"
+    )
+    similarity.ivf_cells_forget(spark, path, gone)
+    corpus2 = corpus.join(gone, "vec_id", "left_anti")
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, shard, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, shard, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()))
+    assert got == want
+
+
 def test_assign_topn_jvm_udf_parity(spark, emb):
     """The BLAS-UDF assignment path (codebooks past _MAX_JVM_CELLS)
     must agree with the literal-inlined JVM path: same centroids, same
