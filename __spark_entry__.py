@@ -4330,6 +4330,12 @@ def e34_ingest_dedup_stream(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("e34 ingest-dedup stream did not drain")
+    import os
+
+    if not os.path.isdir(base + "/pairs"):  # empty shard wrote no batch
+        return spark.createDataFrame(
+            [], "new_id long, corpus_id long, jaccard double"
+        )
     return spark.read.parquet(base + "/pairs")
 
 

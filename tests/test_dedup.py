@@ -423,6 +423,26 @@ def test_lsh_index_forget_removes_and_preserves_config(spark, docs, tmp_path):
     assert cfg["num_hashes"] == 32
 
 
+def test_ingest_edge_cases_empty_text_and_empty_shard(spark):
+    """Empty-text documents carry no shingles → no band keys → never
+    pair (null band hashes don't equi-join): they ingest as 'unique',
+    matching the batch pipeline's no-signal semantics.  An empty shard
+    yields empty outputs without erroring."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    shard = spark.createDataFrame(
+        [(10, ""), (11, "a b c d e")], "doc_id long, text string"
+    )
+    dec = sorted(
+        map(tuple, dedup.ingest_dedup_decisions(corpus, shard, threshold=0.2).collect())
+    )
+    assert dec == [(10, "unique", 10), (11, "dup_of_corpus", 1)]
+    empty = shard.where(F.lit(False))
+    assert dedup.incremental_lsh_dups(corpus, empty, threshold=0.2).count() == 0
+    assert dedup.ingest_dedup_decisions(corpus, empty, threshold=0.2).count() == 0
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"
