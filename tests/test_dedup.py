@@ -443,6 +443,54 @@ def test_ingest_edge_cases_empty_text_and_empty_shard(spark):
     assert dedup.ingest_dedup_decisions(corpus, empty, threshold=0.2).count() == 0
 
 
+def test_sequential_ingest_keeps_corpus_dup_free(spark, tmp_path):
+    """Three random ingest days through the full lifecycle (decide →
+    accept uniques → append to the index): the invariant that makes
+    ingest dedup SOUND is that the accepted corpus stays pairwise
+    dup-free under the SAME detector — every within-day twin was caught
+    by dup_in_batch, every cross-day twin by dup_of_corpus against the
+    grown index.  Random small-vocab docs force plenty of collisions."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(20)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(12))
+    docs = [(i, mk()) for i in range(10)]  # seed corpus: all distinct
+    for i in range(10, 40):
+        if rng.random() < 0.4:  # near-copy of an earlier doc: mutate one token
+            toks = docs[rng.randrange(len(docs))][1].split()
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append((i, " ".join(toks)))
+        else:
+            docs.append((i, mk()))
+    corpus = spark.createDataFrame(docs[:10], "doc_id long, text string")
+    path = str(tmp_path / "index")
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(path)
+    accepted_all = corpus
+    n_rejected = 0
+    for lo in (10, 20, 30):
+        shard = spark.createDataFrame(
+            docs[lo:lo + 10], "doc_id long, text string"
+        )
+        dec = dedup.ingest_dedup_decisions(
+            accepted_all, shard, threshold=0.5,
+            index=spark.read.parquet(path),
+        ).collect()
+        keep = {r["new_id"] for r in dec if r["status"] == "unique"}
+        n_rejected += len(dec) - len(keep)
+        for r in dec:  # corpus-dup keepers must point at live documents
+            if r["status"] == "dup_of_corpus":
+                assert r["keeper_id"] in {
+                    x["doc_id"] for x in accepted_all.select("doc_id").collect()
+                }
+        accepted = shard.where(F.col("doc_id").isin(keep))
+        dedup.lsh_index_append(spark, path, accepted)
+        accepted_all = accepted_all.unionByName(accepted).localCheckpoint()
+    assert n_rejected > 0  # the small vocab really forced collisions
+    # the accepted corpus is pairwise dup-free under the same detector
+    assert dedup.minhash_lsh_pairs(accepted_all, threshold=0.5).count() == 0
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"
