@@ -91,10 +91,10 @@ _PIN_FIRST = [
     # r7 pins (green in the r7 window — retired automatically) kept for
     # provenance; r8 pins: the round-7 verdict's explicit asks (s22, the
     # two newest language features) plus this round's new calibration
-    # oracle.  All 48 never-checked names (the r7 backlog of 40 + this
-    # round's s25/x96/t41/e33/d26/d27/s26/e34) fit the 50-slot window,
-    # so r8 drains the entire backlog — which is also why the query
-    # count is frozen at 289 for the round.
+    # oracle.  All 49 never-checked names (the r7 backlog of 40 + this
+    # round's s25/x96/t41/e33/d26/d27/d28/s26/e34) fit the 50-slot
+    # window, so r8 drains the entire backlog — which is also why the
+    # query count is frozen at 290 for the round.
     "g29_mixed_varlength", "s23_dup_strategy_report", "s24_imi_cosine_dups",
     "s22_ivf_cosine_dups", "g27_sql_surface", "g28_bind_params",
     "s25_ivf_recall_calibration",
@@ -4508,6 +4508,49 @@ def d27_ingest_decisions(spark, sf_dir):
     )
 
 
+def d28_two_day_ingest(spark, sf_dir):
+    """The FULL ingest lifecycle as one oracle-checked query: two
+    sequential shard days against one persisted, GROWING index.  Day 1
+    (src0) decides against the corpus index; its unique keepers are
+    appended in place (dedup.lsh_index_append — construction read from
+    the index's own config columns); day 2 (src1) then decides against
+    corpus ∪ day-1-accepted through the grown index.  The oracle
+    replays the sequence as chained CTEs over the ONE full-corpus LSH
+    replay — band keys are per-document, so every stage's candidate
+    set is a membership filter on the same pair universe, and the
+    day-2 accepted-set dependency is just the day-1 'unique' CTE.
+    Output: (day, new_id, status, keeper_id)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    day1 = docs.where(F.col("source") == "src0")
+    day2 = docs.where(F.col("source") == "src1")
+    corpus = docs.where(~F.col("source").isin("src0", "src1"))
+    path = tempfile.mkdtemp(prefix="lsh_lifecycle_") + "/index"
+    dedup.lsh_band_index(corpus, hash="md5").write.partitionBy("band").parquet(path)
+    dec1 = dedup.ingest_dedup_decisions(
+        corpus, day1, threshold=0.2, hash="md5", index=spark.read.parquet(path)
+    ).localCheckpoint(eager=True)
+    accepted1 = day1.join(
+        dec1.where(F.col("status") == "unique").select(
+            F.col("new_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    dedup.lsh_index_append(spark, path, accepted1)
+    dec2 = dedup.ingest_dedup_decisions(
+        corpus.unionByName(accepted1),
+        day2,
+        threshold=0.2,
+        hash="md5",
+        index=spark.read.parquet(path),
+    )
+    return dec1.withColumn("day", F.lit(1)).unionByName(
+        dec2.withColumn("day", F.lit(2))
+    ).select("day", "new_id", "status", "keeper_id")
+
+
 def d14_containment(spark, sf_dir):
     """Directed shingle containment |A∩B|/|A| (functions/dedup.py::
     ngram_containment_pairs): the asymmetric quote/superset detector —
@@ -5739,6 +5782,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_bloom_incremental": d13_bloom_incremental,
         "d26_incremental_lsh": d26_incremental_lsh,
         "d27_ingest_decisions": d27_ingest_decisions,
+        "d28_two_day_ingest": d28_two_day_ingest,
         "d14_containment": d14_containment,
         "d15_lsh_calibration": d15_lsh_calibration,
         "a11_personalized_pagerank": a11_personalized_pagerank,
@@ -7762,6 +7806,57 @@ def oracle_sql() -> dict[str, str]:
         # batch by batch — band keys are per-document, so micro-batch
         # boundaries cannot change the union (d26's exact oracle).
         "e34_ingest_dedup_stream": _incremental_lsh_oracle(),
+        # d28: the two-day lifecycle replayed as chained CTEs over ONE
+        # full-corpus LSH pair universe — stage membership filters give
+        # each day's candidates; day 2's corpus is corpus ∪ day-1 uniques.
+        "d28_two_day_ingest": f"""
+            WITH allp AS ({_minhash_lsh_oracle(threshold=0.2)}),
+            sp AS (SELECT id_a AS x, id_b AS y, jaccard FROM allp
+                   UNION ALL
+                   SELECT id_b, id_a, jaccard FROM allp),
+            d1 AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+            d2 AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+            corp AS (SELECT doc_id FROM documents
+                     WHERE source NOT IN ('src0', 'src1')),
+            ck1 AS (SELECT sp.x AS new_id, MIN(sp.y) AS _ck
+                    FROM sp JOIN d1 ON sp.x = d1.doc_id
+                            JOIN corp ON sp.y = corp.doc_id
+                    GROUP BY sp.x),
+            bk1 AS (SELECT p.id_b AS new_id, MIN(p.id_a) AS _bk
+                    FROM allp p
+                    JOIN d1 a ON p.id_a = a.doc_id
+                    JOIN d1 b ON p.id_b = b.doc_id
+                    GROUP BY p.id_b),
+            dec1 AS (SELECT 1 AS day, d.doc_id AS new_id,
+                            CASE WHEN ck1._ck IS NOT NULL THEN 'dup_of_corpus'
+                                 WHEN bk1._bk IS NOT NULL THEN 'dup_in_batch'
+                                 ELSE 'unique' END AS status,
+                            COALESCE(ck1._ck, bk1._bk, d.doc_id) AS keeper_id
+                     FROM d1 d
+                     LEFT JOIN ck1 ON ck1.new_id = d.doc_id
+                     LEFT JOIN bk1 ON bk1.new_id = d.doc_id),
+            corp2 AS (SELECT doc_id FROM corp
+                      UNION ALL
+                      SELECT new_id FROM dec1 WHERE status = 'unique'),
+            ck2 AS (SELECT sp.x AS new_id, MIN(sp.y) AS _ck
+                    FROM sp JOIN d2 ON sp.x = d2.doc_id
+                            JOIN corp2 ON sp.y = corp2.doc_id
+                    GROUP BY sp.x),
+            bk2 AS (SELECT p.id_b AS new_id, MIN(p.id_a) AS _bk
+                    FROM allp p
+                    JOIN d2 a ON p.id_a = a.doc_id
+                    JOIN d2 b ON p.id_b = b.doc_id
+                    GROUP BY p.id_b),
+            dec2 AS (SELECT 2 AS day, d.doc_id AS new_id,
+                            CASE WHEN ck2._ck IS NOT NULL THEN 'dup_of_corpus'
+                                 WHEN bk2._bk IS NOT NULL THEN 'dup_in_batch'
+                                 ELSE 'unique' END AS status,
+                            COALESCE(ck2._ck, bk2._bk, d.doc_id) AS keeper_id
+                     FROM d2 d
+                     LEFT JOIN ck2 ON ck2.new_id = d.doc_id
+                     LEFT JOIN bk2 ON bk2.new_id = d.doc_id)
+            SELECT * FROM dec1 UNION ALL SELECT * FROM dec2
+        """,
         "d4_simhash": _simhash_oracle(),
         "d5_dup_clusters": _dup_clusters_oracle(),
         "t7_bm25_search": _bm25_oracle(terms=["dup", "vector", "join"], k=10),
