@@ -489,6 +489,7 @@ def incremental_lsh_dups(
     id_col: str = "doc_id",
     hash: str = "xxhash64",
     index: DataFrame | None = None,
+    shared: tuple | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW SHARD and an already-indexed corpus
     — the ingest-side counterpart of :func:`minhash_lsh_pairs`, and the
@@ -546,9 +547,25 @@ def incremental_lsh_dups(
                 f"but this call requests {want} — rebuild the index or "
                 f"match the call's parameters"
             )
-    nb_base, nb_sig, _ = minhash_shared(
-        new_batch, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
-    )
+    if shared is not None:
+        # the minhash_shared reuse contract (see minhash_lsh_pairs):
+        # the tuple IS the shard — validate its config, ignore new_batch
+        # for signature purposes
+        nb_base, nb_sig, cfg = shared
+        want = {
+            "num_hashes": num_hashes, "n": n, "hash": hash,
+            "text_col": text_col, "id_col": id_col,
+        }
+        if cfg != want:
+            raise ValueError(
+                f"incremental_lsh_dups: shared frames were built with "
+                f"{cfg}, but this call requests {want} — rebuild with "
+                f"minhash_shared(**matching params)"
+            )
+    else:
+        nb_base, nb_sig, _ = minhash_shared(
+            new_batch, num_hashes, n, text_col, id_col, hash, checkpoint_sig=False
+        )
     cand = (
         _band_frame(nb_sig, num_hashes, bands, band_hash)
         .select(F.col("_did").alias("new_id"), "band", "bhash")
@@ -623,12 +640,17 @@ def ingest_dedup_decisions(
 
     Output: (new_id, status, keeper_id).
     """
+    # one shard minhash pass feeds BOTH legs (the minhash_shared reuse
+    # pattern): without sharing, the shingle + signature aggregate — the
+    # shard-side dominant cost — would be paid twice per decision
+    shared = minhash_shared(new_batch, num_hashes, n, text_col, id_col, hash)
     cross = incremental_lsh_dups(
         corpus, new_batch, num_hashes, bands, threshold, n,
-        text_col, id_col, hash, index,
+        text_col, id_col, hash, index, shared=shared,
     )
     within = minhash_lsh_pairs(
-        new_batch, num_hashes, bands, threshold, n, text_col, id_col, hash
+        new_batch, num_hashes, bands, threshold, n, text_col, id_col, hash,
+        shared=shared,
     )
     corp_keep = cross.groupBy("new_id").agg(F.min("corpus_id").alias("_ck"))
     batch_keep = (
