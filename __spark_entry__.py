@@ -860,8 +860,8 @@ def s26_incremental_ivf_dups(spark, sf_dir):
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     centroids = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
     path = tempfile.mkdtemp(prefix="ivf_index_") + "/corpus_cells"
-    clustering.assign_topn(corp, centroids, nprobe=2, vec_col="_v").select(
-        "_vid", F.explode("_cells").alias("_cell")
+    similarity.ivf_cells_frame(
+        corpus, centroids, nprobe=2
     ).write.mode("overwrite").partitionBy("_cell").parquet(path)
     return similarity.incremental_ivf_dups(
         corpus,

@@ -462,20 +462,25 @@ def lsh_index_forget(
     One anti-join over the slim (id, band, bhash) frame — never touches
     document text.  Config columns survive the rewrite, so subsequent
     :func:`lsh_index_append` / :func:`incremental_lsh_dups` calls keep
-    their fail-loudly validation."""
-    import os
-    import shutil
+    their fail-loudly validation.  Forgetting EVERY document is legal:
+    the empty rewrite switches to an unpartitioned write (an empty
+    partitioned parquet dir has no files and loses the schema), which
+    readers handle identically."""
+    from .fsutil import atomic_swap
 
     existing = spark.read.parquet(index_path)
     keep = existing.join(
         forget_ids.select(F.col(id_col)).dropDuplicates(), id_col, "left_anti"
     )
-    staging = index_path + ".staging-forget"
-    keep.write.mode("overwrite").partitionBy("band").parquet(staging)
-    old = index_path + ".old-forget"
-    os.rename(index_path, old)
-    os.rename(staging, index_path)
-    shutil.rmtree(old)
+    if keep.isEmpty():
+        atomic_swap(
+            index_path, lambda p: keep.write.mode("overwrite").parquet(p)
+        )
+    else:
+        atomic_swap(
+            index_path,
+            lambda p: keep.write.mode("overwrite").partitionBy("band").parquet(p),
+        )
 
 
 def incremental_lsh_dups(

@@ -1018,6 +1018,80 @@ def ivf_cosine_dups(
 _STALE_SAMPLE = 64
 
 
+def _codebook_digest(centroids: dict) -> str:
+    """Deterministic fingerprint of a codebook: md5 over the repr of
+    sorted (cid, vector) items.  Float repr round-trips exactly, so two
+    codebooks digest equal iff they are bitwise the same — the identity
+    a cell sink embeds so mismatched codebooks fail loudly (cell ids
+    alone look identical across any two codebooks)."""
+    import hashlib
+
+    payload = repr(sorted((k, list(map(float, v))) for k, v in centroids.items()))
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
+def ivf_cells_frame(
+    vectors: DataFrame,
+    centroids: dict,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF cell assignment WITH embedded provenance:
+    (_vid, _cell, _nprobe, _cbhash) — the constant config columns
+    (RLE'd to nothing in parquet, pruned from the ingest join) carry
+    the probe width and the codebook's digest, so a sink read back by
+    :func:`incremental_ivf_dups` or grown by :func:`ivf_cells_append`
+    validates against the caller's codebook instead of trusting it —
+    the same fail-loudly contract as :func:`dedup.lsh_band_index`."""
+    from . import clustering
+
+    return (
+        clustering.assign_topn(
+            vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+            centroids,
+            nprobe=nprobe,
+            vec_col="_v",
+        )
+        .select("_vid", F.explode("_cells").alias("_cell"))
+        .withColumn("_nprobe", F.lit(nprobe))
+        .withColumn("_cbhash", F.lit(_codebook_digest(centroids)))
+    )
+
+
+def _validate_cells_config(
+    cells: DataFrame, centroids: dict, nprobe: int, fn_name: str
+) -> None:
+    """Require + check a cell sink's embedded (_nprobe, _cbhash) config
+    against this call's codebook/probe width.  A mixed sink (rows from
+    two configs — e.g. an append under a retrained codebook that
+    somehow bypassed its own check) is also rejected."""
+    missing = [c for c in ("_nprobe", "_cbhash") if c not in cells.columns]
+    if missing:
+        raise ValueError(
+            f"{fn_name}: cell sink lacks config columns {missing} — "
+            f"build it with ivf_cells_frame (sinks carry their probe "
+            f"width and codebook digest so a mismatched read-back "
+            f"fails loudly)"
+        )
+    metas = cells.select("_nprobe", "_cbhash").distinct().collect()
+    if len(metas) > 1:
+        raise ValueError(
+            f"{fn_name}: cell sink holds rows from {len(metas)} different "
+            f"(nprobe, codebook) configs — it was appended under a "
+            f"drifted codebook; re-assign the corpus"
+        )
+    want = (nprobe, _codebook_digest(centroids))
+    if metas and (metas[0]["_nprobe"], metas[0]["_cbhash"]) != want:
+        raise ValueError(
+            f"{fn_name}: cell sink was built with nprobe={metas[0]['_nprobe']}, "
+            f"codebook {metas[0]['_cbhash']}, but this call passes "
+            f"nprobe={want[0]}, codebook {want[1]} — the sink is stale "
+            f"(re-trained codebook or different probe width); re-assign "
+            f"the corpus or pass the matching artifacts"
+        )
+
+
 def ivf_cells_append(
     spark,
     cells_path: str,
@@ -1033,28 +1107,21 @@ def ivf_cells_append(
     their (id, cell) rows must enter the sink or the next shard can't
     near-dup against them.
 
-    The FROZEN ``centroids`` must be the codebook the sink was built
-    with — :func:`incremental_ivf_dups`' staleness guard cross-checks a
-    sample on every subsequent read, so a drifted append fails loudly
-    at the next ingest rather than silently skewing candidates.  The
-    codebook-drift caveat compounds as appends accumulate: recalibrate
-    per shard (:func:`ivf_calibrate_recall`) and re-train + re-assign
-    when measured recall decays."""
-    from . import clustering
-
-    (
-        clustering.assign_topn(
-            new_vectors.select(
-                F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
-            ),
-            centroids,
-            nprobe=nprobe,
-            vec_col="_v",
-        )
-        .select("_vid", F.explode("_cells").alias("_cell"))
-        .write.mode("append")
-        .parquet(cells_path)
+    Fail-loudly at APPEND time: the sink's embedded (_nprobe, _cbhash)
+    config is validated against the passed ``centroids``/``nprobe``
+    before any row is written, so appending under a re-trained codebook
+    or different probe width raises here — it cannot poison the sink
+    with mixed-config rows (and :func:`incremental_ivf_dups` re-checks
+    on every read as defense in depth).  The codebook-drift caveat
+    still compounds as VALID appends accumulate: recalibrate per shard
+    (:func:`ivf_calibrate_recall`) and re-train + re-assign when
+    measured recall decays."""
+    _validate_cells_config(
+        spark.read.parquet(cells_path), centroids, nprobe, "ivf_cells_append"
     )
+    ivf_cells_frame(new_vectors, centroids, nprobe, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(cells_path)
 
 
 def ivf_cells_forget(
@@ -1065,10 +1132,10 @@ def ivf_cells_forget(
 ) -> None:
     """Remove vectors from a persisted IVF cell sink — the embedding
     twin of :func:`dedup.lsh_index_forget` (one anti-join over the slim
-    (_vid, _cell) frame, staging + atomic swap; swap for a table
-    format's DELETE on object stores)."""
-    import os
-    import shutil
+    cell frame, rename swap via :func:`fsutil.atomic_swap`; swap for a
+    table format's DELETE on object stores).  The unpartitioned write
+    keeps the schema even when everything is forgotten."""
+    from .fsutil import atomic_swap
 
     existing = spark.read.parquet(cells_path)
     keep = existing.join(
@@ -1076,12 +1143,7 @@ def ivf_cells_forget(
         "_vid",
         "left_anti",
     )
-    staging = cells_path + ".staging-forget"
-    keep.write.mode("overwrite").parquet(staging)
-    old = cells_path + ".old-forget"
-    os.rename(cells_path, old)
-    os.rename(staging, cells_path)
-    shutil.rmtree(old)
+    atomic_swap(cells_path, lambda p: keep.write.mode("overwrite").parquet(p))
 
 
 def incremental_ivf_dups(
@@ -1154,12 +1216,19 @@ def incremental_ivf_dups(
             .select("_vid", F.explode("_cells").alias("_cell"))
         )
     else:
-        # staleness guard: cell ids from different codebooks look
-        # identical, so a re-trained codebook paired with an old cell
-        # sink (or a different nprobe) would silently skew candidates.
-        # Re-assign the first ``_STALE_SAMPLE`` corpus ids (dense
-        # contract) with THIS call's centroids+nprobe and require the
-        # stored assignment to agree — two bounded jobs.
+        # staleness guards, layered: (1) the sink's embedded
+        # (_nprobe, _cbhash) config must match this call's codebook and
+        # probe width — cell ids from different codebooks look
+        # identical, so this is the only check that sees a re-trained
+        # codebook, including in rows APPENDED after the original build
+        # (the review hole in the sample-only guard);
+        # (2) re-assign the first ``_STALE_SAMPLE`` corpus ids (dense
+        # contract) and require the stored rows to agree — catches a
+        # corrupted or partially-written sink that kept its config.
+        _validate_cells_config(
+            corpus_cells, centroids, nprobe, "incremental_ivf_dups"
+        )
+        corpus_cells = corpus_cells.select("_vid", "_cell")
         sample = corp.filter(F.col("_vid") < _STALE_SAMPLE)
         fresh = {
             (r["_vid"], r["_cell"])

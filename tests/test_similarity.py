@@ -482,9 +482,9 @@ def test_incremental_ivf_index_roundtrip(spark, emb, tmp_path):
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
     path = str(tmp_path / "corpus_cells")
-    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
-        "_vid", F.explode("_cells").alias("_cell")
-    ).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.mode(
+        "overwrite"
+    ).partitionBy("_cell").parquet(path)
     key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
     persisted = similarity.incremental_ivf_dups(
         corpus, shard, threshold=0.4, nprobe=2, centroids=cents,
@@ -496,13 +496,13 @@ def test_incremental_ivf_index_roundtrip(spark, emb, tmp_path):
     assert sorted(map(key, persisted)) == sorted(map(key, inline))
 
 
-def test_incremental_ivf_stale_cells_raise(spark, emb):
-    """Cell ids from different codebooks look identical, so a passed
-    corpus_cells sink is sample-validated against this call's
-    centroids+nprobe: a re-trained codebook over an old sink (or a
-    narrower stored probe) must raise, not silently skew candidates."""
-    from projet_graphdb_spark.functions import clustering
-
+def test_incremental_ivf_stale_cells_raise(spark, emb, tmp_path):
+    """Cell ids from different codebooks look identical, so a sink
+    carries its (_nprobe, codebook-digest) config: a re-trained
+    codebook, a different probe width, a config-stripped frame, and an
+    append under a drifted codebook must all raise, not silently skew
+    candidates; a corrupted sink that KEPT its config is still caught
+    by the sampled row guard."""
     cut = int(emb.count() * 0.9)
     corpus = emb.where(F.col("vec_id") < cut)
     shard = emb.where(F.col("vec_id") >= cut)
@@ -510,22 +510,40 @@ def test_incremental_ivf_stale_cells_raise(spark, emb):
     cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
     stale_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=1)
     assert cents != stale_cents  # different training really moved them
-    stale_cells = clustering.assign_topn(
-        corp, stale_cents, nprobe=2, vec_col="_v"
-    ).select("_vid", F.explode("_cells").alias("_cell"))
+    stale_cells = similarity.ivf_cells_frame(corpus, stale_cents, nprobe=2)
     with pytest.raises(ValueError, match="stale"):
         similarity.incremental_ivf_dups(
             corpus, shard, threshold=0.4, nprobe=2,
             centroids=cents, corpus_cells=stale_cells,
         )
     # nprobe mismatch against a correctly-codebooked sink also raises
-    narrow_cells = clustering.assign_topn(
-        corp, cents, nprobe=1, vec_col="_v"
-    ).select("_vid", F.explode("_cells").alias("_cell"))
-    with pytest.raises(ValueError, match="corpus_cells disagree"):
+    narrow_cells = similarity.ivf_cells_frame(corpus, cents, nprobe=1)
+    with pytest.raises(ValueError, match="stale"):
         similarity.incremental_ivf_dups(
             corpus, shard, threshold=0.4, nprobe=2,
             centroids=cents, corpus_cells=narrow_cells,
+        )
+    good = similarity.ivf_cells_frame(corpus, cents, nprobe=2)
+    # a config-stripped sink is rejected outright
+    with pytest.raises(ValueError, match="config columns"):
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2,
+            centroids=cents, corpus_cells=good.select("_vid", "_cell"),
+        )
+    # a drifted APPEND fails at append time — it cannot poison the sink
+    path = str(tmp_path / "cells")
+    good.write.parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.ivf_cells_append(spark, path, stale_cents, shard, nprobe=2)
+    # a corrupted sink that kept its config: drop one sampled row —
+    # the layered row guard catches what the digest cannot
+    corrupted = good.where(
+        ~((F.col("_vid") == 0))
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2,
+            centroids=cents, corpus_cells=corrupted,
         )
 
 
@@ -545,9 +563,7 @@ def test_ivf_cells_append_multi_day_lifecycle(spark, emb, tmp_path):
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     cents = similarity.ivf_train(corp, c1, n_centroids=8, num_iter=2)
     path = str(tmp_path / "cells")
-    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
-        "_vid", F.explode("_cells").alias("_cell")
-    ).write.parquet(path)
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.parquet(path)
     similarity.ivf_cells_append(spark, path, cents, day1, nprobe=2)
     corpus2 = corpus.unionByName(day1)
     key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
@@ -573,9 +589,7 @@ def test_ivf_cells_forget_removes_vectors(spark, emb, tmp_path):
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
     path = str(tmp_path / "cells")
-    clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
-        "_vid", F.explode("_cells").alias("_cell")
-    ).write.parquet(path)
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.parquet(path)
     pairs = similarity.incremental_ivf_dups(
         corpus, shard, threshold=0.4, nprobe=2, centroids=cents,
         corpus_cells=spark.read.parquet(path),

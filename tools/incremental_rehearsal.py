@@ -144,9 +144,9 @@ def rehearse_emb(spark, src, tmp, sizes):
 
         def build_index():
             cents = similarity.ivf_train(corp, n_corpus, num_iter=2)
-            clustering.assign_topn(corp, cents, nprobe=2, vec_col="_v").select(
-                "_vid", F.explode("_cells").alias("_cell")
-            ).write.mode("overwrite").parquet(cells_path)
+            similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.mode(
+                "overwrite"
+            ).parquet(cells_path)
             return cents
 
         t_index, cents = _timed(build_index)

@@ -14,6 +14,14 @@ the physical plan for Python evaluation operators:
   built-ins can't express it, e.g. the BLAS argpartition assignment
   past the literal cutoff, or media decode stubs).
 
+KNOWN BLIND SPOT (shared with shuffle_audit): only the returned
+DataFrame's plan is grepped, so a Python operator upstream of an eager
+``localCheckpoint`` would be invisible here.  The checkpoint-based
+pipelines (d-family minhash) are pure-JVM higher-order-function
+column algebra by construction — pinned by their oracles — so the
+blind spot does not change this audit's conclusion; it is recorded so
+a future checkpointed Python stage isn't assumed covered.
+
 Usage: python tools/python_audit.py [sf_dir] [--json out]
 Default sf_dir: /root/testdata/sf0.001 (plan SHAPE is SF-independent).
 """

@@ -12,6 +12,16 @@ Streaming twins are skipped (their sinks outlive the measurement —
 e-batch forms cover the logic); ReusedExchange dedups by plan-node id
 so a reused shuffle counts once, mirroring what the cluster would move.
 
+KNOWN BLIND SPOT: only the RETURNED DataFrame's executed plan is
+measured.  Queries that eagerly materialize during construction
+(``localCheckpoint``-based pipelines — the minhash_shared base/sig
+frames of the d-family, d28's day-1 leg) run those shuffles before the
+profile collects, so their ledger rows UNDER-report.  For exactly that
+family the incremental-rehearsal wall times
+(``BENCH_sf1.json["incremental_ingest_*"]``) are the authoritative
+cost receipts; this ledger's strength is the 250+ declarative queries
+whose whole plan is the returned frame.
+
 Usage: python tools/shuffle_audit.py [sf_dir] [query ...] [--json out]
 Defaults: /root/testdata/sf0.1, all batch queries.
 """
@@ -72,6 +82,11 @@ def main():
         i = args.index("--json")
         out_json = args[i + 1]
         args = args[:i] + args[i + 2:]
+    # a path-looking first arg that doesn't exist is an ERROR, not a
+    # query filter: silently matching zero queries would print a clean
+    # empty ledger for a typo'd sf dir
+    if args and os.sep in args[0] and not os.path.isdir(args[0]):
+        sys.exit(f"shuffle_audit: {args[0]} is not a directory")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     only = set(a for a in args if not os.path.isdir(a))
     spark = get_spark(app_name="shuffle-audit")
