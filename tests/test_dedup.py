@@ -491,6 +491,36 @@ def test_sequential_ingest_keeps_corpus_dup_free(spark, tmp_path):
     assert dedup.minhash_lsh_pairs(accepted_all, threshold=0.5).count() == 0
 
 
+def test_lsh_index_forget_everything_and_swap_reentrancy(spark, docs, tmp_path):
+    """Purging the whole index is legal: the empty rewrite keeps the
+    SCHEMA readable (ingest against it returns no pairs) while the
+    config VALUES are gone, so a subsequent append correctly refuses
+    and demands a rebuild.  The swap also tolerates leftover dirs from
+    a crashed prior run (unique-token staging/old names)."""
+    import os
+
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    path = str(tmp_path / "index")
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(path)
+    # simulate a crashed prior forget's leftovers
+    os.makedirs(path + ".old-deadbeef/junk")
+    os.makedirs(path + ".staging-deadbeef")
+    dedup.lsh_index_forget(spark, path, corpus.select("doc_id"))
+    empty = spark.read.parquet(path)  # schema survived the empty rewrite
+    assert {"doc_id", "band", "bhash"} <= set(empty.columns)
+    assert empty.count() == 0
+    # ingest against the purged index: validation skips (no config row),
+    # no pairs emitted
+    assert dedup.incremental_lsh_dups(
+        corpus.where(F.lit(False)), shard, threshold=0.2, index=empty
+    ).count() == 0
+    # appending to a purged index refuses: the construction is unknowable
+    with pytest.raises(ValueError, match="empty or lacks"):
+        dedup.lsh_index_append(spark, path, shard)
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"
