@@ -4295,11 +4295,13 @@ def e34_ingest_dedup_stream(spark, sf_dir):
     shard (src0/src1) drains through a file stream in several REAL
     micro-batches (repartition(4) writer + maxFilesPerTrigger=1), each
     foreachBatch joining only its own documents against the index and
-    appending verified pairs.  Emitted pairs are shard×corpus and band
-    keys are per-document, so batch boundaries cannot change the union
-    — the drained output matches d26's full SQL oracle exactly, making
-    this one of the streaming twins with a value-level (not rows-only)
-    oracle.  md5 family for oracle portability."""
+    overwriting ITS OWN batch_id partition of the pair sink (idempotent
+    under mid-batch replay — the at-least-once window is pinned by the
+    kill-between-write-and-commit test).  Emitted pairs are shard×corpus
+    and band keys are per-document, so batch boundaries cannot change
+    the union — the drained output matches d26's full SQL oracle
+    exactly, making this one of the streaming twins with a value-level
+    (not rows-only) oracle.  md5 family for oracle portability."""
     import tempfile
 
     docs = _docs(spark, sf_dir)
@@ -4336,7 +4338,11 @@ def e34_ingest_dedup_stream(spark, sf_dir):
         return spark.createDataFrame(
             [], "new_id long, corpus_id long, jaccard double"
         )
-    return spark.read.parquet(base + "/pairs")
+    # project away the sink's batch_id partition column: the pair SET is
+    # the contract (and the oracle's shape); the partition is transport
+    return spark.read.parquet(base + "/pairs").select(
+        "new_id", "corpus_id", "jaccard"
+    )
 
 
 def e33_late_drop_stream(spark, sf_dir):

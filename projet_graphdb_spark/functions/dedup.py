@@ -511,7 +511,9 @@ def incremental_lsh_dups(
     shuffle carries the SHARD's band keys against the index, +
     O(candidates) verification; nothing scales with corpus size except
     the index scan, which partition-prunes on ``band`` when the sink
-    was partitioned that way.
+    was partitioned that way (plus the config-validation ``distinct()``
+    over the index's constant config columns — a map-side partial-agg
+    over RLE/dictionary pages of the same slim index).
 
     Candidate equivalence: band keys are per-document functions of the
     signature (see :func:`_band_frame`), so shard×corpus candidates
@@ -542,10 +544,24 @@ def incremental_lsh_dups(
                 f"carry their LSH config as constant columns so a "
                 f"mismatched read-back fails loudly)"
             )
-        got = index.select(*want).first()
+        # distinct, not first(): an index grown by a raw write that
+        # bypassed lsh_index_append can hold MIXED-config rows, which a
+        # single-row probe passes silently (round-8 advice; the IVF twin
+        # _validate_cells_config already rejects mixed sinks).  The
+        # config columns are constants per file (RLE'd), so the distinct
+        # is a map-side partial-agg over dictionary pages of the slim
+        # index — one cheap pass, documented in the cost paragraph.
+        metas = index.select(*want).distinct().collect()
+        if len(metas) > 1:
+            raise ValueError(
+                f"incremental_lsh_dups: index holds rows from "
+                f"{len(metas)} different LSH configs — it was grown by a "
+                f"write that bypassed lsh_index_append; rebuild it with "
+                f"lsh_band_index"
+            )
         # an empty index (empty corpus) has no config row — and no
         # pairs to mis-match either
-        stored = {c: got[c] for c in want} if got is not None else want
+        stored = {c: metas[0][c] for c in want} if metas else want
         if stored != want:
             raise ValueError(
                 f"incremental_lsh_dups: index was built with {stored}, "

@@ -10,6 +10,10 @@ import os
 import shutil
 import uuid
 
+# orphaned staging/old dirs younger than this are presumed to belong to a
+# live concurrent run and are left alone by the entry sweep
+_SWEEP_AGE_S = 3600.0
+
 
 def atomic_swap(path: str, write_fn) -> None:
     """Replace the directory at ``path`` with whatever ``write_fn``
@@ -23,10 +27,42 @@ def atomic_swap(path: str, write_fn) -> None:
     under ``<path>.old-<token>`` for manual recovery, never silently
     lost.  On object stores, swap this helper for a transactional table
     format's DELETE/replace and keep the callers' dataframe logic
-    unchanged."""
+    unchanged.
+
+    Disk hygiene (round-8 review): a FAILED ``write_fn`` removes its own
+    staging dir before the error propagates, and each entry sweeps
+    orphaned ``.staging-*``/``.old-*`` leftovers from runs that died
+    before their cleanup — so repeated failures cannot accumulate
+    unbounded index copies.  The sweep only touches dirs older than
+    ``_SWEEP_AGE_S`` (a CONCURRENT run's live staging dir must survive),
+    and ``.old-*`` is kept when ``path`` itself is absent (a crash in
+    the rename window leaves the ``.old`` as the only surviving copy of
+    the data — recovery material, never garbage)."""
+    import time
+
+    base_dir = os.path.dirname(os.path.abspath(path)) or "."
+    base_name = os.path.basename(os.path.abspath(path))
+    if os.path.isdir(base_dir):
+        keep_old = not os.path.isdir(path)
+        cutoff = time.time() - _SWEEP_AGE_S
+        for entry in os.listdir(base_dir):
+            stale = os.path.join(base_dir, entry)
+            is_staging = entry.startswith(f"{base_name}.staging-")
+            is_old = entry.startswith(f"{base_name}.old-")
+            if not (is_staging or (is_old and not keep_old)):
+                continue
+            try:
+                if os.path.isdir(stale) and os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
-    write_fn(staging)
+    try:
+        write_fn(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     old = f"{path}.old-{token}"
     if os.path.isdir(path):
         os.rename(path, old)

@@ -1043,7 +1043,12 @@ def ivf_cells_frame(
     the probe width and the codebook's digest, so a sink read back by
     :func:`incremental_ivf_dups` or grown by :func:`ivf_cells_append`
     validates against the caller's codebook instead of trusting it —
-    the same fail-loudly contract as :func:`dedup.lsh_band_index`."""
+    the same fail-loudly contract as :func:`dedup.lsh_band_index`.
+
+    Sink the frame ``partitionBy("_cell")`` (the s26 recipe): the
+    ingest join then partition-prunes to the shard's probed cells, and
+    :func:`ivf_cells_append` / :func:`ivf_cells_forget` detect and
+    mirror the layout."""
     from . import clustering
 
     return (
@@ -1092,6 +1097,19 @@ def _validate_cells_config(
         )
 
 
+def _is_cell_partitioned(cells_path: str) -> bool:
+    """True when the cell sink at ``cells_path`` uses the Hive
+    ``_cell=<id>`` directory layout (the s26 recipe).  Local-FS check;
+    on an object store the layout is whatever the table format says —
+    these maintenance ops swap for its ALTER/DELETE there anyway."""
+    import os
+
+    try:
+        return any(e.startswith("_cell=") for e in os.listdir(cells_path))
+    except OSError:
+        return False
+
+
 def ivf_cells_append(
     spark,
     cells_path: str,
@@ -1115,13 +1133,24 @@ def ivf_cells_append(
     on every read as defense in depth).  The codebook-drift caveat
     still compounds as VALID appends accumulate: recalibrate per shard
     (:func:`ivf_calibrate_recall`) and re-train + re-assign when
-    measured recall decays."""
+    measured recall decays.
+
+    LAYOUT is mirrored, not assumed (round-8 advice): a sink written
+    ``partitionBy("_cell")`` (the s26 recipe) gets its appended rows
+    partitioned the same way — appending flat part files into a
+    Hive-partitioned directory corrupts it (the next read fails with
+    conflicting-directory-structure), exactly the bug
+    :func:`dedup.lsh_index_append`'s ``partitionBy("band")`` mirror
+    avoids on the LSH side."""
     _validate_cells_config(
         spark.read.parquet(cells_path), centroids, nprobe, "ivf_cells_append"
     )
-    ivf_cells_frame(new_vectors, centroids, nprobe, id_col, vec_col).write.mode(
-        "append"
-    ).parquet(cells_path)
+    writer = ivf_cells_frame(
+        new_vectors, centroids, nprobe, id_col, vec_col
+    ).write.mode("append")
+    if _is_cell_partitioned(cells_path):
+        writer = writer.partitionBy("_cell")
+    writer.parquet(cells_path)
 
 
 def ivf_cells_forget(
@@ -1133,17 +1162,27 @@ def ivf_cells_forget(
     """Remove vectors from a persisted IVF cell sink — the embedding
     twin of :func:`dedup.lsh_index_forget` (one anti-join over the slim
     cell frame, rename swap via :func:`fsutil.atomic_swap`; swap for a
-    table format's DELETE on object stores).  The unpartitioned write
-    keeps the schema even when everything is forgotten."""
+    table format's DELETE on object stores).  A ``_cell``-partitioned
+    sink (the s26 recipe) is rewritten with the SAME layout so later
+    reads keep partition-pruning; the empty rewrite falls back to
+    unpartitioned (an empty partitioned dir has no files and loses the
+    schema), which readers handle identically."""
     from .fsutil import atomic_swap
 
+    partitioned = _is_cell_partitioned(cells_path)
     existing = spark.read.parquet(cells_path)
     keep = existing.join(
         forget_ids.select(F.col(id_col).alias("_vid")).dropDuplicates(),
         "_vid",
         "left_anti",
     )
-    atomic_swap(cells_path, lambda p: keep.write.mode("overwrite").parquet(p))
+    if partitioned and not keep.isEmpty():
+        atomic_swap(
+            cells_path,
+            lambda p: keep.write.mode("overwrite").partitionBy("_cell").parquet(p),
+        )
+    else:
+        atomic_swap(cells_path, lambda p: keep.write.mode("overwrite").parquet(p))
 
 
 def incremental_ivf_dups(
@@ -1178,7 +1217,16 @@ def incremental_ivf_dups(
     the shard, a cell-keyed join of shard cells against corpus cells,
     and an exact-cosine verify whose corpus vector lookup is
     candidate-bounded (semi-join pruned) — nothing re-scales with
-    corpus size except the slim cell-index scan.
+    corpus size except the slim cell-index scan.  Two smaller per-shard
+    costs ride along when ``corpus_cells`` is passed (stated here so
+    the cost claim stays honest): (a) the config-validation
+    ``distinct()`` over the sink's constant ``(_nprobe, _cbhash)``
+    columns — a map-side partial-agg over RLE/dictionary pages of the
+    SAME slim index the join already scans; and (b) the staleness
+    sample's ``_vid < 64`` corpus filter — pushed to the parquet
+    reader, so row-group min/max stats prune it to ~one file when the
+    corpus is id-ordered (the common layout here); worst case it is a
+    metadata-cheap predicate scan, never a vector decode of the corpus.
 
     The standard IVF caveat sharpens here: a frozen codebook's recall
     DRIFTS if the shard distribution moves away from the corpus that

@@ -13,10 +13,20 @@ a document's band keys are a pure function of its own text, so batch
 boundaries cannot change the pair set — the union over micro-batches
 equals the one-shot :func:`incremental_lsh_dups` over the whole shard
 (that is the oracle-checked invariant behind e34, which reuses d26's
-full SQL oracle).  Pairs are appended per batch; a replayed micro-batch
-re-appends the same rows, deduplicated by the reader — or swap the
-append dir for a table format with MERGE for transactional
-exactly-once, keeping the join logic unchanged.
+full SQL oracle).
+
+Sink idempotency (round-8 verdict): each micro-batch OVERWRITES its own
+``batch_id=<n>`` partition of the pair sink instead of blind-appending.
+foreachBatch gives at-least-once batch execution — a crash after the
+write but before the checkpoint commit replays the batch on restart —
+and a batch's pair set is a pure function of its input files, so the
+replayed overwrite rewrites identical rows and the drained sink is
+exactly-once AS READ.  The kill-between-write-and-commit test
+(tests/test_streaming_events.py::test_ingest_dedup_stream_midbatch_replay)
+pins exactly that window by deleting the last checkpoint commit and
+re-draining.  On object stores without atomic directory overwrite, swap
+the per-batch partition for a table format's MERGE keyed on
+(batch_id, new_id, corpus_id), keeping the join logic unchanged.
 """
 
 from __future__ import annotations
@@ -44,8 +54,11 @@ def streaming_ingest_dedup(
     max_files_per_trigger: int | None = 1,
 ):
     """Drain a file stream of new documents with availableNow, joining
-    every micro-batch against the persisted ``index`` and appending the
-    verified (new_id, corpus_id, jaccard) pairs to ``out_dir``.
+    every micro-batch against the persisted ``index`` and writing the
+    verified (new_id, corpus_id, jaccard) pairs to ``out_dir`` under a
+    per-batch ``batch_id=<n>`` partition (idempotent on micro-batch
+    replay — see the module docstring; read the sink back with
+    ``spark.read.parquet(out_dir)`` and project the pair columns).
 
     The LSH config (num_hashes/bands/n/hash) is forwarded to every
     per-batch ``incremental_lsh_dups`` call, which validates it against
@@ -73,7 +86,12 @@ def streaming_ingest_dedup(
             hash=hash,
             index=index,
         )
-        pairs.write.mode("append").parquet(out_dir)
+        # overwrite THIS batch's partition, never append: foreachBatch
+        # replays a batch whose write landed but whose checkpoint commit
+        # didn't, and the pair set is a pure function of the batch's
+        # input files — so the replay rewrites identical rows instead of
+        # duplicating them (at-least-once execution, exactly-once sink).
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -521,6 +521,80 @@ def test_lsh_index_forget_everything_and_swap_reentrancy(spark, docs, tmp_path):
         dedup.lsh_index_append(spark, path, shard)
 
 
+def test_atomic_swap_failure_cleans_staging_and_sweeps_orphans(tmp_path):
+    """A failed write_fn must not leak its staging dir (round-8 review:
+    every failed forget left a <path>.staging-<token> tree), and entry
+    sweeps STALE orphans from crashed runs — but never fresh ones (a
+    concurrent run's live staging) and never a .old that is the only
+    surviving copy (crash in the rename window)."""
+    import os
+    import time
+
+    from projet_graphdb_spark.functions import fsutil
+
+    path = str(tmp_path / "index")
+    os.makedirs(path)
+
+    def boom(staging):
+        os.makedirs(staging + "/partial")
+        raise RuntimeError("simulated write failure")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        fsutil.atomic_swap(path, boom)
+    leftovers = [e for e in os.listdir(tmp_path) if ".staging-" in e]
+    assert leftovers == []  # its own staging was cleaned on failure
+
+    # stale orphans (mtime pushed past the sweep age) are swept on entry;
+    # fresh ones (concurrent run) survive
+    stale_s = path + ".staging-stale0"
+    stale_o = path + ".old-stale0"
+    fresh_s = path + ".staging-fresh0"
+    for d in (stale_s, stale_o, fresh_s):
+        os.makedirs(d)
+    past = time.time() - fsutil._SWEEP_AGE_S - 60
+    for d in (stale_s, stale_o):
+        os.utime(d, (past, past))
+
+    def ok(staging):
+        os.makedirs(staging)
+        with open(staging + "/data", "w") as f:
+            f.write("x")
+
+    fsutil.atomic_swap(path, ok)
+    names = set(os.listdir(tmp_path))
+    assert os.path.basename(stale_s) not in names
+    assert os.path.basename(stale_o) not in names
+    assert os.path.basename(fresh_s) in names  # live concurrent staging kept
+    assert os.path.exists(path + "/data")
+
+    # crash-in-rename-window recovery material: when path is ABSENT, a
+    # stale .old is the only copy of the data — entry must NOT sweep it
+    import shutil
+
+    shutil.rmtree(path)
+    survivor = path + ".old-survivor"
+    os.makedirs(survivor)
+    os.utime(survivor, (past, past))
+    fsutil.atomic_swap(path, ok)
+    assert os.path.isdir(survivor)
+
+
+def test_incremental_lsh_rejects_mixed_config_index(spark, docs):
+    """An index grown by a raw write that bypassed lsh_index_append can
+    hold rows from two LSH configs; a single-row config probe passes it
+    silently (round-8 advice) — the distinct-based check must raise."""
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    good = dedup.lsh_band_index(corpus)
+    rogue = dedup.lsh_band_index(corpus, num_hashes=16, bands=4)
+    mixed = good.unionByName(rogue)
+    with pytest.raises(ValueError, match="different LSH configs"):
+        dedup.incremental_lsh_dups(
+            corpus, shard, threshold=0.2, index=mixed
+        ).count()
+
+
 def test_containment_detects_quote_in_superset(spark):
     short = "alpha beta gamma delta"
     long_ = short + " epsilon zeta eta theta iota kappa"

@@ -577,6 +577,76 @@ def test_ivf_cells_append_multi_day_lifecycle(spark, emb, tmp_path):
     assert got == want and got
 
 
+def test_ivf_cells_append_mirrors_partitioned_layout(spark, emb, tmp_path):
+    """Appending to a _cell-partitioned sink (the s26 recipe) must write
+    partitioned rows: a flat append into a Hive-partitioned directory is
+    a mixed layout the next read fails on (round-8 advice; the LSH twin
+    already mirrors partitionBy('band')).  Pins: the sink stays
+    readable, keeps its layout on disk, and drives the same pairs as an
+    inline assignment over the grown corpus."""
+    import os
+
+    n = emb.count()
+    c1, c2 = int(n * 0.8), int(n * 0.9)
+    corpus = emb.where(F.col("vec_id") < c1)
+    day1 = emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    day2 = emb.where(F.col("vec_id") >= c2)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, c1, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "cells")
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    similarity.ivf_cells_append(spark, path, cents, day1, nprobe=2)
+    # layout preserved: every data file lives under a _cell=<id> dir
+    stray = [
+        e for e in os.listdir(path)
+        if not e.startswith("_cell=") and not e.startswith("_") and not e.startswith(".")
+    ]
+    assert stray == []
+    grown = spark.read.parquet(path)  # a mixed layout would fail here
+    corpus2 = corpus.unionByName(day1)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, day2, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=grown,
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, day2, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()))
+    assert got == want and got
+
+
+def test_ivf_cells_forget_preserves_partitioned_layout(spark, emb, tmp_path):
+    """Forgetting from a _cell-partitioned sink must rewrite it with the
+    SAME layout (partition-pruning survives maintenance), and the
+    rewritten sink must drive the correct pairs."""
+    import os
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "cells")
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    gone = corpus.select("vec_id").where(F.col("vec_id") < 5)  # deterministic
+    similarity.ivf_cells_forget(spark, path, gone)
+    assert any(e.startswith("_cell=") for e in os.listdir(path))
+    corpus2 = corpus.join(gone, "vec_id", "left_anti")
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, shard, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus2, shard, threshold=0.4, nprobe=2, centroids=cents
+    ).collect()))
+    assert got == want
+
+
 def test_ivf_cells_forget_removes_vectors(spark, emb, tmp_path):
     """Forgetting corpus vectors must make them invisible to the next
     ingest: pairs against the rewritten sink equal an inline assignment

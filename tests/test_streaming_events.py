@@ -393,10 +393,10 @@ def test_multibatch_late_drop_semantics(spark):
 
 def test_ingest_dedup_stream_restart_appends_nothing(spark, tmp_path):
     """A second availableNow drain over the SAME checkpoint must process
-    zero batches: committed micro-batches are never replayed, so the
-    append-mode pair sink stays exactly-once across restarts (the
-    foreachBatch body itself is not idempotent — the checkpoint is the
-    guarantee, and this pins it)."""
+    zero batches: committed micro-batches are never replayed.  This is
+    the EASY half of restart safety (the drained-restart no-op); the
+    hard half — a batch whose write landed but whose commit didn't — is
+    test_ingest_dedup_stream_midbatch_replay."""
     from pyspark.sql import functions as F
 
     from projet_graphdb_spark.functions import dedup
@@ -424,6 +424,64 @@ def test_ingest_dedup_stream_restart_appends_nothing(spark, tmp_path):
             assert q.awaitTermination(300)
         counts.append(spark.read.parquet(base + "/pairs").count())
     assert counts[0] == counts[1] and counts[0] > 0
+
+
+def test_ingest_dedup_stream_midbatch_replay(spark, tmp_path):
+    """Crash AFTER a micro-batch's pair write but BEFORE its checkpoint
+    commit — the at-least-once window a blind append sink duplicates.
+    Simulated mechanically: drain fully, then delete the NEWEST
+    ckpt/commits/<n> file (its offsets/<n> survives, so restart replays
+    batch n), re-drain, and require the pair set bit-identical — the
+    per-batch-partition overwrite makes the replay a rewrite, not a
+    duplicate append."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import dedup
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = str(tmp_path)
+    shard.repartition(3).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(base + "/index")
+    index = spark.read.parquet(base + "/index")
+
+    def drain():
+        with state_partitions(spark, 4):
+            q = streaming_ingest_dedup(
+                spark, base + "/shard", schema, corpus, index,
+                base + "/pairs", base + "/ckpt", threshold=0.2,
+            )
+            assert q.awaitTermination(300)
+        return q
+
+    drain()
+    key = lambda r: (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+    before = sorted(map(key, spark.read.parquet(base + "/pairs").collect()))
+    assert before
+    # surgical crash: the batch's data write survives, its commit doesn't
+    commits = [
+        f for f in os.listdir(base + "/ckpt/commits") if not f.startswith(".")
+    ]
+    victim = max(commits, key=int)
+    os.remove(f"{base}/ckpt/commits/{victim}")
+    crc = f"{base}/ckpt/commits/.{victim}.crc"  # ChecksumFs sidecar: a
+    if os.path.exists(crc):  # stale crc fails the replayed commit rename
+        os.remove(crc)
+    q2 = drain()
+    # the victim batch really re-ran (not a drained no-op restart)
+    assert q2.lastProgress is not None
+    assert q2.lastProgress["batchId"] >= int(victim)
+    after = sorted(map(key, spark.read.parquet(base + "/pairs").collect()))
+    assert after == before
 
 
 def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
