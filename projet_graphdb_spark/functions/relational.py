@@ -133,6 +133,51 @@ def topk(df: DataFrame, order_col: str, k: int, tiebreak_col: str) -> DataFrame:
     return df.orderBy(F.desc(order_col), F.asc(tiebreak_col)).limit(k)
 
 
+def partition_offset_rank(
+    df: DataFrame, order_cols: list, rank_col: str = "_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank over a total order WITHOUT the
+    single-partition global window (``WindowExec: No Partition
+    Defined`` funnels ALL rows through one task — the executor.py id-
+    allocation comment's SURVEY §7 risk 2, here generalized for query
+    bodies like x88's Gini rank and m10's pairing rank).
+
+    Mechanics: ``repartitionByRange`` on the sort key (the range
+    partitioner guarantees partition *i* holds keys strictly below
+    partition *i+1*), freeze the layout with a localCheckpoint, collect
+    per-partition COUNTS (driver sees #partitions rows, never data),
+    prefix-sum them into offsets, broadcast the offsets back, and add a
+    PARTITIONED intra-partition ``row_number``.  Every stage is
+    distributed; the only driver state is one integer per partition.
+
+    ``order_cols`` must be a total order (give a tiebreaker) or ranks
+    within ties are partition-placement-dependent.  Costs one range
+    shuffle + the checkpoint write — the price of exactness; when an
+    approximate rank suffices, use ``equidepth_histogram``-style
+    percentile binning instead (the t36 fix)."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    src = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    pc = src.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    acc, offs = 0, []
+    for row in sorted(pc, key=lambda r: r["_pid"]):
+        offs.append((row["_pid"], acc))
+        acc += row["_c"]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        src.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(w))
+        .drop("_pid", "_off")
+    )
+
+
 def group_topk(df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str) -> DataFrame:
     """Top-k rows per group (window rank; single shuffle on the group key)."""
     w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))

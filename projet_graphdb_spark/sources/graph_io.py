@@ -120,16 +120,18 @@ def bulk_merge_nodes(
 
     Id discipline: sorted-key ranking makes ids a pure function of the
     key SET (deterministic across runs and partitionings — what the
-    correctness oracle replays).  The rank window serializes only the
-    NEW-key subset (the small side of any incremental ingest); for a
-    cold-start 100 TB load swap in the executor's partition-offset
-    allocator (executor.py::_create_node), which is layout-dependent
-    but fully parallel.
+    correctness oracle replays).  The rank is computed DISTRIBUTED
+    (relational.partition_offset_rank: range-repartition + broadcast
+    prefix offsets), never a single-partition global window — a
+    cold-start batch is the WHOLE load, so serializing the new-key
+    subset through one task was the round-8 funnel class in disguise;
+    the offset rank keeps the same sorted-key ids fully parallel.
 
     Returns (id, key, was_created) for every distinct batch key.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
+
+    from projet_graphdb_spark.functions.relational import partition_offset_rank
 
     b = batch.select(F.col(key_col).alias("key")).distinct()
     e = existing.select(
@@ -140,12 +142,15 @@ def bulk_merge_nodes(
         F.col("_eid").alias("id"), "key", F.lit(False).alias("was_created")
     )
     created = (
-        j.where(F.col("_eid").isNull())
-        .select("key")
-        .withColumn(
-            "id",
-            (F.lit(base_id) + F.row_number().over(W.orderBy("key")) - 1).cast("long"),
+        partition_offset_rank(
+            j.where(F.col("_eid").isNull()).select("key"),
+            [F.asc("key")],
+            "_rk",
         )
-        .select("id", "key", F.lit(True).alias("was_created"))
+        .select(
+            (F.lit(base_id) + F.col("_rk") - 1).cast("long").alias("id"),
+            "key",
+            F.lit(True).alias("was_created"),
+        )
     )
     return matched.unionByName(created).orderBy("key")

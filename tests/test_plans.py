@@ -307,6 +307,72 @@ def test_nl_allowed_build_sides_measured(spark):
         assert not probs, f"{name}: {probs}"
 
 
+def test_partition_offset_rank_exact_and_distributed(spark):
+    """partition_offset_rank must equal the global row_number it
+    replaces (exact dense 1..N ranks under the same total order) while
+    its plan contains NO unpartitioned Window — the round-8 funnel
+    class (t38/x88/t36/m10) mechanically closed."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import relational
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from explain_audit import find_unpartitioned_windows
+
+    # skewed counts with ties on _c (tiebreak on id) across many partitions
+    df = (
+        spark.range(0, 5000)
+        .withColumn("_c", (F.col("id") % 97) + (F.col("id") % 13))
+        .repartition(16)
+    )
+    ranked = relational.partition_offset_rank(
+        df, [F.asc("_c"), F.asc("id")], "_i"
+    )
+    assert find_unpartitioned_windows(ranked) == []
+    got = {r["id"]: r["_i"] for r in ranked.collect()}
+    from pyspark.sql.window import Window
+
+    want = {
+        r["id"]: r["_i"]
+        for r in df.withColumn(
+            "_i", F.row_number().over(Window.orderBy(F.asc("_c"), F.asc("id")))
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 5001))  # dense 1..N
+    # empty input: no rows, no crash
+    assert (
+        relational.partition_offset_rank(
+            df.where(F.lit(False)), [F.asc("id")], "_i"
+        ).count()
+        == 0
+    )
+
+
+def test_fixed_funnel_queries_have_no_unpartitioned_window(spark):
+    """The four round-8 global-window funnels (t38 full-vocab
+    row_number, x88 Gini rank, t36 ntile, m10 pairing rank) must stay
+    dead: their plans may contain unpartitioned windows ONLY over
+    bounded post-limit slices, verified by the measured input cap."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from explain_audit import audit_window_input_caps
+
+    for name in [
+        "t38_vocab_coverage",
+        "x88_skew_report",
+        "t36_dedup_length_bias",
+        "m10_cutmix_plan",
+    ]:
+        probs = audit_window_input_caps(E.queries()[name](spark, SF_TINY))
+        assert not probs, f"{name}: {probs}"
+
+
 # Round-7 verdict "What's wrong #1": these forms used to FORCE
 # F.broadcast on SF-linear sides (filtered customer / part / supplier,
 # x57's unbounded per-part counts table, vocabulary-sized token tables).

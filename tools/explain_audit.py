@@ -10,6 +10,12 @@ correctness tests cannot catch:
 * un-pruned parquet scans — every FileScan's ReadSchema must be narrower
   than the table when the query only needs some columns (audited via a
   per-query max-column budget where declared).
+* unpartitioned Window operators (``WindowExec: No Partition Defined``)
+  — a global window funnels its ENTIRE input through one task, the
+  round-8 class that shipped invisibly in four queries.  Only queries in
+  ``WINDOW_ALLOWED`` may contain one, and their window INPUT is measured
+  from the executed plan's SQLMetrics against ``WINDOW_INPUT_CAP`` — an
+  allow-listed frame that silently grows with the data fails the audit.
 
 Run: ``python tools/explain_audit.py [sf_dir] [query ...]``
 Exit code 1 if any query violates the audit.
@@ -69,6 +75,8 @@ NL_ALLOWED = {
     "x92_benford",  # 1-row digit-total aggregate x the 9-row digit table
     "t37_pareto_tail",  # 1-row median aggregate broadcast into the tail
     # filter — constant side
+    "t36_dedup_length_bias",  # 1-row quartile-bounds percentile aggregate
+    # broadcast into the comparison binning — constant side (the x60 shape)
     "t38_vocab_coverage",  # 1-row token-total aggregate x the 3-row
     # coverage slice
     "t40_labeler_agreement",  # 1-row medians aggregate broadcast into
@@ -126,6 +134,77 @@ SKIP = {
 }
 
 
+# Queries whose plan legitimately contains an UNPARTITIONED Window: the
+# window's input is bounded BY CONSTRUCTION (post-limit top-k slices,
+# calendar spines, per-group pre-aggregates over enum-sized domains).
+# Membership is necessary but not sufficient — the measured input-row
+# check below verifies the claim from the executed plan's SQLMetrics.
+# Discovery run (round 9) found exactly these; everything else audits
+# clean, including the four round-8 funnels (t38/x88/t36/m10) and g24's
+# bulk-merge id rank, all rebuilt on TakeOrdered / partition_offset_rank
+# / percentile binning.
+WINDOW_ALLOWED = {
+    "t26_zipf_fit",  # row_number over the top-100 post-limit slice
+    "t38_vocab_coverage",  # rank + cumsum over the top-100 post-limit slice
+    "x79_ewma_revenue",  # dense month rank over the monthly pre-aggregate
+    # (calendar-bounded: |months|, not |orders|)
+    "x94_period_over_period",  # LAG(1)/LAG(12) over the month spine —
+    # calendar-bounded
+    "e24_watermark_audit",  # running max over the arrival-bucket table
+    # (second-grain buckets of the fixture timeline, never the fact table)
+}
+
+# Measured ceiling for an allow-listed unpartitioned window's input rows
+# at audit scale: post-limit ranks are <= 100, month/day spines are
+# calendar-bounded, percentile/calibration tables are <= 4096.
+WINDOW_INPUT_CAP = 4096
+
+
+def find_unpartitioned_windows(df) -> list:
+    """All Window/WindowGroupLimit nodes in ``df``'s executed plan whose
+    partitionSpec is EMPTY (structure-only — no execution needed)."""
+    hits = []
+    for node in _walk_jplan(df._jdf.queryExecution().executedPlan(), []):
+        nm = node.nodeName()
+        if nm not in ("Window", "WindowGroupLimit"):
+            continue
+        try:
+            empty = node.partitionSpec().size() == 0
+        except Exception:
+            empty = True  # can't prove partitioned -> treat as a hit
+        if empty:
+            hits.append(nm)
+    return hits
+
+
+def audit_window_input_caps(df, execute: bool = True) -> list:
+    """For an allow-listed query: execute, then require every
+    unpartitioned window's measured INPUT (its child's numOutputRows)
+    under ``WINDOW_INPUT_CAP`` — the same measured-not-asserted
+    discipline as ``audit_nl_build_sides``."""
+    if execute:
+        df.collect()
+    problems = []
+    for node in _walk_jplan(df._jdf.queryExecution().executedPlan(), []):
+        nm = node.nodeName()
+        if nm not in ("Window", "WindowGroupLimit"):
+            continue
+        try:
+            if node.partitionSpec().size() != 0:
+                continue
+        except Exception:
+            pass
+        child = _unwrap_child(node.children().apply(0))
+        rows = _num_output_rows(child)
+        if rows is None:
+            problems.append(f"unpartitioned {nm}: input rows unmeasurable")
+        elif rows > WINDOW_INPUT_CAP:
+            problems.append(
+                f"unpartitioned {nm} input {rows} rows > cap {WINDOW_INPUT_CAP}"
+            )
+    return problems
+
+
 # A nested-loop join is only tolerable when its broadcast/smaller side is
 # tiny BY CONSTRUCTION (1-row aggregates, ~5 query vectors, calendar-bounded
 # frames).  The allow-list docstrings claim that; this cap VERIFIES it from
@@ -167,13 +246,44 @@ def _walk_jplan(node, acc):
 def _num_output_rows(node):
     """numOutputRows of ``node``, or of its nearest pre-order descendant
     that carries the metric (WholeStageCodegen / InputAdapter wrappers
-    don't; the op inside does)."""
-    for n in _walk_jplan(node, []):
+    don't; the op inside does).  Follows ReusedExchange to the measured
+    original — the reused side itself carries no metrics."""
+    stack = [node]
+    while stack:
+        n = stack.pop(0)
         try:
             return n.metrics().apply("numOutputRows").value()
         except Exception:
-            continue
+            pass
+        if n.nodeName() == "ReusedExchange":
+            try:
+                stack.insert(0, n.child())
+                continue
+            except Exception:
+                continue
+        stack = _walk_jplan_children(n) + stack
     return None
+
+
+def _walk_jplan_children(node):
+    """Immediate logical descendants of ``node`` for the metric walk:
+    plan children, plus the materialized plan inside AQE wrappers and
+    query stages."""
+    out = []
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        try:
+            return [node.executedPlan()]
+        except Exception:
+            pass
+    for i in range(node.children().size()):
+        out.append(node.children().apply(i))
+    if name.endswith("QueryStage"):
+        try:
+            out.append(node.plan())
+        except Exception:
+            pass
+    return out
 
 
 def _unwrap_child(node):
@@ -273,6 +383,11 @@ def main():
                 if "CartesianProduct" in sp or "BroadcastNestedLoopJoin" in sp:
                     probs = audit_nl_build_sides(sdf, execute=False)
                     problems += [f"superstep {i}: {p}" for p in probs]
+                problems += [
+                    f"superstep {i}: unpartitioned {w} (never allowed in "
+                    f"iterative supersteps)"
+                    for w in find_unpartitioned_windows(sdf)
+                ]
             except Exception as ex:
                 problems.append(f"superstep {i}: audit error {type(ex).__name__}")
         if name in NL_ALLOWED and not problems:
@@ -280,6 +395,19 @@ def main():
                 problems += audit_nl_build_sides(df)
             except Exception as ex:
                 problems.append(f"build-side audit error {type(ex).__name__}: {str(ex)[:80]}")
+        try:
+            wins = find_unpartitioned_windows(df)
+        except Exception as ex:
+            wins, problems = [], problems + [
+                f"window audit error {type(ex).__name__}"
+            ]
+        if wins and name not in WINDOW_ALLOWED:
+            problems += [f"unpartitioned {w} (not in WINDOW_ALLOWED)" for w in wins]
+        elif wins:
+            try:
+                problems += audit_window_input_caps(df)
+            except Exception as ex:
+                problems.append(f"window-cap audit error {type(ex).__name__}: {str(ex)[:80]}")
         joins = sorted(set(re.findall(r"(\w*Join\w*)\s", plan)))
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widths = [len(s.split(",")) if s else 0 for s in scans]
