@@ -873,6 +873,124 @@ def s26_incremental_ivf_dups(spark, sf_dir):
     )
 
 
+def s27_incremental_imi_dups(spark, sf_dir):
+    """Incremental near-dup ingest through a frozen inverted
+    MULTI-index (functions/similarity.py::incremental_imi_dups) — the
+    >16k-cell twin of s26, closing the round-8 gap that the ingest
+    tier had no counterpart past flat IVF's N·k·dim assignment wall.
+    The newest 10% of vectors play the daily shard; TWO half-space
+    codebooks are trained on the CORPUS ONLY (the persisted artifact —
+    2·k·(dim/2) floats, √k smaller than flat's k×dim at equal cell
+    count), the corpus's virtual-cell assignment is sunk to parquet
+    partitioned by _cell with embedded (_p1,_p2,_cbhash) provenance and
+    read BACK, and the shard pays one map-only two-half assignment + a
+    cell join + the candidate-bounded exact-cosine verify.  Pinned 4×4
+    half-codebooks / 1 Lloyd iteration / top-2-per-half so the oracle
+    replays both training chains over the corpus cut (the s24 chain
+    with a shard×corpus candidate cut)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    path = tempfile.mkdtemp(prefix="imi_index_") + "/corpus_cells"
+    similarity.imi_cells_frame(
+        corpus, *cents, p1=2, p2=2, dim=64
+    ).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    return similarity.incremental_imi_dups(
+        corpus,
+        shard,
+        threshold=0.4,
+        p1=2,
+        p2=2,
+        centroids=cents,
+        dim=64,
+        corpus_cells=spark.read.parquet(path),
+    )
+
+
+def s28_incremental_strategy_report(spark, sf_dir):
+    """The INCREMENTAL router's cost model as an oracle-checked table
+    (functions/similarity.py::incremental_strategy_report) — the s23
+    discipline applied to the ingest tier (round-8 verdict gap 1): one
+    row per persisted artifact family (SRP band index 8×6, flat-IVF
+    cells k=8/nprobe=2, IMI cells 4×4/p=2×2 — the constructions the
+    s26/s27/s29 artifacts actually pin), per-shard cost polynomial in
+    (N, S) from two count aggregates, LSH's closed-form recall as the
+    only guaranteed row (margin 2×), ``chosen`` marking the route.
+    Two thresholds straddle the crossover: 0.9 routes to the
+    recall-holding SRP leg, 0.4's S-curve is infeasible at 0.95 so the
+    cheaper blocking artifact (flat IVF at these pinned constructions)
+    wins."""
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    cfgs = dict(
+        lsh_cfg={"bits": 6, "n_bands": 8},
+        ivf_cfg={"k": 8, "nprobe": 2},
+        imi_cfg={"k1": 4, "k2": 4, "p1": 2, "p2": 2},
+    )
+    return similarity.incremental_strategy_report(
+        corpus, shard, threshold=0.4, **cfgs
+    ).unionByName(
+        similarity.incremental_strategy_report(corpus, shard, threshold=0.9, **cfgs)
+    ).orderBy("threshold", "method", "bits")
+
+
+def s29_routed_incremental_ingest(spark, sf_dir):
+    """Strategy-ROUTED incremental ingest end-to-end (functions/
+    similarity.py::incremental_cosine_dups_auto): all three persisted
+    artifact families are built and read back — the SRP band index
+    (partitioned by band), the flat-IVF cell sink and the IMI virtual-
+    cell sink (partitioned by _cell, embedded configs) — and the
+    router prices them per-shard (the s28 arithmetic), picks the
+    cheapest feasible route at threshold 0.4 / target 0.95, and runs
+    it.  At these pinned constructions flat IVF wins at EVERY (N, S) —
+    its per-pair candidate volume is half IMI's and the 0.4 S-curve is
+    infeasible — so the oracle is the s26 Lloyd-chain replay; a
+    routing regression to any other leg changes the pair set and goes
+    red.  Calibration is off on this driver cut (the shard holds no
+    within-shard truth pairs at 0.4 — the warn path; s25 pins the
+    calibration primitive itself, and the routed escalation is
+    unit-tested)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    base = tempfile.mkdtemp(prefix="routed_ingest_")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(base + "/srp")
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(base + "/ivf")
+    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
+        "_cell"
+    ).parquet(base + "/imi")
+    return similarity.incremental_cosine_dups_auto(
+        corpus,
+        shard,
+        threshold=0.4,
+        target_recall=0.95,
+        lsh_index=spark.read.parquet(base + "/srp"),
+        ivf_centroids=ivf_cents,
+        ivf_cells=spark.read.parquet(base + "/ivf"),
+        imi_centroids=imi_cents,
+        imi_cells=spark.read.parquet(base + "/imi"),
+        dim=64,
+        calibrate=False,
+    )
+
+
 def s24_imi_cosine_dups(spark, sf_dir):
     """Inverted multi-index (IMI) near-dup pairs
     (functions/similarity.py::imi_cosine_dups): the two-level
@@ -5867,6 +5985,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_similarity_histogram": s14_similarity_histogram,
         "s22_ivf_cosine_dups": s22_ivf_cosine_dups,
         "s26_incremental_ivf_dups": s26_incremental_ivf_dups,
+        "s27_incremental_imi_dups": s27_incremental_imi_dups,
+        "s28_incremental_strategy_report": s28_incremental_strategy_report,
+        "s29_routed_incremental_ingest": s29_routed_incremental_ingest,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
         "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
@@ -7966,6 +8087,13 @@ def oracle_sql() -> dict[str, str]:
         "s12_knn_ivfpq": _ivfpq_oracle(),
         "s22_ivf_cosine_dups": _ivf_dups_oracle(),
         "s26_incremental_ivf_dups": _incremental_ivf_oracle(),
+        "s27_incremental_imi_dups": _incremental_imi_oracle(),
+        "s28_incremental_strategy_report": _incremental_report_oracle(),
+        # s29: at the pinned artifact constructions flat IVF wins at
+        # every (N, S) — see the query docstring — so the oracle is the
+        # s26 Lloyd-chain replay; a routing regression changes the pair
+        # set and goes red
+        "s29_routed_incremental_ingest": _incremental_ivf_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),
@@ -11167,6 +11295,162 @@ def _imi_dups_oracle(
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _incremental_imi_oracle(
+    ksub: int = 4, p: int = 2, num_iter: int = 1, dim: int = 64,
+    dp: int = 6, threshold: float = 0.4, frac: float = 0.9,
+) -> str:
+    """s27: the s24 two-half Lloyd chains trained on the corpus CUT
+    only (vec_id < floor(frac·N)), top-p-per-half soft assignment of
+    EVERY vector to its virtual cells under the FROZEN codebooks,
+    candidates restricted to the shard×corpus cut, exact cosine
+    verify.  Virtual-cell keys are per-vector functions of the frozen
+    codebooks, so these are exactly the candidates the persisted-sink
+    join produces."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    sub = dim // 2
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {sub + 1}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), (a, b) -> a + b)"
+    )
+    parts = []
+    for j in range(2):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        prev = f"c{j}0"
+        # training half-frames come from the corpus CUT; assignment
+        # half-frames (e{j}) from the full table
+        parts.append(f"""
+        ec{j} AS MATERIALIZED (
+          SELECT vec_id, v[{lo}:{hi}] AS v FROM emb WHERE vec_id < {cut}),
+        e{j} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb),
+        c{j}0 AS MATERIALIZED (
+          SELECT vec_id AS cid, list_transform(v, x -> ROUND(x, {dp})) AS cv
+          FROM ec{j} WHERE vec_id < {ksub})""")
+        for it in range(1, num_iter + 1):
+            parts.append(f"""
+        a{j}{it} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rk
+            FROM ec{j} e CROSS JOIN {prev} c) WHERE rk = 1),
+        u{j}{it} AS (
+          SELECT a.cid, t.i AS ord, ROUND(AVG(e.v[t.i]), {dp}) AS m
+          FROM a{j}{it} a JOIN ec{j} e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) t
+          GROUP BY a.cid, t.i),
+        c{j}{it} AS MATERIALIZED (
+          SELECT pc.cid, COALESCE(nc.cv, pc.cv) AS cv
+          FROM {prev} pc LEFT JOIN
+               (SELECT cid, list(m ORDER BY ord) AS cv FROM u{j}{it} GROUP BY cid) nc
+               USING (cid))""")
+            prev = f"c{j}{it}"
+        parts.append(f"""
+        top{j} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rk
+            FROM e{j} e CROSS JOIN {prev} c) WHERE rk <= {p})""")
+    chain = ",".join(parts)
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {chain},
+        cells AS (
+          SELECT t0.vec_id, t0.cid * {ksub} + t1.cid AS cell
+          FROM top0 t0 JOIN top1 t1 USING (vec_id)),
+        cand AS (
+          SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS corpus_id
+          FROM cells n JOIN cells o USING (cell)
+          WHERE n.vec_id >= {cut} AND o.vec_id < {cut})
+        SELECT new_id, corpus_id,
+               ROUND(list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                            CAST(eo.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings en ON en.vec_id = new_id
+        JOIN embeddings eo ON eo.vec_id = corpus_id
+        WHERE list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                     CAST(eo.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _incremental_report_oracle(
+    frac: float = 0.9, thresholds: tuple = (0.4, 0.9),
+    target_recall: float = 0.95, margin: float = 2.0, dim: int = 64,
+) -> str:
+    """s28: the incremental router's cost table replayed in SQL — the
+    s23 oracle discipline.  Construction literals (bits/bands/k/probe
+    and the CLOSED-FORM LSH recall) are inlined from the same python
+    that builds the Spark report; N and S come from the embeddings
+    count under the s26 corpus cut; every cost column is the same
+    polynomial in (N, S) with matching operation order, so the doubles
+    hash-match bit-for-bit; ``chosen`` replays the margin-adjusted
+    window rule."""
+    rows = []
+    for t in thresholds:
+        rec = round(similarity.srp_recall(t, 6, 8), 6)
+        feas = "TRUE" if rec >= target_recall - 1e-9 else "FALSE"
+        rows.append(
+            f"(CAST({t} AS DOUBLE), 'lsh', 6, 8, 64, 8, 0, "
+            f"CAST({rec!r} AS DOUBLE), {feas})"
+        )
+        rows.append(
+            f"(CAST({t} AS DOUBLE), 'ivf', 0, 0, 8, 2, 0, "
+            f"CAST(-1.0 AS DOUBLE), TRUE)"
+        )
+        rows.append(
+            f"(CAST({t} AS DOUBLE), 'imi', 0, 0, 16, 4, 8, "
+            f"CAST(-1.0 AS DOUBLE), TRUE)"
+        )
+    values = ",\n                 ".join(rows)
+    return f"""
+        WITH cfg(threshold, method, bits, n_bands, k_cells, probe,
+                 half_centroids, recall, feasible) AS (
+          VALUES {values}),
+        nn AS (
+          SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) AS n_corpus,
+                 COUNT(*) - CAST(FLOOR({frac} * COUNT(*)) AS BIGINT)
+                     AS n_shard
+          FROM embeddings),
+        base AS (
+          SELECT cfg.*, CAST(n_corpus AS DOUBLE) AS nd,
+                 CAST(n_shard AS DOUBLE) AS sd
+          FROM cfg CROSS JOIN nn),
+        pr AS (
+          SELECT *,
+                 CASE WHEN method = 'lsh'
+                      THEN n_bands * sd * nd / POW(2.0, bits)
+                      ELSE probe * probe * sd * nd / k_cells END AS est_pairs
+          FROM base),
+        fl AS (
+          SELECT *,
+                 CASE WHEN method = 'lsh'
+                      THEN sd * n_bands * bits * {dim} + est_pairs * {8 * dim}
+                      WHEN method = 'ivf'
+                      THEN sd * k_cells * {dim} + est_pairs * {8 * dim}
+                      ELSE sd * half_centroids * {dim // 2}
+                           + est_pairs * {8 * dim} END AS est_flops
+          FROM pr)
+        SELECT threshold, method,
+               CAST(bits AS BIGINT) AS bits,
+               CAST(n_bands AS BIGINT) AS n_bands,
+               CAST(k_cells AS BIGINT) AS k_cells,
+               CAST(probe AS BIGINT) AS probe,
+               recall, feasible, est_pairs, est_flops,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY threshold
+                    ORDER BY feasible DESC,
+                             CASE WHEN method = 'lsh'
+                                  THEN est_flops / {margin}
+                                  ELSE est_flops END ASC,
+                             method DESC, bits ASC) = 1)
+                   AND feasible AS chosen
+        FROM fl
+        ORDER BY threshold, method, bits
     """
 
 

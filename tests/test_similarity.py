@@ -577,6 +577,298 @@ def test_ivf_cells_append_multi_day_lifecycle(spark, emb, tmp_path):
     assert got == want and got
 
 
+def test_incremental_imi_equals_batch_cross_cut(spark, emb):
+    """Under SHARED frozen half-codebooks, the incremental IMI
+    index-join path must produce exactly the shard×corpus subset of
+    the batch pipeline's pairs — virtual-cell keys are per-vector
+    functions of the frozen codebooks (the s27 oracle's contract)."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["sim"])
+        for r in similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64
+        ).collect()
+    }
+    batch = similarity.imi_cosine_dups(
+        emb, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64
+    ).collect()
+    cross = {
+        ((r["id_a"], r["id_b"]) if r["id_a"] >= cut else (r["id_b"], r["id_a"]))
+        + (r["sim"],)
+        for r in batch
+        if (r["id_a"] >= cut) != (r["id_b"] >= cut)
+    }
+    assert inc == cross and inc  # nonempty on the dup-seeded fixture
+
+
+def test_incremental_imi_index_roundtrip_and_lifecycle(spark, emb, tmp_path):
+    """The s27 production lifecycle end-to-end: frozen half-codebooks,
+    a _cell-partitioned persisted virtual-cell sink, day-1 appends via
+    imi_cells_append (layout-mirrored), day-2 ingest against the GROWN
+    sink equals an inline assignment over corpus ∪ day-1, and forget
+    (the generic ivf_cells_forget) removes vectors from the next
+    ingest's view."""
+    import os
+
+    n = emb.count()
+    c1, c2 = int(n * 0.8), int(n * 0.9)
+    corpus = emb.where(F.col("vec_id") < c1)
+    day1 = emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    day2 = emb.where(F.col("vec_id") >= c2)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.imi_train(corp, c1, k1=4, k2=4, num_iter=1, dim=64)
+    path = str(tmp_path / "imi_cells")
+    similarity.imi_cells_frame(corpus, *cents, p1=2, p2=2, dim=64).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    similarity.imi_cells_append(spark, path, *cents, new_vectors=day1, p1=2, p2=2, dim=64)
+    stray = [
+        e for e in os.listdir(path)
+        if not e.startswith(("_cell=", "_", "."))
+    ]
+    assert stray == []  # appends mirrored the partitioned layout
+    corpus2 = corpus.unionByName(day1)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_imi_dups(
+        corpus2, day2, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_imi_dups(
+        corpus2, day2, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64
+    ).collect()))
+    assert got == want and got
+    # forget: removed vectors disappear from the next ingest's view
+    gone = corpus2.select("vec_id").where(F.col("vec_id") < 5)
+    similarity.ivf_cells_forget(spark, path, gone)
+    corpus3 = corpus2.join(gone, "vec_id", "left_anti")
+    got3 = sorted(map(key, similarity.incremental_imi_dups(
+        corpus3, day2, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want3 = sorted(map(key, similarity.incremental_imi_dups(
+        corpus3, day2, threshold=0.4, p1=2, p2=2, centroids=cents, dim=64
+    ).collect()))
+    assert got3 == want3
+
+
+def test_incremental_imi_stale_cells_raise(spark, emb):
+    """Virtual-cell ids look identical across codebook pairs, so the
+    sink's (_p1, _p2, _cbhash) config is the only re-train detector:
+    drifted codebooks, probe-width mismatch, and a config-stripped
+    frame must all raise; a corrupted sink that KEPT its config is
+    caught by the sampled row guard."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    stale = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=2, dim=64)
+    assert cents != stale
+    stale_cells = similarity.imi_cells_frame(corpus, *stale, p1=2, p2=2, dim=64)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=cents,
+            dim=64, corpus_cells=stale_cells,
+        )
+    narrow = similarity.imi_cells_frame(corpus, *cents, p1=1, p2=1, dim=64)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=cents,
+            dim=64, corpus_cells=narrow,
+        )
+    good = similarity.imi_cells_frame(corpus, *cents, p1=2, p2=2, dim=64)
+    with pytest.raises(ValueError, match="config columns"):
+        similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=cents,
+            dim=64, corpus_cells=good.select("_vid", "_cell"),
+        )
+    # append under drifted codebooks is refused before any write
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="imi_cells_") + "/cells"
+    good.write.parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.imi_cells_append(
+            spark, path, *stale, new_vectors=shard, p1=2, p2=2, dim=64
+        )
+    # corrupted rows under a kept config: sampled row guard
+    corrupted = good.withColumn(
+        "_cell",
+        F.when(F.col("_vid") < 8, F.col("_cell") + 1).otherwise(F.col("_cell")),
+    )
+    with pytest.raises(ValueError, match="sample"):
+        similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=cents,
+            dim=64, corpus_cells=corrupted,
+        )
+
+
+def test_incremental_srp_equals_batch_cross_cut(spark, emb, tmp_path):
+    """Under the SAME seeded construction, the persisted-SRP-index
+    ingest path must produce exactly the shard×corpus subset of the
+    batch lsh_cosine_dups pairs — band signatures are per-vector
+    functions of the (seed-deterministic) planes."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    path = str(tmp_path / "srp_index")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(path)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["sim"])
+        for r in similarity.incremental_srp_dups(
+            corpus, shard, threshold=0.2, n_bands=8, bits=6, dim=64,
+            index=spark.read.parquet(path),
+        ).collect()
+    }
+    batch = similarity.lsh_cosine_dups(
+        emb, bands=similarity.srp_bands(8, 6, 64), threshold=0.2
+    ).collect()
+    cross = {
+        ((r["id_a"], r["id_b"]) if r["id_a"] >= cut else (r["id_b"], r["id_a"]))
+        + (r["sim"],)
+        for r in batch
+        if (r["id_a"] >= cut) != (r["id_b"] >= cut)
+    }
+    assert inc == cross and inc
+    # config mismatch fails loudly
+    with pytest.raises(ValueError, match="built with"):
+        similarity.incremental_srp_dups(
+            corpus, shard, threshold=0.2, n_bands=4, bits=6, dim=64,
+            index=spark.read.parquet(path),
+        )
+
+
+def test_incremental_report_matches_python_rows(spark, emb):
+    """The oracle-checkable incremental strategy report must agree with
+    incremental_plan_rows on every cost value and on the chosen row —
+    one source of routing truth, two surfaces."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    cfgs = dict(
+        lsh_cfg={"bits": 6, "n_bands": 8},
+        ivf_cfg={"k": 8, "nprobe": 2},
+        imi_cfg={"k1": 4, "k2": 4, "p1": 2, "p2": 2},
+    )
+    for t in (0.4, 0.9):
+        got = {
+            r["method"]: r
+            for r in similarity.incremental_strategy_report(
+                corpus, shard, threshold=t, **cfgs
+            ).collect()
+        }
+        want = similarity.incremental_plan_rows(
+            cut, emb.count() - cut, t, **cfgs
+        )
+        assert len(got) == len(want) == 3
+        for w in want:
+            g = got[w["method"]]
+            assert g["chosen"] == w["chosen"], (t, w["method"])
+            assert g["feasible"] == w["feasible"]
+            assert abs(g["est_pairs"] - w["est_pairs"]) < 1e-6 * max(1, w["est_pairs"])
+            assert abs(g["est_flops"] - w["est_flops"]) < 1e-6 * max(1, w["est_flops"])
+        # exactly one chosen row per threshold
+        assert sum(g["chosen"] for g in got.values()) == 1
+    # the threshold crossover: 0.9 routes to the guaranteed LSH leg,
+    # 0.4's S-curve is infeasible so a blocking artifact wins
+    r9 = similarity.incremental_plan_rows(cut, emb.count() - cut, 0.9, **cfgs)
+    r4 = similarity.incremental_plan_rows(cut, emb.count() - cut, 0.4, **cfgs)
+    assert r9[0]["method"] == "lsh" and r9[0]["chosen"]
+    assert r4[0]["method"] in ("ivf", "imi") and r4[0]["chosen"]
+
+
+def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
+    """End-to-end routed ingest against all three persisted artifact
+    families: at threshold 0.9 the router picks the recall-guaranteed
+    SRP leg and its pairs equal incremental_srp_dups; at 0.4 it picks
+    a blocking leg and (calibration off) its pairs equal that leg's
+    hand-picked incremental function — the receipt names the route."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    # persist all three artifact families
+    lsh_path = str(tmp_path / "srp")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(lsh_path)
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    ivf_path = str(tmp_path / "ivf")
+    similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(ivf_path)
+    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    imi_path = str(tmp_path / "imi")
+    similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
+        "_cell"
+    ).parquet(imi_path)
+    arts = dict(
+        lsh_index=spark.read.parquet(lsh_path),
+        ivf_centroids=ivf_cents,
+        ivf_cells=spark.read.parquet(ivf_path),
+        imi_centroids=imi_cents,
+        imi_cells=spark.read.parquet(imi_path),
+    )
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    # high threshold -> guaranteed SRP leg
+    receipt = {}
+    got = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.2, target_recall=0.2,
+        plan_out=receipt, **arts,  # srp_recall(0.2, 6, 8) ≈ 0.23 ≥ 0.2:
+        # the guaranteed leg is feasible AND cheapest under the margin
+    ).collect()))
+    assert receipt["strategy"] == "lsh"
+    want = sorted(map(key, similarity.incremental_srp_dups(
+        corpus, shard, threshold=0.2, n_bands=8, bits=6, dim=64,
+        index=arts["lsh_index"],
+    ).collect()))
+    assert got == want and got
+    # low threshold, calibration off -> blocking leg at the sink's width
+    receipt = {}
+    got = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        calibrate=False, plan_out=receipt, **arts,
+    ).collect()))
+    assert receipt["strategy"] in ("ivf", "imi")
+    if receipt["strategy"] == "ivf":
+        want_df = similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2, centroids=ivf_cents,
+            corpus_cells=arts["ivf_cells"],
+        )
+    else:
+        want_df = similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=imi_cents,
+            dim=64, corpus_cells=arts["imi_cells"],
+        )
+    assert got == sorted(map(key, want_df.collect())) and got
+    # calibration on: either the shard sample holds truth pairs (ladder
+    # monotone, escalated pairs ⊇ sink-width pairs) or recall is UNKNOWN
+    # (the router warns and stays at the sink's width — never a silent
+    # escalation for unknown benefit)
+    import warnings as _warnings
+
+    receipt = {}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        cal = sorted(map(key, similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            calibrate=True, plan_out=receipt, **arts,
+        ).collect()))
+    if receipt["sample_truth_pairs"] > 0:
+        ladder = receipt["recall_by_probe"]
+        assert all(a <= b + 1e-12 for a, b in zip(ladder, ladder[1:]))
+        assert set(got) <= set(cal)
+    else:
+        assert any("UNKNOWN" in str(w.message) for w in caught)
+        assert cal == got  # stayed at the sink's width: identical pairs
+
+
 def test_ivf_cells_append_mirrors_partitioned_layout(spark, emb, tmp_path):
     """Appending to a _cell-partitioned sink (the s26 recipe) must write
     partitioned rows: a flat append into a Hive-partitioned directory is
