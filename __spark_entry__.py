@@ -912,6 +912,55 @@ def s27_incremental_imi_dups(spark, sf_dir):
     )
 
 
+def s30_ivf_index_rebuild(spark, sf_dir):
+    """The staleness-recovery path, end-to-end (functions/similarity.py
+    ::ivf_index_rebuild) — round-8 verdict gap 4: the guard DETECTS a
+    re-trained codebook but nothing recovered.  Here the cell sink is
+    deliberately built from a DRIFTED codebook (trained on only the
+    oldest half of the corpus, 1 Lloyd iteration), the live codebook's
+    ingest is shown to trip the guard (the ValueError is asserted
+    in-line — a silently-passing guard goes red), then
+    ivf_index_rebuild retrains on the CURRENT corpus with the pinned
+    s22/s26 construction (8 cells / 2 iterations), re-assigns, and
+    atomically swaps the sink — after which the shard ingest against
+    the rebuilt sink must equal the s26 oracle's Lloyd-chain replay
+    exactly (rebuild = the oracle's training, or red)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    old = similarity.ivf_train(
+        corp.where(F.col("_vid") < cut // 2), cut // 2, n_centroids=8, num_iter=1
+    )
+    live = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = tempfile.mkdtemp(prefix="ivf_rebuild_") + "/cells"
+    similarity.ivf_cells_frame(corpus, old, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    try:
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2, centroids=live,
+            corpus_cells=spark.read.parquet(path),
+        ).count()
+        raise AssertionError("s30: staleness guard did not trip on a drifted sink")
+    except ValueError:
+        pass  # the guard works; now RECOVER
+    rebuilt = similarity.ivf_index_rebuild(
+        spark, path, corpus, nprobe=2, n_centroids=8, num_iter=2, n_rows=cut
+    )
+    return similarity.incremental_ivf_dups(
+        corpus,
+        shard,
+        threshold=0.4,
+        nprobe=2,
+        centroids=rebuilt,
+        corpus_cells=spark.read.parquet(path),
+    )
+
+
 def s28_incremental_strategy_report(spark, sf_dir):
     """The INCREMENTAL router's cost model as an oracle-checked table
     (functions/similarity.py::incremental_strategy_report) — the s23
@@ -1524,7 +1573,11 @@ def t26_zipf_fit(spark, sf_dir):
     ln(rank) over the top-100 unigrams — the Zipf slope every corpus
     datasheet reports (natural text ≈ −1; templated/synthetic corpora
     flatten).  One shuffle on the token for counts; the top-100 sort is
-    a bounded TakeOrdered; the regression reduces in a single tiny
+    a bounded TakeOrdered; rank over the bounded slice is ARRAY math
+    (sorted collect_list + posexplode — a window over ≤100 rows is
+    correct but would be the engine's only unpartitioned-window
+    warning, and a warning-free bench is what makes any NEW warning a
+    regression signal); the regression reduces in a single tiny
     aggregate."""
     docs = _docs(spark, sf_dir).where(F.trim("text") != "")
     tf = (
@@ -1533,9 +1586,14 @@ def t26_zipf_fit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     top = tf.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
-    xy = top.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
-    ).select(F.log("r").alias("x"), F.log("freq").alias("y"))
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("freq")).alias("_nf"), "tok", "freq"))
+        ).alias("_a")
+    )
+    xy = arr.select(
+        F.posexplode("_a").alias("_i", "_s")
+    ).select(F.log(F.col("_i") + 1).alias("x"), F.log("_s.freq").alias("y"))
     stats = xy.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -1944,19 +2002,26 @@ def d25_manifest_checksum(spark, sf_dir):
 def x94_period_over_period(spark, sf_dir):
     """Period-over-period BI staple: monthly revenue with prior-month
     and prior-YEAR deltas and growth rates via LAG(1)/LAG(12) over the
-    month spine — one window, day-grain pre-aggregated, NULL-safe for
-    the first periods."""
+    month spine — day-grain pre-aggregated; the spine is calendar-
+    bounded (|months|, not |orders|), so the lags are sorted-array
+    lookups (collect_list + posexplode + try_element_at) rather than
+    the engine's only unpartitioned window — a warning-free bench
+    makes any new global-window warning a regression signal."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         (F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate")) - 1).alias("_m"),
         F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
     )
     monthly = o.groupBy("_m").agg(F.sum("_p").cast("double").alias("rev"))
-    w = Window.orderBy("_m")
-    out = monthly.select(
-        "_m",
-        F.round("rev", 2).alias("revenue"),
-        F.lag("rev", 1).over(w).alias("_prev"),
-        F.lag("rev", 12).over(w).alias("_yoy"),
+    arr = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("_m", "rev"))).alias("_a")
+    )
+    out = arr.select(F.posexplode("_a").alias("_i", "_s"), "_a").select(
+        F.col("_s._m").alias("_m"),
+        F.round("_s.rev", 2).alias("revenue"),
+        # element_at is 1-based and NEGATIVE indexes count from the END,
+        # so lag(k) = position (_i+1)-k needs an explicit >= 1 guard
+        F.when(F.col("_i") >= 1, F.expr("try_element_at(_a, _i).rev")).alias("_prev"),
+        F.when(F.col("_i") >= 12, F.expr("try_element_at(_a, _i - 11).rev")).alias("_yoy"),
     )
     return out.select(
         F.concat_ws(
@@ -2157,34 +2222,37 @@ def t38_vocab_coverage(spark, sf_dir):
     """Vocabulary-size coverage curve: the share of all corpus token
     OCCURRENCES covered by the top-k most frequent tokens, reported at
     k ∈ {5, 10, 20} (the corpus vocabulary is small) — the tokenizer-budget artifact (how big must the
-    vocab be to cover 95%?).  One token count + one bounded window
-    cumsum over the top slice.  The top-100 cut is a distributed
-    TakeOrdered (the t26 pattern: per-partition partial top-k + one
-    merge), NEVER row_number over the full distinct-token table — that
-    global window funnels the SF-linear vocabulary through ONE task
-    (the round-8 weak mark); the windows below run over the bounded
-    post-limit 100 rows only."""
+    vocab be to cover 95%?).  One token count + bounded-slice array
+    math.  The top-100 cut is a distributed TakeOrdered (the t26
+    pattern: per-partition partial top-k + one merge), NEVER
+    row_number over the full distinct-token table — that global window
+    funnels the SF-linear vocabulary through ONE task (the round-8
+    weak mark); rank + cumulative sum over the bounded slice are
+    sorted-array HOFs (collect_list + posexplode + aggregate-slice —
+    O(k²) on k=100, and the bench stays free of unpartitioned-window
+    warnings so any new one is a regression signal)."""
     docs = _docs(spark, sf_dir).where(F.trim("text") != "")
     tf = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     tot = tf.agg(F.sum("_c").alias("_t"))
     top = tf.orderBy(F.desc("_c"), F.asc("tok")).limit(100)
-    w = Window.orderBy(F.desc("_c"), F.asc("tok"))
-    ranked = top.withColumn("_r", F.row_number().over(w))
-    cum = ranked.withColumn(
-        "_cum",
-        F.sum("_c").over(
-            Window.orderBy(F.desc("_c"), F.asc("tok")).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("_c")).alias("_nc"), "tok", "_c"))
+        ).alias("_a")
+    )
+    cum = arr.select(F.posexplode("_a").alias("_i", "_s"), "_a").select(
+        (F.col("_i") + 1).alias("_r"),
+        F.expr(
+            "aggregate(slice(_a, 1, _i + 1), 0L, (acc, x) -> acc + x._c)"
+        ).alias("_cum"),
     )
     return (
         cum.where(F.col("_r").isin(5, 10, 20))
         .crossJoin(F.broadcast(tot))
         .select(
-            F.col("_r").alias("vocab_k"),
+            F.col("_r").cast("int").alias("vocab_k"),
             F.col("_cum").cast("long").alias("covered_tokens"),
             F.round(F.col("_cum") / F.col("_t"), 6).alias("coverage"),
         )
@@ -3191,8 +3259,14 @@ def x79_ewma_revenue(spark, sf_dir):
         F.col("o_totalprice").cast("decimal(25,2)").alias("_p"),
     )
     monthly = o.groupBy("_m").agg(F.sum("_p").cast("double").alias("rev"))
-    w = Window.orderBy("_m")
-    ranked = monthly.withColumn("_t", F.row_number().over(w) - 1)
+    # calendar-bounded month spine: the dense month rank is a sorted-
+    # array position (collect_list + posexplode), not the engine's only
+    # unpartitioned window (see x94's note)
+    ranked = (
+        monthly.agg(F.array_sort(F.collect_list(F.struct("_m", "rev"))).alias("_a"))
+        .select(F.posexplode("_a").alias("_t", "_s"))
+        .select(F.col("_s._m").alias("_m"), F.col("_s.rev").alias("rev"), "_t")
+    )
     a = ranked.select(F.col("_m").alias("m"), F.col("_t").alias("t"), F.col("rev").alias("rev_t"))
     b = ranked.select(F.col("_t").alias("s"), F.col("rev").alias("rev_s"))
     terms = a.join(b, F.col("s") <= F.col("t")).select(
@@ -4491,6 +4565,67 @@ def e34_ingest_dedup_stream(spark, sf_dir):
         )
     # project away the sink's batch_id partition column: the pair SET is
     # the contract (and the oracle's shape); the partition is transport
+    return spark.read.parquet(base + "/pairs").select(
+        "new_id", "corpus_id", "jaccard"
+    )
+
+
+def e35_pair_sink_compaction(spark, sf_dir):
+    """Compaction for the streaming ingest pair sink (streaming/
+    ingest_dedup.py::compact_batch_sink) — round-8 verdict gap 3: e34
+    leaves one batch_id directory of small files per micro-batch
+    forever.  This runs the SAME multi-batch drain as e34, then
+    rewrites the sink to a handful of files via the atomic staging
+    swap, asserting the receipt in-line (file count strictly drops,
+    zero rows lost) — and returns the post-compaction pair set, which
+    must still match d26's full value-level oracle: compaction is
+    provably pair-preserving or it goes red.  The retention
+    (retain_last) leg is unit-tested next to the drain tests; its pair
+    set is policy-dependent so the oracle pins the pure-compaction
+    contract."""
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("source").isin("src0", "src1")
+    new_batch = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = tempfile.mkdtemp(prefix="spark_pair_compact_")
+    new_batch.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus, hash="md5").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(base + "/index")
+    from projet_graphdb_spark.streaming import (
+        compact_batch_sink,
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    with state_partitions(spark, 8):
+        q = streaming_ingest_dedup(
+            spark,
+            base + "/shard",
+            schema,
+            corpus,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs",
+            base + "/ckpt",
+            threshold=0.2,
+            hash="md5",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e35 ingest-dedup stream did not drain")
+    if not os.path.isdir(base + "/pairs"):
+        return spark.createDataFrame(
+            [], "new_id long, corpus_id long, jaccard double"
+        )
+    receipt = compact_batch_sink(spark, base + "/pairs", target_files=2)
+    if receipt["files_after"] >= receipt["files_before"]:
+        raise AssertionError(f"e35: compaction did not shrink files: {receipt}")
+    if receipt["rows_after"] != receipt["rows_before"]:
+        raise AssertionError(f"e35: compaction changed the row count: {receipt}")
     return spark.read.parquet(base + "/pairs").select(
         "new_id", "corpus_id", "jaccard"
     )
@@ -5988,6 +6123,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s27_incremental_imi_dups": s27_incremental_imi_dups,
         "s28_incremental_strategy_report": s28_incremental_strategy_report,
         "s29_routed_incremental_ingest": s29_routed_incremental_ingest,
+        "s30_ivf_index_rebuild": s30_ivf_index_rebuild,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
         "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
@@ -6062,6 +6198,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e32_redelivery_idempotent": e32_redelivery_idempotent,
         "e33_late_drop_stream": e33_late_drop_stream,
         "e34_ingest_dedup_stream": e34_ingest_dedup_stream,
+        "e35_pair_sink_compaction": e35_pair_sink_compaction,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -7966,6 +8103,9 @@ def oracle_sql() -> dict[str, str]:
         # batch by batch — band keys are per-document, so micro-batch
         # boundaries cannot change the union (d26's exact oracle).
         "e34_ingest_dedup_stream": _incremental_lsh_oracle(),
+        # e35: compaction is pair-preserving by contract, so the post-
+        # compaction sink must still equal the d26 oracle
+        "e35_pair_sink_compaction": _incremental_lsh_oracle(),
         # d28: the two-day lifecycle replayed as chained CTEs over ONE
         # full-corpus LSH pair universe — stage membership filters give
         # each day's candidates; day 2's corpus is corpus ∪ day-1 uniques.
@@ -8094,6 +8234,9 @@ def oracle_sql() -> dict[str, str]:
         # s26 Lloyd-chain replay; a routing regression changes the pair
         # set and goes red
         "s29_routed_incremental_ingest": _incremental_ivf_oracle(),
+        # s30: rebuild retrains with the s26 construction on the same
+        # corpus cut, so the post-rebuild ingest equals the same chain
+        "s30_ivf_index_rebuild": _incremental_ivf_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),

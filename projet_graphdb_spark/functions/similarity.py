@@ -1613,6 +1613,106 @@ def imi_cells_append(
     writer.parquet(cells_path)
 
 
+def ivf_index_rebuild(
+    spark,
+    cells_path: str,
+    corpus: DataFrame,
+    nprobe: int = 2,
+    n_centroids: int | None = None,
+    num_iter: int = 2,
+    target_cell_rows: int = 64,
+    max_centroids: int = 16384,
+    max_train_rows: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> dict:
+    """The RECOVERY path the staleness guard only detects (round-8
+    verdict gap 4): when a cell sink no longer matches the live
+    codebook — or per-shard calibration shows the frozen codebook's
+    recall has drifted below the ask — retrain the codebook on the
+    CURRENT corpus, re-assign every vector, and atomically swap the
+    sink (the ``lsh_index_forget`` swap machinery generalized; layout
+    preserved, so partition-pruning survives the rebuild).
+
+    Cost shape: one :func:`ivf_train` (bounded sample) + one full
+    corpus assignment (N·k·dim — the price the incremental tier
+    deliberately avoids per shard, paid ONCE per rebuild and measured
+    in the 30× rehearsal next to the flat per-shard ingest cost it
+    amortizes over).  Not transactional across readers: a concurrent
+    ingest that already read the OLD cells keeps its snapshot (parquet
+    files are immutable; the swap only changes the directory) and its
+    pairs remain valid under the old codebook — the next ingest reads
+    the new sink and the embedded ``_cbhash`` keeps it from mixing
+    artifacts.
+
+    Returns the NEW centroids dict — the caller persists it wherever
+    the codebook artifact lives (it must travel with the sink)."""
+    from .fsutil import atomic_swap
+
+    _require_dense_int_ids(corpus, id_col, "ivf_index_rebuild")
+    corp = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if n_rows is None:
+        n_rows = corp.count()
+    centroids = ivf_train(
+        corp, n_rows, n_centroids=n_centroids, num_iter=num_iter,
+        target_cell_rows=target_cell_rows, max_centroids=max_centroids,
+        max_train_rows=max_train_rows,
+    )
+    partitioned = _is_cell_partitioned(cells_path)
+    frame = ivf_cells_frame(corpus, centroids, nprobe, id_col, vec_col)
+
+    def _write(p):
+        w = frame.write.mode("overwrite")
+        (w.partitionBy("_cell") if partitioned else w).parquet(p)
+
+    atomic_swap(cells_path, _write)
+    return centroids
+
+
+def imi_index_rebuild(
+    spark,
+    cells_path: str,
+    corpus: DataFrame,
+    k1: int = 4,
+    k2: int = 4,
+    p1: int = 2,
+    p2: int = 2,
+    num_iter: int = 1,
+    max_train_rows: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+) -> tuple:
+    """:func:`ivf_index_rebuild` for the IMI sink: retrain both
+    half-codebooks on the current corpus, re-assign the virtual cells,
+    atomic layout-preserving swap.  Returns the new (cents1, cents2)
+    tuple.  Same snapshot semantics as the flat rebuild."""
+    from .fsutil import atomic_swap
+
+    _require_dense_int_ids(corpus, id_col, "imi_index_rebuild")
+    corp = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        dim = corp.select(F.size("_v")).first()[0]
+    if n_rows is None:
+        n_rows = corp.count()
+    cents = imi_train(
+        corp, n_rows, k1=k1, k2=k2, num_iter=num_iter, dim=dim,
+        max_train_rows=max_train_rows,
+    )
+    partitioned = _is_cell_partitioned(cells_path)
+    frame = imi_cells_frame(corpus, *cents, p1=p1, p2=p2, id_col=id_col,
+                            vec_col=vec_col, dim=dim)
+
+    def _write(p):
+        w = frame.write.mode("overwrite")
+        (w.partitionBy("_cell") if partitioned else w).parquet(p)
+
+    atomic_swap(cells_path, _write)
+    return cents
+
+
 def incremental_imi_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

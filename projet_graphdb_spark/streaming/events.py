@@ -336,22 +336,38 @@ def watermark_lateness_audit(
 
     Scale design: NO global-order window over the fact table.  Arrival
     is bucketed (``arrival_col`` div ``bucket_size``); per-bucket max
-    event times form a TINY table whose running max is the only ordered
-    window (rows = n/bucket_size); the fact table then joins that
-    bucket watermark back broadcast-style.  First-bucket events are
-    never late (no earlier arrivals).
+    event times form a TINY table (rows = n/bucket_size) whose
+    strictly-earlier running max is computed as sorted-array prefix
+    math (collect_list + posexplode + aggregate-slice — O(buckets²) on
+    a bounded table, and never an unpartitioned window: a warning-free
+    bench makes any new global-window warning a regression signal);
+    the fact table then joins that bucket watermark back
+    broadcast-style.  First-bucket events are never late (no earlier
+    arrivals).
 
     Output: (delay_minutes, n_late, n_total) per candidate delay.
     """
     b = (F.col(arrival_col) / bucket_size).cast("long")
     evb = events.select(F.col("ts"), b.alias("_b"))
-    from pyspark.sql.window import Window as W
 
     bmax = evb.groupBy("_b").agg(F.max("ts").alias("_bm"))
-    w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    wm = bmax.select(
-        "_b", F.max("_bm").over(w).alias("_wm")
-    )  # running max over the bucket TABLE (tiny), not the events
+    # running max over the bucket TABLE (tiny), not the events: prefix
+    # max of strictly-earlier buckets via array slice
+    wm = (
+        bmax.agg(F.array_sort(F.collect_list(F.struct("_b", "_bm"))).alias("_a"))
+        .select(F.posexplode("_a").alias("_i", "_s"), "_a")
+        .select(
+            F.col("_s._b").alias("_b"),
+            F.when(
+                F.col("_i") >= 1,
+                F.expr(
+                    "aggregate(slice(_a, 1, _i), CAST(NULL AS TIMESTAMP),"
+                    " (acc, x) -> CASE WHEN acc IS NULL OR x._bm > acc"
+                    " THEN x._bm ELSE acc END)"
+                ),
+            ).alias("_wm"),
+        )
+    )
     late_by = F.unix_micros(F.col("_wm")) - F.unix_micros(F.col("ts"))
     tagged = evb.join(F.broadcast(wm), "_b").select(
         F.coalesce(late_by, F.lit(0)).alias("_late_us")

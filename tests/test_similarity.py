@@ -869,6 +869,78 @@ def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
         assert cal == got  # stayed at the sink's width: identical pairs
 
 
+def test_index_rebuild_recovers_from_drift(spark, emb, tmp_path):
+    """ivf_index_rebuild / imi_index_rebuild: a sink built under a
+    drifted codebook trips the staleness guard; the rebuild retrains on
+    the current corpus, re-assigns, swaps atomically (layout kept), and
+    the next ingest against the rebuilt sink equals the inline path
+    under the returned codebook."""
+    import os
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+
+    # flat IVF
+    old = similarity.ivf_train(
+        corp.where(F.col("_vid") < cut // 2), cut // 2, n_centroids=8, num_iter=1
+    )
+    path = str(tmp_path / "ivf_cells")
+    similarity.ivf_cells_frame(corpus, old, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    live = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.incremental_ivf_dups(
+            corpus, shard, threshold=0.4, nprobe=2, centroids=live,
+            corpus_cells=spark.read.parquet(path),
+        )
+    rebuilt = similarity.ivf_index_rebuild(
+        spark, path, corpus, nprobe=2, n_centroids=8, num_iter=2, n_rows=cut
+    )
+    assert rebuilt == live  # same pinned construction, same corpus
+    assert any(e.startswith("_cell=") for e in os.listdir(path))  # layout kept
+    got = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=rebuilt,
+        corpus_cells=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=rebuilt
+    ).collect()))
+    assert got == want and got
+
+    # IMI twin
+    old2 = similarity.imi_train(
+        corp.where(F.col("_vid") < cut // 2), cut // 2, k1=4, k2=4,
+        num_iter=2, dim=64,
+    )
+    path2 = str(tmp_path / "imi_cells")
+    similarity.imi_cells_frame(corpus, *old2, p1=2, p2=2, dim=64).write.partitionBy(
+        "_cell"
+    ).parquet(path2)
+    live2 = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    with pytest.raises(ValueError, match="stale"):
+        similarity.incremental_imi_dups(
+            corpus, shard, threshold=0.4, p1=2, p2=2, centroids=live2,
+            dim=64, corpus_cells=spark.read.parquet(path2),
+        )
+    rebuilt2 = similarity.imi_index_rebuild(
+        spark, path2, corpus, k1=4, k2=4, p1=2, p2=2, num_iter=1,
+        dim=64, n_rows=cut,
+    )
+    assert rebuilt2 == live2
+    got2 = sorted(map(key, similarity.incremental_imi_dups(
+        corpus, shard, threshold=0.4, p1=2, p2=2, centroids=rebuilt2,
+        dim=64, corpus_cells=spark.read.parquet(path2),
+    ).collect()))
+    want2 = sorted(map(key, similarity.incremental_imi_dups(
+        corpus, shard, threshold=0.4, p1=2, p2=2, centroids=rebuilt2, dim=64
+    ).collect()))
+    assert got2 == want2
+
+
 def test_ivf_cells_append_mirrors_partitioned_layout(spark, emb, tmp_path):
     """Appending to a _cell-partitioned sink (the s26 recipe) must write
     partitioned rows: a flat append into a Hive-partitioned directory is

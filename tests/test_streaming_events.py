@@ -484,6 +484,63 @@ def test_ingest_dedup_stream_midbatch_replay(spark, tmp_path):
     assert after == before
 
 
+def test_compact_batch_sink_retention_and_recompaction(spark, tmp_path):
+    """compact_batch_sink with retain_last keeps exactly the newest N
+    batches' pairs (the x95 latest-N policy on the batch dimension),
+    shrinks the file count, and a second compaction over the rewritten
+    sink (batch_id now a data column) still works."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import dedup
+    from projet_graphdb_spark.streaming import (
+        compact_batch_sink,
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = str(tmp_path)
+    shard.repartition(4).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(base + "/index")
+    with state_partitions(spark, 4):
+        q = streaming_ingest_dedup(
+            spark, base + "/shard", schema, corpus,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs", base + "/ckpt", threshold=0.2,
+        )
+        assert q.awaitTermination(300)
+    before = spark.read.parquet(base + "/pairs")
+    batches = sorted(
+        r["batch_id"] for r in before.select("batch_id").distinct().collect()
+    )
+    assert len(batches) >= 3  # several real micro-batches ran
+    keep = batches[-2:]
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["batch_id"])
+        for r in before.collect()
+        if r["batch_id"] in keep
+    )
+    receipt = compact_batch_sink(
+        spark, base + "/pairs", target_files=1, retain_last=2
+    )
+    assert receipt["files_after"] < receipt["files_before"]
+    assert receipt["batches_kept"] == 2
+    assert receipt["rows_after"] <= receipt["rows_before"]
+    after = spark.read.parquet(base + "/pairs")
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["batch_id"]) for r in after.collect()
+    )
+    assert got == want
+    # recompaction over the rewritten (non-Hive-partitioned) sink
+    receipt2 = compact_batch_sink(spark, base + "/pairs", target_files=1)
+    assert receipt2["rows_after"] == receipt["rows_after"]
+    assert receipt2["batches_before"] == 2
+
+
 def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
     """The foreachBatch incremental near-dup drain must union to the
     one-shot incremental_lsh_dups result: pairs are shard×corpus and
