@@ -55,6 +55,9 @@ NL_ALLOWED = {
     # broadcast into the |sources|-row weight frame — constant side
     "s23_dup_strategy_report",  # 1-row corpus-count aggregate broadcast
     # into the 44-row literal construction table — constant sides
+    "s28_incremental_strategy_report",  # the same shape for the ingest
+    # tier: 1-row N and S aggregates broadcast into the ≤3-row-per-
+    # threshold artifact table — constant sides
     "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
     # cross-joined into five 1-row report rows — all constant sides
     "m10_cutmix_plan",  # 1-row image-count broadcast into the partner

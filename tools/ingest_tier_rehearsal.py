@@ -1,0 +1,223 @@
+"""Round-9 ingest-tier scale rehearsal: the routed incremental family's
+claims, measured instead of asserted.
+
+Per corpus multiple n in (1, 10, 30), shard held FIXED (the
+incremental_rehearsal.py protocol, applied to the NEW tier):
+
+  artifacts — srp_band_index (8×6), ivf_train (k = N/64, capped 16384)
+              + cell sink, imi_train (k1 = k2 = ⌈√(N/64)⌉) + virtual-
+              cell sink; build times reported separately (amortized).
+  imi ingest — incremental_imi_dups with the frozen artifacts: the s27
+              flat-per-shard claim (candidates ≈ (p1p2)²·S·N/(k1k2)
+              with k1k2 ≈ N/64 ⇒ ~constant per shard).
+  ivf ingest — incremental_ivf_dups, same protocol (the s26 baseline;
+              NOTE its per-shard S·k·dim assignment grows once k caps).
+  routed    — incremental_cosine_dups_auto over all three artifacts
+              (calibrate on): wall time, chosen strategy, receipt.
+              The cost model predicts a FLIP from flat IVF to IMI as
+              N grows (ivf per-shard ≈ S·(N/64)·dim + const; imi ≈
+              S·2√(N/64)·dim/2 + const — equal around N ≈ 4e5 at these
+              constants): the rehearsal checks the router actually
+              flips where the arithmetic says it should.
+  rebuild   — ivf_index_rebuild on the n-times corpus: the recovery
+              cost curve (one retrain + one full re-assignment) that
+              per-shard flatness amortizes over.
+  compaction — at n = 1 only: a batch_id-partitioned pair sink written
+              in 6 slices, compacted with retain_last, the file-count
+              receipt recorded (compaction is scale-free maintenance;
+              the receipt is what the small-files claim is made of).
+
+Usage: python tools/ingest_tier_rehearsal.py [src] [out_json] [copies…]
+Defaults: /root/testdata/sf0.1 /tmp/ingest_tier_rehearsal.json 1 10 30
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import make_scaled_sf as uniform  # noqa: E402
+from projet_graphdb_spark.engine import get_spark  # noqa: E402
+from projet_graphdb_spark.functions import similarity  # noqa: E402
+
+COPIES = [1, 10, 30]
+THRESH = 0.4
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 2), out
+
+
+def _scaled_union(base, table, n, sizes):
+    out = uniform._copy(base, table, 0, sizes)
+    for i in range(1, n):
+        out = out.unionByName(uniform._copy(base, table, i, sizes))
+    return out
+
+
+def rehearse(spark, src, tmp, sizes):
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_total = emb.count()
+    cut = int(n_total * 0.9)
+    corpus_base = emb.where(F.col("vec_id") < cut)
+    results = []
+    for n in COPIES:
+        cdir = f"{tmp}/corpus_{n}"
+        (
+            _scaled_union(corpus_base, "embeddings", n, sizes)
+            .withColumn(
+                "vec_id",
+                (F.col("vec_id") / n_total).cast("long") * cut
+                + F.col("vec_id") % n_total,
+            )
+            .write.mode("overwrite")
+            .parquet(cdir)
+        )
+        corpus = spark.read.parquet(cdir)
+        n_corpus = n * cut
+        shard = emb.where(F.col("vec_id") >= cut).withColumn(
+            "vec_id", F.col("vec_id") - cut + F.lit(n_corpus)
+        ).localCheckpoint(eager=True)
+        n_shard = n_total - cut
+        corp = corpus.select(
+            F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+        )
+
+        srp_path = f"{tmp}/srp_{n}"
+        t_srp, _ = _timed(
+            lambda: similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64)
+            .write.mode("overwrite").partitionBy("band").parquet(srp_path)
+        )
+
+        ivf_path = f"{tmp}/ivf_{n}"
+
+        def build_ivf():
+            cents = similarity.ivf_train(corp, n_corpus, num_iter=2)
+            similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.mode(
+                "overwrite"
+            ).parquet(ivf_path)
+            return cents
+
+        t_ivf_build, ivf_cents = _timed(build_ivf)
+
+        imi_path = f"{tmp}/imi_{n}"
+        k1 = max(2, min(4096, math.ceil(math.sqrt(-(-n_corpus // 64)))))
+
+        def build_imi():
+            cents = similarity.imi_train(
+                corp, n_corpus, k1=k1, k2=k1, num_iter=1, dim=64
+            )
+            similarity.imi_cells_frame(corpus, *cents, p1=2, p2=2, dim=64).write.mode(
+                "overwrite"
+            ).parquet(imi_path)
+            return cents
+
+        t_imi_build, imi_cents = _timed(build_imi)
+
+        t_ivf_ing, ivf_pairs = _timed(
+            lambda: similarity.incremental_ivf_dups(
+                corpus, shard, threshold=THRESH, nprobe=2, centroids=ivf_cents,
+                corpus_cells=spark.read.parquet(ivf_path),
+            ).count()
+        )
+        t_imi_ing, imi_pairs = _timed(
+            lambda: similarity.incremental_imi_dups(
+                corpus, shard, threshold=THRESH, p1=2, p2=2,
+                centroids=imi_cents, dim=64,
+                corpus_cells=spark.read.parquet(imi_path),
+            ).count()
+        )
+        receipt: dict = {}
+        t_routed, routed_pairs = _timed(
+            lambda: similarity.incremental_cosine_dups_auto(
+                corpus, shard, threshold=THRESH, target_recall=0.95,
+                lsh_index=spark.read.parquet(srp_path),
+                ivf_centroids=ivf_cents,
+                ivf_cells=spark.read.parquet(ivf_path),
+                imi_centroids=imi_cents,
+                imi_cells=spark.read.parquet(imi_path),
+                dim=64, n_corpus=n_corpus, n_shard=n_shard,
+                plan_out=receipt,
+            ).count()
+        )
+        t_rebuild, _ = _timed(
+            lambda: similarity.ivf_index_rebuild(
+                spark, ivf_path, corpus, nprobe=2, num_iter=2, n_rows=n_corpus
+            )
+        )
+        results.append(
+            {
+                "copies": n, "n_corpus": n_corpus, "n_shard": n_shard,
+                "k_ivf": len(ivf_cents), "k1_imi": k1,
+                "srp_index_s": t_srp, "ivf_index_s": t_ivf_build,
+                "imi_index_s": t_imi_build,
+                "ivf_ingest_s": t_ivf_ing, "imi_ingest_s": t_imi_ing,
+                "routed_s": t_routed, "rebuild_s": t_rebuild,
+                "chosen": receipt.get("strategy"),
+                "routed_probe": receipt.get("probe"),
+                "calibrated_recall": receipt.get("calibrated_recall"),
+                "sample_truth_pairs": receipt.get("sample_truth_pairs"),
+                "ivf_pairs": ivf_pairs, "imi_pairs": imi_pairs,
+                "routed_pairs": routed_pairs,
+            }
+        )
+        print("tier", results[-1], flush=True)
+    return results
+
+
+def rehearse_compaction(spark, src, tmp):
+    """Small-files receipt: a 6-batch pair sink compacted to 2 files
+    with retain_last=4 — file and batch counts before/after."""
+    from projet_graphdb_spark.streaming import compact_batch_sink
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    pairs = similarity.incremental_ivf_dups(
+        corpus, shard, threshold=THRESH, nprobe=2
+    ).localCheckpoint(eager=True)
+    sink = f"{tmp}/pair_sink"
+    for b in range(6):
+        pairs.where(F.col("new_id") % 6 == b).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={b}")
+    t, receipt = _timed(
+        lambda: compact_batch_sink(spark, sink, target_files=2, retain_last=4)
+    )
+    receipt["compact_s"] = t
+    print("compaction", receipt, flush=True)
+    return receipt
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ingest_tier_rehearsal.json"
+    if len(sys.argv) > 3:
+        COPIES[:] = [int(a) for a in sys.argv[3:]]
+    tmp = "/tmp/ingest_tier_rehearsal"
+    os.makedirs(tmp, exist_ok=True)
+    spark = get_spark(app_name="ingest-tier-rehearsal")
+    sizes = uniform._domain_sizes(spark, src)
+    out = {
+        "src": src,
+        "tier": rehearse(spark, src, tmp, sizes),
+        "compaction": rehearse_compaction(spark, src, tmp),
+    }
+    with open(out_json, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
