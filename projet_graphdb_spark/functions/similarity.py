@@ -1859,6 +1859,61 @@ def srp_band_index(
     )
 
 
+def srp_index_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow a persisted SRP band index IN PLACE with newly-accepted
+    vectors — the embedding twin of :func:`dedup.lsh_index_append`,
+    closing the SRP leg's lifecycle (accepted vectors must enter the
+    index or the next shard can't see them; forget is
+    :func:`dedup.lsh_index_forget`, generic over the (id, band, …)
+    shape).  The construction is read from the index's own embedded
+    config columns and the planes regenerated from the seed, so
+    appended signatures are bitwise-consistent with the index's —
+    a caller cannot accidentally append 4-band keys to an 8-band
+    index.  Partitioned appends mirror the ``band`` layout.
+    Returns the config dict used."""
+    idx = spark.read.parquet(index_path)
+    missing = [c for c in ("_bits", "_n_bands", "_dim", "_seed")
+               if c not in idx.columns]
+    if missing:
+        raise ValueError(
+            f"srp_index_append: index at {index_path} lacks config "
+            f"columns {missing} — build it with srp_band_index"
+        )
+    metas = idx.select("_bits", "_n_bands", "_dim", "_seed").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"srp_index_append: index at {index_path} is empty or holds "
+            f"{len(metas)} configs — rebuild it with srp_band_index"
+        )
+    cfg = {
+        "bits": metas[0]["_bits"], "n_bands": metas[0]["_n_bands"],
+        "dim": metas[0]["_dim"], "seed": metas[0]["_seed"],
+    }
+    import os
+
+    partitioned = False
+    try:
+        partitioned = any(
+            e.startswith("band=") for e in os.listdir(index_path)
+        )
+    except OSError:
+        pass
+    writer = srp_band_index(
+        new_vectors, cfg["n_bands"], cfg["bits"], cfg["dim"], cfg["seed"],
+        id_col, vec_col,
+    ).write.mode("append")
+    if partitioned:
+        writer = writer.partitionBy("band")
+    writer.parquet(index_path)
+    return cfg
+
+
 def incremental_srp_dups(
     corpus: DataFrame,
     new_batch: DataFrame,

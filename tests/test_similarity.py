@@ -744,6 +744,45 @@ def test_incremental_srp_equals_batch_cross_cut(spark, emb, tmp_path):
         )
 
 
+def test_srp_index_append_lifecycle(spark, emb, tmp_path):
+    """Two-day SRP-index lifecycle: day-1 vectors append with the
+    config read from the index itself (layout mirrored), day-2 ingest
+    against the grown index equals the inline build over corpus ∪
+    day-1; appending to a config-stripped index refuses."""
+    import os
+
+    n = emb.count()
+    c1, c2 = int(n * 0.8), int(n * 0.9)
+    corpus = emb.where(F.col("vec_id") < c1)
+    day1 = emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    day2 = emb.where(F.col("vec_id") >= c2)
+    path = str(tmp_path / "srp")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(path)
+    cfg = similarity.srp_index_append(spark, path, day1)
+    assert cfg == {"bits": 6, "n_bands": 8, "dim": 64, "seed": 43}
+    stray = [
+        e for e in os.listdir(path) if not e.startswith(("band=", "_", "."))
+    ]
+    assert stray == []
+    corpus2 = corpus.unionByName(day1)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_srp_dups(
+        corpus2, day2, threshold=0.2, n_bands=8, bits=6, dim=64,
+        index=spark.read.parquet(path),
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_srp_dups(
+        corpus2, day2, threshold=0.2, n_bands=8, bits=6, dim=64,
+    ).collect()))
+    assert got == want and got
+    # stripped config refuses
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).drop("_seed").write.parquet(bare)
+    with pytest.raises(ValueError, match="lacks config"):
+        similarity.srp_index_append(spark, bare, day2)
+
+
 def test_incremental_report_matches_python_rows(spark, emb):
     """The oracle-checkable incremental strategy report must agree with
     incremental_plan_rows on every cost value and on the chosen row —
