@@ -65,6 +65,7 @@ STREAMING_QUERIES = frozenset({
     "e31_global_agg_stream", "e32_redelivery_idempotent",
     "e33_late_drop_stream",
     "e34_ingest_dedup_stream",
+    "e36_routed_ingest_stream",
 })
 
 # queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
@@ -4631,6 +4632,73 @@ def e35_pair_sink_compaction(spark, sf_dir):
     )
 
 
+def e36_routed_ingest_stream(spark, sf_dir):
+    """The ROUTED embedding ingest under Structured Streaming
+    (streaming/ingest_dedup.py::streaming_ingest_embeddings) — s29's
+    router composed with e34's sink contract: the shard drains in
+    several REAL micro-batches (repartition(4) + maxFilesPerTrigger=1),
+    each priced and routed by incremental_cosine_dups_auto against the
+    SAME persisted artifacts and overwriting its own batch_id
+    partition.  Every per-shard cost term is LINEAR in the batch size,
+    so the argmin — and therefore the route — is batch-size-invariant,
+    and cell keys are per-vector functions of the frozen artifacts, so
+    the drained union equals the one-shot s29 cut: the oracle is the
+    same s26 Lloyd-chain replay (flat IVF wins at these pinned
+    constructions at any size)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    base = tempfile.mkdtemp(prefix="routed_stream_")
+    shard.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(base + "/srp")
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(base + "/ivf")
+    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
+        "_cell"
+    ).parquet(base + "/imi")
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_ingest_embeddings,
+    )
+
+    with state_partitions(spark, 8):
+        q = streaming_ingest_embeddings(
+            spark,
+            base + "/shard",
+            schema,
+            corpus,
+            base + "/pairs",
+            base + "/ckpt",
+            threshold=0.4,
+            target_recall=0.95,
+            lsh_index=spark.read.parquet(base + "/srp"),
+            ivf_centroids=ivf_cents,
+            ivf_cells=spark.read.parquet(base + "/ivf"),
+            imi_centroids=imi_cents,
+            imi_cells=spark.read.parquet(base + "/imi"),
+            dim=64,
+            n_corpus=cut,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e36 routed ingest stream did not drain")
+    import os
+
+    if not os.path.isdir(base + "/pairs"):
+        return spark.createDataFrame([], "new_id long, corpus_id long, sim double")
+    return spark.read.parquet(base + "/pairs").select("new_id", "corpus_id", "sim")
+
+
 def e33_late_drop_stream(spark, sf_dir):
     """The engine's late-data DROP path, actually executed
     (streaming/late_drop.py::streaming_late_window_counts): every other
@@ -6199,6 +6267,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e33_late_drop_stream": e33_late_drop_stream,
         "e34_ingest_dedup_stream": e34_ingest_dedup_stream,
         "e35_pair_sink_compaction": e35_pair_sink_compaction,
+        "e36_routed_ingest_stream": e36_routed_ingest_stream,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -8106,6 +8175,9 @@ def oracle_sql() -> dict[str, str]:
         # e35: compaction is pair-preserving by contract, so the post-
         # compaction sink must still equal the d26 oracle
         "e35_pair_sink_compaction": _incremental_lsh_oracle(),
+        # e36: batch-size-invariant routing (all cost terms linear in S)
+        # + per-vector cell keys => drained union == the s29/s26 cut
+        "e36_routed_ingest_stream": _incremental_ivf_oracle(),
         # d28: the two-day lifecycle replayed as chained CTEs over ONE
         # full-corpus LSH pair universe — stage membership filters give
         # each day's candidates; day 2's corpus is corpus ∪ day-1 uniques.

@@ -8,7 +8,11 @@ from .events import (
     windowed_event_stats,
 )
 from .harness import drain, state_partitions, stream_source
-from .ingest_dedup import compact_batch_sink, streaming_ingest_dedup
+from .ingest_dedup import (
+    compact_batch_sink,
+    streaming_ingest_dedup,
+    streaming_ingest_embeddings,
+)
 from .sessions import sessionize_batch, sessionize_stream
 from .stream_dedup import dedup_events_batch, dedup_events_stream
 from .stream_join import click_purchase_pairs_batch, click_purchase_pairs_stream
@@ -26,6 +30,7 @@ __all__ = [
     "streaming_enriched_stats",
     "compact_batch_sink",
     "streaming_ingest_dedup",
+    "streaming_ingest_embeddings",
     "streaming_windowed_counts",
     "streaming_windowed_to_parquet",
     "windowed_event_stats",

@@ -181,3 +181,73 @@ def compact_batch_sink(
         "rows_before": rows_before,
         "rows_after": rows_after,
     }
+
+
+def streaming_ingest_embeddings(
+    spark: SparkSession,
+    shard_path: str,
+    schema,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+    target_recall: float = 0.95,
+    lsh_index: DataFrame | None = None,
+    ivf_centroids: dict | None = None,
+    ivf_cells: DataFrame | None = None,
+    imi_centroids: tuple | None = None,
+    imi_cells: DataFrame | None = None,
+    dim: int | None = None,
+    n_corpus: int | None = None,
+    max_files_per_trigger: int | None = 1,
+):
+    """The ROUTED embedding ingest under Structured Streaming — the
+    vector twin of :func:`streaming_ingest_dedup`: each micro-batch of
+    new embeddings is priced and routed by
+    :func:`similarity.incremental_cosine_dups_auto` against the SAME
+    persisted artifacts, and its (new_id, corpus_id, sim) pairs
+    overwrite the batch's own ``batch_id=<n>`` partition (idempotent
+    mid-batch-crash replay, the e34 sink contract).
+
+    Why micro-batching cannot change the route: every term of the
+    per-shard cost model is LINEAR in the shard size S (signature /
+    assignment flops ∝ S, candidate volume ∝ S·N), so the argmin is
+    S-independent — each micro-batch makes the same choice the one-shot
+    ingest would, and the drained union equals the one-shot pair set
+    (cell/band keys are per-vector functions of the frozen artifacts).
+    Calibration is OFF per batch (a micro-batch is too small a sample
+    to re-estimate drift per trigger; run the shard-level calibration
+    on the daily cut instead) — so each batch runs at the sinks' own
+    stored widths, deterministically.  Returns the StreamingQuery."""
+    from projet_graphdb_spark.functions import similarity
+
+    if n_corpus is None:
+        n_corpus = corpus.count()
+
+    def _ingest(batch_df: DataFrame, batch_id: int):
+        pairs = similarity.incremental_cosine_dups_auto(
+            corpus,
+            batch_df,
+            threshold=threshold,
+            target_recall=target_recall,
+            lsh_index=lsh_index,
+            ivf_centroids=ivf_centroids,
+            ivf_cells=ivf_cells,
+            imi_centroids=imi_centroids,
+            imi_cells=imi_cells,
+            dim=dim,
+            n_corpus=n_corpus,
+            calibrate=False,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(shard_path)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
