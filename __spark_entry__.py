@@ -8120,24 +8120,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
               WHERE src <> dst),
+            -- exact integer micros (the Spark side's α=½ path): ROUND on
+            -- a DOUBLE is engine-ambiguous on .xxxxxx5 boundaries, which
+            -- the ½-blend of 6-dp values hits constantly — so every mean
+            -- and blend is sign·((2|Σ|+n) div 2n) / sign·((|s|+1) div 2)
+            -- integer arithmetic, identical on any engine
             f0 AS MATERIALIZED (
-              SELECT id, ROUND(h, 6) AS h FROM (
+              SELECT id, CAST(CAST(ROUND(h, 6) AS DECIMAL(25,6)) * 1000000
+                              AS BIGINT) AS h6 FROM (
                 SELECT {_SUPP} AS id, CAST(s_acctbal AS DOUBLE) AS h FROM supplier
                 UNION ALL
                 SELECT {_NAT} AS id, 0.0 FROM nation
                 UNION ALL
                 SELECT CAST(r_regionkey AS BIGINT) AS id, 0.0 FROM region)),
-            n1 AS (SELECT b.dst AS id, ROUND(AVG(f.h), 6) AS m
+            n1 AS (SELECT b.dst AS id,
+                          CAST((CASE WHEN SUM(f.h6) < 0 THEN -1 ELSE 1 END)
+                               * ((2 * ABS(SUM(f.h6)) + COUNT(*))
+                                  // (2 * COUNT(*))) AS BIGINT) AS m6
                    FROM bi b JOIN f0 f ON f.id = b.src GROUP BY b.dst),
             f1 AS MATERIALIZED (
-              SELECT f.id, ROUND(0.5 * f.h + 0.5 * COALESCE(m, f.h), 6) AS h
-              FROM f0 f LEFT JOIN n1 USING (id)),
-            n2 AS (SELECT b.dst AS id, ROUND(AVG(f.h), 6) AS m
+              SELECT id, CAST((CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                              * ((ABS(t) + 1) // 2) AS BIGINT) AS h6
+              FROM (SELECT f.id, f.h6 + COALESCE(m6, f.h6) AS t
+                    FROM f0 f LEFT JOIN n1 USING (id))),
+            n2 AS (SELECT b.dst AS id,
+                          CAST((CASE WHEN SUM(f.h6) < 0 THEN -1 ELSE 1 END)
+                               * ((2 * ABS(SUM(f.h6)) + COUNT(*))
+                                  // (2 * COUNT(*))) AS BIGINT) AS m6
                    FROM bi b JOIN f1 f ON f.id = b.src GROUP BY b.dst),
             f2 AS (
-              SELECT f.id, ROUND(0.5 * f.h + 0.5 * COALESCE(m, f.h), 6) AS h
-              FROM f1 f LEFT JOIN n2 USING (id))
-            SELECT id, h FROM f2 ORDER BY id
+              SELECT id, CAST((CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                              * ((ABS(t) + 1) // 2) AS BIGINT) AS h6
+              FROM (SELECT f.id, f.h6 + COALESCE(m6, f.h6) AS t
+                    FROM f1 f LEFT JOIN n2 USING (id)))
+            SELECT id, h6 / 1000000.0 AS h FROM f2 ORDER BY id
         """,
         "a7_label_propagation": _lpa_oracle(),
         "a8_kcore": _kcore_oracle(),

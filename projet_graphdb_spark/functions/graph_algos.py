@@ -631,11 +631,20 @@ def feature_propagation(
 
     Scale shape: per round ONE edge⋈feature join (shuffle on the edge
     key) + one destination-keyed mean — identical cost profile to a
-    PageRank iteration; features round to ``round_dp`` each round so
-    reduction order never leaks into the result.
+    PageRank iteration.
 
-    ``features``: (id, h).  Output: (id, h) after ``rounds``.
-    """
+    Exactness (the sf0.1 last-ulp lesson): for the default α = ½ the
+    whole round runs in EXACT INTEGER MICROS — h is 6-dp, so
+    ``h·10⁶`` is a lossless BIGINT; the neighbour mean and the ½-blend
+    round half-away-from-zero by integer arithmetic
+    (``sign·((2·|Σ| + n) div (2n))``, ``sign·((|s| + 1) div 2)``).
+    Rounding a DOUBLE at 6 dp is engine-ambiguous exactly when the
+    value sits on a .xxxxxx5 boundary — which the ½-blend of two 6-dp
+    values hits for HALF of all odd last-digit sums (Spark rounds the
+    shortest decimal repr HALF_UP, DuckDB rounds the true double:
+    3 of 1030 rows flipped at sf0.1) — so boundary values must never
+    pass through a double round.  Non-half α keeps the documented
+    double path (α·h is not exactly representable)."""
     e = edges.select("src", "dst")
     bi = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -645,6 +654,36 @@ def feature_propagation(
     bi, _, small = _materialize(bi)
     h = features.select("id", F.round(F.col("h").cast("double"), round_dp).alias("h"))
     ckpt_handle = None
+    if alpha == 0.5 and round_dp == 6:
+        sgn = lambda c: F.when(c < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        h = h.select(
+            "id",
+            (F.col("h").cast("decimal(25,6)") * 1000000).cast("long").alias("_h6"),
+        )
+        for _ in range(rounds):
+            nbr = (
+                bi.join(h, bi.src == h.id)
+                .groupBy("dst")
+                .agg(F.sum("_h6").alias("_s"), F.count(F.lit(1)).alias("_c"))
+                .select(
+                    "dst",
+                    (sgn(F.col("_s"))
+                     * F.expr("(2 * abs(_s) + _c) div (2 * _c)")).alias("_m6"),
+                )
+            )
+            h = (
+                h.join(nbr, h.id == nbr.dst, "left")
+                .select(
+                    "id",
+                    (F.col("_h6") + F.coalesce(F.col("_m6"), F.col("_h6"))).alias("_t"),
+                )
+                .select(
+                    "id",
+                    (sgn(F.col("_t")) * F.expr("(abs(_t) + 1) div 2")).alias("_h6"),
+                )
+            )
+            h, ckpt_handle = _ckpt_rotate(_shrink(h, small), ckpt_handle)
+        return h.select("id", (F.col("_h6") / F.lit(1000000.0)).alias("h"))
     for _ in range(rounds):
         nbr = (
             bi.join(h, bi.src == h.id)
