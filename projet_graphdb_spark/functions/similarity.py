@@ -1217,7 +1217,13 @@ def incremental_ivf_dups(
     the shard, a cell-keyed join of shard cells against corpus cells,
     and an exact-cosine verify whose corpus vector lookup is
     candidate-bounded (semi-join pruned) — nothing re-scales with
-    corpus size except the slim cell-index scan.  Two smaller per-shard
+    corpus size except the slim cell-index scan, and with the s26
+    recipe (sink partitioned by ``_cell``) even that prunes: the join
+    carries a DYNAMIC-PARTITION-PRUNING filter of the shard's probed
+    cells, so the scan reads ~2·S cell directories, not all k
+    (plan-pinned:
+    tests/test_plans.py::test_ingest_cell_join_dynamic_partition_pruning).
+    Two smaller per-shard
     costs ride along when ``corpus_cells`` is passed (stated here so
     the cost claim stays honest): (a) the config-validation
     ``distinct()`` over the sink's constant ``(_nprobe, _cbhash)``

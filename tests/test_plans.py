@@ -373,6 +373,46 @@ def test_fixed_funnel_queries_have_no_unpartitioned_window(spark):
         assert not probs, f"{name}: {probs}"
 
 
+def test_ingest_cell_join_dynamic_partition_pruning(spark, tmp_path):
+    """The incremental ingest join against a _cell-partitioned sink
+    must carry a dynamicpruningexpression in the sink scan's
+    PartitionFilters: at 100 TB the shard probes ~2·S distinct cells
+    out of k = N/64, so DPP is the difference between reading those
+    and reading the whole slim index.  The IMI and routed paths share
+    the same join tail (_incremental_cells_pairs), so one pin covers
+    the family."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut).limit(5)
+    corp = corpus.select(
+        F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+    )
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = str(tmp_path / "cells")
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    pairs = similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=2, centroids=cents,
+        corpus_cells=spark.read.parquet(path),
+    )
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    cell_scans = re.findall(
+        r"FileScan parquet \[[^\]]*_cell[^\]]*\][^\n]*PartitionFilters: \[([^\]]*)\]",
+        plan,
+    )
+    assert cell_scans, "cell-sink FileScan not found in the executed plan"
+    assert any("dynamicpruning" in s for s in cell_scans), cell_scans
+
+
 # Round-7 verdict "What's wrong #1": these forms used to FORCE
 # F.broadcast on SF-linear sides (filtered customer / part / supplier,
 # x57's unbounded per-part counts table, vocabulary-sized token tables).
