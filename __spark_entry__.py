@@ -65,6 +65,7 @@ STREAMING_QUERIES = frozenset({
     "e31_global_agg_stream", "e32_redelivery_idempotent",
     "e33_late_drop_stream",
     "e34_ingest_dedup_stream",
+    "e35_pair_sink_compaction",
     "e36_routed_ingest_stream",
 })
 

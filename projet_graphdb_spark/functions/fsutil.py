@@ -15,6 +15,29 @@ import uuid
 _SWEEP_AGE_S = 3600.0
 
 
+def _tree_quiet_since(root: str, cutoff: float) -> bool:
+    """True iff NOTHING under ``root`` (the dir itself, subdirs, files)
+    has an mtime at or past ``cutoff``.  The sweep's liveness test must
+    be recursive (review finding): a long Spark staging write only
+    touches the TOP-LEVEL mtime at job start — task files land inside
+    ``_temporary``/partition subdirs — so a top-level-mtime check would
+    rmtree a live concurrent write after _SWEEP_AGE_S.  Early-exits on
+    the first fresh entry, so live trees cost one short walk."""
+    try:
+        if os.path.getmtime(root) >= cutoff:
+            return False
+    except OSError:
+        return False  # vanished or unreadable: leave it alone
+    for dirpath, dirnames, filenames in os.walk(root):
+        for name in dirnames + filenames:
+            try:
+                if os.path.getmtime(os.path.join(dirpath, name)) >= cutoff:
+                    return False
+            except OSError:
+                return False
+    return True
+
+
 def atomic_swap(path: str, write_fn) -> None:
     """Replace the directory at ``path`` with whatever ``write_fn``
     writes to a staging path, via rename swap.
@@ -52,7 +75,7 @@ def atomic_swap(path: str, write_fn) -> None:
             if not (is_staging or (is_old and not keep_old)):
                 continue
             try:
-                if os.path.isdir(stale) and os.path.getmtime(stale) < cutoff:
+                if os.path.isdir(stale) and _tree_quiet_since(stale, cutoff):
                     shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 pass

@@ -153,28 +153,44 @@ def partition_offset_rank(
 
     ``order_cols`` must be a total order (give a tiebreaker) or ranks
     within ties are partition-placement-dependent.  Costs one range
-    shuffle + the checkpoint write — the price of exactness; when an
-    approximate rank suffices, use ``equidepth_histogram``-style
-    percentile binning instead (the t36 fix)."""
+    shuffle + a localCheckpoint (which lives for the session like every
+    checkpoint here — the frozen layout is what both the offsets and
+    the ranks are defined against); when an approximate rank suffices,
+    use ``equidepth_histogram``-style percentile binning instead (the
+    t36 fix).  Internal columns use a ``__por_`` prefix so caller
+    columns named ``_pid``/``_off`` survive; a caller column colliding
+    with ``rank_col`` or the internals raises."""
     spark = df.sparkSession
+    taken = set(df.columns)
+    for reserved in (rank_col, "__por_pid", "__por_off"):
+        if reserved in taken and reserved == rank_col:
+            raise ValueError(
+                f"partition_offset_rank: input already has a column named "
+                f"{rank_col!r} — pass a different rank_col"
+            )
+        if reserved in taken:
+            raise ValueError(
+                f"partition_offset_rank: input column {reserved!r} collides "
+                f"with an internal name — rename it first"
+            )
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     src = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("__por_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    pc = src.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    pc = src.groupBy("__por_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
     acc, offs = 0, []
-    for row in sorted(pc, key=lambda r: r["_pid"]):
-        offs.append((row["_pid"], acc))
+    for row in sorted(pc, key=lambda r: r["__por_pid"]):
+        offs.append((row["__por_pid"], acc))
         acc += row["_c"]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    off_df = spark.createDataFrame(offs or [(0, 0)], "__por_pid int, __por_off long")
+    w = Window.partitionBy("__por_pid").orderBy(*order_cols)
     return (
-        src.join(F.broadcast(off_df), "_pid")
-        .withColumn(rank_col, F.col("_off") + F.row_number().over(w))
-        .drop("_pid", "_off")
+        src.join(F.broadcast(off_df), "__por_pid")
+        .withColumn(rank_col, F.col("__por_off") + F.row_number().over(w))
+        .drop("__por_pid", "__por_off")
     )
 
 

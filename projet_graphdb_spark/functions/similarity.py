@@ -1283,28 +1283,13 @@ def incremental_ivf_dups(
             corpus_cells, centroids, nprobe, "incremental_ivf_dups"
         )
         corpus_cells = corpus_cells.select("_vid", "_cell")
-        sample = corp.filter(F.col("_vid") < _STALE_SAMPLE)
-        fresh = {
-            (r["_vid"], r["_cell"])
-            for r in clustering.assign_topn(
-                sample, centroids, nprobe=nprobe, vec_col="_v"
-            )
-            .select("_vid", F.explode("_cells").alias("_cell"))
-            .collect()
-        }
-        stored = {
-            (r["_vid"], r["_cell"])
-            for r in corpus_cells.filter(F.col("_vid") < _STALE_SAMPLE).collect()
-        }
-        if fresh != stored:
-            raise ValueError(
-                "incremental_ivf_dups: the passed corpus_cells disagree "
-                "with this call's centroids/nprobe on a sample of "
-                f"{_STALE_SAMPLE} corpus ids ({len(stored - fresh)} stale, "
-                f"{len(fresh - stored)} missing rows) — the cell sink was "
-                "built with a different codebook or probe width; re-assign "
-                "the corpus (or pass the matching centroids)"
-            )
+        _stale_sample_guard(
+            corp, corpus_cells,
+            lambda s: clustering.assign_topn(
+                s, centroids, nprobe=nprobe, vec_col="_v"
+            ).select("_vid", F.explode("_cells").alias("_cell")),
+            "incremental_ivf_dups",
+        )
     shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     shard_cells = clustering.assign_topn(
         shard, centroids, nprobe=nprobe, vec_col="_v"
@@ -1797,26 +1782,12 @@ def incremental_imi_dups(
             corpus_cells, cents1, cents2, p1, p2, "incremental_imi_dups"
         )
         corpus_cells = corpus_cells.select("_vid", "_cell")
-        sample = corp.filter(F.col("_vid") < _STALE_SAMPLE)
-        fresh = {
-            (r["_vid"], r["_cell"])
-            for r in _imi_assign(sample, cents1, cents2, p1, p2, k2_real, dim)
-            .select("_vid", F.explode("_cells").alias("_cell"))
-            .collect()
-        }
-        stored = {
-            (r["_vid"], r["_cell"])
-            for r in corpus_cells.filter(F.col("_vid") < _STALE_SAMPLE).collect()
-        }
-        if fresh != stored:
-            raise ValueError(
-                "incremental_imi_dups: the passed corpus_cells disagree "
-                "with this call's codebooks/probe widths on a sample of "
-                f"{_STALE_SAMPLE} corpus ids ({len(stored - fresh)} stale, "
-                f"{len(fresh - stored)} missing rows) — the cell sink was "
-                "built with different codebooks; re-assign the corpus "
-                "(or pass the matching centroids)"
-            )
+        _stale_sample_guard(
+            corp, corpus_cells,
+            lambda s: _imi_assign(s, cents1, cents2, p1, p2, k2_real, dim)
+            .select("_vid", F.explode("_cells").alias("_cell")),
+            "incremental_imi_dups",
+        )
     shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     shard_cells = _imi_assign(
         shard, cents1, cents2, p1, p2, k2_real, dim
@@ -2314,43 +2285,10 @@ def incremental_cosine_dups_auto(
     if n_shard is None:
         n_shard = new_batch.count()
 
-    lsh_cfg = ivf_cfg = imi_cfg = None
-    if lsh_index is not None:
-        row = lsh_index.select("_bits", "_n_bands", "_seed").distinct().collect()
-        if len(row) != 1:
-            raise ValueError(
-                "incremental_cosine_dups_auto: lsh_index must carry one "
-                "(_bits, _n_bands, _seed) config — rebuild with srp_band_index"
-            )
-        lsh_cfg = {"bits": row[0]["_bits"], "n_bands": row[0]["_n_bands"],
-                   "seed": row[0]["_seed"]}
-    if ivf_cells is not None:
-        if ivf_centroids is None:
-            raise ValueError(
-                "incremental_cosine_dups_auto: ivf_cells without "
-                "ivf_centroids — the frozen codebook IS the index half"
-            )
-        row = ivf_cells.select("_nprobe").distinct().collect()
-        if len(row) != 1:
-            raise ValueError(
-                "incremental_cosine_dups_auto: ivf_cells must carry one "
-                "_nprobe config — rebuild with ivf_cells_frame"
-            )
-        ivf_cfg = {"k": len(ivf_centroids), "nprobe": row[0]["_nprobe"]}
-    if imi_cells is not None:
-        if imi_centroids is None:
-            raise ValueError(
-                "incremental_cosine_dups_auto: imi_cells without "
-                "imi_centroids — the frozen codebooks ARE the index half"
-            )
-        row = imi_cells.select("_p1", "_p2").distinct().collect()
-        if len(row) != 1:
-            raise ValueError(
-                "incremental_cosine_dups_auto: imi_cells must carry one "
-                "(_p1, _p2) config — rebuild with imi_cells_frame"
-            )
-        imi_cfg = {"k1": len(imi_centroids[0]), "k2": len(imi_centroids[1]),
-                   "p1": row[0]["_p1"], "p2": row[0]["_p2"]}
+    lsh_cfg, ivf_cfg, imi_cfg = ingest_artifact_cfgs(
+        lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
+        fn_name="incremental_cosine_dups_auto",
+    )
     rows = incremental_plan_rows(
         n_corpus, n_shard, threshold, target_recall, dim,
         guarantee_margin, lsh_cfg, ivf_cfg, imi_cfg,
@@ -2359,6 +2297,19 @@ def incremental_cosine_dups_auto(
     if plan_out is not None:
         plan_out.update({"strategy": chosen["method"], "plan": dict(chosen),
                          "rows": [dict(r) for r in rows]})
+    if not chosen["feasible"]:
+        # only guaranteed-recall rows can be infeasible, and only they
+        # were provided: say so instead of silently running at a known-
+        # missing recall (the blocking routes get the same treatment via
+        # the calibration warns below)
+        warnings.warn(
+            f"incremental_cosine_dups_auto: NO provided artifact reaches "
+            f"target_recall={target_recall} at threshold {threshold} "
+            f"(best closed-form recall {chosen['recall']}); running the "
+            f"cheapest route best-effort — add a blocking artifact or "
+            f"lower the target.",
+            stacklevel=2,
+        )
     if chosen["method"] == "lsh":
         return incremental_srp_dups(
             corpus, new_batch, threshold,
@@ -2373,21 +2324,38 @@ def incremental_cosine_dups_auto(
             "incremental_cosine_dups_auto",
         )
         corpus_cells = ivf_cells.select("_vid", "_cell")
+        _stale_sample_guard(
+            corp, corpus_cells,
+            lambda s: clustering.assign_topn(
+                s, ivf_centroids, nprobe=ivf_cfg["nprobe"], vec_col="_v"
+            ).select("_vid", F.explode("_cells").alias("_cell")),
+            "incremental_cosine_dups_auto",
+        )
         cap = min(max_probe, ivf_cfg["k"])
+        sink_probe = min(ivf_cfg["nprobe"], cap)
+        if sink_probe < ivf_cfg["nprobe"]:
+            warnings.warn(
+                f"incremental_cosine_dups_auto: shard probe width clamped "
+                f"to {sink_probe} (< the sink's nprobe={ivf_cfg['nprobe']}) "
+                f"by max_probe={max_probe} — raise max_probe to match the "
+                f"sink or ingest recall drops below the sink's design.",
+                stacklevel=2,
+            )
         assigned = clustering.assign_topn(
             shard, ivf_centroids, nprobe=cap, vec_col="_v"
         ).localCheckpoint(eager=True)
-        probe = ivf_cfg["nprobe"]
+        probe = sink_probe
         if calibrate:
             levels = [list(range(j)) for j in range(1, cap + 1)]
-            sink_idx = list(range(ivf_cfg["nprobe"]))
             recalls, n_pairs = ingest_calibrate_recall(
-                assigned, threshold, levels, sink_idx, n_shard=n_shard
+                assigned, threshold, levels, list(range(sink_probe)),
+                n_shard=n_shard,
             )
-            probe = _pick_ingest_probe(
-                recalls, n_pairs, ivf_cfg["nprobe"], cap, target_recall,
-                threshold, n_shard, "IVF", warnings,
+            reaching = _pick_ingest_probe(
+                recalls, n_pairs, f"nprobe={sink_probe}", cap,
+                target_recall, threshold, n_shard, "IVF", warnings,
             )
+            probe = reaching if reaching is not None else sink_probe
             if plan_out is not None:
                 plan_out.update({
                     "recall_by_probe": recalls,
@@ -2407,40 +2375,67 @@ def incremental_cosine_dups_auto(
         imi_cfg["p1"], imi_cfg["p2"], "incremental_cosine_dups_auto",
     )
     corpus_cells = imi_cells.select("_vid", "_cell")
-    p_cap = min(max_probe, imi_cfg["k1"], imi_cfg["k2"])
+    k2_real = imi_cfg["k2"]
+    _stale_sample_guard(
+        corp, corpus_cells,
+        lambda s: _imi_assign(
+            s, imi_centroids[0], imi_centroids[1],
+            imi_cfg["p1"], imi_cfg["p2"], k2_real, dim,
+        ).select("_vid", F.explode("_cells").alias("_cell")),
+        "incremental_cosine_dups_auto",
+    )
+    # assignment grid is cap1 × cap2 half-ranks, rank1-major: position
+    # (i, j) lives at i·cap2 + j — every slice below indexes THAT grid,
+    # never one wider than the assignment (the unclamped-width bug class)
+    cap1 = min(max_probe, imi_cfg["k1"])
+    cap2 = min(max_probe, imi_cfg["k2"])
+    p1s = min(imi_cfg["p1"], cap1)
+    p2s = min(imi_cfg["p2"], cap2)
+    if (p1s, p2s) != (imi_cfg["p1"], imi_cfg["p2"]):
+        warnings.warn(
+            f"incremental_cosine_dups_auto: shard probe grid clamped to "
+            f"{p1s}×{p2s} (< the sink's {imi_cfg['p1']}×{imi_cfg['p2']}) "
+            f"by max_probe={max_probe} — raise max_probe to match the "
+            f"sink or ingest recall drops below the sink's design.",
+            stacklevel=2,
+        )
     assigned = _imi_assign(
-        shard, imi_centroids[0], imi_centroids[1], p_cap, p_cap,
-        imi_cfg["k2"], dim,
+        shard, imi_centroids[0], imi_centroids[1], cap1, cap2,
+        k2_real, dim,
     ).localCheckpoint(eager=True)
-    p = max(imi_cfg["p1"], imi_cfg["p2"])
+    sink_idx = [i * cap2 + j for i in range(p1s) for j in range(p2s)]
+    idx = sink_idx  # uncalibrated default: the sink's own rectangle
+    probe_desc: object = f"sink({p1s}x{p2s})"
     if calibrate:
+        qmax = min(cap1, cap2)
         levels = [
-            [i * p_cap + j for i in range(q) for j in range(q)]
-            for q in range(1, p_cap + 1)
-        ]
-        sink_idx = [
-            i * p_cap + j
-            for i in range(min(imi_cfg["p1"], p_cap))
-            for j in range(min(imi_cfg["p2"], p_cap))
+            [i * cap2 + j for i in range(q) for j in range(q)]
+            for q in range(1, qmax + 1)
         ]
         recalls, n_pairs = ingest_calibrate_recall(
             assigned, threshold, levels, sink_idx, n_shard=n_shard
         )
-        p = _pick_ingest_probe(
-            recalls, n_pairs, min(p, p_cap), p_cap, target_recall,
+        reaching = _pick_ingest_probe(
+            recalls, n_pairs, f"{p1s}x{p2s}", qmax, target_recall,
             threshold, n_shard, "IMI", warnings,
         )
+        if reaching is not None:
+            idx = levels[reaching - 1]
+            probe_desc = reaching
         if plan_out is not None:
             plan_out.update({
                 "recall_by_probe": recalls,
-                "probe": p,
+                "probe": probe_desc,
                 "sample_truth_pairs": n_pairs,
-                "calibrated_recall": recalls[p - 1] if n_pairs else None,
+                "calibrated_recall": (
+                    recalls[reaching - 1]
+                    if (n_pairs and reaching is not None) else None
+                ),
             })
-    idx = [i * p_cap + j for i in range(p) for j in range(p)]
+    n_grid = cap1 * cap2
     sub = (
         F.col("_cells")
-        if p == p_cap
+        if len(idx) == n_grid
         else F.array(*[F.col("_cells")[k] for k in idx])
     )
     shard_cells = assigned.select("_vid", F.explode(sub).alias("_cell"))
@@ -2449,15 +2444,95 @@ def incremental_cosine_dups_auto(
     )
 
 
+def ingest_artifact_cfgs(
+    lsh_index: DataFrame | None = None,
+    ivf_centroids: dict | None = None,
+    ivf_cells: DataFrame | None = None,
+    imi_centroids: tuple | None = None,
+    imi_cells: DataFrame | None = None,
+    fn_name: str = "ingest_artifact_cfgs",
+) -> tuple:
+    """Read the routing configs from the persisted artifacts' OWN
+    embedded config columns — one ``distinct()`` per artifact, shared
+    by the one-shot router and the streaming twin (which derives the
+    route ONCE before ``start()`` instead of per micro-batch).
+    Returns ``(lsh_cfg, ivf_cfg, imi_cfg)`` dicts (``None`` for absent
+    artifacts); mixed or stripped configs raise."""
+    lsh_cfg = ivf_cfg = imi_cfg = None
+    if lsh_index is not None:
+        row = lsh_index.select("_bits", "_n_bands", "_seed").distinct().collect()
+        if len(row) != 1:
+            raise ValueError(
+                f"{fn_name}: lsh_index must carry one "
+                f"(_bits, _n_bands, _seed) config — rebuild with srp_band_index"
+            )
+        lsh_cfg = {"bits": row[0]["_bits"], "n_bands": row[0]["_n_bands"],
+                   "seed": row[0]["_seed"]}
+    if ivf_cells is not None:
+        if ivf_centroids is None:
+            raise ValueError(
+                f"{fn_name}: ivf_cells without ivf_centroids — the "
+                f"frozen codebook IS the index half"
+            )
+        row = ivf_cells.select("_nprobe").distinct().collect()
+        if len(row) != 1:
+            raise ValueError(
+                f"{fn_name}: ivf_cells must carry one _nprobe config — "
+                f"rebuild with ivf_cells_frame"
+            )
+        ivf_cfg = {"k": len(ivf_centroids), "nprobe": row[0]["_nprobe"]}
+    if imi_cells is not None:
+        if imi_centroids is None:
+            raise ValueError(
+                f"{fn_name}: imi_cells without imi_centroids — the "
+                f"frozen codebooks ARE the index half"
+            )
+        row = imi_cells.select("_p1", "_p2").distinct().collect()
+        if len(row) != 1:
+            raise ValueError(
+                f"{fn_name}: imi_cells must carry one (_p1, _p2) config "
+                f"— rebuild with imi_cells_frame"
+            )
+        imi_cfg = {"k1": len(imi_centroids[0]), "k2": len(imi_centroids[1]),
+                   "p1": row[0]["_p1"], "p2": row[0]["_p2"]}
+    return lsh_cfg, ivf_cfg, imi_cfg
+
+
+def _stale_sample_guard(
+    corp: DataFrame, corpus_cells: DataFrame, fresh_cells_fn, fn_name: str
+) -> None:
+    """The sampled-row staleness guard shared by the hand-picked
+    incrementals AND the router (review finding: the router checked
+    only the embedded config, so a corrupted sink that KEPT its config
+    columns passed silently): re-assign the first ``_STALE_SAMPLE``
+    dense corpus ids with ``fresh_cells_fn`` and require the stored
+    rows to agree."""
+    sample = corp.filter(F.col("_vid") < _STALE_SAMPLE)
+    fresh = {(r["_vid"], r["_cell"]) for r in fresh_cells_fn(sample).collect()}
+    stored = {
+        (r["_vid"], r["_cell"])
+        for r in corpus_cells.filter(F.col("_vid") < _STALE_SAMPLE).collect()
+    }
+    if fresh != stored:
+        raise ValueError(
+            f"{fn_name}: the passed corpus_cells disagree with this "
+            f"call's codebook/probe width on a sample of {_STALE_SAMPLE} "
+            f"corpus ids ({len(stored - fresh)} stale, "
+            f"{len(fresh - stored)} missing rows) — the cell sink was "
+            f"built with a different codebook or corrupted in place; "
+            f"re-assign the corpus (or pass the matching artifacts)"
+        )
+
+
 def _pick_ingest_probe(
-    recalls, n_pairs, sink_probe, cap, target_recall, threshold,
+    recalls, n_pairs, sink_desc, cap, target_recall, threshold,
     n_shard, family, warnings,
-) -> int:
+):
     """The incremental router's escalation rule, shared by the IVF and
-    IMI routes: smallest shard-side probe level whose calibrated
-    recall meets the target; when no level does (or the sample held no
-    truth pair), stay at the SINK's own width and warn with the
-    measured ladder — best-effort with a receipt, never a silent
+    IMI routes: the smallest shard-side probe level whose calibrated
+    recall meets the target, or ``None`` — stay at the SINK's own
+    width — when no level does or the sample held no truth pair.
+    Warns either way: best-effort with a receipt, never a silent
     under-delivery, and never paying probe² (IVF) / probe⁴ (IMI)
     candidate growth for recall that still misses the ask."""
     if n_pairs == 0:
@@ -2466,27 +2541,26 @@ def _pick_ingest_probe(
             f"held no truth pair at threshold {threshold} "
             f"(shard={n_shard}) — {family} ingest recall is UNKNOWN, "
             f"not implied high; staying at the sink's probe width "
-            f"{sink_probe} — verify a sample downstream.",
+            f"{sink_desc} — verify a sample downstream.",
             stacklevel=3,
         )
-        return min(sink_probe, cap)
+        return None
     reaching = next(
         (j for j in range(1, cap + 1) if recalls[j - 1] >= target_recall),
         None,
     )
     if reaching is None:
-        kept = min(sink_probe, cap)
         warnings.warn(
             f"incremental_cosine_dups_auto: calibrated {family} ingest "
             f"recall misses the target at EVERY shard probe level "
             f"(cap {cap} reaches {recalls[-1]:.3f} < {target_recall}, "
             f"threshold {threshold}); staying at the sink's width "
-            f"{kept} ({recalls[kept - 1]:.3f}) — the corpus side cannot "
-            f"escalate without re-assignment (consider a rebuild); the "
-            f"receipt's recall_by_probe prices each level.",
+            f"{sink_desc} — the corpus side cannot escalate without a "
+            f"re-assignment (consider a rebuild); the receipt's "
+            f"recall_by_probe prices each level.",
             stacklevel=3,
         )
-        return kept
+        return None
     return reaching
 
 

@@ -212,33 +212,54 @@ def streaming_ingest_embeddings(
     Why micro-batching cannot change the route: every term of the
     per-shard cost model is LINEAR in the shard size S (signature /
     assignment flops ∝ S, candidate volume ∝ S·N), so the argmin is
-    S-independent — each micro-batch makes the same choice the one-shot
-    ingest would, and the drained union equals the one-shot pair set
-    (cell/band keys are per-vector functions of the frozen artifacts).
-    Calibration is OFF per batch (a micro-batch is too small a sample
-    to re-estimate drift per trigger; run the shard-level calibration
-    on the daily cut instead) — so each batch runs at the sinks' own
-    stored widths, deterministically.  Returns the StreamingQuery."""
+    S-independent — which is also why the route is derived ONCE, before
+    ``start()`` (review finding: deriving per micro-batch re-scanned
+    every artifact's config and re-counted the batch per trigger for a
+    decision that cannot change).  Each batch then runs the chosen
+    leg's incremental function directly at the sinks' own stored
+    widths; the leg's per-batch config/staleness validation still runs
+    (cheap, defense in depth — the e34 posture).  Calibration is OFF
+    per batch (a micro-batch is too small a sample to re-estimate
+    drift; run the shard-level calibration on the daily cut instead).
+    Returns the StreamingQuery."""
     from projet_graphdb_spark.functions import similarity
 
     if n_corpus is None:
         n_corpus = corpus.count()
+    if dim is None:
+        dim = corpus.select(
+            F.size(F.col("embedding")).alias("_d")
+        ).first()["_d"]
+    lsh_cfg, ivf_cfg, imi_cfg = similarity.ingest_artifact_cfgs(
+        lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
+        fn_name="streaming_ingest_embeddings",
+    )
+    # S = 1: the argmin is S-invariant (all terms linear in S), so any
+    # positive shard size prices the same route
+    rows = similarity.incremental_plan_rows(
+        n_corpus, 1, threshold, target_recall, dim,
+        lsh_cfg=lsh_cfg, ivf_cfg=ivf_cfg, imi_cfg=imi_cfg,
+    )
+    chosen = rows[0]["method"]
 
     def _ingest(batch_df: DataFrame, batch_id: int):
-        pairs = similarity.incremental_cosine_dups_auto(
-            corpus,
-            batch_df,
-            threshold=threshold,
-            target_recall=target_recall,
-            lsh_index=lsh_index,
-            ivf_centroids=ivf_centroids,
-            ivf_cells=ivf_cells,
-            imi_centroids=imi_centroids,
-            imi_cells=imi_cells,
-            dim=dim,
-            n_corpus=n_corpus,
-            calibrate=False,
-        )
+        if chosen == "lsh":
+            pairs = similarity.incremental_srp_dups(
+                corpus, batch_df, threshold,
+                n_bands=lsh_cfg["n_bands"], bits=lsh_cfg["bits"],
+                dim=dim, seed=lsh_cfg["seed"], index=lsh_index,
+            )
+        elif chosen == "ivf":
+            pairs = similarity.incremental_ivf_dups(
+                corpus, batch_df, threshold, nprobe=ivf_cfg["nprobe"],
+                centroids=ivf_centroids, corpus_cells=ivf_cells,
+            )
+        else:
+            pairs = similarity.incremental_imi_dups(
+                corpus, batch_df, threshold,
+                p1=imi_cfg["p1"], p2=imi_cfg["p2"],
+                centroids=imi_centroids, dim=dim, corpus_cells=imi_cells,
+            )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     reader = spark.readStream.schema(schema)

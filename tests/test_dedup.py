@@ -545,15 +545,21 @@ def test_atomic_swap_failure_cleans_staging_and_sweeps_orphans(tmp_path):
     assert leftovers == []  # its own staging was cleaned on failure
 
     # stale orphans (mtime pushed past the sweep age) are swept on entry;
-    # fresh ones (concurrent run) survive
+    # fresh ones (concurrent run) survive — INCLUDING a live long write
+    # whose top-level dir is old but whose inner files are fresh (Spark
+    # staging writes only touch the top-level mtime at job start)
     stale_s = path + ".staging-stale0"
     stale_o = path + ".old-stale0"
     fresh_s = path + ".staging-fresh0"
+    live_s = path + ".staging-livewrite"
     for d in (stale_s, stale_o, fresh_s):
         os.makedirs(d)
+    os.makedirs(live_s + "/_temporary")
+    with open(live_s + "/_temporary/part-0", "w") as f:
+        f.write("in-flight task output")
     past = time.time() - fsutil._SWEEP_AGE_S - 60
-    for d in (stale_s, stale_o):
-        os.utime(d, (past, past))
+    for d in (stale_s, stale_o, live_s, live_s + "/_temporary"):
+        os.utime(d, (past, past))  # live_s top levels look old; its FILE is fresh
 
     def ok(staging):
         os.makedirs(staging)
@@ -565,6 +571,7 @@ def test_atomic_swap_failure_cleans_staging_and_sweeps_orphans(tmp_path):
     assert os.path.basename(stale_s) not in names
     assert os.path.basename(stale_o) not in names
     assert os.path.basename(fresh_s) in names  # live concurrent staging kept
+    assert os.path.basename(live_s) in names  # fresh INNER file = live write
     assert os.path.exists(path + "/data")
 
     # crash-in-rename-window recovery material: when path is ABSENT, a

@@ -980,6 +980,91 @@ def test_index_rebuild_recovers_from_drift(spark, emb, tmp_path):
     assert got2 == want2
 
 
+def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
+    """Router-level defense parity with the hand-picked paths (review
+    findings): a corrupted sink that KEPT its config columns must trip
+    the sampled-row guard through the router too; a max_probe below
+    the sink's stored width must clamp WITH a warning, never index
+    past the assignment; an infeasible-only artifact set warns instead
+    of silently under-delivering."""
+    import warnings as _warnings
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    good = similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2)
+    corrupted = good.withColumn(
+        "_cell",
+        F.when(F.col("_vid") < 8, F.col("_cell") + 1).otherwise(F.col("_cell")),
+    )
+    with pytest.raises(ValueError, match="sample"):
+        similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            ivf_centroids=ivf_cents, ivf_cells=corrupted, dim=64,
+        ).count()
+    # IMI corrupted sink through the router
+    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    imi_good = similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64)
+    imi_bad = imi_good.withColumn(
+        "_cell",
+        F.when(F.col("_vid") < 8, F.col("_cell") + 1).otherwise(F.col("_cell")),
+    )
+    with pytest.raises(ValueError, match="sample"):
+        similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            imi_centroids=imi_cents, imi_cells=imi_bad, dim=64,
+        ).count()
+    # clamping: max_probe=1 < the sink's nprobe=2 — warn, and the pair
+    # set is a subset of the unclamped run's (fewer probed cells)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        clamped = sorted(map(key, similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            ivf_centroids=ivf_cents, ivf_cells=good, dim=64,
+            max_probe=1, calibrate=False,
+        ).collect()))
+    assert any("clamped" in str(w.message) for w in caught)
+    full = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        ivf_centroids=ivf_cents, ivf_cells=good, dim=64, calibrate=False,
+    ).collect()))
+    assert set(clamped) <= set(full)
+    # IMI clamping never indexes past the assignment grid
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        imi_clamped = sorted(map(key, similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            imi_centroids=imi_cents, imi_cells=imi_good, dim=64,
+            max_probe=1, calibrate=False,
+        ).collect()))
+    assert any("clamped" in str(w.message) for w in caught)
+    imi_full = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        imi_centroids=imi_cents, imi_cells=imi_good, dim=64, calibrate=False,
+    ).collect()))
+    assert set(imi_clamped) <= set(imi_full)
+    # uncalibrated routed IMI at the sink's own widths == hand-picked
+    assert imi_full == sorted(map(key, similarity.incremental_imi_dups(
+        corpus, shard, threshold=0.4, p1=2, p2=2, centroids=imi_cents,
+        dim=64, corpus_cells=imi_good,
+    ).collect()))
+    # infeasible-only artifact set (SRP at a low threshold) warns
+    lsh_path = str(tmp_path / "srp")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(lsh_path)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            lsh_index=spark.read.parquet(lsh_path), dim=64,
+        ).count()
+    assert any("NO provided artifact reaches" in str(w.message) for w in caught)
+
+
 def test_ivf_cells_append_mirrors_partitioned_layout(spark, emb, tmp_path):
     """Appending to a _cell-partitioned sink (the s26 recipe) must write
     partitioned rows: a flat append into a Hive-partitioned directory is
