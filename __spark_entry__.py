@@ -963,6 +963,31 @@ def s30_ivf_index_rebuild(spark, sf_dir):
     )
 
 
+def s31_cell_occupancy_report(spark, sf_dir):
+    """Hot-cell skew diagnostic over the persisted IVF cell sink
+    (functions/similarity.py::cell_occupancy_report) — x88's join-skew
+    report aimed at the INDEX ARTIFACT: per-shard ingest cost is
+    Σ occupancy(probed cells), so one drift-fattened hot cell quietly
+    bends the flat per-shard claim quadratic before the staleness
+    guard (re-trained codebooks only) or recall calibration (missed
+    pairs only) would notice.  Run per maintenance window; is_hot
+    triggers the s30 rebuild.  One groupBy over the slim sink; the
+    oracle replays the s26 Lloyd chain + assignment and the same
+    aggregate arithmetic."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = tempfile.mkdtemp(prefix="cell_occ_") + "/cells"
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    return similarity.cell_occupancy_report(spark.read.parquet(path))
+
+
 def s28_incremental_strategy_report(spark, sf_dir):
     """The INCREMENTAL router's cost model as an oracle-checked table
     (functions/similarity.py::incremental_strategy_report) — the s23
@@ -6193,6 +6218,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s28_incremental_strategy_report": s28_incremental_strategy_report,
         "s29_routed_incremental_ingest": s29_routed_incremental_ingest,
         "s30_ivf_index_rebuild": s30_ivf_index_rebuild,
+        "s31_cell_occupancy_report": s31_cell_occupancy_report,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
         "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
@@ -8326,6 +8352,7 @@ def oracle_sql() -> dict[str, str]:
         # s30: rebuild retrains with the s26 construction on the same
         # corpus cut, so the post-rebuild ingest equals the same chain
         "s30_ivf_index_rebuild": _incremental_ivf_oracle(),
+        "s31_cell_occupancy_report": _cell_occupancy_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),
@@ -11607,6 +11634,42 @@ def _incremental_imi_oracle(
         JOIN embeddings eo ON eo.vec_id = corpus_id
         WHERE list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
                                      CAST(eo.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _cell_occupancy_oracle(
+    k: int = 8, num_iter: int = 2, dim: int = 64, dp: int = 6,
+    nprobe: int = 2, frac: float = 0.9, hot_share: float = 0.2,
+) -> str:
+    """s31: the s26 Lloyd chain trained on (and assigned over) the
+    corpus cut, cell occupancies from one GROUP BY, and the same
+    aggregate arithmetic as cell_occupancy_report — every ratio is a
+    division of identical integers on both engines."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    emb_src = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id < {cut}"
+    )
+    ctes, prev, dist = _kmeans_chain(k, num_iter, dim, dp, emb_src=emb_src)
+    return f"""
+        {ctes},
+        ranked AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM emb e CROSS JOIN {prev} c),
+        occ AS (
+          SELECT cid, COUNT(*) AS c FROM ranked WHERE rk <= {nprobe}
+          GROUP BY cid)
+        SELECT COUNT(*) AS n_cells,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_cell_rows,
+               ROUND(AVG(c), 6) AS mean_cell_rows,
+               ROUND(MAX(c) / AVG(c), 6) AS max_over_mean,
+               ROUND(MAX(c) / SUM(c), 6) AS top_cell_share,
+               CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs,
+               MAX(c) / SUM(c) > {hot_share} AS is_hot
+        FROM occ
     """
 
 

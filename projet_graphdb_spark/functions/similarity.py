@@ -1604,6 +1604,42 @@ def imi_cells_append(
     writer.parquet(cells_path)
 
 
+def cell_occupancy_report(
+    cells: DataFrame,
+    hot_share: float = 0.2,
+) -> DataFrame:
+    """Hot-cell skew diagnostic over a persisted cell sink (IVF or IMI
+    — anything with ``(_vid, _cell)`` rows): per-shard ingest cost is
+    ``Σ_c occupancy(c)·probed(c)``, so ONE pathologically hot cell —
+    the signature of codebook drift concentrating new data — quietly
+    turns the flat per-shard claim quadratic long before the staleness
+    guard (which only sees re-trained codebooks) or recall calibration
+    (which only sees missed pairs) would say anything.  This is x88's
+    join-skew report aimed at the index artifact: run it per
+    maintenance window and trigger :func:`ivf_index_rebuild` when
+    ``is_hot`` flips.
+
+    One groupBy over the slim sink.  Output (single row): n_cells,
+    n_rows, max_cell_rows, mean_cell_rows, max_over_mean,
+    top_cell_share (the hot-cell gauge), est_candidate_pairs
+    (Σ c·(c−1)/2 — the self-join volume a batch re-run would pay, and
+    per probed shard cell the corpus-side fan-in), and ``is_hot`` =
+    top_cell_share > ``hot_share``."""
+    occ = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("_c"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.max("_c").cast("long").alias("max_cell_rows"),
+        F.round(F.avg("_c"), 6).alias("mean_cell_rows"),
+        F.round(F.max("_c") / F.avg("_c"), 6).alias("max_over_mean"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_cell_share"),
+        (F.sum(F.col("_c") * (F.col("_c") - 1)) / 2).cast("long").alias(
+            "est_candidate_pairs"
+        ),
+        (F.max("_c") / F.sum("_c") > hot_share).alias("is_hot"),
+    )
+
+
 def ivf_index_rebuild(
     spark,
     cells_path: str,

@@ -980,6 +980,26 @@ def test_index_rebuild_recovers_from_drift(spark, emb, tmp_path):
     assert got2 == want2
 
 
+def test_cell_occupancy_report_flags_hot_cell(spark):
+    """The hot-cell gauge: a balanced sink reports is_hot=false; a
+    drift-fattened sink (one cell holding >20% of rows) flips is_hot
+    and the Σ c(c−1)/2 candidate estimate quantifies the blowup."""
+    balanced = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "_vid long, _cell int"
+    )
+    r = similarity.cell_occupancy_report(balanced).first()
+    assert r["n_cells"] == 10 and r["n_rows"] == 100
+    assert r["max_cell_rows"] == 10 and not r["is_hot"]
+    assert r["est_candidate_pairs"] == 10 * (10 * 9 // 2)
+    hot = spark.createDataFrame(
+        [(i, 0 if i < 50 else i % 10) for i in range(100)],
+        "_vid long, _cell int",
+    )
+    rh = similarity.cell_occupancy_report(hot).first()
+    assert rh["is_hot"] and rh["top_cell_share"] > 0.2
+    assert rh["est_candidate_pairs"] > r["est_candidate_pairs"]
+
+
 def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
     """Router-level defense parity with the hand-picked paths (review
     findings): a corrupted sink that KEPT its config columns must trip
