@@ -980,6 +980,56 @@ def test_index_rebuild_recovers_from_drift(spark, emb, tmp_path):
     assert got2 == want2
 
 
+def test_incremental_auto_escalation_recovers_pairs(spark, emb):
+    """The calibrated escalation path actually ESCALATES: against a
+    deliberately narrow sink (nprobe=1), a reachable target makes the
+    router widen the shard-side probe past the sink's width, and the
+    escalated run recovers pairs the sink-width run misses.  The test
+    derives a reachable target from the measured ladder itself (the
+    fixture's geometry decides the numbers; the CONTRACT under test is
+    probe > sink-width ⇒ pairs ⊇ sink-width pairs, receipt consistent)."""
+    from projet_graphdb_spark.functions import clustering
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    # shard WITH internal truth pairs: reuse corpus vectors under
+    # shifted ids so the calibration sample is guaranteed non-empty
+    shard = emb.where(F.col("vec_id") < cut // 2).withColumn(
+        "vec_id", F.col("vec_id") + cut * 10
+    )
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    narrow = similarity.ivf_cells_frame(corpus, cents, nprobe=1)
+    # measure the ladder the router will see (sink width 1, cap 8)
+    assigned = clustering.assign_topn(
+        shard.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")),
+        cents, nprobe=8, vec_col="_v",
+    )
+    recalls, n_pairs = similarity.ingest_calibrate_recall(
+        assigned, 0.4, [list(range(j)) for j in range(1, 9)], [0]
+    )
+    assert n_pairs > 0, "fixture must hold shard truth pairs at 0.4"
+    if recalls[-1] <= recalls[0] + 1e-9:
+        pytest.skip("fixture ladder is flat; escalation unobservable")
+    # a target strictly between recall(1) and the best level forces a
+    # real escalation (reachable, so no warn path)
+    target = (recalls[0] + recalls[-1]) / 2
+    receipt = {}
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    esc = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=target,
+        ivf_centroids=cents, ivf_cells=narrow, dim=64,
+        calibrate=True, plan_out=receipt,
+    ).collect()))
+    assert receipt["probe"] > 1  # really escalated past the sink width
+    assert receipt["calibrated_recall"] >= target
+    base = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=target,
+        ivf_centroids=cents, ivf_cells=narrow, dim=64, calibrate=False,
+    ).collect()))
+    assert set(base) <= set(esc) and len(esc) > len(base)
+
+
 def test_cell_occupancy_report_flags_hot_cell(spark):
     """The hot-cell gauge: a balanced sink reports is_hot=false; a
     drift-fattened sink (one cell holding >20% of rows) flips is_hot
