@@ -988,6 +988,25 @@ def s31_cell_occupancy_report(spark, sf_dir):
     return similarity.cell_occupancy_report(spark.read.parquet(path))
 
 
+def s32_embedding_drift_report(spark, sf_dir):
+    """Distribution-drift gauge between corpus generations (functions/
+    similarity.py::embedding_drift_report) — the third rebuild trigger
+    next to the staleness guard (config drift) and s31 (occupancy
+    skew): cosine between the old corpus's and the new arrivals' MEAN
+    vectors, their norm ratio, and the max per-dimension shift.  Ids
+    are arrival-ordered, so the oldest 80% plays the trained-on corpus
+    and the rest the arrivals.  Per-dim means are exact integer micros
+    (the a12 discipline — no double carries a rounding boundary), the
+    cosine runs the proven array-fold path, the max shift is an
+    integer MAX; the oracle replays all of it."""
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.8)
+    return similarity.embedding_drift_report(
+        emb.where(F.col("vec_id") < cut),
+        emb.where(F.col("vec_id") >= cut),
+    )
+
+
 def s28_incremental_strategy_report(spark, sf_dir):
     """The INCREMENTAL router's cost model as an oracle-checked table
     (functions/similarity.py::incremental_strategy_report) — the s23
@@ -6219,6 +6238,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s29_routed_incremental_ingest": s29_routed_incremental_ingest,
         "s30_ivf_index_rebuild": s30_ivf_index_rebuild,
         "s31_cell_occupancy_report": s31_cell_occupancy_report,
+        "s32_embedding_drift_report": s32_embedding_drift_report,
         "s23_dup_strategy_report": s23_dup_strategy_report,
         "s24_imi_cosine_dups": s24_imi_cosine_dups,
         "s25_ivf_recall_calibration": s25_ivf_recall_calibration,
@@ -8353,6 +8373,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus cut, so the post-rebuild ingest equals the same chain
         "s30_ivf_index_rebuild": _incremental_ivf_oracle(),
         "s31_cell_occupancy_report": _cell_occupancy_oracle(),
+        "s32_embedding_drift_report": _embedding_drift_oracle(),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),
@@ -11670,6 +11691,55 @@ def _cell_occupancy_oracle(
                CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs,
                MAX(c) / SUM(c) > {hot_share} AS is_hot
         FROM occ
+    """
+
+
+def _embedding_drift_oracle(
+    dim: int = 64, frac: float = 0.8, cos_floor: float = 0.99,
+) -> str:
+    """s32: per-dim integer-micros means on the old/new cut (FLOOR
+    micros + the sign·((2|Σ|+n) div 2n) half-away mean — the a12
+    arithmetic), cosine/norm via list folds, max shift as integer
+    MAX."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    mean6 = """
+          SELECT t.i AS d,
+                 CAST((CASE WHEN SUM(CAST(FLOOR(e.v[t.i] * 1000000) AS BIGINT)) < 0
+                       THEN -1 ELSE 1 END)
+                      * ((2 * ABS(SUM(CAST(FLOOR(e.v[t.i] * 1000000) AS BIGINT)))
+                          + COUNT(*))
+                         // (2 * COUNT(*))) AS BIGINT) AS m6
+          FROM {src} e
+          CROSS JOIN (SELECT unnest(range(1, %d)) AS i) t
+          GROUP BY t.i""" % (dim + 1)
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        old AS MATERIALIZED (SELECT * FROM emb WHERE vec_id < {cut}),
+        nw AS MATERIALIZED (SELECT * FROM emb WHERE vec_id >= {cut}),
+        mo AS ({mean6.format(src="old")}),
+        mn AS ({mean6.format(src="nw")}),
+        j AS (SELECT mo.d, mo.m6 AS o6, mn.m6 AS n6
+              FROM mo JOIN mn USING (d)),
+        arrs AS (
+          SELECT list(o6 / 1000000.0 ORDER BY d) AS vo,
+                 list(n6 / 1000000.0 ORDER BY d) AS vn,
+                 MAX(ABS(o6 - n6)) AS sh6
+          FROM j),
+        c AS (SELECT (SELECT COUNT(*) FROM old) AS n_old,
+                     (SELECT COUNT(*) FROM nw) AS n_new)
+        SELECT n_old, n_new,
+               ROUND(list_dot_product(vo, vn)
+                     / (SQRT(list_dot_product(vo, vo))
+                        * SQRT(list_dot_product(vn, vn))), 6) AS mean_cosine,
+               ROUND(SQRT(list_dot_product(vn, vn))
+                     / SQRT(list_dot_product(vo, vo)), 6) AS norm_ratio,
+               sh6 / 1000000.0 AS max_dim_shift,
+               ROUND(list_dot_product(vo, vn)
+                     / (SQRT(list_dot_product(vo, vo))
+                        * SQRT(list_dot_product(vn, vn))), 6) < {cos_floor}
+                   AS is_drifted
+        FROM arrs CROSS JOIN c
     """
 
 

@@ -1640,6 +1640,85 @@ def cell_occupancy_report(
     )
 
 
+def embedding_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_floor: float = 0.99,
+) -> DataFrame:
+    """Distribution-drift gauge between two corpus generations — the
+    THIRD rebuild trigger, completing the triad: the staleness guard
+    sees re-trained codebooks (config drift), :func:`cell_occupancy_report`
+    sees where drift has already piled up (occupancy skew), and this
+    sees the drift ITSELF, before the index degrades: when the arriving
+    data's mean vector rotates away from the corpus that trained the
+    codebook, frozen cells stop tracking density and ingest recall
+    decays (the incremental tier's documented failure mode).
+
+    Determinism discipline (the a12 lesson): per-dimension means are
+    EXACT INTEGER MICROS (floor(x·10⁶) per element — FLOOR, not cast:
+    engines disagree on double→int cast rounding — then the
+    sign·((2|Σ|+n) div 2n) half-away mean), so the mean vectors are
+    identical on any engine; the cosine/norm folds then run the same
+    sequential array-fold path every similarity oracle already
+    hash-matches, and the max dimension shift is an integer MAX
+    (order-free).  One posexplode + one (dim)-keyed aggregate per side
+    — dims × 2 rows of state, corpus-size-independent memory.
+
+    Output (single row): n_old, n_new, mean_cosine (cosine of the two
+    mean vectors), norm_ratio (|mean_new|/|mean_old|), max_dim_shift
+    (max per-dim |Δmean|), is_drifted = mean_cosine < ``cos_floor``."""
+    sgn = lambda c: F.when(c < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+
+    def mean6(df):
+        x6 = F.floor(F.col("_x").cast("double") * 1000000).cast("long")
+        per_dim = (
+            df.select(F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+            .select("_d", x6.alias("_x6"))
+            .groupBy("_d")
+            .agg(F.sum("_x6").alias("_s"), F.count(F.lit(1)).alias("_c"))
+        )
+        return per_dim.select(
+            "_d",
+            (sgn(F.col("_s")) * F.expr("(2 * abs(_s) + _c) div (2 * _c)")).alias("_m6"),
+        )
+    mo = mean6(old)
+    mn = mean6(new)
+    joined = mo.select("_d", F.col("_m6").alias("_o6")).join(
+        mn.select("_d", F.col("_m6").alias("_n6")), "_d"
+    )
+    shift = joined.agg(
+        F.max(F.abs(F.col("_o6") - F.col("_n6"))).alias("_sh6")
+    )
+    arrs = joined.agg(
+        F.array_sort(F.collect_list(F.struct("_d", "_o6", "_n6"))).alias("_a")
+    ).select(
+        F.expr("transform(_a, s -> s._o6 / 1000000.0)").alias("_mo"),
+        F.expr("transform(_a, s -> s._n6 / 1000000.0)").alias("_mn"),
+    )
+    counts = old.agg(F.count(F.lit(1)).alias("n_old")).crossJoin(
+        F.broadcast(new.agg(F.count(F.lit(1)).alias("n_new")))
+    )
+    cos = dot(F.col("_mo"), F.col("_mn")) / (
+        l2norm(F.col("_mo")) * l2norm(F.col("_mn"))
+    )
+    return (
+        arrs.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(shift))
+        .select(
+            "n_old",
+            "n_new",
+            F.round(cos, 6).alias("mean_cosine"),
+            F.round(l2norm(F.col("_mn")) / l2norm(F.col("_mo")), 6).alias(
+                "norm_ratio"
+            ),
+            (F.col("_sh6") / 1000000.0).alias("max_dim_shift"),
+            (F.round(cos, 6) < cos_floor).alias("is_drifted"),
+        )
+    )
+
+
 def ivf_index_rebuild(
     spark,
     cells_path: str,

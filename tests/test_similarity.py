@@ -1030,6 +1030,30 @@ def test_incremental_auto_escalation_recovers_pairs(spark, emb):
     assert set(base) <= set(esc) and len(esc) > len(base)
 
 
+def test_embedding_drift_report_detects_rotation(spark):
+    """Identical distributions report mean_cosine = 1 / is_drifted
+    false; a sign-flipped new generation reports mean_cosine = -1 /
+    is_drifted true; max_dim_shift is the exact integer-micros max."""
+    import math
+
+    base = [(i, [1.0, 0.5] + [0.0] * 62) for i in range(50)]
+    old = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = spark.createDataFrame(
+        [(i + 100, v) for i, v in base], "vec_id long, embedding array<double>"
+    )
+    r = similarity.embedding_drift_report(old, same).first()
+    assert r["n_old"] == 50 and r["n_new"] == 50
+    assert r["mean_cosine"] == 1.0 and not r["is_drifted"]
+    assert r["norm_ratio"] == 1.0 and r["max_dim_shift"] == 0.0
+    flipped = spark.createDataFrame(
+        [(i + 100, [-x for x in v]) for i, v in base],
+        "vec_id long, embedding array<double>",
+    )
+    rf = similarity.embedding_drift_report(old, flipped).first()
+    assert rf["mean_cosine"] == -1.0 and rf["is_drifted"]
+    assert math.isclose(rf["max_dim_shift"], 2.0)  # dim 0: 1.0 -> -1.0
+
+
 def test_cell_occupancy_report_flags_hot_cell(spark):
     """The hot-cell gauge: a balanced sink reports is_hot=false; a
     drift-fattened sink (one cell holding >20% of rows) flips is_hot

@@ -58,6 +58,10 @@ NL_ALLOWED = {
     "s28_incremental_strategy_report",  # the same shape for the ingest
     # tier: 1-row N and S aggregates broadcast into the ≤3-row-per-
     # threshold artifact table — constant sides
+    "s31_cell_occupancy_report",  # 1-row occupancy aggregate — constant
+    "s32_embedding_drift_report",  # three 1-row aggregates (mean-vector
+    # arrays, counts, max shift) cross-joined into the single report
+    # row — constant sides
     "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
     # cross-joined into five 1-row report rows — all constant sides
     "m10_cutmix_plan",  # 1-row image-count broadcast into the partner
