@@ -211,6 +211,24 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _pair_sink_has_parts(path) -> bool:
+    """True iff a streaming pair sink holds at least one parquet part
+    file.  An existing-but-EMPTY sink (the stream ran but every
+    micro-batch yielded zero pairs, so ``batch_id=<n>`` dirs exist
+    with no data files) must be treated like the absent-dir case
+    (round-9 advice): ``spark.read.parquet`` on it raises
+    unable-to-infer-schema instead of returning the empty frame the
+    guard intends."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 _DUP_CLUSTERS_CACHE: dict = {}
 
 
@@ -4605,7 +4623,7 @@ def e34_ingest_dedup_stream(spark, sf_dir):
             raise TimeoutError("e34 ingest-dedup stream did not drain")
     import os
 
-    if not os.path.isdir(base + "/pairs"):  # empty shard wrote no batch
+    if not _pair_sink_has_parts(base + "/pairs"):  # no batch wrote pairs
         return spark.createDataFrame(
             [], "new_id long, corpus_id long, jaccard double"
         )
@@ -4663,7 +4681,7 @@ def e35_pair_sink_compaction(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("e35 ingest-dedup stream did not drain")
-    if not os.path.isdir(base + "/pairs"):
+    if not _pair_sink_has_parts(base + "/pairs"):
         return spark.createDataFrame(
             [], "new_id long, corpus_id long, jaccard double"
         )
@@ -4739,7 +4757,7 @@ def e36_routed_ingest_stream(spark, sf_dir):
             raise TimeoutError("e36 routed ingest stream did not drain")
     import os
 
-    if not os.path.isdir(base + "/pairs"):
+    if not _pair_sink_has_parts(base + "/pairs"):
         return spark.createDataFrame([], "new_id long, corpus_id long, sim double")
     return spark.read.parquet(base + "/pairs").select("new_id", "corpus_id", "sim")
 

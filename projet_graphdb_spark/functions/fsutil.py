@@ -22,7 +22,15 @@ def _tree_quiet_since(root: str, cutoff: float) -> bool:
     touches the TOP-LEVEL mtime at job start — task files land inside
     ``_temporary``/partition subdirs — so a top-level-mtime check would
     rmtree a live concurrent write after _SWEEP_AGE_S.  Early-exits on
-    the first fresh entry, so live trees cost one short walk."""
+    the first fresh entry, so live trees cost one short walk.
+
+    ONLY safe for ``.staging-*`` trees, whose content mtimes track the
+    write that created them.  It must never gate a ``.old-*`` tree
+    (round-9 advice): rename(2) preserves content mtimes, so a
+    ``.old-<token>`` created milliseconds ago by a concurrent swap's
+    first rename looks hours-quiet — and sweeping it inside the
+    sibling's rename window can destroy the only copy of the data if
+    the sibling then crashes before its second rename."""
     try:
         if os.path.getmtime(root) >= cutoff:
             return False
@@ -54,25 +62,26 @@ def atomic_swap(path: str, write_fn) -> None:
 
     Disk hygiene (round-8 review): a FAILED ``write_fn`` removes its own
     staging dir before the error propagates, and each entry sweeps
-    orphaned ``.staging-*``/``.old-*`` leftovers from runs that died
-    before their cleanup — so repeated failures cannot accumulate
-    unbounded index copies.  The sweep only touches dirs older than
-    ``_SWEEP_AGE_S`` (a CONCURRENT run's live staging dir must survive),
-    and ``.old-*`` is kept when ``path`` itself is absent (a crash in
-    the rename window leaves the ``.old`` as the only surviving copy of
-    the data — recovery material, never garbage)."""
+    orphaned ``.staging-*`` leftovers from runs that died before their
+    cleanup — so repeated failures cannot accumulate unbounded index
+    copies.  The sweep only touches dirs older than ``_SWEEP_AGE_S``
+    (a CONCURRENT run's live staging dir must survive).  ``.old-*`` is
+    NEVER swept (round-9 advice): rename preserves content mtimes, so a
+    concurrent swap's just-created ``.old`` is indistinguishable from a
+    stale one by mtime, and sweeping it inside the sibling's rename
+    window can destroy the only copy of the data.  A ``.old-*`` orphan
+    only exists after a crash inside the rename window — recovery
+    material by definition, and bounded (one dir per such crash), so
+    leaving it to the operator is the safe trade."""
     import time
 
     base_dir = os.path.dirname(os.path.abspath(path)) or "."
     base_name = os.path.basename(os.path.abspath(path))
     if os.path.isdir(base_dir):
-        keep_old = not os.path.isdir(path)
         cutoff = time.time() - _SWEEP_AGE_S
         for entry in os.listdir(base_dir):
             stale = os.path.join(base_dir, entry)
-            is_staging = entry.startswith(f"{base_name}.staging-")
-            is_old = entry.startswith(f"{base_name}.old-")
-            if not (is_staging or (is_old and not keep_old)):
+            if not entry.startswith(f"{base_name}.staging-"):
                 continue
             try:
                 if os.path.isdir(stale) and _tree_quiet_since(stale, cutoff):

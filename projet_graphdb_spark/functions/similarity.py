@@ -1987,6 +1987,16 @@ def srp_index_append(
         "bits": metas[0]["_bits"], "n_bands": metas[0]["_n_bands"],
         "dim": metas[0]["_dim"], "seed": metas[0]["_seed"],
     }
+    probe = new_vectors.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if probe is not None and probe["_d"] != cfg["dim"]:
+        # round-9 advice: the config check alone claimed consistency
+        # while wrong-dimension vectors would append malformed
+        # signatures — match the other append ops' fail-loudly contract
+        raise ValueError(
+            f"srp_index_append: new_vectors carry dim {probe['_d']} but "
+            f"the index at {index_path} was built at _dim={cfg['dim']} — "
+            f"re-embed the batch or rebuild the index at the new dim"
+        )
     import os
 
     partitioned = False

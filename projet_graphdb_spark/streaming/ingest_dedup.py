@@ -134,12 +134,17 @@ def compact_batch_sink(
     pure compaction, pair set provably unchanged (that is e35's
     value-level oracle).
 
-    The rewrite keeps ``batch_col`` as a DATA column (the Hive
-    partition layout is transport for idempotent replay; after
-    compaction the stream's checkpoint epoch is over and lineage
-    matters more than overwrite granularity).  A sink compacted twice
-    is handled: a ``batch_col`` data column is read back just as the
-    partition column was.
+    The rewrite PRESERVES the ``batch_col`` Hive partition layout
+    (round-9 advice): a flat rewrite would silently poison the sink if
+    the stream's checkpoint later processed one more micro-batch — the
+    new ``batch_id=<n>`` directory next to flat files makes
+    ``spark.read.parquet`` fail with conflicting-directory-structure.
+    Keeping the layout means a still-live stream can append after a
+    compaction and both replay idempotence and the read path stay
+    valid.  The floor is therefore one file per KEPT batch (the win is
+    within-batch many→one); use ``retain_last`` to bound the batch
+    dimension itself.  A sink compacted twice is handled: the
+    partition column round-trips through the rewrite unchanged.
 
     Returns the receipt: files/batches before and after, rows kept and
     dropped — the numbers the small-files claim is made of."""
@@ -167,9 +172,15 @@ def compact_batch_sink(
     # directory the swap is about to replace
     kept = kept.select(*df.columns).localCheckpoint(eager=True)
     rows_after = kept.count()
+    # repartition BY the batch column: each kept batch lands whole in
+    # one task, so the Hive-partitioned rewrite emits exactly one file
+    # per kept batch (target_files caps the write parallelism)
     atomic_swap(
         path,
-        lambda p: kept.coalesce(target_files).write.mode("overwrite").parquet(p),
+        lambda p: kept.repartition(max(1, target_files), F.col(batch_col))
+        .write.mode("overwrite")
+        .partitionBy(batch_col)
+        .parquet(p),
     )
     return {
         "files_before": files_before,

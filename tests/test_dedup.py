@@ -544,8 +544,11 @@ def test_atomic_swap_failure_cleans_staging_and_sweeps_orphans(tmp_path):
     leftovers = [e for e in os.listdir(tmp_path) if ".staging-" in e]
     assert leftovers == []  # its own staging was cleaned on failure
 
-    # stale orphans (mtime pushed past the sweep age) are swept on entry;
-    # fresh ones (concurrent run) survive — INCLUDING a live long write
+    # stale STAGING orphans (mtime pushed past the sweep age) are swept
+    # on entry; .old-* is never swept (round-9 advice: rename preserves
+    # content mtimes, so a sibling swap's ms-old .old looks hours-quiet
+    # and sweeping it in the rename window can destroy the only copy);
+    # fresh staging dirs (concurrent run) survive — INCLUDING a live long write
     # whose top-level dir is old but whose inner files are fresh (Spark
     # staging writes only touch the top-level mtime at job start)
     stale_s = path + ".staging-stale0"
@@ -569,7 +572,7 @@ def test_atomic_swap_failure_cleans_staging_and_sweeps_orphans(tmp_path):
     fsutil.atomic_swap(path, ok)
     names = set(os.listdir(tmp_path))
     assert os.path.basename(stale_s) not in names
-    assert os.path.basename(stale_o) not in names
+    assert os.path.basename(stale_o) in names  # .old is never swept
     assert os.path.basename(fresh_s) in names  # live concurrent staging kept
     assert os.path.basename(live_s) in names  # fresh INNER file = live write
     assert os.path.exists(path + "/data")

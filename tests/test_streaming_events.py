@@ -535,10 +535,22 @@ def test_compact_batch_sink_retention_and_recompaction(spark, tmp_path):
         (r["new_id"], r["corpus_id"], r["batch_id"]) for r in after.collect()
     )
     assert got == want
-    # recompaction over the rewritten (non-Hive-partitioned) sink
+    # the rewrite preserves the Hive batch_id layout (round-9 advice:
+    # a flat rewrite + one more micro-batch = conflicting-directory-
+    # structure), so a later batch dir can land next to the compacted
+    # ones and the sink still reads
+    import os
+
+    assert any(
+        e.startswith("batch_id=") for e in os.listdir(base + "/pairs")
+    ), "compacted sink lost its Hive batch layout"
+    nxt = max(keep) + 1
+    after.limit(1).drop("batch_id").write.parquet(base + f"/pairs/batch_id={nxt}")
+    assert spark.read.parquet(base + "/pairs").count() == receipt["rows_after"] + 1
+    # recompaction over the rewritten (still Hive-partitioned) sink
     receipt2 = compact_batch_sink(spark, base + "/pairs", target_files=1)
-    assert receipt2["rows_after"] == receipt["rows_after"]
-    assert receipt2["batches_before"] == 2
+    assert receipt2["rows_after"] == receipt["rows_after"] + 1
+    assert receipt2["batches_before"] == 3
 
 
 def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
