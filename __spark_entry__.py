@@ -67,6 +67,7 @@ STREAMING_QUERIES = frozenset({
     "e34_ingest_dedup_stream",
     "e35_pair_sink_compaction",
     "e36_routed_ingest_stream",
+    "e37_exact_ingest_stream",
 })
 
 # queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
@@ -100,6 +101,21 @@ _PIN_FIRST = [
     "g29_mixed_varlength", "s23_dup_strategy_report", "s24_imi_cosine_dups",
     "s22_ivf_cosine_dups", "g27_sql_surface", "g28_bind_params",
     "s25_ivf_recall_calibration",
+]
+
+# Queries whose SEMANTICS or oracle changed this round while their latest
+# driver record is still green from an older round (the _PIN_FIRST filter
+# skips green names, so a changed-but-green query would otherwise sit in
+# the stale tail for rounds).  Listed names re-front EVERY round while
+# present; refresh the list each round to the actually-changed set
+# (round-9 verdict item 7: rotate the window toward changed code).
+_RECHECK_CHANGED = [
+    # round 10: exact guaranteed leg + sized SRP + router fallback
+    # changed the report rows (s28), the s29/e36 artifact sizing (k=64),
+    # and the compaction layout (e34/e35 Hive-preserving rewrite)
+    "s28_incremental_strategy_report", "s29_routed_incremental_ingest",
+    "e36_routed_ingest_stream", "e35_pair_sink_compaction",
+    "e34_ingest_dedup_stream",
 ]
 
 
@@ -186,7 +202,11 @@ def _rotate_window(interleaved: dict) -> dict:
         n for n in _PIN_FIRST
         if n in interleaved and n not in green and n not in front
     ]
-    head = front + pinned
+    recheck = [
+        n for n in _RECHECK_CHANGED
+        if n in interleaved and n not in front and n not in pinned
+    ]
+    head = front + pinned + recheck
     fresh = [n for n in interleaved if n not in checked and n not in head]
     # Round-7 drain: 68 of the 87 never-checked queries are x-forms and the
     # family round-robin fronts at most ~31 per 50-slot window; exhaust the
@@ -1025,6 +1045,140 @@ def s32_embedding_drift_report(spark, sf_dir):
     )
 
 
+def s33_index_rebuild_policy(spark, sf_dir):
+    """ONE auditable rebuild/keep decision from the three rebuild
+    triggers (functions/similarity.py::index_rebuild_policy) — round-9
+    verdict gap 2: the staleness guard, the s31 occupancy gauge and
+    the s32 drift gauge existed but nothing consumed them as one
+    operator.  The cell sink is deliberately built from a DRIFTED
+    codebook (trained on only the oldest half, 1 Lloyd iteration) while
+    the live codebook is the full-corpus s26 construction, so the
+    config trigger FIRES — asserted in-line (the s30 posture: the
+    mechanism is pinned by the assert, the numbers by the oracle).
+    The oracle replays the occupancy aggregate over the drifted-chain
+    assignment, the s32 integer-micros drift arithmetic over the same
+    halves, and the same decision/reason CASE; the recovery chain
+    (policy fires → s30 rebuild → ingest recall recovers) is the e2e
+    test in tests/test_similarity.py."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    old_half = corpus.where(F.col("vec_id") < cut // 2)
+    new_half = corpus.where(F.col("vec_id") >= cut // 2)
+    drifted = similarity.ivf_train(
+        corp.where(F.col("_vid") < cut // 2), cut // 2, n_centroids=8, num_iter=1
+    )
+    live = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    path = tempfile.mkdtemp(prefix="rebuild_policy_") + "/cells"
+    similarity.ivf_cells_frame(corpus, drifted, nprobe=2).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    out = similarity.index_rebuild_policy(
+        spark.read.parquet(path), live, old_half, new_half
+    )
+    row = out.first()
+    if not row["config_stale"] or row["decision"] != "rebuild":
+        raise AssertionError(
+            f"s33: the drifted sink must trip the config trigger and "
+            f"decide rebuild, got {row}"
+        )
+    return out
+
+
+def s34_exact_guaranteed_route(spark, sf_dir):
+    """The EXACT guaranteed leg, chosen by the router's own arithmetic
+    (functions/similarity.py::incremental_exact_dups via
+    incremental_cosine_dups_auto) — round-9 verdict gap 1: at
+    threshold 0.4 no ≤64-band SRP construction holds 0.95 recall for
+    less than ~0.72·S·N candidate verifications (the sized 6×46
+    construction's own collision floor), so the honest guaranteed
+    route is verifying ALL S·N pairs map-side against the broadcast
+    shard at ~2·dim flops each — recall 1.0 by construction, zero
+    join machinery (the plan is a BroadcastNestedLoopJoin with no
+    hash shuffle; tests pin the plan shape).  Only the pinned-
+    infeasible 8×6 SRP artifact is provided, so the exact row is the
+    single feasible route — the choice is deterministic at ANY (N, S)
+    and asserted in-line.  The oracle is the plain shard×corpus
+    cosine join: the strongest possible value-level check (every
+    pair, no blocking to hide behind)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    base = tempfile.mkdtemp(prefix="exact_route_")
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(base + "/srp")
+    receipt: dict = {}
+    pairs = similarity.incremental_cosine_dups_auto(
+        corpus,
+        shard,
+        threshold=0.4,
+        target_recall=0.95,
+        lsh_index=spark.read.parquet(base + "/srp"),
+        dim=64,
+        plan_out=receipt,
+    )
+    if receipt["strategy"] != "exact" or receipt.get("met_target") is not True:
+        raise AssertionError(
+            f"s34: expected the exact guaranteed route, got {receipt}"
+        )
+    return pairs
+
+
+def s35_sized_srp_ingest(spark, sf_dir):
+    """Recall-sized SRP ingest end-to-end (functions/similarity.py::
+    srp_band_index with (threshold, target_recall) + srp_sized_config)
+    — round-9 verdict gap 1's build-time half: the index construction
+    is DERIVED from the contract instead of pinned.  At the verdict's
+    own operating point — threshold 0.4 / target 0.95, where the
+    pinned 8×6 index could never deliver (recall 0.407) — the
+    closed-form S-curve sizes 6 bits × 46 bands (recall 0.9502 at the
+    threshold): the sizing runs at its representative default scale so
+    the construction is deterministic and the oracle can inline the
+    very same seeded plane literals.  The sized index is persisted
+    (partitionBy band), read back, and driven through
+    incremental_srp_dups, whose config validation proves the embedded
+    construction round-trips; the 276-plane signature rides the
+    size-gated Arrow path while the oracle recomputes all 46 band
+    signatures from the same planes, joins shard×corpus per band, and
+    exact-cosine-verifies — value-level proof that the sized leg
+    DELIVERS at the operating point the round-9 warn path could not.
+    (Its collision-floor COST — ~0.72·S·N candidates — is exactly why
+    the router prefers the exact leg here: s28's lsh_sized row prices
+    it, s34 pins the routing.)"""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    sized = similarity.srp_sized_config(0.4, 0.95)
+    if (sized["bits"], sized["n_bands"]) != (6, 46):
+        raise AssertionError(
+            f"s35: sized construction drifted from the documented "
+            f"(6, 46): {sized}"
+        )
+    base = tempfile.mkdtemp(prefix="sized_srp_")
+    similarity.srp_band_index(
+        corpus, dim=64, threshold=0.4, target_recall=0.95
+    ).write.partitionBy("band").parquet(base + "/srp")
+    return similarity.incremental_srp_dups(
+        corpus,
+        shard,
+        threshold=0.4,
+        n_bands=sized["n_bands"],
+        bits=sized["bits"],
+        dim=64,
+        index=spark.read.parquet(base + "/srp"),
+    )
+
+
 def s28_incremental_strategy_report(spark, sf_dir):
     """The INCREMENTAL router's cost model as an oracle-checked table
     (functions/similarity.py::incremental_strategy_report) — the s23
@@ -1032,12 +1186,18 @@ def s28_incremental_strategy_report(spark, sf_dir):
     row per persisted artifact family (SRP band index 8×6, flat-IVF
     cells k=8/nprobe=2, IMI cells 4×4/p=2×2 — the constructions the
     s26/s27/s29 artifacts actually pin), per-shard cost polynomial in
-    (N, S) from two count aggregates, LSH's closed-form recall as the
-    only guaranteed row (margin 2×), ``chosen`` marking the route.
-    Two thresholds straddle the crossover: 0.9 routes to the
-    recall-holding SRP leg, 0.4's S-curve is infeasible at 0.95 so the
-    cheaper blocking artifact (flat IVF at these pinned constructions)
-    wins."""
+    (N, S) from two count aggregates, the closed-form-recall SRP row
+    and the always-available EXACT row as the guaranteed legs (margin
+    2×), the ADVISORY ``lsh_sized`` row pricing the construction
+    srp_sized_config derives from (threshold, target) — round-9
+    verdict gap 1: the receipt now shows what a recall-feasible SRP
+    index would cost — and ``chosen`` marking the route.  Two
+    thresholds straddle the crossover: 0.9 routes to the
+    recall-holding pinned SRP leg; at 0.4 the pinned 8×6 S-curve is
+    infeasible at 0.95 and the sized 6×46 construction's collision
+    floor (~0.72·S·N candidates at 8·dim) costs more than verifying
+    ALL S·N pairs at 2·dim — so the guaranteed EXACT leg wins under
+    the margin at these (N, S)."""
     emb = _emb(spark, sf_dir)
     cut = int(emb.count() * 0.9)
     corpus = emb.where(F.col("vec_id") < cut)
@@ -1062,14 +1222,18 @@ def s29_routed_incremental_ingest(spark, sf_dir):
     cell sink (partitioned by _cell, embedded configs) — and the
     router prices them per-shard (the s28 arithmetic), picks the
     cheapest feasible route at threshold 0.4 / target 0.95, and runs
-    it.  At these pinned constructions flat IVF wins at EVERY (N, S) —
-    its per-pair candidate volume is half IMI's and the 0.4 S-curve is
-    infeasible — so the oracle is the s26 Lloyd-chain replay; a
-    routing regression to any other leg changes the pair set and goes
-    red.  Calibration is off on this driver cut (the shard holds no
-    within-shard truth pairs at 0.4 — the warn path; s25 pins the
-    calibration primitive itself, and the routed escalation is
-    unit-tested)."""
+    it.  The IVF artifact is sized k=64 — the honest scale shape
+    (k ≈ N/8 here; a k=8 sink's candidate volume is half of ALL pairs,
+    which the round-10 exact guaranteed leg prices out: s34 pins that
+    route) — so flat IVF wins at these (N, S): its assignment +
+    candidate cost undercuts IMI, exact (even margin-halved), and the
+    infeasible 0.4 S-curve.  The route is asserted in-line (a routing
+    regression to any other leg goes red before the pair set does) and
+    the oracle is the k=64 Lloyd-chain replay.  Calibration is off on
+    this driver cut (the shard holds no within-shard truth pairs at
+    0.4 — the warn path; s25 pins the calibration primitive, the
+    routed escalation is unit-tested, and the measured-miss fallback
+    to a guaranteed leg is s34 + unit tests)."""
     import tempfile
 
     emb = _emb(spark, sf_dir)
@@ -1081,7 +1245,7 @@ def s29_routed_incremental_ingest(spark, sf_dir):
     similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
         "band"
     ).parquet(base + "/srp")
-    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
     similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
         "_cell"
     ).parquet(base + "/ivf")
@@ -1089,7 +1253,8 @@ def s29_routed_incremental_ingest(spark, sf_dir):
     similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
         "_cell"
     ).parquet(base + "/imi")
-    return similarity.incremental_cosine_dups_auto(
+    receipt: dict = {}
+    pairs = similarity.incremental_cosine_dups_auto(
         corpus,
         shard,
         threshold=0.4,
@@ -1101,7 +1266,14 @@ def s29_routed_incremental_ingest(spark, sf_dir):
         imi_cells=spark.read.parquet(base + "/imi"),
         dim=64,
         calibrate=False,
+        plan_out=receipt,
     )
+    if receipt["strategy"] != "ivf":
+        raise AssertionError(
+            f"s29: expected the k=64 IVF artifact to win the pricing, "
+            f"router chose {receipt['strategy']!r}: {receipt['rows']}"
+        )
+    return pairs
 
 
 def s24_imi_cosine_dups(spark, sf_dir):
@@ -4706,8 +4878,10 @@ def e36_routed_ingest_stream(spark, sf_dir):
     so the argmin — and therefore the route — is batch-size-invariant,
     and cell keys are per-vector functions of the frozen artifacts, so
     the drained union equals the one-shot s29 cut: the oracle is the
-    same s26 Lloyd-chain replay (flat IVF wins at these pinned
-    constructions at any size)."""
+    same k=64 Lloyd-chain replay (the s29 sizing: flat IVF at k=64
+    undercuts IMI, the margin-halved exact leg, and the infeasible
+    0.4 S-curve at any batch size; e37 pins the exact-routed stream
+    twin)."""
     import tempfile
 
     emb = _emb(spark, sf_dir)
@@ -4721,7 +4895,7 @@ def e36_routed_ingest_stream(spark, sf_dir):
     similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
         "band"
     ).parquet(base + "/srp")
-    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
     similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
         "_cell"
     ).parquet(base + "/ivf")
@@ -4760,6 +4934,101 @@ def e36_routed_ingest_stream(spark, sf_dir):
     if not _pair_sink_has_parts(base + "/pairs"):
         return spark.createDataFrame([], "new_id long, corpus_id long, sim double")
     return spark.read.parquet(base + "/pairs").select("new_id", "corpus_id", "sim")
+
+
+def e37_exact_ingest_stream(spark, sf_dir):
+    """The EXACT guaranteed leg under Structured Streaming — s34's
+    route in e36's harness: only the pinned-infeasible 8×6 SRP
+    artifact is provided at threshold 0.4 / target 0.95, so
+    streaming_ingest_embeddings' pre-start pricing lands on the exact
+    row (the only feasible route — deterministic at any batch size,
+    which is the stream's batch-size-invariance claim in its sharpest
+    form: exact has no blocking state to disagree across batches).
+    Each micro-batch broadcast-joins against the corpus scan and
+    overwrites its own batch_id partition (the e34 idempotent-replay
+    sink contract); the drained union must equal the one-shot
+    shard×corpus cosine join — the same every-pair oracle as s34."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    base = tempfile.mkdtemp(prefix="exact_stream_")
+    shard.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
+        "band"
+    ).parquet(base + "/srp")
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_ingest_embeddings,
+    )
+
+    with state_partitions(spark, 8):
+        q = streaming_ingest_embeddings(
+            spark,
+            base + "/shard",
+            schema,
+            corpus,
+            base + "/pairs",
+            base + "/ckpt",
+            threshold=0.4,
+            target_recall=0.95,
+            lsh_index=spark.read.parquet(base + "/srp"),
+            dim=64,
+            n_corpus=cut,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e37 exact ingest stream did not drain")
+    if not _pair_sink_has_parts(base + "/pairs"):
+        return spark.createDataFrame([], "new_id long, corpus_id long, sim double")
+    return spark.read.parquet(base + "/pairs").select("new_id", "corpus_id", "sim")
+
+
+def e38_pair_sink_retention(spark, sf_dir):
+    """Retention as a first-class oracle-checked operator (streaming/
+    ingest_dedup.py::compact_batch_sink with retain_last) — round-9
+    verdict item 5: e35 pins PURE compaction (pair set provably
+    unchanged); this pins the latest-N policy on the batch dimension,
+    on a sink with real volume (the events table — at sf0.01 the d26
+    pair sink holds 4 rows across 2 batches, too sparse to exercise a
+    6-batch policy; the operator is generic over any batch-partitioned
+    sink and e35 already pins the pair-sink case).  Events are written
+    as a 6-batch Hive sink with a DETERMINISTIC batch assignment
+    (batch_id = event_id % 6, so the oracle knows exactly which rows
+    each batch holds), compacted with retain_last=4, and the policy
+    receipt is asserted in-line (6 → 4 batches, file count strictly
+    drops, dropped rows = exactly the two oldest batches' rows).  The
+    surviving set must equal ``events WHERE event_id % 6 >= 2`` —
+    retention is provably 'drop the oldest batches, bit-exactly keep
+    the rest' or it goes red."""
+    import tempfile
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    ).localCheckpoint(eager=True)
+    base = tempfile.mkdtemp(prefix="retention_")
+    sink = base + "/sink"
+    for b in range(6):
+        ev.where(F.col("event_id") % 6 == b).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={b}")
+    from projet_graphdb_spark.streaming import compact_batch_sink
+
+    receipt = compact_batch_sink(spark, sink, target_files=4, retain_last=4)
+    if receipt["batches_kept"] != 4 or receipt["files_after"] >= receipt["files_before"]:
+        raise AssertionError(f"e38: retention receipt off: {receipt}")
+    dropped = ev.where(F.col("event_id") % 6 < 2).count()
+    if receipt["rows_before"] - receipt["rows_after"] != dropped:
+        raise AssertionError(
+            f"e38: dropped rows != the two oldest batches' rows: "
+            f"{receipt} vs {dropped}"
+        )
+    return spark.read.parquet(sink).select(
+        "event_id", "user_id", "event_type", "value"
+    )
 
 
 def e33_late_drop_stream(spark, sf_dir):
@@ -6333,6 +6602,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e34_ingest_dedup_stream": e34_ingest_dedup_stream,
         "e35_pair_sink_compaction": e35_pair_sink_compaction,
         "e36_routed_ingest_stream": e36_routed_ingest_stream,
+        "s33_index_rebuild_policy": s33_index_rebuild_policy,
+        "s34_exact_guaranteed_route": s34_exact_guaranteed_route,
+        "s35_sized_srp_ingest": s35_sized_srp_ingest,
+        "e37_exact_ingest_stream": e37_exact_ingest_stream,
+        "e38_pair_sink_retention": e38_pair_sink_retention,
         "g26_save_load_roundtrip": g26_save_load_roundtrip,
         "x82_join_hints": x82_join_hints,
         "x83_drill_across": x83_drill_across,
@@ -8257,8 +8531,17 @@ def oracle_sql() -> dict[str, str]:
         # compaction sink must still equal the d26 oracle
         "e35_pair_sink_compaction": _incremental_lsh_oracle(),
         # e36: batch-size-invariant routing (all cost terms linear in S)
-        # + per-vector cell keys => drained union == the s29/s26 cut
-        "e36_routed_ingest_stream": _incremental_ivf_oracle(),
+        # + per-vector cell keys => drained union == the s29 k=64 cut
+        "e36_routed_ingest_stream": _incremental_ivf_oracle(k=64),
+        # e37: the exact route is per-pair, so micro-batch boundaries
+        # cannot change the union — the oracle is every shard×corpus pair
+        "e37_exact_ingest_stream": _incremental_exact_oracle(),
+        # e38: retention = the sink minus the two oldest batches
+        # (batch_id = event_id % 6, so the cut is a plain predicate)
+        "e38_pair_sink_retention": (
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE event_id % 6 >= 2"
+        ),
         # d28: the two-day lifecycle replayed as chained CTEs over ONE
         # full-corpus LSH pair universe — stage membership filters give
         # each day's candidates; day 2's corpus is corpus ∪ day-1 uniques.
@@ -8386,12 +8669,19 @@ def oracle_sql() -> dict[str, str]:
         # every (N, S) — see the query docstring — so the oracle is the
         # s26 Lloyd-chain replay; a routing regression changes the pair
         # set and goes red
-        "s29_routed_incremental_ingest": _incremental_ivf_oracle(),
+        # s29: the router must pick the k=64 IVF artifact (asserted
+        # in-line), so the oracle is the k=64 Lloyd-chain replay
+        "s29_routed_incremental_ingest": _incremental_ivf_oracle(k=64),
         # s30: rebuild retrains with the s26 construction on the same
         # corpus cut, so the post-rebuild ingest equals the same chain
         "s30_ivf_index_rebuild": _incremental_ivf_oracle(),
         "s31_cell_occupancy_report": _cell_occupancy_oracle(),
         "s32_embedding_drift_report": _embedding_drift_oracle(),
+        "s33_index_rebuild_policy": _rebuild_policy_oracle(),
+        "s34_exact_guaranteed_route": _incremental_exact_oracle(),
+        "s35_sized_srp_ingest": _incremental_srp_oracle(
+            n_bands=46, bits=6, threshold=0.4
+        ),
         "s23_dup_strategy_report": _dup_strategy_oracle(),
         "s24_imi_cosine_dups": _imi_dups_oracle(),
         "s25_ivf_recall_calibration": _ivf_recall_oracle(),
@@ -11779,20 +12069,35 @@ def _incremental_report_oracle(
         feas = "TRUE" if rec >= target_recall - 1e-9 else "FALSE"
         rows.append(
             f"(CAST({t} AS DOUBLE), 'lsh', 6, 8, 64, 8, 0, "
-            f"CAST({rec!r} AS DOUBLE), {feas})"
+            f"CAST({rec!r} AS DOUBLE), {feas}, TRUE)"
         )
         rows.append(
             f"(CAST({t} AS DOUBLE), 'ivf', 0, 0, 8, 2, 0, "
-            f"CAST(-1.0 AS DOUBLE), TRUE)"
+            f"CAST(-1.0 AS DOUBLE), TRUE, TRUE)"
         )
         rows.append(
             f"(CAST({t} AS DOUBLE), 'imi', 0, 0, 16, 4, 8, "
-            f"CAST(-1.0 AS DOUBLE), TRUE)"
+            f"CAST(-1.0 AS DOUBLE), TRUE, TRUE)"
         )
+        # the always-available exact guaranteed leg (round-9 verdict)
+        rows.append(
+            f"(CAST({t} AS DOUBLE), 'exact', 0, 0, 1, 1, 0, "
+            f"CAST(1.0 AS DOUBLE), TRUE, TRUE)"
+        )
+        # the advisory recall-sized SRP row — same closed-form python
+        # that sizes the Spark report, inlined as literals
+        sized = similarity.srp_sized_config(t, target_recall, dim=dim)
+        if sized is not None:
+            rows.append(
+                f"(CAST({t} AS DOUBLE), 'lsh_sized', {sized['bits']}, "
+                f"{sized['n_bands']}, {2 ** sized['bits']}, "
+                f"{sized['n_bands']}, 0, "
+                f"CAST({sized['recall']!r} AS DOUBLE), TRUE, FALSE)"
+            )
     values = ",\n                 ".join(rows)
     return f"""
         WITH cfg(threshold, method, bits, n_bands, k_cells, probe,
-                 half_centroids, recall, feasible) AS (
+                 half_centroids, recall, feasible, routable) AS (
           VALUES {values}),
         nn AS (
           SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) AS n_corpus,
@@ -11805,35 +12110,186 @@ def _incremental_report_oracle(
           FROM cfg CROSS JOIN nn),
         pr AS (
           SELECT *,
-                 CASE WHEN method = 'lsh'
+                 CASE WHEN method IN ('lsh', 'lsh_sized')
                       THEN n_bands * sd * nd / POW(2.0, bits)
                       ELSE probe * probe * sd * nd / k_cells END AS est_pairs
           FROM base),
         fl AS (
           SELECT *,
-                 CASE WHEN method = 'lsh'
+                 CASE WHEN method IN ('lsh', 'lsh_sized')
                       THEN sd * n_bands * bits * {dim} + est_pairs * {8 * dim}
                       WHEN method = 'ivf'
                       THEN sd * k_cells * {dim} + est_pairs * {8 * dim}
-                      ELSE sd * half_centroids * {dim // 2}
-                           + est_pairs * {8 * dim} END AS est_flops
+                      WHEN method = 'imi'
+                      THEN sd * half_centroids * {dim // 2}
+                           + est_pairs * {8 * dim}
+                      ELSE est_pairs * {2 * dim} END AS est_flops
           FROM pr)
         SELECT threshold, method,
                CAST(bits AS BIGINT) AS bits,
                CAST(n_bands AS BIGINT) AS n_bands,
                CAST(k_cells AS BIGINT) AS k_cells,
                CAST(probe AS BIGINT) AS probe,
-               recall, feasible, est_pairs, est_flops,
+               recall, feasible, routable, est_pairs, est_flops,
                (ROW_NUMBER() OVER (
                     PARTITION BY threshold
-                    ORDER BY feasible DESC,
-                             CASE WHEN method = 'lsh'
+                    ORDER BY routable DESC, feasible DESC,
+                             CASE WHEN method IN ('lsh', 'exact')
                                   THEN est_flops / {margin}
                                   ELSE est_flops END ASC,
                              method DESC, bits ASC) = 1)
                    AND feasible AS chosen
         FROM fl
         ORDER BY threshold, method, bits
+    """
+
+
+def _incremental_exact_oracle(threshold: float = 0.4, frac: float = 0.9) -> str:
+    """s34 / e37: the exact guaranteed leg's oracle IS the definition —
+    every shard×corpus pair, cosine at 6 dp, threshold cut.  No
+    blocking, no chain replay: the strongest value-level check in the
+    registry (nothing the query could hide behind)."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    return f"""
+        SELECT n.vec_id AS new_id, o.vec_id AS corpus_id,
+               ROUND(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                            CAST(o.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings n, embeddings o
+        WHERE n.vec_id >= {cut} AND o.vec_id < {cut}
+          AND list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                     CAST(o.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _incremental_srp_oracle(
+    n_bands: int, bits: int, threshold: float = 0.9, frac: float = 0.9,
+    dim: int = 64,
+) -> str:
+    """s35: the sized-SRP ingest replayed in SQL — per-band signatures
+    from the SAME seeded plane literals (both sides derive from
+    similarity.srp_bands at the sized construction), shard×corpus
+    candidates per band unioned + dedup'd, exact cosine verify.  Band
+    keys are per-vector, so the candidate set is provably the index
+    join's."""
+    band_exprs = []
+    for band in similarity.srp_bands(n_bands, bits, dim):
+        terms = []
+        for i, plane in enumerate(band):
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+                f" [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(terms))
+    sig_cols = ", ".join(f"({e}) AS b{i}" for i, e in enumerate(band_exprs))
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    cand_selects = " UNION ".join(
+        f"SELECT n.vec_id AS new_id, o.vec_id AS corpus_id FROM sig n"
+        f" JOIN sig o ON n.b{i} = o.b{i}"
+        f" WHERE n.vec_id >= {cut} AND o.vec_id < {cut}"
+        for i in range(len(band_exprs))
+    )
+    return f"""
+        WITH sig AS MATERIALIZED (
+          SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+        cand AS ({cand_selects})
+        SELECT new_id, corpus_id,
+               ROUND(list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                            CAST(eo.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM cand
+        JOIN embeddings en ON en.vec_id = new_id
+        JOIN embeddings eo ON eo.vec_id = corpus_id
+        WHERE list_cosine_similarity(CAST(en.embedding AS DOUBLE[]),
+                                     CAST(eo.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _rebuild_policy_oracle(
+    k: int = 8, dim: int = 64, dp: int = 6, nprobe: int = 2,
+    frac: float = 0.9, hot_share: float = 0.2, cos_floor: float = 0.99,
+) -> str:
+    """s33: the three-trigger rebuild policy replayed in SQL.  The
+    occupancy gauge re-runs the DRIFTED codebook's chain (trained on
+    the oldest half of the corpus cut, 1 Lloyd iteration — exactly the
+    sink the query builds) and assigns the FULL corpus cut at nprobe;
+    the drift gauge is the s32 integer-micros arithmetic between the
+    same halves; ``config_stale`` is a literal TRUE — the query
+    asserts the staleness trip in-line (the s30 posture: the oracle
+    pins every number, the assert pins the mechanism, because the
+    digest comparison is definitionally bitwise codebook identity,
+    not arithmetic an oracle could disagree on); the decision CASE is
+    replayed verbatim."""
+    cut = f"(SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) FROM embeddings)"
+    half = f"({cut} // 2)"
+    emb_src = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id < {half}"
+    )
+    ctes, prev, dist = _kmeans_chain(k, 1, dim, dp, emb_src=emb_src)
+    mean6 = """
+          SELECT t.i AS d,
+                 CAST((CASE WHEN SUM(CAST(FLOOR(e.v[t.i] * 1000000) AS BIGINT)) < 0
+                       THEN -1 ELSE 1 END)
+                      * ((2 * ABS(SUM(CAST(FLOOR(e.v[t.i] * 1000000) AS BIGINT)))
+                          + COUNT(*))
+                         // (2 * COUNT(*))) AS BIGINT) AS m6
+          FROM {src} e
+          CROSS JOIN (SELECT unnest(range(1, %d)) AS i) t
+          GROUP BY t.i""" % (dim + 1)
+    return f"""
+        {ctes},
+        corpus AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id < {cut}),
+        ranked AS (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rk
+          FROM corpus e CROSS JOIN {prev} c),
+        occ AS (
+          SELECT cid, COUNT(*) AS c FROM ranked WHERE rk <= {nprobe}
+          GROUP BY cid),
+        occr AS (
+          SELECT COUNT(*) AS n_cells,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_cell_rows,
+                 ROUND(MAX(c) / SUM(c), 6) AS top_cell_share,
+                 MAX(c) / SUM(c) > {hot_share} AS is_hot
+          FROM occ),
+        oldh AS MATERIALIZED (SELECT * FROM corpus WHERE vec_id < {half}),
+        newh AS MATERIALIZED (SELECT * FROM corpus WHERE vec_id >= {half}),
+        mo AS ({mean6.format(src="oldh")}),
+        mn AS ({mean6.format(src="newh")}),
+        j AS (SELECT mo.d, mo.m6 AS o6, mn.m6 AS n6
+              FROM mo JOIN mn USING (d)),
+        arrs AS (
+          SELECT list(o6 / 1000000.0 ORDER BY d) AS vo,
+                 list(n6 / 1000000.0 ORDER BY d) AS vn,
+                 MAX(ABS(o6 - n6)) AS sh6
+          FROM j),
+        driftr AS (
+          SELECT ROUND(list_dot_product(vo, vn)
+                       / (SQRT(list_dot_product(vo, vo))
+                          * SQRT(list_dot_product(vn, vn))), 6) AS mean_cosine,
+                 ROUND(SQRT(list_dot_product(vn, vn))
+                       / SQRT(list_dot_product(vo, vo)), 6) AS norm_ratio,
+                 sh6 / 1000000.0 AS max_dim_shift,
+                 ROUND(list_dot_product(vo, vn)
+                       / (SQRT(list_dot_product(vo, vo))
+                          * SQRT(list_dot_product(vn, vn))), 6) < {cos_floor}
+                     AS is_drifted
+          FROM arrs)
+        SELECT TRUE AS config_stale,
+               n_cells, n_rows, max_cell_rows, top_cell_share, is_hot,
+               mean_cosine, norm_ratio, max_dim_shift, is_drifted,
+               'rebuild' AS decision,
+               'config_stale'
+                 || (CASE WHEN is_hot THEN ',occupancy_hot' ELSE '' END)
+                 || (CASE WHEN is_drifted THEN ',distribution_drift'
+                          ELSE '' END) AS reason
+        FROM occr CROSS JOIN driftr
     """
 
 

@@ -211,6 +211,7 @@ def streaming_ingest_embeddings(
     dim: int | None = None,
     n_corpus: int | None = None,
     max_files_per_trigger: int | None = 1,
+    exact_allowed: bool = True,
 ):
     """The ROUTED embedding ingest under Structured Streaming — the
     vector twin of :func:`streaming_ingest_dedup`: each micro-batch of
@@ -250,11 +251,18 @@ def streaming_ingest_embeddings(
     rows = similarity.incremental_plan_rows(
         n_corpus, 1, threshold, target_recall, dim,
         lsh_cfg=lsh_cfg, ivf_cfg=ivf_cfg, imi_cfg=imi_cfg,
+        exact_allowed=exact_allowed,
     )
     chosen = rows[0]["method"]
 
     def _ingest(batch_df: DataFrame, batch_id: int):
-        if chosen == "lsh":
+        if chosen == "exact":
+            # the guaranteed leg: a micro-batch is exactly the small-S
+            # shape the broadcast-shard × corpus-scan plan wants
+            pairs = similarity.incremental_exact_dups(
+                corpus, batch_df, threshold
+            )
+        elif chosen == "lsh":
             pairs = similarity.incremental_srp_dups(
                 corpus, batch_df, threshold,
                 n_bands=lsh_cfg["n_bands"], bits=lsh_cfg["bits"],

@@ -805,21 +805,36 @@ def test_incremental_report_matches_python_rows(spark, emb):
         want = similarity.incremental_plan_rows(
             cut, emb.count() - cut, t, **cfgs
         )
-        assert len(got) == len(want) == 3
+        # report = the 4 routable rows (3 artifacts + exact) + the
+        # advisory lsh_sized row; plan rows = the routable set only
+        assert len(got) == 5 and len(want) == 4
         for w in want:
             g = got[w["method"]]
             assert g["chosen"] == w["chosen"], (t, w["method"])
             assert g["feasible"] == w["feasible"]
+            assert g["routable"]
             assert abs(g["est_pairs"] - w["est_pairs"]) < 1e-6 * max(1, w["est_pairs"])
             assert abs(g["est_flops"] - w["est_flops"]) < 1e-6 * max(1, w["est_flops"])
+        # the sized advisory row is never chosen, and is feasible by
+        # construction (that is its whole point)
+        sized = got["lsh_sized"]
+        assert sized["feasible"] and not sized["routable"] and not sized["chosen"]
+        assert sized["recall"] >= 0.95 - 1e-9
         # exactly one chosen row per threshold
         assert sum(g["chosen"] for g in got.values()) == 1
-    # the threshold crossover: 0.9 routes to the guaranteed LSH leg,
-    # 0.4's S-curve is infeasible so a blocking artifact wins
+    # the threshold crossover: 0.9 routes to the guaranteed LSH leg;
+    # 0.4's S-curve is infeasible at the pinned 8x6 and the sized
+    # construction's collision floor beats nothing, so the EXACT
+    # guaranteed leg wins under the margin at these tiny (N, S)
     r9 = similarity.incremental_plan_rows(cut, emb.count() - cut, 0.9, **cfgs)
     r4 = similarity.incremental_plan_rows(cut, emb.count() - cut, 0.4, **cfgs)
     assert r9[0]["method"] == "lsh" and r9[0]["chosen"]
-    assert r4[0]["method"] in ("ivf", "imi") and r4[0]["chosen"]
+    assert r4[0]["method"] == "exact" and r4[0]["chosen"]
+    # with the exact leg excluded, the old blocking crossover holds
+    r4x = similarity.incremental_plan_rows(
+        cut, emb.count() - cut, 0.4, exact_allowed=False, **cfgs
+    )
+    assert r4x[0]["method"] in ("ivf", "imi") and r4x[0]["chosen"]
 
 
 def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
@@ -868,11 +883,23 @@ def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
         index=arts["lsh_index"],
     ).collect()))
     assert got == want and got
-    # low threshold, calibration off -> blocking leg at the sink's width
+    # low threshold, default: the EXACT guaranteed leg wins the pricing
+    # at these tiny pinned constructions (k=8 blocking only halves the
+    # candidates; the margin-halved exact dot is cheaper)
+    receipt = {}
+    got_exact = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        calibrate=False, plan_out=receipt, **arts,
+    ).collect()))
+    assert receipt["strategy"] == "exact" and receipt["met_target"] is True
+    assert got_exact == sorted(map(key, similarity.incremental_exact_dups(
+        corpus, shard, threshold=0.4,
+    ).collect())) and got_exact
+    # low threshold, exact excluded -> blocking leg at the sink's width
     receipt = {}
     got = sorted(map(key, similarity.incremental_cosine_dups_auto(
         corpus, shard, threshold=0.4, target_recall=0.95,
-        calibrate=False, plan_out=receipt, **arts,
+        calibrate=False, plan_out=receipt, exact_allowed=False, **arts,
     ).collect()))
     assert receipt["strategy"] in ("ivf", "imi")
     if receipt["strategy"] == "ivf":
@@ -897,7 +924,8 @@ def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
         _warnings.simplefilter("always")
         cal = sorted(map(key, similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
-            calibrate=True, plan_out=receipt, **arts,
+            calibrate=True, plan_out=receipt, exact_allowed=False,
+            fallback=False, **arts,
         ).collect()))
     if receipt["sample_truth_pairs"] > 0:
         ladder = receipt["recall_by_probe"]
@@ -1019,13 +1047,14 @@ def test_incremental_auto_escalation_recovers_pairs(spark, emb):
     esc = sorted(map(key, similarity.incremental_cosine_dups_auto(
         corpus, shard, threshold=0.4, target_recall=target,
         ivf_centroids=cents, ivf_cells=narrow, dim=64,
-        calibrate=True, plan_out=receipt,
+        calibrate=True, plan_out=receipt, exact_allowed=False,
     ).collect()))
     assert receipt["probe"] > 1  # really escalated past the sink width
     assert receipt["calibrated_recall"] >= target
     base = sorted(map(key, similarity.incremental_cosine_dups_auto(
         corpus, shard, threshold=0.4, target_recall=target,
         ivf_centroids=cents, ivf_cells=narrow, dim=64, calibrate=False,
+        exact_allowed=False,
     ).collect()))
     assert set(base) <= set(esc) and len(esc) > len(base)
 
@@ -1097,6 +1126,7 @@ def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
         similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
             ivf_centroids=ivf_cents, ivf_cells=corrupted, dim=64,
+            exact_allowed=False,
         ).count()
     # IMI corrupted sink through the router
     imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
@@ -1109,6 +1139,7 @@ def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
         similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
             imi_centroids=imi_cents, imi_cells=imi_bad, dim=64,
+            exact_allowed=False,
         ).count()
     # clamping: max_probe=1 < the sink's nprobe=2 — warn, and the pair
     # set is a subset of the unclamped run's (fewer probed cells)
@@ -1118,12 +1149,13 @@ def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
         clamped = sorted(map(key, similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
             ivf_centroids=ivf_cents, ivf_cells=good, dim=64,
-            max_probe=1, calibrate=False,
+            max_probe=1, calibrate=False, exact_allowed=False,
         ).collect()))
     assert any("clamped" in str(w.message) for w in caught)
     full = sorted(map(key, similarity.incremental_cosine_dups_auto(
         corpus, shard, threshold=0.4, target_recall=0.95,
         ivf_centroids=ivf_cents, ivf_cells=good, dim=64, calibrate=False,
+        exact_allowed=False,
     ).collect()))
     assert set(clamped) <= set(full)
     # IMI clamping never indexes past the assignment grid
@@ -1132,12 +1164,13 @@ def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
         imi_clamped = sorted(map(key, similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
             imi_centroids=imi_cents, imi_cells=imi_good, dim=64,
-            max_probe=1, calibrate=False,
+            max_probe=1, calibrate=False, exact_allowed=False,
         ).collect()))
     assert any("clamped" in str(w.message) for w in caught)
     imi_full = sorted(map(key, similarity.incremental_cosine_dups_auto(
         corpus, shard, threshold=0.4, target_recall=0.95,
         imi_centroids=imi_cents, imi_cells=imi_good, dim=64, calibrate=False,
+        exact_allowed=False,
     ).collect()))
     assert set(imi_clamped) <= set(imi_full)
     # uncalibrated routed IMI at the sink's own widths == hand-picked
@@ -1155,6 +1188,7 @@ def test_incremental_auto_guards_and_clamps(spark, emb, tmp_path):
         similarity.incremental_cosine_dups_auto(
             corpus, shard, threshold=0.4, target_recall=0.95,
             lsh_index=spark.read.parquet(lsh_path), dim=64,
+            exact_allowed=False,
         ).count()
     assert any("NO provided artifact reaches" in str(w.message) for w in caught)
 
@@ -1624,3 +1658,222 @@ def test_imi_grid_calibration_unbiased(spark, emb, emb_np):
             if {cell_of[a][k] for k in idx} & {cell_of[b][k] for k in idx}
         ) / len(truth)
         assert abs(recalls[p - 1] - want) < 1e-12, (p, recalls[p - 1], want)
+
+
+def test_srp_sized_config_feasible_by_construction():
+    """srp_sized_config (round-9 verdict gap 1): every returned
+    construction meets the target by the closed-form S-curve; the
+    documented operating points are pinned (0.4 -> 6x46, the measured
+    frontier expressed as a sizing rule); tighter caps that exclude
+    every feasible construction return None instead of lying."""
+    for t in (0.2, 0.4, 0.6, 0.9):
+        cfg = similarity.srp_sized_config(t, 0.95)
+        assert cfg is not None
+        assert similarity.srp_recall(t, cfg["bits"], cfg["n_bands"]) >= 0.95 - 1e-9
+        assert cfg["recall"] >= 0.95 - 1e-9
+        assert cfg["n_bands"] <= 64
+    assert (lambda c: (c["bits"], c["n_bands"]))(
+        similarity.srp_sized_config(0.4, 0.95)
+    ) == (6, 46)
+    # a 1-band cap cannot hold 0.95 at threshold 0.4 with <= 24 bits
+    assert similarity.srp_sized_config(0.4, 0.95, max_bands=1) is None
+
+
+def test_srp_band_index_sized_construction_roundtrips(spark, emb, tmp_path):
+    """srp_band_index(threshold=...) derives (bits, n_bands) from the
+    S-curve, embeds the derived config, and the sized index drives
+    incremental_srp_dups whose read-back validation accepts exactly the
+    sized construction; infeasible caps raise with the sizing
+    receipt."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    path = str(tmp_path / "sized_srp")
+    similarity.srp_band_index(
+        corpus, dim=64, threshold=0.4, target_recall=0.95
+    ).write.partitionBy("band").parquet(path)
+    idx = spark.read.parquet(path)
+    cfg = idx.select("_bits", "_n_bands").distinct().collect()
+    assert [(r["_bits"], r["_n_bands"]) for r in cfg] == [(6, 46)]
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    got = sorted(map(key, similarity.incremental_srp_dups(
+        corpus, shard, threshold=0.4, n_bands=46, bits=6, dim=64, index=idx,
+    ).collect()))
+    want = sorted(map(key, similarity.incremental_srp_dups(
+        corpus, shard, threshold=0.4, n_bands=46, bits=6, dim=64,
+    ).collect()))
+    assert got == want and got
+    with pytest.raises(ValueError, match="no SRP construction"):
+        similarity.srp_band_index(corpus, threshold=0.4, max_bands=1)
+
+
+def test_incremental_exact_dups_is_bruteforce_and_shuffle_free(spark, emb):
+    """The exact guaranteed leg: pairs equal the brute-force definition
+    (knn-style full verify), and the plan is a broadcast nested-loop
+    with NO hash-partitioned exchange — the corpus is scanned once,
+    map-side."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    df = similarity.incremental_exact_dups(corpus, shard, threshold=0.4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    got = sorted((r["new_id"], r["corpus_id"], r["sim"]) for r in df.collect())
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    import math
+
+    want = []
+    for n, vn in rows.items():
+        if n < cut:
+            continue
+        for o, vo in rows.items():
+            if o >= cut or o == n:
+                continue
+            sim = sum(a * b for a, b in zip(vn, vo)) / (
+                math.sqrt(sum(a * a for a in vn)) * math.sqrt(sum(b * b for b in vo))
+            )
+            if sim >= 0.4:
+                want.append((n, o, round(sim, 6)))
+    assert got == sorted(want) and got
+
+
+def _two_cluster_drift_fixture(spark):
+    """Deterministic dim-4 geometry for the fallback/recovery tests:
+    OLD corpus generation = clusters at e1/e2 (the codebook's world),
+    NEW generation = clusters near e3/e4 with tiny e1/e2 leanings, and
+    a shard of truth pairs (x_i ~ e3+lean-e1, y_i ~ e3+lean-e2,
+    sim(x,y) ~ 0.998) that the OLD codebook's cells SEPARATE (x->cell
+    e1, y->cell e2) but the rebuilt codebook co-locates."""
+    old_rows = []
+    for i in range(20):
+        old_rows.append((2 * i, [1.0, 0.01 + 0.001 * i, 0.0, 0.0]))
+        old_rows.append((2 * i + 1, [0.01 + 0.001 * i, 1.0, 0.0, 0.0]))
+    new_rows = []
+    for i in range(30):
+        new_rows.append((40 + 2 * i, [0.05, 0.0, 1.0 + 0.001 * i, 0.0]))
+        new_rows.append((40 + 2 * i + 1, [0.0, 0.05, 0.0, 1.0 + 0.001 * i]))
+    shard_rows = []
+    for i in range(6):
+        shard_rows.append((1000 + 2 * i, [0.04, 0.0, 0.9, 0.44 + 0.001 * i]))
+        shard_rows.append((1000 + 2 * i + 1, [0.0, 0.04, 0.9, 0.44 + 0.001 * i]))
+    schema = "vec_id long, embedding array<double>"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    shard = spark.createDataFrame(shard_rows, schema)
+    return old, new, shard
+
+
+def test_router_falls_back_to_exact_on_measured_miss(spark):
+    """The round-10 fallback contract: when calibration MEASURES a miss
+    at every probe level (truth pairs in hand) and a guaranteed leg is
+    available, the router re-routes to it instead of under-delivering;
+    fallback=False restores the warn-and-stay posture; an UNKNOWN
+    recall (no truth pairs) never triggers the fallback."""
+    import warnings as _warnings
+
+    old, new, shard = _two_cluster_drift_fixture(spark)
+    corpus = old.unionByName(new)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    # codebook trained on the OLD generation's world, where the shard's
+    # x/y truth pairs land in different cells; k=16 so the blocking
+    # route honestly WINS the pricing against the margin-halved exact
+    # leg (k + 8N/k < N at N=160) and the miss is discovered by
+    # calibration, not by arithmetic
+    cents = similarity.ivf_train(
+        corp.where(F.col("_vid") < 40), 40, n_centroids=16, num_iter=2
+    )
+    cells = similarity.ivf_cells_frame(corpus, cents, nprobe=1)
+    key = lambda r: (r["new_id"], r["corpus_id"], r["sim"])
+    receipt = {}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sorted(map(key, similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            ivf_centroids=cents, ivf_cells=cells, dim=4, max_probe=1,
+            calibrate=True, plan_out=receipt,
+        ).collect()))
+    assert receipt["strategy"] == "ivf"  # pricing still picks blocking
+    assert receipt["sample_truth_pairs"] > 0
+    assert receipt["recall_by_probe"][0] < 0.95  # the measured miss
+    assert receipt["fallback"] == "exact" and receipt["met_target"] is True
+    assert any("falling back" in str(w.message) for w in caught)
+    want = sorted(map(key, similarity.incremental_exact_dups(
+        corpus, shard, threshold=0.4,
+    ).collect()))
+    assert got == want and got
+    # fallback=False: the old warn-and-stay-at-sink-width posture
+    receipt2 = {}
+    stay = sorted(map(key, similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        ivf_centroids=cents, ivf_cells=cells, dim=4, max_probe=1,
+        calibrate=True, fallback=False, plan_out=receipt2,
+    ).collect()))
+    assert "fallback" not in receipt2 and receipt2["met_target"] is False
+    assert stay == sorted(map(key, similarity.incremental_ivf_dups(
+        corpus, shard, threshold=0.4, nprobe=1, centroids=cents,
+        corpus_cells=cells,
+    ).collect()))
+    assert set(stay) < set(want)  # the miss was real: pairs were lost
+
+
+def test_rebuild_policy_e2e_drift_fires_rebuild_recall_recovers(spark, tmp_path):
+    """The round-10 e2e chain (verdict item 2 'done' criterion): a
+    drifted corpus trips the s32 gauge, index_rebuild_policy decides
+    rebuild, ivf_index_rebuild recovers, and the router's CALIBRATED
+    ingest recall goes from a measured miss to meeting the target on
+    the same shard."""
+    old, new, shard = _two_cluster_drift_fixture(spark)
+    corpus = old.unionByName(new)
+    corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    # codebook trained on the OLD generation only — the drifted world
+    cents = similarity.ivf_train(
+        corp.where(F.col("_vid") < 40), 40, n_centroids=2, num_iter=2
+    )
+    path = str(tmp_path / "cells")
+    similarity.ivf_cells_frame(corpus, cents, nprobe=1).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    # 1. the policy consumes the three gauges and decides rebuild
+    pol = similarity.index_rebuild_policy(
+        spark.read.parquet(path), cents, old, new
+    ).first()
+    assert pol["is_drifted"] and pol["decision"] == "rebuild"
+    assert not pol["config_stale"]  # the sink matches its own codebook
+    assert "distribution_drift" in pol["reason"]
+    # 2. before the rebuild: calibrated recall is a measured miss
+    receipt = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        ivf_centroids=cents, ivf_cells=spark.read.parquet(path), dim=4,
+        max_probe=1, calibrate=True, fallback=False, exact_allowed=False,
+        plan_out=receipt,
+    ).count()
+    assert receipt["sample_truth_pairs"] > 0
+    assert receipt["met_target"] is False
+    before = receipt["recall_by_probe"][0]
+    assert before < 0.95
+    # 3. the recovery op the policy points at
+    rebuilt = similarity.ivf_index_rebuild(
+        spark, path, corpus, nprobe=1, n_centroids=2, num_iter=2, n_rows=160,
+    )
+    # 4. after: same shard, same widths — the target is met
+    receipt2 = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.4, target_recall=0.95,
+        ivf_centroids=rebuilt, ivf_cells=spark.read.parquet(path), dim=4,
+        max_probe=1, calibrate=True, fallback=False, exact_allowed=False,
+        plan_out=receipt2,
+    ).count()
+    assert receipt2["met_target"] is True
+    assert receipt2["recall_by_probe"][0] >= 0.95 > before
+    # and a non-drifted split no longer trips the policy (halves that
+    # interleave both clusters have equal means; hot_share=0.6 because a
+    # k=2 sink's top-cell floor is ~0.5 by construction)
+    pol2 = similarity.index_rebuild_policy(
+        spark.read.parquet(path), rebuilt,
+        corpus.where((F.col("vec_id") / 2).cast("long") % 2 == 0),
+        corpus.where((F.col("vec_id") / 2).cast("long") % 2 == 1),
+        hot_share=0.6,
+    ).first()
+    assert pol2["decision"] == "keep" and pol2["reason"] == "healthy"
