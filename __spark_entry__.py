@@ -4818,7 +4818,22 @@ def e35_pair_sink_compaction(spark, sf_dir):
     provably pair-preserving or it goes red.  The retention
     (retain_last) leg is unit-tested next to the drain tests; its pair
     set is policy-dependent so the oracle pins the pure-compaction
-    contract."""
+    contract.
+
+    Round-10 break (BENCH_r10 e35 = -1.0): the Hive-preserving
+    compaction's floor is one file per KEPT batch, and at sf0.1 AQE
+    already coalesced each micro-batch's pairs to ONE file — so pure
+    compaction could not shrink and the strict assert raised.  The
+    drain now writes each batch at ``pair_files_per_batch=4`` — the
+    real-cluster layout where every micro-batch's join lands in
+    shuffle-partition-sized files, i.e. the pathology compaction
+    exists to fix — so the strict-shrink assert tests an actual
+    remediation at every scale factor.  Belt-and-braces, strictness
+    is still gated on ``files_before > batches_before`` (the only
+    layouts where a shrink is possible); an already-at-floor sink
+    asserts rows-preserved + not-grown instead (regression test:
+    tests/test_streaming_events.py::
+    test_compact_batch_sink_already_compact_noop)."""
     import os
     import tempfile
 
@@ -4849,6 +4864,7 @@ def e35_pair_sink_compaction(spark, sf_dir):
             base + "/ckpt",
             threshold=0.2,
             hash="md5",
+            pair_files_per_batch=4,
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -4858,8 +4874,17 @@ def e35_pair_sink_compaction(spark, sf_dir):
             [], "new_id long, corpus_id long, jaccard double"
         )
     receipt = compact_batch_sink(spark, base + "/pairs", target_files=2)
-    if receipt["files_after"] >= receipt["files_before"]:
-        raise AssertionError(f"e35: compaction did not shrink files: {receipt}")
+    if receipt["files_before"] > receipt["batches_before"]:
+        # a shrink is possible (some batch holds >1 file) — and with the
+        # 4-files-per-batch drain above, guaranteed: strict assert
+        if receipt["files_after"] >= receipt["files_before"]:
+            raise AssertionError(
+                f"e35: compaction did not shrink files: {receipt}"
+            )
+    elif receipt["files_after"] > receipt["files_before"]:
+        # already at the one-file-per-kept-batch floor: compaction must
+        # be a no-op that never GROWS the sink
+        raise AssertionError(f"e35: compaction grew the sink: {receipt}")
     if receipt["rows_after"] != receipt["rows_before"]:
         raise AssertionError(f"e35: compaction changed the row count: {receipt}")
     return spark.read.parquet(base + "/pairs").select(

@@ -67,6 +67,58 @@ def regression_warnings(
     return warns
 
 
+def run_query_timed(spark, name, fn, sf_dir, suspicious=None):
+    """Time one query with the one-retry discipline, FAILURES included
+    (round-10 verdict item 2: a query that raised was recorded -1.0 and
+    never retried — `_suspicious` only looked at slow positives — so a
+    transient failure never got the second chance every slow sample
+    gets).  A failure is always suspicious: it is re-run once, and the
+    retry's time is recorded if it succeeds.  A slow-but-passing sample
+    keeps the min-of-two rule.  Returns ``(seconds_or_-1.0, retried)``.
+    """
+
+    def once():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            return round(time.time() - t0, 3)
+        except Exception as ex:  # keep the bench line parseable on failure
+            print(
+                f"# {name} FAILED: {type(ex).__name__}: {str(ex)[:200]}",
+                file=sys.stderr,
+            )
+            return -1.0
+
+    t = once()
+    if t < 0 or (suspicious is not None and suspicious(name, t)):
+        t2 = once()
+        if t < 0:
+            t = t2
+        elif t2 >= 0:
+            t = min(t, t2)
+        return t, True
+    return t, False
+
+
+def failure_summary(timings: dict, floors: dict) -> dict:
+    """Make failures unmissable in the bench line (round-10 verdict
+    item 2: e35's -1.0 was EXCLUDED from the total — the run looked
+    ~8.5 s FASTER for having a broken query — and only a stderr comment
+    recorded it).  Returns top-level fields to merge into the output:
+    ``n_failed``/``failed`` always present; when any query failed,
+    ``total_valid`` goes false and ``failed_floor_sec`` carries the sum
+    of the failed queries' committed floors, which the caller ADDS to
+    the headline total so a red can only ever make the number worse."""
+    failed = sorted(n for n, v in timings.items() if v is not None and v < 0)
+    out = {"n_failed": len(failed), "failed": failed}
+    if failed:
+        out["total_valid"] = False
+        out["failed_floor_sec"] = round(
+            sum(floors.get(n) or 0.0 for n in failed), 3
+        )
+    return out
+
+
 def probe_jvm_epoch(spark, reps: int = 3) -> float:
     """Host-epoch probe (round-7 verdict item 7): min-of-``reps`` wall
     time of a tiny FIXED JVM job (range → sum, no IO, no Python
@@ -148,24 +200,23 @@ def main():
     ordered = [(n, f) for n, f in qs.items() if n not in streaming]
     ordered += [(n, f) for n, f in qs.items() if n in streaming]
     for name, fn in ordered:
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
-        if _suspicious(name, timings[name]):
+        timings[name], was_retried = run_query_timed(
+            spark, name, fn, sf_dir, suspicious=_suspicious
+        )
+        if was_retried:
             retried.append(name)
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            timings[name] = min(timings[name], round(time.time() - t0, 3))
         # release py4j refs between queries (outside the timer) so the
         # JVM cleaner can drop dead checkpoint blocks promptly instead
         # of during a later query's jobs
         gc.collect()
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    fails = failure_summary(timings, ref)
+    # a failure must never SHRINK the headline: failed queries count at
+    # their committed floor (0 if unfloored) and total_valid goes false
+    total = round(
+        sum(v for v in timings.values() if v >= 0)
+        + fails.get("failed_floor_sec", 0.0),
+        3,
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -173,6 +224,9 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out.update(fails)
+    for fname in fails["failed"]:
+        print(f"# FAILED QUERY IN TOTAL: {fname}", file=sys.stderr)
     # Streaming throughput over stateful twins: input rows / full drain
     # wall — a state-store or shuffle regression in the stateful path
     # shows as a rate DROP even while the correctness twins stay green

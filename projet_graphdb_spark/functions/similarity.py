@@ -1748,13 +1748,50 @@ def index_rebuild_policy(
 
     Recovery is :func:`ivf_index_rebuild` — the e2e chain (drifted
     corpus trips the gauge → policy fires → rebuild → ingest recall
-    recovers) is pinned in tests/test_similarity.py."""
-    digest = _codebook_digest(centroids)
-    stale = cells.agg(
-        (
-            (F.count_distinct("_cbhash") > 1)
-            | (F.max("_cbhash") != F.lit(digest))
-        ).alias("config_stale")
+    recovers) is pinned in tests/test_similarity.py.
+
+    Sink-shape discipline (round-10 advice): the sink's marker columns
+    pick the digest — ``_nprobe`` (IVF, ``centroids`` is the codebook
+    dict) or ``_p1``/``_p2`` (IMI, ``centroids`` must be the
+    ``(cents1, cents2)`` tuple so ``config_stale`` compares against
+    :func:`_imi_digest` instead of always reading stale); a sink with
+    neither, or an EMPTY sink (where the old ``max``-over-zero-rows
+    aggregate made ``config_stale`` silently NULL and the trigger could
+    never fire), raises instead of emitting a non-boolean decision."""
+    if "_cbhash" not in cells.columns:
+        raise ValueError(
+            "index_rebuild_policy: cells sink carries no _cbhash config "
+            "column — build it with ivf_cells_frame or imi_cells_frame"
+        )
+    if "_p1" in cells.columns or "_p2" in cells.columns:
+        if not (isinstance(centroids, (tuple, list)) and len(centroids) == 2):
+            raise ValueError(
+                "index_rebuild_policy: the sink is IMI-partitioned "
+                "(_p1/_p2 config) — pass centroids=(cents1, cents2) so "
+                "config_stale compares the IMI digest, not the IVF one"
+            )
+        digest = _imi_digest(*centroids)
+    elif "_nprobe" in cells.columns:
+        digest = _codebook_digest(centroids)
+    else:
+        raise ValueError(
+            "index_rebuild_policy: cells sink carries neither the IVF "
+            "(_nprobe) nor the IMI (_p1/_p2) config columns — rebuild "
+            "it with ivf_cells_frame or imi_cells_frame"
+        )
+    gauge = cells.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("_cbhash").alias("_ncfg"),
+        F.max("_cbhash").alias("_h"),
+    ).first()
+    if gauge["_n"] == 0:
+        raise ValueError(
+            "index_rebuild_policy: cells sink is empty — there is no "
+            "index to keep or rebuild; build it first"
+        )
+    stale = cells.sparkSession.createDataFrame(
+        [(bool(gauge["_ncfg"] > 1 or gauge["_h"] != digest),)],
+        "config_stale boolean",
     )
     occ = cell_occupancy_report(cells, hot_share=hot_share).select(
         "n_cells", "n_rows", "max_cell_rows", "top_cell_share", "is_hot"
@@ -2068,6 +2105,8 @@ def srp_band_index(
     target_recall: float = 0.95,
     max_bands: int = 64,
     max_bits: int = 24,
+    sizing_n_corpus: int | None = None,
+    sizing_n_shard: int = 1000,
 ) -> DataFrame:
     """The persistable EMBEDDING-space LSH index — the SRP twin of
     :func:`dedup.lsh_band_index`: one (id, band, bhash) row per vector
@@ -2091,10 +2130,26 @@ def srp_band_index(
     that could never reach 0.95 at threshold 0.4 however the router
     escalated.  Raises (with the sizing receipt) when no construction
     under the caps reaches the target, instead of silently building an
-    under-delivering index."""
+    under-delivering index.
+
+    ``sizing_n_corpus``/``sizing_n_shard`` (round-10 advice): the
+    COST-based tie-break among recall-feasible constructions depends on
+    the corpus scale; the default keeps :func:`srp_sized_config`'s
+    representative constants (deterministic — an oracle can re-derive
+    the construction from literals alone), but a caller with a measured
+    corpus can pass its real count (a cheap ``count()``) so the
+    cheapest-feasible choice is optimized for the corpus actually being
+    indexed.  Either way the sized index RECORDS the scale it was
+    optimized for in embedded ``_sized_n_corpus``/``_sized_n_shard``
+    config columns (carried through :func:`srp_index_append`), so the
+    receipt shows what the construction assumed — recall stays met by
+    construction at ANY scale; only the cost optimality is scale-bound."""
+    sized = None
     if threshold is not None:
+        _n_corpus = 1_000_000 if sizing_n_corpus is None else int(sizing_n_corpus)
         sized = srp_sized_config(
             threshold, target_recall, dim=dim if dim is not None else 64,
+            n_corpus=_n_corpus, n_shard=sizing_n_shard,
             max_bands=max_bands, max_bits=max_bits,
         )
         if sized is None:
@@ -2110,10 +2165,7 @@ def srp_band_index(
     if dim is None:
         dim = emb.select(F.size("_v")).first()[0]
     bands = srp_bands(n_bands, bits, dim, seed)
-    return emb.select(
-        F.col("_vid").alias(id_col),
-        F.posexplode(srp_signature_array(F.col("_v"), bands)).alias("band", "bhash"),
-    ).select(
+    cols = [
         id_col,
         "band",
         "bhash",
@@ -2121,7 +2173,17 @@ def srp_band_index(
         F.lit(n_bands).alias("_n_bands"),
         F.lit(dim).alias("_dim"),
         F.lit(seed).alias("_seed"),
-    )
+    ]
+    if sized is not None:
+        # the sizing receipt: what scale the cost tie-break assumed
+        cols += [
+            F.lit(_n_corpus).cast("long").alias("_sized_n_corpus"),
+            F.lit(int(sizing_n_shard)).cast("long").alias("_sized_n_shard"),
+        ]
+    return emb.select(
+        F.col("_vid").alias(id_col),
+        F.posexplode(srp_signature_array(F.col("_v"), bands)).alias("band", "bhash"),
+    ).select(*cols)
 
 
 def srp_index_append(
@@ -2160,15 +2222,24 @@ def srp_index_append(
         "bits": metas[0]["_bits"], "n_bands": metas[0]["_n_bands"],
         "dim": metas[0]["_dim"], "seed": metas[0]["_seed"],
     }
-    probe = new_vectors.select(F.size(F.col(vec_col)).alias("_d")).first()
-    if probe is not None and probe["_d"] != cfg["dim"]:
-        # round-9 advice: the config check alone claimed consistency
-        # while wrong-dimension vectors would append malformed
-        # signatures — match the other append ops' fail-loudly contract
+    # round-9 advice (tightened round 10→11): the config check alone
+    # claimed consistency while wrong-dimension vectors would append
+    # malformed signatures.  One AGGREGATE over the whole batch — not a
+    # first()-row sample, which a mixed-dim batch whose first row
+    # happened to match could slip past — so ANY mismatched row fails
+    # loudly, matching the other append ops' contract.
+    probe = new_vectors.agg(
+        F.min(F.size(F.col(vec_col))).alias("_lo"),
+        F.max(F.size(F.col(vec_col))).alias("_hi"),
+    ).first()
+    if probe["_lo"] is not None and (
+        probe["_lo"] != cfg["dim"] or probe["_hi"] != cfg["dim"]
+    ):
         raise ValueError(
-            f"srp_index_append: new_vectors carry dim {probe['_d']} but "
-            f"the index at {index_path} was built at _dim={cfg['dim']} — "
-            f"re-embed the batch or rebuild the index at the new dim"
+            f"srp_index_append: new_vectors carry dims "
+            f"[{probe['_lo']}, {probe['_hi']}] but the index at "
+            f"{index_path} was built at _dim={cfg['dim']} — re-embed "
+            f"the batch or rebuild the index at the new dim"
         )
     import os
 
@@ -2179,10 +2250,24 @@ def srp_index_append(
         )
     except OSError:
         pass
-    writer = srp_band_index(
+    frame = srp_band_index(
         new_vectors, cfg["n_bands"], cfg["bits"], cfg["dim"], cfg["seed"],
         id_col, vec_col,
-    ).write.mode("append")
+    )
+    # a SIZED index carries its sizing receipt (_sized_n_corpus/_shard);
+    # appends must carry it forward or the read-back schema forks
+    sized_cols = [c for c in idx.columns if c.startswith("_sized_")]
+    if sized_cols:
+        vals = idx.select(*sized_cols).distinct().collect()
+        if len(vals) != 1:
+            raise ValueError(
+                f"srp_index_append: index at {index_path} holds "
+                f"{len(vals)} distinct sizing receipts {sized_cols} — "
+                f"rebuild it with srp_band_index"
+            )
+        for c in sized_cols:
+            frame = frame.withColumn(c, F.lit(vals[0][c]).cast("long"))
+    writer = frame.write.mode("append")
     if partitioned:
         writer = writer.partitionBy("band")
     writer.parquet(index_path)

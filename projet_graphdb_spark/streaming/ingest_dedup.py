@@ -55,6 +55,7 @@ def streaming_ingest_dedup(
     id_col: str = "doc_id",
     hash: str = "xxhash64",
     max_files_per_trigger: int | None = 1,
+    pair_files_per_batch: int | None = None,
 ):
     """Drain a file stream of new documents with availableNow, joining
     every micro-batch against the persisted ``index`` and writing the
@@ -74,6 +75,16 @@ def streaming_ingest_dedup(
     ``max_files_per_trigger=1`` forces several REAL micro-batches so
     the per-batch path is what actually runs.  Returns the
     StreamingQuery.
+
+    ``pair_files_per_batch``: fan each batch's pair write out to this
+    many files instead of whatever AQE coalesces to.  ``None`` (the
+    default, and the production setting) lets AQE pick — at bench
+    scale that is ONE file per micro-batch, i.e. an already-compact
+    sink.  A positive value reproduces the real-cluster layout where
+    each batch's join lands in many shuffle-partition-sized files
+    (the small-files pathology :func:`compact_batch_sink` exists to
+    remediate) — e35 uses it so the compaction receipt measures an
+    actual shrink rather than a no-op.
     """
 
     def _ingest(batch_df: DataFrame, batch_id: int):
@@ -94,6 +105,8 @@ def streaming_ingest_dedup(
         # didn't, and the pair set is a pure function of the batch's
         # input files — so the replay rewrites identical rows instead of
         # duplicating them (at-least-once execution, exactly-once sink).
+        if pair_files_per_batch is not None:
+            pairs = pairs.repartition(pair_files_per_batch)
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     reader = spark.readStream.schema(schema)

@@ -328,11 +328,6 @@ def test_partition_offset_rank_exact_and_distributed(spark):
         .withColumn("_c", (F.col("id") % 97) + (F.col("id") % 13))
         .repartition(16)
     )
-    ranked = relational.partition_offset_rank(
-        df, [F.asc("_c"), F.asc("id")], "_i"
-    )
-    assert find_unpartitioned_windows(ranked) == []
-    got = {r["id"]: r["_i"] for r in ranked.collect()}
     from pyspark.sql.window import Window
 
     want = {
@@ -341,8 +336,33 @@ def test_partition_offset_rank_exact_and_distributed(spark):
             "_i", F.row_number().over(Window.orderBy(F.asc("_c"), F.asc("id")))
         ).collect()
     }
-    assert got == want
-    assert sorted(got.values()) == list(range(1, 5001))  # dense 1..N
+    # both gate paths must agree with the global row_number and keep
+    # the plan free of unpartitioned windows (round-9 item 6: the gate
+    # picks small-vs-distributed, never reopens the funnel class)
+    relational._POR_TRACE = trace = []
+    try:
+        for gate in (None, 0):  # None → small path here; 0 → distributed
+            ranked = relational.partition_offset_rank(
+                df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=gate
+            )
+            assert find_unpartitioned_windows(ranked) == []
+            assert dict(ranked.dtypes)["_i"] == "bigint"  # schema-stable
+            got = {r["id"]: r["_i"] for r in ranked.collect()}
+            assert got == want
+            assert sorted(got.values()) == list(range(1, 5001))  # dense 1..N
+    finally:
+        relational._POR_TRACE = None
+    assert [t[1] for t in trace] == [True, False]  # the gate decided
+    assert all(t[0] is not None for t in trace)  # from a measured estimate
+    # an explicit num_partitions pins the distributed path regardless
+    relational._POR_TRACE = trace2 = []
+    try:
+        relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i", num_partitions=4
+        ).count()
+    finally:
+        relational._POR_TRACE = None
+    assert trace2 == []
     # empty input: no rows, no crash
     assert (
         relational.partition_offset_rank(

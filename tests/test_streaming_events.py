@@ -553,6 +553,103 @@ def test_compact_batch_sink_retention_and_recompaction(spark, tmp_path):
     assert receipt2["batches_before"] == 3
 
 
+def test_compact_batch_sink_already_compact_noop(spark, tmp_path):
+    """Round-10 regression (BENCH_r10 e35 = -1.0): at bench scale AQE
+    coalesces each micro-batch's pairs to ONE file, so the sink is
+    already at the Hive-preserving compaction's floor (one file per
+    kept batch).  Compacting that layout must be a graceful,
+    row-preserving no-op — never a crash, never growth."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.streaming import compact_batch_sink
+
+    base = str(tmp_path)
+    rows = [(i, 100 + i, 0.5 + i / 100.0) for i in range(9)]
+    df = spark.createDataFrame(rows, "new_id long, corpus_id long, jaccard double")
+    for b in range(3):
+        df.where(F.col("new_id") % 3 == b).coalesce(1).write.parquet(
+            base + f"/pairs/batch_id={b}"
+        )
+    before = sorted(
+        (r["new_id"], r["corpus_id"], r["batch_id"])
+        for r in spark.read.parquet(base + "/pairs").collect()
+    )
+    receipt = compact_batch_sink(spark, base + "/pairs", target_files=2)
+    assert receipt["files_before"] == receipt["batches_before"] == 3
+    assert receipt["files_after"] <= receipt["files_before"]
+    assert receipt["rows_after"] == receipt["rows_before"] == 9
+    after = sorted(
+        (r["new_id"], r["corpus_id"], r["batch_id"])
+        for r in spark.read.parquet(base + "/pairs").collect()
+    )
+    assert after == before
+    import os
+
+    assert any(e.startswith("batch_id=") for e in os.listdir(base + "/pairs"))
+
+
+def test_pair_files_per_batch_reproduces_small_files_then_shrinks(spark, tmp_path):
+    """The e35 drain contract: ``pair_files_per_batch=4`` fans each
+    micro-batch's pair write out to multiple files (the real-cluster
+    small-files layout AQE hides at bench scale), so compaction has an
+    actual shrink to perform and the strict assert holds at every SF."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import dedup
+    from projet_graphdb_spark.streaming import (
+        compact_batch_sink,
+        state_partitions,
+        streaming_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    is_new = F.col("source").isin("src0", "src1")
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    base = str(tmp_path)
+    shard.repartition(2).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    dedup.lsh_band_index(corpus).write.partitionBy("band").parquet(base + "/index")
+    with state_partitions(spark, 4):
+        q = streaming_ingest_dedup(
+            spark, base + "/shard", schema, corpus,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs", base + "/ckpt", threshold=0.2,
+            pair_files_per_batch=4,
+        )
+        assert q.awaitTermination(300)
+
+    def _nfiles(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+
+    batch_dirs = [
+        e for e in os.listdir(base + "/pairs") if e.startswith("batch_id=")
+    ]
+    assert batch_dirs
+    # at least one non-empty batch landed in >1 file: the pathology exists
+    assert any(_nfiles(f"{base}/pairs/{d}") > 1 for d in batch_dirs)
+    before = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in spark.read.parquet(base + "/pairs").collect()
+    )
+    receipt = compact_batch_sink(spark, base + "/pairs", target_files=2)
+    assert receipt["files_before"] > receipt["batches_before"]
+    assert receipt["files_after"] < receipt["files_before"]  # strict shrink
+    assert receipt["rows_after"] == receipt["rows_before"]
+    after = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in spark.read.parquet(base + "/pairs").collect()
+    )
+    assert after == before
+
+
 def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
     """The foreachBatch incremental near-dup drain must union to the
     one-shot incremental_lsh_dups result: pairs are shard×corpus and
