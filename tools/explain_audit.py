@@ -62,6 +62,12 @@ NL_ALLOWED = {
     "s32_embedding_drift_report",  # three 1-row aggregates (mean-vector
     # arrays, counts, max shift) cross-joined into the single report
     # row — constant sides
+    "s33_index_rebuild_policy",  # the s31+s32 gauges (1-row each)
+    # cross-joined into the single decision row — constant sides
+    "s34_exact_guaranteed_route",  # the DELIBERATE BroadcastNestedLoopJoin:
+    # the exact guaranteed leg broadcasts the daily SHARD slice (10% cut
+    # of embeddings — 200 rows at sf0.1) against one corpus scan; the
+    # measured build-side cap verifies the shard stays a shard
     "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
     # cross-joined into five 1-row report rows — all constant sides
     "m10_cutmix_plan",  # 1-row image-count broadcast into the partner
