@@ -1097,8 +1097,12 @@ def s34_exact_guaranteed_route(spark, sf_dir):
     construction's own collision floor), so the honest guaranteed
     route is verifying ALL S·N pairs map-side against the broadcast
     shard at ~2·dim flops each — recall 1.0 by construction, zero
-    join machinery (the plan is a BroadcastNestedLoopJoin with no
-    hash shuffle; tests pin the plan shape).  Only the pinned-
+    join machinery (the plan is map-only: one corpus scan through a
+    MapInPandas BLAS matmul per Arrow batch, no join node, no hash
+    shuffle — round 11 vectorized the leg after measuring the
+    interpreted F.aggregate fold at ~8× the arithmetic's wall; the
+    fold path survives as vectorized=False, pinned bitwise-equal by
+    the parity test).  Only the pinned-
     infeasible 8×6 SRP artifact is provided, so the exact row is the
     single feasible route — the choice is deterministic at ANY (N, S)
     and asserted in-line.  The oracle is the plain shard×corpus

@@ -259,12 +259,19 @@ def streaming_ingest_embeddings(
         lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
         fn_name="streaming_ingest_embeddings",
     )
-    # S = 1: the argmin is S-invariant (all terms linear in S), so any
-    # positive shard size prices the same route
+    # S = 1: the argmin is S-invariant (all terms linear in S — the
+    # measured-occupancy estimate included, S·Σc²/N), so any positive
+    # shard size prices the same route
+    lsh_measured = None
+    if lsh_index is not None:
+        try:
+            lsh_measured = similarity.srp_index_measured_pairs(lsh_index, 1)
+        except Exception:
+            lsh_measured = None
     rows = similarity.incremental_plan_rows(
         n_corpus, 1, threshold, target_recall, dim,
         lsh_cfg=lsh_cfg, ivf_cfg=ivf_cfg, imi_cfg=imi_cfg,
-        exact_allowed=exact_allowed,
+        exact_allowed=exact_allowed, lsh_measured_pairs=lsh_measured,
     )
     chosen = rows[0]["method"]
 

@@ -1709,16 +1709,27 @@ def test_srp_band_index_sized_construction_roundtrips(spark, emb, tmp_path):
 
 def test_incremental_exact_dups_is_bruteforce_and_shuffle_free(spark, emb):
     """The exact guaranteed leg: pairs equal the brute-force definition
-    (knn-style full verify), and the plan is a broadcast nested-loop
-    with NO hash-partitioned exchange — the corpus is scanned once,
-    map-side."""
+    (knn-style full verify) on BOTH execution paths, bitwise; the
+    default (vectorized) plan is map-only — one corpus scan through a
+    MapInPandas BLAS stage, no join, no hash exchange — and the
+    ``vectorized=False`` path keeps the plan-transparent broadcast
+    nested-loop shape with no hash exchange either."""
     cut = int(emb.count() * 0.9)
     corpus = emb.where(F.col("vec_id") < cut)
     shard = emb.where(F.col("vec_id") >= cut)
+    fold = similarity.incremental_exact_dups(
+        corpus, shard, threshold=0.4, vectorized=False
+    )
+    fold_plan = fold._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in fold_plan
+    assert "Exchange hashpartitioning" not in fold_plan
     df = similarity.incremental_exact_dups(corpus, shard, threshold=0.4)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # map-only: the matmul replaced the BNLJ
     assert "Exchange hashpartitioning" not in plan
+    key = lambda r: (r["new_id"], r["corpus_id"], repr(r["sim"]))
+    assert sorted(map(key, fold.collect())) == sorted(map(key, df.collect()))
     got = sorted((r["new_id"], r["corpus_id"], r["sim"]) for r in df.collect())
     rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
     import math
@@ -1877,3 +1888,77 @@ def test_rebuild_policy_e2e_drift_fires_rebuild_recall_recovers(spark, tmp_path)
         hot_share=0.6,
     ).first()
     assert pol2["decision"] == "keep" and pol2["reason"] == "healthy"
+
+
+def test_srp_index_measured_pairs_matches_occupancy(spark, emb):
+    """The measured-occupancy candidate estimate must equal the plain
+    Σbucket²/N arithmetic on the index it prices, and scale linearly
+    in the shard size (the S-invariance the streaming router relies
+    on)."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    idx = similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64)
+    got = similarity.srp_index_measured_pairs(idx, 100)
+    counts = (
+        idx.groupBy("band", "bhash").count().select("count").toPandas()["count"]
+    )
+    want = 100 * float((counts * counts).sum()) / float(cut)
+    assert abs(got - want) < 1e-6 * want
+    assert abs(similarity.srp_index_measured_pairs(idx, 200) - 2 * got) < 1e-6
+    # empty index: fail loudly, never price zero
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.srp_index_measured_pairs(idx.limit(0), 10)
+
+
+def test_router_prices_srp_from_measured_occupancy(spark, emb):
+    """Round-11: when the router holds the actual SRP index it prices
+    the LSH leg from MEASURED bucket occupancy, which by Cauchy-Schwarz
+    is always ≥ the uniform-rate closed-form floor — so a hot-bucketed
+    corpus can never make the router UNDER-price the LSH leg.  The
+    receipt carries the measured volume and the floor side by side,
+    the route still meets the target (a guaranteed leg), and the pair
+    set matches the chosen leg's hand-run function."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    idx = similarity.srp_band_index(
+        corpus, dim=64, threshold=0.4, target_recall=0.95
+    ).localCheckpoint(eager=True)
+    receipt: dict = {}
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["sim"])
+        for r in similarity.incremental_cosine_dups_auto(
+            corpus, shard, threshold=0.4, target_recall=0.95,
+            lsh_index=idx, dim=64, plan_out=receipt,
+        ).collect()
+    )
+    assert receipt["met_target"] is True  # a guaranteed leg either way
+    lsh_row = next(r for r in receipt["rows"] if r["method"] == "lsh")
+    assert lsh_row["pricing"] == "measured_occupancy"
+    assert receipt["lsh_measured_pairs"] == lsh_row["est_pairs"]
+    # Cauchy-Schwarz: measured occupancy can only price AT or ABOVE
+    # the uniform floor — the skew guard the round-11 change exists for
+    assert lsh_row["est_pairs"] >= lsh_row["est_pairs_bound"] - 1e-6
+    # the route the receipt names is the route whose hand-run pairs match
+    if receipt["strategy"] == "exact":
+        want_df = similarity.incremental_exact_dups(corpus, shard, threshold=0.4)
+    else:
+        assert receipt["strategy"] == "lsh"
+        want_df = similarity.incremental_srp_dups(
+            corpus, shard, threshold=0.4,
+            n_bands=lsh_row["n_bands"], bits=lsh_row["bits"], dim=64, index=idx,
+        )
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["sim"]) for r in want_df.collect()
+    )
+    assert got == want and got
+    # config-only pricing (no index frame) keeps the closed-form floor
+    rows = similarity.incremental_plan_rows(
+        cut, emb.count() - cut, 0.4,
+        lsh_cfg={"bits": 6, "n_bands": 46},
+    )
+    row = next(r for r in rows if r["method"] == "lsh")
+    assert row["pricing"] == "closed_form"
+    assert row["est_pairs"] == row["est_pairs_bound"]

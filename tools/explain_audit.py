@@ -64,10 +64,12 @@ NL_ALLOWED = {
     # row — constant sides
     "s33_index_rebuild_policy",  # the s31+s32 gauges (1-row each)
     # cross-joined into the single decision row — constant sides
-    "s34_exact_guaranteed_route",  # the DELIBERATE BroadcastNestedLoopJoin:
-    # the exact guaranteed leg broadcasts the daily SHARD slice (10% cut
-    # of embeddings — 200 rows at sf0.1) against one corpus scan; the
-    # measured build-side cap verifies the shard stays a shard
+    "s34_exact_guaranteed_route",  # the exact guaranteed leg: since the
+    # round-11 vectorization its default plan is map-only (MapInPandas
+    # BLAS, no join node at all); the allowance remains for the
+    # vectorized=False fold path, whose DELIBERATE BroadcastNestedLoop
+    # broadcasts the daily SHARD slice (200 rows at sf0.1) against one
+    # corpus scan — the measured cap verifies the shard stays a shard
     "x75_fk_integrity_audit",  # five 1-row orphan-count aggregates
     # cross-joined into five 1-row report rows — all constant sides
     "m10_cutmix_plan",  # 1-row image-count broadcast into the partner

@@ -97,6 +97,12 @@ def rehearse(spark, src, tmp, sizes):
                 (F.col("vec_id") / n_total).cast("long") * cut
                 + F.col("vec_id") % n_total,
             )
+            # 32 files: a real cluster's corpus scan has (at least) one
+            # task per core — the round-11 run caught the union writing
+            # 4 fat files, which serialized the exact leg onto 4 of 32
+            # threads and quadrupled its recorded wall (a layout
+            # artifact of the rehearsal, not a property of the leg)
+            .repartition(32)
             .write.mode("overwrite")
             .parquet(cdir)
         )
