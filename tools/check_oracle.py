@@ -96,8 +96,15 @@ def main():
     only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    import os as _os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; tools/make_scaled_sf.py
+        # writes Spark DIRECTORY layouts — glob the parts in that case
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = E.queries()
     oracles = E.oracle_sql()
