@@ -2451,6 +2451,17 @@ def ingest_calibrate_recall(
     return [h / n for h in hits], n
 
 
+# Ceiling on the exact leg's broadcast-shard footprint: both execution
+# paths materialize the shard driver-side (collect for the BLAS matrix,
+# F.broadcast's driver build for the fold path), so a "shard" that is
+# secretly a corpus would OOM the driver long after the plan looked
+# fine.  2 GiB of packed float64 (rows × dim × 8 bytes) is comfortably
+# inside any driver budget while far above every real daily-slice use;
+# past it the caller is holding a corpus and should be routing through
+# the blocking legs (incremental_cosine_dups_auto prices that choice).
+EXACT_SHARD_MAX_BYTES: int = 2 << 30
+
+
 def incremental_exact_dups(
     corpus: DataFrame,
     new_batch: DataFrame,
@@ -2458,6 +2469,7 @@ def incremental_exact_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    max_shard_bytes: int | None = None,
 ) -> DataFrame:
     """The EXACT guaranteed leg of the incremental router (round-9
     verdict gap 1): every shard×corpus pair is verified, so recall is
@@ -2490,7 +2502,29 @@ def incremental_exact_dups(
     nothing cheaper can honestly deliver it.
 
     Output: (new_id, corpus_id, sim ≥ threshold, 6 dp) — the shared
-    incremental pair shape."""
+    incremental pair shape.
+
+    ``max_shard_bytes`` (default ``EXACT_SHARD_MAX_BYTES``): both paths
+    materialize the SHARD driver-side (that is the design — the corpus
+    streams, the daily slice broadcasts), so a caller who passes a
+    corpus as the "shard" fails LOUDLY here with a pointer to the
+    blocking legs instead of OOMing the driver mid-collect."""
+    probe = new_batch.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.size(F.col(vec_col))).alias("_d"),
+    ).first()
+    cap = EXACT_SHARD_MAX_BYTES if max_shard_bytes is None else max_shard_bytes
+    est = (probe["_n"] or 0) * (probe["_d"] or 0) * 8
+    if est > cap:
+        raise ValueError(
+            f"incremental_exact_dups: the shard is {probe['_n']} rows × "
+            f"dim {probe['_d']} ≈ {est >> 20} MiB packed — over the "
+            f"{cap >> 20} MiB broadcast ceiling.  That is a corpus, not "
+            f"a daily slice: route it through the blocking legs "
+            f"(incremental_cosine_dups_auto / incremental_ivf_dups / "
+            f"incremental_imi_dups), or split the shard, or raise "
+            f"max_shard_bytes if the driver really has the memory."
+        )
     if not vectorized:
         shard = F.broadcast(
             new_batch.select(

@@ -1962,3 +1962,25 @@ def test_router_prices_srp_from_measured_occupancy(spark, emb):
     row = next(r for r in rows if r["method"] == "lsh")
     assert row["pricing"] == "closed_form"
     assert row["est_pairs"] == row["est_pairs_bound"]
+
+
+def test_exact_leg_shard_size_guard(spark, emb):
+    """The exact leg materializes the shard driver-side by design; a
+    corpus passed as the 'shard' must fail loudly with a routing
+    pointer BEFORE the collect, on both execution paths — and the cap
+    is overridable for drivers that really have the memory."""
+    import pytest as _pytest
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    for vec in (True, False):
+        with _pytest.raises(ValueError, match="broadcast ceiling"):
+            similarity.incremental_exact_dups(
+                corpus, shard, threshold=0.4, vectorized=vec,
+                max_shard_bytes=64,  # force the over-cap branch
+            )
+    # at the real default the daily slice sails through
+    assert similarity.incremental_exact_dups(
+        corpus, shard, threshold=0.4
+    ).count() > 0
