@@ -113,8 +113,11 @@ def failure_summary(timings: dict, floors: dict) -> dict:
     out = {"n_failed": len(failed), "failed": failed}
     if failed:
         out["total_valid"] = False
+        # clamp at 0: if a failed run's -1.0 ever leaks into the
+        # committed floors map, it must not SUBTRACT from the headline
+        # total (round-11 advice) — a red can only make the number worse
         out["failed_floor_sec"] = round(
-            sum(floors.get(n) or 0.0 for n in failed), 3
+            sum(max(0.0, floors.get(n) or 0.0) for n in failed), 3
         )
     return out
 

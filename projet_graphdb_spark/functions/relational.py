@@ -146,6 +146,16 @@ def topk(df: DataFrame, order_col: str, k: int, tiebreak_col: str) -> DataFrame:
 # itself instead of silently funneling at scale.
 POR_SMALL_BYTES: int = 32 << 20
 
+# For FILE-source inputs Catalyst's sizeInBytes is compressed on-disk
+# bytes — parquet routinely decompresses 3-5×, so "32 MiB estimated"
+# can be hundreds of decompressed MBs funneled through coalesce(1)
+# (round-11 advice).  The gate therefore charges every estimate this
+# margin before comparing: small means size × margin ≤ cap, i.e. an
+# effective 8 MiB on-disk ceiling at the defaults — still orders of
+# magnitude above the tens-of-KB per-group aggregates the gate exists
+# for (x88/m10), while a raw sf0.1+ table scan stays distributed.
+POR_DECOMPRESS_MARGIN: int = 4
+
 # When a test sets this to a list, every partition_offset_rank gate
 # decision is appended as (size_bytes_or_None, took_small_path).
 _POR_TRACE: list | None = None
@@ -188,7 +198,16 @@ def partition_offset_rank(
     IS the whole input, but only because the gate measured it small;
     "cannot prove small" (estimate unavailable or over the cap) always
     takes the distributed path, so the global-window funnel class stays
-    closed at scale."""
+    closed at scale.  Because file-source estimates are COMPRESSED
+    on-disk bytes, the gate charges ``POR_DECOMPRESS_MARGIN`` (4×)
+    before comparing, so a 32 MiB parquet frame that decompresses to
+    hundreds of MBs takes the distributed path.  NOTE: unlike the
+    distributed path the small path is NOT materialized (no
+    localCheckpoint) — a caller that fans the ranked frame into
+    multiple consumers (m10's self+partner join) recomputes the cheap
+    single-partition rank per consumer; results stay correct under the
+    total-order contract, but cache()/localCheckpoint it yourself if
+    the input's lineage is expensive."""
     spark = df.sparkSession
     taken = set(df.columns)
     for reserved in (rank_col, "__por_pid", "__por_off"):
@@ -208,7 +227,9 @@ def partition_offset_rank(
         except Exception:
             size = None
         limit = POR_SMALL_BYTES if gate_bytes is None else gate_bytes
-        small = size is not None and 0 <= size <= limit
+        small = (
+            size is not None and 0 <= size * POR_DECOMPRESS_MARGIN <= limit
+        )
         if _POR_TRACE is not None:
             _POR_TRACE.append((size, small))
         if small:

@@ -2550,14 +2550,28 @@ def incremental_exact_dups(
         )
 
     import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = corpus.sparkSession
+    # id dtypes come from the INPUTS (round-11 advice): the fold path
+    # preserves the caller's id type (string/UUID/decimal ids all work
+    # there), so the vectorized twin must emit the same schema instead
+    # of hardcoding long — ids pass through untouched end to end
+    out_schema = StructType(
+        [
+            StructField("new_id", new_batch.schema[id_col].dataType),
+            StructField("corpus_id", corpus.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
     shard_rows = new_batch.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
     if not shard_rows:
-        return spark.createDataFrame([], "new_id long, corpus_id long, sim double")
-    s_ids = np.asarray([r["_id"] for r in shard_rows], dtype=np.int64)
+        return spark.createDataFrame([], out_schema)
+    # object dtype: ids are opaque tokens here (compared for self-pair
+    # skip, emitted verbatim) — never arithmetic operands
+    s_ids = np.asarray([r["_id"] for r in shard_rows], dtype=object)
     s_mat = np.asarray([list(r["_v"]) for r in shard_rows], dtype=np.float64)
     # torrent-broadcast the shard matrix (S·dim doubles — the same
     # boundedness premise as the fold path's broadcast side)
@@ -2604,16 +2618,20 @@ def incremental_exact_dups(
                 # the JVM fold's exact IEEE order: left-to-right
                 # accumulate, sqrt each norm, one multiply, one divide
                 sim = _fold_dot(va, vb) / (_fold_norm(va) * _fold_norm(vb))
-                out_new.append(int(ids_s[b]))
-                out_corp.append(int(c_ids[a]))
+                out_new.append(ids_s[b])
+                out_corp.append(c_ids[a])
                 out_sim.append(sim)
             yield _pd.DataFrame(
-                {"new_id": out_new, "corpus_id": out_corp, "sim": out_sim}
+                {
+                    "new_id": _pd.Series(out_new, dtype=object),
+                    "corpus_id": _pd.Series(out_corp, dtype=object),
+                    "sim": _pd.Series(out_sim, dtype="float64"),
+                }
             )
 
     scored = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_vb")
-    ).mapInPandas(_score, "new_id long, corpus_id long, sim double")
+    ).mapInPandas(_score, out_schema)
     # final filter + round JVM-side on the re-folded doubles: bitwise
     # identical to the vectorized=False path (and to the SQL oracle)
     return scored.filter(F.col("sim") >= threshold).select(

@@ -174,3 +174,8 @@ def test_failure_summary_makes_reds_unmissable():
     # the clean case stays quiet but schema-stable
     out3 = failure_summary({"a": 1.0}, {})
     assert out3 == {"n_failed": 0, "failed": []}
+    # round-11 advice: a -1.0 that leaked INTO the committed floors map
+    # must be clamped at 0, never subtracted — a red can only ever make
+    # the headline total worse
+    out4 = failure_summary({"q": -1.0, "r": -1.0}, {"q": -1.0, "r": 2.0})
+    assert out4["failed_floor_sec"] == 2.0

@@ -354,6 +354,23 @@ def test_partition_offset_rank_exact_and_distributed(spark):
         relational._POR_TRACE = None
     assert [t[1] for t in trace] == [True, False]  # the gate decided
     assert all(t[0] is not None for t in trace)  # from a measured estimate
+    # round-11 advice: file-scan estimates are COMPRESSED bytes, so the
+    # gate charges POR_DECOMPRESS_MARGIN before comparing — an estimate
+    # within the cap but over cap/margin must take the distributed path
+    est = trace[0][0]
+    relational._POR_TRACE = trace_m = []
+    try:
+        relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i",
+            gate_bytes=est * relational.POR_DECOMPRESS_MARGIN - 1,
+        ).count()
+        relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i",
+            gate_bytes=est * relational.POR_DECOMPRESS_MARGIN,
+        ).count()
+    finally:
+        relational._POR_TRACE = None
+    assert [t[1] for t in trace_m] == [False, True]
     # an explicit num_partitions pins the distributed path regardless
     relational._POR_TRACE = trace2 = []
     try:

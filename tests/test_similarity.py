@@ -1749,6 +1749,39 @@ def test_incremental_exact_dups_is_bruteforce_and_shuffle_free(spark, emb):
     assert got == sorted(want) and got
 
 
+def test_incremental_exact_dups_preserves_id_type(spark, emb):
+    """Round-11 advice (medium): the vectorized path hardcoded a
+    ``long`` id schema and int64-coerced ids, so string/UUID ids
+    crashed and the two execution paths forked schemas.  Both paths
+    must now carry the caller's id dtype end to end and agree pairwise
+    on non-integer ids."""
+    cut = int(emb.count() * 0.9)
+    sids = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+        F.col("vec_id").alias("_n"),
+    )
+    corpus = sids.where(F.col("_n") < cut).drop("_n")
+    shard = sids.where(F.col("_n") >= cut).drop("_n")
+    vec = similarity.incremental_exact_dups(corpus, shard, threshold=0.4)
+    fold = similarity.incremental_exact_dups(
+        corpus, shard, threshold=0.4, vectorized=False
+    )
+    assert dict(vec.dtypes) == {
+        "new_id": "string", "corpus_id": "string", "sim": "double",
+    }
+    assert dict(vec.dtypes) == dict(fold.dtypes)
+    key = lambda r: (r["new_id"], r["corpus_id"], repr(r["sim"]))
+    got = sorted(map(key, vec.collect()))
+    assert got == sorted(map(key, fold.collect())) and got
+    assert all(k[0].startswith("doc-") for k in got)
+    # the empty-shard early return carries the same derived schema
+    empty = similarity.incremental_exact_dups(
+        corpus, shard.where(F.lit(False)), threshold=0.4
+    )
+    assert dict(empty.dtypes) == dict(vec.dtypes) and empty.count() == 0
+
+
 def _two_cluster_drift_fixture(spark):
     """Deterministic dim-4 geometry for the fallback/recovery tests:
     OLD corpus generation = clusters at e1/e2 (the codebook's world),
