@@ -2106,6 +2106,39 @@ def m13_collate_waste(spark, sf_dir):
     )
 
 
+def m14_image_phash_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup (functions/multimodal.py::
+    dhash_pairs): 64-bit dHash over binary payloads (Arrow-batched
+    mapInPandas, integer-exact block pooling — the decode step of the
+    public dHash algorithm, stubbed over payload bytes) + the d8
+    Hamming band pigeonhole (dedup.hamming_band_pairs) — one equi-join
+    on (band, value), never all-pairs, exhaustive for hd <= bands-1.
+
+    The fixture corpus carries no binary images, so the query builds
+    the canonical image-dedup workload from it: every document payload
+    plus a 're-encoded' twin (one byte swapped mid-payload — the
+    one-pixel-tweak analogue), and the operator must recover the twins
+    from fingerprints alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twin_text = F.expr(
+        "concat(substring(text, 1, greatest(length(text) div 2, 1) - 1),"
+        " '~', substring(text, greatest(length(text) div 2, 1) + 1))"
+    )
+    media = (
+        docs.select(
+            (F.col("doc_id") * 2).alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") * 2 + 1).alias("media_id"),
+                F.encode(twin_text, "UTF-8").alias("payload"),
+            )
+        )
+    )
+    return multimodal.dhash_pairs(media, bands=4)
+
+
 def t39_lexical_richness(spark, sf_dir):
     """Lexical richness per language: vocabulary size, type-token
     ratio, and the hapax-legomena share (words occurring exactly once
@@ -6656,6 +6689,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x96_cube_pricing": x96_cube_pricing,
         "d25_manifest_checksum": d25_manifest_checksum,
         "m13_collate_waste": m13_collate_waste,
+        "m14_image_phash_dups": m14_image_phash_dups,
         "t40_labeler_agreement": t40_labeler_agreement,
         "t41_temperature_mixing": t41_temperature_mixing,
         "t39_lexical_richness": t39_lexical_richness,
@@ -9264,6 +9298,24 @@ def oracle_sql() -> dict[str, str]:
                               * (CAST(sj AS DOUBLE) / (2 * m))), 6)
                        AS assortativity
             FROM agg
+        """,
+        "m14_image_phash_dups": f"""
+            WITH sig AS (SELECT * FROM ({_dhash_oracle()}) _d),
+            bands AS (
+              SELECT media_id, dhash, t.i AS band,
+                     (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            cand AS (
+              SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                     a.dhash AS ha, b.dhash AS hb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.media_id < b.media_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hd
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         """,
         "m13_collate_waste": """
             WITH media AS (
@@ -12522,6 +12574,54 @@ def _simhash_oracle() -> str:
           FROM sh),
         votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, {assembly} AS simhash FROM votes
+    """
+
+
+def _dhash_oracle() -> str:
+    """DuckDB mirror of m14's fingerprint: the media construction
+    (payload + one-byte twin), 72 integer-exact block sums from the
+    payload codepoints (ASCII corpus ⇒ codepoint = byte), the 64
+    cross-multiplied mean comparisons, and the signed-long assembly —
+    replaying multimodal.dhash_table bit for bit."""
+    cells, cols = 72, 9
+    blocks = ",\n               ".join(
+        f"CAST(coalesce(list_sum(list_slice(b, {k} * L // {cells} + 1,"
+        f" ({k + 1}) * L // {cells})), 0) AS BIGINT) AS s{k},"
+        f" ({k + 1}) * L // {cells} - {k} * L // {cells} AS n{k}"
+        for k in range(cells)
+    )
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * cols + c
+            bit = r * 8 + c
+            pw = -(2**63) if bit == 63 else 1 << bit
+            terms.append(
+                f"(CASE WHEN n{k} > 0 AND n{k + 1} > 0"
+                f" AND s{k} * n{k + 1} > s{k + 1} * n{k}"
+                f" THEN CAST({pw} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+    assembly = "\n                 + ".join(terms)
+    return f"""
+        WITH media AS (
+          SELECT doc_id * 2 AS media_id, text AS s FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1,
+                 substr(text, 1, greatest(length(text) // 2, 1) - 1) || '~'
+                 || substr(text, greatest(length(text) // 2, 1) + 1)
+          FROM documents),
+        cp AS (
+          SELECT media_id, length(s) AS L,
+                 list_transform(range(1, length(s) + 1),
+                                i -> CAST(ord(substr(s, i, 1)) AS BIGINT)) AS b
+          FROM media),
+        blocks AS (
+          SELECT media_id,
+               {blocks}
+          FROM cp)
+        SELECT media_id,
+               {assembly} AS dhash
+        FROM blocks
     """
 
 

@@ -934,27 +934,56 @@ def simhash_pairs(
     Output: (id_a, id_b, hd).
     """
     nbits = 60 if hash == "md5" else 64
+    st = simhash_table(docs, text_col=text_col, id_col=id_col, n=n, hash=hash)
+    return hamming_band_pairs(
+        st, nbits=nbits, bands=bands, max_hd=max_hd,
+        id_col=id_col, hash_col="simhash",
+    )
+
+
+def hamming_band_pairs(
+    st: DataFrame,
+    nbits: int,
+    bands: int,
+    max_hd: int | None = None,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-ball pair search over any long fingerprint column by
+    band pigeonhole — the d8 SimHash machinery factored out so every
+    bit-fingerprint family (SimHash d4/d8, image dHash m14) shares one
+    audited plan.
+
+    Fingerprints split into ``bands`` equal bit-bands; candidates are
+    pairs sharing any band value (ONE equi-join on (band, value) —
+    never all-pairs), verified map-side with ``bit_count(xor)``.  By
+    pigeonhole the result is EXHAUSTIVE for ``max_hd <= bands - 1``
+    (the default): ``hd`` differing bits cannot touch all ``bands``
+    bands, so some band matches exactly.
+
+    Output: (id_a, id_b, hd), id_a < id_b.
+    """
     width = nbits // bands
     if max_hd is None:
         max_hd = bands - 1
     mask = (1 << width) - 1
-    st = simhash_table(docs, text_col=text_col, id_col=id_col, n=n, hash=hash)
     bvals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width)
+            F.shiftrightunsigned(F.col(hash_col), i * width)
             .bitwiseAND(F.lit(mask))
             .cast("long")
             for i in range(bands)
         ]
     )
     banded = st.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(bvals).alias("_band", "_bval")
+        F.col(id_col), F.col(hash_col).alias("_fp"),
+        F.posexplode(bvals).alias("_band", "_bval"),
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_band", "_bval"
+        F.col(id_col).alias("id_a"), F.col("_fp").alias("_sa"), "_band", "_bval"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "_band", "_bval"
+        F.col(id_col).alias("id_b"), F.col("_fp").alias("_sb"), "_band", "_bval"
     )
     cand = (
         a.join(b, ["_band", "_bval"])

@@ -410,3 +410,123 @@ def augmentation_plan(media: DataFrame, epochs: int = 3) -> DataFrame:
             F.round(((F.expr("_h div 2048") % 21) - 10) / 100.0, 2).alias("brightness"),
         )
     )
+
+
+# ── Perceptual-hash image near-dup (round-11 verdict item 3) ──────────
+
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 9 columns → 8 horizontal comparisons per row → 64 bits
+DHASH_CELLS = DHASH_ROWS * DHASH_COLS
+
+
+def dhash_table(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """64-bit difference hash (dHash) per binary payload — the public
+    perceptual-fingerprint algorithm (Krawetz, "Kind of Like That",
+    hackerfactor 2013): downscale to a ``DHASH_ROWS×DHASH_COLS``
+    luminance grid, emit one bit per horizontally-adjacent cell pair,
+    set iff the left cell is brighter.  A re-encode / watermark / pixel
+    tweak perturbs a few cells, so near-identical images land within a
+    small Hamming ball — the image analogue of d4/d8's text SimHash.
+
+    The image DECODE is the stubbed step (this environment carries no
+    codec libraries — `_decode_payload`'s premise): the payload BYTES
+    stand in for the luminance raster, downscaled by average-pooling
+    byte blocks.  Swapping in a real decoder changes only the raster
+    source; grid, comparison, banding and every plan downstream stay
+    identical.
+
+    All arithmetic is INTEGER-exact: cell means are compared
+    cross-multiplied (``sum_a·n_b > sum_b·n_a``), so a SQL oracle
+    replays the hash bit-for-bit — no float pooling to drift.  Cells
+    are empty when the payload has fewer bytes than the grid; a bit
+    needs both its cells non-empty, and an empty/NULL payload hashes
+    to 0.
+
+    Scale: Arrow-batched ``mapInPandas`` (one Python roundtrip per
+    batch, prefix-sum pooling per row), map-only — no shuffle; the id
+    column's dtype passes through unchanged.
+
+    Output: (id_col, dhash long).
+    """
+    out_schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cells, rows_, cols_ = DHASH_CELLS, DHASH_ROWS, DHASH_COLS
+        ks = np.arange(cells + 1, dtype=np.int64)
+
+        def one(payload) -> int:
+            buf = b"" if payload is None else bytes(payload)
+            L = len(buf)
+            # block k = bytes [k·L/cells, (k+1)·L/cells) — exact int bounds
+            bounds = ks * L // cells
+            pref = np.concatenate(
+                ([0], np.frombuffer(buf, dtype=np.uint8).cumsum(dtype=np.int64))
+            )
+            sums = pref[bounds[1:]] - pref[bounds[:-1]]
+            ns = bounds[1:] - bounds[:-1]
+            h = 0
+            for r in range(rows_):
+                base = r * cols_
+                for c in range(cols_ - 1):
+                    k = base + c
+                    if (
+                        ns[k] > 0
+                        and ns[k + 1] > 0
+                        and int(sums[k]) * int(ns[k + 1])
+                        > int(sums[k + 1]) * int(ns[k])
+                    ):
+                        h |= 1 << (r * (cols_ - 1) + c)
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.Series(
+                        [one(p) for p in pdf[payload_col]], dtype="int64"
+                    )
+                    if len(pdf)
+                    else pd.Series([], dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def dhash_pairs(
+    media: DataFrame,
+    bands: int = 4,
+    max_hd: int | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints + the d8 Hamming band
+    pigeonhole (``dedup.hamming_band_pairs``) — media whose perceptual
+    fingerprints differ in at most ``max_hd`` bits (default
+    ``bands - 1``, the exhaustiveness bound), found with ONE equi-join
+    on (band, band-value), never an all-pairs scan.
+
+    Scale: the fingerprint is a map-only Arrow-batched pass; banding
+    explodes ``bands`` rows per media; the candidate join's keys are
+    high-cardinality band values (hot-bucket mass is Σc² over band
+    occupancies, the same bound d8 carries); verification is a
+    map-side ``bit_count(xor)``.
+
+    Output: (id_a, id_b, hd), id_a < id_b.
+    """
+    from .dedup import hamming_band_pairs
+
+    st = dhash_table(media, payload_col=payload_col, id_col=id_col)
+    return hamming_band_pairs(
+        st, nbits=64, bands=bands, max_hd=max_hd,
+        id_col=id_col, hash_col="dhash",
+    )

@@ -120,3 +120,83 @@ def test_augmentation_plan_deterministic_and_ranged(spark):
         assert -0.10 <= r["brightness"] <= 0.10
     # epochs differ (hash covers the epoch, not just the id)
     assert len({(r["flip"], r["crop_x"], r["crop_y"], r["rot_deg"]) for r in a}) > 1
+
+
+def _py_dhash(payload: bytes) -> int:
+    """Independent reference dHash (pure Python, exact int arithmetic)."""
+    L = len(payload)
+    cells = multimodal.DHASH_CELLS
+    sums, ns = [], []
+    for k in range(cells):
+        a, b = k * L // cells, (k + 1) * L // cells
+        blk = payload[a:b]
+        sums.append(sum(blk))
+        ns.append(len(blk))
+    h = 0
+    for r in range(multimodal.DHASH_ROWS):
+        for c in range(multimodal.DHASH_COLS - 1):
+            k = r * multimodal.DHASH_COLS + c
+            if ns[k] and ns[k + 1] and sums[k] * ns[k + 1] > sums[k + 1] * ns[k]:
+                h |= 1 << (r * (multimodal.DHASH_COLS - 1) + c)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_dhash_table_matches_reference_and_edge_cases(spark):
+    """dHash fingerprints equal the independent per-byte reference
+    (exact integer cross-multiplied means), on payloads spanning the
+    edge cases: empty, NULL, shorter than the grid, and a sign-bit
+    exerciser; the id column's dtype passes through unchanged."""
+    payloads = [
+        (0, b""),
+        (1, None),
+        (2, b"abc"),                      # fewer bytes than cells
+        (3, bytes(range(256)) * 5),       # monotone ramps
+        (4, b"the quick brown fox jumps over the lazy dog" * 20),
+        (5, bytes([255, 0] * 500)),       # alternating extremes
+        (6, bytes([7]) * 72),             # exactly one byte per cell, all equal
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {r["media_id"]: r["dhash"] for r in multimodal.dhash_table(media).collect()}
+    assert got == {i: _py_dhash(p or b"") for i, p in payloads}
+    assert got[0] == 0 and got[1] == 0 and got[6] == 0  # no strict > anywhere
+    # string ids pass through (round-12 id-dtype discipline)
+    smedia = spark.createDataFrame(
+        [("img-a", b"hello world" * 30)], "media_id string, payload binary"
+    )
+    st = multimodal.dhash_table(smedia)
+    assert dict(st.dtypes) == {"media_id": "string", "dhash": "bigint"}
+    assert st.first()["media_id"] == "img-a"
+
+
+def test_dhash_pairs_exhaustive_and_banded(spark):
+    """dhash_pairs equals the brute-force Hamming-ball pairs (pigeonhole
+    exhaustiveness at max_hd = bands-1) on a twin-seeded fixture, and
+    the plan is a band equi-join — no cartesian/BNLJ all-pairs node."""
+    import itertools
+
+    base = [
+        (b"spark shuffles the band values into buckets %d" % i) * 8
+        for i in range(12)
+    ]
+    rows = []
+    for i, p in enumerate(base):
+        rows.append((2 * i, p))
+        tweaked = bytearray(p)
+        tweaked[len(p) // 2] ^= 0x20     # one-byte "re-encode" twin
+        rows.append((2 * i + 1, bytes(tweaked)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.dhash_pairs(media, bands=4)
+    got = sorted((r["id_a"], r["id_b"], r["hd"]) for r in out.collect())
+    hs = {i: _py_dhash(p) for i, p in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(hs), 2):
+        hd = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 3:
+            want.append((a, b, hd))
+    assert got == sorted(want)
+    # every original/twin pair is within the ball (the operator's point)
+    found = {(a, b) for a, b, _ in got}
+    assert all((2 * i, 2 * i + 1) in found for i in range(12))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
