@@ -86,6 +86,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 def main():
     args = sys.argv[1:]
     json_out = None
+    rows_only = "--rows-only" in args
+    if rows_only:
+        # run the ENGINE side only and record row counts — the sf1
+        # sweep uses this to pair a full-scale engine run with a
+        # capped-sub-corpus value check when the DuckDB replay is
+        # quadratic by design (round-11 verdict item 2)
+        args.remove("--rows-only")
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
@@ -104,6 +111,11 @@ def main():
         # writes Spark DIRECTORY layouts — glob the parts in that case
         if _os.path.isdir(p):
             p = f"{p}/*.parquet"
+        elif not _os.path.exists(p):
+            # partial fixture (e.g. the sf1 sweep's capped sub-corpus
+            # carries only the tables its queries read) — skip; a query
+            # touching a missing table fails loudly at its own row
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = E.queries()
@@ -122,7 +134,7 @@ def main():
             failures += 1
             continue
         t_spark = time.time() - t0
-        if name not in oracles:
+        if rows_only or name not in oracles:
             print(f"{name:24s} rows-only   rows={len(sdf)}  spark={t_spark:.1f}s")
             results[name] = {"ok": True, "rows": len(sdf), "rows_only": True}
             continue

@@ -252,6 +252,213 @@ def rehearse(spark, src, tmp, sizes):
     return results
 
 
+def _corpus_at(spark, src, tmp, sizes, n):
+    """The decade corpus, built exactly like rehearse() (same id map,
+    same 32-file layout); reused from disk when already materialized in
+    this rehearsal tmp."""
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_total = emb.count()
+    cut = int(n_total * 0.9)
+    cdir = f"{tmp}/corpus_{n}"
+    if not os.path.exists(f"{cdir}/_SUCCESS"):
+        (
+            _scaled_union(emb.where(F.col("vec_id") < cut), "embeddings", n, sizes)
+            .withColumn(
+                "vec_id",
+                (F.col("vec_id") / n_total).cast("long") * cut
+                + F.col("vec_id") % n_total,
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(cdir)
+        )
+    return spark.read.parquet(cdir), n * cut, emb, cut, n_total
+
+
+def _seeded_shard(spark, corpus, base_shard, id_start, n_seed=300):
+    """Append near-dup SEEDS to the shard: perturbed copies of the
+    first ``n_seed`` corpus vectors (by id) — the re-ingest scenario a
+    high-threshold dedup tier exists for.  Perturbation is exact
+    geometry: v' = (v̂ + ε·ŵ)/‖·‖ with ŵ ⊥ v̂ (roll-by-one minus the
+    v-projection), so cos(v, v') = 1/√(1+ε²) exactly — half the seeds
+    at ε=0.5 (cos 0.894, comfortably dup) and half at ε=0.72
+    (cos 0.812, just above the 0.8 threshold, stressing the sized
+    construction's S-curve bound).  Deterministic: no RNG anywhere."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy("vec_id").limit(n_seed)
+        .select("vec_id", "embedding").collect()
+    )
+    seeds = []
+    for i, r in enumerate(rows):
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)
+        vhat = v / np.linalg.norm(v)
+        w = np.roll(vhat, 1)
+        w = w - (w @ vhat) * vhat
+        w /= np.linalg.norm(w)
+        eps = 0.5 if i < n_seed // 2 else 0.72
+        out = vhat + eps * w
+        out /= np.linalg.norm(out)
+        seeds.append((id_start + i, [float(x) for x in out]))
+    seed_df = spark.createDataFrame(seeds, "vec_id long, embedding array<float>")
+    return (
+        base_shard.select("vec_id", "embedding")
+        .unionByName(seed_df)
+        .localCheckpoint(eager=True)
+    )
+
+
+def rehearse_high_threshold(spark, src, tmp, sizes, copies=(10, 100),
+                            threshold=0.8, target=0.95):
+    """Round-11 verdict item 4: a regime where a BLOCKING leg is both
+    CHOSEN and MEETS target.  At threshold 0.8 the S-curve makes a
+    sized SRP construction cheap (13 bits × 58 bands ≈ 0.7% of S·N
+    collisions vs exact's 100%), so the router should pick lsh_sized
+    over exact by plain arithmetic — this leg receipts that, with the
+    exact leg run alongside as the measured truth denominator."""
+    results = []
+    for n in copies:
+        corpus, n_corpus, emb, cut, n_total = _corpus_at(spark, src, tmp, sizes, n)
+        base_shard = emb.where(F.col("vec_id") >= cut).withColumn(
+            "vec_id", F.col("vec_id") - cut + F.lit(n_corpus)
+        )
+        shard = _seeded_shard(spark, corpus, base_shard, id_start=n_corpus + n_total)
+        n_shard = shard.count()
+
+        t_exact, exact_pairs = _timed(
+            lambda: similarity.incremental_exact_dups(
+                corpus, shard, threshold=threshold
+            ).count()
+        )
+        sized_path = f"{tmp}/srp_sized_ht_{n}"
+        t_sized_build, _ = _timed(
+            lambda: similarity.srp_band_index(
+                corpus, dim=64, threshold=threshold, target_recall=target,
+                sizing_n_corpus=n_corpus,
+            ).write.mode("overwrite").partitionBy("band").parquet(sized_path)
+        )
+        sized_idx = spark.read.parquet(sized_path)
+        sized_cfg = sized_idx.select("_bits", "_n_bands").first()
+        receipt: dict = {}
+        t_routed, routed_pairs = _timed(
+            lambda: similarity.incremental_cosine_dups_auto(
+                corpus, shard, threshold=threshold, target_recall=target,
+                lsh_index=sized_idx, dim=64,
+                n_corpus=n_corpus, n_shard=n_shard, plan_out=receipt,
+            ).count()
+        )
+        recall = round(routed_pairs / exact_pairs, 4) if exact_pairs else None
+        results.append(
+            {
+                "copies": n, "n_corpus": n_corpus, "n_shard": n_shard,
+                "threshold": threshold, "target_recall": target,
+                "seeded_pairs_note": "300 perturbed corpus vectors at "
+                "cos 0.894/0.812 (deterministic; no natural pairs exist "
+                "above 0.6 in this fixture)",
+                "sized_bits": sized_cfg["_bits"],
+                "sized_bands": sized_cfg["_n_bands"],
+                "sized_build_s": t_sized_build,
+                "exact_s": t_exact, "exact_pairs": exact_pairs,
+                "routed_s": t_routed, "routed_pairs": routed_pairs,
+                "chosen": receipt.get("strategy"),
+                "fallback": receipt.get("fallback"),
+                "met_target": receipt.get("met_target"),
+                "plan_flops": {
+                    r["method"]: r["est_flops"] for r in receipt.get("rows", [])
+                },
+                "routed_recall_measured": recall,
+                "route_meets_target": recall is not None and recall >= target,
+            }
+        )
+        print("high_threshold", results[-1], flush=True)
+    return results
+
+
+def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
+                         shard_sizes=(500, 2000, 20000)):
+    """Round-11 verdict item 5: the S dimension of the exact leg's S·N
+    cost, measured at one decade.  Per shard size S: the exact leg's
+    wall (t=0.4 — where exact IS the chosen route) and the t=0.8 pair
+    (exact truth + routed sized-SRP), with the router's priced plan
+    recorded so the crossover (threshold-driven: both legs are linear
+    in S) is visible next to the measured walls."""
+    results = []
+    corpus, n_corpus, emb, cut, n_total = _corpus_at(spark, src, tmp, sizes, n)
+    base = emb.where(F.col("vec_id") >= cut).withColumn(
+        "vec_id", F.col("vec_id") - cut + F.lit(n_corpus)
+    )
+    base_n = base.count()
+    sized = {}
+    for thr in (0.4, 0.8):
+        path = f"{tmp}/srp_sweep_{str(thr).replace('.', '')}_{n}"
+        t_b, _ = _timed(
+            lambda: similarity.srp_band_index(
+                corpus, dim=64, threshold=thr, target_recall=0.95,
+                sizing_n_corpus=n_corpus,
+            ).write.mode("overwrite").partitionBy("band").parquet(path)
+        )
+        sized[thr] = (spark.read.parquet(path), t_b)
+    dim = emb.select(F.size("embedding")).first()[0]
+    for S in shard_sizes:
+        # shard = base (S-linear realism) + dim-rotated decorrelated
+        # filler up to S-300 + the 300 seeds; filler ids are dense from
+        # n_corpus+base_n, so an id-range filter caps it DETERMINISTICALLY
+        filler_n = max(0, S - base_n - 300)
+        n_rep = -(-filler_n // base_n) if filler_n else 0
+        grown = base
+        for i in range(1, n_rep + 1):
+            rot = (7 * i) % dim or 1
+            grown = grown.unionByName(
+                base.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", rot + 1, 1_000_000),
+                        F.slice("embedding", 1, rot),
+                    ),
+                ).withColumn("vec_id", F.col("vec_id") + F.lit(i * base_n))
+            )
+        grown = grown.where(
+            F.col("vec_id") < n_corpus + base_n + filler_n
+        )
+        shard = _seeded_shard(
+            spark, corpus, grown,
+            id_start=n_corpus + (n_rep + 1) * base_n + n_total,
+        )
+        row = {"S": shard.count(), "n_corpus": n_corpus}
+        for thr in (0.4, 0.8):
+            receipt: dict = {}
+            t_exact, exact_pairs = _timed(
+                lambda: similarity.incremental_exact_dups(
+                    corpus, shard, threshold=thr
+                ).count()
+            )
+            t_routed, routed_pairs = _timed(
+                lambda: similarity.incremental_cosine_dups_auto(
+                    corpus, shard, threshold=thr, target_recall=0.95,
+                    lsh_index=sized[thr][0], dim=64,
+                    n_corpus=n_corpus, n_shard=row["S"], plan_out=receipt,
+                ).count()
+            )
+            recall = (
+                round(routed_pairs / exact_pairs, 4) if exact_pairs else None
+            )
+            row[f"t{str(thr).replace('.', '')}"] = {
+                "exact_s": t_exact, "exact_pairs": exact_pairs,
+                "routed_s": t_routed, "routed_pairs": routed_pairs,
+                "chosen": receipt.get("strategy"),
+                "fallback": receipt.get("fallback"),
+                "met_target": receipt.get("met_target"),
+                "plan_flops": {
+                    r["method"]: r["est_flops"] for r in receipt.get("rows", [])
+                },
+                "routed_recall_measured": recall,
+            }
+        results.append(row)
+        print("shard_sweep", row, flush=True)
+    return results
+
+
 def rehearse_compaction(spark, src, tmp):
     """Small-files receipt: a 6-batch pair sink compacted to 2 files
     with retain_last=4 — file and batch counts before/after."""
@@ -278,19 +485,26 @@ def rehearse_compaction(spark, src, tmp):
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ingest_tier_rehearsal.json"
-    if len(sys.argv) > 3:
-        COPIES[:] = [int(a) for a in sys.argv[3:]]
+    args = sys.argv[1:]
+    mode = "tier"
+    if args and args[0] in ("tier", "high", "shard", "r12"):
+        mode, args = args[0], args[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out_json = args[1] if len(args) > 1 else "/tmp/ingest_tier_rehearsal.json"
+    if len(args) > 2:
+        COPIES[:] = [int(a) for a in args[2:]]
     tmp = "/tmp/ingest_tier_rehearsal"
     os.makedirs(tmp, exist_ok=True)
     spark = get_spark(app_name="ingest-tier-rehearsal")
     sizes = uniform._domain_sizes(spark, src)
-    out = {
-        "src": src,
-        "tier": rehearse(spark, src, tmp, sizes),
-        "compaction": rehearse_compaction(spark, src, tmp),
-    }
+    out: dict = {"src": src}
+    if mode == "tier":
+        out["tier"] = rehearse(spark, src, tmp, sizes)
+        out["compaction"] = rehearse_compaction(spark, src, tmp)
+    if mode in ("high", "r12"):
+        out["high_threshold"] = rehearse_high_threshold(spark, src, tmp, sizes)
+    if mode in ("shard", "r12"):
+        out["shard_sweep"] = rehearse_shard_sweep(spark, src, tmp, sizes)
     with open(out_json, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
