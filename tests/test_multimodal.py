@@ -200,3 +200,39 @@ def test_dhash_pairs_exhaustive_and_banded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_pairs_wider_band_count(spark):
+    """bands=8 widens the exhaustive Hamming ball to hd <= 7 and stays
+    equal to brute force — the pigeonhole argument is band-count
+    generic, not a bands=4 special case."""
+    import itertools
+
+    rows = []
+    for i in range(10):
+        p = (b"wider hamming ball exercises band %d arithmetic " % i) * 6
+        rows.append((2 * i, p))
+        tweaked = bytearray(p)
+        # three byte tweaks spread out: usually lands in the 4..7 hd
+        # range that bands=4 (hd <= 3) is NOT required to find
+        for pos in (len(p) // 4, len(p) // 2, 3 * len(p) // 4):
+            tweaked[pos] ^= 0x11
+        rows.append((2 * i + 1, bytes(tweaked)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in multimodal.dhash_pairs(media, bands=8).collect()
+    )
+    hs = {i: _py_dhash(p) for i, p in rows}
+    want = sorted(
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 7
+    )
+    assert got == want and got
+    # the wider ball must contain every bands=4 pair as a subset
+    narrow = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.dhash_pairs(media, bands=4).collect()
+    }
+    assert narrow <= {(a, b) for a, b, _ in got}
