@@ -1195,13 +1195,16 @@ def s28_incremental_strategy_report(spark, sf_dir):
     2×), the ADVISORY ``lsh_sized`` row pricing the construction
     srp_sized_config derives from (threshold, target) — round-9
     verdict gap 1: the receipt now shows what a recall-feasible SRP
-    index would cost — and ``chosen`` marking the route.  Two
-    thresholds straddle the crossover: 0.9 routes to the
-    recall-holding pinned SRP leg; at 0.4 the pinned 8×6 S-curve is
-    infeasible at 0.95 and the sized 6×46 construction's collision
-    floor (~0.72·S·N candidates at 8·dim) costs more than verifying
-    ALL S·N pairs at 2·dim — so the guaranteed EXACT leg wins under
-    the margin at these (N, S)."""
+    index would cost — and ``chosen`` marking the route.  Round-12
+    verdict item 3: every leg now carries ``n_joins`` and ``est_cost =
+    est_flops + n_joins·JOIN_SETUP_FLOPS_R12`` (the per-band-join
+    setup cost the r12 shard sweep measured the flop model ignoring —
+    58 band joins cost 3.8× exact's wall at S=500), and ``chosen``
+    ranks by margin-adjusted est_cost.  At the driver cut's small S·N
+    the join term makes the map-only EXACT leg win BOTH thresholds
+    (the honest small-shard call the sweep demanded); the banded legs
+    win back at scale — the r13 sweep receipt shows lsh re-chosen from
+    S=2000 at t=0.8 where its join setup amortizes."""
     emb = _emb(spark, sf_dir)
     cut = int(emb.count() * 0.9)
     corpus = emb.where(F.col("vec_id") < cut)
@@ -1211,10 +1214,13 @@ def s28_incremental_strategy_report(spark, sf_dir):
         ivf_cfg={"k": 8, "nprobe": 2},
         imi_cfg={"k1": 4, "k2": 4, "p1": 2, "p2": 2},
     )
+    b = similarity.JOIN_SETUP_FLOPS_R12
     return similarity.incremental_strategy_report(
-        corpus, shard, threshold=0.4, **cfgs
+        corpus, shard, threshold=0.4, join_cost_flops=b, **cfgs
     ).unionByName(
-        similarity.incremental_strategy_report(corpus, shard, threshold=0.9, **cfgs)
+        similarity.incremental_strategy_report(
+            corpus, shard, threshold=0.9, join_cost_flops=b, **cfgs
+        )
     ).orderBy("threshold", "method", "bits")
 
 
@@ -2137,6 +2143,39 @@ def m14_image_phash_dups(spark, sf_dir):
         )
     )
     return multimodal.dhash_pairs(media, bands=4)
+
+
+def m15_dhash_band_occupancy(spark, sf_dir):
+    """Band-occupancy gauge for the Hamming pair tier (functions/
+    dedup.py::hamming_band_occupancy) — the s31 hot-cell report aimed
+    at m14's banded join (round-12 verdict item 6): candidate volume is
+    Σ c·(c−1)/2 over (band, value) occupancies, so one low-entropy
+    fingerprint band (real image corpora: flat borders → constant band
+    bytes) quietly turns the "never all-pairs" claim quadratic while
+    correctness stays green.  Same media fixture and dHash table as
+    m14; the gauge measures EXACTLY the (band, value) keys m14's join
+    shuffles (shared _band_values arithmetic).  One row per band:
+    top_bucket_share is the hot gauge, est_candidate_pairs the join
+    volume a shard pays, is_hot the re-band/rebuild trigger."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twin_text = F.expr(
+        "concat(substring(text, 1, greatest(length(text) div 2, 1) - 1),"
+        " '~', substring(text, greatest(length(text) div 2, 1) + 1))"
+    )
+    media = (
+        docs.select(
+            (F.col("doc_id") * 2).alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") * 2 + 1).alias("media_id"),
+                F.encode(twin_text, "UTF-8").alias("payload"),
+            )
+        )
+    )
+    st = multimodal.dhash_table(media)
+    return dedup.hamming_band_occupancy(st, nbits=64, bands=4, hash_col="dhash")
 
 
 def t39_lexical_richness(spark, sf_dir):
@@ -6690,6 +6729,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d25_manifest_checksum": d25_manifest_checksum,
         "m13_collate_waste": m13_collate_waste,
         "m14_image_phash_dups": m14_image_phash_dups,
+        "m15_dhash_band_occupancy": m15_dhash_band_occupancy,
         "t40_labeler_agreement": t40_labeler_agreement,
         "t41_temperature_mixing": t41_temperature_mixing,
         "t39_lexical_richness": t39_lexical_richness,
@@ -9316,6 +9356,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hd
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "m15_dhash_band_occupancy": f"""
+            WITH sig AS (SELECT * FROM ({_dhash_oracle()}) _d),
+            bands AS (
+              SELECT media_id, t.i AS band,
+                     (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            occ AS (
+              SELECT band, bval, COUNT(*) AS c FROM bands GROUP BY band, bval
+            )
+            SELECT CAST(band AS INT) AS band,
+                   COUNT(*) AS n_buckets,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+                   ROUND(AVG(c), 6) AS mean_bucket_rows,
+                   ROUND(MAX(c) / SUM(c), 6) AS top_bucket_share,
+                   CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs,
+                   MAX(c) / SUM(c) > 0.2 AS is_hot
+            FROM occ GROUP BY band
         """,
         "m13_collate_waste": """
             WITH media AS (
@@ -12135,6 +12195,7 @@ def _embedding_drift_oracle(
 def _incremental_report_oracle(
     frac: float = 0.9, thresholds: tuple = (0.4, 0.9),
     target_recall: float = 0.95, margin: float = 2.0, dim: int = 64,
+    join_cost: float = similarity.JOIN_SETUP_FLOPS_R12,
 ) -> str:
     """s28: the incremental router's cost table replayed in SQL — the
     s23 oracle discipline.  Construction literals (bits/bands/k/probe
@@ -12143,26 +12204,28 @@ def _incremental_report_oracle(
     count under the s26 corpus cut; every cost column is the same
     polynomial in (N, S) with matching operation order, so the doubles
     hash-match bit-for-bit; ``chosen`` replays the margin-adjusted
-    window rule."""
+    window rule over est_cost = est_flops + n_joins·join_cost (the
+    round-12 item-3 fixed-cost term, same IEEE order as the report:
+    BIGINT n_joins × DOUBLE literal, added to the flops double)."""
     rows = []
     for t in thresholds:
         rec = round(similarity.srp_recall(t, 6, 8), 6)
         feas = "TRUE" if rec >= target_recall - 1e-9 else "FALSE"
         rows.append(
-            f"(CAST({t} AS DOUBLE), 'lsh', 6, 8, 64, 8, 0, "
+            f"(CAST({t} AS DOUBLE), 'lsh', 6, 8, 64, 8, 0, 8, "
             f"CAST({rec!r} AS DOUBLE), {feas}, TRUE)"
         )
         rows.append(
-            f"(CAST({t} AS DOUBLE), 'ivf', 0, 0, 8, 2, 0, "
+            f"(CAST({t} AS DOUBLE), 'ivf', 0, 0, 8, 2, 0, 1, "
             f"CAST(-1.0 AS DOUBLE), TRUE, TRUE)"
         )
         rows.append(
-            f"(CAST({t} AS DOUBLE), 'imi', 0, 0, 16, 4, 8, "
+            f"(CAST({t} AS DOUBLE), 'imi', 0, 0, 16, 4, 8, 1, "
             f"CAST(-1.0 AS DOUBLE), TRUE, TRUE)"
         )
         # the always-available exact guaranteed leg (round-9 verdict)
         rows.append(
-            f"(CAST({t} AS DOUBLE), 'exact', 0, 0, 1, 1, 0, "
+            f"(CAST({t} AS DOUBLE), 'exact', 0, 0, 1, 1, 0, 0, "
             f"CAST(1.0 AS DOUBLE), TRUE, TRUE)"
         )
         # the advisory recall-sized SRP row — same closed-form python
@@ -12172,13 +12235,13 @@ def _incremental_report_oracle(
             rows.append(
                 f"(CAST({t} AS DOUBLE), 'lsh_sized', {sized['bits']}, "
                 f"{sized['n_bands']}, {2 ** sized['bits']}, "
-                f"{sized['n_bands']}, 0, "
+                f"{sized['n_bands']}, 0, {sized['n_bands']}, "
                 f"CAST({sized['recall']!r} AS DOUBLE), TRUE, FALSE)"
             )
     values = ",\n                 ".join(rows)
     return f"""
         WITH cfg(threshold, method, bits, n_bands, k_cells, probe,
-                 half_centroids, recall, feasible, routable) AS (
+                 half_centroids, n_joins, recall, feasible, routable) AS (
           VALUES {values}),
         nn AS (
           SELECT CAST(FLOOR({frac} * COUNT(*)) AS BIGINT) AS n_corpus,
@@ -12205,22 +12268,28 @@ def _incremental_report_oracle(
                       THEN sd * half_centroids * {dim // 2}
                            + est_pairs * {8 * dim}
                       ELSE est_pairs * {2 * dim} END AS est_flops
-          FROM pr)
+          FROM pr),
+        co AS (
+          SELECT *,
+                 est_flops + CAST(n_joins AS BIGINT)
+                     * CAST({join_cost!r} AS DOUBLE) AS est_cost
+          FROM fl)
         SELECT threshold, method,
                CAST(bits AS BIGINT) AS bits,
                CAST(n_bands AS BIGINT) AS n_bands,
                CAST(k_cells AS BIGINT) AS k_cells,
                CAST(probe AS BIGINT) AS probe,
                recall, feasible, routable, est_pairs, est_flops,
+               CAST(n_joins AS BIGINT) AS n_joins, est_cost,
                (ROW_NUMBER() OVER (
                     PARTITION BY threshold
                     ORDER BY routable DESC, feasible DESC,
                              CASE WHEN method IN ('lsh', 'exact')
-                                  THEN est_flops / {margin}
-                                  ELSE est_flops END ASC,
+                                  THEN est_cost / {margin}
+                                  ELSE est_cost END ASC,
                              method DESC, bits ASC) = 1)
                    AND feasible AS chosen
-        FROM fl
+        FROM co
         ORDER BY threshold, method, bits
     """
 
@@ -12611,7 +12680,16 @@ def _dhash_oracle() -> str:
                  || substr(text, greatest(length(text) // 2, 1) + 1)
           FROM documents),
         cp AS (
-          SELECT media_id, length(s) AS L,
+          -- ASCII guard (round-12 advice): the engine hashes UTF-8
+          -- BYTES while this mirror hashes per-character codepoints
+          -- with character block bounds; any non-ASCII character makes
+          -- them silently diverge, so fail loudly instead.
+          SELECT media_id,
+                 CASE WHEN length(s) <> octet_length(encode(s))
+                      THEN error('m14 oracle requires an ASCII corpus: '
+                                 || 'codepoint-based blocks diverge from '
+                                 || 'the engine''s UTF-8 byte blocks')
+                      ELSE length(s) END AS L,
                  list_transform(range(1, length(s) + 1),
                                 i -> CAST(ord(substr(s, i, 1)) AS BIGINT)) AS b
           FROM media),

@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Stdout is
+ONE compact JSON line: {"metric", "value": total_sec, "unit": "sec",
+"sf", "n", "n_failed", "degraded_epoch", "stream_rows_per_sec",
+"n_warnings", "full"} — small enough that the driver's 2,000-char
+stdout tail always holds a complete object (round-12 verdict item 2).
+The full result object with all per-query timings is written to
+``BENCH_LAST_RUN.json`` next to this file.
 
 Each query is timed as: build the DataFrame + execute to completion
 (count-style action that materializes every row, without driver-side
@@ -148,6 +152,27 @@ def degraded_epoch_flag(probes: dict, threshold_sec: float = 0.5) -> bool:
     )
 
 
+def compact_summary(out: dict) -> dict:
+    """One SMALL machine-parseable line for the driver (round-12
+    verdict item 2): the full result object is ~9 KB (304 inline query
+    timings) and the driver keeps only a 2,000-char stdout tail, so
+    every round's BENCH_rN artifact landed ``"parsed": null``.  The
+    full object goes to ``BENCH_LAST_RUN.json``; stdout ENDS with this
+    compact summary so the tail always contains one complete object."""
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n": len(out.get("queries", {})),
+        "n_failed": out.get("n_failed", 0),
+        "degraded_epoch": out.get("degraded_epoch"),
+        "stream_rows_per_sec": out.get("stream_rows_per_sec"),
+        "n_warnings": len(out.get("warnings", [])),
+        "full": "BENCH_LAST_RUN.json",
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -266,7 +291,25 @@ def main():
                 "before treating them as regressions",
                 file=sys.stderr,
             )
-    print(json.dumps(out))
+    # The full object (304 inline query timings, ~9 KB) goes to a repo
+    # file for floors min-merging and the per-round artifacts; stdout
+    # carries ONLY the compact summary line, so however the driver
+    # parses its 2,000-char tail (whole-tail json.loads or last-line),
+    # it sees one complete small object.  The old 9 KB stdout line is
+    # what made every BENCH_rN land "parsed": null.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_RUN.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"# full result object: {full_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"# could not write {full_path}: {ex}", file=sys.stderr)
+        # the full object must land SOMEWHERE parseable — fall back to
+        # stderr (never stdout, which stays one compact line)
+        print(json.dumps(out), file=sys.stderr)
+    print(json.dumps(compact_summary(out)))
 
 
 if __name__ == "__main__":

@@ -941,6 +941,93 @@ def simhash_pairs(
     )
 
 
+def _band_values(hash_col: str, nbits: int, bands: int):
+    """The Hamming tier's shared banding arithmetic: split an
+    ``nbits``-bit long fingerprint into ``bands`` equal bit-bands and
+    return the ``F.array`` of band values (unsigned shift + mask, cast
+    long).  Guarded (round-12 advice, now that the arithmetic is shared
+    across fingerprint families): bands > nbits gives width=0/mask=0 —
+    every row lands in band value 0 and the "never all-pairs" equi-join
+    silently degenerates into an all-pairs self-join; a non-dividing
+    band count silently drops the top ``nbits % bands`` bits from every
+    band, breaking the equal-band claim the docstrings make."""
+    if not 1 <= bands <= nbits:
+        raise ValueError(
+            f"hamming_band_pairs: bands must be in [1, nbits={nbits}], got {bands}"
+        )
+    if nbits % bands != 0:
+        raise ValueError(
+            f"hamming_band_pairs: bands={bands} does not divide nbits={nbits} "
+            f"— the top {nbits % bands} bits would be left out of every band"
+        )
+    width = nbits // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for i in range(bands)
+        ]
+    )
+
+
+def hamming_band_occupancy(
+    st: DataFrame,
+    nbits: int,
+    bands: int,
+    hash_col: str = "simhash",
+    hot_share: float = 0.2,
+) -> DataFrame:
+    """Per-band bucket-occupancy gauge for the Hamming pair tier — the
+    s31 hot-cell report aimed at :func:`hamming_band_pairs`' banded
+    join (round-12 verdict item 6).  That join's candidate volume is
+    ``Σ_bands Σ_buckets c·(c−1)/2`` over (band, value) occupancies; a
+    low-entropy fingerprint band (real image corpora: flat borders,
+    letterboxing → constant band bytes) concentrates mass in a few
+    buckets and quietly turns the "never all-pairs" claim quadratic
+    while correctness stays green.  Run it per maintenance window next
+    to d8/m14 the way s31 runs next to the vector tier.
+
+    One groupBy over the banded fingerprints (same ``_band_values``
+    arithmetic as the join — the gauge measures EXACTLY the keys the
+    join shuffles), then a per-band rollup.  Output, one row per band:
+    (band, n_buckets, n_rows, max_bucket_rows, mean_bucket_rows,
+    top_bucket_share, est_candidate_pairs, is_hot) — ``is_hot`` =
+    top_bucket_share > ``hot_share``, the rebuild/re-band trigger.
+    """
+    bvals = _band_values(hash_col, nbits, bands)
+    occ = (
+        st.select(F.posexplode(bvals).alias("band", "_bval"))
+        .groupBy("band", "_bval")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.max("_c").cast("long").alias("max_bucket_rows"),
+            F.round(F.avg("_c"), 6).alias("mean_bucket_rows"),
+            F.round(F.max("_c") / F.sum("_c"), 6).alias("top_bucket_share"),
+            (F.sum(F.col("_c") * (F.col("_c") - 1)) / 2)
+            .cast("long")
+            .alias("est_candidate_pairs"),
+            (F.max("_c") / F.sum("_c") > hot_share).alias("is_hot"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_rows",
+            "max_bucket_rows",
+            "mean_bucket_rows",
+            "top_bucket_share",
+            "est_candidate_pairs",
+            "is_hot",
+        )
+    )
+
+
 def hamming_band_pairs(
     st: DataFrame,
     nbits: int,
@@ -963,18 +1050,9 @@ def hamming_band_pairs(
 
     Output: (id_a, id_b, hd), id_a < id_b.
     """
-    width = nbits // bands
+    bvals = _band_values(hash_col, nbits, bands)
     if max_hd is None:
         max_hd = bands - 1
-    mask = (1 << width) - 1
-    bvals = F.array(
-        *[
-            F.shiftrightunsigned(F.col(hash_col), i * width)
-            .bitwiseAND(F.lit(mask))
-            .cast("long")
-            for i in range(bands)
-        ]
-    )
     banded = st.select(
         F.col(id_col), F.col(hash_col).alias("_fp"),
         F.posexplode(bvals).alias("_band", "_bval"),

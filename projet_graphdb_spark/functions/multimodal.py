@@ -419,10 +419,68 @@ DHASH_COLS = 9  # 9 columns → 8 horizontal comparisons per row → 64 bits
 DHASH_CELLS = DHASH_ROWS * DHASH_COLS
 
 
+def _dhash_pool_1d(buf: np.ndarray) -> tuple:
+    """Exact-integer average pooling of a 1-D luminance sequence into
+    the row-major ``DHASH_ROWS×DHASH_COLS`` grid: block k covers
+    elements ``[k·L/cells, (k+1)·L/cells)``.  Returns (sums, ns) as
+    int64 grid matrices — the shared contract with ``_dhash_pool_2d``
+    that keeps the bit assembly raster-source-agnostic."""
+    cells = DHASH_CELLS
+    L = len(buf)
+    bounds = np.arange(cells + 1, dtype=np.int64) * L // cells
+    pref = np.concatenate(([0], buf.astype(np.int64).cumsum()))
+    sums = (pref[bounds[1:]] - pref[bounds[:-1]]).reshape(DHASH_ROWS, DHASH_COLS)
+    ns = (bounds[1:] - bounds[:-1]).reshape(DHASH_ROWS, DHASH_COLS)
+    return sums, ns
+
+
+def _dhash_pool_2d(raster: np.ndarray) -> tuple:
+    """Exact-integer average pooling of a 2-D H×W luminance raster into
+    the grid: cell (r, c) covers pixel block ``[r·H/R, (r+1)·H/R) ×
+    [c·W/C, (c+1)·W/C)`` (2-D prefix sums — one pass, no float means).
+    Same (sums, ns) contract as ``_dhash_pool_1d``; cells are empty
+    (n=0) when H < DHASH_ROWS or W < DHASH_COLS leaves a block bare."""
+    H, W = raster.shape
+    rb = np.arange(DHASH_ROWS + 1, dtype=np.int64) * H // DHASH_ROWS
+    cb = np.arange(DHASH_COLS + 1, dtype=np.int64) * W // DHASH_COLS
+    P = np.zeros((H + 1, W + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(raster.astype(np.int64), axis=0), axis=1, out=P[1:, 1:])
+    sums = (
+        P[rb[1:, None], cb[None, 1:]]
+        - P[rb[:-1, None], cb[None, 1:]]
+        - P[rb[1:, None], cb[None, :-1]]
+        + P[rb[:-1, None], cb[None, :-1]]
+    )
+    ns = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    return sums, ns
+
+
+def _dhash_bits(sums: np.ndarray, ns: np.ndarray) -> int:
+    """The dHash bit assembly over a pooled (sums, ns) grid — one bit
+    per horizontally-adjacent cell pair, set iff the LEFT cell's mean
+    is strictly brighter, compared cross-multiplied
+    (``sum_a·n_b > sum_b·n_a``) so the arithmetic stays integer-exact;
+    a bit needs both cells non-empty.  Shared verbatim by the default
+    byte-pooling path and any plugged ``decode_fn`` raster — the
+    raster source can only change what lands in (sums, ns)."""
+    h = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if (
+                ns[r, c] > 0
+                and ns[r, c + 1] > 0
+                and int(sums[r, c]) * int(ns[r, c + 1])
+                > int(sums[r, c + 1]) * int(ns[r, c])
+            ):
+                h |= 1 << (r * (DHASH_COLS - 1) + c)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
 def dhash_table(
     media: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    decode_fn=None,
 ) -> DataFrame:
     """64-bit difference hash (dHash) per binary payload — the public
     perceptual-fingerprint algorithm (Krawetz, "Kind of Like That",
@@ -432,12 +490,19 @@ def dhash_table(
     tweak perturbs a few cells, so near-identical images land within a
     small Hamming ball — the image analogue of d4/d8's text SimHash.
 
-    The image DECODE is the stubbed step (this environment carries no
-    codec libraries — `_decode_payload`'s premise): the payload BYTES
-    stand in for the luminance raster, downscaled by average-pooling
-    byte blocks.  Swapping in a real decoder changes only the raster
-    source; grid, comparison, banding and every plan downstream stay
-    identical.
+    The image DECODE is the pluggable step: pass ``decode_fn(payload)
+    -> np.ndarray`` returning a 2-D H×W luminance raster (or a 1-D
+    luminance sequence) — e.g. a real codec the moment one is
+    available.  The default (``decode_fn=None``) is the byte-pooling
+    stand-in (this environment carries no codec libraries): the payload
+    BYTES act as the luminance sequence.  Either way the pooled grid
+    feeds the SAME ``_dhash_bits`` assembly — the decoder can only
+    change what lands in the (sums, ns) grid, never the grid geometry,
+    the cross-multiplied comparison, or the banding downstream
+    (``tests/test_multimodal.py::test_dhash_decode_fn_*`` pins this
+    with synthetic gradient/flat/one-cell-flip rasters).  A
+    ``decode_fn`` returning None (undecodable payload) hashes to 0,
+    the same as an empty/NULL payload.
 
     All arithmetic is INTEGER-exact: cell means are compared
     cross-multiplied (``sum_a·n_b > sum_b·n_a``), so a SQL oracle
@@ -460,32 +525,27 @@ def dhash_table(
     )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cells, rows_, cols_ = DHASH_CELLS, DHASH_ROWS, DHASH_COLS
-        ks = np.arange(cells + 1, dtype=np.int64)
-
         def one(payload) -> int:
-            buf = b"" if payload is None else bytes(payload)
-            L = len(buf)
-            # block k = bytes [k·L/cells, (k+1)·L/cells) — exact int bounds
-            bounds = ks * L // cells
-            pref = np.concatenate(
-                ([0], np.frombuffer(buf, dtype=np.uint8).cumsum(dtype=np.int64))
-            )
-            sums = pref[bounds[1:]] - pref[bounds[:-1]]
-            ns = bounds[1:] - bounds[:-1]
-            h = 0
-            for r in range(rows_):
-                base = r * cols_
-                for c in range(cols_ - 1):
-                    k = base + c
-                    if (
-                        ns[k] > 0
-                        and ns[k + 1] > 0
-                        and int(sums[k]) * int(ns[k + 1])
-                        > int(sums[k + 1]) * int(ns[k])
-                    ):
-                        h |= 1 << (r * (cols_ - 1) + c)
-            return h - (1 << 64) if h >= 1 << 63 else h
+            if decode_fn is None:
+                buf = b"" if payload is None else bytes(payload)
+                lum = np.frombuffer(buf, dtype=np.uint8)
+            else:
+                decoded = decode_fn(payload)
+                lum = (
+                    np.zeros(0, dtype=np.int64)
+                    if decoded is None
+                    else np.asarray(decoded)
+                )
+            if lum.ndim == 2:
+                sums, ns = _dhash_pool_2d(lum)
+            elif lum.ndim == 1:
+                sums, ns = _dhash_pool_1d(lum)
+            else:
+                raise ValueError(
+                    f"dhash_table: decode_fn must return a 1-D luminance "
+                    f"sequence or 2-D raster, got ndim={lum.ndim}"
+                )
+            return _dhash_bits(sums, ns)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -508,6 +568,7 @@ def dhash_pairs(
     max_hd: int | None = None,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    decode_fn=None,
 ) -> DataFrame:
     """Image near-dup pairs: dHash fingerprints + the d8 Hamming band
     pigeonhole (``dedup.hamming_band_pairs``) — media whose perceptual
@@ -525,7 +586,9 @@ def dhash_pairs(
     """
     from .dedup import hamming_band_pairs
 
-    st = dhash_table(media, payload_col=payload_col, id_col=id_col)
+    st = dhash_table(
+        media, payload_col=payload_col, id_col=id_col, decode_fn=decode_fn
+    )
     return hamming_band_pairs(
         st, nbits=64, bands=bands, max_hd=max_hd,
         id_col=id_col, hash_col="dhash",

@@ -199,9 +199,13 @@ def partition_offset_rank(
     "cannot prove small" (estimate unavailable or over the cap) always
     takes the distributed path, so the global-window funnel class stays
     closed at scale.  Because file-source estimates are COMPRESSED
-    on-disk bytes, the gate charges ``POR_DECOMPRESS_MARGIN`` (4×)
-    before comparing, so a 32 MiB parquet frame that decompresses to
-    hundreds of MBs takes the distributed path.  NOTE: unlike the
+    on-disk bytes, the DEFAULT gate charges ``POR_DECOMPRESS_MARGIN``
+    (4×) before comparing, so a 32 MiB parquet frame that decompresses
+    to hundreds of MBs takes the distributed path.  An explicit
+    ``gate_bytes`` is compared against the plan estimate AS-IS (no
+    margin) — the caller's budget means what it says (round-12 advice:
+    the margin silently made it ``gate_bytes/4`` and double-taxed
+    in-memory inputs whose estimate is already decompressed).  NOTE: unlike the
     distributed path the small path is NOT materialized (no
     localCheckpoint) — a caller that fans the ranked frame into
     multiple consumers (m10's self+partner join) recomputes the cheap
@@ -226,10 +230,16 @@ def partition_offset_rank(
             size: int | None = plan_size_bytes(df)
         except Exception:
             size = None
+        # The 4x decompress margin corrects the default FILE-SCAN
+        # heuristic (Catalyst sizeInBytes is compressed on-disk bytes);
+        # an explicit gate_bytes is the caller's own budget against the
+        # plan estimate as-is — charging the margin there silently
+        # turned gate_bytes into gate_bytes/4 and double-taxed
+        # in-memory/localCheckpoint inputs whose estimate is already
+        # decompressed (round-12 advice).
         limit = POR_SMALL_BYTES if gate_bytes is None else gate_bytes
-        small = (
-            size is not None and 0 <= size * POR_DECOMPRESS_MARGIN <= limit
-        )
+        margin = POR_DECOMPRESS_MARGIN if gate_bytes is None else 1
+        small = size is not None and 0 <= size * margin <= limit
         if _POR_TRACE is not None:
             _POR_TRACE.append((size, small))
         if small:

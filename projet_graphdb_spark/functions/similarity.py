@@ -2639,6 +2639,20 @@ def incremental_exact_dups(
     )
 
 
+# Per-join fixed cost in flop-equivalents, derived from the round-12
+# shard-sweep receipt (BENCH_sf1.json["ingest_tier_r12_shard_sweep"],
+# N=180k, dim=64, t=0.8 sized-SRP 13 bits x 58 bands): the exact leg's
+# measured rate is ~3.06e-10 s/flop ((139.59-2.3) s over (4.608e11 -
+# 1.152e10) flops across S=500..20000), the LSH leg's S-independent
+# fixed part is 8.65 - a*5.73e8 ~= 7.8 s over 58 band joins ~= 0.134
+# s/join, so one band join costs ~0.134 / 3.06e-10 ~= 4e8
+# flop-equivalents of un-modeled setup (shuffle planning, shard
+# signature scan, join machinery).  This is the round-12 verdict's
+# "documented margin" default; the rehearsal measures its own
+# in-session value and records it next to the receipt.
+JOIN_SETUP_FLOPS_R12 = 4.0e8
+
+
 def incremental_plan_rows(
     n_corpus: int,
     n_shard: int,
@@ -2651,6 +2665,7 @@ def incremental_plan_rows(
     imi_cfg: dict | None = None,
     exact_allowed: bool = True,
     lsh_measured_pairs: float | None = None,
+    join_cost_flops: float = 0.0,
 ) -> list:
     """The incremental router's cost model — :func:`choose_dup_strategy`
     re-derived for the INGEST cost shape, priced against the PERSISTED
@@ -2680,15 +2695,31 @@ def incremental_plan_rows(
 
     Artifact rows appear only for artifacts actually provided — the
     router routes among indexes that EXIST; pricing a hypothetical
-    build is the batch router's job.  Returns dicts sorted
-    choice-first (feasible desc, margin-adjusted flops asc — the
-    margin divides BOTH guaranteed rows — method desc, bits asc — the
-    s23 ORDER BY), each with ``chosen`` on exactly the first."""
+    build is the batch router's job.
+
+    ``join_cost_flops`` (round-12 verdict item 3) prices each leg's
+    JOIN MACHINERY, which flops alone miss: the r12 shard sweep
+    measured the sized 58-band SRP leg paying 8.65 s wall at S=500
+    where exact costs 2.3 s — ~0.134 s of setup per band join that the
+    flop model priced at zero, a 3.8× overpay.  Each row carries
+    ``n_joins`` (exact 0 — map-only against a broadcast shard; LSH
+    ``n_bands`` — one equi-join per band; IVF/IMI 1 — one cell
+    equi-join) and ``est_cost = est_flops + n_joins·join_cost_flops``;
+    the sort ranks by margin-adjusted est_cost.  Default 0.0 keeps
+    est_cost ≡ est_flops (artifact-exercising callers are unchanged);
+    pass :data:`JOIN_SETUP_FLOPS_R12` (the documented r12-receipt
+    derivation) or a session-measured value for wall-honest small-S
+    routing.
+
+    Returns dicts sorted choice-first (feasible desc, margin-adjusted
+    est_cost asc — the margin divides BOTH guaranteed rows — method
+    desc, bits asc — the s23 ORDER BY), each with ``chosen`` on
+    exactly the first."""
     rows = []
     if exact_allowed:
         rows.append({
             "method": "exact", "bits": 0, "n_bands": 0,
-            "k_cells": 1, "probe": 1,
+            "k_cells": 1, "probe": 1, "n_joins": 0,
             "recall": 1.0, "feasible": True,
             "est_pairs": float(n_shard) * float(n_corpus),
             "est_flops": float(n_shard) * float(n_corpus) * 2 * dim,
@@ -2708,7 +2739,7 @@ def incremental_plan_rows(
         est_pairs = float(lsh_measured_pairs) if measured else est_bound
         rows.append({
             "method": "lsh", "bits": bits, "n_bands": n_bands,
-            "k_cells": 2 ** bits, "probe": n_bands,
+            "k_cells": 2 ** bits, "probe": n_bands, "n_joins": n_bands,
             "recall": round(rec, 6),
             "feasible": rec >= target_recall - 1e-9,
             "est_pairs": est_pairs,
@@ -2722,7 +2753,7 @@ def incremental_plan_rows(
         est_pairs = nprobe * nprobe * float(n_shard) * float(n_corpus) / float(k)
         rows.append({
             "method": "ivf", "bits": 0, "n_bands": 0,
-            "k_cells": k, "probe": nprobe,
+            "k_cells": k, "probe": nprobe, "n_joins": 1,
             "recall": -1.0, "feasible": True,
             "est_pairs": est_pairs,
             "est_flops": float(n_shard) * k * dim + est_pairs * 8 * dim,
@@ -2735,7 +2766,7 @@ def incremental_plan_rows(
         )
         rows.append({
             "method": "imi", "bits": 0, "n_bands": 0,
-            "k_cells": k1 * k2, "probe": p1 * p2,
+            "k_cells": k1 * k2, "probe": p1 * p2, "n_joins": 1,
             "recall": -1.0, "feasible": True,
             "est_pairs": est_pairs,
             "est_flops": float(n_shard) * (k1 + k2) * (dim // 2)
@@ -2747,14 +2778,16 @@ def incremental_plan_rows(
             "and exact_allowed=False — pass at least one of "
             "lsh_cfg/ivf_cfg/imi_cfg or allow the exact leg"
         )
+    for r in rows:
+        r["est_cost"] = r["est_flops"] + r["n_joins"] * join_cost_flops
     # method DESC (the s23 tie rule): 'lsh' > 'ivf' > 'imi' > 'exact'
     method_rank = {"lsh": 0, "ivf": 1, "imi": 2, "exact": 3}
     rows.sort(
         key=lambda r: (
             not r["feasible"],
-            r["est_flops"] / guarantee_margin
+            r["est_cost"] / guarantee_margin
             if r["method"] in ("lsh", "exact")
-            else r["est_flops"],
+            else r["est_cost"],
             method_rank[r["method"]],
             r["bits"],
         )
@@ -2776,6 +2809,7 @@ def incremental_strategy_report(
     imi_cfg: dict | None = None,
     exact_allowed: bool = True,
     include_sized: bool = True,
+    join_cost_flops: float = 0.0,
 ) -> DataFrame:
     """:func:`incremental_plan_rows` as an oracle-checkable DataFrame —
     the s23 discipline applied to the INGEST tier: one row per
@@ -2802,9 +2836,18 @@ def incremental_strategy_report(
       6×46 leg's collision floor ~0.72·S·N candidates at 8·dim beats
       nothing — exact is S·N at 2·dim).
 
+    ``join_cost_flops`` (round-12 verdict item 3): every leg carries
+    ``n_joins`` (exact 0, lsh/lsh_sized one equi-join per band, ivf/imi
+    one cell join) and ``est_cost = est_flops + n_joins ·
+    join_cost_flops`` — the fixed join-machinery cost the flop columns
+    miss (the r12 sweep measured 58 band joins costing 3.8× exact's
+    wall at S=500 while the flop model said the opposite); ``chosen``
+    ranks by margin-adjusted est_cost.  The default 0.0 keeps
+    est_cost ≡ est_flops.
+
     Output: (threshold, method, bits, n_bands, k_cells, probe, recall,
-    feasible, routable, est_pairs, est_flops, chosen), ordered by
-    (threshold, method, bits)."""
+    feasible, routable, est_pairs, est_flops, n_joins, est_cost,
+    chosen), ordered by (threshold, method, bits)."""
     from pyspark.sql import Window
 
     spark = corpus.sparkSession
@@ -2877,10 +2920,19 @@ def incremental_strategy_report(
         )
         .otherwise(F.col("est_pairs") * (2 * dim))  # exact: the dot only
     )
+    n_joins = (
+        F.when(is_lsh, F.col("n_bands"))
+        .when(F.col("method") == "exact", F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    est_cost = F.col("est_flops") + F.col("n_joins") * F.lit(
+        float(join_cost_flops)
+    )
     adjusted = F.when(
         F.col("method").isin("lsh", "exact"),
-        F.col("est_flops") / guarantee_margin,
-    ).otherwise(F.col("est_flops"))
+        F.col("est_cost") / guarantee_margin,
+    ).otherwise(F.col("est_cost"))
     # routable DESC leads the window: advisory rows sort last, so rank 1
     # is always the row the RUNTIME router would pick among real routes
     w = Window.partitionBy("threshold").orderBy(
@@ -2892,11 +2944,13 @@ def incremental_strategy_report(
         .crossJoin(F.broadcast(s))
         .withColumn("est_pairs", est_pairs)
         .withColumn("est_flops", est_flops)
+        .withColumn("n_joins", n_joins)
+        .withColumn("est_cost", est_cost)
         .withColumn("chosen", (F.row_number().over(w) == 1) & F.col("feasible"))
         .select(
             "threshold", "method", "bits", "n_bands", "k_cells", "probe",
             "recall", "feasible", "routable", "est_pairs", "est_flops",
-            "chosen",
+            "n_joins", "est_cost", "chosen",
         )
         .orderBy("threshold", "method", "bits")
     )
@@ -2923,6 +2977,7 @@ def incremental_cosine_dups_auto(
     plan_out: dict | None = None,
     exact_allowed: bool = True,
     fallback: bool = True,
+    join_cost_flops: float = 0.0,
 ) -> DataFrame:
     """Strategy-ROUTED incremental ingest — the round-8 verdict gap 1
     closed: :func:`cosine_dups_auto` routes the batch path, but the
@@ -3008,6 +3063,7 @@ def incremental_cosine_dups_auto(
         n_corpus, n_shard, threshold, target_recall, dim,
         guarantee_margin, lsh_cfg, ivf_cfg, imi_cfg,
         exact_allowed=exact_allowed, lsh_measured_pairs=lsh_measured,
+        join_cost_flops=join_cost_flops,
     )
     chosen = rows[0]
     if plan_out is not None:
@@ -3036,7 +3092,7 @@ def incremental_cosine_dups_auto(
         g = sorted(
             (r for r in rows
              if r["feasible"] and r["method"] in ("lsh", "exact")),
-            key=lambda r: r["est_flops"],
+            key=lambda r: r["est_cost"],
         )
         if not g:
             return None

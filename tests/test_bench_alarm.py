@@ -179,3 +179,41 @@ def test_failure_summary_makes_reds_unmissable():
     # the headline total worse
     out4 = failure_summary({"q": -1.0, "r": -1.0}, {"q": -1.0, "r": 2.0})
     assert out4["failed_floor_sec"] == 2.0
+
+
+def test_compact_summary_fits_driver_tail():
+    """Round-12 verdict item 2: the driver keeps a 2,000-char stdout
+    tail, so the bench's LAST stdout line must be one complete small
+    object even with the worst realistic field sizes — the 9 KB
+    full-object line is what made every BENCH_rN land parsed: null."""
+    import json
+
+    from bench import compact_summary
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 436.2,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"q{i}": 1.0 for i in range(304)},
+        "n_failed": 2,
+        "failed": ["a", "b"],
+        "degraded_epoch": False,
+        "stream_rows_per_sec": {
+            "e8_sessionize_stream": 33512.1,
+            "e26_restart_recovery": 37467.2,
+        },
+        "warnings": [f"w{i}: slow" for i in range(40)],
+    }
+    line = json.dumps(compact_summary(out))
+    assert len(line) < 500  # complete object well inside a 2,000-char tail
+    parsed = json.loads(line)
+    assert parsed["value"] == 436.2 and parsed["n"] == 304
+    assert parsed["n_failed"] == 2 and parsed["n_warnings"] == 40
+    assert parsed["degraded_epoch"] is False
+    assert parsed["stream_rows_per_sec"]["e8_sessionize_stream"] == 33512.1
+    # per-query timings live in the full-object file, never on stdout
+    assert "queries" not in parsed and parsed["full"] == "BENCH_LAST_RUN.json"
+    # minimal objects (failed run, no streams) stay schema-stable
+    small = compact_summary({"metric": "m", "value": -1, "unit": "sec", "sf": 0.1})
+    assert small["n"] == 0 and small["n_failed"] == 0 and small["n_warnings"] == 0

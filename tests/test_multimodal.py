@@ -236,3 +236,95 @@ def test_dhash_pairs_wider_band_count(spark):
         for r in multimodal.dhash_pairs(media, bands=4).collect()
     }
     assert narrow <= {(a, b) for a, b, _ in got}
+
+
+def test_dhash_decode_fn_default_and_identity_agree(spark):
+    """Round-12 verdict item 4: the decode step is pluggable.  A
+    decode_fn that returns exactly the payload bytes as a 1-D luminance
+    sequence must reproduce the default byte-pooling path bit for bit —
+    the decoder can only change the raster source, never the
+    grid/compare/banding."""
+    import numpy as np
+
+    payloads = [
+        (0, b""),
+        (1, None),
+        (2, b"abc"),
+        (3, bytes(range(256)) * 5),
+        (4, b"the quick brown fox jumps over the lazy dog" * 20),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+
+    def identity_decode(payload):
+        return np.frombuffer(b"" if payload is None else bytes(payload), np.uint8)
+
+    default = {r["media_id"]: r["dhash"] for r in multimodal.dhash_table(media).collect()}
+    plugged = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.dhash_table(media, decode_fn=identity_decode).collect()
+    }
+    assert default == plugged
+
+
+def test_dhash_decode_fn_2d_raster_semantics(spark):
+    """Synthetic 2-D rasters through a plugged decode_fn prove the
+    pooled-grid semantics: a left-to-right gradient has every right
+    cell brighter (hash 0), its mirror has every LEFT cell brighter
+    (all 64 bits -> -1 signed), a flat raster has no strict inequality
+    (hash 0), and an undecodable payload (decode_fn returns None)
+    hashes to 0 like an empty payload."""
+    import numpy as np
+
+    def decode(payload):
+        kind = bytes(payload).decode() if payload is not None else "none"
+        g = np.tile(np.arange(90, dtype=np.int64), (80, 1))
+        return {
+            "gradient": g,
+            "mirror": g[:, ::-1].copy(),
+            "flat": np.full((80, 90), 7, dtype=np.int64),
+            "none": None,
+        }[kind]
+
+    media = spark.createDataFrame(
+        [(0, b"gradient"), (1, b"mirror"), (2, b"flat"), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.dhash_table(media, decode_fn=decode).collect()
+    }
+    assert got == {0: 0, 1: -1, 2: 0, 3: 0}
+
+
+def test_dhash_decode_fn_near_dup_pair_one_flipped_cell(spark):
+    """End-to-end through dhash_pairs with a plugged 2-D decoder: a
+    raster and its one-brightened-block twin differ in exactly one
+    comparison bit (hd=1) and are found by the banded join; an
+    unrelated random raster pairs with neither.  Grid, comparison and
+    banding are untouched by the raster source."""
+    import numpy as np
+
+    base = np.full((80, 90), 100, dtype=np.int64)
+    twin = base.copy()
+    twin[30:40, 30:40] = 255          # exactly grid cell (3, 3): the
+    # (3,3)>(3,4) comparison flips on, (3,2)>(3,3) stays off -> hd 1
+    other = np.tile(np.arange(90, dtype=np.int64), (80, 1))[:, ::-1].copy()
+    rasters = {0: base, 1: twin, 2: other}  # hashes 0, 1<<27, -1
+
+    def decode(payload):
+        return rasters[int(bytes(payload).decode())]
+
+    media = spark.createDataFrame(
+        [(0, b"0"), (1, b"1"), (2, b"2")], "media_id long, payload binary"
+    )
+    out = multimodal.dhash_pairs(media, bands=4, decode_fn=decode)
+    got = sorted((r["id_a"], r["id_b"], r["hd"]) for r in out.collect())
+    from projet_graphdb_spark.functions.multimodal import _dhash_bits, _dhash_pool_2d
+
+    hs = {i: _dhash_bits(*_dhash_pool_2d(r)) for i, r in rasters.items()}
+    assert bin((hs[0] ^ hs[1]) & ((1 << 64) - 1)).count("1") == 1
+    assert got == [(0, 1, 1)]
+    # same audited banded plan as the default path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -354,19 +354,18 @@ def test_partition_offset_rank_exact_and_distributed(spark):
         relational._POR_TRACE = None
     assert [t[1] for t in trace] == [True, False]  # the gate decided
     assert all(t[0] is not None for t in trace)  # from a measured estimate
-    # round-11 advice: file-scan estimates are COMPRESSED bytes, so the
-    # gate charges POR_DECOMPRESS_MARGIN before comparing — an estimate
-    # within the cap but over cap/margin must take the distributed path
+    # round-12 advice: the 4x decompress margin corrects only the
+    # DEFAULT file-scan heuristic; an explicit gate_bytes is compared
+    # against the plan estimate as-is (no margin), so the caller's
+    # budget means what it says — est-1 must go distributed, est small
     est = trace[0][0]
     relational._POR_TRACE = trace_m = []
     try:
         relational.partition_offset_rank(
-            df, [F.asc("_c"), F.asc("id")], "_i",
-            gate_bytes=est * relational.POR_DECOMPRESS_MARGIN - 1,
+            df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=est - 1
         ).count()
         relational.partition_offset_rank(
-            df, [F.asc("_c"), F.asc("id")], "_i",
-            gate_bytes=est * relational.POR_DECOMPRESS_MARGIN,
+            df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=est
         ).count()
     finally:
         relational._POR_TRACE = None

@@ -837,6 +837,70 @@ def test_incremental_report_matches_python_rows(spark, emb):
     assert r4x[0]["method"] in ("ivf", "imi") and r4x[0]["chosen"]
 
 
+def test_incremental_join_cost_term_prices_small_shards(spark, emb):
+    """Round-12 verdict item 3: the flop-only model routed the sized
+    58-band SRP leg at S=500/t=0.8 where its band-join setup cost 8.65 s
+    wall vs exact's 2.3 s (the r12 shard-sweep receipt).  With the
+    fixed-cost term (est_cost = est_flops + n_joins*JOIN_SETUP_FLOPS_R12)
+    the router prices the join machinery: exact wins the small shard,
+    the banded leg wins back once its setup amortizes — pinned at the
+    receipt's own (N, S, threshold) points."""
+    cfg = {"bits": 13, "n_bands": 58}   # srp_sized_config(0.8, 0.95)
+    b = similarity.JOIN_SETUP_FLOPS_R12
+    # defaults unchanged: join_cost_flops=0 keeps est_cost == est_flops
+    r0 = similarity.incremental_plan_rows(180_000, 500, 0.8, lsh_cfg=cfg)
+    assert r0[0]["method"] == "lsh"
+    assert all(r["est_cost"] == r["est_flops"] for r in r0)
+    # the r12 sweep's small-S row now chooses exact (wall-honest)...
+    r500 = similarity.incremental_plan_rows(
+        180_000, 500, 0.8, lsh_cfg=cfg, join_cost_flops=b
+    )
+    assert r500[0]["method"] == "exact" and r500[0]["chosen"]
+    # ...and the banded leg wins back where its setup amortizes
+    # (S=2000 was the measured crossover; S=20000 a 3.2x lsh win)
+    for s_sz in (2000, 20_000):
+        rs = similarity.incremental_plan_rows(
+            180_000, s_sz, 0.8, lsh_cfg=cfg, join_cost_flops=b
+        )
+        assert rs[0]["method"] == "lsh", s_sz
+    # cost algebra: est_cost = est_flops + n_joins * b, n_joins per leg
+    n_joins = {r["method"]: r["n_joins"] for r in r500}
+    assert n_joins == {"exact": 0, "lsh": 58}
+    for r in r500:
+        assert r["est_cost"] == r["est_flops"] + r["n_joins"] * b
+    # the t=0.4 rows keep choosing exact with the term (only reinforced)
+    r4 = similarity.incremental_plan_rows(
+        180_000, 500, 0.4, lsh_cfg={"bits": 6, "n_bands": 46},
+        join_cost_flops=b,
+    )
+    assert r4[0]["method"] == "exact"
+    # report surface carries the same columns and the same choice
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    got = {
+        r["method"]: r
+        for r in similarity.incremental_strategy_report(
+            corpus, shard, threshold=0.9,
+            lsh_cfg={"bits": 6, "n_bands": 8}, join_cost_flops=b,
+        ).collect()
+    }
+    want = {
+        r["method"]: r
+        for r in similarity.incremental_plan_rows(
+            cut, emb.count() - cut, 0.9,
+            lsh_cfg={"bits": 6, "n_bands": 8}, join_cost_flops=b,
+        )
+    }
+    for m, w in want.items():
+        g = got[m]
+        assert g["n_joins"] == w["n_joins"] and g["chosen"] == w["chosen"]
+        assert abs(g["est_cost"] - w["est_cost"]) < 1e-6 * max(1, w["est_cost"])
+    # at the driver cut's tiny S·N the join term makes the map-only
+    # exact leg beat the 8-band artifact even at t=0.9
+    assert want["exact"]["chosen"] and got["exact"]["chosen"]
+
+
 def test_incremental_auto_routes_and_matches(spark, emb, tmp_path):
     """End-to-end routed ingest against all three persisted artifact
     families: at threshold 0.9 the router picks the recall-guaranteed

@@ -375,6 +375,46 @@ def rehearse_high_threshold(spark, src, tmp, sizes, copies=(10, 100),
     return results
 
 
+def measure_join_cost_flops(spark, corpus, probe_shard, lsh_index,
+                            n_corpus, dim=64):
+    """Round-12 verdict item 3's 'measured once per session' leg
+    constants: time the exact leg on a small probe shard (→ a =
+    sec/flop at this session's rate), time the banded SRP leg on the
+    SAME shard, and attribute the wall the flop model doesn't explain
+    to the band joins — b = (lsh_wall − a·lsh_flops) / n_joins,
+    returned in flop-equivalents (b_sec / a) for
+    incremental_plan_rows(join_cost_flops=...).  One small receipt
+    dict; the library default JOIN_SETUP_FLOPS_R12 is the documented
+    r12-receipt derivation of the same number."""
+    s0 = probe_shard.count()
+    t_ex, _ = _timed(
+        lambda: similarity.incremental_exact_dups(
+            corpus, probe_shard, threshold=0.8
+        ).count()
+    )
+    a = t_ex / (float(s0) * n_corpus * 2 * dim)
+    receipt: dict = {}
+    t_lsh, _ = _timed(
+        lambda: similarity.incremental_cosine_dups_auto(
+            corpus, probe_shard, threshold=0.8, lsh_index=lsh_index,
+            exact_allowed=False, dim=dim, n_corpus=n_corpus, n_shard=s0,
+            calibrate=False, plan_out=receipt,
+        ).count()
+    )
+    row = receipt["plan"]
+    b_sec = max(0.0, t_lsh - a * row["est_flops"]) / max(1, row["n_joins"])
+    return {
+        "probe_shard_rows": s0,
+        "exact_probe_sec": t_ex,
+        "lsh_probe_sec": t_lsh,
+        "lsh_probe_n_joins": row["n_joins"],
+        "a_sec_per_flop": a,
+        "join_setup_sec": round(b_sec, 4),
+        "join_cost_flops": round(b_sec / a, 1) if a > 0 else 0.0,
+        "library_default_r12": similarity.JOIN_SETUP_FLOPS_R12,
+    }
+
+
 def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
                          shard_sizes=(500, 2000, 20000)):
     """Round-11 verdict item 5: the S dimension of the exact leg's S·N
@@ -382,7 +422,12 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
     wall (t=0.4 — where exact IS the chosen route) and the t=0.8 pair
     (exact truth + routed sized-SRP), with the router's priced plan
     recorded so the crossover (threshold-driven: both legs are linear
-    in S) is visible next to the measured walls."""
+    in S) is visible next to the measured walls.
+
+    Round-13 (r12 verdict item 3): the sweep measures this session's
+    per-band-join setup cost once (measure_join_cost_flops) and routes
+    with it — the receipt shows the small-S row choosing exact where
+    the r12 flop-only model overpaid 3.8×."""
     results = []
     corpus, n_corpus, emb, cut, n_total = _corpus_at(spark, src, tmp, sizes, n)
     base = emb.where(F.col("vec_id") >= cut).withColumn(
@@ -400,6 +445,14 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
         )
         sized[thr] = (spark.read.parquet(path), t_b)
     dim = emb.select(F.size("embedding")).first()[0]
+    probe = _seeded_shard(
+        spark, corpus, base.limit(0),
+        id_start=n_corpus + 50 * base_n + n_total, n_seed=200,
+    )
+    jc = measure_join_cost_flops(
+        spark, corpus, probe, sized[0.8][0], n_corpus, dim=dim
+    )
+    print("join_cost_probe", jc, flush=True)
     for S in shard_sizes:
         # shard = base (S-linear realism) + dim-rotated decorrelated
         # filler up to S-300 + the 300 seeds; filler ids are dense from
@@ -438,6 +491,7 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
                     corpus, shard, threshold=thr, target_recall=0.95,
                     lsh_index=sized[thr][0], dim=64,
                     n_corpus=n_corpus, n_shard=row["S"], plan_out=receipt,
+                    join_cost_flops=jc["join_cost_flops"],
                 ).count()
             )
             recall = (
@@ -452,11 +506,14 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
                 "plan_flops": {
                     r["method"]: r["est_flops"] for r in receipt.get("rows", [])
                 },
+                "plan_cost": {
+                    r["method"]: r["est_cost"] for r in receipt.get("rows", [])
+                },
                 "routed_recall_measured": recall,
             }
         results.append(row)
         print("shard_sweep", row, flush=True)
-    return results
+    return {"join_cost_probe": jc, "sweep": results}
 
 
 def rehearse_compaction(spark, src, tmp):

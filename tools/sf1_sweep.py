@@ -55,6 +55,7 @@ VALUE_QUERIES = [
     "e35_pair_sink_compaction", "e34_ingest_dedup_stream",
     "a12_feature_propagation",
     "m14_image_phash_dups",
+    "m15_dhash_band_occupancy",
 ]
 
 CAPPED_QUERIES = {
@@ -97,6 +98,14 @@ def build_capped() -> None:
 
 def run_one(sf_dir: str, name: str, rows_only: bool = False) -> dict:
     out = f"/tmp/sf1_sweep_{name}{'_rows' if rows_only else ''}.json"
+    # A stale result file from a previous sweep must never stand in for
+    # a crashed check (round-12 advice: Spark launch failure / OOM-kill
+    # before the JSON write would read the old file and report a
+    # genuine failure as a pass in the committed receipt).
+    try:
+        os.remove(out)
+    except FileNotFoundError:
+        pass
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
         sf_dir, name, "--json", out,
@@ -113,6 +122,8 @@ def run_one(sf_dir: str, name: str, rows_only: bool = False) -> dict:
         return {"ok": False, "err": f"TIMEOUT {PER_QUERY_CAP_SEC}s"}
     wall = round(time.time() - t0, 1)
     try:
+        if proc.returncode != 0:
+            raise RuntimeError(f"check_oracle rc={proc.returncode}")
         with open(out) as fh:
             rec = json.load(fh)["queries"][name]
     except Exception:
