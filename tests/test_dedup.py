@@ -780,3 +780,137 @@ def test_minhash_tuned_bands_tracks_threshold():
     b_lo = dedup.minhash_tuned_bands(32, 0.2)
     assert b_hi < b_lo
     assert 32 % b_hi == 0 and 32 % b_lo == 0
+
+
+def _brute_hamming_pairs(fps: dict, max_hd: int) -> set:
+    from itertools import combinations
+
+    return {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= max_hd
+    }
+
+
+def _interleave_val(fp: int, nbits: int, bands: int, b: int) -> int:
+    width = nbits // bands
+    return sum(((fp >> (b + k * bands)) & 1) << k for k in range(width))
+
+
+def test_hamming_interleave_band_arithmetic(spark):
+    """The strided re-band extractor (band b = bits {b, b+bands, ...})
+    matches the Python bit-gather exactly, including fingerprints with
+    the sign bit set (shiftrightunsigned semantics)."""
+    import random
+
+    rng = random.Random(7)
+    fps = {i: rng.getrandbits(64) for i in range(32)}
+    fps[31] |= 1 << 63  # force a negative Spark long
+    rows = [(i, fp - (1 << 64) if fp >= 1 << 63 else fp) for i, fp in fps.items()]
+    st = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        r["doc_id"]: r["bv"]
+        for r in st.select(
+            "doc_id",
+            dedup._band_values("simhash", 64, 4, interleave=True).alias("bv"),
+        ).collect()
+    }
+    for i, fp in fps.items():
+        expect = [_interleave_val(fp, 64, 4, b) for b in range(4)]
+        assert got[i] == expect, f"doc {i}: {got[i]} != {expect}"
+
+
+def test_hamming_reband_pair_set_invariance(spark):
+    """Pigeonhole exhaustiveness is layout-invariant: identity and
+    interleave bandings produce the SAME verified pair set for
+    max_hd <= bands-1, and both equal brute force."""
+    import random
+
+    rng = random.Random(11)
+    base = {i: rng.getrandbits(63) for i in range(20)}
+    fps = dict(base)
+    for i in range(20):  # twin with hd=1..3
+        flip = 0
+        for j in range(1 + i % 3):
+            flip |= 1 << ((7 * i + 13 * j) % 63)
+        fps[100 + i] = base[i] ^ flip
+    st = spark.createDataFrame(
+        [(i, fp) for i, fp in fps.items()], "doc_id long, simhash long"
+    )
+    expect = _brute_hamming_pairs(fps, max_hd=3)
+    got_id = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dedup.hamming_band_pairs(st, nbits=64, bands=4).collect()
+    }
+    got_il = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dedup.hamming_band_pairs(
+            st, nbits=64, bands=4, interleave=True
+        ).collect()
+    }
+    assert got_id == expect and got_il == expect and expect
+
+
+def test_hamming_reband_recovery_low_entropy(spark):
+    """The m16 chain on the exact corpus shape m15 was built for: a
+    constant top band (flat borders) trips is_hot at identity banding;
+    the recovery re-bands to interleave, after which no band is hot,
+    and the recovered pair set still equals brute force."""
+    import random
+
+    rng = random.Random(13)
+    const_top = 0x5A5A << 48
+    base = {i: const_top | rng.getrandbits(48) for i in range(24)}
+    fps = dict(base)
+    for i in range(24):
+        fps[100 + i] = base[i] ^ (1 << ((5 * i) % 48))  # hd=1 twins
+    st = spark.createDataFrame(
+        [(i, fp) for i, fp in fps.items()], "doc_id long, simhash long"
+    )
+    occ_id = {
+        r["band"]: r
+        for r in dedup.hamming_band_occupancy(st, nbits=64, bands=4).collect()
+    }
+    assert bool(occ_id[3]["is_hot"]) and occ_id[3]["top_bucket_share"] == 1.0
+    plan: dict = {}
+    got = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dedup.hamming_reband_recovery(
+            st, nbits=64, bands=4, plan_out=plan
+        ).collect()
+    }
+    assert plan["layout"] == "interleave" and plan["hot_bands"] == [3]
+    assert plan["hot_bands_after"] == []
+    assert plan["est_pairs_interleave"] < plan["est_pairs_identity"]
+    assert got == _brute_hamming_pairs(fps, max_hd=3) and got
+    # healthy corpus: recovery keeps the identity layout, one gauge pass
+    healthy = spark.createDataFrame(
+        [(i, rng.getrandbits(63)) for i in range(40)],
+        "doc_id long, simhash long",
+    )
+    plan2: dict = {}
+    dedup.hamming_reband_recovery(healthy, nbits=64, bands=4, plan_out=plan2).count()
+    assert plan2["layout"] == "identity" and plan2["hot_bands"] == []
+    assert "est_pairs_interleave" not in plan2
+
+
+def test_hamming_reband_policy_decision_row(spark):
+    """The s33-shaped decision row for the Hamming tier: hot corpus ->
+    ('reband', 'hot_bands:3'); healthy corpus -> ('keep', 'healthy')."""
+    import random
+
+    rng = random.Random(17)
+    hot_rows = [
+        (i, (0x5A5A << 48) | rng.getrandbits(48)) for i in range(16)
+    ]
+    hot = spark.createDataFrame(hot_rows, "doc_id long, simhash long")
+    r = dedup.hamming_reband_policy(hot, nbits=64, bands=4).first()
+    assert r["tier"] == "hamming" and r["decision"] == "reband"
+    assert r["n_hot_bands"] == 1 and r["reason"] == "hot_bands:3"
+    healthy = spark.createDataFrame(
+        [(i, rng.getrandbits(63)) for i in range(40)],
+        "doc_id long, simhash long",
+    )
+    r2 = dedup.hamming_reband_policy(healthy, nbits=64, bands=4).first()
+    assert r2["decision"] == "keep" and r2["reason"] == "healthy"
+    assert r2["n_hot_bands"] == 0
