@@ -75,6 +75,26 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(stats.sizeInBytes())
 
 
+def plan_reads_files(df: DataFrame) -> bool:
+    """True when any leaf of the optimized plan is a storage-backed
+    relation (file scan / catalog table), i.e. when Catalyst's
+    ``sizeInBytes`` estimate is COMPRESSED on-disk bytes; False for
+    purely in-memory plans (LocalRelation, LogicalRDD from
+    createDataFrame / localCheckpoint, Range), whose estimate is
+    already decompressed row bytes.  Drives the decompress margin in
+    :func:`partition_offset_rank` (round-13 advice: the margin belongs
+    to the ESTIMATE'S SOURCE, not to whether the caller passed an
+    explicit budget).  Unrecognized leaf classes count as
+    storage-backed — "cannot prove in-memory" must never skip the
+    margin."""
+    in_memory = {"LocalRelation", "LogicalRDD", "Range", "OneRowRelation"}
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        if leaves.apply(i).getClass().getSimpleName() not in in_memory:
+            return True
+    return False
+
+
 def maybe_broadcast(
     df: DataFrame,
     gate_bytes: int | None = None,
@@ -198,14 +218,18 @@ def partition_offset_rank(
     IS the whole input, but only because the gate measured it small;
     "cannot prove small" (estimate unavailable or over the cap) always
     takes the distributed path, so the global-window funnel class stays
-    closed at scale.  Because file-source estimates are COMPRESSED
-    on-disk bytes, the DEFAULT gate charges ``POR_DECOMPRESS_MARGIN``
-    (4×) before comparing, so a 32 MiB parquet frame that decompresses
-    to hundreds of MBs takes the distributed path.  An explicit
-    ``gate_bytes`` is compared against the plan estimate AS-IS (no
-    margin) — the caller's budget means what it says (round-12 advice:
-    the margin silently made it ``gate_bytes/4`` and double-taxed
-    in-memory inputs whose estimate is already decompressed).  NOTE: unlike the
+    closed at scale.  Because FILE-SOURCE estimates are COMPRESSED
+    on-disk bytes, the gate charges ``POR_DECOMPRESS_MARGIN`` (4×)
+    whenever the plan reads storage (:func:`plan_reads_files`) — so a
+    32 MiB parquet frame that decompresses to hundreds of MBs takes
+    the distributed path, whether the budget is the default or the
+    caller's own.  In-memory plans (createDataFrame /
+    localCheckpoint / range), whose estimate is already decompressed,
+    are compared AS-IS (round-12 advice killed the double tax; round-13
+    advice re-keyed the margin to the ESTIMATE'S SOURCE rather than to
+    whether ``gate_bytes`` was explicit, which had quietly re-admitted
+    ~4× the intended decompressed data for explicit budgets over file
+    scans).  NOTE: unlike the
     distributed path the small path is NOT materialized (no
     localCheckpoint) — a caller that fans the ranked frame into
     multiple consumers (m10's self+partner join) recomputes the cheap
@@ -230,15 +254,20 @@ def partition_offset_rank(
             size: int | None = plan_size_bytes(df)
         except Exception:
             size = None
-        # The 4x decompress margin corrects the default FILE-SCAN
-        # heuristic (Catalyst sizeInBytes is compressed on-disk bytes);
-        # an explicit gate_bytes is the caller's own budget against the
-        # plan estimate as-is — charging the margin there silently
-        # turned gate_bytes into gate_bytes/4 and double-taxed
-        # in-memory/localCheckpoint inputs whose estimate is already
-        # decompressed (round-12 advice).
+        # The 4x decompress margin follows the ESTIMATE'S SOURCE
+        # (round-13 advice): file-scan estimates are compressed
+        # on-disk bytes, so ANY budget over them — default or the
+        # caller's own — is compared against size*margin; in-memory
+        # estimates are already decompressed and compared as-is
+        # (round-12 advice: no double tax).  Detection failure counts
+        # as file-backed: the margin only ever pushes toward the
+        # scale-safe distributed path.
+        try:
+            reads_files = plan_reads_files(df)
+        except Exception:
+            reads_files = True
         limit = POR_SMALL_BYTES if gate_bytes is None else gate_bytes
-        margin = POR_DECOMPRESS_MARGIN if gate_bytes is None else 1
+        margin = POR_DECOMPRESS_MARGIN if reads_files else 1
         small = size is not None and 0 <= size * margin <= limit
         if _POR_TRACE is not None:
             _POR_TRACE.append((size, small))

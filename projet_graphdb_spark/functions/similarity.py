@@ -1107,6 +1107,7 @@ def ivf_cells_frame(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    join_cost_flops: float | None = None,
 ) -> DataFrame:
     """The persistable IVF cell assignment WITH embedded provenance:
     (_vid, _cell, _nprobe, _cbhash) — the constant config columns
@@ -1119,10 +1120,14 @@ def ivf_cells_frame(
     Sink the frame ``partitionBy("_cell")`` (the s26 recipe): the
     ingest join then partition-prunes to the shard's probed cells, and
     :func:`ivf_cells_append` / :func:`ivf_cells_forget` detect and
-    mirror the layout."""
+    mirror the layout.
+
+    ``join_cost_flops`` (round-13 verdict item 4): optionally persist
+    the session-measured per-join setup constant as an embedded
+    ``_join_cost_flops`` column — see :func:`srp_band_index`."""
     from . import clustering
 
-    return (
+    out = (
         clustering.assign_topn(
             vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
             centroids,
@@ -1133,6 +1138,11 @@ def ivf_cells_frame(
         .withColumn("_nprobe", F.lit(nprobe))
         .withColumn("_cbhash", F.lit(_codebook_digest(centroids)))
     )
+    if join_cost_flops is not None:
+        out = out.withColumn(
+            "_join_cost_flops", F.lit(float(join_cost_flops)).cast("double")
+        )
+    return out
 
 
 def _validate_cells_config(
@@ -1584,6 +1594,7 @@ def imi_cells_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    join_cost_flops: float | None = None,
 ) -> DataFrame:
     """The persistable IMI virtual-cell assignment WITH embedded
     provenance — the two-level twin of :func:`ivf_cells_frame`:
@@ -1600,13 +1611,20 @@ def imi_cells_frame(
     if dim is None:
         dim = emb.select(F.size("_v")).first()[0]
     k2 = len(cents2)
-    return (
+    out = (
         _imi_assign(emb, cents1, cents2, p1, p2, k2, dim)
         .select("_vid", F.explode("_cells").alias("_cell"))
         .withColumn("_p1", F.lit(p1))
         .withColumn("_p2", F.lit(p2))
         .withColumn("_cbhash", F.lit(_imi_digest(cents1, cents2)))
     )
+    if join_cost_flops is not None:
+        # round-13 verdict item 4: see srp_band_index — the measured
+        # per-join setup constant travels with the artifact
+        out = out.withColumn(
+            "_join_cost_flops", F.lit(float(join_cost_flops)).cast("double")
+        )
+    return out
 
 
 def _validate_imi_cells_config(
@@ -2107,6 +2125,7 @@ def srp_band_index(
     max_bits: int = 24,
     sizing_n_corpus: int | None = None,
     sizing_n_shard: int = 1000,
+    join_cost_flops: float | None = None,
 ) -> DataFrame:
     """The persistable EMBEDDING-space LSH index — the SRP twin of
     :func:`dedup.lsh_band_index`: one (id, band, bhash) row per vector
@@ -2143,7 +2162,17 @@ def srp_band_index(
     optimized for in embedded ``_sized_n_corpus``/``_sized_n_shard``
     config columns (carried through :func:`srp_index_append`), so the
     receipt shows what the construction assumed — recall stays met by
-    construction at ANY scale; only the cost optimality is scale-bound."""
+    construction at ANY scale; only the cost optimality is scale-bound.
+
+    ``join_cost_flops`` (round-13 verdict item 4): a session that
+    MEASURED the per-join setup constant (tools'
+    ``measure_join_cost_flops``) can persist it here as an embedded
+    ``_join_cost_flops`` config column — like ``_sized_n_corpus``, the
+    measurement travels WITH the artifact, so a fresh session routing
+    against this index prices join machinery with the build-time
+    measurement instead of re-introducing the library default's
+    host-dependent bias.  Read back by :func:`ingest_artifact_cfgs`;
+    caller-passed values still take precedence in the router."""
     sized = None
     if threshold is not None:
         _n_corpus = 1_000_000 if sizing_n_corpus is None else int(sizing_n_corpus)
@@ -2180,6 +2209,10 @@ def srp_band_index(
             F.lit(_n_corpus).cast("long").alias("_sized_n_corpus"),
             F.lit(int(sizing_n_shard)).cast("long").alias("_sized_n_shard"),
         ]
+    if join_cost_flops is not None:
+        cols.append(
+            F.lit(float(join_cost_flops)).cast("double").alias("_join_cost_flops")
+        )
     return emb.select(
         F.col("_vid").alias(id_col),
         F.posexplode(srp_signature_array(F.col("_v"), bands)).alias("band", "bhash"),
@@ -2293,8 +2326,9 @@ def srp_index_append(
         new_vectors, cfg["n_bands"], cfg["bits"], cfg["dim"], cfg["seed"],
         id_col, vec_col,
     )
-    # a SIZED index carries its sizing receipt (_sized_n_corpus/_shard);
-    # appends must carry it forward or the read-back schema forks
+    # a SIZED index carries its sizing receipt (_sized_n_corpus/_shard)
+    # and a measured index its _join_cost_flops constant; appends must
+    # carry them forward or the read-back schema forks
     sized_cols = [c for c in idx.columns if c.startswith("_sized_")]
     if sized_cols:
         vals = idx.select(*sized_cols).distinct().collect()
@@ -2306,11 +2340,64 @@ def srp_index_append(
             )
         for c in sized_cols:
             frame = frame.withColumn(c, F.lit(vals[0][c]).cast("long"))
+    if "_join_cost_flops" in idx.columns:
+        jcs = idx.select("_join_cost_flops").distinct().collect()
+        if len(jcs) != 1:
+            raise ValueError(
+                f"srp_index_append: index at {index_path} holds "
+                f"{len(jcs)} distinct _join_cost_flops values — "
+                f"rebuild it with srp_band_index"
+            )
+        frame = frame.withColumn(
+            "_join_cost_flops",
+            F.lit(float(jcs[0]["_join_cost_flops"])).cast("double"),
+        )
     writer = frame.write.mode("append")
     if partitioned:
         writer = writer.partitionBy("band")
     writer.parquet(index_path)
     return cfg
+
+
+def srp_index_annotate_join_cost(
+    spark, index_path: str, join_cost_flops: float
+) -> None:
+    """Stamp a persisted SRP band index with a session-measured
+    ``_join_cost_flops`` constant (round-13 verdict item 4) WITHOUT
+    recomputing signatures: one signature-preserving pass + the shared
+    :func:`fsutil.atomic_swap`.  The rehearsal's order of operations
+    needs this (the constant is measured by timing legs AGAINST the
+    already-built index); a session that knows the constant up front
+    passes ``srp_band_index(join_cost_flops=...)`` instead.  Replaces
+    any previous stamp."""
+    import os
+
+    from .fsutil import atomic_swap
+
+    idx = spark.read.parquet(index_path)
+    metas = idx.select("_bits", "_n_bands", "_dim", "_seed").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"srp_index_annotate_join_cost: index at {index_path} is "
+            f"empty or holds {len(metas)} configs — rebuild it with "
+            f"srp_band_index"
+        )
+    partitioned = False
+    try:
+        partitioned = any(e.startswith("band=") for e in os.listdir(index_path))
+    except OSError:
+        pass
+    # safe to read lazily: atomic_swap writes the staging dir FIRST
+    # (source untouched), only then renames — no self-overwrite window
+    frame = idx.drop("_join_cost_flops").withColumn(
+        "_join_cost_flops", F.lit(float(join_cost_flops)).cast("double")
+    )
+
+    def _write(p):
+        w = frame.write.mode("overwrite")
+        (w.partitionBy("band") if partitioned else w).parquet(p)
+
+    atomic_swap(index_path, _write)
 
 
 def incremental_srp_dups(
@@ -2977,7 +3064,7 @@ def incremental_cosine_dups_auto(
     plan_out: dict | None = None,
     exact_allowed: bool = True,
     fallback: bool = True,
-    join_cost_flops: float = 0.0,
+    join_cost_flops: float | None = None,
 ) -> DataFrame:
     """Strategy-ROUTED incremental ingest — the round-8 verdict gap 1
     closed: :func:`cosine_dups_auto` routes the batch path, but the
@@ -3030,6 +3117,13 @@ def incremental_cosine_dups_auto(
     probe level, ``met_target`` (True = closed-form or calibrated ≥
     target; False = measured miss, ran best-effort; None = unknown),
     and ``fallback`` naming the guaranteed leg when one was taken.
+
+    ``join_cost_flops`` precedence (round-13 verdict item 4): an
+    explicit caller value wins; otherwise an artifact-embedded
+    ``_join_cost_flops`` measurement (max across provided artifacts —
+    the join-averse conservative price); otherwise 0.0 (est_cost ≡
+    est_flops).  The receipt records ``join_cost_flops`` and
+    ``join_cost_source`` ∈ {caller, embedded, default}.
     Output: (new_id, corpus_id, sim) on every route."""
     import warnings
 
@@ -3046,6 +3140,13 @@ def incremental_cosine_dups_auto(
     lsh_cfg, ivf_cfg, imi_cfg = ingest_artifact_cfgs(
         lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
         fn_name="incremental_cosine_dups_auto",
+    )
+    # round-13 verdict item 4: caller > embedded artifact measurement
+    # > 0.0 — a fresh session routing against a measured-at-build-time
+    # artifact prices join machinery with THAT measurement, not a
+    # host-biased library default
+    join_cost_flops, jc_source = resolve_join_cost_flops(
+        join_cost_flops, lsh_cfg, ivf_cfg, imi_cfg
     )
     lsh_measured = None
     if lsh_index is not None:
@@ -3068,7 +3169,9 @@ def incremental_cosine_dups_auto(
     chosen = rows[0]
     if plan_out is not None:
         plan_out.update({"strategy": chosen["method"], "plan": dict(chosen),
-                         "rows": [dict(r) for r in rows]})
+                         "rows": [dict(r) for r in rows],
+                         "join_cost_flops": join_cost_flops,
+                         "join_cost_source": jc_source})
         if lsh_measured is not None:
             plan_out["lsh_measured_pairs"] = lsh_measured
     if not chosen["feasible"]:
@@ -3294,7 +3397,22 @@ def ingest_artifact_cfgs(
     by the one-shot router and the streaming twin (which derives the
     route ONCE before ``start()`` instead of per micro-batch).
     Returns ``(lsh_cfg, ivf_cfg, imi_cfg)`` dicts (``None`` for absent
-    artifacts); mixed or stripped configs raise."""
+    artifacts); mixed or stripped configs raise.  An artifact built
+    with an embedded ``_join_cost_flops`` measurement (round-13
+    verdict item 4) surfaces it as cfg key ``join_cost_flops`` so the
+    router can price join machinery with the build-time constant."""
+
+    def _embedded_jc(frame: DataFrame, what: str):
+        if "_join_cost_flops" not in frame.columns:
+            return None
+        vals = frame.select("_join_cost_flops").distinct().collect()
+        if len(vals) != 1:
+            raise ValueError(
+                f"{fn_name}: {what} holds {len(vals)} distinct "
+                f"_join_cost_flops values — rebuild the artifact"
+            )
+        return float(vals[0]["_join_cost_flops"])
+
     lsh_cfg = ivf_cfg = imi_cfg = None
     if lsh_index is not None:
         row = lsh_index.select("_bits", "_n_bands", "_seed").distinct().collect()
@@ -3305,6 +3423,9 @@ def ingest_artifact_cfgs(
             )
         lsh_cfg = {"bits": row[0]["_bits"], "n_bands": row[0]["_n_bands"],
                    "seed": row[0]["_seed"]}
+        jc = _embedded_jc(lsh_index, "lsh_index")
+        if jc is not None:
+            lsh_cfg["join_cost_flops"] = jc
     if ivf_cells is not None:
         if ivf_centroids is None:
             raise ValueError(
@@ -3318,6 +3439,9 @@ def ingest_artifact_cfgs(
                 f"rebuild with ivf_cells_frame"
             )
         ivf_cfg = {"k": len(ivf_centroids), "nprobe": row[0]["_nprobe"]}
+        jc = _embedded_jc(ivf_cells, "ivf_cells")
+        if jc is not None:
+            ivf_cfg["join_cost_flops"] = jc
     if imi_cells is not None:
         if imi_centroids is None:
             raise ValueError(
@@ -3332,7 +3456,37 @@ def ingest_artifact_cfgs(
             )
         imi_cfg = {"k1": len(imi_centroids[0]), "k2": len(imi_centroids[1]),
                    "p1": row[0]["_p1"], "p2": row[0]["_p2"]}
+        jc = _embedded_jc(imi_cells, "imi_cells")
+        if jc is not None:
+            imi_cfg["join_cost_flops"] = jc
     return lsh_cfg, ivf_cfg, imi_cfg
+
+
+def resolve_join_cost_flops(
+    caller: float | None,
+    lsh_cfg: dict | None = None,
+    ivf_cfg: dict | None = None,
+    imi_cfg: dict | None = None,
+) -> tuple:
+    """Precedence for the router's per-join setup constant (round-13
+    verdict item 4): explicit caller value > embedded artifact
+    measurement > 0.0 (est_cost ≡ est_flops, the pre-r12 behavior).
+    When several artifacts embed different measurements (built in
+    different sessions), the MAX wins — the join-averse conservative
+    price: overestimating join setup can only push the router toward
+    the guaranteed map-only exact leg, never toward an under-priced
+    banded leg.  Returns ``(value, source)`` with source ∈
+    {'caller', 'embedded', 'default'} for the plan receipt."""
+    if caller is not None:
+        return float(caller), "caller"
+    embedded = [
+        cfg["join_cost_flops"]
+        for cfg in (lsh_cfg, ivf_cfg, imi_cfg)
+        if cfg is not None and "join_cost_flops" in cfg
+    ]
+    if embedded:
+        return float(max(embedded)), "embedded"
+    return 0.0, "default"
 
 
 def _stale_sample_guard(

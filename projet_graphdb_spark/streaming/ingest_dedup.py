@@ -261,7 +261,12 @@ def streaming_ingest_embeddings(
     )
     # S = 1: the argmin is S-invariant (all terms linear in S — the
     # measured-occupancy estimate included, S·Σc²/N), so any positive
-    # shard size prices the same route
+    # shard size prices the same route.  join_cost_flops stays 0 HERE
+    # BY DESIGN (even when the artifact embeds a measured constant):
+    # the per-join setup term is CONSTANT in S, so including it would
+    # make the once-before-start() route depend on an S this stream
+    # never knows — the one-shot router (which holds the real S) is
+    # where the wall-honest join pricing belongs.
     lsh_measured = None
     if lsh_index is not None:
         try:

@@ -354,10 +354,11 @@ def test_partition_offset_rank_exact_and_distributed(spark):
         relational._POR_TRACE = None
     assert [t[1] for t in trace] == [True, False]  # the gate decided
     assert all(t[0] is not None for t in trace)  # from a measured estimate
-    # round-12 advice: the 4x decompress margin corrects only the
-    # DEFAULT file-scan heuristic; an explicit gate_bytes is compared
-    # against the plan estimate as-is (no margin), so the caller's
-    # budget means what it says — est-1 must go distributed, est small
+    # round-12/13 advice: the 4x decompress margin follows the
+    # ESTIMATE'S SOURCE.  This input is in-memory (Range leaf), so an
+    # explicit gate_bytes is compared against the estimate as-is —
+    # est-1 must go distributed, est small
+    assert not relational.plan_reads_files(df)
     est = trace[0][0]
     relational._POR_TRACE = trace_m = []
     try:
@@ -386,6 +387,47 @@ def test_partition_offset_rank_exact_and_distributed(spark):
         ).count()
         == 0
     )
+
+
+def test_por_explicit_gate_charges_margin_on_file_scans(spark, tmp_path):
+    """Round-13 advice: an EXPLICIT gate_bytes over a FILE source must
+    still charge the 4x decompress margin — the estimate is compressed
+    on-disk bytes, so comparing the caller's (decompressed-data)
+    budget against it as-is would admit ~4x the intended data to the
+    single-partition path."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import relational
+
+    path = str(tmp_path / "por_file")
+    spark.range(0, 5000).withColumn(
+        "_c", (F.col("id") % 97) + (F.col("id") % 13)
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert relational.plan_reads_files(df)
+    est = relational.plan_size_bytes(df)
+    m = relational.POR_DECOMPRESS_MARGIN
+    relational._POR_TRACE = trace = []
+    try:
+        # budget just under est*margin -> distributed; at it -> small
+        relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=est * m - 1
+        ).count()
+        relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=est * m
+        ).count()
+    finally:
+        relational._POR_TRACE = None
+    assert [t[1] for t in trace] == [False, True]
+    # both paths still produce the same dense global rank
+    want = list(range(1, 5001))
+    got = sorted(
+        r["_i"]
+        for r in relational.partition_offset_rank(
+            df, [F.asc("_c"), F.asc("id")], "_i", gate_bytes=est * m - 1
+        ).collect()
+    )
+    assert got == want
 
 
 def test_fixed_funnel_queries_have_no_unpartitioned_window(spark):

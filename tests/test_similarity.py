@@ -2081,3 +2081,80 @@ def test_exact_leg_shard_size_guard(spark, emb):
     assert similarity.incremental_exact_dups(
         corpus, shard, threshold=0.4
     ).count() > 0
+
+
+def test_join_cost_flops_embedded_precedence(spark, emb, tmp_path):
+    """Round-13 verdict item 4: the per-join setup constant travels
+    WITH the artifact.  Precedence: caller > embedded > 0.0 default;
+    the plan receipt names the source; annotate + append carry the
+    stamp; mixed stamps fail loudly."""
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    path = str(tmp_path / "srp_jc")
+    similarity.srp_band_index(
+        corpus, n_bands=8, bits=6, dim=64, join_cost_flops=7.5e8
+    ).write.partitionBy("band").parquet(path)
+    idx = spark.read.parquet(path)
+    # embedded: read back from the artifact, source says so
+    rcpt: dict = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.9, lsh_index=idx, dim=64,
+        calibrate=False, plan_out=rcpt,
+    ).count()
+    assert rcpt["join_cost_flops"] == 7.5e8
+    assert rcpt["join_cost_source"] == "embedded"
+    lsh_row = next(r for r in rcpt["rows"] if r["method"] == "lsh")
+    assert lsh_row["est_cost"] == lsh_row["est_flops"] + 8 * 7.5e8
+    # caller overrides embedded
+    rcpt = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.9, lsh_index=idx, dim=64,
+        calibrate=False, plan_out=rcpt, join_cost_flops=1.0e6,
+    ).count()
+    assert rcpt["join_cost_flops"] == 1.0e6
+    assert rcpt["join_cost_source"] == "caller"
+    # no stamp anywhere: the 0.0 default (est_cost == est_flops)
+    bare = similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64)
+    rcpt = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.9, lsh_index=bare, dim=64,
+        calibrate=False, plan_out=rcpt,
+    ).count()
+    assert rcpt["join_cost_flops"] == 0.0
+    assert rcpt["join_cost_source"] == "default"
+    # annotate-after-build restamps; append carries the stamp forward
+    similarity.srp_index_annotate_join_cost(spark, path, 9.0e8)
+    assert (
+        spark.read.parquet(path).select("_join_cost_flops").distinct()
+        .collect()[0][0] == 9.0e8
+    )
+    similarity.srp_index_append(spark, path, shard)
+    stamped = spark.read.parquet(path)
+    vals = stamped.select("_join_cost_flops").distinct().collect()
+    assert len(vals) == 1 and vals[0][0] == 9.0e8
+    # a mixed-stamp sink is rejected at routing time
+    import pytest as _pytest
+
+    mixed = stamped.withColumn(
+        "_join_cost_flops",
+        F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(
+            F.col("_join_cost_flops")
+        ),
+    )
+    with _pytest.raises(ValueError, match="_join_cost_flops"):
+        similarity.ingest_artifact_cfgs(lsh_index=mixed)
+
+
+def test_resolve_join_cost_flops_rule():
+    """The precedence rule in isolation, incl. the conservative MAX
+    across disagreeing artifacts."""
+    assert similarity.resolve_join_cost_flops(None) == (0.0, "default")
+    assert similarity.resolve_join_cost_flops(2.0) == (2.0, "caller")
+    assert similarity.resolve_join_cost_flops(
+        None, {"join_cost_flops": 3.0}, {"join_cost_flops": 5.0}, None
+    ) == (5.0, "embedded")
+    # caller 0.0 is an explicit value, not "unset"
+    assert similarity.resolve_join_cost_flops(
+        0.0, {"join_cost_flops": 3.0}
+    ) == (0.0, "caller")

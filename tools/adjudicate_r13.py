@@ -84,7 +84,10 @@ def main() -> None:
             "samples": samples,
             "best": best,
             "floor": floors.get(name),
-            "ratio": round(best / floors[name], 3) if floors.get(name) else None,
+            # floors <= 0 (e.g. a failed-run -1.0 sentinel) are MISSING,
+            # not valid denominators (round-13 advice)
+            "ratio": round(best / floors[name], 3)
+            if floors.get(name) and floors[name] > 0 else None,
         }
         if name in ("e8_sessionize_stream", "e26_restart_recovery"):
             rec["rows_per_sec"] = round(n_events / best, 1)

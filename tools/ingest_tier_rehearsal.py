@@ -75,6 +75,17 @@ def _timed(fn):
     return round(time.time() - t0, 2), out
 
 
+def _min_timed(fn, reps=2):
+    """min-of-reps timing (the repo's floor discipline, round-13
+    advice: a single GC pause or degraded host window must not skew a
+    committed constant)."""
+    best, out = None, None
+    for _ in range(reps):
+        t, out = _timed(fn)
+        best = t if best is None else min(best, t)
+    return best, out
+
+
 def _scaled_union(base, table, n, sizes):
     out = uniform._copy(base, table, 0, sizes)
     for i in range(1, n):
@@ -385,16 +396,20 @@ def measure_join_cost_flops(spark, corpus, probe_shard, lsh_index,
     returned in flop-equivalents (b_sec / a) for
     incremental_plan_rows(join_cost_flops=...).  One small receipt
     dict; the library default JOIN_SETUP_FLOPS_R12 is the documented
-    r12-receipt derivation of the same number."""
+    r12-receipt derivation of the same number.
+
+    Each leg is timed min-of-2 (round-13 advice: one GC pause or a
+    degraded host window must not inflate a constant that skews every
+    routed row in the committed receipt)."""
     s0 = probe_shard.count()
-    t_ex, _ = _timed(
+    t_ex, _ = _min_timed(
         lambda: similarity.incremental_exact_dups(
             corpus, probe_shard, threshold=0.8
         ).count()
     )
     a = t_ex / (float(s0) * n_corpus * 2 * dim)
     receipt: dict = {}
-    t_lsh, _ = _timed(
+    t_lsh, _ = _min_timed(
         lambda: similarity.incremental_cosine_dups_auto(
             corpus, probe_shard, threshold=0.8, lsh_index=lsh_index,
             exact_allowed=False, dim=dim, n_corpus=n_corpus, n_shard=s0,
@@ -412,6 +427,7 @@ def measure_join_cost_flops(spark, corpus, probe_shard, lsh_index,
         "join_setup_sec": round(b_sec, 4),
         "join_cost_flops": round(b_sec / a, 1) if a > 0 else 0.0,
         "library_default_r12": similarity.JOIN_SETUP_FLOPS_R12,
+        "timing_reps": 2,
     }
 
 
@@ -453,6 +469,18 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
         spark, corpus, probe, sized[0.8][0], n_corpus, dim=dim
     )
     print("join_cost_probe", jc, flush=True)
+    # round-13 verdict item 4: PERSIST the measured constant into the
+    # artifacts (embedded _join_cost_flops) and route with
+    # join_cost_flops=None below — the sweep's routed rows prove the
+    # read-back path (plan receipt must say source='embedded'), so a
+    # fresh session against these artifacts prices joins with the
+    # build-time measurement, not a host-biased library default.
+    for thr in (0.4, 0.8):
+        path = f"{tmp}/srp_sweep_{str(thr).replace('.', '')}_{n}"
+        similarity.srp_index_annotate_join_cost(
+            spark, path, jc["join_cost_flops"]
+        )
+        sized[thr] = (spark.read.parquet(path), sized[thr][1])
     for S in shard_sizes:
         # shard = base (S-linear realism) + dim-rotated decorrelated
         # filler up to S-300 + the 300 seeds; filler ids are dense from
@@ -491,9 +519,19 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
                     corpus, shard, threshold=thr, target_recall=0.95,
                     lsh_index=sized[thr][0], dim=64,
                     n_corpus=n_corpus, n_shard=row["S"], plan_out=receipt,
-                    join_cost_flops=jc["join_cost_flops"],
+                    join_cost_flops=None,  # embedded read-back (r13 item 4)
                 ).count()
             )
+            if receipt.get("join_cost_source") != "embedded" or (
+                receipt.get("join_cost_flops") != jc["join_cost_flops"]
+            ):
+                raise AssertionError(
+                    f"shard sweep: router must price joins from the "
+                    f"artifact's embedded measurement, got "
+                    f"source={receipt.get('join_cost_source')} "
+                    f"value={receipt.get('join_cost_flops')} vs measured "
+                    f"{jc['join_cost_flops']}"
+                )
             recall = (
                 round(routed_pairs / exact_pairs, 4) if exact_pairs else None
             )
@@ -503,6 +541,8 @@ def rehearse_shard_sweep(spark, src, tmp, sizes, n=100,
                 "chosen": receipt.get("strategy"),
                 "fallback": receipt.get("fallback"),
                 "met_target": receipt.get("met_target"),
+                "join_cost_source": receipt.get("join_cost_source"),
+                "join_cost_flops": receipt.get("join_cost_flops"),
                 "plan_flops": {
                     r["method"]: r["est_flops"] for r in receipt.get("rows", [])
                 },
