@@ -2279,6 +2279,24 @@ def m17_maintenance_decision_table(spark, sf_dir):
     return vec.unionByName(ham).orderBy("tier")
 
 
+def t42_corpus_build_pipeline(spark, sf_dir):
+    """The END-TO-END corpus-build flagship (functions/text.py::
+    corpus_build_funnel) — round-13 verdict item 3: the tiers existed
+    separately (t15 quality → d1 exact dedup → content-hash split →
+    t22 decontamination → t27 mixture → t29 packing) but nothing
+    composed them as the ONE lineage a 100-TB pipeline actually runs,
+    and composition is where stage-boundary bugs live.  Each stage
+    consumes the previous stage's survivors; the output is the
+    per-stage funnel receipt (stage, n_in, n_out, n_removed, detail)
+    — the d18 posture widened to the whole pipeline.  The oracle
+    replays all six stages in DuckDB: the t15 gate cascade, the
+    min-id-per-fingerprint keeper rule, the md5 80/10/10 split, the
+    trigram-overlap purge, the water-filled rates applied as the
+    md5₆₀ deterministic sample, and the budget-cut packing — then the
+    same seven receipt rows."""
+    return text.corpus_build_funnel(_docs(spark, sf_dir))
+
+
 def t39_lexical_richness(spark, sf_dir):
     """Lexical richness per language: vocabulary size, type-token
     ratio, and the hapax-legomena share (words occurring exactly once
@@ -6833,6 +6851,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m15_dhash_band_occupancy": m15_dhash_band_occupancy,
         "m16_hamming_reband_recovery": m16_hamming_reband_recovery,
         "m17_maintenance_decision_table": m17_maintenance_decision_table,
+        "t42_corpus_build_pipeline": t42_corpus_build_pipeline,
         "t40_labeler_agreement": t40_labeler_agreement,
         "t41_temperature_mixing": t41_temperature_mixing,
         "t39_lexical_richness": t39_lexical_richness,
@@ -9479,6 +9498,136 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs,
                    MAX(c) / SUM(c) > 0.2 AS is_hot
             FROM occ GROUP BY band
+        """,
+        "t42_corpus_build_pipeline": f"""
+            WITH q AS ({_quality_filter_oracle()}),
+            s1 AS (
+              SELECT d.doc_id, d.source, d.lang, d.n_chars, d.text,
+                     q.quality
+              FROM documents d JOIN q USING (doc_id) WHERE q.keep
+            ),
+            f AS (
+              SELECT s1.*,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g')) AS fp
+              FROM s1
+            ),
+            g AS (
+              SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS grp_n
+              FROM f GROUP BY fp
+            ),
+            s2 AS (
+              SELECT f.* FROM f
+              JOIN g ON f.fp = g.fp AND f.doc_id = g.keep_id
+            ),
+            sp AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(fp, 1, 15), ''),
+                         c -> CAST(strpos('0123456789abcdef', c) - 1
+                                   AS BIGINT))),
+                       (a, b) -> a * 16 + b) % 100 AS bucket
+              FROM s2
+            ),
+            tr_ids AS (SELECT doc_id FROM sp WHERE bucket < 80),
+            te_ids AS (SELECT doc_id FROM sp WHERE bucket >= 90),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM s2),
+            tv AS (SELECT DISTINCT s FROM (
+                     SELECT unnest(sh) AS s FROM sh
+                     JOIN te_ids USING (doc_id))),
+            trn AS (SELECT sh.doc_id, sh.sh FROM sh
+                    JOIN tr_ids USING (doc_id)),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM (
+                       SELECT doc_id, unnest(sh) AS s FROM trn) e
+                     JOIN tv USING (s) GROUP BY doc_id),
+            fr AS (
+              SELECT t.doc_id,
+                     ROUND(CASE WHEN len(t.sh) > 0
+                           THEN CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                                / len(t.sh)
+                           ELSE 0.0 END, 6) AS frac
+              FROM trn t LEFT JOIN hits USING (doc_id)),
+            s4 AS (
+              SELECT s2.* FROM s2
+              JOIN fr ON s2.doc_id = fr.doc_id AND fr.frac <= 0.5
+            ),
+            per AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail
+                    FROM s4 GROUP BY source),
+            tot AS (SELECT SUM(avail) AS t, COUNT(*) AS ns FROM per),
+            mbase AS (SELECT source, avail, t * 0.6 / ns AS target,
+                             (t * 0.6 / ns) > avail AS capped
+                      FROM per, tot),
+            redis AS (SELECT
+                COALESCE(SUM(CASE WHEN capped THEN target - avail END),
+                         CAST(0.0 AS DOUBLE)) AS surplus,
+                COALESCE(SUM(CASE WHEN NOT capped THEN target END),
+                         CAST(0.0 AS DOUBLE)) AS opensum
+              FROM mbase),
+            rated AS (
+              SELECT source,
+                     ROUND(CASE WHEN capped THEN 1.0
+                           ELSE LEAST(1.0, (target + surplus * target
+                                            / opensum) / avail)
+                           END, 6) AS final_rate
+              FROM mbase, redis),
+            s5 AS (
+              SELECT s4.* FROM s4 JOIN rated USING (source)
+              WHERE CAST({_md5_fold60("'mx:' || CAST(doc_id AS VARCHAR)")}
+                         AS DOUBLE)
+                    < final_rate * 1152921504606846976.0
+            ),
+            tk AS (
+              SELECT doc_id, lang,
+                     LEAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END, 512) AS tk
+              FROM s5),
+            asn AS (
+              SELECT lang, doc_id, tk,
+                     CAST(FLOOR((SUM(tk) OVER (PARTITION BY lang
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) - tk) / 512.0)
+                          AS BIGINT) AS example
+              FROM tk),
+            ex AS (SELECT lang, example, SUM(tk) AS used
+                   FROM asn GROUP BY lang, example),
+            c0 AS (SELECT COUNT(*) AS n,
+                          CAST(SUM(n_chars) AS DOUBLE) AS detail
+                   FROM documents),
+            c1 AS (SELECT COUNT(*) AS n,
+                          ROUND(SUM(CAST(FLOOR(quality * 1000000)
+                                         AS BIGINT))
+                                / (COUNT(*) * 1000000.0), 6) AS detail
+                   FROM s1),
+            c2 AS (SELECT COUNT(*) AS n FROM s2),
+            g2 AS (SELECT CAST(MAX(grp_n) AS DOUBLE) AS detail FROM g),
+            c3 AS (SELECT COUNT(*) AS n FROM trn),
+            c4 AS (SELECT COUNT(*) AS n FROM s4),
+            w4 AS (SELECT MAX(frac) AS detail FROM fr),
+            c5 AS (SELECT COUNT(*) AS n,
+                          CAST(SUM(n_chars) AS DOUBLE) AS detail
+                   FROM s5),
+            c6 AS (SELECT COUNT(*) AS n,
+                          ROUND(SUM(LEAST(used, 512))
+                                / (COUNT(*) * 512.0), 6) AS detail
+                   FROM ex)
+            SELECT * FROM (
+              SELECT '0_raw' AS stage, n AS n_in, n AS n_out,
+                     CAST(0 AS BIGINT) AS n_removed, detail FROM c0
+              UNION ALL SELECT '1_quality', c0.n, c1.n, c0.n - c1.n,
+                     c1.detail FROM c0, c1
+              UNION ALL SELECT '2_exact_dedup', c1.n, c2.n, c1.n - c2.n,
+                     g2.detail FROM c1, c2, g2
+              UNION ALL SELECT '3_train_split', c2.n, c3.n, c2.n - c3.n,
+                     ROUND(CAST(c3.n AS DOUBLE) / c2.n, 6)
+                     FROM c2, c3
+              UNION ALL SELECT '4_decontam', c3.n, c4.n, c3.n - c4.n,
+                     w4.detail FROM c3, c4, w4
+              UNION ALL SELECT '5_mixture', c4.n, c5.n, c4.n - c5.n,
+                     c5.detail FROM c4, c5
+              UNION ALL SELECT '6_packing', c5.n, c6.n,
+                     CAST(0 AS BIGINT), c6.detail FROM c5, c6
+            ) ORDER BY stage
         """,
         "m16_hamming_reband_recovery": f"""
             WITH sig AS ({_flat_border_fp_oracle()}),

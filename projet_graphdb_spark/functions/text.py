@@ -1401,3 +1401,149 @@ def temperature_mixing(
         )
         .orderBy("source")
     )
+
+
+def corpus_build_funnel(
+    docs: DataFrame,
+    max_len: int = 512,
+    budget_frac: float = 0.6,
+    max_overlap: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The END-TO-END corpus-build pipeline as ONE query with a
+    per-stage funnel receipt (round-13 verdict item 3): the tiers that
+    exist separately — quality gates (t15), exact dedup (d1's
+    manifest), content-hash split (t26 family), train-side
+    decontamination (t22), mixture water-filling (t27), sequence
+    packing (t29) — CHAINED in the order a real 100-TB pretraining
+    pipeline runs them, each stage consuming the previous stage's
+    SURVIVORS.  Composition is where stage-boundary bugs live (purging
+    before splitting leaks dups across splits; computing the mixture
+    before dedup over-weights template-heavy sources); this operator
+    pins the order and receipts every boundary.
+
+    Stages / receipt rows (stage, n_in, n_out, n_removed, detail):
+
+    - ``0_raw``       — corpus size; detail = total chars.
+    - ``1_quality``   — the t15 gate cascade; detail = mean quality of
+      the kept docs via the integer-micros fold (Σ floor(q·10⁶) is an
+      exact integer sum, so partial-aggregation order can never move
+      the mean — the a12 discipline; a double AVG would be
+      order-dependent and oracle-unstable).
+    - ``2_exact_dedup`` — one keeper (min id) per canonical
+      fingerprint among quality survivors; detail = largest duplicate
+      group seen.
+    - ``3_train_split`` — the content-hash 80/10/10 split (md5 of the
+      canonical text, so dup pairs can never straddle splits); the
+      pipeline ships the TRAIN side; detail = train fraction.
+    - ``4_decontam``  — t22's purge over the deduped corpus: train
+      docs sharing > ``max_overlap`` of their shingles with the test
+      split drop; detail = the WORST train-side overlap seen (a MAX —
+      order-independent by construction, unlike a mean of doubles).
+    - ``5_mixture``   — t27's water-filled per-source rates applied as
+      a DETERMINISTIC hash sample: doc kept iff
+      md5₆₀('mx:'‖id)/2⁶⁰ < final_rate(source) — no RNG, re-run- and
+      resharding-stable, and the comparison is two IEEE doubles both
+      engines compute identically; detail = sampled chars.
+    - ``6_packing``   — t29's budget-cut packing of the sampled docs
+      into ``max_len``-token examples (a re-grain, not a filter:
+      n_removed 0); detail = pooled pack efficiency
+      Σ min(used, L) / (n_examples·L).
+
+    Scale shape: every stage is the already-audited operator's plan
+    (map-only gates, one fingerprint shuffle, two shingle-keyed
+    shuffles, |sources|-row broadcasts, one packing window); the
+    inter-stage manifests are localCheckpointed so the funnel's eight
+    scalar aggregates don't recompute the chain (at 100 TB each stage
+    writes its manifest to the lake instead — same lineage cut, same
+    receipt).  The receipt itself is |stages| rows built from scalar
+    aggregates — the d18 posture, never a per-doc collect.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    t = F.col(text_col)
+
+    r0 = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("double").alias("detail"),
+    ).first()
+
+    q = quality_filter(docs, text_col=text_col, id_col=id_col)
+    r1 = q.where("keep").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.floor(F.col("quality") * 1e6).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            6,
+        ).alias("detail"),
+    ).first()
+
+    s1 = docs.join(q.where("keep").select(id_col), id_col)
+    s1 = s1.withColumn("_fp", fingerprint(t))
+    grp = Window.partitionBy("_fp")
+    s2 = (
+        s1.withColumn("_keep", F.min(id_col).over(grp))
+        .withColumn("_grp_n", F.count(F.lit(1)).over(grp))
+    )
+    r2 = s2.agg(F.max("_grp_n").cast("double").alias("detail")).first()
+    s2 = (
+        s2.where(F.col(id_col) == F.col("_keep"))
+        .drop("_keep", "_grp_n")
+        .localCheckpoint(eager=True)
+    )
+    n2 = s2.count()
+
+    dec = decontaminated_train(
+        s2, max_overlap=max_overlap, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    r3 = dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.count(F.lit(1)) / F.lit(n2), 6).alias("detail"),
+    ).first()
+    r4 = dec.agg(F.max("test_overlap_frac").alias("detail")).first()
+    s4 = s2.join(
+        dec.where("keep").select(id_col), id_col
+    ).localCheckpoint(eager=True)
+    n4 = s4.count()
+
+    rates = mixture_rates(s4, budget_frac=budget_frac)
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("mx"), F.col(id_col))), 1, 15),
+        16, 10,
+    ).cast("long").cast("double")
+    s5 = (
+        s4.join(F.broadcast(rates.select("source", "final_rate")), "source")
+        .where(u < F.col("final_rate") * F.lit(16.0 ** 15))
+        .localCheckpoint(eager=True)
+    )
+    r5 = s5.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("double").alias("detail"),
+    ).first()
+
+    pack = sequence_packing(s5, max_len=max_len, text_col=text_col, id_col=id_col)
+    r6 = pack.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.least(F.col("used_tokens"), F.lit(max_len)))
+            / (F.count(F.lit(1)) * F.lit(float(max_len))),
+            6,
+        ).alias("detail"),
+    ).first()
+
+    n0, n1, n3, n5, n6 = r0["n"], r1["n"], r3["n"], r5["n"], r6["n"]
+    rows = [
+        ("0_raw", n0, n0, 0, r0["detail"]),
+        ("1_quality", n0, n1, n0 - n1, r1["detail"]),
+        ("2_exact_dedup", n1, n2, n1 - n2, r2["detail"]),
+        ("3_train_split", n2, n3, n2 - n3, r3["detail"]),
+        ("4_decontam", n3, n4, n3 - n4, r4["detail"]),
+        ("5_mixture", n4, n5, n4 - n5, r5["detail"]),
+        ("6_packing", n5, n6, 0, r6["detail"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_in long, n_out long, n_removed long, detail double",
+    ).orderBy("stage")

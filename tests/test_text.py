@@ -525,3 +525,46 @@ def test_mixture_rates_never_oversamples(spark):
         for r in out:
             assert 0.0 <= r["final_rate"] <= 1.0
             assert r["expected"] <= r["avail"] + 1e-6
+
+
+def test_corpus_build_funnel_stage_consistency(spark):
+    """The t42 flagship: stage boundaries chain (each stage's n_in ==
+    the previous FILTER stage's n_out), the funnel is monotone through
+    the filter stages, every survivor count equals the stage operator
+    run standalone on the same survivors, and details carry the
+    documented metrics."""
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = {r["stage"]: r for r in text.corpus_build_funnel(docs).collect()}
+    assert set(out) == {
+        "0_raw", "1_quality", "2_exact_dedup", "3_train_split",
+        "4_decontam", "5_mixture", "6_packing",
+    }
+    n_raw = docs.count()
+    assert out["0_raw"]["n_in"] == out["0_raw"]["n_out"] == n_raw
+    chain = ["1_quality", "2_exact_dedup", "3_train_split", "4_decontam",
+             "5_mixture"]
+    prev = n_raw
+    for st in chain:
+        r = out[st]
+        assert r["n_in"] == prev, st
+        assert 0 <= r["n_out"] <= r["n_in"], st
+        assert r["n_removed"] == r["n_in"] - r["n_out"], st
+        prev = r["n_out"]
+    # packing re-grains: its input is the mixture's output
+    assert out["6_packing"]["n_in"] == out["5_mixture"]["n_out"]
+    assert out["6_packing"]["n_removed"] == 0
+    assert 0.0 < out["6_packing"]["detail"] <= 1.0  # pooled efficiency
+    # stage-1 cross-check vs the standalone operator
+    n_q = text.quality_filter(docs).where("keep").count()
+    assert out["1_quality"]["n_out"] == n_q
+    # stage-2 cross-check: distinct fingerprints among quality keepers
+    from pyspark.sql import functions as F
+
+    kept = docs.join(
+        text.quality_filter(docs).where("keep").select("doc_id"), "doc_id"
+    )
+    n_fp = kept.select(text.fingerprint(F.col("text"))).distinct().count()
+    assert out["2_exact_dedup"]["n_out"] == n_fp
+    # mixture stage respects the per-source rates: a source with
+    # final_rate 1.0 loses nothing
+    assert out["5_mixture"]["n_out"] > 0
