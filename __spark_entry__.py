@@ -13139,20 +13139,47 @@ def _quality_filter_oracle(
     """
 
 
-def _semantic_dedup_oracle() -> str:
-    """d10: the s9 pair oracle closed transitively (min-label over the
-    undirected pair graph, the d5 playbook); vectors in no pair are
-    their own cluster."""
+def _semantic_dedup_oracle(rounds: int = 24) -> str:
+    """d10: the s9 pair oracle closed transitively into components.
+
+    Round-13 verdict item 5: the old RECURSIVE min-label walk
+    materialized every (node, reachable-label) pair — Θ(Σ|C|²) rows,
+    quadratic in cluster mass, which is why the sf1 sweep had to cap
+    d10's value check at a 50% sub-corpus.  This is the MERGEABLE
+    replacement: pointer-jumping label propagation
+    (hash-to-min — Rastogi et al.'s CC-in-MapReduce family), each
+    round updating ``L(v) = min(L(v), L(L(v)), min_{u~v} L(u))``
+    as plain joins DuckDB executes in O(E) per round, with tree-height
+    HALVING from the L(L(v)) jump ⇒ O(log n) rounds to fixpoint.
+    ``rounds`` = 24 chained CTEs covers components of height up to
+    ~2²⁴ — astronomically past any near-dup cluster; every CTE is
+    MATERIALIZED (each is referenced three times — inlining would
+    blow up the plan exponentially across rounds).  Non-convergence
+    cannot pass silently: labels that need another round differ from
+    the engine's fixpoint-witnessed result and the value check goes
+    red.  Vectors in no pair are their own cluster."""
+    ctes = [
+        f"p AS MATERIALIZED (SELECT id_a, id_b FROM ({_lsh_dups_oracle()}) _t)",
+        "e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p "
+        "UNION SELECT id_b, id_a FROM p)",
+        "l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) AS lbl "
+        "FROM e GROUP BY a)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        ctes.append(
+            f"l{k} AS MATERIALIZED ("
+            f"SELECT l.id, LEAST(l.lbl, COALESCE(j.lbl, l.lbl), "
+            f"COALESCE(nm.m, l.lbl)) AS lbl "
+            f"FROM {prev} l "
+            f"LEFT JOIN {prev} j ON j.id = l.lbl "
+            f"LEFT JOIN (SELECT e.a AS id, MIN(l2.lbl) AS m "
+            f"FROM e JOIN {prev} l2 ON l2.id = e.b GROUP BY e.a) nm "
+            f"ON nm.id = l.id)"
+        )
+    ctes.append(f"comp AS (SELECT id, lbl AS cluster FROM l{rounds})")
     return f"""
-        WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({_lsh_dups_oracle()}) _t),
-        e AS (SELECT id_a AS a, id_b AS b FROM p
-              UNION SELECT id_b, id_a FROM p),
-        walk(id, lbl) AS (
-          SELECT a, a FROM e
-          UNION
-          SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id
-        ),
-        comp AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
+        WITH {', '.join(ctes)}
         SELECT v.vec_id,
                COALESCE(c.cluster, v.vec_id) AS cluster_id,
                v.vec_id = COALESCE(c.cluster, v.vec_id) AS keep

@@ -328,3 +328,54 @@ def test_dhash_decode_fn_near_dup_pair_one_flipped_cell(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decode_fn_pillow_import_gate_or_real_decode(spark):
+    """Round-13 verdict item 6: the Pillow adapter activates iff PIL
+    imports.  Without Pillow (this container) the factory raises
+    ImportError at construction — the default stand-in stays active.
+    With Pillow, a tiny generated PNG round-trips: the decoded raster
+    drives the 2-D pooling path, the hash is payload-dependent, and a
+    one-pixel tweak stays Hamming-close (the dHash premise)."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(ImportError, match="Pillow is not installed"):
+            multimodal.decode_fn_pillow()
+        return
+    import io
+
+    from PIL import Image
+
+    def png_bytes(tweak: bool) -> bytes:
+        im = Image.new("L", (32, 32))
+        px = im.load()
+        for y in range(32):
+            for x in range(32):
+                px[x, y] = (x * 8 + (y // 4)) % 256
+        if tweak:
+            px[5, 5] = 255
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    fn = multimodal.decode_fn_pillow(max_side=64)
+    media = spark.createDataFrame(
+        [(1, png_bytes(False)), (2, png_bytes(True)), (3, b"not a png"),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.dhash_table(media, decode_fn=fn).collect()
+    }
+    assert got[3] == 0 and got[4] == 0      # undecodable/None -> 0
+    assert got[1] != 0                        # real raster hashes
+    hd = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert hd <= 8                            # one-pixel tweak stays close

@@ -7,9 +7,13 @@ hard wall-clock cap, so one quadratic DuckDB replay can never hang the
 sweep (the round-11 lesson).
 
 The three r11 skips — d10_semantic_dedup, s24_imi_cosine_dups,
-s35_sized_srp_ingest — are now CAPPED instead of skipped: their DuckDB
-replays are quadratic/mis-sized at 10x BY DESIGN (documented in each
-query's docstring), so each runs twice:
+s35_sized_srp_ingest — became CAPPED instead of skipped in r12; in r14
+d10 GRADUATED to the full-value list (round-13 verdict item 5: its
+oracle's recursive min-label walk was replaced by pointer-jumping
+iterative halving — O(E·log V) joins — and the full-sf1 value check now
+runs in ~48 s oracle-side).  The remaining two capped queries' replays
+are quadratic/mis-sized at 10x BY DESIGN (documented in each query's
+docstring), so each runs twice:
 
 * full-scale ENGINE run at /tmp/sfscaled, rows recorded (the engine
   side has no cap problem — that is the point of the operators);
@@ -17,9 +21,7 @@ query's docstring), so each runs twice:
   deterministic 50% sub-corpus of sf1 (``vec_id % 2 == 0``, densely
   relabeled ``vec_id // 2`` so count-derived splits like s35's 90/10
   cut keep their shape) — 5x the sf0.1 scale already fully swept, and
-  the largest slice whose quadratic replays fit the per-query cap
-  (d10's recursive min-label walk measured 8.7 s at 1x => ~220 s at
-  5x; 10x extrapolates to ~870 s, over any honest cap).
+  the largest slice whose quadratic replays fit the per-query cap.
 
 Usage: python tools/sf1_sweep.py [out.json]   (default CORRECTNESS_SF1_r12.json)
 """
@@ -56,11 +58,15 @@ VALUE_QUERIES = [
     "a12_feature_propagation",
     "m14_image_phash_dups",
     "m15_dhash_band_occupancy",
+    # round-14 additions: d10 graduated from CAPPED (mergeable
+    # pointer-jumping oracle, r13 verdict item 5); m16/m17/t42 new
+    "d10_semantic_dedup",
+    "m16_hamming_reband_recovery",
+    "m17_maintenance_decision_table",
+    "t42_corpus_build_pipeline",
 ]
 
 CAPPED_QUERIES = {
-    "d10_semantic_dedup": "recursive min-label CC walk is quadratic in "
-    "cluster mass; 8.7 s at 1x scales ~870 s at 10x",
     "s24_imi_cosine_dups": "pinned 4x4 codebook = 16 virtual cells is "
     "deliberately mis-sized at 10x (cell count must scale with N; "
     "s26/s27/s29 exist for exactly that) — Sigma c^2 is quadratic",
