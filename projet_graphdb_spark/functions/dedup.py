@@ -941,7 +941,13 @@ def simhash_pairs(
     )
 
 
-def _band_values(hash_col: str, nbits: int, bands: int, interleave: bool = False):
+def _band_values(
+    hash_col: str,
+    nbits: int,
+    bands: int,
+    interleave: bool = False,
+    perm_seed: int | None = None,
+):
     """The Hamming tier's shared banding arithmetic: split an
     ``nbits``-bit long fingerprint into ``bands`` equal bit-bands and
     return the ``F.array`` of band values (unsigned shift + mask, cast
@@ -957,11 +963,22 @@ def _band_values(hash_col: str, nbits: int, bands: int, interleave: bool = False
     ``{b, b+bands, b+2·bands, …}`` instead of a contiguous run, so a
     low-entropy CONTIGUOUS bit region (real image corpora: flat
     borders / letterboxing → a constant leading band) is spread across
-    ALL bands instead of saturating one.  Both layouts PARTITION the
-    same ``nbits`` bits into ``bands`` equal cells, so the pigeonhole
-    exhaustiveness guarantee (``max_hd <= bands - 1`` ⇒ the banded
-    join finds every pair) is layout-invariant — re-banding changes
-    the candidate VOLUME, never the verified pair SET."""
+    ALL bands instead of saturating one.  ``perm_seed`` is the GENERAL
+    remedy (round-14): a deterministic seeded bit permutation
+    (``random.Random(seed).shuffle`` — platform-stable), for corpora
+    whose low-entropy bits are stride-ALIGNED and so saturate an
+    interleaved band exactly the way contiguous runs saturate an
+    identity band.  Every layout PARTITIONS the same ``nbits`` bits
+    into ``bands`` equal cells, so the pigeonhole exhaustiveness
+    guarantee (``max_hd <= bands - 1`` ⇒ the banded join finds every
+    pair) is layout-invariant — re-banding changes the candidate
+    VOLUME, never the verified pair SET.  ``interleave`` and
+    ``perm_seed`` are mutually exclusive."""
+    if interleave and perm_seed is not None:
+        raise ValueError(
+            "hamming banding: interleave and perm_seed are mutually "
+            "exclusive layouts — pass one"
+        )
     if not 1 <= bands <= nbits:
         raise ValueError(
             f"hamming_band_pairs: bands must be in [1, nbits={nbits}], got {bands}"
@@ -972,13 +989,25 @@ def _band_values(hash_col: str, nbits: int, bands: int, interleave: bool = False
             f"— the top {nbits % bands} bits would be left out of every band"
         )
     width = nbits // bands
-    if interleave:
-        # band b, value bit k  =  fingerprint bit (b + k·bands):
-        # Σ_k ((fp >>> (b + k·bands)) & 1) << k — pure long arithmetic,
+    if interleave or perm_seed is not None:
+        # band b, value bit k = fingerprint bit bit_of(b, k):
+        # Σ_k ((fp >>> bit_of(b,k)) & 1) << k — pure long arithmetic,
         # width terms per band, all inside whole-stage codegen.
+        if interleave:
+            def bit_of(b: int, k: int) -> int:
+                return b + k * bands
+        else:
+            import random
+
+            perm = list(range(nbits))
+            random.Random(perm_seed).shuffle(perm)
+
+            def bit_of(b: int, k: int) -> int:
+                return perm[b * width + k]
+
         def one(b: int):
             terms = [
-                F.shiftrightunsigned(F.col(hash_col), b + k * bands)
+                F.shiftrightunsigned(F.col(hash_col), bit_of(b, k))
                 .bitwiseAND(F.lit(1))
                 * F.lit(1 << k)
                 for k in range(width)
@@ -1007,6 +1036,7 @@ def hamming_band_occupancy(
     hash_col: str = "simhash",
     hot_share: float = 0.2,
     interleave: bool = False,
+    perm_seed: int | None = None,
 ) -> DataFrame:
     """Per-band bucket-occupancy gauge for the Hamming pair tier — the
     s31 hot-cell report aimed at :func:`hamming_band_pairs`' banded
@@ -1025,11 +1055,13 @@ def hamming_band_occupancy(
     top_bucket_share, est_candidate_pairs, is_hot) — ``is_hot`` =
     top_bucket_share > ``hot_share``, the rebuild/re-band trigger.
 
-    ``interleave`` gauges the strided re-band layout instead — the
-    before/after measurement :func:`hamming_reband_recovery` uses to
-    prove the re-band actually de-concentrated the hot band.
+    ``interleave`` / ``perm_seed`` gauge the re-band layouts instead —
+    the before/after measurements :func:`hamming_reband_recovery` uses
+    to prove a re-band actually de-concentrated the hot band.
     """
-    bvals = _band_values(hash_col, nbits, bands, interleave=interleave)
+    bvals = _band_values(
+        hash_col, nbits, bands, interleave=interleave, perm_seed=perm_seed
+    )
     occ = (
         st.select(F.posexplode(bvals).alias("band", "_bval"))
         .groupBy("band", "_bval")
@@ -1069,6 +1101,7 @@ def hamming_band_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     interleave: bool = False,
+    perm_seed: int | None = None,
 ) -> DataFrame:
     """Hamming-ball pair search over any long fingerprint column by
     band pigeonhole — the d8 SimHash machinery factored out so every
@@ -1088,13 +1121,17 @@ def hamming_band_pairs(
     every band) are gone.
 
     ``interleave=True`` uses the strided re-band layout (band ``b`` =
-    bits ``{b, b+bands, …}``) — same pair SET by pigeonhole, lower
-    candidate volume on corpora whose fingerprints have a low-entropy
-    contiguous bit region; see :func:`hamming_reband_recovery`.
+    bits ``{b, b+bands, …}``); ``perm_seed`` a seeded bit permutation —
+    same pair SET by pigeonhole under any layout, lower candidate
+    volume on corpora whose fingerprints have a low-entropy bit region
+    (contiguous → interleave; stride-aligned → permutation); see
+    :func:`hamming_reband_recovery`.
 
     Output: (id_a, id_b, hd), id_a < id_b.
     """
-    bvals = _band_values(hash_col, nbits, bands, interleave=interleave)
+    bvals = _band_values(
+        hash_col, nbits, bands, interleave=interleave, perm_seed=perm_seed
+    )
     if max_hd is None:
         max_hd = bands - 1
     banded = st.select(
@@ -1128,6 +1165,7 @@ def hamming_reband_recovery(
     hash_col: str = "simhash",
     hot_share: float = 0.2,
     plan_out: dict | None = None,
+    max_perm_tries: int = 3,
 ) -> DataFrame:
     """The Hamming tier's RECOVERY path — the s30/s33 analogue the
     round-13 verdict flagged as missing: m15's
@@ -1136,52 +1174,99 @@ def hamming_reband_recovery(
     the "never all-pairs" join quietly quadratic) but nothing consumed
     ``is_hot``.  This consumes it.
 
-    Mechanism: gauge the contiguous (identity) banding; if any band is
-    hot (``top_bucket_share > hot_share``), RE-BAND to the strided
-    interleave layout (band ``b`` = bits ``{b, b+bands, …}``), which
-    spreads any contiguous low-entropy bit region across all bands,
-    then run the pair join under the chosen layout.  Because both
-    layouts partition the same bit set, pigeonhole exhaustiveness for
-    ``max_hd <= bands - 1`` is layout-invariant: **the recovered pair
-    set EQUALS the hot layout's pair set** — the re-band buys back the
-    candidate volume (Σ c·(c−1)/2 over (band, value) occupancies)
-    without touching semantics.  That invariance is what makes the
-    recovery oracle-checkable at value level (m16) and
-    brute-force-pinnable in tests.
+    Mechanism — an escalation LADDER of band layouts, each gauged
+    before use: identity → strided interleave (band ``b`` = bits
+    ``{b, b+bands, …}``, which spreads any CONTIGUOUS low-entropy bit
+    region across all bands) → seeded bit permutations (round-14: the
+    general remedy for STRIDE-ALIGNED low-entropy patterns, which
+    saturate an interleaved band exactly the way contiguous runs
+    saturate an identity band; up to ``max_perm_tries`` seeds, first
+    non-hot wins).  If every rung is hot — adversarially low total
+    fingerprint entropy — the least-candidate-volume layout wins and
+    the receipt says the volume is inherent to the corpus.  Because
+    every layout partitions the same bit set, pigeonhole
+    exhaustiveness for ``max_hd <= bands - 1`` is layout-invariant:
+    **the recovered pair set EQUALS the hot layout's pair set** — the
+    re-band buys back the candidate volume (Σ c·(c−1)/2 over
+    (band, value) occupancies) without touching semantics.  That
+    invariance is what makes the recovery oracle-checkable at value
+    level (m16) and brute-force-pinnable in tests.
 
-    The gauge is one aggregate collecting ``bands`` rows (bounded by
+    Each gauge is one aggregate collecting ``bands`` rows (bounded by
     the band count, never by the corpus); the pair join is the audited
-    :func:`hamming_band_pairs` plan either way.  ``plan_out`` (the
-    s34 receipt pattern) records the decision:
-    ``{hot_bands, est_pairs_identity, est_pairs_interleave, layout}``
-    (``est_pairs_interleave`` is only measured when the re-band
-    fires — the healthy path stays one gauge pass).
+    :func:`hamming_band_pairs` plan under any layout.  ``plan_out``
+    (the s34 receipt pattern) records the decision: ``{hot_bands,
+    est_pairs_identity, layout, hot_bands_after, est_pairs_after,
+    trail}`` plus the round-13 ``est_pairs_interleave`` key whenever
+    that rung was measured; the healthy path stays one gauge pass.
     """
-    occ_id = hamming_band_occupancy(
-        st, nbits=nbits, bands=bands, hash_col=hash_col, hot_share=hot_share
-    ).collect()  # bounded: exactly `bands` rows
-    hot = sorted(r["band"] for r in occ_id if r["is_hot"])
-    interleave = bool(hot)
-    if plan_out is not None:
-        plan_out["hot_bands"] = hot
-        plan_out["est_pairs_identity"] = sum(
-            r["est_candidate_pairs"] for r in occ_id
+    def gauge(**layout):
+        occ = hamming_band_occupancy(
+            st, nbits=nbits, bands=bands, hash_col=hash_col,
+            hot_share=hot_share, **layout,
+        ).collect()  # bounded: exactly `bands` rows
+        return (
+            sorted(r["band"] for r in occ if r["is_hot"]),
+            sum(r["est_candidate_pairs"] for r in occ),
         )
-        if interleave:
-            occ_il = hamming_band_occupancy(
-                st, nbits=nbits, bands=bands, hash_col=hash_col,
-                hot_share=hot_share, interleave=True,
-            ).collect()
-            plan_out["est_pairs_interleave"] = sum(
-                r["est_candidate_pairs"] for r in occ_il
-            )
-            plan_out["hot_bands_after"] = sorted(
-                r["band"] for r in occ_il if r["is_hot"]
-            )
-        plan_out["layout"] = "interleave" if interleave else "identity"
+
+    # escalation ladder: identity → interleave (contiguous low-entropy
+    # regions) → seeded permutations (stride-aligned regions that
+    # saturate an interleaved band the way contiguous runs saturate an
+    # identity band).  Each rung costs one bands-row gauge aggregate;
+    # the healthy path stays ONE gauge pass.  If every rung is hot
+    # (adversarially low total entropy), the least-est-pairs layout
+    # wins — the join volume is then inherent to the corpus, and the
+    # receipt says so instead of a layout pretending otherwise.
+    trail = []
+    hot_id, est_id = gauge()
+    trail.append({"layout": "identity", "hot_bands": hot_id,
+                  "est_pairs": est_id})
+    chosen = {}
+    if hot_id:
+        hot_il, est_il = gauge(interleave=True)
+        trail.append({"layout": "interleave", "hot_bands": hot_il,
+                      "est_pairs": est_il})
+        if hot_il:
+            for seed in range(1, max_perm_tries + 1):
+                hot_p, est_p = gauge(perm_seed=seed)
+                trail.append({"layout": f"permutation:{seed}",
+                              "hot_bands": hot_p, "est_pairs": est_p})
+                if not hot_p:
+                    chosen = {"perm_seed": seed}
+                    break
+            else:
+                best = min(trail[1:], key=lambda t: t["est_pairs"])
+                chosen = (
+                    {"interleave": True}
+                    if best["layout"] == "interleave"
+                    else {"perm_seed": int(best["layout"].split(":")[1])}
+                )
+        else:
+            chosen = {"interleave": True}
+    if plan_out is not None:
+        final = trail[-1] if chosen else trail[0]
+        for t in trail:
+            if ("perm_seed" in chosen
+                    and t["layout"] == f"permutation:{chosen['perm_seed']}") \
+                    or (chosen.get("interleave")
+                        and t["layout"] == "interleave") \
+                    or (not chosen and t["layout"] == "identity"):
+                final = t
+        plan_out["hot_bands"] = hot_id
+        plan_out["est_pairs_identity"] = est_id
+        plan_out["layout"] = final["layout"]
+        plan_out["hot_bands_after"] = final["hot_bands"]
+        plan_out["est_pairs_after"] = final["est_pairs"]
+        plan_out["trail"] = trail
+        # backward-compat receipt key (round-13 name) when the
+        # interleave rung was measured
+        for t in trail:
+            if t["layout"] == "interleave":
+                plan_out["est_pairs_interleave"] = t["est_pairs"]
     return hamming_band_pairs(
         st, nbits=nbits, bands=bands, max_hd=max_hd,
-        id_col=id_col, hash_col=hash_col, interleave=interleave,
+        id_col=id_col, hash_col=hash_col, **chosen,
     )
 
 

@@ -914,3 +914,69 @@ def test_hamming_reband_policy_decision_row(spark):
     r2 = dedup.hamming_reband_policy(healthy, nbits=64, bands=4).first()
     assert r2["decision"] == "keep" and r2["reason"] == "healthy"
     assert r2["n_hot_bands"] == 0
+
+
+def test_hamming_reband_escalates_to_permutation(spark):
+    """Round-14: a STRIDE-ALIGNED low-entropy pattern defeats the
+    interleave layout (constant bits at stride `bands` land in ONE
+    interleaved band) — the recovery must escalate to a seeded bit
+    permutation, after which no band is hot and the pair set still
+    equals brute force."""
+    import random
+
+    rng = random.Random(19)
+    # constant bits: the full top identity band (48..63, hot under
+    # identity) PLUS stride-4 bits 0,4,...,44 (hot under interleave:
+    # all land in interleaved band 0)
+    const_mask = 0
+    for b in range(48, 64):
+        const_mask |= 1 << b
+    for b in range(0, 48, 4):
+        const_mask |= 1 << b
+    const_bits = 0x5A5A << 48  # stride-4 low bits constant at 0
+    free = [b for b in range(64) if not (const_mask >> b) & 1]
+    base = {}
+    for i in range(24):
+        fp = const_bits
+        for b in free:
+            fp |= rng.getrandbits(1) << b
+        base[i] = fp
+    fps = dict(base)
+    for i in range(24):  # hd=1 twins flipping a FREE bit
+        fps[100 + i] = base[i] ^ (1 << free[i % len(free)])
+    rows = [(i, fp - (1 << 64) if fp >= 1 << 63 else fp)
+            for i, fp in fps.items()]
+    st = spark.createDataFrame(rows, "doc_id long, simhash long")
+    # both fixed layouts are hot on this corpus
+    assert any(r["is_hot"] for r in dedup.hamming_band_occupancy(
+        st, nbits=64, bands=4).collect())
+    assert any(r["is_hot"] for r in dedup.hamming_band_occupancy(
+        st, nbits=64, bands=4, interleave=True).collect())
+    plan: dict = {}
+    got = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dedup.hamming_reband_recovery(
+            st, nbits=64, bands=4, plan_out=plan
+        ).collect()
+    }
+    assert plan["layout"].startswith("permutation:"), plan["trail"]
+    assert plan["hot_bands_after"] == []
+    assert plan["est_pairs_after"] < plan["est_pairs_identity"]
+    assert [t["layout"] for t in plan["trail"][:2]] == [
+        "identity", "interleave"
+    ]
+    assert got == _brute_hamming_pairs(fps, max_hd=3) and got
+    # the permuted layout's pair join agrees with brute force directly
+    seed = int(plan["layout"].split(":")[1])
+    direct = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dedup.hamming_band_pairs(
+            st, nbits=64, bands=4, perm_seed=seed
+        ).collect()
+    }
+    assert direct == got
+    # mutually exclusive layout args fail loudly
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dedup.hamming_band_pairs(
+            st, nbits=64, bands=4, interleave=True, perm_seed=1
+        )
