@@ -207,6 +207,50 @@ def compact_batch_sink(
     }
 
 
+def derive_stream_route(
+    n_corpus: int,
+    dim: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    lsh_index: DataFrame | None = None,
+    ivf_centroids: dict | None = None,
+    ivf_cells: DataFrame | None = None,
+    imi_centroids: tuple | None = None,
+    imi_cells: DataFrame | None = None,
+    exact_allowed: bool = True,
+) -> tuple:
+    """The streaming twin's ONCE-before-start() route derivation,
+    factored out so the contract is unit-testable without launching a
+    stream.  Prices the persisted artifacts at S = 1: the argmin is
+    S-invariant (every cost term is linear in S — the measured-
+    occupancy estimate included, S·Σc²/N), so any positive shard size
+    prices the same route.  ``join_cost_flops`` stays 0 HERE BY DESIGN
+    — even when an artifact embeds a measured ``_join_cost_flops``
+    constant (round-14 test-pinned): the per-join setup term is
+    CONSTANT in S, so including it would make the once-derived route
+    depend on an S this stream never knows; the one-shot router (which
+    holds the real S) is where the wall-honest join pricing belongs.
+    Returns ``(method, lsh_cfg, ivf_cfg, imi_cfg)``."""
+    from projet_graphdb_spark.functions import similarity
+
+    lsh_cfg, ivf_cfg, imi_cfg = similarity.ingest_artifact_cfgs(
+        lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
+        fn_name="streaming_ingest_embeddings",
+    )
+    lsh_measured = None
+    if lsh_index is not None:
+        try:
+            lsh_measured = similarity.srp_index_measured_pairs(lsh_index, 1)
+        except Exception:
+            lsh_measured = None
+    rows = similarity.incremental_plan_rows(
+        n_corpus, 1, threshold, target_recall, dim,
+        lsh_cfg=lsh_cfg, ivf_cfg=ivf_cfg, imi_cfg=imi_cfg,
+        exact_allowed=exact_allowed, lsh_measured_pairs=lsh_measured,
+    )
+    return rows[0]["method"], lsh_cfg, ivf_cfg, imi_cfg
+
+
 def streaming_ingest_embeddings(
     spark: SparkSession,
     shard_path: str,
@@ -255,30 +299,12 @@ def streaming_ingest_embeddings(
         dim = corpus.select(
             F.size(F.col("embedding")).alias("_d")
         ).first()["_d"]
-    lsh_cfg, ivf_cfg, imi_cfg = similarity.ingest_artifact_cfgs(
-        lsh_index, ivf_centroids, ivf_cells, imi_centroids, imi_cells,
-        fn_name="streaming_ingest_embeddings",
+    chosen, lsh_cfg, ivf_cfg, imi_cfg = derive_stream_route(
+        n_corpus, dim, threshold, target_recall,
+        lsh_index=lsh_index, ivf_centroids=ivf_centroids,
+        ivf_cells=ivf_cells, imi_centroids=imi_centroids,
+        imi_cells=imi_cells, exact_allowed=exact_allowed,
     )
-    # S = 1: the argmin is S-invariant (all terms linear in S — the
-    # measured-occupancy estimate included, S·Σc²/N), so any positive
-    # shard size prices the same route.  join_cost_flops stays 0 HERE
-    # BY DESIGN (even when the artifact embeds a measured constant):
-    # the per-join setup term is CONSTANT in S, so including it would
-    # make the once-before-start() route depend on an S this stream
-    # never knows — the one-shot router (which holds the real S) is
-    # where the wall-honest join pricing belongs.
-    lsh_measured = None
-    if lsh_index is not None:
-        try:
-            lsh_measured = similarity.srp_index_measured_pairs(lsh_index, 1)
-        except Exception:
-            lsh_measured = None
-    rows = similarity.incremental_plan_rows(
-        n_corpus, 1, threshold, target_recall, dim,
-        lsh_cfg=lsh_cfg, ivf_cfg=ivf_cfg, imi_cfg=imi_cfg,
-        exact_allowed=exact_allowed, lsh_measured_pairs=lsh_measured,
-    )
-    chosen = rows[0]["method"]
 
     def _ingest(batch_df: DataFrame, batch_id: int):
         if chosen == "exact":

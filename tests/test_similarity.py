@@ -2158,3 +2158,37 @@ def test_resolve_join_cost_flops_rule():
     assert similarity.resolve_join_cost_flops(
         0.0, {"join_cost_flops": 3.0}
     ) == (0.0, "caller")
+
+
+def test_stream_route_ignores_embedded_join_cost(spark, emb):
+    """Round-14 contract: the streaming twin's once-before-start()
+    route is derived at S=1 where every cost term is S-linear — an
+    artifact-embedded _join_cost_flops constant (which is CONSTANT in
+    S) must NOT move it, or the route would depend on a batch size the
+    stream never knows.  A stamp absurdly large enough to flip any
+    join-priced decision leaves the stream route unchanged, while the
+    one-shot router (which holds the real S) DOES flip on the same
+    artifact."""
+    from projet_graphdb_spark.streaming.ingest_dedup import derive_stream_route
+
+    cut = int(emb.count() * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    shard = emb.where(F.col("vec_id") >= cut)
+    bare = similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64)
+    stamped = similarity.srp_band_index(
+        corpus, n_bands=8, bits=6, dim=64, join_cost_flops=1e15
+    )
+    # threshold 0.2/target 0.2: the SRP leg is feasible and (margin-
+    # halved) cheapest, so the baseline stream route is 'lsh'
+    m_bare, *_ = derive_stream_route(cut, 64, 0.2, 0.2, lsh_index=bare)
+    m_stamp, *_ = derive_stream_route(cut, 64, 0.2, 0.2, lsh_index=stamped)
+    assert m_bare == "lsh" and m_stamp == m_bare
+    # the one-shot router, holding the real S, prices the stamp and
+    # flips the same decision to the map-only exact leg
+    rcpt: dict = {}
+    similarity.incremental_cosine_dups_auto(
+        corpus, shard, threshold=0.2, target_recall=0.2,
+        lsh_index=stamped, dim=64, calibrate=False, plan_out=rcpt,
+    ).count()
+    assert rcpt["join_cost_source"] == "embedded"
+    assert rcpt["strategy"] == "exact"
