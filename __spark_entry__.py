@@ -68,6 +68,7 @@ STREAMING_QUERIES = frozenset({
     "e35_pair_sink_compaction",
     "e36_routed_ingest_stream",
     "e37_exact_ingest_stream",
+    "e39_image_ingest_stream",
 })
 
 # queries() is returned FAMILY-INTERLEAVED (g,x,t,d,s,m,e,a round-robin,
@@ -110,12 +111,11 @@ _PIN_FIRST = [
 # present; refresh the list each round to the actually-changed set
 # (round-9 verdict item 7: rotate the window toward changed code).
 _RECHECK_CHANGED = [
-    # round 10: exact guaranteed leg + sized SRP + router fallback
-    # changed the report rows (s28), the s29/e36 artifact sizing (k=64),
-    # and the compaction layout (e34/e35 Hive-preserving rewrite)
-    "s28_incremental_strategy_report", "s29_routed_incremental_ingest",
-    "e36_routed_ingest_stream", "e35_pair_sink_compaction",
-    "e34_ingest_dedup_stream",
+    # round 15: the image ingest tier (persisted dHash band index +
+    # per-shard join + streaming twin + gauge ledger) is new, and m17
+    # grew the hamming_recovered row judged under the persisted layout
+    "m18_incremental_dhash_ingest", "m19_dhash_gauge_ledger",
+    "e39_image_ingest_stream", "m17_maintenance_decision_table",
 ]
 
 
@@ -2260,23 +2260,139 @@ def m17_maintenance_decision_table(spark, sf_dir):
     trigger asserted), projected to the common audit schema
     (tier, decision, reason, worst_hot_share).  A 100-TB maintenance
     window runs exactly this: every index family reports one decision
-    row, recovery jobs (s30 rebuild / m16 re-band) consume it."""
+    row, recovery jobs (s30 rebuild / m16 re-band) consume it.
+
+    Round-14 verdict item 1 (third row): recovery now SURVIVES the
+    query — the auto-layout dHash band index is PERSISTED
+    (dedup.hamming_band_index(layout="auto"), the interleave choice
+    embedded in its _layout column, asserted in-line), and the
+    ``hamming_recovered`` row judges the tier under the layout read
+    BACK from the artifact: the corpus the identity row flags as
+    'reband' is 'keep'/'healthy' once gauged the way it is actually
+    banded — a recovered index gauged at identity would re-trip
+    forever.  The gauge HISTORY half of the maintenance window (hot
+    since WHEN, round-14 item 6) is m19's persisted ledger."""
+    import tempfile
+
     vec = _s33_policy_frame(spark, sf_dir).select(
         F.lit("vector").alias("tier"),
         "decision",
         "reason",
         F.col("top_cell_share").alias("worst_hot_share"),
     )
+    # bounded (2N rows of two longs); consumed by the identity policy
+    # row, the auto ladder's gauges, the index write, and the recovered
+    # policy row — checkpoint once instead of five md5 re-scans
+    st = _flat_border_fingerprints(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     ham = dedup.hamming_reband_policy(
-        _flat_border_fingerprints(spark, sf_dir),
-        nbits=64, bands=4, hash_col="dhash",
+        st, nbits=64, bands=4, hash_col="dhash",
     ).select(
         "tier",
         "decision",
         "reason",
         F.col("worst_top_bucket_share").alias("worst_hot_share"),
     )
-    return vec.unionByName(ham).orderBy("tier")
+    path = tempfile.mkdtemp(prefix="m17_dhash_idx_") + "/index"
+    dedup.hamming_band_index(
+        st, nbits=64, bands=4, layout="auto", id_col="media_id",
+        hash_col="dhash",
+    ).write.partitionBy("band").parquet(path)
+    layouts = (
+        spark.read.parquet(path).select("_layout").distinct().collect()
+    )
+    if len(layouts) != 1 or layouts[0][0] != "interleave":
+        raise AssertionError(
+            f"m17: the flat-border corpus must persist a recovered "
+            f"interleave layout, got {[r[0] for r in layouts]}"
+        )
+    rec = dedup.hamming_reband_policy(
+        st, nbits=64, bands=4, hash_col="dhash", layout=layouts[0][0],
+    ).select(
+        F.lit("hamming_recovered").alias("tier"),
+        "decision",
+        "reason",
+        F.col("worst_top_bucket_share").alias("worst_hot_share"),
+    )
+    return vec.unionByName(ham).unionByName(rec).orderBy("tier")
+
+
+def m18_incremental_dhash_ingest(spark, sf_dir):
+    """Incremental image near-dup ingest against a PERSISTED dHash band
+    index (functions/multimodal.py::incremental_dhash_dups) — the d26
+    cost shape for the image tier, closing round-14 verdict item 1:
+    corpus media are decoded + fingerprinted ONCE by dhash_band_index
+    (the 64-bit fingerprint rides in the index rows), sunk to parquet
+    partitioned by band and read BACK; the shard — the 're-encoded'
+    twins of src0/src1 documents, the m14 fixture's ingest cut — pays
+    one map-only Arrow-batched dHash pass over its OWN payloads, one
+    (band, bval) equi-join against the index, and a map-side
+    bit_count(xor) verify from fingerprints both sides already carry.
+    Corpus payloads are never re-read or re-DECODED — the cost term
+    that actually matters for images at 100 TB.  The shard is banded
+    with the LAYOUT the index carries (its _layout column), so an m16
+    recovery persists into every future shard join.  The oracle
+    replays the full integer-exact dHash + identity banding in SQL and
+    keeps exactly the shard×corpus cut (band keys are per-media, so
+    the candidate sets are provably identical)."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twin_text = F.expr(
+        "concat(substring(text, 1, greatest(length(text) div 2, 1) - 1),"
+        " '~', substring(text, greatest(length(text) div 2, 1) + 1))"
+    )
+    corpus_media = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    shard_media = docs.where(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(twin_text, "UTF-8").alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="m18_dhash_idx_") + "/index"
+    multimodal.dhash_band_index(corpus_media, bands=4).write.partitionBy(
+        "band"
+    ).parquet(path)
+    return multimodal.incremental_dhash_dups(
+        shard_media, spark.read.parquet(path), bands=4
+    )
+
+
+def m19_dhash_gauge_ledger(spark, sf_dir):
+    """Persisted gauge ledger + hot-streak report (functions/dedup.py::
+    hamming_gauge_ledger_append / hamming_gauge_ledger_report) —
+    round-14 verdict item 6: m17's decision table answers "is this
+    band hot NOW"; a rebuild scheduler needs "hot since WHEN", which
+    takes a HISTORY persisted next to the index artifacts.  Five
+    maintenance runs are appended (each an idempotent overwrite of its
+    own run_seq partition — the e34 sink posture): three gauging the
+    flat-border corpus at identity banding (the saturated border band
+    is hot every run) and two at the recovered interleave layout
+    (healthy every run).  The report rolls the ledger to one row per
+    (layout, band): hot_since = the run where the current trailing hot
+    streak began (run 1 for the border band at identity; NULL
+    everywhere healthy).  The oracle replays both layouts' occupancy
+    and the streak arithmetic; run_seq is a caller-supplied epoch
+    counter, so the ledger is deterministic and replayable."""
+    import tempfile
+
+    # five gauge runs consume the same fingerprint frame — checkpoint
+    # once (bounded: 2N rows of two longs) instead of five md5 re-scans
+    st = _flat_border_fingerprints(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    path = tempfile.mkdtemp(prefix="m19_gauge_") + "/ledger"
+    for seq, layout in (
+        (1, "identity"), (2, "identity"), (3, "identity"),
+        (4, "interleave"), (5, "interleave"),
+    ):
+        dedup.hamming_gauge_ledger_append(
+            spark, path, st, 64, 4, run_seq=seq, layout=layout,
+            hash_col="dhash",
+        )
+    return dedup.hamming_gauge_ledger_report(spark.read.parquet(path))
 
 
 def t42_corpus_build_pipeline(spark, sf_dir):
@@ -5001,6 +5117,73 @@ def e34_ingest_dedup_stream(spark, sf_dir):
     )
 
 
+def e39_image_ingest_stream(spark, sf_dir):
+    """Streaming incremental IMAGE near-dup ingest (streaming/
+    ingest_dedup.py::streaming_image_ingest_dedup) — round-14 verdict
+    item 2, the e34 shape for the one modality that had no streaming
+    ingest path: the corpus dHash band index is built and persisted
+    ONCE (m18's artifact), then the media shard (the re-encoded twins
+    of src0/src1 documents) drains through a file stream in several
+    REAL micro-batches (repartition(4) writer + maxFilesPerTrigger=1),
+    each foreachBatch paying one map-only dHash pass over its own
+    payloads and one (band, bval) join against the index, overwriting
+    ITS OWN batch_id partition of the pair sink (idempotent under
+    mid-batch replay — pinned by the kill-between-write-and-commit
+    test).  Band keys are per-media functions of the payload under the
+    index's persisted layout, and emitted pairs are shard×corpus only,
+    so batch boundaries cannot change the union — the drained sink
+    matches m18's full SQL oracle exactly (a value-level streaming
+    oracle, not rows-only)."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twin_text = F.expr(
+        "concat(substring(text, 1, greatest(length(text) div 2, 1) - 1),"
+        " '~', substring(text, greatest(length(text) div 2, 1) + 1))"
+    )
+    corpus_media = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    shard_media = docs.where(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(twin_text, "UTF-8").alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="spark_image_ingest_")
+    shard_media.repartition(4).write.mode("overwrite").parquet(
+        base + "/shard"
+    )
+    schema = spark.read.parquet(base + "/shard").schema
+    multimodal.dhash_band_index(corpus_media, bands=4).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(base + "/index")
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_image_ingest_dedup,
+    )
+
+    with state_partitions(spark, 8):
+        q = streaming_image_ingest_dedup(
+            spark,
+            base + "/shard",
+            schema,
+            spark.read.parquet(base + "/index"),
+            base + "/pairs",
+            base + "/ckpt",
+            bands=4,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("e39 image ingest stream did not drain")
+    if not _pair_sink_has_parts(base + "/pairs"):
+        return spark.createDataFrame(
+            [], "new_id long, corpus_id long, hd long"
+        )
+    return spark.read.parquet(base + "/pairs").select(
+        "new_id", "corpus_id", "hd"
+    )
+
+
 def e35_pair_sink_compaction(spark, sf_dir):
     """Compaction for the streaming ingest pair sink (streaming/
     ingest_dedup.py::compact_batch_sink) — round-8 verdict gap 3: e34
@@ -6820,6 +7003,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e32_redelivery_idempotent": e32_redelivery_idempotent,
         "e33_late_drop_stream": e33_late_drop_stream,
         "e34_ingest_dedup_stream": e34_ingest_dedup_stream,
+        "e39_image_ingest_stream": e39_image_ingest_stream,
         "e35_pair_sink_compaction": e35_pair_sink_compaction,
         "e36_routed_ingest_stream": e36_routed_ingest_stream,
         "s33_index_rebuild_policy": s33_index_rebuild_policy,
@@ -6851,6 +7035,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m15_dhash_band_occupancy": m15_dhash_band_occupancy,
         "m16_hamming_reband_recovery": m16_hamming_reband_recovery,
         "m17_maintenance_decision_table": m17_maintenance_decision_table,
+        "m18_incremental_dhash_ingest": m18_incremental_dhash_ingest,
+        "m19_dhash_gauge_ledger": m19_dhash_gauge_ledger,
         "t42_corpus_build_pipeline": t42_corpus_build_pipeline,
         "t40_labeler_agreement": t40_labeler_agreement,
         "t41_temperature_mixing": t41_temperature_mixing,
@@ -9684,7 +9870,89 @@ def oracle_sql() -> dict[str, str]:
                   MAX(top_share) AS worst_hot_share
                 FROM per
               ) h
+              UNION ALL
+              -- round-14 item 1: the tier judged under the PERSISTED
+              -- recovered layout (interleave) — healthy by design
+              SELECT 'hamming_recovered' AS tier, decision, reason,
+                     worst_hot_share
+              FROM (
+                WITH sig AS ({_flat_border_fp_oracle()}),
+                bands AS (
+                  SELECT media_id, t.i AS band,
+                         ({_interleave_bval_sql()}) AS bval
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+                ),
+                occ AS (
+                  SELECT band, bval, COUNT(*) AS c FROM bands
+                  GROUP BY band, bval
+                ),
+                per AS (
+                  SELECT band,
+                         MAX(c) / SUM(c) AS raw_share,
+                         ROUND(MAX(c) / SUM(c), 6) AS top_share
+                  FROM occ GROUP BY band
+                )
+                SELECT
+                  CASE WHEN SUM(CASE WHEN raw_share > 0.2 THEN 1 ELSE 0 END) > 0
+                       THEN 'reband' ELSE 'keep' END AS decision,
+                  CASE WHEN SUM(CASE WHEN raw_share > 0.2 THEN 1 ELSE 0 END) > 0
+                       THEN 'hot_bands:' || string_agg(
+                              CASE WHEN raw_share > 0.2
+                                   THEN CAST(band AS VARCHAR) END,
+                              ',' ORDER BY band)
+                       ELSE 'healthy' END AS reason,
+                  MAX(top_share) AS worst_hot_share
+                FROM per
+              ) r
             ) ORDER BY tier
+        """,
+        "m18_incremental_dhash_ingest": _incremental_dhash_oracle(),
+        "e39_image_ingest_stream": _incremental_dhash_oracle(),
+        "m19_dhash_gauge_ledger": f"""
+            WITH sig AS ({_flat_border_fp_oracle()}),
+            idb AS (
+              SELECT media_id, t.i AS band,
+                     (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            ilb AS (
+              SELECT media_id, t.i AS band,
+                     ({_interleave_bval_sql()}) AS bval
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            iocc AS (
+              SELECT band, MAX(c) / SUM(c) AS raw,
+                     ROUND(MAX(c) / SUM(c), 6) AS share
+              FROM (SELECT band, bval, COUNT(*) AS c FROM idb
+                    GROUP BY band, bval) GROUP BY band
+            ),
+            locc AS (
+              SELECT band, MAX(c) / SUM(c) AS raw,
+                     ROUND(MAX(c) / SUM(c), 6) AS share
+              FROM (SELECT band, bval, COUNT(*) AS c FROM ilb
+                    GROUP BY band, bval) GROUP BY band
+            )
+            SELECT * FROM (
+              SELECT 'identity' AS layout, CAST(band AS INT) AS band,
+                     CAST(3 AS BIGINT) AS n_runs,
+                     CAST(CASE WHEN raw > 0.2 THEN 3 ELSE 0 END AS BIGINT)
+                         AS n_hot_runs,
+                     CAST(3 AS BIGINT) AS last_run,
+                     raw > 0.2 AS is_hot_now,
+                     CASE WHEN raw > 0.2 THEN CAST(1 AS BIGINT) END
+                         AS hot_since,
+                     share AS worst_top_bucket_share
+              FROM iocc
+              UNION ALL
+              SELECT 'interleave', CAST(band AS INT),
+                     CAST(2 AS BIGINT),
+                     CAST(CASE WHEN raw > 0.2 THEN 2 ELSE 0 END AS BIGINT),
+                     CAST(5 AS BIGINT),
+                     raw > 0.2,
+                     CASE WHEN raw > 0.2 THEN CAST(4 AS BIGINT) END,
+                     share
+              FROM locc
+            ) ORDER BY layout, band
         """,
         "m13_collate_waste": """
             WITH media AS (
@@ -13009,6 +13277,42 @@ def _dhash_oracle() -> str:
         SELECT media_id,
                {assembly} AS dhash
         FROM blocks
+    """
+
+
+def _incremental_dhash_oracle() -> str:
+    """m18 / e39: the full-corpus dHash banded replay restricted to the
+    shard×corpus cut — corpus = every original (even media ids), shard
+    = the re-encoded twins (odd ids) of src0/src1 documents.  Band
+    keys are per-media functions of the fingerprint under the index's
+    identity layout, so the incremental index join's candidates are
+    provably this exact cut of the batch replay's candidates."""
+    return f"""
+        WITH sig AS (SELECT * FROM ({_dhash_oracle()}) _d),
+        corp AS (SELECT media_id, dhash FROM sig WHERE media_id % 2 = 0),
+        shard AS (
+          SELECT s.media_id, s.dhash FROM sig s
+          JOIN documents d ON s.media_id = d.doc_id * 2 + 1
+          WHERE d.source IN ('src0', 'src1')
+        ),
+        cb AS (
+          SELECT media_id, dhash, t.i AS band,
+                 (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+          FROM corp CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+        ),
+        sb AS (
+          SELECT media_id, dhash, t.i AS band,
+                 (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+          FROM shard CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+        ),
+        cand AS (
+          SELECT DISTINCT s.media_id AS new_id, c.media_id AS corpus_id,
+                 s.dhash AS ha, c.dhash AS hb
+          FROM sb s JOIN cb c ON s.band = c.band AND s.bval = c.bval
+        )
+        SELECT new_id, corpus_id,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hd
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
     """
 
 

@@ -646,3 +646,110 @@ def decode_fn_pillow(max_side: int | None = None):
             return None
 
     return _decode
+
+
+def dhash_band_index(
+    media: DataFrame,
+    bands: int = 4,
+    layout="identity",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_fn=None,
+    hot_share: float = 0.2,
+    join_cost_flops: float | None = None,
+    plan_out: dict | None = None,
+) -> DataFrame:
+    """The PERSISTABLE image near-dup index (round-14 verdict item 1):
+    dHash fingerprints (:func:`dhash_table` — the only step that
+    touches payload bytes) fed to the generic
+    :func:`dedup.hamming_band_index`.  Built ONCE per corpus; every
+    future image shard joins against the sink
+    (:func:`incremental_dhash_dups`) instead of re-decoding the
+    corpus — the d26/s26 cost shape for the image tier.
+
+    ``layout="auto"`` runs the m16 gauge ladder
+    (:func:`dedup.choose_hamming_layout`) over the fingerprints and
+    EMBEDS the chosen layout in the artifact's ``_layout`` column, so
+    a recovery survives the query that ran it: the index remembers
+    identity/interleave/permutation and every shard + append bands
+    the same way from the read-back config.  The fingerprint frame is
+    localCheckpointed first so the ladder's gauge rungs (and the index
+    write) never re-run the payload-decoding mapInPandas pass — the
+    expensive step for real images.
+
+    Sink ``partitionBy("band")``; grow with
+    :func:`dhash_index_append`; forget with
+    :func:`dedup.lsh_index_forget` (generic over (id, band, …))."""
+    from .dedup import hamming_band_index
+
+    st = dhash_table(
+        media, payload_col=payload_col, id_col=id_col, decode_fn=decode_fn
+    )
+    if layout == "auto":
+        # bounded: one (id, dhash) row per media — two longs
+        st = st.localCheckpoint(eager=True)
+    return hamming_band_index(
+        st, nbits=64, bands=bands, layout=layout, id_col=id_col,
+        hash_col="dhash", hot_share=hot_share,
+        join_cost_flops=join_cost_flops, plan_out=plan_out,
+    )
+
+
+def incremental_dhash_dups(
+    new_media: DataFrame,
+    index: DataFrame,
+    bands: int = 4,
+    max_hd: int | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_fn=None,
+) -> DataFrame:
+    """Image near-dup pairs between a NEW media shard and an
+    already-indexed corpus (round-14 verdict item 1 — the one modality
+    that still re-fingerprinted the corpus per run): the shard pays
+    ONE map-only dHash pass over its own payloads, is banded with the
+    LAYOUT the index carries (m16's persisted recovery decides, not
+    the caller), and joins the sink once on (band, bval); verification
+    is a map-side ``bit_count(xor)`` of fingerprints both sides
+    already carry — corpus payloads are never re-read or re-decoded.
+
+    Exhaustive for ``max_hd <= bands - 1`` under any persisted layout
+    (pigeonhole, layout-invariant); shard and index id domains must be
+    disjoint.  Output: (new_id, corpus_id, hd)."""
+    from .dedup import incremental_hamming_dups
+
+    st = dhash_table(
+        new_media, payload_col=payload_col, id_col=id_col,
+        decode_fn=decode_fn,
+    )
+    return incremental_hamming_dups(
+        st, index, nbits=64, bands=bands, max_hd=max_hd,
+        id_col=id_col, hash_col="dhash",
+    )
+
+
+def dhash_index_append(
+    spark,
+    index_path: str,
+    new_media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_fn=None,
+) -> dict:
+    """Grow a persisted dHash band index IN PLACE with newly-accepted
+    media — the image twin of :func:`dedup.lsh_index_append`, closing
+    the image ingest lifecycle: accepted media enter the corpus, so
+    their band keys must enter the index or the next shard can't see
+    them.  One map-only dHash pass over the NEW payloads; geometry,
+    band layout, and any measured ``_join_cost_flops`` stamp are read
+    from (and carried forward into) the index's own embedded config by
+    :func:`dedup.hamming_index_append`.  Returns the config used."""
+    from .dedup import hamming_index_append
+
+    st = dhash_table(
+        new_media, payload_col=payload_col, id_col=id_col,
+        decode_fn=decode_fn,
+    )
+    return hamming_index_append(
+        spark, index_path, st, id_col=id_col, hash_col="dhash"
+    )

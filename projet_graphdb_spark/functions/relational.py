@@ -86,8 +86,15 @@ def plan_reads_files(df: DataFrame) -> bool:
     to the ESTIMATE'S SOURCE, not to whether the caller passed an
     explicit budget).  Unrecognized leaf classes count as
     storage-backed — "cannot prove in-memory" must never skip the
-    margin."""
-    in_memory = {"LocalRelation", "LogicalRDD", "Range", "OneRowRelation"}
+    margin.  ``InMemoryRelation`` (a cached DataFrame) counts as
+    in-memory too (round-14 advice): its estimate is the in-memory
+    columnar size, not compressed on-disk bytes, so taxing it 4×
+    reintroduces the double margin round-12 removed for cached
+    inputs."""
+    in_memory = {
+        "LocalRelation", "LogicalRDD", "Range", "OneRowRelation",
+        "InMemoryRelation",
+    }
     leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
     for i in range(leaves.size()):
         if leaves.apply(i).getClass().getSimpleName() not in in_memory:

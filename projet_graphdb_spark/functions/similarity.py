@@ -1178,6 +1178,24 @@ def _validate_cells_config(
         )
 
 
+def _sink_join_cost(sink: DataFrame, fn_name: str) -> float | None:
+    """Read a persisted sink's embedded ``_join_cost_flops`` stamp so an
+    append can carry it forward (round-14 advice: the SRP append did
+    this, the IVF/IMI twins did not — an append built WITHOUT the
+    column forks the parquet schema, and on read-back the measured
+    constant silently vanishes or trips the distinct-values guard).
+    Returns None when the sink is unstamped; raises on a mixed sink."""
+    if "_join_cost_flops" not in sink.columns:
+        return None
+    vals = sink.select("_join_cost_flops").distinct().collect()
+    if len(vals) != 1:
+        raise ValueError(
+            f"{fn_name}: sink holds {len(vals)} distinct "
+            f"_join_cost_flops values — rebuild it before appending"
+        )
+    return float(vals[0]["_join_cost_flops"])
+
+
 def _is_cell_partitioned(cells_path: str) -> bool:
     """True when the cell sink at ``cells_path`` uses the Hive
     ``_cell=<id>`` directory layout (the s26 recipe).  Local-FS check;
@@ -1222,12 +1240,18 @@ def ivf_cells_append(
     Hive-partitioned directory corrupts it (the next read fails with
     conflicting-directory-structure), exactly the bug
     :func:`dedup.lsh_index_append`'s ``partitionBy("band")`` mirror
-    avoids on the LSH side."""
-    _validate_cells_config(
-        spark.read.parquet(cells_path), centroids, nprobe, "ivf_cells_append"
-    )
+    avoids on the LSH side.
+
+    A sink stamped with a measured ``_join_cost_flops``
+    (:func:`ivf_cells_frame`'s ``join_cost_flops=``) gets the stamp
+    carried forward onto the appended rows (round-14 advice — same
+    contract as :func:`srp_index_append`), so the embedded measurement
+    survives appends instead of forking the schema."""
+    sink = spark.read.parquet(cells_path)
+    _validate_cells_config(sink, centroids, nprobe, "ivf_cells_append")
     writer = ivf_cells_frame(
-        new_vectors, centroids, nprobe, id_col, vec_col
+        new_vectors, centroids, nprobe, id_col, vec_col,
+        join_cost_flops=_sink_join_cost(sink, "ivf_cells_append"),
     ).write.mode("append")
     if _is_cell_partitioned(cells_path):
         writer = writer.partitionBy("_cell")
@@ -1680,13 +1704,16 @@ def imi_cells_append(
     embedded config is validated against the passed codebooks before
     any row is written) and layout-mirroring (a ``_cell``-partitioned
     sink gets partitioned appends — never flat files into a
-    Hive-partitioned directory)."""
+    Hive-partitioned directory).  A measured ``_join_cost_flops``
+    stamp on the sink is carried forward onto the appended rows
+    (round-14 advice — the :func:`srp_index_append` contract)."""
+    sink = spark.read.parquet(cells_path)
     _validate_imi_cells_config(
-        spark.read.parquet(cells_path), cents1, cents2, p1, p2,
-        "imi_cells_append",
+        sink, cents1, cents2, p1, p2, "imi_cells_append",
     )
     writer = imi_cells_frame(
-        new_vectors, cents1, cents2, p1, p2, id_col, vec_col, dim
+        new_vectors, cents1, cents2, p1, p2, id_col, vec_col, dim,
+        join_cost_flops=_sink_join_cost(sink, "imi_cells_append"),
     ).write.mode("append")
     if _is_cell_partitioned(cells_path):
         writer = writer.partitionBy("_cell")

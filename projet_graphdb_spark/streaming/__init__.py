@@ -10,6 +10,7 @@ from .events import (
 from .harness import drain, state_partitions, stream_source
 from .ingest_dedup import (
     compact_batch_sink,
+    streaming_image_ingest_dedup,
     streaming_ingest_dedup,
     streaming_ingest_embeddings,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "stream_source",
     "streaming_enriched_stats",
     "compact_batch_sink",
+    "streaming_image_ingest_dedup",
     "streaming_ingest_dedup",
     "streaming_ingest_embeddings",
     "streaming_windowed_counts",

@@ -342,3 +342,71 @@ def streaming_ingest_embeddings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_image_ingest_dedup(
+    spark: SparkSession,
+    shard_path: str,
+    schema,
+    index: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    bands: int = 4,
+    max_hd: int | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_fn=None,
+    max_files_per_trigger: int | None = 1,
+    pair_files_per_batch: int | None = None,
+):
+    """The IMAGE twin of :func:`streaming_ingest_dedup` (round-14
+    verdict item 2 — the one modality without a streaming ingest
+    path): drain a file stream of new media with availableNow, each
+    micro-batch paying ONE map-only dHash pass over its own payloads
+    and one (band, bval) join against the persisted corpus dHash band
+    index (:func:`projet_graphdb_spark.functions.multimodal.
+    incremental_dhash_dups` — the shard is banded with the LAYOUT the
+    index carries, so m16's persisted recovery governs the stream
+    too), writing verified (new_id, corpus_id, hd) pairs to this
+    batch's own ``batch_id=<n>`` partition.
+
+    Exactness across batch boundaries: a medium's band keys are a pure
+    function of its own payload under the index's layout, and emitted
+    pairs are shard×corpus only — so the union over micro-batches
+    equals the one-shot :func:`incremental_dhash_dups` over the whole
+    shard (e39's value-level oracle, reusing m18's SQL).  Sink
+    idempotency is the e34 contract verbatim: at-least-once batch
+    execution + pure-function batch output + per-batch partition
+    overwrite = exactly-once AS READ, pinned by the same
+    kill-between-write-and-commit replay test.
+
+    The index's geometry/layout config is validated at the FIRST
+    micro-batch (``incremental_dhash_dups`` fails loudly on a
+    mismatched read-back) instead of draining "successfully" with
+    zero matches.  Returns the StreamingQuery."""
+    from projet_graphdb_spark.functions import multimodal
+
+    def _ingest(batch_df: DataFrame, batch_id: int):
+        pairs = multimodal.incremental_dhash_dups(
+            batch_df,
+            index,
+            bands=bands,
+            max_hd=max_hd,
+            payload_col=payload_col,
+            id_col=id_col,
+            decode_fn=decode_fn,
+        )
+        if pair_files_per_batch is not None:
+            pairs = pairs.repartition(pair_files_per_batch)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(shard_path)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

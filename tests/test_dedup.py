@@ -980,3 +980,199 @@ def test_hamming_reband_escalates_to_permutation(spark):
         dedup.hamming_band_pairs(
             st, nbits=64, bands=4, interleave=True, perm_seed=1
         )
+
+
+def test_hamming_single_band_64bit_layouts(spark):
+    """bands==1 over a 64-bit fingerprint (round-14 advice): every
+    layout holds ALL bits in the one band, so the band value is just
+    the raw fingerprint — and none of the arithmetic paths may build
+    a 1<<63 place value or a (1<<64)-1 mask literal (both exceed
+    Long.MAX).  The pigeonhole regime is max_hd==0: pairs are exact
+    fingerprint collisions under every layout."""
+    import random
+
+    rng = random.Random(23)
+    fps = {i: rng.getrandbits(64) for i in range(12)}
+    fps[11] |= 1 << 63  # force a negative Spark long
+    for i in range(4):  # exact twins
+        fps[100 + i] = fps[i]
+    rows = [(i, fp - (1 << 64) if fp >= 1 << 63 else fp)
+            for i, fp in fps.items()]
+    st = spark.createDataFrame(rows, "doc_id long, simhash long")
+    raw = {r["doc_id"]: r["simhash"] for r in st.collect()}
+    for layout in ({}, {"interleave": True}, {"perm_seed": 3}):
+        vals = {
+            r["doc_id"]: r["bv"]
+            for r in st.select(
+                "doc_id",
+                dedup._band_values("simhash", 64, 1, **layout).alias("bv"),
+            ).collect()
+        }
+        assert vals == {i: [fp] for i, fp in raw.items()}, layout
+        got = {
+            (r["id_a"], r["id_b"], r["hd"])
+            for r in dedup.hamming_band_pairs(
+                st, nbits=64, bands=1, **layout
+            ).collect()
+        }
+        assert got == _brute_hamming_pairs(fps, max_hd=0) and got, layout
+
+
+def test_reband_recovery_rejects_wide_hamming_ball(spark):
+    """Round-14 advice: hamming_reband_recovery's set-equality claim
+    only holds in the pigeonhole regime — a max_hd beyond bands-1
+    would make the recovered pair set depend on the chosen layout, so
+    it must fail loudly instead of returning layout-dependent rows."""
+    st = spark.createDataFrame([(0, 1), (1, 2)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.hamming_reband_recovery(st, nbits=64, bands=4, max_hd=4)
+    # the bound itself is fine
+    dedup.hamming_reband_recovery(st, nbits=64, bands=4, max_hd=3).collect()
+
+
+def _flat_border_corpus_shard(rng_seed=29, n=24):
+    """Low-entropy fixture split into corpus (even ids) and shard
+    (odd-id hd=1 twins of the corpus rows) — disjoint id domains."""
+    import random
+
+    rng = random.Random(rng_seed)
+    const_top = 0x5A5A << 48
+    corpus = {2 * i: const_top | rng.getrandbits(48) for i in range(n)}
+    shard = {
+        2 * i + 1: corpus[2 * i] ^ (1 << ((5 * i) % 48)) for i in range(n)
+    }
+    return corpus, shard
+
+
+def test_hamming_band_index_persisted_lifecycle(spark, tmp_path):
+    """Round-14 verdict item 1, generic tier: an auto-layout index
+    built over a hot (flat-border) corpus embeds the recovered
+    interleave layout; a shard joined through the READ-BACK sink must
+    equal the shard×corpus cut of the batch pair join under that
+    layout (== brute force, pigeonhole); appends band with the stored
+    layout and day-2 sees day-1; forget + config validation hold."""
+    corpus, shard = _flat_border_corpus_shard()
+
+    def df(d):
+        return spark.createDataFrame(
+            [(i, fp - (1 << 64) if fp >= 1 << 63 else fp)
+             for i, fp in d.items()],
+            "doc_id long, simhash long",
+        )
+
+    path = str(tmp_path / "ham_idx")
+    plan: dict = {}
+    dedup.hamming_band_index(
+        df(corpus), nbits=64, bands=4, layout="auto", plan_out=plan,
+        join_cost_flops=3.0e8,
+    ).write.partitionBy("band").parquet(path)
+    assert plan["layout"] == "interleave" and plan["hot_bands"] == [3]
+    index = spark.read.parquet(path)
+    assert (
+        index.select("_layout").distinct().collect()[0][0] == "interleave"
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], r["hd"])
+        for r in dedup.incremental_hamming_dups(
+            df(shard), index, nbits=64, bands=4
+        ).collect()
+    }
+    brute = _brute_hamming_pairs({**corpus, **shard}, max_hd=3)
+    want = {
+        (b, a, hd) if b % 2 else (a, b, hd)
+        for a, b, hd in brute
+        if (a % 2) != (b % 2)  # shard×corpus cut only
+    }
+    want = {(s, c, hd) for s, c, hd in want if s % 2 == 1}
+    assert got == want and got
+    # day-2: append the shard (stored layout + join-cost stamp carried),
+    # then a new batch must see day-1 rows through the grown index
+    cfg = dedup.hamming_index_append(spark, path, df(shard))
+    assert cfg == {"nbits": 64, "bands": 4, "layout": "interleave"}
+    grown = spark.read.parquet(path)
+    jcs = grown.select("_join_cost_flops").distinct().collect()
+    assert len(jcs) == 1 and jcs[0][0] == 3.0e8
+    day2 = {1001: shard[1] ^ 0}  # exact dup of shard id 1
+    got2 = {
+        (r["new_id"], r["corpus_id"], r["hd"])
+        for r in dedup.incremental_hamming_dups(
+            df(day2), grown, nbits=64, bands=4
+        ).collect()
+    }
+    assert (1001, 1, 0) in got2  # sees the day-1 append
+    # forget is the generic anti-join; config columns survive
+    dedup.lsh_index_forget(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    after = spark.read.parquet(path)
+    assert after.where(F.col("doc_id") == 1).count() == 0
+    assert after.select("_layout").distinct().collect()[0][0] == "interleave"
+    # fail-loudly: wrong geometry, missing config, pigeonhole bound
+    with pytest.raises(ValueError, match="bands=4"):
+        dedup.incremental_hamming_dups(df(day2), after, nbits=64, bands=8)
+    with pytest.raises(ValueError, match="config columns"):
+        dedup.incremental_hamming_dups(
+            df(day2), after.drop("_layout"), nbits=64, bands=4
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.incremental_hamming_dups(
+            df(day2), after, nbits=64, bands=4, max_hd=4
+        )
+    # mixed-config sink (raw write bypassing the append) is rejected
+    dedup.hamming_band_index(
+        df(day2), nbits=64, bands=4, layout="identity",
+        join_cost_flops=3.0e8,
+    ).write.mode("append").partitionBy("band").parquet(path)
+    with pytest.raises(ValueError, match="different"):
+        dedup.incremental_hamming_dups(
+            df(shard), spark.read.parquet(path), nbits=64, bands=4
+        )
+
+
+def test_hamming_gauge_ledger_lifecycle(spark, tmp_path):
+    """Round-14 verdict item 6: the persisted gauge ledger turns
+    "is_hot now" into "hot since when".  Three runs — healthy, hot,
+    hot — must report hot_since = the second run for the saturated
+    band; a replayed run_seq overwrites its own partition
+    (idempotent), and a healthy-as-of-latest band reports NULL."""
+    import random
+
+    rng = random.Random(31)
+    healthy = spark.createDataFrame(
+        [(i, rng.getrandbits(63)) for i in range(40)],
+        "doc_id long, simhash long",
+    )
+    corpus, _ = _flat_border_corpus_shard()
+    hot = spark.createDataFrame(
+        [(i, fp) for i, fp in corpus.items()], "doc_id long, simhash long"
+    )
+    path = str(tmp_path / "ledger")
+    dedup.hamming_gauge_ledger_append(spark, path, healthy, 64, 4, run_seq=1)
+    dedup.hamming_gauge_ledger_append(spark, path, hot, 64, 4, run_seq=2)
+    dedup.hamming_gauge_ledger_append(spark, path, hot, 64, 4, run_seq=3)
+    # idempotent replay: same run, same gauge, no duplicate rows
+    dedup.hamming_gauge_ledger_append(spark, path, hot, 64, 4, run_seq=3)
+    ledger = spark.read.parquet(path)
+    assert ledger.count() == 12  # 3 runs x 4 bands
+    rep = {
+        r["band"]: r
+        for r in dedup.hamming_gauge_ledger_report(ledger).collect()
+    }
+    assert rep[3]["is_hot_now"] and rep[3]["hot_since"] == 2
+    assert rep[3]["n_hot_runs"] == 2 and rep[3]["n_runs"] == 3
+    assert not rep[0]["is_hot_now"] and rep[0]["hot_since"] is None
+    # a band hot in the past but healthy latest: runs hot, hot, healthy
+    path2 = str(tmp_path / "ledger2")
+    dedup.hamming_gauge_ledger_append(spark, path2, hot, 64, 4, run_seq=1)
+    dedup.hamming_gauge_ledger_append(spark, path2, hot, 64, 4, run_seq=2)
+    dedup.hamming_gauge_ledger_append(
+        spark, path2, healthy, 64, 4, run_seq=3
+    )
+    rep2 = {
+        r["band"]: r
+        for r in dedup.hamming_gauge_ledger_report(
+            spark.read.parquet(path2)
+        ).collect()
+    }
+    assert not rep2[3]["is_hot_now"] and rep2[3]["hot_since"] is None
+    assert rep2[3]["n_hot_runs"] == 2

@@ -379,3 +379,69 @@ def test_decode_fn_pillow_import_gate_or_real_decode(spark):
     assert got[1] != 0                        # real raster hashes
     hd = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
     assert hd <= 8                            # one-pixel tweak stays close
+
+
+def test_dhash_index_two_day_ingest_lifecycle(spark, tmp_path):
+    """Round-14 verdict item 1, image tier end-to-end: corpus media
+    indexed ONCE to a persisted dHash band index; day-1 shard joins
+    through the read-back sink and must equal the shard×corpus cut of
+    the batch dhash_pairs over corpus ∪ shard; accepted day-1 media
+    append via dhash_index_append (layout + stamp from the sink's own
+    config); day-2 then sees day-1 through the grown index — corpus
+    payloads are decoded exactly once across both days."""
+    import itertools
+
+    base = [
+        (b"an image payload with border bytes and body %d" % i) * 8
+        for i in range(10)
+    ]
+    corpus_rows = [(2 * i, p) for i, p in enumerate(base)]
+    day1_rows = []
+    for i, p in enumerate(base[:6]):
+        tw = bytearray(p)
+        tw[len(p) // 2] ^= 0x20
+        day1_rows.append((2 * i + 1, bytes(tw)))
+    day2_rows = [(101, day1_rows[0][1]), (103, b"entirely new payload" * 16)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    path = str(tmp_path / "dhash_idx")
+    multimodal.dhash_band_index(
+        mk(corpus_rows), bands=4, join_cost_flops=2.0e8
+    ).write.partitionBy("band").parquet(path)
+    index = spark.read.parquet(path)
+
+    def brute_cross(shard_rows, corpus_ids_rows):
+        hs = {i: _py_dhash(p) for i, p in corpus_ids_rows + shard_rows}
+        sh = {i for i, _ in shard_rows}
+        out = set()
+        for a, b in itertools.combinations(sorted(hs), 2):
+            if (a in sh) == (b in sh):
+                continue
+            hd = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 3:
+                s, c = (a, b) if a in sh else (b, a)
+                out.add((s, c, hd))
+        return out
+
+    got1 = {
+        (r["new_id"], r["corpus_id"], r["hd"])
+        for r in multimodal.incremental_dhash_dups(
+            mk(day1_rows), index, bands=4
+        ).collect()
+    }
+    assert got1 == brute_cross(day1_rows, corpus_rows) and got1
+    cfg = multimodal.dhash_index_append(spark, path, mk(day1_rows))
+    assert cfg["layout"] == "identity" and cfg["bands"] == 4
+    grown = spark.read.parquet(path)
+    jcs = grown.select("_join_cost_flops").distinct().collect()
+    assert len(jcs) == 1 and jcs[0][0] == 2.0e8
+    got2 = {
+        (r["new_id"], r["corpus_id"], r["hd"])
+        for r in multimodal.incremental_dhash_dups(
+            mk(day2_rows), grown, bands=4
+        ).collect()
+    }
+    assert got2 == brute_cross(day2_rows, corpus_rows + day1_rows)
+    # day-2's exact re-upload of a day-1 twin is caught at hd=0
+    assert (101, 1, 0) in got2

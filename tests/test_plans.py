@@ -561,3 +561,31 @@ def test_sf_linear_hints_fire_at_small_sf(spark, name, monkeypatch):
     trace = relational._GATE_TRACE
     assert trace and all(hinted for _, hinted in trace), (name, trace)
     assert all(size is not None and size >= 0 for size, _ in trace), trace
+
+
+def test_plan_reads_files_treats_cached_input_as_in_memory(spark, tmp_path):
+    """Round-14 advice: a cached DataFrame's sizeInBytes estimate is
+    already the in-memory columnar size, so InMemoryRelation must
+    count as in-memory — otherwise cached inputs pay the 4x decompress
+    margin the file-scan path charges (the double tax round-12
+    removed)."""
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import relational
+
+    path = str(tmp_path / "prf_cached")
+    spark.range(0, 1000).withColumn("_c", F.col("id") % 7).write.parquet(path)
+    assert relational.plan_reads_files(spark.read.parquet(path))
+    # note: a DataFrame memoizes its QueryExecution, so the cache
+    # substitution is visible on plans DERIVED after .cache(), not on
+    # an object whose optimized plan was already computed pre-cache
+    cached = spark.read.parquet(path).cache()
+    try:
+        cached.count()  # materialize so the cache substitutes the scan
+        assert not relational.plan_reads_files(cached.select("*"))
+        # downstream plans over the cached leaf inherit the verdict
+        assert not relational.plan_reads_files(
+            cached.where(F.col("_c") > 2).select("id")
+        )
+    finally:
+        cached.unpersist()

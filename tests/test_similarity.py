@@ -2192,3 +2192,48 @@ def test_stream_route_ignores_embedded_join_cost(spark, emb):
     ).count()
     assert rcpt["join_cost_source"] == "embedded"
     assert rcpt["strategy"] == "exact"
+
+
+def test_cell_appends_carry_join_cost_stamp(spark, emb, tmp_path):
+    """Round-14 advice (medium): ivf_cells_append / imi_cells_append
+    must carry a measured _join_cost_flops stamp forward onto the
+    appended rows — the srp_index_append contract — or the append
+    forks the parquet schema and the embedded measurement silently
+    vanishes (or trips the distinct-values guard) on read-back."""
+    n = emb.count()
+    cut = int(n * 0.9)
+    corpus = emb.where(F.col("vec_id") < cut)
+    day1 = emb.where(F.col("vec_id") >= cut)
+    corp = corpus.select(
+        F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+    )
+    cents = similarity.ivf_train(corp, cut, n_centroids=4, num_iter=1)
+    path = str(tmp_path / "ivf_jc")
+    similarity.ivf_cells_frame(
+        corpus, cents, nprobe=2, join_cost_flops=6.5e8
+    ).write.parquet(path)
+    similarity.ivf_cells_append(spark, path, cents, day1, nprobe=2)
+    vals = (
+        spark.read.parquet(path).select("_join_cost_flops").distinct()
+        .collect()
+    )
+    assert len(vals) == 1 and vals[0][0] == 6.5e8
+    # an UNstamped sink stays unstamped (no column materializes)
+    bare = str(tmp_path / "ivf_bare")
+    similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.parquet(bare)
+    similarity.ivf_cells_append(spark, bare, cents, day1, nprobe=2)
+    assert "_join_cost_flops" not in spark.read.parquet(bare).columns
+    # IMI twin
+    cents1 = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+    ipath = str(tmp_path / "imi_jc")
+    similarity.imi_cells_frame(
+        corpus, *cents1, p1=2, p2=2, dim=64, join_cost_flops=4.25e8
+    ).write.parquet(ipath)
+    similarity.imi_cells_append(
+        spark, ipath, *cents1, new_vectors=day1, p1=2, p2=2, dim=64
+    )
+    ivals = (
+        spark.read.parquet(ipath).select("_join_cost_flops").distinct()
+        .collect()
+    )
+    assert len(ivals) == 1 and ivals[0][0] == 4.25e8
