@@ -2409,8 +2409,32 @@ def t42_corpus_build_pipeline(spark, sf_dir):
     min-id-per-fingerprint keeper rule, the md5 80/10/10 split, the
     trigram-overlap purge, the water-filled rates applied as the
     md5₆₀ deterministic sample, and the budget-cut packing — then the
-    same seven receipt rows."""
-    return text.corpus_build_funnel(_docs(spark, sf_dir))
+    same receipt rows.
+
+    Round-14 verdict item 3 (CROSS-MODAL): a real corpus build also
+    dedups the OTHER modalities between exact dedup and the split —
+    so dup pairs of any modality can never straddle the train/test
+    boundary.  Two stages now run there: ``2a_semantic_dedup`` (d10's
+    SemDeDup manifest — SRP-banded cosine pairs over the survivors'
+    embeddings closed into components, min-id keeper) and
+    ``2b_image_neardup`` (m14's dHash Hamming-band pairs over each
+    survivor's image payload — the doc's 200-char prefix as the
+    deterministic 'image' — closed into components, same keeper
+    rule).  The oracle replays BOTH pair graphs and both
+    pointer-jumping component closures (the d10 label-propagation
+    chain, factored) plus the six original stages, all nine receipt
+    rows bit-exact."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 200), "UTF-8").alias("payload"),
+    )
+    return text.corpus_build_funnel(
+        docs,
+        embeddings=_emb(spark, sf_dir),
+        emb_bands=_srp_bands(),
+        media=media,
+    )
 
 
 def t39_lexical_richness(spark, sf_dir):
@@ -9706,6 +9730,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT f.* FROM f
               JOIN g ON f.fp = g.fp AND f.doc_id = g.keep_id
             ),
+            smp AS MATERIALIZED (
+              SELECT id_a, id_b FROM ({_lsh_dups_oracle()}) _sd
+              WHERE id_a IN (SELECT doc_id FROM s2)
+                AND id_b IN (SELECT doc_id FROM s2)
+            ),
+            {_label_prop_ctes("smp", "sm")},
+            s2a AS (
+              SELECT s2.* FROM s2 LEFT JOIN smcomp c ON c.id = s2.doc_id
+              WHERE c.id IS NULL OR c.cluster = s2.doc_id
+            ),
+            img AS (
+              SELECT * FROM ({_dhash_oracle(
+                  "SELECT doc_id AS media_id, substr(text, 1, 200) AS s"
+                  " FROM s2a")}) _im
+            ),
+            ib AS (
+              SELECT media_id, dhash, t.i AS band,
+                     (dhash >> (CAST(t.i AS INT) * 16)) & 65535 AS bval
+              FROM img CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            ),
+            imp AS MATERIALIZED (
+              SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+              FROM ib a JOIN ib b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.media_id < b.media_id
+               AND bit_count(xor(a.dhash, b.dhash)) <= 3
+            ),
+            {_label_prop_ctes("imp", "im")},
+            s2b AS (
+              SELECT s2a.* FROM s2a LEFT JOIN imcomp c ON c.id = s2a.doc_id
+              WHERE c.id IS NULL OR c.cluster = s2a.doc_id
+            ),
             sp AS (
               SELECT doc_id,
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -9713,11 +9769,11 @@ def oracle_sql() -> dict[str, str]:
                          c -> CAST(strpos('0123456789abcdef', c) - 1
                                    AS BIGINT))),
                        (a, b) -> a * 16 + b) % 100 AS bucket
-              FROM s2
+              FROM s2b
             ),
             tr_ids AS (SELECT doc_id FROM sp WHERE bucket < 80),
             te_ids AS (SELECT doc_id FROM sp WHERE bucket >= 90),
-            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM s2),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM s2b),
             tv AS (SELECT DISTINCT s FROM (
                      SELECT unnest(sh) AS s FROM sh
                      JOIN te_ids USING (doc_id))),
@@ -9734,8 +9790,8 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 0.0 END, 6) AS frac
               FROM trn t LEFT JOIN hits USING (doc_id)),
             s4 AS (
-              SELECT s2.* FROM s2
-              JOIN fr ON s2.doc_id = fr.doc_id AND fr.frac <= 0.5
+              SELECT s2b.* FROM s2b
+              JOIN fr ON s2b.doc_id = fr.doc_id AND fr.frac <= 0.5
             ),
             per AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail
                     FROM s4 GROUP BY source),
@@ -9786,6 +9842,16 @@ def oracle_sql() -> dict[str, str]:
                                 / (COUNT(*) * 1000000.0), 6) AS detail
                    FROM s1),
             c2 AS (SELECT COUNT(*) AS n FROM s2),
+            c2a AS (SELECT COUNT(*) AS n FROM s2a),
+            d2a AS (SELECT CAST(GREATEST(COALESCE(MAX(sz), 1), 1) AS DOUBLE)
+                           AS detail
+                    FROM (SELECT cluster, COUNT(*) AS sz FROM smcomp
+                          GROUP BY cluster)),
+            c2b AS (SELECT COUNT(*) AS n FROM s2b),
+            d2b AS (SELECT CAST(GREATEST(COALESCE(MAX(sz), 1), 1) AS DOUBLE)
+                           AS detail
+                    FROM (SELECT cluster, COUNT(*) AS sz FROM imcomp
+                          GROUP BY cluster)),
             g2 AS (SELECT CAST(MAX(grp_n) AS DOUBLE) AS detail FROM g),
             c3 AS (SELECT COUNT(*) AS n FROM trn),
             c4 AS (SELECT COUNT(*) AS n FROM s4),
@@ -9804,9 +9870,13 @@ def oracle_sql() -> dict[str, str]:
                      c1.detail FROM c0, c1
               UNION ALL SELECT '2_exact_dedup', c1.n, c2.n, c1.n - c2.n,
                      g2.detail FROM c1, c2, g2
-              UNION ALL SELECT '3_train_split', c2.n, c3.n, c2.n - c3.n,
-                     ROUND(CAST(c3.n AS DOUBLE) / c2.n, 6)
-                     FROM c2, c3
+              UNION ALL SELECT '2a_semantic_dedup', c2.n, c2a.n,
+                     c2.n - c2a.n, d2a.detail FROM c2, c2a, d2a
+              UNION ALL SELECT '2b_image_neardup', c2a.n, c2b.n,
+                     c2a.n - c2b.n, d2b.detail FROM c2a, c2b, d2b
+              UNION ALL SELECT '3_train_split', c2b.n, c3.n, c2b.n - c3.n,
+                     ROUND(CAST(c3.n AS DOUBLE) / c2b.n, 6)
+                     FROM c2b, c3
               UNION ALL SELECT '4_decontam', c3.n, c4.n, c3.n - c4.n,
                      w4.detail FROM c3, c4, w4
               UNION ALL SELECT '5_mixture', c4.n, c5.n, c4.n - c5.n,
@@ -13223,12 +13293,15 @@ def _simhash_oracle() -> str:
     """
 
 
-def _dhash_oracle() -> str:
-    """DuckDB mirror of m14's fingerprint: the media construction
-    (payload + one-byte twin), 72 integer-exact block sums from the
-    payload codepoints (ASCII corpus ⇒ codepoint = byte), the 64
-    cross-multiplied mean comparisons, and the signed-long assembly —
-    replaying multimodal.dhash_table bit for bit."""
+def _dhash_oracle(media_sql: str | None = None) -> str:
+    """DuckDB mirror of the dHash fingerprint: a media construction
+    (default: m14's payload + one-byte twin; pass ``media_sql``
+    yielding (media_id, s) for another fixture — t42's cross-modal
+    stage uses a text-prefix payload per document), 72 integer-exact
+    block sums from the payload codepoints (ASCII corpus ⇒ codepoint =
+    byte), the 64 cross-multiplied mean comparisons, and the
+    signed-long assembly — replaying multimodal.dhash_table bit for
+    bit."""
     cells, cols = 72, 9
     blocks = ",\n               ".join(
         f"CAST(coalesce(list_sum(list_slice(b, {k} * L // {cells} + 1,"
@@ -13248,14 +13321,16 @@ def _dhash_oracle() -> str:
                 f" THEN CAST({pw} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             )
     assembly = "\n                 + ".join(terms)
-    return f"""
-        WITH media AS (
+    if media_sql is None:
+        media_sql = """
           SELECT doc_id * 2 AS media_id, text AS s FROM documents
           UNION ALL
           SELECT doc_id * 2 + 1,
                  substr(text, 1, greatest(length(text) // 2, 1) - 1) || '~'
                  || substr(text, greatest(length(text) // 2, 1) + 1)
-          FROM documents),
+          FROM documents"""
+    return f"""
+        WITH media AS ({media_sql}),
         cp AS (
           -- ASCII guard (round-12 advice): the engine hashes UTF-8
           -- BYTES while this mirror hashes per-character codepoints
@@ -13278,6 +13353,41 @@ def _dhash_oracle() -> str:
                {assembly} AS dhash
         FROM blocks
     """
+
+
+def _label_prop_ctes(pair_cte: str, prefix: str, rounds: int = 16) -> str:
+    """CTE fragment closing an (id_a, id_b) pair CTE into connected
+    components — the d10 pointer-jumping label propagation
+    (_semantic_dedup_oracle's chain) factored so t42's cross-modal
+    stages can close TWO pair graphs (semantic + image) in one query.
+    Emits ``{prefix}e``, ``{prefix}l0..l{rounds}``, and
+    ``{prefix}comp(id, cluster)`` with cluster = min id; tree height
+    halves per round, so ``rounds=16`` covers components of height
+    2¹⁶ — far past any near-dup cluster; non-convergence cannot pass
+    silently (labels short of fixpoint differ from the engine's
+    fixpoint-witnessed result and the value check goes red)."""
+    ctes = [
+        f"{prefix}e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM "
+        f"{pair_cte} UNION SELECT id_b, id_a FROM {pair_cte})",
+        f"{prefix}l0 AS MATERIALIZED (SELECT a AS id, LEAST(a, MIN(b)) "
+        f"AS lbl FROM {prefix}e GROUP BY a)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"{prefix}l{k - 1}"
+        ctes.append(
+            f"{prefix}l{k} AS MATERIALIZED ("
+            f"SELECT l.id, LEAST(l.lbl, COALESCE(j.lbl, l.lbl), "
+            f"COALESCE(nm.m, l.lbl)) AS lbl "
+            f"FROM {prev} l "
+            f"LEFT JOIN {prev} j ON j.id = l.lbl "
+            f"LEFT JOIN (SELECT e.a AS id, MIN(l2.lbl) AS m "
+            f"FROM {prefix}e e JOIN {prev} l2 ON l2.id = e.b GROUP BY e.a) "
+            f"nm ON nm.id = l.id)"
+        )
+    ctes.append(
+        f"{prefix}comp AS (SELECT id, lbl AS cluster FROM {prefix}l{rounds})"
+    )
+    return ", ".join(ctes)
 
 
 def _incremental_dhash_oracle() -> str:

@@ -1410,6 +1410,14 @@ def corpus_build_funnel(
     max_overlap: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    embeddings: DataFrame | None = None,
+    emb_bands: list | None = None,
+    emb_threshold: float = 0.4,
+    emb_id_col: str = "vec_id",
+    media: DataFrame | None = None,
+    media_bands: int = 4,
+    media_id_col: str = "media_id",
+    media_payload_col: str = "payload",
 ) -> DataFrame:
     """The END-TO-END corpus-build pipeline as ONE query with a
     per-stage funnel receipt (round-13 verdict item 3): the tiers that
@@ -1434,6 +1442,24 @@ def corpus_build_funnel(
     - ``2_exact_dedup`` — one keeper (min id) per canonical
       fingerprint among quality survivors; detail = largest duplicate
       group seen.
+    - ``2a_semantic_dedup`` (only when ``embeddings`` is passed —
+      round-14 verdict item 3, the CROSS-MODAL leg): d10's SemDeDup
+      manifest (:func:`similarity.embedding_dup_clusters` — banded
+      SRP-LSH cosine pairs closed into connected components, keeper =
+      min id) computed over the EXACT-DEDUP SURVIVORS' embeddings;
+      non-keepers drop.  Survivor docs without an embedding row pass
+      through (they can't be semantic dups of anything measured).
+      detail = largest semantic cluster among survivors (a MAX —
+      order-independent).
+    - ``2b_image_neardup`` (only when ``media`` is passed): the m14
+      dHash Hamming-band pairs over the survivors' image payloads,
+      closed into components with the same min-id keeper rule; docs
+      whose media has no near-dup partner pass through.  detail =
+      largest image near-dup cluster (MAX, ≥ 1).
+      Both stages run BETWEEN exact dedup and the split — the order a
+      real multimodal corpus build uses, so dup pairs of ANY modality
+      can never straddle the train/test boundary drawn in the next
+      stage.
     - ``3_train_split`` — the content-hash 80/10/10 split (md5 of the
       canonical text, so dup pairs can never straddle splits); the
       pipeline ships the TRAIN side; detail = train fraction.
@@ -1495,15 +1521,78 @@ def corpus_build_funnel(
     )
     n2 = s2.count()
 
+    # the cross-modal legs (round-14 verdict item 3): each consumes the
+    # previous stage's survivors, drops non-keeper cluster members, and
+    # receipts a MAX-cluster-size detail — order-independent like every
+    # other receipt scalar
+    cur, n_cur, extra_rows = s2, n2, []
+    if embeddings is not None:
+        from .similarity import embedding_dup_clusters
+
+        sem = embeddings.join(
+            cur.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+        )
+        man = embedding_dup_clusters(
+            sem, bands=emb_bands, threshold=emb_threshold,
+            id_col=emb_id_col,
+        ).localCheckpoint(eager=True)
+        r2a = (
+            man.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .agg(F.greatest(F.max("_sz"), F.lit(1)).cast("double").alias("detail"))
+            .first()
+        )
+        cur = cur.join(
+            man.where(~F.col("keep")).select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_new = cur.count()
+        extra_rows.append(
+            ("2a_semantic_dedup", n_cur, n_new, n_cur - n_new, r2a["detail"])
+        )
+        n_cur = n_new
+    if media is not None:
+        from .multimodal import dhash_pairs
+        from .graph_algos import connected_components
+
+        med = media.join(
+            cur.select(F.col(id_col).alias(media_id_col)), media_id_col
+        )
+        pairs = dhash_pairs(
+            med, bands=media_bands, payload_col=media_payload_col,
+            id_col=media_id_col,
+        ).localCheckpoint(eager=True)
+        comp = connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        ).localCheckpoint(eager=True)
+        r2b = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("_sz")
+        ).agg(
+            F.greatest(F.coalesce(F.max("_sz"), F.lit(1)), F.lit(1))
+            .cast("double").alias("detail")
+        ).first()
+        cur = cur.join(
+            comp.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col)),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_new = cur.count()
+        extra_rows.append(
+            ("2b_image_neardup", n_cur, n_new, n_cur - n_new, r2b["detail"])
+        )
+        n_cur = n_new
+
     dec = decontaminated_train(
-        s2, max_overlap=max_overlap, text_col=text_col, id_col=id_col
+        cur, max_overlap=max_overlap, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
     r3 = dec.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.count(F.lit(1)) / F.lit(n2), 6).alias("detail"),
+        F.round(F.count(F.lit(1)) / F.lit(n_cur), 6).alias("detail"),
     ).first()
     r4 = dec.agg(F.max("test_overlap_frac").alias("detail")).first()
-    s4 = s2.join(
+    s4 = cur.join(
         dec.where("keep").select(id_col), id_col
     ).localCheckpoint(eager=True)
     n4 = s4.count()
@@ -1538,7 +1627,8 @@ def corpus_build_funnel(
         ("0_raw", n0, n0, 0, r0["detail"]),
         ("1_quality", n0, n1, n0 - n1, r1["detail"]),
         ("2_exact_dedup", n1, n2, n1 - n2, r2["detail"]),
-        ("3_train_split", n2, n3, n2 - n3, r3["detail"]),
+        *extra_rows,
+        ("3_train_split", n_cur, n3, n_cur - n3, r3["detail"]),
         ("4_decontam", n3, n4, n3 - n4, r4["detail"]),
         ("5_mixture", n4, n5, n4 - n5, r5["detail"]),
         ("6_packing", n5, n6, 0, r6["detail"]),

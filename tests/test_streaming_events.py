@@ -686,3 +686,76 @@ def test_ingest_dedup_stream_equals_one_shot(spark, tmp_path):
     want = sorted(map(key, dedup.incremental_lsh_dups(
         corpus, shard, threshold=0.2).collect()))
     assert got == want and got
+
+
+def test_image_ingest_stream_midbatch_replay(spark, tmp_path):
+    """e39's exactly-once-AS-READ pin, image tier: crash AFTER a
+    micro-batch's pair write but BEFORE its checkpoint commit (delete
+    the newest ckpt commit file), re-drain, and require the pair set
+    bit-identical — a batch's pairs are a pure function of its media
+    files under the index's persisted layout, so the per-batch
+    partition overwrite rewrites identical rows.  Also pins the
+    drained union == the one-shot incremental_dhash_dups over the
+    whole shard (batch boundaries cannot change the pair set)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from projet_graphdb_spark.functions import multimodal
+    from projet_graphdb_spark.streaming import (
+        state_partitions,
+        streaming_image_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    twin_text = F.expr(
+        "concat(substring(text, 1, greatest(length(text) div 2, 1) - 1),"
+        " '~', substring(text, greatest(length(text) div 2, 1) + 1))"
+    )
+    corpus_media = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    shard_media = docs.where(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(twin_text, "UTF-8").alias("payload"),
+    )
+    base = str(tmp_path)
+    shard_media.repartition(3).write.parquet(base + "/shard")
+    schema = spark.read.parquet(base + "/shard").schema
+    multimodal.dhash_band_index(corpus_media, bands=4).write.partitionBy(
+        "band"
+    ).parquet(base + "/index")
+    index = spark.read.parquet(base + "/index")
+
+    def drain():
+        with state_partitions(spark, 4):
+            q = streaming_image_ingest_dedup(
+                spark, base + "/shard", schema, index,
+                base + "/pairs", base + "/ckpt", bands=4,
+            )
+            assert q.awaitTermination(300)
+        return q
+
+    drain()
+    key = lambda r: (r["new_id"], r["corpus_id"], r["hd"])
+    before = sorted(map(key, spark.read.parquet(base + "/pairs").collect()))
+    assert before
+    # batch-boundary invariance: drained union == one-shot incremental
+    oneshot = sorted(map(key, multimodal.incremental_dhash_dups(
+        shard_media, index, bands=4
+    ).collect()))
+    assert before == oneshot
+    commits = [
+        f for f in os.listdir(base + "/ckpt/commits") if not f.startswith(".")
+    ]
+    victim = max(commits, key=int)
+    os.remove(f"{base}/ckpt/commits/{victim}")
+    crc = f"{base}/ckpt/commits/.{victim}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = drain()
+    assert q2.lastProgress is not None
+    assert q2.lastProgress["batchId"] >= int(victim)
+    after = sorted(map(key, spark.read.parquet(base + "/pairs").collect()))
+    assert after == before

@@ -568,3 +568,76 @@ def test_corpus_build_funnel_stage_consistency(spark):
     # mixture stage respects the per-source rates: a source with
     # final_rate 1.0 loses nothing
     assert out["5_mixture"]["n_out"] > 0
+
+
+def test_corpus_build_funnel_crossmodal_stages(spark):
+    """Round-14 verdict item 3: the cross-modal legs between exact
+    dedup and the split.  Semantic stage: min-id keeper per embedding
+    component survives, other members drop, survivors WITHOUT an
+    embedding row pass through.  Image stage: same keeper rule over
+    the dHash pair components of the remaining survivors.  Both
+    receipt rows chain (n_in == previous n_out) and detail = the
+    largest cluster."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    base = {r["stage"]: r for r in text.corpus_build_funnel(docs).collect()}
+    s2_ids = sorted(
+        r["doc_id"]
+        for r in docs.join(
+            text.quality_filter(docs).where("keep").select("doc_id"),
+            "doc_id",
+        )
+        .withColumn("_fp", text.fingerprint(F.col("text")))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    )
+    # synthetic embeddings: the three smallest survivor ids share one
+    # direction (one semantic cluster, keeper = min); everything else
+    # orthogonal-ish random; one survivor gets NO embedding row
+    rng = np.random.default_rng(5)
+    no_emb = s2_ids[-1]
+    cluster = s2_ids[:3]
+    rows = []
+    for i in s2_ids[:-1]:
+        if i in cluster:
+            v = np.array([1.0] * 8 + [0.0] * 56)
+            v = v + rng.normal(0, 1e-3, 64)
+        else:
+            v = rng.normal(0, 1.0, 64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # synthetic media: two survivors of the REMAINING set share an
+    # identical payload (hd=0 image twins)
+    out = {
+        r["stage"]: r
+        for r in text.corpus_build_funnel(
+            docs, embeddings=emb, emb_threshold=0.8, media=docs.select(
+                F.col("doc_id").alias("media_id"),
+                F.encode(
+                    F.when(
+                        F.col("doc_id").isin(cluster[0], s2_ids[4]),
+                        F.lit("shared payload bytes " * 16),
+                    ).otherwise(F.concat(F.lit("uniq"), F.col("doc_id"),
+                                         F.col("text"))),
+                    "UTF-8",
+                ).alias("payload"),
+            ),
+        ).collect()
+    }
+    n2 = base["2_exact_dedup"]["n_out"]
+    r2a, r2b = out["2a_semantic_dedup"], out["2b_image_neardup"]
+    assert r2a["n_in"] == n2
+    # the semantic cluster keeps exactly its min id: 2 of 3 drop
+    assert r2a["n_removed"] == 2 and r2a["detail"] >= 3.0
+    assert r2b["n_in"] == r2a["n_out"]
+    # the shared-payload pair: cluster[0] survived 2a (min id keeper),
+    # s2_ids[4] was not in the semantic cluster — one of them drops
+    assert r2b["n_removed"] == 1 and r2b["detail"] == 2.0
+    assert out["3_train_split"]["n_in"] == r2b["n_out"]
+    # the no-embedding survivor passed through the semantic stage: it
+    # reaches the split input set (n2 - 2 - 1 docs)
+    assert out["3_train_split"]["n_in"] == n2 - 3

@@ -66,7 +66,8 @@ NL_ALLOWED = {
     # cross-joined into the single decision row — constant sides
     "m17_maintenance_decision_table",  # UNIONs the s33 decision row
     # (same 1-row-gauge cross joins as above) with the Hamming tier's
-    # 1-row policy aggregate — constant sides, 2-row output
+    # 1-row policy aggregates (identity + persisted-layout rows) —
+    # constant sides, 3-row output
     "s34_exact_guaranteed_route",  # the exact guaranteed leg: since the
     # round-11 vectorization its default plan is map-only (MapInPandas
     # BLAS, no join node at all); the allowance remains for the

@@ -64,6 +64,12 @@ VALUE_QUERIES = [
     "m16_hamming_reband_recovery",
     "m17_maintenance_decision_table",
     "t42_corpus_build_pipeline",
+    # round-15 additions: the image ingest tier (persisted dHash band
+    # index + per-shard join + streaming twin + gauge ledger); t42 and
+    # m17 above now carry the cross-modal / persisted-layout bodies
+    "m18_incremental_dhash_ingest",
+    "m19_dhash_gauge_ledger",
+    "e39_image_ingest_stream",
 ]
 
 CAPPED_QUERIES = {
