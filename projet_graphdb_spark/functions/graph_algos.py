@@ -290,33 +290,56 @@ def sssp(
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, component) with component = min node id in the component
-    (undirected view).  Min-label propagation until fixpoint."""
+    (undirected view).  Min-label propagation until fixpoint.
+
+    Round shape (r15 optimization — iteration cost is job fixed cost on
+    the deliberately small bench graphs and one full pass per round at
+    100 TB, so both the per-round operator count and the round count
+    were cut without changing the fixpoint):
+
+    - Round 0 needs NO join: every label starts as the node's own id,
+      so the neighbour-min fold collapses to ``least(src, min(dst))``
+      over the symmetric edge frame — one aggregate replaces the old
+      separate label-init materialization plus a join round.
+    - Rounds ≥ 1 send each node's label along every edge and fold the
+      node's OWN label into the same aggregate via a union leg — one
+      join + one groupBy per round where the old round paid two joins
+      (neighbour-min, then a left join to re-attach own labels) plus
+      the groupBy.
+    - Labels only ever decrease, so Σcomponent is a fixpoint witness;
+      the witness aggregate also materializes the round's checkpoint
+      (one Spark job per round).
+    """
     both, _, small = _materialize(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    labels, _, _ = _materialize(
-        both.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    # round 0, join-free: label(v) = min(v, min of v's neighbours)
+    labels = (
+        both.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_m")).alias("component"),
+        )
     )
-    prev_sum = None
-    ckpt_handle = None
-    for _ in range(max_iter):
-        # each node adopts the min label among itself and its neighbours
-        neigh_min = (
+    labels, ckpt_handle, row = _ckpt_rotate_agg(
+        _shrink(labels, small), None, [F.sum("component")]
+    )
+    prev_sum = row[0]
+    for _ in range(max_iter - 1):
+        # each node adopts the min label among itself and its
+        # neighbours: edge-messages ∪ own-label, one min aggregate
+        msgs = (
             both.join(labels, both.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+            .select(F.col("src").alias("id"), "component")
         )
-        labels = labels.join(neigh_min, labels.id == neigh_min.src, "left").select(
-            "id",
-            F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                "component"
-            ),
+        labels = (
+            msgs.unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
-        # labels only ever decrease, so the total is a fixpoint witness:
-        # unchanged sum ⇔ no label moved; the witness aggregate also
-        # materializes the round's checkpoint (one job, not two)
         labels, ckpt_handle, row = _ckpt_rotate_agg(
             _shrink(labels, small), ckpt_handle, [F.sum("component")]
         )

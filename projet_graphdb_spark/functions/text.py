@@ -681,6 +681,7 @@ def quality_filter(
     atl_lo: float = 3.0,
     atl_hi: float = 8.0,
     min_quality: float = 0.5,
+    keep_input_cols: bool = False,
 ) -> DataFrame:
     """Composite corpus-cleaning verdict (the C4/Gopher-style gate
     cascade): length window → token-shape band → composite quality
@@ -692,8 +693,17 @@ def quality_filter(
     scan); filtering ``keep`` yields the cleaned corpus, grouping by
     ``reject_reason`` yields the drop report.
 
+    ``keep_input_cols=True`` carries every input column through next to
+    the verdict columns, so a consumer that needs the surviving DOCS
+    (not just the verdict) can ``where("keep")`` directly instead of
+    joining the verdict frame back against ``docs`` — that join is a
+    self-join of the corpus (two scans + a shuffle) that a map-only
+    gate never needs (r15 optimization: corpus_build_funnel paid it
+    per run).
+
     Output: (doc_id, n_tokens, avg_token_len, quality, keep,
-    reject_reason) — reject_reason NULL when keep.
+    reject_reason) — reject_reason NULL when keep; input columns first
+    when ``keep_input_cols``.
     """
     t = F.col(text_col)
     n = token_count(t)
@@ -705,8 +715,13 @@ def quality_filter(
         .when((atl < atl_lo) | (atl > atl_hi), F.lit("token_shape"))
         .when(q < min_quality, F.lit("low_quality"))
     )
+    lead = (
+        [F.col(c) for c in docs.columns]
+        if keep_input_cols
+        else [F.col(id_col)]
+    )
     return docs.select(
-        F.col(id_col),
+        *lead,
         n.alias("n_tokens"),
         atl.alias("avg_token_len"),
         q.alias("quality"),
@@ -1491,34 +1506,54 @@ def corpus_build_funnel(
     spark = docs.sparkSession
     t = F.col(text_col)
 
-    r0 = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_chars").cast("double").alias("detail"),
-    ).first()
-
-    q = quality_filter(docs, text_col=text_col, id_col=id_col)
-    r1 = q.where("keep").agg(
-        F.count(F.lit(1)).alias("n"),
+    # Stages 0+1 fused into ONE corpus scan (r15 optimization): the
+    # quality gate is a map-only projection, so the 0_raw totals and the
+    # 1_quality totals are conditional aggregates of the SAME pass —
+    # previously r0 and r1 were two separate scans, and stage 2 paid the
+    # gate a THIRD and FOURTH time through a docs ⋈ verdict self-join
+    # (two more scans plus a shuffle).  The integer-micros mean is
+    # unchanged: Σ_keep floor(q·10⁶) is the same exact integer sum
+    # whether filtered or folded through when(keep, ·).
+    qf = quality_filter(
+        docs, text_col=text_col, id_col=id_col, keep_input_cols=True
+    )
+    keep_l = F.col("keep").cast("long")
+    r01 = qf.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_chars").cast("double").alias("d0"),
+        F.sum(keep_l).alias("n1"),
         F.round(
-            F.sum(F.floor(F.col("quality") * 1e6).cast("long"))
-            / (F.count(F.lit(1)) * F.lit(1e6)),
+            F.sum(
+                F.when(
+                    F.col("keep"), F.floor(F.col("quality") * 1e6).cast("long")
+                ).otherwise(F.lit(0))
+            )
+            / (F.sum(keep_l) * F.lit(1e6)),
             6,
-        ).alias("detail"),
+        ).alias("d1"),
     ).first()
+    r0 = {"n": r01["n0"], "detail": r01["d0"]}
+    r1 = {"n": r01["n1"], "detail": r01["d1"]}
 
-    s1 = docs.join(q.where("keep").select(id_col), id_col)
+    # Stage 2: survivors flow straight from the gate (no self-join) and
+    # the min-id/group-size window is executed ONCE — the pre-filter
+    # windowed frame is the checkpoint, so the receipt's max-group
+    # aggregate and the survivor filter both read the materialized rows
+    # instead of each re-running scan+join+window (r15: this halves the
+    # stage; the checkpoint holds n1 rows instead of n2, a delta of
+    # exactly the duplicate count).
+    s1 = qf.where("keep").drop(
+        "n_tokens", "avg_token_len", "quality", "keep", "reject_reason"
+    )
     s1 = s1.withColumn("_fp", fingerprint(t))
     grp = Window.partitionBy("_fp")
-    s2 = (
+    w2 = (
         s1.withColumn("_keep", F.min(id_col).over(grp))
         .withColumn("_grp_n", F.count(F.lit(1)).over(grp))
-    )
-    r2 = s2.agg(F.max("_grp_n").cast("double").alias("detail")).first()
-    s2 = (
-        s2.where(F.col(id_col) == F.col("_keep"))
-        .drop("_keep", "_grp_n")
         .localCheckpoint(eager=True)
     )
+    r2 = w2.agg(F.max("_grp_n").cast("double").alias("detail")).first()
+    s2 = w2.where(F.col(id_col) == F.col("_keep")).drop("_keep", "_grp_n")
     n2 = s2.count()
 
     # the cross-modal legs (round-14 verdict item 3): each consumes the
@@ -1587,11 +1622,15 @@ def corpus_build_funnel(
     dec = decontaminated_train(
         cur, max_overlap=max_overlap, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
-    r3 = dec.agg(
+    # one pass over the checkpointed decontam frame for both receipt
+    # rows (r15: was two aggregate jobs over the same materialized rows)
+    r34 = dec.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.count(F.lit(1)) / F.lit(n_cur), 6).alias("detail"),
+        F.round(F.count(F.lit(1)) / F.lit(n_cur), 6).alias("d3"),
+        F.max("test_overlap_frac").alias("d4"),
     ).first()
-    r4 = dec.agg(F.max("test_overlap_frac").alias("detail")).first()
+    r3 = {"n": r34["n"], "detail": r34["d3"]}
+    r4 = {"detail": r34["d4"]}
     s4 = cur.join(
         dec.where("keep").select(id_col), id_col
     ).localCheckpoint(eager=True)
