@@ -307,9 +307,24 @@ def srp_signature(vec: Column, planes: list) -> Column:
 # method cap so the whole stage runs interpreted.  Past the cutoff we
 # switch to ONE Arrow-batched pandas UDF whose closure carries the
 # planes as a numpy matrix — plan size O(1), per-row cost one BLAS
-# matmul.  The pinned 8×6 oracle construction (48 planes) stays on the
-# JVM path, so oracle plans are unchanged.
-_MAX_JVM_PLANES = 96
+# matmul.
+#
+# r15 (optimization round): cutoff lowered 96 → 16, moving the pinned
+# 8×6 oracle construction (48 planes) onto the Arrow path.  Measured at
+# sf0.1: the 48-plane HOF projection costs 0.5–0.8 s in a friendly plan
+# shape but 3.4–4.4 s whenever the projection lands in a stage whose
+# generated code trips janino's cap (e.g. downstream of a join — the
+# t42 2a lineage), because the ENTIRE stage then evaluates interpreted
+# with per-element boxing; the Arrow matmul is a stable 0.19–0.33 s in
+# every shape (10×).  Signatures are bit-identical: both paths use the
+# same `dot >= 0` convention and the fixtures' sign margins are ≥3e-6
+# (min |dot| over every vector × plane at sf0.001/0.01/0.1) while
+# f64 summation-order drift for a 64-term dot is ≤~1e-14 — pinned by
+# test_srp_signature_array_udf_matches_jvm and the pinned-construction
+# twin below it.  Constructions ≤16 planes (single-band probes) stay on
+# the JVM path: one band's worth of HOF terms codegens fine and skips
+# the Python-worker roundtrip.
+_MAX_JVM_PLANES = 16
 
 
 def srp_signature_array(vec: Column, bands: list) -> Column:

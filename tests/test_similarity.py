@@ -401,6 +401,28 @@ def test_srp_signature_array_udf_matches_jvm(spark, emb):
     }
 
 
+def test_srp_signature_pinned_construction_udf_matches_jvm(spark, emb):
+    """r15: the pinned 8×6 oracle construction (48 planes) moved from
+    the JVM HOF path to the Arrow matmul path (_MAX_JVM_PLANES 96→16);
+    its signatures must stay bit-identical to a forced-JVM build of the
+    same planes — these are the exact signatures every SRP oracle
+    (s9/d10/t42-2a) replays in SQL."""
+    bands = similarity.srp_bands(n_bands=8, bits=6, dim=64, seed=0)
+    assert sum(len(b) for b in bands) > similarity._MAX_JVM_PLANES
+    via_udf = emb.select(
+        "vec_id", similarity.srp_signature_array(F.col("embedding"), bands).alias("s")
+    ).collect()
+    via_jvm = emb.select(
+        "vec_id",
+        F.array(
+            *[similarity.srp_signature(F.col("embedding"), b) for b in bands]
+        ).alias("s"),
+    ).collect()
+    assert {r["vec_id"]: list(r["s"]) for r in via_udf} == {
+        r["vec_id"]: list(r["s"]) for r in via_jvm
+    }
+
+
 def test_lsh_cosine_dups_large_band_count_runs(spark, emb):
     """A large auto-tuned construction (above the JVM-plane cutoff) runs
     end-to-end through the posexplode candidate path and agrees with the
