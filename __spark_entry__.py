@@ -1083,9 +1083,13 @@ def _s33_policy_frame(spark, sf_dir):
     similarity.ivf_cells_frame(corpus, drifted, nprobe=2).write.partitionBy(
         "_cell"
     ).parquet(path)
+    # ONE-row decision frame: checkpoint before the assert so the
+    # assert's first() is the only execution — previously the caller's
+    # count (bench) or m17's union re-ran the whole occupancy+drift
+    # policy plan a second time (r15 optimization, ~1-4 s per re-run)
     out = similarity.index_rebuild_policy(
         spark.read.parquet(path), live, old_half, new_half
-    )
+    ).localCheckpoint(eager=True)
     row = out.first()
     if not row["config_stale"] or row["decision"] != "rebuild":
         raise AssertionError(
@@ -2273,12 +2277,22 @@ def m17_maintenance_decision_table(spark, sf_dir):
     forever.  The gauge HISTORY half of the maintenance window (hot
     since WHEN, round-14 item 6) is m19's persisted ledger."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
-    vec = _s33_policy_frame(spark, sf_dir).select(
-        F.lit("vector").alias("tier"),
-        "decision",
-        "reason",
-        F.col("top_cell_share").alias("worst_hot_share"),
+    # the two tiers are fully independent (separate fixtures, separate
+    # sinks): run the vector tier's policy build — k-means trainings,
+    # cell-sink write, drift gauges — concurrently with the Hamming
+    # tier's ladder below (guide §2.6; r15 optimization).  Each leg's
+    # jobs back-fill the other's stragglers; the union at the end is
+    # unchanged.
+    pool = ThreadPoolExecutor(max_workers=1)
+    vec_fut = pool.submit(
+        lambda: _s33_policy_frame(spark, sf_dir).select(
+            F.lit("vector").alias("tier"),
+            "decision",
+            "reason",
+            F.col("top_cell_share").alias("worst_hot_share"),
+        )
     )
     # bounded (2N rows of two longs); consumed by the identity policy
     # row, the auto ladder's gauges, the index write, and the recovered
@@ -2315,6 +2329,8 @@ def m17_maintenance_decision_table(spark, sf_dir):
         "reason",
         F.col("worst_top_bucket_share").alias("worst_hot_share"),
     )
+    vec = vec_fut.result()
+    pool.shutdown()
     return vec.unionByName(ham).unionByName(rec).orderBy("tier")
 
 
@@ -2384,14 +2400,26 @@ def m19_dhash_gauge_ledger(spark, sf_dir):
         eager=True
     )
     path = tempfile.mkdtemp(prefix="m19_gauge_") + "/ledger"
-    for seq, layout in (
-        (1, "identity"), (2, "identity"), (3, "identity"),
-        (4, "interleave"), (5, "interleave"),
-    ):
+    # the five maintenance runs are independent writes to disjoint
+    # run_seq partitions of the same checkpointed fingerprint frame —
+    # overlap them (guide §2.6): each gauge is a handful of tiny
+    # single-partition jobs, so sequential submission left the session
+    # idle between job tails; 3 in flight fills those gaps without
+    # contending (r15 optimization; identical ledger rows either way)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _append(args):
+        seq, layout = args
         dedup.hamming_gauge_ledger_append(
             spark, path, st, 64, 4, run_seq=seq, layout=layout,
             hash_col="dhash",
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_append, (
+            (1, "identity"), (2, "identity"), (3, "identity"),
+            (4, "interleave"), (5, "interleave"),
+        )))
     return dedup.hamming_gauge_ledger_report(spark.read.parquet(path))
 
 
