@@ -972,10 +972,21 @@ def s30_ivf_index_rebuild(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") < cut)
     shard = emb.where(F.col("vec_id") >= cut)
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
-    old = similarity.ivf_train(
-        corp.where(F.col("_vid") < cut // 2), cut // 2, n_centroids=8, num_iter=1
-    )
-    live = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    # the drifted and live trainings are independent Lloyd chains over
+    # different cuts — overlap them (guide §2.6; r15 optimization)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        old_fut = pool.submit(
+            similarity.ivf_train,
+            corp.where(F.col("_vid") < cut // 2), cut // 2,
+            n_centroids=8, num_iter=1,
+        )
+        live_fut = pool.submit(
+            similarity.ivf_train, corp, cut, n_centroids=8, num_iter=2
+        )
+        old = old_fut.result()
+        live = live_fut.result()
     path = tempfile.mkdtemp(prefix="ivf_rebuild_") + "/cells"
     similarity.ivf_cells_frame(corpus, old, nprobe=2).write.partitionBy(
         "_cell"
@@ -1075,10 +1086,21 @@ def _s33_policy_frame(spark, sf_dir):
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     old_half = corpus.where(F.col("vec_id") < cut // 2)
     new_half = corpus.where(F.col("vec_id") >= cut // 2)
-    drifted = similarity.ivf_train(
-        corp.where(F.col("_vid") < cut // 2), cut // 2, n_centroids=8, num_iter=1
-    )
-    live = similarity.ivf_train(corp, cut, n_centroids=8, num_iter=2)
+    # the drifted and live trainings are independent Lloyd chains over
+    # different cuts — overlap them (guide §2.6; r15 optimization)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        drift_fut = pool.submit(
+            similarity.ivf_train,
+            corp.where(F.col("_vid") < cut // 2), cut // 2,
+            n_centroids=8, num_iter=1,
+        )
+        live_fut = pool.submit(
+            similarity.ivf_train, corp, cut, n_centroids=8, num_iter=2
+        )
+        drifted = drift_fut.result()
+        live = live_fut.result()
     path = tempfile.mkdtemp(prefix="rebuild_policy_") + "/cells"
     similarity.ivf_cells_frame(corpus, drifted, nprobe=2).write.partitionBy(
         "_cell"
@@ -1263,17 +1285,41 @@ def s29_routed_incremental_ingest(spark, sf_dir):
     shard = emb.where(F.col("vec_id") >= cut)
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     base = tempfile.mkdtemp(prefix="routed_ingest_")
-    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
-        "band"
-    ).parquet(base + "/srp")
-    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
-    similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
-        "_cell"
-    ).parquet(base + "/ivf")
-    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
-    similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
-        "_cell"
-    ).parquet(base + "/imi")
+
+    # the three artifact families are independent builds over the same
+    # corpus — overlap them (guide §2.6): each build alternates tiny
+    # driver-side steps (Lloyd-iteration aggregates, codebook collects)
+    # with cluster jobs, so sequential submission left most cores idle;
+    # three in flight back-fill each other's gaps (r15 optimization —
+    # identical artifacts, the router consumes only the read-backs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_srp():
+        similarity.srp_band_index(
+            corpus, n_bands=8, bits=6, dim=64
+        ).write.partitionBy("band").parquet(base + "/srp")
+
+    def _build_ivf():
+        cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
+        similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+            "_cell"
+        ).parquet(base + "/ivf")
+        return cents
+
+    def _build_imi():
+        cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+        similarity.imi_cells_frame(
+            corpus, *cents, p1=2, p2=2, dim=64
+        ).write.partitionBy("_cell").parquet(base + "/imi")
+        return cents
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        srp_fut = pool.submit(_build_srp)
+        ivf_fut = pool.submit(_build_ivf)
+        imi_fut = pool.submit(_build_imi)
+        srp_fut.result()
+        ivf_cents = ivf_fut.result()
+        imi_cents = imi_fut.result()
     receipt: dict = {}
     pairs = similarity.incremental_cosine_dups_auto(
         corpus,
@@ -5133,12 +5179,26 @@ def e34_ingest_dedup_stream(spark, sf_dir):
     new_batch = docs.where(is_new)
     corpus = docs.where(~is_new)
     base = tempfile.mkdtemp(prefix="spark_ingest_dedup_")
-    # several shard files -> several availableNow micro-batches
-    new_batch.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    # shard write and index build are independent setup steps — overlap
+    # them (guide §2.6; r15 optimization, identical artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        # several shard files -> several availableNow micro-batches
+        f1 = pool.submit(
+            lambda: new_batch.repartition(4)
+            .write.mode("overwrite")
+            .parquet(base + "/shard")
+        )
+        f2 = pool.submit(
+            lambda: dedup.lsh_band_index(corpus, hash="md5")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(base + "/index")
+        )
+        f1.result()
+        f2.result()
     schema = spark.read.parquet(base + "/shard").schema
-    dedup.lsh_band_index(corpus, hash="md5").write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(base + "/index")
     from projet_graphdb_spark.streaming import state_partitions, streaming_ingest_dedup
 
     with state_partitions(spark, 8):
@@ -5202,13 +5262,25 @@ def e39_image_ingest_stream(spark, sf_dir):
         F.encode(twin_text, "UTF-8").alias("payload"),
     )
     base = tempfile.mkdtemp(prefix="spark_image_ingest_")
-    shard_media.repartition(4).write.mode("overwrite").parquet(
-        base + "/shard"
-    )
+    # shard write and index build are independent setup steps — overlap
+    # them (guide §2.6; r15 optimization, identical artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: shard_media.repartition(4)
+            .write.mode("overwrite")
+            .parquet(base + "/shard")
+        )
+        f2 = pool.submit(
+            lambda: multimodal.dhash_band_index(corpus_media, bands=4)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(base + "/index")
+        )
+        f1.result()
+        f2.result()
     schema = spark.read.parquet(base + "/shard").schema
-    multimodal.dhash_band_index(corpus_media, bands=4).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(base + "/index")
     from projet_graphdb_spark.streaming import (
         state_partitions,
         streaming_image_ingest_dedup,
@@ -5272,11 +5344,25 @@ def e35_pair_sink_compaction(spark, sf_dir):
     new_batch = docs.where(is_new)
     corpus = docs.where(~is_new)
     base = tempfile.mkdtemp(prefix="spark_pair_compact_")
-    new_batch.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    # shard write and index build are independent setup steps — overlap
+    # them (guide §2.6; the same move as e34, identical artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: new_batch.repartition(4)
+            .write.mode("overwrite")
+            .parquet(base + "/shard")
+        )
+        f2 = pool.submit(
+            lambda: dedup.lsh_band_index(corpus, hash="md5")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(base + "/index")
+        )
+        f1.result()
+        f2.result()
     schema = spark.read.parquet(base + "/shard").schema
-    dedup.lsh_band_index(corpus, hash="md5").write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(base + "/index")
     from projet_graphdb_spark.streaming import (
         compact_batch_sink,
         state_partitions,
@@ -5345,19 +5431,43 @@ def e36_routed_ingest_stream(spark, sf_dir):
     shard = emb.where(F.col("vec_id") >= cut)
     corp = corpus.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     base = tempfile.mkdtemp(prefix="routed_stream_")
-    shard.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+
+    # shard write + the three artifact builds are mutually independent
+    # — overlap them (guide §2.6; same move as s29, identical artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_shard():
+        shard.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+
+    def _build_srp():
+        similarity.srp_band_index(
+            corpus, n_bands=8, bits=6, dim=64
+        ).write.partitionBy("band").parquet(base + "/srp")
+
+    def _build_ivf():
+        cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
+        similarity.ivf_cells_frame(corpus, cents, nprobe=2).write.partitionBy(
+            "_cell"
+        ).parquet(base + "/ivf")
+        return cents
+
+    def _build_imi():
+        cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
+        similarity.imi_cells_frame(
+            corpus, *cents, p1=2, p2=2, dim=64
+        ).write.partitionBy("_cell").parquet(base + "/imi")
+        return cents
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        shard_fut = pool.submit(_write_shard)
+        srp_fut = pool.submit(_build_srp)
+        ivf_fut = pool.submit(_build_ivf)
+        imi_fut = pool.submit(_build_imi)
+        shard_fut.result()
+        srp_fut.result()
+        ivf_cents = ivf_fut.result()
+        imi_cents = imi_fut.result()
     schema = spark.read.parquet(base + "/shard").schema
-    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
-        "band"
-    ).parquet(base + "/srp")
-    ivf_cents = similarity.ivf_train(corp, cut, n_centroids=64, num_iter=2)
-    similarity.ivf_cells_frame(corpus, ivf_cents, nprobe=2).write.partitionBy(
-        "_cell"
-    ).parquet(base + "/ivf")
-    imi_cents = similarity.imi_train(corp, cut, k1=4, k2=4, num_iter=1, dim=64)
-    similarity.imi_cells_frame(corpus, *imi_cents, p1=2, p2=2, dim=64).write.partitionBy(
-        "_cell"
-    ).parquet(base + "/imi")
     from projet_graphdb_spark.streaming import (
         state_partitions,
         streaming_ingest_embeddings,
@@ -5410,11 +5520,24 @@ def e37_exact_ingest_stream(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") < cut)
     shard = emb.where(F.col("vec_id") >= cut)
     base = tempfile.mkdtemp(prefix="exact_stream_")
-    shard.repartition(4).write.mode("overwrite").parquet(base + "/shard")
+    # shard write and SRP artifact build are independent setup steps —
+    # overlap them (guide §2.6; r15 optimization, identical artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: shard.repartition(4)
+            .write.mode("overwrite")
+            .parquet(base + "/shard")
+        )
+        f2 = pool.submit(
+            lambda: similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64)
+            .write.partitionBy("band")
+            .parquet(base + "/srp")
+        )
+        f1.result()
+        f2.result()
     schema = spark.read.parquet(base + "/shard").schema
-    similarity.srp_band_index(corpus, n_bands=8, bits=6, dim=64).write.partitionBy(
-        "band"
-    ).parquet(base + "/srp")
     from projet_graphdb_spark.streaming import (
         state_partitions,
         streaming_ingest_embeddings,
