@@ -1494,14 +1494,28 @@ def imi_train(
     # train from it; one scan, not two
     lo = F.slice(F.col("_v"), 1, half)
     hi = F.slice(F.col("_v"), half + 1, dim - half)
-    cents1 = clustering.kmeans_centroids(
-        train.select("_vid", lo.alias("_v")), k=k1, num_iter=num_iter,
-        id_col="_vid", vec_col="_v",
-    )
-    cents2 = clustering.kmeans_centroids(
-        train.select("_vid", hi.alias("_v")), k=k2, num_iter=num_iter,
-        id_col="_vid", vec_col="_v",
-    )
+    # the two half-space Lloyd chains are independent reads of the same
+    # checkpointed sample — overlap them (guide §2.6; r15 optimization):
+    # each iteration is a short assignment job + a k·(dim/2)-bounded
+    # update collect, so serial submission left the session idle between
+    # the tiny jobs; the codebooks are identical either way
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: clustering.kmeans_centroids(
+                train.select("_vid", lo.alias("_v")), k=k1,
+                num_iter=num_iter, id_col="_vid", vec_col="_v",
+            )
+        )
+        f2 = pool.submit(
+            lambda: clustering.kmeans_centroids(
+                train.select("_vid", hi.alias("_v")), k=k2,
+                num_iter=num_iter, id_col="_vid", vec_col="_v",
+            )
+        )
+        cents1 = f1.result()
+        cents2 = f2.result()
     return cents1, cents2
 
 
