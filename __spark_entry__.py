@@ -13506,7 +13506,7 @@ def _dhash_oracle(media_sql: str | None = None) -> str:
     """
 
 
-def _label_prop_ctes(pair_cte: str, prefix: str, rounds: int = 16) -> str:
+def _label_prop_ctes(pair_cte: str, prefix: str, rounds: int = 48) -> str:
     """CTE fragment closing an (id_a, id_b) pair CTE into connected
     components — the d10 pointer-jumping label propagation
     (_semantic_dedup_oracle's chain) factored so t42's cross-modal
@@ -13704,7 +13704,7 @@ def _quality_filter_oracle(
     """
 
 
-def _semantic_dedup_oracle(rounds: int = 24) -> str:
+def _semantic_dedup_oracle(rounds: int = 48) -> str:
     """d10: the s9 pair oracle closed transitively into components.
 
     Round-13 verdict item 5: the old RECURSIVE min-label walk

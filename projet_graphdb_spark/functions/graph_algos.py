@@ -288,7 +288,7 @@ def sssp(
     return dist
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """(id, component) with component = min node id in the component
     (undirected view).  Min-label propagation until fixpoint.
 
@@ -303,9 +303,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
       separate label-init materialization plus a join round.
     - Rounds ≥ 1 send each node's label along every edge and fold the
       node's OWN label into the same aggregate via a union leg — one
-      join + one groupBy per round where the old round paid two joins
+      join + one groupBy where the old round paid two joins
       (neighbour-min, then a left join to re-attach own labels) plus
       the groupBy.
+    - Each round then POINTER-JUMPS (path halving): every node adopts
+      its label's label, so label-tree height HALVES per round and
+      ``max_iter`` rounds cover components of diameter 2^max_iter —
+      plain propagation covers only ``max_iter`` hops, and the r15 sf1
+      sweep caught exactly that: t42's image-prefix near-dup graph at
+      10× holds a 343-node cluster whose propagation diameter exceeds
+      20, so the pre-r15 code (same 20-round cap) returned an
+      UNCONVERGED split (max cluster 239) while the DuckDB oracle's
+      pointer-jumping replay converged.  A label is always some node's
+      id (min over ids), so the jump join always finds its target;
+      left + coalesce guards the empty frame.
     - Labels only ever decrease, so Σcomponent is a fixpoint witness;
       the witness aggregate also materializes the round's checkpoint
       (one Spark job per round).
@@ -335,10 +346,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             both.join(labels, both.dst == labels.id)
             .select(F.col("src").alias("id"), "component")
         )
-        labels = (
+        prop = (
             msgs.unionByName(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump (path halving): component ← component's own
+        # label, so label-tree height halves per round
+        jump = prop.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
+        labels = prop.join(
+            jump, prop.component == jump._jid, "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("_jcomp"), F.col("component")).alias("component"),
         )
         labels, ckpt_handle, row = _ckpt_rotate_agg(
             _shrink(labels, small), ckpt_handle, [F.sum("component")]

@@ -36,6 +36,26 @@ def test_connected_components(spark, edges_df):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """r15 sf1-sweep regression: a component whose propagation diameter
+    exceeds max_iter must still converge — plain min-label propagation
+    covers only max_iter hops, so t42's 343-node image near-dup cluster
+    at 10× came back SPLIT (engine max cluster 239 vs the oracle's
+    converged 343).  Pointer jumping halves label-tree height per
+    round, so a 120-node path (diameter 119 ≫ 20 rounds) converges to
+    ONE component labelled by its min id."""
+    n = 120
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in graph_algos.connected_components(chain).collect()
+    }
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
 def np_pagerank(edges, n, num_iter=10, d=0.85):
     out_deg = np.zeros(n)
     for s, _ in edges:
