@@ -2331,52 +2331,55 @@ def m17_maintenance_decision_table(spark, sf_dir):
     # tier's ladder below (guide §2.6; r15 optimization).  Each leg's
     # jobs back-fill the other's stragglers; the union at the end is
     # unchanged.
-    pool = ThreadPoolExecutor(max_workers=1)
-    vec_fut = pool.submit(
-        lambda: _s33_policy_frame(spark, sf_dir).select(
-            F.lit("vector").alias("tier"),
+    # context manager (r15 ADVICE): if the Hamming leg's assert raises,
+    # shutdown(wait=True) still joins the vector-tier future instead of
+    # leaving it submitting Spark jobs behind the propagating exception
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        vec_fut = pool.submit(
+            lambda: _s33_policy_frame(spark, sf_dir).select(
+                F.lit("vector").alias("tier"),
+                "decision",
+                "reason",
+                F.col("top_cell_share").alias("worst_hot_share"),
+            )
+        )
+        # bounded (2N rows of two longs); consumed by the identity
+        # policy row, the auto ladder's gauges, the index write, and the
+        # recovered policy row — checkpoint once instead of five md5
+        # re-scans
+        st = _flat_border_fingerprints(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        ham = dedup.hamming_reband_policy(
+            st, nbits=64, bands=4, hash_col="dhash",
+        ).select(
+            "tier",
             "decision",
             "reason",
-            F.col("top_cell_share").alias("worst_hot_share"),
+            F.col("worst_top_bucket_share").alias("worst_hot_share"),
         )
-    )
-    # bounded (2N rows of two longs); consumed by the identity policy
-    # row, the auto ladder's gauges, the index write, and the recovered
-    # policy row — checkpoint once instead of five md5 re-scans
-    st = _flat_border_fingerprints(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
-    ham = dedup.hamming_reband_policy(
-        st, nbits=64, bands=4, hash_col="dhash",
-    ).select(
-        "tier",
-        "decision",
-        "reason",
-        F.col("worst_top_bucket_share").alias("worst_hot_share"),
-    )
-    path = tempfile.mkdtemp(prefix="m17_dhash_idx_") + "/index"
-    dedup.hamming_band_index(
-        st, nbits=64, bands=4, layout="auto", id_col="media_id",
-        hash_col="dhash",
-    ).write.partitionBy("band").parquet(path)
-    layouts = (
-        spark.read.parquet(path).select("_layout").distinct().collect()
-    )
-    if len(layouts) != 1 or layouts[0][0] != "interleave":
-        raise AssertionError(
-            f"m17: the flat-border corpus must persist a recovered "
-            f"interleave layout, got {[r[0] for r in layouts]}"
+        path = tempfile.mkdtemp(prefix="m17_dhash_idx_") + "/index"
+        dedup.hamming_band_index(
+            st, nbits=64, bands=4, layout="auto", id_col="media_id",
+            hash_col="dhash",
+        ).write.partitionBy("band").parquet(path)
+        layouts = (
+            spark.read.parquet(path).select("_layout").distinct().collect()
         )
-    rec = dedup.hamming_reband_policy(
-        st, nbits=64, bands=4, hash_col="dhash", layout=layouts[0][0],
-    ).select(
-        F.lit("hamming_recovered").alias("tier"),
-        "decision",
-        "reason",
-        F.col("worst_top_bucket_share").alias("worst_hot_share"),
-    )
-    vec = vec_fut.result()
-    pool.shutdown()
+        if len(layouts) != 1 or layouts[0][0] != "interleave":
+            raise AssertionError(
+                f"m17: the flat-border corpus must persist a recovered "
+                f"interleave layout, got {[r[0] for r in layouts]}"
+            )
+        rec = dedup.hamming_reband_policy(
+            st, nbits=64, bands=4, hash_col="dhash", layout=layouts[0][0],
+        ).select(
+            F.lit("hamming_recovered").alias("tier"),
+            "decision",
+            "reason",
+            F.col("worst_top_bucket_share").alias("worst_hot_share"),
+        )
+        vec = vec_fut.result()
     return vec.unionByName(ham).unionByName(rec).orderBy("tier")
 
 

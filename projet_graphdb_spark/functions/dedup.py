@@ -71,6 +71,7 @@ def shingle_frame(
     id_col: str,
     text_col: str,
     extra_cols: list = (),
+    hash_fn=None,
 ) -> DataFrame:
     """(id, *extra, _sh) with shingles MATERIALIZED (eager checkpoint).
 
@@ -79,17 +80,28 @@ def shingle_frame(
     (2) shingles sliding over the token attribute.  Without the barriers
     Catalyst collapses the projections and interpreted HOFs re-split the
     text once per element (quadratic per row, catastrophic when nested).
-    """
+
+    ``hash_fn``: fold per-shingle hashing (e.g. ``_hash_fn("md5")``)
+    into the SECOND projection, so callers that only ever consume
+    hashed shingles skip their own third materialization pass — one
+    fewer eager job per call (r16: the streaming ingest path paid that
+    extra pass per MICRO-BATCH).  Safe against the quadratic trap: the
+    outer ``transform``'s input array is evaluated once per row and the
+    hash lambda captures only its own element variable.  ``_sh`` is
+    then ``array<long>`` instead of ``array<string>``."""
     toks = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.col(text_col).alias("_txt"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
     ).localCheckpoint(eager=True)
+    sh = shingles_of_tokens(F.col("_toks"), F.col("_txt"), n)
+    if hash_fn is not None:
+        sh = F.transform(sh, lambda s: hash_fn(s))
     return toks.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        shingles_of_tokens(F.col("_toks"), F.col("_txt"), n).alias("_sh"),
+        sh.alias("_sh"),
     ).localCheckpoint(eager=True)
 
 
@@ -221,9 +233,7 @@ def minhash_signatures(
     post = hashed_shingles.select(
         F.col(id_col), F.explode(sh_col).alias("_h")
     ).withColumn("_h31", F.col("_h").bitwiseAND(F.lit(_MASK31)))
-    return post.groupBy(id_col).agg(
-        *[F.min(_perm(F.col("_h31"), i)).alias(f"m{i}") for i in range(num_hashes)]
-    )
+    return post.groupBy(id_col).agg(*_minhash_agg_cols(num_hashes))
 
 
 def minhash_signature_of_shingles(sh: Column, num_hashes: int = 32) -> Column:
@@ -251,6 +261,60 @@ def _hash_fn(hash: str):
     if hash == "md5":
         return md5_hash60
     raise ValueError(f"unknown hash {hash!r}")
+
+
+# Memoized unresolved Column trees (r16): building the 32-hash MinHash
+# aggregate / band-explode expressions costs ~100s of py4j round trips
+# (~0.3-0.9 s of pure driver time) and is a pure function of the
+# config, so each tree is built once per process and reused — Column
+# objects are unresolved expression templates, reusable across any
+# DataFrame/plan in the same JVM gateway.  This is EXPRESSION reuse,
+# not data caching: no row, file, or result is held.  The streaming
+# ingest drain previously paid the full construction once per
+# MICRO-BATCH; the d-family pays it once per query.
+_EXPR_CACHE: dict = {}
+
+
+def _minhash_agg_cols(num_hashes: int) -> list:
+    key = ("mh_agg", num_hashes)
+    cols = _EXPR_CACHE.get(key)
+    if cols is None:
+        cols = [
+            F.min(_perm(F.col("_h31"), i)).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        _EXPR_CACHE[key] = cols
+    return cols
+
+
+def _band_explode_col(num_hashes: int, bands: int, band_hash):
+    key = ("band_explode", num_hashes, bands, band_hash)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        rows_per_band = num_hashes // bands
+        col = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        band_hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"m{j * rows_per_band + k}"
+                                    ).cast("string")
+                                    for k in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        )
+        _EXPR_CACHE[key] = col
+    return col
 
 
 def minhash_tuned_bands(num_hashes: int = 32, threshold: float = 0.5) -> int:
@@ -302,14 +366,14 @@ def minhash_shared(
     layout."""
     sh_hash = _hash_fn(hash)
     # hashed shingle set, kept for the exact-verification step (long
-    # arrays intersect much faster than string arrays)
-    base = (
-        shingle_frame(docs, n, id_col, text_col)
-        .select(
-            F.col(id_col).alias("_did"),
-            F.transform(F.col("_sh"), lambda s: sh_hash(s)).alias("_sh"),
-        )
-        .localCheckpoint(eager=True)  # shared by signature + verify stages
+    # arrays intersect much faster than string arrays).  Hashing is
+    # folded into shingle_frame's second materialization (hash_fn=), so
+    # the old third checkpoint pass is gone (r16: one fewer eager job —
+    # per MICRO-BATCH on the streaming ingest path); both consumers
+    # (signature aggregate, verify) still read one materialized frame
+    # through the trivial rename projection.
+    base = shingle_frame(docs, n, id_col, text_col, hash_fn=sh_hash).select(
+        F.col(id_col).alias("_did"), "_sh"
     )
     sig = minhash_signatures(base, num_hashes)
     if checkpoint_sig:
@@ -332,28 +396,9 @@ def _band_frame(sig: DataFrame, num_hashes: int, bands: int, band_hash) -> DataF
     (num_hashes, bands, hash) collide identically regardless of which
     corpus they came from — the property that makes the index reusable
     across ingest batches."""
-    rows_per_band = num_hashes // bands
     return sig.select(
         F.col("_did"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        band_hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{j * rows_per_band + k}").cast("string")
-                                    for k in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("_b"),
+        _band_explode_col(num_hashes, bands, band_hash).alias("_b"),
     ).select("_did", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
 
 
@@ -483,6 +528,55 @@ def lsh_index_forget(
         )
 
 
+def validate_lsh_index_config(
+    index: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    hash: str,
+) -> None:
+    """Fail-loudly contract for a persisted LSH band index (the
+    minhash_shared cfg assert, extended to artifacts): a shard banded
+    with the caller's params against an index built with different
+    ones would silently match nothing.
+
+    Distinct, not first(): an index grown by a raw write that bypassed
+    lsh_index_append can hold MIXED-config rows, which a single-row
+    probe passes silently (round-8 advice; the IVF twin
+    _validate_cells_config already rejects mixed sinks).  The config
+    columns are constants per file (RLE'd), so the distinct is a
+    map-side partial-agg over dictionary pages of the slim index — one
+    cheap pass.  Callers that read one immutable index for many calls
+    (the streaming drain) run this ONCE and pass
+    ``validate_index=False`` per call."""
+    want = {"_num_hashes": num_hashes, "_bands": bands, "_n": n, "_hash": hash}
+    missing = [c for c in want if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"incremental_lsh_dups: index lacks config columns "
+            f"{missing} — rebuild it with lsh_band_index (indexes "
+            f"carry their LSH config as constant columns so a "
+            f"mismatched read-back fails loudly)"
+        )
+    metas = index.select(*want).distinct().collect()
+    if len(metas) > 1:
+        raise ValueError(
+            f"incremental_lsh_dups: index holds rows from "
+            f"{len(metas)} different LSH configs — it was grown by a "
+            f"write that bypassed lsh_index_append; rebuild it with "
+            f"lsh_band_index"
+        )
+    # an empty index (empty corpus) has no config row — and no
+    # pairs to mis-match either
+    stored = {c: metas[0][c] for c in want} if metas else want
+    if stored != want:
+        raise ValueError(
+            f"incremental_lsh_dups: index was built with {stored}, "
+            f"but this call requests {want} — rebuild the index or "
+            f"match the call's parameters"
+        )
+
+
 def incremental_lsh_dups(
     corpus: DataFrame,
     new_batch: DataFrame,
@@ -495,6 +589,7 @@ def incremental_lsh_dups(
     hash: str = "xxhash64",
     index: DataFrame | None = None,
     shared: tuple | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW SHARD and an already-indexed corpus
     — the ingest-side counterpart of :func:`minhash_lsh_pairs`, and the
@@ -530,44 +625,15 @@ def incremental_lsh_dups(
     sh_hash = _hash_fn(hash)
     if index is None:
         index = lsh_band_index(corpus, num_hashes, bands, n, text_col, id_col, hash)
+    elif not validate_index:
+        # caller validated once up front (streaming_ingest_dedup does,
+        # before start()) — skip the per-call distinct job: a static
+        # availableNow drain reads one immutable index, so re-checking
+        # per MICRO-BATCH bought one full index scan per batch for a
+        # config that cannot change mid-drain (r16, guide §1.4/§2.6)
+        pass
     else:
-        # fail-loudly contract (the minhash_shared cfg assert, extended
-        # to persisted artifacts): a shard banded with this call's
-        # params against an index built with different ones would
-        # silently match nothing.
-        want = {"_num_hashes": num_hashes, "_bands": bands, "_n": n, "_hash": hash}
-        missing = [c for c in want if c not in index.columns]
-        if missing:
-            raise ValueError(
-                f"incremental_lsh_dups: index lacks config columns "
-                f"{missing} — rebuild it with lsh_band_index (indexes "
-                f"carry their LSH config as constant columns so a "
-                f"mismatched read-back fails loudly)"
-            )
-        # distinct, not first(): an index grown by a raw write that
-        # bypassed lsh_index_append can hold MIXED-config rows, which a
-        # single-row probe passes silently (round-8 advice; the IVF twin
-        # _validate_cells_config already rejects mixed sinks).  The
-        # config columns are constants per file (RLE'd), so the distinct
-        # is a map-side partial-agg over dictionary pages of the slim
-        # index — one cheap pass, documented in the cost paragraph.
-        metas = index.select(*want).distinct().collect()
-        if len(metas) > 1:
-            raise ValueError(
-                f"incremental_lsh_dups: index holds rows from "
-                f"{len(metas)} different LSH configs — it was grown by a "
-                f"write that bypassed lsh_index_append; rebuild it with "
-                f"lsh_band_index"
-            )
-        # an empty index (empty corpus) has no config row — and no
-        # pairs to mis-match either
-        stored = {c: metas[0][c] for c in want} if metas else want
-        if stored != want:
-            raise ValueError(
-                f"incremental_lsh_dups: index was built with {stored}, "
-                f"but this call requests {want} — rebuild the index or "
-                f"match the call's parameters"
-            )
+        validate_lsh_index_config(index, num_hashes, bands, n, hash)
     if shared is not None:
         # the minhash_shared reuse contract (see minhash_lsh_pairs):
         # the tuple IS the shard — validate its config, ignore new_batch
@@ -603,10 +669,11 @@ def incremental_lsh_dups(
     # semi-join prunes the corpus scan to O(distinct candidate ids).
     cand_ids = cand.select(F.col("corpus_id").alias(id_col)).dropDuplicates()
     corp_base = shingle_frame(
-        corpus.join(cand_ids, id_col, "left_semi"), n, id_col, text_col
+        corpus.join(cand_ids, id_col, "left_semi"), n, id_col, text_col,
+        hash_fn=sh_hash,  # folded into the shingle pass: one fewer job
     ).select(
         F.col(id_col).alias("corpus_id"),
-        F.transform(F.col("_sh"), lambda s: sh_hash(s)).alias("sh_b"),
+        F.col("_sh").alias("sh_b"),
     )
     pairs = cand.join(
         nb_base.select(F.col("_did").alias("new_id"), F.col("_sh").alias("sh_a")),

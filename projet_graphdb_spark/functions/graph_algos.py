@@ -49,11 +49,15 @@ def _probe(df: DataFrame) -> None:
 
 
 def _materialize(df: DataFrame) -> tuple[DataFrame, int, bool]:
-    """localCheckpoint + size probe.  Returns (frame, rows, is_small);
-    small frames are coalesced to one partition so every downstream
-    stage schedules one task instead of shuffle.partitions tasks."""
+    """Lineage barrier + size probe (localCheckpoint by default,
+    sink-backed parquet when SPARK_GRAFT_CKPT_DIR is set — guide §5,
+    r15 verdict item 7).  Returns (frame, rows, is_small); small frames
+    are coalesced to one partition so every downstream stage schedules
+    one task instead of shuffle.partitions tasks."""
+    from .materialize import materialize
+
     _probe(df)
-    df = df.localCheckpoint(eager=True)
+    df = materialize(df, eager=True)
     n = df.count()  # free: already materialized
     if n <= _SMALL_ROWS:
         df = df.coalesce(1)
@@ -78,10 +82,15 @@ def _ckpt_rotate(df: DataFrame, prev_handle):
     handles produced by this function are ever dropped: unpersisting an
     arbitrary frame's leaf RDD could kill a *shared* lineage-truncated
     checkpoint (e.g. the input edge table), which is unrecoverable.
+
+    Sink-backed mode (SPARK_GRAFT_CKPT_DIR set): the handle is the
+    predecessor's parquet path, deleted instead of unpersisted.
     """
+    from .materialize import handle_of, materialize
+
     _probe(df)
-    out = df.localCheckpoint(eager=True)
-    handle = _ckpt_handle(out)
+    out = materialize(df, eager=True)
+    handle = handle_of(out) or _ckpt_handle(out)
     _unpersist(prev_handle)
     return out, handle
 
@@ -101,7 +110,11 @@ def _ckpt_handle(df: DataFrame):
 
 
 def _unpersist(handle):
-    if handle is not None:
+    if isinstance(handle, str):  # sink-backed predecessor: delete it
+        from .materialize import release
+
+        release(handle)
+    elif handle is not None:
         try:
             handle.unpersist(False)
         except Exception:
@@ -121,11 +134,25 @@ def _ckpt_rotate_agg(df: DataFrame, prev_handle, agg_exprs: list):
     until it materializes.
 
     Returns ``(checkpointed_df, rdd_handle, witness_row)``.
+
+    Sink-backed mode (SPARK_GRAFT_CKPT_DIR set): the parquet write is
+    the materialization (necessarily eager — one write job) and the
+    witness aggregate is a second, columnar-scan job over the sunk
+    rows; the handle is the predecessor's path, deleted not
+    unpersisted.  That is the 100-TB shape: durable iteration state,
+    no lineage truncation, no executor-storage pinning (guide §5).
     """
+    from .materialize import ckpt_dir, handle_of, materialize
+
     _probe(df)
-    out = df.localCheckpoint(eager=False)
-    row = out.agg(*agg_exprs).collect()[0]
-    handle = _ckpt_handle(out)
+    if ckpt_dir():
+        out = materialize(df, eager=True)
+        row = out.agg(*agg_exprs).collect()[0]
+        handle = handle_of(out)
+    else:
+        out = df.localCheckpoint(eager=False)
+        row = out.agg(*agg_exprs).collect()[0]
+        handle = _ckpt_handle(out)
     _unpersist(prev_handle)
     return out, handle, row
 

@@ -7,15 +7,58 @@ reads the REAL type hints to infer the UDF kind; stringized annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+# Module-level UDFs declare their return type as a DataType OBJECT, not
+# a DDL string: string types are parsed through the active SparkContext
+# at decoration time, and this module is now imported inside executor
+# Python workers too (UDF bodies reference module functions like
+# seq_rowdot), where no context exists.
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def np_l2norm(v: pd.Series) -> pd.Series:
     """Arrow-batched numpy L2 norm of an array column — the scalar
     pandas_udf shape (each batch arrives as a Series of numpy arrays)."""
     import numpy as np
 
     return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
+
+
+def seq_rowdot(A, B):
+    """Row-wise dot products with the JVM HOF fold's EXACT IEEE
+    semantics: elementwise f64 products (identical to
+    ``x.cast("double") * y.cast("double")``), then a strict
+    left-to-right sequential summation via ``np.cumsum`` — numpy's
+    ``add.accumulate`` is a plain sequential loop, so the last prefix
+    is BIT-IDENTICAL to ``aggregate(zip_with(a, b, x*y), 0.0, acc+v)``
+    (pinned by tests/test_pyudf.py::test_seq_rowdot_matches_fold;
+    ``einsum``/``sum`` use SIMD/pairwise partial sums and are NOT).
+    Arrays must be 2-D f64-convertible of equal shape."""
+    import numpy as np
+
+    P = np.asarray(A, dtype=np.float64) * np.asarray(B, dtype=np.float64)
+    if P.shape[1] == 0:
+        return np.zeros(P.shape[0], dtype=np.float64)
+    return np.cumsum(P, axis=1)[:, -1]
+
+
+@pandas_udf(DoubleType())
+def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched exact-verify dot product for candidate PAIRS —
+    the per-pair term of ``similarity._verify_candidate_pairs`` /
+    ``_incremental_cells_pairs`` (guide §4.2: the interpreted
+    ``aggregate(zip_with(...))`` fold costs ~4.5 µs/pair and dominates
+    the verify tail at scale; one BLAS-shaped batch op replaces it).
+    Bit-identical to the JVM fold by construction: see
+    :func:`seq_rowdot`."""
+    import numpy as np
+
+    if not len(va):
+        return pd.Series([], dtype="float64")
+    A = np.vstack(va.to_numpy())
+    B = np.vstack(vb.to_numpy())
+    return pd.Series(seq_rowdot(A, B))
 
 
 

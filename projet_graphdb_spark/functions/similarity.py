@@ -33,6 +33,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _pair_sim(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Exact cosine for candidate-PAIR verify tails: the dot runs as
+    ONE Arrow-batched numpy op per batch (guide §4.2 — the interpreted
+    ``aggregate(zip_with(...))`` fold costs ~4.5 µs/pair and is the
+    dominant per-candidate term at scale), divided by the precomputed
+    norms JVM-side.  Values are BIT-IDENTICAL to ``dot(va, vb)``:
+    ``pyudf.pair_dot`` reproduces the fold's exact IEEE operation
+    sequence (f64 casts, f64 products, strict left-to-right summation
+    via sequential ``cumsum`` — see ``pyudf.seq_rowdot``), so the
+    downstream ``>= threshold`` filter and 6-dp round see the same
+    doubles as the JVM path and the DuckDB oracle replay."""
+    from . import pyudf
+
+    return pyudf.pair_dot(va, vb) / (na * nb)
+
+
 def l2norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -604,7 +620,7 @@ def embedding_cosine_dups(
     return (
         a.join(b, on=["_blk", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .withColumn("sim", _pair_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
@@ -792,7 +808,7 @@ def _verify_candidate_pairs(base: DataFrame, pairs: DataFrame, threshold: float)
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .withColumn("sim", _pair_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
@@ -1458,7 +1474,7 @@ def _incremental_cells_pairs(
     return (
         cand.join(va, "new_id")
         .join(vb, "corpus_id")
-        .withColumn("sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .withColumn("sim", _pair_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") >= threshold)
         .select("new_id", "corpus_id", F.round("sim", 6).alias("sim"))
     )
@@ -2722,25 +2738,18 @@ def incremental_exact_dups(
     thr = float(threshold)
 
     def _score(batches):
-        import math
-
         import numpy as _np
         import pandas as _pd
 
+        from .pyudf import seq_rowdot
+
         ids_s, mat_s = bc.value
         nrm_s = _np.sqrt((mat_s * mat_s).sum(axis=1))
-
-        def _fold_dot(va, vb):
-            acc = 0.0
-            for x, y in zip(va, vb):
-                acc += x * y
-            return acc
-
-        def _fold_norm(v):
-            acc = 0.0
-            for x in v:
-                acc += x * x
-            return math.sqrt(acc)
+        # the JVM fold's exact IEEE order for the emitted sims:
+        # left-to-right accumulate of squares (seq_rowdot — sequential
+        # cumsum, bit-identical to the fold), sqrt each norm.  The BLAS
+        # pairwise norms above stay for the PREFILTER only.
+        nrm_s_fold = _np.sqrt(seq_rowdot(mat_s, mat_s))
 
         for pdf in batches:
             if pdf.empty:
@@ -2753,22 +2762,24 @@ def incremental_exact_dups(
             with _np.errstate(divide="ignore", invalid="ignore"):
                 cos = (c_mat @ mat_s.T) / _np.outer(c_nrm, nrm_s)
             ci, si = _np.nonzero(cos >= thr - 1e-9)
-            out_new, out_corp, out_sim = [], [], []
-            for a, b in zip(ci.tolist(), si.tolist()):
-                if c_ids[a] == ids_s[b]:
-                    continue
-                va, vb = c_mat[a].tolist(), mat_s[b].tolist()
-                # the JVM fold's exact IEEE order: left-to-right
-                # accumulate, sqrt each norm, one multiply, one divide
-                sim = _fold_dot(va, vb) / (_fold_norm(va) * _fold_norm(vb))
-                out_new.append(ids_s[b])
-                out_corp.append(c_ids[a])
-                out_sim.append(sim)
+            # drop self-pairs, then re-fold ONLY the survivors with the
+            # exact sequential semantics (r16: was a per-pair Python
+            # loop — ~µs/pair; now three vectorized ops over the
+            # selected rows, values bit-identical)
+            keep = c_ids[ci] != ids_s[si]
+            ci, si = ci[keep], si[keep]
+            if len(ci):
+                c_nrm_fold = _np.sqrt(seq_rowdot(c_mat, c_mat))
+                sims = seq_rowdot(c_mat[ci], mat_s[si]) / (
+                    c_nrm_fold[ci] * nrm_s_fold[si]
+                )
+            else:
+                sims = _np.empty(0, dtype=_np.float64)
             yield _pd.DataFrame(
                 {
-                    "new_id": _pd.Series(out_new, dtype=object),
-                    "corpus_id": _pd.Series(out_corp, dtype=object),
-                    "sim": _pd.Series(out_sim, dtype="float64"),
+                    "new_id": _pd.Series(list(ids_s[si]), dtype=object),
+                    "corpus_id": _pd.Series(list(c_ids[ci]), dtype=object),
+                    "sim": _pd.Series(sims, dtype="float64"),
                 }
             )
 

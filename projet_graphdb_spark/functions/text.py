@@ -715,6 +715,18 @@ def quality_filter(
         .when((atl < atl_lo) | (atl > atl_hi), F.lit("token_shape"))
         .when(q < min_quality, F.lit("low_quality"))
     )
+    if keep_input_cols:
+        # fail loudly instead of emitting duplicate column names: a docs
+        # frame already carrying a verdict-named column would make the
+        # consumer's where("keep")/drop ambiguous or silently wrong
+        clash = set(docs.columns) & {
+            "n_tokens", "avg_token_len", "quality", "keep", "reject_reason"
+        }
+        if clash:
+            raise ValueError(
+                f"quality_filter(keep_input_cols=True): docs already has "
+                f"verdict column(s) {sorted(clash)} — rename them first"
+            )
     lead = (
         [F.col(c) for c in docs.columns]
         if keep_input_cols
@@ -1503,6 +1515,8 @@ def corpus_build_funnel(
     """
     from pyspark.sql.window import Window
 
+    from .materialize import materialize as _funnel_ckpt
+
     spark = docs.sparkSession
     t = F.col(text_col)
 
@@ -1536,25 +1550,29 @@ def corpus_build_funnel(
     r1 = {"n": r01["n1"], "detail": r01["d1"]}
 
     # Stage 2: survivors flow straight from the gate (no self-join) and
-    # the min-id/group-size window is executed ONCE — the pre-filter
-    # windowed frame is the checkpoint, so the receipt's max-group
-    # aggregate and the survivor filter both read the materialized rows
-    # instead of each re-running scan+join+window (r15: this halves the
-    # stage; the checkpoint holds n1 rows instead of n2, a delta of
-    # exactly the duplicate count).
+    # the min-id/group-size window is executed ONCE.  r16 scale fix
+    # (r15 verdict item 1): ONLY THE SURVIVORS are checkpointed — every
+    # group's keeper row (min id) survives the filter and carries the
+    # group's constant ``_grp_n``, so max(_grp_n) over survivors equals
+    # max over the full windowed frame and the receipt needs no
+    # pre-filter materialization.  The r15 code checkpointed the
+    # PRE-filter frame (n1 rows, every input column including the full
+    # text) and died "persisting" at the 10× sweep; this holds n2 rows
+    # — the r14 width at the r15 job count (window still runs once).
     s1 = qf.where("keep").drop(
         "n_tokens", "avg_token_len", "quality", "keep", "reject_reason"
     )
     s1 = s1.withColumn("_fp", fingerprint(t))
     grp = Window.partitionBy("_fp")
-    w2 = (
-        s1.withColumn("_keep", F.min(id_col).over(grp))
-        .withColumn("_grp_n", F.count(F.lit(1)).over(grp))
-        .localCheckpoint(eager=True)
+    w2 = s1.withColumn("_keep", F.min(id_col).over(grp)).withColumn(
+        "_grp_n", F.count(F.lit(1)).over(grp)
     )
-    r2 = w2.agg(F.max("_grp_n").cast("double").alias("detail")).first()
-    s2 = w2.where(F.col(id_col) == F.col("_keep")).drop("_keep", "_grp_n")
-    n2 = s2.count()
+    s2ck = _funnel_ckpt(
+        w2.where(F.col(id_col) == F.col("_keep")).drop("_keep")
+    )
+    r2 = s2ck.agg(F.max("_grp_n").cast("double").alias("detail")).first()
+    s2 = s2ck.drop("_grp_n")
+    n2 = s2ck.count()  # free: already materialized
 
     # the cross-modal legs (round-14 verdict item 3): each consumes the
     # previous stage's survivors, drops non-keeper cluster members, and
@@ -1567,21 +1585,21 @@ def corpus_build_funnel(
         sem = embeddings.join(
             cur.select(F.col(id_col).alias(emb_id_col)), emb_id_col
         )
-        man = embedding_dup_clusters(
+        man = _funnel_ckpt(embedding_dup_clusters(
             sem, bands=emb_bands, threshold=emb_threshold,
             id_col=emb_id_col,
-        ).localCheckpoint(eager=True)
+        ))
         r2a = (
             man.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("_sz"))
             .agg(F.greatest(F.max("_sz"), F.lit(1)).cast("double").alias("detail"))
             .first()
         )
-        cur = cur.join(
+        cur = _funnel_ckpt(cur.join(
             man.where(~F.col("keep")).select(F.col("vec_id").alias(id_col)),
             id_col,
             "left_anti",
-        ).localCheckpoint(eager=True)
+        ))
         n_new = cur.count()
         extra_rows.append(
             ("2a_semantic_dedup", n_cur, n_new, n_cur - n_new, r2a["detail"])
@@ -1594,34 +1612,34 @@ def corpus_build_funnel(
         med = media.join(
             cur.select(F.col(id_col).alias(media_id_col)), media_id_col
         )
-        pairs = dhash_pairs(
+        pairs = _funnel_ckpt(dhash_pairs(
             med, bands=media_bands, payload_col=media_payload_col,
             id_col=media_id_col,
-        ).localCheckpoint(eager=True)
-        comp = connected_components(
+        ))
+        comp = _funnel_ckpt(connected_components(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        ).localCheckpoint(eager=True)
+        ))
         r2b = comp.groupBy("component").agg(
             F.count(F.lit(1)).alias("_sz")
         ).agg(
             F.greatest(F.coalesce(F.max("_sz"), F.lit(1)), F.lit(1))
             .cast("double").alias("detail")
         ).first()
-        cur = cur.join(
+        cur = _funnel_ckpt(cur.join(
             comp.where(F.col("id") != F.col("component"))
             .select(F.col("id").alias(id_col)),
             id_col,
             "left_anti",
-        ).localCheckpoint(eager=True)
+        ))
         n_new = cur.count()
         extra_rows.append(
             ("2b_image_neardup", n_cur, n_new, n_cur - n_new, r2b["detail"])
         )
         n_cur = n_new
 
-    dec = decontaminated_train(
+    dec = _funnel_ckpt(decontaminated_train(
         cur, max_overlap=max_overlap, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ))
     # one pass over the checkpointed decontam frame for both receipt
     # rows (r15: was two aggregate jobs over the same materialized rows)
     r34 = dec.agg(
@@ -1631,9 +1649,9 @@ def corpus_build_funnel(
     ).first()
     r3 = {"n": r34["n"], "detail": r34["d3"]}
     r4 = {"detail": r34["d4"]}
-    s4 = cur.join(
+    s4 = _funnel_ckpt(cur.join(
         dec.where("keep").select(id_col), id_col
-    ).localCheckpoint(eager=True)
+    ))
     n4 = s4.count()
 
     rates = mixture_rates(s4, budget_frac=budget_frac)
@@ -1641,10 +1659,9 @@ def corpus_build_funnel(
         F.substring(F.md5(F.concat_ws(":", F.lit("mx"), F.col(id_col))), 1, 15),
         16, 10,
     ).cast("long").cast("double")
-    s5 = (
+    s5 = _funnel_ckpt(
         s4.join(F.broadcast(rates.select("source", "final_rate")), "source")
         .where(u < F.col("final_rate") * F.lit(16.0 ** 15))
-        .localCheckpoint(eager=True)
     )
     r5 = s5.agg(
         F.count(F.lit(1)).alias("n"),

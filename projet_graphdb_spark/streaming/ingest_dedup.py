@@ -87,6 +87,14 @@ def streaming_ingest_dedup(
     actual shrink rather than a no-op.
     """
 
+    # fail-loudly index/config validation ONCE, before start(): the
+    # drain reads one immutable index, so the per-batch distinct job
+    # incremental_lsh_dups would otherwise run bought one full index
+    # scan per micro-batch for a config that cannot change mid-drain
+    # (r16 streaming fixed-cost cut; a mismatch still fails before the
+    # FIRST batch — earlier than the old per-batch check)
+    dedup.validate_lsh_index_config(index, num_hashes, bands, n, hash)
+
     def _ingest(batch_df: DataFrame, batch_id: int):
         pairs = dedup.incremental_lsh_dups(
             corpus,
@@ -99,6 +107,7 @@ def streaming_ingest_dedup(
             id_col=id_col,
             hash=hash,
             index=index,
+            validate_index=False,
         )
         # overwrite THIS batch's partition, never append: foreachBatch
         # replays a batch whose write landed but whose checkpoint commit
