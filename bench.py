@@ -169,7 +169,9 @@ def compact_summary(out: dict) -> dict:
         "degraded_epoch": out.get("degraded_epoch"),
         "stream_rows_per_sec": out.get("stream_rows_per_sec"),
         "n_warnings": len(out.get("warnings", [])),
+        "cpus": out.get("cpus"),
         "full": "BENCH_LAST_RUN.json",
+        "full_per_cpus": out.get("full_per_cpus"),
     }
 
 
@@ -291,24 +293,37 @@ def main():
                 "before treating them as regressions",
                 file=sys.stderr,
             )
-    # The full object (304 inline query timings, ~9 KB) goes to a repo
-    # file for floors min-merging and the per-round artifacts; stdout
-    # carries ONLY the compact summary line, so however the driver
-    # parses its 2,000-char tail (whole-tail json.loads or last-line),
-    # it sees one complete small object.  The old 9 KB stdout line is
-    # what made every BENCH_rN land "parsed": null.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_RUN.json"
+    # Per-query persistence (round-15 verdict item 2, additions-only):
+    # the driver runs the bench TWICE (32- then 8-core) and the second
+    # run used to clobber BENCH_LAST_RUN.json before the driver's PERF
+    # builder read the first run's per-query map — so the full object
+    # now ALSO lands in a per-core-count file (BENCH_LAST_RUN_c32.json /
+    # _c8.json) that consecutive runs at different core counts cannot
+    # clobber.  BENCH_LAST_RUN.json keeps its exact schema (latest run).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(
+        spark.sparkContext.defaultParallelism
     )
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(out, fh, indent=1)
-        print(f"# full result object: {full_path}", file=sys.stderr)
-    except OSError as ex:
-        print(f"# could not write {full_path}: {ex}", file=sys.stderr)
-        # the full object must land SOMEWHERE parseable — fall back to
-        # stderr (never stdout, which stays one compact line)
-        print(json.dumps(out), file=sys.stderr)
+    out["cpus"] = int(cpus) if str(cpus).isdigit() else cpus
+    out["full_per_cpus"] = f"BENCH_LAST_RUN_c{cpus}.json"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_LAST_RUN.json", out["full_per_cpus"]):
+        full_path = os.path.join(repo, fname)
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(out, fh, indent=1)
+            print(f"# full result object: {full_path}", file=sys.stderr)
+        except OSError as ex:
+            print(f"# could not write {full_path}: {ex}", file=sys.stderr)
+            # the full object must land SOMEWHERE parseable — fall back
+            # to stderr (never the last stdout line, which stays small)
+            print(json.dumps(out), file=sys.stderr)
+    # stdout: the FULL object (with the per-query seconds map — the
+    # driver-contract line shape) first, then the compact summary as
+    # the LAST line.  The driver parses from a 2,000-char tail (the
+    # round-12 lesson: a 9 KB line alone truncates to unparseable), so
+    # the last line must stay small; a whole-stdout or per-line parser
+    # additionally gets every per-query timing from the first line.
+    print(json.dumps(out))
     print(json.dumps(compact_summary(out)))
 
 

@@ -1605,6 +1605,9 @@ def _validate_hamming_index(
     return metas[0]["_layout"]
 
 
+_UNVALIDATED = object()  # sentinel: "validate the index in-call"
+
+
 def incremental_hamming_dups(
     new_st: DataFrame,
     index: DataFrame,
@@ -1613,6 +1616,7 @@ def incremental_hamming_dups(
     max_hd: int | None = None,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
+    validated_layout=_UNVALIDATED,
 ) -> DataFrame:
     """Hamming near-dup pairs between a NEW SHARD's fingerprints and an
     already-indexed corpus — the :func:`incremental_lsh_dups` shape for
@@ -1654,9 +1658,15 @@ def incremental_hamming_dups(
             f"would depend on the index's band layout; raise bands "
             f"(rebuild the index) instead"
         )
-    layout = _validate_hamming_index(
-        index, nbits, bands, "incremental_hamming_dups"
-    )
+    if validated_layout is _UNVALIDATED:
+        layout = _validate_hamming_index(
+            index, nbits, bands, "incremental_hamming_dups"
+        )
+    else:
+        # caller validated once up front (the image streaming drain
+        # does, before start()) and passes the stored layout — skip
+        # the per-call distinct job over the index (r16)
+        layout = validated_layout
     kwargs = hamming_layout_kwargs(layout) if layout is not None else {}
     bvals = _band_values(hash_col, nbits, bands, **kwargs)
     shard = new_st.select(

@@ -703,6 +703,7 @@ def incremental_dhash_dups(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decode_fn=None,
+    validated_layout=None,
 ) -> DataFrame:
     """Image near-dup pairs between a NEW media shard and an
     already-indexed corpus (round-14 verdict item 1 — the one modality
@@ -716,15 +717,25 @@ def incremental_dhash_dups(
     Exhaustive for ``max_hd <= bands - 1`` under any persisted layout
     (pigeonhole, layout-invariant); shard and index id domains must be
     disjoint.  Output: (new_id, corpus_id, hd)."""
-    from .dedup import incremental_hamming_dups
+    from .dedup import _UNVALIDATED, incremental_hamming_dups
 
     st = dhash_table(
         new_media, payload_col=payload_col, id_col=id_col,
         decode_fn=decode_fn,
     )
+    # validated_layout: a caller that validated the index ONCE (the
+    # streaming drain, before start()) passes the stored layout string
+    # (or None for an empty index) wrapped in a 1-tuple to distinguish
+    # "validated, layout=None" from "not validated"; plain None keeps
+    # the per-call check (r16)
+    kw = {}
+    if validated_layout is not None:
+        kw["validated_layout"] = validated_layout[0]
+    else:
+        kw["validated_layout"] = _UNVALIDATED
     return incremental_hamming_dups(
         st, index, nbits=64, bands=bands, max_hd=max_hd,
-        id_col=id_col, hash_col="dhash",
+        id_col=id_col, hash_col="dhash", **kw,
     )
 
 

@@ -1209,6 +1209,96 @@ def _validate_cells_config(
         )
 
 
+def validate_srp_index_config(
+    index: DataFrame,
+    bits: int,
+    n_bands: int,
+    dim: int,
+    seed: int,
+    fn_name: str = "incremental_srp_dups",
+) -> None:
+    """Fail-loudly contract for a persisted SRP band index: the
+    embedded (_bits, _n_bands, _dim, _seed) construction must match
+    the caller's, and mixed-config sinks are rejected.  Callers that
+    read one immutable index for many calls (the streaming drain)
+    run this ONCE and pass ``validate_index=False`` per call (r16 —
+    the per-batch distinct job cannot change mid-drain)."""
+    want = {"_bits": bits, "_n_bands": n_bands, "_dim": dim, "_seed": seed}
+    missing = [c for c in want if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"{fn_name}: index lacks config columns "
+            f"{missing} — rebuild it with srp_band_index (indexes "
+            f"carry their SRP construction so a mismatched "
+            f"read-back fails loudly)"
+        )
+    metas = index.select(*want).distinct().collect()
+    if len(metas) > 1:
+        raise ValueError(
+            f"{fn_name}: index holds rows from "
+            f"{len(metas)} different SRP configs — rebuild it with "
+            f"srp_band_index"
+        )
+    stored = {c: metas[0][c] for c in want} if metas else want
+    if stored != want:
+        raise ValueError(
+            f"{fn_name}: index was built with {stored}, "
+            f"but this call requests {want} — rebuild the index or "
+            f"match the call's parameters"
+        )
+
+
+def validate_ivf_artifacts(
+    corpus: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: dict,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fn_name: str = "incremental_ivf_dups",
+) -> None:
+    """The IVF ingest staleness guards as a ONCE-callable unit (config
+    distinct + re-assigned id sample) — what incremental_ivf_dups runs
+    per call, hoisted so a streaming drain over immutable artifacts
+    pays it once before start() (r16)."""
+    from . import clustering
+
+    corp = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    _validate_cells_config(corpus_cells, centroids, nprobe, fn_name)
+    _stale_sample_guard(
+        corp, corpus_cells.select("_vid", "_cell"),
+        lambda s: clustering.assign_topn(
+            s, centroids, nprobe=nprobe, vec_col="_v"
+        ).select("_vid", F.explode("_cells").alias("_cell")),
+        fn_name,
+    )
+
+
+def validate_imi_artifacts(
+    corpus: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: tuple,
+    p1: int,
+    p2: int,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fn_name: str = "incremental_imi_dups",
+) -> None:
+    """The IMI twin of :func:`validate_ivf_artifacts`."""
+    cents1, cents2 = centroids
+    corp = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        dim = corp.select(F.size("_v")).first()[0]
+    _validate_imi_cells_config(corpus_cells, cents1, cents2, p1, p2, fn_name)
+    _stale_sample_guard(
+        corp, corpus_cells.select("_vid", "_cell"),
+        lambda s: _imi_assign(s, cents1, cents2, p1, p2, len(cents2), dim)
+        .select("_vid", F.explode("_cells").alias("_cell")),
+        fn_name,
+    )
+
+
 def _sink_join_cost(sink: DataFrame, fn_name: str) -> float | None:
     """Read a persisted sink's embedded ``_join_cost_flops`` stamp so an
     append can carry it forward (round-14 advice: the SRP append did
@@ -1336,6 +1426,7 @@ def incremental_ivf_dups(
     n_rows: int | None = None,
     centroids: dict | None = None,
     corpus_cells: DataFrame | None = None,
+    validate_artifacts: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW SHARD of embeddings and an already-
     indexed corpus — the embedding-space twin of
@@ -1415,17 +1506,23 @@ def incremental_ivf_dups(
         # (2) re-assign the first ``_STALE_SAMPLE`` corpus ids (dense
         # contract) and require the stored rows to agree — catches a
         # corrupted or partially-written sink that kept its config.
-        _validate_cells_config(
-            corpus_cells, centroids, nprobe, "incremental_ivf_dups"
-        )
-        corpus_cells = corpus_cells.select("_vid", "_cell")
-        _stale_sample_guard(
-            corp, corpus_cells,
-            lambda s: clustering.assign_topn(
-                s, centroids, nprobe=nprobe, vec_col="_v"
-            ).select("_vid", F.explode("_cells").alias("_cell")),
-            "incremental_ivf_dups",
-        )
+        # ``validate_artifacts=False`` skips both (r16): a streaming
+        # drain over immutable artifacts runs validate_ivf_artifacts
+        # ONCE before start() instead of these jobs per micro-batch.
+        if validate_artifacts:
+            _validate_cells_config(
+                corpus_cells, centroids, nprobe, "incremental_ivf_dups"
+            )
+            corpus_cells = corpus_cells.select("_vid", "_cell")
+            _stale_sample_guard(
+                corp, corpus_cells,
+                lambda s: clustering.assign_topn(
+                    s, centroids, nprobe=nprobe, vec_col="_v"
+                ).select("_vid", F.explode("_cells").alias("_cell")),
+                "incremental_ivf_dups",
+            )
+        else:
+            corpus_cells = corpus_cells.select("_vid", "_cell")
     shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     shard_cells = clustering.assign_topn(
         shard, centroids, nprobe=nprobe, vec_col="_v"
@@ -2108,6 +2205,7 @@ def incremental_imi_dups(
     centroids: tuple | None = None,
     corpus_cells: DataFrame | None = None,
     max_train_rows: int = 200_000,
+    validate_artifacts: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW SHARD of embeddings and an already-
     indexed corpus through a frozen inverted MULTI-index — the
@@ -2165,7 +2263,7 @@ def incremental_imi_dups(
         corpus_cells = _imi_assign(
             corp, cents1, cents2, p1, p2, k2_real, dim
         ).select("_vid", F.explode("_cells").alias("_cell"))
-    else:
+    elif validate_artifacts:
         _validate_imi_cells_config(
             corpus_cells, cents1, cents2, p1, p2, "incremental_imi_dups"
         )
@@ -2176,6 +2274,9 @@ def incremental_imi_dups(
             .select("_vid", F.explode("_cells").alias("_cell")),
             "incremental_imi_dups",
         )
+    else:
+        # validated once by the caller (validate_imi_artifacts) — r16
+        corpus_cells = corpus_cells.select("_vid", "_cell")
     shard = new_batch.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     shard_cells = _imi_assign(
         shard, cents1, cents2, p1, p2, k2_real, dim
@@ -2483,6 +2584,7 @@ def incremental_srp_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW SHARD of embeddings and an
     SRP-indexed corpus — the embedding-space twin of
@@ -2512,30 +2614,8 @@ def incremental_srp_dups(
         index = srp_band_index(
             corpus, n_bands, bits, dim, seed, id_col, vec_col
         )
-    else:
-        want = {"_bits": bits, "_n_bands": n_bands, "_dim": dim, "_seed": seed}
-        missing = [c for c in want if c not in index.columns]
-        if missing:
-            raise ValueError(
-                f"incremental_srp_dups: index lacks config columns "
-                f"{missing} — rebuild it with srp_band_index (indexes "
-                f"carry their SRP construction so a mismatched "
-                f"read-back fails loudly)"
-            )
-        metas = index.select(*want).distinct().collect()
-        if len(metas) > 1:
-            raise ValueError(
-                f"incremental_srp_dups: index holds rows from "
-                f"{len(metas)} different SRP configs — rebuild it with "
-                f"srp_band_index"
-            )
-        stored = {c: metas[0][c] for c in want} if metas else want
-        if stored != want:
-            raise ValueError(
-                f"incremental_srp_dups: index was built with {stored}, "
-                f"but this call requests {want} — rebuild the index or "
-                f"match the call's parameters"
-            )
+    elif validate_index:
+        validate_srp_index_config(index, bits, n_bands, dim, seed)
     bands = srp_bands(n_bands, bits, dim, seed)
     key = F.col("band").cast("long") * (1 << bits) + F.col("bhash")
     corpus_cells = index.select(

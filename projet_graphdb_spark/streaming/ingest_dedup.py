@@ -315,10 +315,32 @@ def streaming_ingest_embeddings(
         imi_cells=imi_cells, exact_allowed=exact_allowed,
     )
 
+    # validate the CHOSEN leg's artifacts ONCE, before start() (r16):
+    # an availableNow drain reads immutable artifacts, so the per-batch
+    # config-distinct + staleness-sample jobs re-checked state that
+    # cannot change mid-drain; a mismatch still fails before the FIRST
+    # batch — earlier than the old per-batch check.
+    if chosen == "lsh" and lsh_index is not None:
+        similarity.validate_srp_index_config(
+            lsh_index, lsh_cfg["bits"], lsh_cfg["n_bands"], dim,
+            lsh_cfg["seed"], fn_name="streaming_ingest_embeddings",
+        )
+    elif chosen == "ivf" and ivf_cells is not None:
+        similarity.validate_ivf_artifacts(
+            corpus, ivf_cells, ivf_centroids, ivf_cfg["nprobe"],
+            fn_name="streaming_ingest_embeddings",
+        )
+    elif chosen == "imi" and imi_cells is not None:
+        similarity.validate_imi_artifacts(
+            corpus, imi_cells, imi_centroids, imi_cfg["p1"],
+            imi_cfg["p2"], dim=dim, fn_name="streaming_ingest_embeddings",
+        )
+
     def _ingest(batch_df: DataFrame, batch_id: int):
         if chosen == "exact":
             # the guaranteed leg: a micro-batch is exactly the small-S
-            # shape the broadcast-shard × corpus-scan plan wants
+            # shape the broadcast-shard × corpus-scan plan wants (its
+            # size-cap probe stays PER BATCH — batch sizes vary)
             pairs = similarity.incremental_exact_dups(
                 corpus, batch_df, threshold
             )
@@ -327,17 +349,20 @@ def streaming_ingest_embeddings(
                 corpus, batch_df, threshold,
                 n_bands=lsh_cfg["n_bands"], bits=lsh_cfg["bits"],
                 dim=dim, seed=lsh_cfg["seed"], index=lsh_index,
+                validate_index=lsh_index is None,
             )
         elif chosen == "ivf":
             pairs = similarity.incremental_ivf_dups(
                 corpus, batch_df, threshold, nprobe=ivf_cfg["nprobe"],
                 centroids=ivf_centroids, corpus_cells=ivf_cells,
+                validate_artifacts=ivf_cells is None,
             )
         else:
             pairs = similarity.incremental_imi_dups(
                 corpus, batch_df, threshold,
                 p1=imi_cfg["p1"], p2=imi_cfg["p2"],
                 centroids=imi_centroids, dim=dim, corpus_cells=imi_cells,
+                validate_artifacts=imi_cells is None,
             )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
@@ -394,6 +419,17 @@ def streaming_image_ingest_dedup(
     mismatched read-back) instead of draining "successfully" with
     zero matches.  Returns the StreamingQuery."""
     from projet_graphdb_spark.functions import multimodal
+    from projet_graphdb_spark.functions.dedup import _validate_hamming_index
+
+    # validate the index's geometry/layout ONCE, before start() (r16):
+    # the drain reads one immutable index, so the per-batch distinct
+    # job re-checked a config that cannot change mid-drain; a mismatch
+    # still fails before the first batch.  The stored layout rides into
+    # every per-batch call (1-tuple-wrapped: layout None = empty index
+    # is a valid validated state).
+    layout = _validate_hamming_index(
+        index, 64, bands, "streaming_image_ingest_dedup"
+    )
 
     def _ingest(batch_df: DataFrame, batch_id: int):
         pairs = multimodal.incremental_dhash_dups(
@@ -404,6 +440,7 @@ def streaming_image_ingest_dedup(
             payload_col=payload_col,
             id_col=id_col,
             decode_fn=decode_fn,
+            validated_layout=(layout,),
         )
         if pair_files_per_batch is not None:
             pairs = pairs.repartition(pair_files_per_batch)

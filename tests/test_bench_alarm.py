@@ -212,7 +212,9 @@ def test_compact_summary_fits_driver_tail():
     assert parsed["n_failed"] == 2 and parsed["n_warnings"] == 40
     assert parsed["degraded_epoch"] is False
     assert parsed["stream_rows_per_sec"]["e8_sessionize_stream"] == 33512.1
-    # per-query timings live in the full-object file, never on stdout
+    # per-query timings live in the full-object files (and the full
+    # first stdout line, r15 verdict item 2) — never in the LAST line,
+    # which must stay complete inside the driver's 2,000-char tail
     assert "queries" not in parsed and parsed["full"] == "BENCH_LAST_RUN.json"
     # minimal objects (failed run, no streams) stay schema-stable
     small = compact_summary({"metric": "m", "value": -1, "unit": "sec", "sf": 0.1})

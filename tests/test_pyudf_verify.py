@@ -177,3 +177,53 @@ def test_validate_lsh_index_config_hoisted(spark):
     dedup.validate_lsh_index_config(idx, 32, 8, 3, "md5")  # ok
     with pytest.raises(ValueError, match="built with"):
         dedup.validate_lsh_index_config(idx, 32, 8, 3, "xxhash64")
+
+
+def test_srp_index_validate_flag(spark):
+    """validate_index=False must skip the config job but produce the
+    same pairs; validate_srp_index_config still rejects mismatches."""
+    import numpy as np
+
+    from projet_graphdb_spark.functions import similarity
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(40):  # pairs of near-identical vectors → real dups
+        v = base + rng.standard_normal(8) * (0.01 if i % 2 else 1.0)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = emb.where("vec_id < 30")
+    shard = emb.where("vec_id >= 30")
+    idx = similarity.srp_band_index(corpus, n_bands=4, bits=4, dim=8, seed=7)
+    kw = dict(n_bands=4, bits=4, dim=8, seed=7, index=idx)
+    want = sorted(map(tuple, similarity.incremental_srp_dups(
+        corpus, shard, 0.8, **kw).collect()))
+    got = sorted(map(tuple, similarity.incremental_srp_dups(
+        corpus, shard, 0.8, validate_index=False, **kw).collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="built with"):
+        similarity.validate_srp_index_config(idx, 4, 4, 8, seed=99)
+
+
+def test_hamming_validated_layout_passthrough(spark):
+    """incremental_dhash_dups(validated_layout=(layout,)) must match
+    the self-validating call exactly."""
+    from projet_graphdb_spark.functions import multimodal
+    from projet_graphdb_spark.functions.dedup import _validate_hamming_index
+
+    corpus = spark.createDataFrame(
+        [(2 * i, ("pix" * 40 + str(i)).encode()) for i in range(20)],
+        "media_id long, payload binary",
+    )
+    shard = spark.createDataFrame(
+        [(2 * i + 1, ("pix" * 40 + str(i)).encode()) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    idx = multimodal.dhash_band_index(corpus, bands=4)
+    want = sorted(map(tuple, multimodal.incremental_dhash_dups(
+        shard, idx, bands=4).collect()))
+    layout = _validate_hamming_index(idx, 64, 4, "test")
+    got = sorted(map(tuple, multimodal.incremental_dhash_dups(
+        shard, idx, bands=4, validated_layout=(layout,)).collect()))
+    assert got == want
