@@ -56,6 +56,19 @@ def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
 
     if not len(va):
         return pd.Series([], dtype="float64")
+    na = va.isna()
+    nb = vb.isna()
+    if na.any() or nb.any():
+        # a NULL vector folds to a NULL dot on the JVM path; NaN here
+        # behaves identically downstream (>= filter drops both)
+        valid = ~(na | nb)
+        out = np.full(len(va), np.nan)
+        if valid.any():
+            out[valid.to_numpy()] = seq_rowdot(
+                np.vstack(va[valid].to_numpy()),
+                np.vstack(vb[valid].to_numpy()),
+            )
+        return pd.Series(out)
     A = np.vstack(va.to_numpy())
     B = np.vstack(vb.to_numpy())
     return pd.Series(seq_rowdot(A, B))
