@@ -1,4 +1,12 @@
-"""Receipt probe (r16): per-micro-batch plan-call wall for the e34 drain.
+"""Receipt probe (r16): per-micro-batch plan-call wall for the e34
+drain — times each incremental_lsh_dups call (plan build + validation
+jobs) inside the real streaming_ingest_dedup drain, the receipt behind
+the round report's per-batch fixed-cost numbers."""
+import os
+import sys
+import tempfile
+import time
+
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import functions as F
